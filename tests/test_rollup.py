@@ -1,0 +1,99 @@
+"""Engine rollup vs the independent single-process oracle.
+
+Verifies the per-row invariants from BASELINE.json on a deterministic
+synthetic corpus: exact equality on buckets / counts / QC bits / selected
+token arrays at every tier, float tolerance 1e-9 on means and stds.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from tsdat_ray.oracle import (
+    oracle_rollup_cascade,
+    oracle_rollup_raw,
+    oracle_standardize,
+)
+from tsdat_ray.stages.rollup import RollupConfig, rollup
+from tsdat_ray.stages.standardize import standardize_batch
+from tsdat_ray.synth import generate_sequences_table
+
+N_ROWS = 4000
+
+
+@pytest.fixture(scope="module")
+def seq_table() -> pa.Table:
+    return generate_sequences_table(N_ROWS, seed=42)
+
+
+def _engine_tiers(ray_session, seq_table):
+    import ray.data as rd
+
+    ds = rd.from_arrow(seq_table).map_batches(standardize_batch, batch_format="pyarrow")
+    t1m = rollup(ds, RollupConfig(interval_s=60, window_s=3600)).materialize()
+    t1h = rollup(t1m, RollupConfig(interval_s=3600, window_s=86400), from_tier=True).materialize()
+    t1d = rollup(t1h, RollupConfig(interval_s=86400, window_s=86400 * 16), from_tier=True).materialize()
+    return t1m, t1h, t1d
+
+
+def _sorted_pdf(ds_or_df) -> pd.DataFrame:
+    df = ds_or_df.to_pandas() if not isinstance(ds_or_df, pd.DataFrame) else ds_or_df
+    if np.issubdtype(df["bucket"].dtype, np.datetime64):
+        df = df.assign(bucket=df["bucket"].astype("int64"))
+    if "sel_ts" in df and np.issubdtype(df["sel_ts"].dtype, np.datetime64):
+        df = df.assign(sel_ts=df["sel_ts"].astype("int64"))
+    return df.sort_values(["source", "bucket"]).reset_index(drop=True)
+
+
+def _assert_tier_matches(eng: pd.DataFrame, orc: pd.DataFrame, values=("n_tok", "tok_mean")):
+    assert len(eng) == len(orc), f"row count {len(eng)} != {len(orc)}"
+    assert (eng["source"].to_numpy() == orc["source"].to_numpy()).all()
+    assert (eng["bucket"].to_numpy() == orc["bucket"].to_numpy()).all()
+    assert (eng["n_rows"].to_numpy() == orc["n_rows"].to_numpy()).all()
+    for v in values:
+        for c in (f"{v}_n", f"{v}_n_bad", f"{v}_n_ind", f"qc_{v}"):
+            np.testing.assert_array_equal(eng[c].to_numpy(), orc[c].to_numpy(), err_msg=c)
+        for c in (f"{v}_mean", f"{v}_std", f"{v}_goodfraction", f"{v}_sum_w", f"{v}_sum_wx", f"{v}_sum_wx2"):
+            np.testing.assert_allclose(
+                eng[c].to_numpy(), orc[c].to_numpy(), rtol=1e-9, atol=1e-12, err_msg=c, equal_nan=True
+            )
+    # token-array invariant: exact match of the selected row + its token array
+    assert (eng["sel_doc_id"].to_numpy() == orc["sel_doc_id"].to_numpy()).all()
+    assert (eng["sel_ts"].to_numpy() == orc["sel_ts"].to_numpy()).all()
+    for a, b in zip(eng["tokens"], orc["tokens"]):
+        assert list(a) == list(b)
+
+
+def test_rollup_tiers_match_oracle(ray_session, seq_table):
+    t1m, t1h, t1d = _engine_tiers(ray_session, seq_table)
+
+    odf = oracle_standardize(seq_table)
+    o1m = oracle_rollup_raw(odf, 60)
+    o1h = oracle_rollup_cascade(o1m, 3600)
+    o1d = oracle_rollup_cascade(o1h, 86400)
+
+    _assert_tier_matches(_sorted_pdf(t1m), _sorted_pdf(o1m))
+    _assert_tier_matches(_sorted_pdf(t1h), _sorted_pdf(o1h))
+    _assert_tier_matches(_sorted_pdf(t1d), _sorted_pdf(o1d))
+
+
+def test_synth_determinism():
+    a = generate_sequences_table(500, seed=42)
+    b = generate_sequences_table(500, seed=42)
+    assert a.equals(b)
+    c = generate_sequences_table(500, seed=43)
+    assert not a.equals(c)
+
+
+def test_synth_has_anomalies(seq_table):
+    odf = oracle_standardize(seq_table)
+    assert (odf["qc_n_tok"] & 1).sum() > 0, "no missing n_tok injected"
+    assert (odf["qc_n_tok"] & 2).sum() > 0, "no mismatched n_tok injected"
+    dup = odf.duplicated(["source", "ts_us"]).sum()
+    assert dup > 0, "no duplicate timestamps injected"
+    gaps = 0
+    for _, g in odf.groupby("source"):
+        d = np.diff(np.sort(g["ts_us"].unique()))
+        gaps += (d > 10 * 1_000_000).sum()
+    assert gaps > 0, "no gaps injected"

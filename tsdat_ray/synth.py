@@ -1,0 +1,165 @@
+"""Deterministic synthesizer for the governing `sequences` input table.
+
+Generates the Parquet corpus described in FIXTURES.md §A with seeded anomalies
+so every QC / gap-fill / dedup path has work to do:
+
+* per-source sequence index ``i`` with **gaps** (dropped runs of 5-50 indexes),
+* **duplicate** rows (same ``i`` emitted twice, ~1%),
+* **locally out-of-order** emission (adjacent swaps, ~2%),
+* **corrupted n_tok** (~0.5% set to -9999 = missing; ~0.5% mismatched with
+  ``len(tokens)`` = range/consistency failure).
+
+Everything is reproducible from ``(seed, source, chunk)`` via the Philox
+counter RNG, so any chunk can be regenerated independently (this is also how
+generation parallelizes: one Ray task per chunk).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .schema import (
+    MAX_TOKENS,
+    SEQUENCES_SCHEMA,
+    SOURCE_WEIGHTS,
+    SOURCES,
+    VOCAB,
+    FILL_INT,
+)
+
+GAP_START_P = 0.004  # expected gap-run starts per index
+GAP_LEN_LO, GAP_LEN_HI = 5, 51
+DUP_P = 0.01
+SWAP_P = 0.02
+MISSING_P = 0.005
+MISMATCH_P = 0.005
+TOKLEN_MU, TOKLEN_SIGMA = 4.5, 1.0  # lognormal params for len(tokens)
+
+CHUNK_ROWS = 100_000
+
+
+def _chunk_rng(seed: int, source: str, chunk_id: int) -> np.random.Generator:
+    src_idx = SOURCES.index(source) if source in SOURCES else hash(source) % 2**31
+    key = np.array([seed, src_idx * 2**32 + chunk_id], dtype=np.uint64)
+    return np.random.Generator(np.random.Philox(key=key))
+
+
+def generate_chunk(
+    source: str, i_start: int, i_stop: int, seed: int = 42, max_tokens: int = MAX_TOKENS
+) -> pa.Table:
+    """Generate one deterministic chunk of the sequences table.
+
+    Covers per-source indexes [i_start, i_stop); rows for gapped indexes are
+    dropped, duplicated indexes appear twice, and the emission order contains
+    local adjacent swaps.
+    """
+    rng = _chunk_rng(seed, source, i_start)
+    n = i_stop - i_start
+    idx = np.arange(i_start, i_stop, dtype=np.int64)
+
+    # gaps: drop runs of consecutive indexes
+    u = rng.random(n)
+    gap_starts = np.flatnonzero(u < GAP_START_P)
+    keep = np.ones(n, dtype=bool)
+    if len(gap_starts):
+        lens = rng.integers(GAP_LEN_LO, GAP_LEN_HI, len(gap_starts))
+        for s, ln in zip(gap_starts, lens):
+            keep[s : s + ln] = False
+    else:
+        rng.integers(GAP_LEN_LO, GAP_LEN_HI, 0)
+    idx = idx[keep]
+    m = len(idx)
+
+    # duplicates: repeat ~1% of surviving indexes
+    dup = (rng.random(m) < DUP_P).astype(np.int64) + 1
+    idx = np.repeat(idx, dup)
+    m = len(idx)
+
+    # local out-of-order: swap non-overlapping adjacent pairs
+    swap_at = np.flatnonzero(rng.random(m - 1) < SWAP_P) if m > 1 else np.array([], int)
+    if len(swap_at):
+        swap_at = swap_at[np.diff(swap_at, prepend=-2) > 1]  # non-overlapping
+        order = np.arange(m)
+        order[swap_at], order[swap_at + 1] = order[swap_at + 1].copy(), order[swap_at].copy()
+        idx = idx[order]
+
+    # token arrays
+    lens = np.clip(
+        np.round(rng.lognormal(TOKLEN_MU, TOKLEN_SIGMA, m)).astype(np.int64), 1, max_tokens
+    )
+    total = int(lens.sum())
+    values = rng.integers(0, VOCAB, total, dtype=np.int32)
+    offsets = np.zeros(m + 1, dtype=np.int32)
+    np.cumsum(lens, out=offsets[1:])
+    tokens = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), pa.array(values))
+
+    # n_tok with injected corruption
+    n_tok = lens.astype(np.int32)
+    r = rng.random(m)
+    n_tok[r < MISSING_P] = FILL_INT
+    mism = (r >= MISSING_P) & (r < MISSING_P + MISMATCH_P)
+    n_tok[mism] = (lens[mism] + 1 + rng.integers(0, 100, int(mism.sum()))).astype(np.int32)
+
+    doc_id = np.char.add(f"{source}-", np.char.zfill(idx.astype("U8"), 8))
+
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_id),
+            "tokens": tokens,
+            "n_tok": pa.array(n_tok),
+            "source": pa.array(np.repeat(np.array(source, dtype=object), m)),
+        },
+        schema=SEQUENCES_SCHEMA,
+    )
+
+
+def plan_chunks(n_rows: int, chunk_rows: int = CHUNK_ROWS) -> list[dict]:
+    """Deterministic chunk plan: per-source index spans covering ~n_rows total."""
+    plan = []
+    for source, w in zip(SOURCES, SOURCE_WEIGHTS):
+        n_s = int(round(n_rows * w))
+        for a in range(0, n_s, chunk_rows):
+            plan.append({"source": source, "i_start": a, "i_stop": min(a + chunk_rows, n_s)})
+    return plan
+
+
+def generate_sequences_table(n_rows: int, seed: int = 42, max_tokens: int = MAX_TOKENS) -> pa.Table:
+    """Driver-side generation (small scales / tests)."""
+    tables = [
+        generate_chunk(c["source"], c["i_start"], c["i_stop"], seed, max_tokens)
+        for c in plan_chunks(n_rows)
+    ]
+    return pa.concat_tables(tables)
+
+
+def generate_sequences_parquet(
+    out_dir: str,
+    n_rows: int,
+    seed: int = 42,
+    chunk_rows: int = CHUNK_ROWS,
+    max_tokens: int = MAX_TOKENS,
+) -> str:
+    """Parallel generation via a Ray pipeline (one task per chunk) → Parquet dir.
+
+    Deterministic per chunk regardless of parallelism; one output file per
+    chunk so the read side splits naturally.
+    """
+    import ray.data as rd
+
+    plan = plan_chunks(n_rows, chunk_rows)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        out = [
+            generate_chunk(s, a, b, seed, max_tokens)
+            for s, a, b in zip(
+                batch["source"].to_pylist(),
+                batch["i_start"].to_pylist(),
+                batch["i_stop"].to_pylist(),
+            )
+        ]
+        return pa.concat_tables(out)
+
+    ds = rd.from_items(plan).map_batches(gen, batch_format="pyarrow", batch_size=1)
+    ds.write_parquet(out_dir)
+    return out_dir
