@@ -1,0 +1,313 @@
+"""Config-driven quality-control subsystem (checker/handler registry).
+
+Re-expresses the reference's QC manager loop
+(/root/reference/tsdat/qc/base/quality_management.py:16-28,
+quality_manager.py:23-65) as vectorized numpy kernels over Arrow batches:
+an ordered list of managers, each running one checker (boolean failure mask,
+True = fail, None = skip) and feeding the mask to its handlers in order.
+
+Checker semantics are bit-for-bit parity with the reference:
+
+* ``missing``    — NaN/NaT/null, == _FillValue, empty string
+  (check_missing.py:8-27)
+* ``monotonic``  — strict monotonic order; direction inferred by majority diff
+  sign unless required; only *breaks* are flagged (running-prev semantics,
+  check_monotonic.py:74-99 — vectorized here as a comparison against the
+  running max/min of the successful prefix, which is equivalent)
+* ``valid_max`` … ``warn_range_min`` — 18 threshold checks reading the
+  variable-attrs table (threshold_checker.py:9-29; list-valued attrs use
+  index 0 for min, -1 for max; _FillValue masked out first, check_max.py:27-31)
+* ``valid_delta``/``fail_delta``/``warn_delta`` — |diff prepend-first| vs
+  threshold (check_delta.py:40-49)
+* ``valid_std``/``fail_std``/``warn_std`` — x > mean + k·std (ddof=1 over the
+  slice, check_std.py:36-42)
+
+Handler semantics:
+
+* ``record_quality_results`` — set the next free bit on ``qc_<var>`` in
+  manager order (record_quality_results.py:74-83)
+* ``remove_failed_values``   — failed values → null; failed *coordinate*
+  rows are dropped (remove_failed_values.py:17-26)
+* ``sort_dataset_by_coordinate`` — sort all rows by the coord if any failure
+  (sort_dataset_by_coordinate.py:10-36)
+* ``fail_pipeline`` — raise ``DataQualityError`` when the failure fraction
+  exceeds ``tolerance`` (fail_pipeline.py:40-81); in the distributed engine
+  the error aborts the Ray job (or is quarantined to the manifest by the
+  pipeline wrapper)
+
+Point-wise managers can run in any ``map_batches`` stage; order-dependent
+checkers (monotonic/delta/std) must run inside per-(key, window) sorted
+groups — ``QCStage`` is used from both contexts.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Callable, Optional
+
+import numpy as np
+import pyarrow as pa
+
+
+class DataQualityError(RuntimeError):
+    """Raised by the fail_pipeline handler (parity: tsdat DataQualityError)."""
+
+
+# --------------------------------------------------------------------------- #
+# checkers: (values, attrs, params, columns) -> bool failures | None
+# --------------------------------------------------------------------------- #
+
+def _is_datetime(x: np.ndarray) -> bool:
+    return np.issubdtype(x.dtype, np.datetime64)
+
+
+def _isnull(x: np.ndarray) -> np.ndarray:
+    if _is_datetime(x):
+        return np.isnat(x)
+    if np.issubdtype(x.dtype, np.floating):
+        return np.isnan(x)
+    return np.zeros(len(x), dtype=bool)
+
+
+def check_missing(x, attrs, params, cols):
+    failures = _isnull(x)
+    if "_FillValue" in attrs:
+        with np.errstate(invalid="ignore"):
+            failures = failures | (x == attrs["_FillValue"])
+    elif x.dtype.kind in ("U", "S", "O"):
+        failures = failures | (x == "")
+    return failures
+
+
+def check_monotonic(x, attrs, params, cols):
+    if x.dtype.kind in ("U", "S", "O"):
+        return None  # strings unsupported, parity check_monotonic.py:57-64
+    if params.get("require_decreasing"):
+        direction = "decreasing"
+    elif params.get("require_increasing"):
+        direction = "increasing"
+    else:
+        diff = np.diff(x)
+        zero = np.timedelta64(0) if _is_datetime(x) else 0
+        direction = "increasing" if np.sum(diff > zero) >= np.sum(diff < zero) else "decreasing"
+    failures = np.zeros(len(x), dtype=bool)
+    if len(x) < 2:
+        return failures
+    # running-prev semantics: a value fails iff it does not strictly continue
+    # from the last successful value == comparison vs running max/min prefix
+    if direction == "increasing":
+        run = np.maximum.accumulate(x)
+        failures[1:] = x[1:] <= run[:-1]
+    else:
+        run = np.minimum.accumulate(x)
+        failures[1:] = x[1:] >= run[:-1]
+    return failures
+
+
+def _masked(x: np.ndarray, attrs: dict) -> np.ndarray:
+    """_FillValue → NaN (floats only), parity check_max.py:27-31."""
+    if "_FillValue" in attrs and np.issubdtype(x.dtype, np.floating):
+        return np.where(x == attrs["_FillValue"], np.nan, x)
+    return x
+
+
+def _threshold(attrs: dict, attribute_name: str, min_: bool):
+    t = attrs.get(attribute_name)
+    if isinstance(t, (list, tuple)):
+        t = t[0] if min_ else t[-1]
+    return t
+
+
+def make_check_max(attribute_name: str):
+    def run(x, attrs, params, cols):
+        t = _threshold(attrs, attribute_name, min_=False)
+        if t is None:
+            return None
+        x = _masked(x, attrs)
+        with np.errstate(invalid="ignore"):
+            return np.greater(x, t) if params.get("allow_equal", True) else np.greater_equal(x, t)
+    return run
+
+
+def make_check_min(attribute_name: str):
+    def run(x, attrs, params, cols):
+        t = _threshold(attrs, attribute_name, min_=True)
+        if t is None:
+            return None
+        x = _masked(x, attrs)
+        with np.errstate(invalid="ignore"):
+            return np.less(x, t) if params.get("allow_equal", True) else np.less_equal(x, t)
+    return run
+
+
+def make_check_delta(attribute_name: str):
+    def run(x, attrs, params, cols):
+        t = _threshold(attrs, attribute_name, min_=True)
+        if t is None:
+            return None
+        x = _masked(x, attrs)
+        diff = np.abs(np.diff(x, prepend=x[:1]))
+        with np.errstate(invalid="ignore"):
+            return diff > t if params.get("allow_equal", True) else diff >= t
+    return run
+
+
+def make_check_std(attribute_name: str):
+    def run(x, attrs, params, cols):
+        t = _threshold(attrs, attribute_name, min_=True)
+        if t is None:
+            return None
+        x = _masked(x, attrs)
+        mean = np.nanmean(x)
+        n = np.count_nonzero(~np.isnan(x))
+        std = np.nanstd(x, ddof=1) if n > 1 else 0.0
+        with np.errstate(invalid="ignore"):
+            return x > mean + std * t
+    return run
+
+
+CHECKERS: dict[str, Callable] = {
+    "missing": check_missing,
+    "monotonic": check_monotonic,
+}
+for kind in ("valid", "fail", "warn"):
+    CHECKERS[f"{kind}_max"] = make_check_max(f"{kind}_max")
+    CHECKERS[f"{kind}_min"] = make_check_min(f"{kind}_min")
+    CHECKERS[f"{kind}_range_max"] = make_check_max(f"{kind}_range")
+    CHECKERS[f"{kind}_range_min"] = make_check_min(f"{kind}_range")
+    CHECKERS[f"{kind}_delta"] = make_check_delta(f"{kind}_delta")
+    CHECKERS[f"{kind}_std"] = make_check_std(f"{kind}_std")
+
+
+# --------------------------------------------------------------------------- #
+# config + stage
+# --------------------------------------------------------------------------- #
+
+@dataclass(frozen=True)
+class Manager:
+    name: str
+    checker: str
+    apply_to: tuple[str, ...]
+    parameters: dict = dc_field(default_factory=dict)
+    handlers: tuple[dict, ...] = (({"name": "record_quality_results"}),)
+    assessment: str = "Bad"  # recorded assessment of this test
+
+
+@dataclass(frozen=True)
+class QCConfig:
+    managers: tuple[Manager, ...]
+    attrs: dict = dc_field(default_factory=dict)  # per-variable threshold attrs
+    coords: tuple[str, ...] = ("ts",)
+
+
+class QCReport(dict):
+    """Per-run QC counters: {(manager, var): n_failed}; feeds the manifest."""
+
+
+class QCStage:
+    """Callable class for actor-pool ``map_batches``/``map_groups``: holds the
+    compiled config once per worker (SURVEY.md §2.4)."""
+
+    def __init__(self, config: QCConfig):
+        self.config = config
+        # bit number per (var, manager) assigned in manager order, parity
+        # record_quality_results.py:74-83 (next free bit = #existing tests + 1)
+        self._bits: dict[tuple[str, str], int] = {}
+        counts: dict[str, int] = {}
+        self.meanings: dict[str, list[tuple[int, str, str]]] = {}
+        for m in config.managers:
+            recorded = any(h["name"] == "record_quality_results" for h in m.handlers)
+            for var in m.apply_to:
+                if recorded:
+                    counts[var] = counts.get(var, 0) + 1
+                    self._bits[(var, m.name)] = counts[var]
+                    self.meanings.setdefault(var, []).append(
+                        (1 << (counts[var] - 1), m.name, m.assessment)
+                    )
+
+    def bad_bits(self, var: str) -> int:
+        return sum(b for b, _, a in self.meanings.get(var, []) if a == "Bad")
+
+    def ind_bits(self, var: str) -> int:
+        return sum(b for b, _, a in self.meanings.get(var, []) if a == "Indeterminate")
+
+    def __call__(self, batch: pa.Table, report: Optional[QCReport] = None) -> pa.Table:
+        cols: dict[str, np.ndarray] = {}
+        passthrough: dict[str, pa.ChunkedArray] = {}
+        for name in batch.column_names:
+            col = batch[name]
+            if pa.types.is_nested(col.type):
+                passthrough[name] = col
+            else:
+                cols[name] = col.combine_chunks().to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        keep = np.ones(n, dtype=bool)
+
+        for m in self.config.managers:
+            fn = CHECKERS[m.checker]
+            for var in m.apply_to:
+                if var not in cols:
+                    continue
+                attrs = self.config.attrs.get(var, {})
+                failures = fn(cols[var], attrs, m.parameters, cols)
+                if failures is None:
+                    continue
+                if report is not None:
+                    report[(m.name, var)] = report.get((m.name, var), 0) + int(failures.sum())
+                for h in m.handlers:
+                    hname = h["name"]
+                    if hname == "record_quality_results":
+                        bit = 1 << (self._bits[(var, m.name)] - 1)
+                        qc_name = f"qc_{var}"
+                        if qc_name not in cols:
+                            cols[qc_name] = np.zeros(n, dtype=np.int32)
+                        cols[qc_name] = cols[qc_name] | (failures * bit).astype(np.int32)
+                    elif hname == "remove_failed_values":
+                        if var in self.config.coords:
+                            keep &= ~failures
+                        else:
+                            x = cols[var]
+                            if not np.issubdtype(x.dtype, np.floating):
+                                x = x.astype(np.float64)
+                            cols[var] = np.where(failures, np.nan, x)
+                    elif hname == "sort_dataset_by_coordinate":
+                        if failures.any():
+                            order = np.argsort(cols[var], kind="stable")
+                            if h.get("ascending", True) is False:
+                                order = order[::-1]
+                            for k in list(cols):
+                                cols[k] = cols[k][order]
+                            for k in list(passthrough):
+                                passthrough[k] = passthrough[k].take(pa.array(order))
+                            keep = keep[order]
+                    elif hname == "fail_pipeline":
+                        tol = h.get("tolerance", 0.0)
+                        frac = failures.mean() if n else 0.0
+                        if frac > tol:
+                            bad_idx = np.flatnonzero(failures)[:5]
+                            raise DataQualityError(
+                                f"Quality check '{m.name}' failed for variable "
+                                f"'{var}': {failures.sum()}/{n} "
+                                f"({100 * frac:.2f}%) failing (tolerance "
+                                f"{100 * tol:.2f}%). First failing indexes: "
+                                f"{bad_idx.tolist()}"
+                            )
+                    else:
+                        raise KeyError(f"unknown QC handler: {hname}")
+
+        out: dict[str, pa.Array | pa.ChunkedArray] = {}
+        drop_any = not keep.all()
+        for name in batch.column_names:
+            if name in passthrough:
+                arr = passthrough[name]
+                out[name] = arr.filter(pa.array(keep)) if drop_any else arr
+            else:
+                x = cols[name][keep] if drop_any else cols[name]
+                if np.issubdtype(x.dtype, np.floating) and np.isnan(x).any():
+                    out[name] = pa.array(x, from_pandas=True)  # NaN -> null
+                else:
+                    out[name] = pa.array(x)
+        for name in cols:
+            if name not in batch.column_names:  # new qc_ columns
+                out[name] = pa.array(cols[name][keep] if drop_any else cols[name])
+        return pa.table(out)
