@@ -1,44 +1,326 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship sequences pipeline (standardize → QC → dedup →
+tiered rollup) at smoke scale.  ``queries()`` exposes one callable per
+implemented operator from SURVEY.md §2 over the driver's testdata tables;
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every SQL-expressible
+query (same column names both sides).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
+import re
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+US = 1_000_000
+_CACHE = "/tmp/tsdat_ray_cache"
+
+
+# --------------------------------------------------------------------------- #
+# helpers
+# --------------------------------------------------------------------------- #
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.01
+
+
+def _sequences_corpus(sf_dir: str) -> str:
+    """Deterministic synthetic sequences corpus sized to the scale factor
+    (BASELINE.json input_hint; cached per size under /tmp)."""
+    from tsdat_ray.synth import generate_sequences_parquet
+
+    n = max(2000, int(6_000_000 * _sf_of(sf_dir)))
+    path = os.path.join(_CACHE, f"sequences_n{n}")
+    if not os.path.isdir(path) or not os.listdir(path):
+        generate_sequences_parquet(path, n_rows=n, seed=42)
+    return path
+
+
+def _events(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def _seq_tiers(sf_dir: str):
+    """Standardized sequences → 1m → 1h → 1d tier Datasets (lazy)."""
+    import ray.data as rd
+
+    from tsdat_ray.stages.rollup import RollupConfig, rollup
+    from tsdat_ray.stages.standardize import standardize_batch
+
+    ds = rd.read_parquet(_sequences_corpus(sf_dir))
+    std = ds.map_batches(standardize_batch, batch_format="pyarrow")
+    t1m = rollup(std, RollupConfig(interval_s=60, window_s=6 * 3600))
+    t1h = rollup(t1m, RollupConfig(interval_s=3600, window_s=86400), from_tier=True)
+    t1d = rollup(t1h, RollupConfig(interval_s=86400, window_s=16 * 86400), from_tier=True)
+    return t1m, t1h, t1d
+
+
+def _strip_tokens(ds):
+    def drop(b: pa.Table) -> pa.Table:
+        return b.drop_columns([c for c in ("tokens",) if c in b.column_names])
+
+    return ds.map_batches(drop, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------- #
+# driver entry points
+# --------------------------------------------------------------------------- #
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at smoke scale: sequences → standardize → QC/dedup →
+    1m → 1h tier; returns the 1h tier (stable schema, >0 rows)."""
+    _, t1h, _ = _seq_tiers("/root/testdata/sf0.001")
+    return _strip_tokens(t1h)
+
+
+# ---- events tier rollups (engine rollup vs SQL date_trunc) ----------------- #
+
+_ROLLUP_SELECT = [
+    "event_type",
+    "bucket",
+    "n_rows",
+    "value_mean",
+    "value_min",
+    "value_max",
+    "value_sum",
+]
+
+
+def _events_rollup(sf_dir: str, tier: str):
+    from tsdat_ray.stages.rollup import RollupConfig, rollup
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "event_type", "value"])
+    base = dict(
+        key="event_type", ts_col="ts", values=("value",), carry_tokens=False,
+        id_col="event_id", carry_cols=(), dedup=False,
+    )
+    t = rollup(ds, RollupConfig(interval_s=60, window_s=86400, **base))
+    if tier in ("1h", "1d"):
+        t = rollup(t, RollupConfig(interval_s=3600, window_s=86400 * 8, **base), from_tier=True)
+    if tier == "1d":
+        t = rollup(t, RollupConfig(interval_s=86400, window_s=86400 * 64, **base), from_tier=True)
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.append_column("value_sum", b["value_sum_wx"])
+        return b.select(_ROLLUP_SELECT)
+
+    return t.map_batches(finish, batch_format="pyarrow")
+
+
+def _events_rollup_sql(unit: str) -> str:
+    return f"""
+        SELECT event_type, date_trunc('{unit}', ts) AS bucket, count(*) AS n_rows,
+               avg(value) AS value_mean, min(value) AS value_min,
+               max(value) AS value_max, sum(value) AS value_sum
+        FROM events GROUP BY 1, 2
+    """
+
+
+# ---- simple relational ops ------------------------------------------------- #
+
+def _q_filter_project(sf_dir: str):
+    lo, hi = np.datetime64("2024-01-10", "us"), np.datetime64("2024-01-20", "us")
+
+    def f(b: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(pc.greater_equal(b["ts"], pa.scalar(lo)), pc.less(b["ts"], pa.scalar(hi))),
+            pc.equal(b["event_type"], "click"),
+        )
+        return b.filter(m).select(["event_id", "ts", "user_id", "value"])
+
+    return _events(sf_dir, columns=["event_id", "ts", "user_id", "event_type", "value"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def _q_topk(sf_dir: str):
+    ds = _events(sf_dir, columns=["event_id", "value"])
+    return ds.sort(["value", "event_id"], descending=[True, False]).limit(100)
+
+
+def _q_units(sf_dir: str):
+    def f(b: pa.Table) -> pa.Table:
+        vf = pc.add(pc.multiply(b["value"], pa.scalar(1.8)), pa.scalar(32.0))
+        return pa.table({"event_id": b["event_id"], "value_f": vf})
+
+    return _events(sf_dir, columns=["event_id", "value"]).map_batches(f, batch_format="pyarrow")
+
+
+def _q_parse_props(sf_dir: str):
+    def f(b: pa.Table) -> pa.Table:
+        digits = pc.replace_substring_regex(b["props"], r"[^0-9]", "")
+        return pa.table({"event_id": b["event_id"], "k": pc.cast(digits, pa.int64())})
+
+    return _events(sf_dir, columns=["event_id", "props"]).map_batches(f, batch_format="pyarrow")
+
+
+def _q_asof(sf_dir: str):
+    import duckdb
+
+    from tsdat_ray.stages.joins import asof_lookup
+
+    # small right side: purchases, deduped per ts (keep max event_id)
+    p = duckdb.sql(
+        f"SELECT ts, max(event_id) AS event_id_p FROM '{sf_dir}/events.parquet' "
+        "WHERE event_type='purchase' GROUP BY ts ORDER BY ts"
+    ).arrow()
+    clicks = _events(sf_dir, columns=["event_id", "ts", "event_type"])
+
+    def only_clicks(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["event_type"], "click")).select(["event_id", "ts"])
+
+    ds = clicks.map_batches(only_clicks, batch_format="pyarrow")
+    out = asof_lookup(ds, p, left_on="ts", right_on="ts", value_cols=("event_id_p",))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_id": b["event_id"], "event_id_p": pc.cast(b["event_id_p"], pa.int64())}
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+# ---- documents / embeddings ops ------------------------------------------- #
+
+def _q_dedup_docs(sf_dir: str):
+    import ray.data as rd
+
+    from tsdat_ray.stages.dedup import exact_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = exact_dedup(ds, text_col="text", id_col="doc_id")
+    return out.select_columns(["doc_id", "n_copies"])
+
+
+def _q_token_count(sf_dir: str):
+    import ray.data as rd
+
+    from tsdat_ray.stages.text import token_count_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(token_count_batch, batch_format="pyarrow")
+
+
+def _q_quality(sf_dir: str):
+    import ray.data as rd
+
+    from tsdat_ray.stages.text import quality_score_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(quality_score_batch, batch_format="pyarrow")
+
+
+def _q_knn(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from tsdat_ray.stages.similarity import knn_brute_force
+    import ray.data as rd
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = np.asarray(emb.filter(pc.equal(emb["vec_id"], 0))["embedding"][0].as_py())
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = knn_brute_force(ds, q, k=10, exclude_ids=(0,))
+    return out.sort(["similarity", "vec_id"], descending=[True, False]).limit(10).select_columns(["vec_id"])
+
+
+# ---- flagship sequences tiers (non-SQL; rows-only driver check) ------------ #
+
+def _q_seq_tier(tier: str):
+    def run(sf_dir: str):
+        t1m, t1h, t1d = _seq_tiers(sf_dir)
+        return _strip_tokens({"1m": t1m, "1h": t1h, "1d": t1d}[tier])
+
+    return run
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "rollup_1m_events": lambda d: _events_rollup(d, "1m"),
+        "rollup_1h_events": lambda d: _events_rollup(d, "1h"),
+        "rollup_1d_events": lambda d: _events_rollup(d, "1d"),
+        "filter_project_events": _q_filter_project,
+        "topk_events": _q_topk,
+        "units_convert_events": _q_units,
+        "parse_props_events": _q_parse_props,
+        "asof_click_purchase": _q_asof,
+        "dedup_exact_docs": _q_dedup_docs,
+        "token_count_docs": _q_token_count,
+        "quality_score_docs": _q_quality,
+        "knn_embeddings": _q_knn,
+        "seq_rollup_1m": _q_seq_tier("1m"),
+        "seq_rollup_1h": _q_seq_tier("1h"),
+        "seq_rollup_1d": _q_seq_tier("1d"),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "rollup_1m_events": _events_rollup_sql("minute"),
+        "rollup_1h_events": _events_rollup_sql("hour"),
+        "rollup_1d_events": _events_rollup_sql("day"),
+        "filter_project_events": """
+            SELECT event_id, ts, user_id, value FROM events
+            WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+              AND event_type = 'click'
+        """,
+        "topk_events": """
+            SELECT event_id, value FROM events
+            ORDER BY value DESC, event_id LIMIT 100
+        """,
+        "units_convert_events": """
+            SELECT event_id, value * 1.8 + 32.0 AS value_f FROM events
+        """,
+        "parse_props_events": """
+            SELECT event_id, CAST(regexp_replace(props, '[^0-9]', '', 'g') AS BIGINT) AS k
+            FROM events
+        """,
+        "asof_click_purchase": """
+            WITH p AS (
+                SELECT ts, max(event_id) AS event_id_p FROM events
+                WHERE event_type = 'purchase' GROUP BY ts
+            )
+            SELECT c.event_id, p.event_id_p
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN p ON c.ts >= p.ts
+        """,
+        "dedup_exact_docs": """
+            SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+            FROM documents GROUP BY text
+        """,
+        "token_count_docs": """
+            SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
+            FROM documents
+        """,
+        "quality_score_docs": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_words,
+                   length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                       / greatest(length(text), 1.0) AS punct_ratio,
+                   length(regexp_replace(text, '[^0-9]', '', 'g'))
+                       / greatest(length(text), 1.0) AS digit_ratio,
+                   length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                       / greatest(length(text), 1.0) AS upper_ratio
+            FROM documents
+        """,
+        "knn_embeddings": """
+            SELECT e.vec_id
+            FROM embeddings e,
+                 (SELECT embedding AS q FROM embeddings WHERE vec_id = 0) qq
+            WHERE e.vec_id <> 0
+            ORDER BY list_cosine_similarity(e.embedding, qq.q) DESC, e.vec_id
+            LIMIT 10
+        """,
+    }

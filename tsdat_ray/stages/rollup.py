@@ -62,6 +62,9 @@ class RollupConfig:
     values: tuple[str, ...] = ("n_tok", "tok_mean")
     window_s: int = 86400
     carry_tokens: bool = True
+    id_col: str = "doc_id"  # deterministic tiebreak + subsample identity
+    carry_cols: tuple[str, ...] = ("tokens",)  # payload carried from selected row
+    dedup: bool = True  # drop duplicate (key, ts) rows, keep first by id
     bad_bits: int = BAD_ASSESSMENT_BITS
     ind_bits: int = 0
     goodfrac_bad_min: float = GOODFRAC_BAD_MIN
@@ -117,6 +120,8 @@ def _finalize_value(
     n_bad: np.ndarray,
     n_ind: np.ndarray,
     cfg: RollupConfig,
+    vmin: np.ndarray | None = None,
+    vmax: np.ndarray | None = None,
 ) -> None:
     with np.errstate(invalid="ignore", divide="ignore"):
         mean = np.where(sum_w > 0, sum_wx / sum_w, np.nan)
@@ -133,6 +138,9 @@ def _finalize_value(
     out[f"{v}_n"] = n
     out[f"{v}_n_bad"] = n_bad
     out[f"{v}_n_ind"] = n_ind
+    if vmin is not None:
+        out[f"{v}_min"] = vmin
+        out[f"{v}_max"] = vmax
 
 
 def _select_nearest(
@@ -157,14 +165,16 @@ def rollup_group_raw(g: pa.Table, cfg: RollupConfig) -> pa.Table:
     aggregates with deterministic in-order summation.
     """
     ts_us = g[cfg.ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
-    doc_id = g["doc_id"].to_numpy(zero_copy_only=False)
-    order = np.lexsort((doc_id, ts_us))
+    row_id = g[cfg.id_col].to_numpy(zero_copy_only=False)
+    order = np.lexsort((row_id, ts_us))
     ts_us = ts_us[order]
 
-    # exact dedup on ts within (key, window)
-    keep = np.r_[True, ts_us[1:] != ts_us[:-1]] if len(ts_us) else np.zeros(0, bool)
-    sel_rows = order[keep]
-    ts_us = ts_us[keep]
+    if cfg.dedup:  # exact dedup on ts within (key, window), keep first by id
+        keep = np.r_[True, ts_us[1:] != ts_us[:-1]] if len(ts_us) else np.zeros(0, bool)
+        sel_rows = order[keep]
+        ts_us = ts_us[keep]
+    else:
+        sel_rows = order
 
     iv_us = cfg.interval_s * US
     bucket = floor_bucket_us(ts_us, cfg.interval_s)
@@ -182,11 +192,18 @@ def rollup_group_raw(g: pa.Table, cfg: RollupConfig) -> pa.Table:
     ones = np.ones(len(ts_us), dtype=np.float64)
     for v in cfg.values:
         x = g[v].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)[sel_rows]
-        qc = g[f"qc_{v}"].combine_chunks().to_numpy(zero_copy_only=False)[sel_rows]
+        if f"qc_{v}" in g.column_names:
+            qc = g[f"qc_{v}"].combine_chunks().to_numpy(zero_copy_only=False)[sel_rows]
+        else:
+            qc = np.zeros(len(x), dtype=np.int32)
         bad = ((qc & cfg.bad_bits) != 0) | np.isnan(x)
         ind = ((qc & cfg.ind_bits) != 0) & ~bad if cfg.ind_bits else np.zeros(len(x), bool)
         w = np.where(bad, 0.0, ones)
         xw = np.where(bad, 0.0, x)
+        xmin = np.where(bad, np.inf, x)
+        xmax = np.where(bad, -np.inf, x)
+        vmin = np.minimum.reduceat(xmin, starts) if len(starts) else np.zeros(0)
+        vmax = np.maximum.reduceat(xmax, starts) if len(starts) else np.zeros(0)
         _finalize_value(
             out,
             v,
@@ -197,14 +214,17 @@ def rollup_group_raw(g: pa.Table, cfg: RollupConfig) -> pa.Table:
             n_bad=_seg_sum(bad.astype(np.int64), starts),
             n_ind=_seg_sum(ind.astype(np.int64), starts),
             cfg=cfg,
+            vmin=np.where(np.isfinite(vmin), vmin, np.nan),
+            vmax=np.where(np.isfinite(vmax), vmax, np.nan),
         )
 
     if cfg.carry_tokens:
         pick = _select_nearest(blabels, starts, counts, ts_us, iv_us)
         take = pa.array(sel_rows[pick], type=pa.int64())
-        out["sel_doc_id"] = g["doc_id"].take(take)
+        out[f"sel_{cfg.id_col}"] = g[cfg.id_col].take(take)
         out["sel_ts"] = g[cfg.ts_col].take(take)
-        out["tokens"] = g["tokens"].take(take)
+        for c in cfg.carry_cols:
+            out[c] = g[c].take(take)
 
     return pa.table(out)
 
@@ -232,6 +252,15 @@ def rollup_group_cascade(g: pa.Table, cfg: RollupConfig) -> pa.Table:
         "n_rows": _seg_sum(col("n_rows"), starts),
     }
     for v in cfg.values:
+        has_minmax = f"{v}_min" in g.column_names
+        vmin = vmax = None
+        if has_minmax:
+            xmin = np.where(np.isnan(col(f"{v}_min")), np.inf, col(f"{v}_min"))
+            xmax = np.where(np.isnan(col(f"{v}_max")), -np.inf, col(f"{v}_max"))
+            vmin = np.minimum.reduceat(xmin, starts) if len(starts) else np.zeros(0)
+            vmax = np.maximum.reduceat(xmax, starts) if len(starts) else np.zeros(0)
+            vmin = np.where(np.isfinite(vmin), vmin, np.nan)
+            vmax = np.where(np.isfinite(vmax), vmax, np.nan)
         _finalize_value(
             out,
             v,
@@ -242,15 +271,18 @@ def rollup_group_cascade(g: pa.Table, cfg: RollupConfig) -> pa.Table:
             n_bad=_seg_sum(col(f"{v}_n_bad"), starts),
             n_ind=_seg_sum(col(f"{v}_n_ind"), starts),
             cfg=cfg,
+            vmin=vmin,
+            vmax=vmax,
         )
 
     if cfg.carry_tokens and "sel_ts" in g.column_names:
         sel_ts = g["sel_ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)[order]
         pick = _select_nearest(blabels, starts, counts, sel_ts, iv_us)
         ptake = pa.array(order[np.asarray(pick)], type=pa.int64())
-        out["sel_doc_id"] = g["sel_doc_id"].take(ptake)
+        out[f"sel_{cfg.id_col}"] = g[f"sel_{cfg.id_col}"].take(ptake)
         out["sel_ts"] = g["sel_ts"].take(ptake)
-        out["tokens"] = g["tokens"].take(ptake)
+        for c in cfg.carry_cols:
+            out[c] = g[c].take(ptake)
 
     return pa.table(out)
 

@@ -1,0 +1,119 @@
+"""Similarity search over embedding columns.
+
+* ``knn_brute_force`` — exact cosine top-k: the query matrix is broadcast once
+  via ``ray.put`` and each batch does one numpy matmul (the scale baseline).
+* ``knn_lsh`` — random-hyperplane LSH bucketing (the scale path): candidates
+  are restricted to matching hash buckets, then exactly re-scored.
+* ``embedding_dedup`` — near-duplicate pairs by cosine >= threshold within
+  LSH buckets.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+
+
+def _emb_matrix(col) -> np.ndarray:
+    arr = col.combine_chunks()
+    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    nrm = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.maximum(nrm, 1e-30)
+
+
+def knn_brute_force(ds, query: np.ndarray, k: int = 10,
+                    emb_col: str = "embedding", id_col: str = "vec_id",
+                    exclude_ids: tuple = ()):
+    """Exact cosine top-k of one query vector against an embedding dataset.
+
+    Per batch: one matmul against the broadcast query → per-batch local top-k
+    rows; a final tiny global top-k on the concatenated candidates (at most
+    k rows per batch leave each task, so the driver-side merge is small)."""
+    import ray
+
+    q = _normalize(np.asarray(query, dtype=np.float64).reshape(1, -1))
+    q_ref = ray.put(q)
+    excl = set(exclude_ids)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        m = _normalize(_emb_matrix(batch[emb_col]))
+        sims = (m @ qv.T).ravel()
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        if excl:
+            mask = ~np.isin(ids, list(excl))
+            sims, ids = sims[mask], ids[mask]
+            idx_map = np.flatnonzero(mask)
+        else:
+            idx_map = np.arange(len(ids))
+        if len(sims) == 0:
+            return pa.table({id_col: pa.array([], batch[id_col].type),
+                             "similarity": pa.array([], pa.float64())})
+        top = np.argsort(-sims, kind="stable")[:k]
+        t = batch.take(pa.array(idx_map[top], type=pa.int64()))
+        return pa.table({id_col: t[id_col], "similarity": pa.array(sims[top])})
+
+    cand = ds.map_batches(local_topk, batch_format="pyarrow")
+    # global merge: candidates are tiny (k per input block)
+    out = cand.sort("similarity", descending=True).limit(k)
+    return out
+
+
+class HyperplaneLSH:
+    """Random-hyperplane signatures for cosine LSH (Charikar '02); planes are
+    generated once per actor from a fixed seed so every worker agrees."""
+
+    def __init__(self, dim: int, n_planes: int = 16, seed: int = 5,
+                 emb_col: str = "embedding", id_col: str = "vec_id"):
+        rng = np.random.Generator(np.random.Philox(key=np.array([seed, 1], dtype=np.uint64)))
+        self.planes = rng.standard_normal((dim, n_planes))
+        self.emb_col = emb_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _emb_matrix(batch[self.emb_col])
+        bits = (m @ self.planes) > 0
+        sig = np.zeros(len(m), dtype=np.uint64)
+        for j in range(bits.shape[1]):
+            sig |= bits[:, j].astype(np.uint64) << np.uint64(j)
+        return batch.append_column("lsh_bucket", pa.array(sig))
+
+
+def embedding_dedup_pairs(ds, dim: int, threshold: float = 0.95, n_planes: int = 12,
+                          emb_col: str = "embedding", id_col: str = "vec_id",
+                          concurrency: int = 4):
+    """Near-duplicate (id_a, id_b, similarity) pairs with cosine >= threshold.
+
+    LSH-bucket first (groupby one shuffle), then exact pairwise cosine within
+    each bucket — O(bucket²) work bounded by the bucket granularity."""
+
+    def pairs(g: pa.Table) -> pa.Table:
+        m = _normalize(_emb_matrix(g[emb_col]))
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        m, ids = m[order], ids[order]
+        sims = m @ m.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        ok = sims[iu, ju] >= threshold
+        return pa.table(
+            {
+                "id_a": pa.array(ids[iu[ok]]),
+                "id_b": pa.array(ids[ju[ok]]),
+                "similarity": pa.array(sims[iu[ok], ju[ok]]),
+            }
+        )
+
+    sig = ds.map_batches(
+        HyperplaneLSH,
+        fn_constructor_kwargs=dict(dim=dim, n_planes=n_planes, emb_col=emb_col, id_col=id_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    return sig.groupby("lsh_bucket").map_groups(pairs, batch_format="pyarrow")

@@ -1,0 +1,141 @@
+"""Text-analysis stages for training-data pipelines: token counting, quality
+scoring, language ID, document fingerprinting.
+
+All are vectorized ``map_batches`` stages; language ID and fingerprinting are
+actor-pool classes (regexes / profile tables compiled once per actor)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Whitespace token count (split on single spaces — mirrors the SQL oracle
+    ``len(string_split(text, ' '))``)."""
+    counts = pc.list_value_length(pc.split_pattern(batch[text_col], " "))
+    return pa.table({id_col: batch[id_col], "n_ws_tokens": pc.cast(counts, pa.int64())})
+
+
+def quality_score_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Cheap quality heuristics: length, word count, punctuation / digit /
+    uppercase ratios, mean word length."""
+    text = batch[text_col]
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    words = pc.split_pattern_regex(text, r"\s+")
+    n_words = pc.cast(pc.list_value_length(words), pa.int64())
+    n_punct = pc.cast(pc.utf8_length(pc.replace_substring_regex(text, r"[^.,;:!?]", "")), pa.float64())
+    n_digit = pc.cast(pc.utf8_length(pc.replace_substring_regex(text, r"[^0-9]", "")), pa.float64())
+    n_upper = pc.cast(pc.utf8_length(pc.replace_substring_regex(text, r"[^A-Z]", "")), pa.float64())
+    denom = pc.max_element_wise(pc.cast(n_chars, pa.float64()), pa.scalar(1.0))
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_chars": n_chars,
+            "n_words": n_words,
+            "punct_ratio": pc.divide(n_punct, denom),
+            "digit_ratio": pc.divide(n_digit, denom),
+            "upper_ratio": pc.divide(n_upper, denom),
+        }
+    )
+
+
+class BPEishTokenCounter:
+    """GPT-2-style pre-tokenizer regex token count (compiled once per actor)."""
+
+    PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+"
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        import re
+
+        self.rx = re.compile(self.PATTERN)
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        counts = pc.list_value_length(pc.split_pattern_regex(batch[self.text_col], self.PATTERN))
+        # split counts separators; token count = findall length instead
+        vals = np.fromiter(
+            (len(self.rx.findall(s or "")) for s in batch[self.text_col].to_pylist()),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+        return pa.table({self.id_col: batch[self.id_col], "n_bpe_tokens": pa.array(vals)})
+
+
+class LangId:
+    """N-gram-profile language-ID heuristic over a small built-in stopword /
+    trigram table (en/de/fr/es) — a deterministic fake for the real model the
+    container lacks, with the actor-pool plumbing real."""
+
+    PROFILES = {
+        "en": {" the ", " and ", " of ", " to ", " is ", " in ", "tion", " that "},
+        "de": {" der ", " und ", " die ", " das ", " ist ", " nicht", "sch", " ein "},
+        "fr": {" le ", " la ", " et ", " les ", " des ", " est ", " une ", " que "},
+        "es": {" el ", " la ", " de ", " los ", " es ", " una ", " que ", "ción"},
+    }
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def classify(self, s: str) -> tuple[str, float]:
+        s = " " + (s or "").lower() + " "
+        best, best_score = "und", 0
+        for lang, grams in self.PROFILES.items():
+            score = sum(s.count(g) for g in grams)
+            if score > best_score:
+                best, best_score = lang, score
+        denom = max(1, len(s.split()))
+        return best, min(1.0, best_score / denom)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        langs, confs = [], []
+        for s in batch[self.text_col].to_pylist():
+            l, c = self.classify(s)
+            langs.append(l)
+            confs.append(c)
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "lang_pred": pa.array(langs),
+                "lang_conf": pa.array(np.array(confs)),
+            }
+        )
+
+
+class Fingerprinter:
+    """Rolling-hash document fingerprint (winnowing-style: min rolling hash
+    per window) — stable under small edits, cheap to compare."""
+
+    def __init__(self, k: int = 8, window: int = 16, text_col: str = "text", id_col: str = "doc_id"):
+        self.k = k
+        self.window = window
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def fingerprint(self, s: str) -> np.uint64:
+        b = (s or "").encode("utf-8", "ignore")
+        if len(b) < self.k:
+            b = b + b"\x00" * (self.k - len(b))
+        a = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
+        h = np.zeros(len(a) - self.k + 1, dtype=np.uint64)
+        for j in range(self.k):
+            h = h * np.uint64(1099511628211) + a[j : len(a) - self.k + 1 + j]
+        # winnow: min hash per sliding window, xor-combine the selected set
+        if len(h) <= self.window:
+            sel = np.array([h.min()], dtype=np.uint64)
+        else:
+            sw = np.lib.stride_tricks.sliding_window_view(h, self.window)
+            sel = np.unique(sw.min(axis=1))
+        out = np.uint64(0)
+        for v in sel:
+            out ^= v * np.uint64(0x9E3779B97F4A7C15)
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vals = np.array(
+            [self.fingerprint(s) for s in batch[self.text_col].to_pylist()], dtype=np.uint64
+        )
+        return pa.table({self.id_col: batch[self.id_col], "fingerprint": pa.array(vals)})
