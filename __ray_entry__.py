@@ -192,6 +192,34 @@ def _q_asof(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_gapfill(sf_dir: str):
+    """1m rollup of events → forward-fill gaps up to 5 buckets."""
+    from tsdat_ray.stages.gapfill import GapFillConfig, gapfill_tier
+
+    tier = _events_rollup(sf_dir, "1m")
+
+    def slim(b: pa.Table) -> pa.Table:
+        return b.select(["event_type", "bucket", "value_mean"])
+
+    ds = tier.map_batches(slim, batch_format="pyarrow")
+    out = gapfill_tier(
+        ds,
+        GapFillConfig(interval_s=60, values=("value",), key="event_type", method="ffill", max_gap=5),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "bucket": b["bucket"],
+                "value_filled": b["value_mean"],
+                "filled": b["filled"],
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 # ---- documents / embeddings ops ------------------------------------------- #
 
 def _q_dedup_docs(sf_dir: str):
@@ -255,6 +283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "units_convert_events": _q_units,
         "parse_props_events": _q_parse_props,
         "asof_click_purchase": _q_asof,
+        "gapfill_1m_events": _q_gapfill,
         "dedup_exact_docs": _q_dedup_docs,
         "token_count_docs": _q_token_count,
         "quality_score_docs": _q_quality,
@@ -294,6 +323,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.event_id, p.event_id_p
             FROM (SELECT * FROM events WHERE event_type = 'click') c
             ASOF LEFT JOIN p ON c.ts >= p.ts
+        """,
+        "gapfill_1m_events": """
+            WITH b AS (
+                SELECT event_type, date_trunc('minute', ts) AS bucket,
+                       avg(value) AS value_mean
+                FROM events GROUP BY 1, 2
+            ),
+            bounds AS (
+                SELECT event_type, min(bucket) AS mn, max(bucket) AS mx
+                FROM b GROUP BY 1
+            ),
+            grid AS (
+                SELECT event_type,
+                       unnest(generate_series(mn, mx, INTERVAL 1 MINUTE)) AS bucket
+                FROM bounds
+            ),
+            j AS (
+                SELECT g.event_type, g.bucket, bb.bucket AS src_bucket, bb.value_mean
+                FROM grid g
+                ASOF LEFT JOIN b bb
+                  ON g.event_type = bb.event_type AND g.bucket >= bb.bucket
+            )
+            SELECT event_type, bucket, value_mean AS value_filled,
+                   bucket <> src_bucket AS filled
+            FROM j
+            WHERE date_diff('minute', src_bucket, bucket) <= 5
         """,
         "dedup_exact_docs": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
