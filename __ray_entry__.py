@@ -46,24 +46,37 @@ def _sequences_corpus(sf_dir: str) -> str:
     return path
 
 
-def _events(sf_dir: str, columns=None):
+def _nblocks() -> int:
+    """Input block count ≈ cluster CPUs: Ray's auto-parallelism picks ~200
+    blocks even for 1000-row tables, and shuffle partition count follows
+    block count, so over-blocking multiplies fixed per-task overhead."""
+    import ray
+
+    return max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+
+def _read(path: str, columns=None):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+    return rd.read_parquet(path, columns=columns, override_num_blocks=_nblocks())
+
+
+def _events(sf_dir: str, columns=None):
+    return _read(f"{sf_dir}/events.parquet", columns=columns)
 
 
 def _seq_tiers(sf_dir: str):
     """Standardized sequences → 1m → 1h → 1d tier Datasets (lazy)."""
-    import ray.data as rd
-
-    from tsdat_ray.stages.rollup import RollupConfig, rollup
+    from tsdat_ray.stages.rollup import RollupConfig, rollup, rollup_fast
     from tsdat_ray.stages.standardize import standardize_batch
 
-    ds = rd.read_parquet(_sequences_corpus(sf_dir))
+    ds = _read(_sequences_corpus(sf_dir))
     std = ds.map_batches(standardize_batch, batch_format="pyarrow")
+    # grouped plan for 1m (cross-batch dedup on the raw corpus), combiner
+    # plan for the cascades (tier rows are already unique per (source, bucket))
     t1m = rollup(std, RollupConfig(interval_s=60, window_s=6 * 3600))
-    t1h = rollup(t1m, RollupConfig(interval_s=3600, window_s=86400), from_tier=True)
-    t1d = rollup(t1h, RollupConfig(interval_s=86400, window_s=16 * 86400), from_tier=True)
+    t1h = rollup_fast(t1m, RollupConfig(interval_s=3600, window_s=86400), from_tier=True)
+    t1d = rollup_fast(t1h, RollupConfig(interval_s=86400, window_s=16 * 86400), from_tier=True)
     return t1m, t1h, t1d
 
 
@@ -99,18 +112,18 @@ _ROLLUP_SELECT = [
 
 
 def _events_rollup(sf_dir: str, tier: str):
-    from tsdat_ray.stages.rollup import RollupConfig, rollup
+    from tsdat_ray.stages.rollup import RollupConfig, rollup_fast
 
     ds = _events(sf_dir, columns=["event_id", "ts", "event_type", "value"])
     base = dict(
         key="event_type", ts_col="ts", values=("value",), carry_tokens=False,
         id_col="event_id", carry_cols=(), dedup=False,
     )
-    t = rollup(ds, RollupConfig(interval_s=60, window_s=86400, **base))
+    t = rollup_fast(ds, RollupConfig(interval_s=60, window_s=86400, **base))
     if tier in ("1h", "1d"):
-        t = rollup(t, RollupConfig(interval_s=3600, window_s=86400 * 8, **base), from_tier=True)
+        t = rollup_fast(t, RollupConfig(interval_s=3600, window_s=86400 * 8, **base), from_tier=True)
     if tier == "1d":
-        t = rollup(t, RollupConfig(interval_s=86400, window_s=86400 * 64, **base), from_tier=True)
+        t = rollup_fast(t, RollupConfig(interval_s=86400, window_s=86400 * 64, **base), from_tier=True)
 
     def finish(b: pa.Table) -> pa.Table:
         b = b.append_column("value_sum", b["value_sum_wx"])
@@ -223,30 +236,24 @@ def _q_gapfill(sf_dir: str):
 # ---- documents / embeddings ops ------------------------------------------- #
 
 def _q_dedup_docs(sf_dir: str):
-    import ray.data as rd
-
     from tsdat_ray.stages.dedup import exact_dedup
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = exact_dedup(ds, text_col="text", id_col="doc_id")
     return out.select_columns(["doc_id", "n_copies"])
 
 
 def _q_token_count(sf_dir: str):
-    import ray.data as rd
-
     from tsdat_ray.stages.text import token_count_batch
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(token_count_batch, batch_format="pyarrow")
 
 
 def _q_quality(sf_dir: str):
-    import ray.data as rd
-
     from tsdat_ray.stages.text import quality_score_batch
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(quality_score_batch, batch_format="pyarrow")
 
 
@@ -254,11 +261,10 @@ def _q_knn(sf_dir: str):
     import pyarrow.parquet as pq
 
     from tsdat_ray.stages.similarity import knn_brute_force
-    import ray.data as rd
 
     emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     q = np.asarray(emb.filter(pc.equal(emb["vec_id"], 0))["embedding"][0].as_py())
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     out = knn_brute_force(ds, q, k=10, exclude_ids=(0,))
     return out.sort(["similarity", "vec_id"], descending=[True, False]).limit(10).select_columns(["vec_id"])
 

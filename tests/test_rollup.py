@@ -97,3 +97,46 @@ def test_synth_has_anomalies(seq_table):
         d = np.diff(np.sort(g["ts_us"].unique()))
         gaps += (d > 10 * 1_000_000).sum()
     assert gaps > 0, "no gaps injected"
+
+
+def test_rollup_fast_matches_grouped(ray_session, seq_table):
+    """Combiner plan == grouped plan on pre-deduplicated input, even when
+    blocks are tiny so (source, bucket) groups span many partial rows."""
+    import ray.data as rd
+
+    from tsdat_ray.stages.rollup import rollup_fast
+
+    odf = oracle_standardize(seq_table)
+    o1m = oracle_rollup_raw(odf, 60)
+
+    # pre-dedup with the flagship clean stage, then force small blocks
+    from tsdat_ray.pipelines.rollup_pipeline import _add_day, _add_pkey, clean_group
+
+    std = (
+        rd.from_arrow(seq_table)
+        .map_batches(standardize_batch, batch_format="pyarrow")
+        .map_batches(lambda b: _add_day(b, "ts"), batch_format="pyarrow")
+        .map_batches(lambda b: _add_pkey(b, "ts"), batch_format="pyarrow")
+    )
+    cleaned = (
+        std.groupby("_pkey")
+        .map_groups(lambda g: clean_group(g, None), batch_format="pyarrow")
+        .drop_columns(["day"])
+        .materialize()
+    )
+    # tiny blocks: repartition to force (source, bucket) spans across batches
+    shredded = cleaned.repartition(40)
+
+    cfg = RollupConfig(interval_s=60, window_s=3600, dedup=False)
+    fast = rollup_fast(shredded, cfg).materialize()
+    slow = rollup(cleaned, cfg).materialize()
+
+    fdf, sdf = _sorted_pdf(fast), _sorted_pdf(slow)
+    _assert_tier_matches(fdf, sdf)
+    _assert_tier_matches(fdf, _sorted_pdf(o1m))
+
+    # cascade equality too
+    c_cfg = RollupConfig(interval_s=3600, window_s=86400, dedup=False)
+    fast_h = rollup_fast(fast.repartition(17), c_cfg, from_tier=True).materialize()
+    slow_h = rollup(slow, c_cfg, from_tier=True).materialize()
+    _assert_tier_matches(_sorted_pdf(fast_h), _sorted_pdf(slow_h))

@@ -4,29 +4,33 @@ retention pruning per tier.
 
 Recasts the reference's ingest + transformation pipeline lifecycle
 (/root/reference/tsdat/pipeline/pipelines/ingest_pipeline.py:34-49,
-transformation_pipeline.py:29-75) as a chain of Ray Data jobs with one
-explicit shuffle each:
+transformation_pipeline.py:29-75) as one streaming Ray Data graph in which
+the full token payload crosses the cluster exactly ONCE:
 
     read_parquet(inputs)                                   # pruned columns
       → map_batches(standardize)                           # stateless
       → [skip completed (source, day) partitions]          # resume filter
-      → groupby(source, day).map_groups(clean)             # sort+dedup+QC
+      → groupby(_pkey).map_groups(clean)                   # THE shuffle:
+        _pkey = crc32(source)<<32 | day — one int64 key    #   sort+dedup+QC
       → write_parquet(raw/, partition_cols=[source, day])  # atomic + manifest
-    raw → rollup(1m) → write t1m/ → manifest               # one shuffle
-    t1m → rollup(1h) → write t1h/ → manifest
-    t1h → rollup(1d) → write t1d/ → manifest
+      → rollup_fast(1m) → write t1m/                       # combiner push-
+      → rollup_fast(1h) → write t1h/                       #   down: shuffles
+      → rollup_fast(1d) → write t1d/                       #   partials only
     retention: prune day partitions older than the per-tier horizon
 
-Each tier job skips (source, day) partitions already committed to the
-manifest and wipes partial uncommitted partition dirs before writing, so a
-killed run resumes idempotently mid-rollup (north rule).
+Fresh runs chain tiers in memory (each tier materialized once, written once,
+and fed to the next tier without re-reading Parquet).  Resumed runs take the
+per-tier disk path: each tier job skips (source, day) partitions already
+committed to the manifest and wipes partial uncommitted partition dirs before
+writing, so a killed run resumes idempotently mid-rollup (north rule).
 """
 
 from __future__ import annotations
 
 import time
+import zlib
 from dataclasses import dataclass, field
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 import pyarrow as pa
@@ -34,7 +38,7 @@ import pyarrow.compute as pc
 
 from ..schema import DEFAULT_RETENTION_S, TIERS
 from ..stages.qc import QCConfig, QCStage
-from ..stages.rollup import RollupConfig, rollup
+from ..stages.rollup import RollupConfig, rollup_fast
 from ..stages.standardize import StandardizeConfig, standardize_batch
 from ..state.manifest import Manifest
 
@@ -52,6 +56,20 @@ def _add_day(batch: pa.Table, ts_col: str) -> pa.Table:
     return batch.append_column("day", _day_str_from_us(ts_us))
 
 
+def _add_pkey(batch: pa.Table, ts_col: str) -> pa.Table:
+    """Single int64 partition key (crc32(source) << 32 | day index): sorting
+    one int column shuffles ~3× faster than sorting (string, string) keys.
+    A crc collision merges two sources into one group — harmless, because
+    every group consumer segments by source again."""
+    ts_us = batch[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+    day = ts_us // DAY_US
+    d = batch["source"].combine_chunks().dictionary_encode()
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    h = np.array([zlib.crc32(s.encode()) for s in d.dictionary.to_pylist()], dtype=np.int64)
+    pkey = (h[codes] << np.int64(32)) | (day & np.int64(0xFFFFFFFF))
+    return batch.append_column("_pkey", pa.array(pkey))
+
+
 def _skip_completed(batch: pa.Table, ts_col: str, done: frozenset, key: str) -> pa.Table:
     if not done:
         return batch
@@ -64,13 +82,24 @@ def _skip_completed(batch: pa.Table, ts_col: str, done: frozenset, key: str) -> 
 
 
 def clean_group(g: pa.Table, qc_stage: Optional[QCStage]) -> pa.Table:
-    """Per (source, day): sort by (ts, doc_id), drop duplicate ts (keep first),
-    then run the order-dependent QC managers on the sorted slice."""
+    """Per (source, day) group: sort by (ts, doc_id), drop duplicate (source,
+    ts) rows keeping the smallest doc_id, then run the order-dependent QC
+    managers on the sorted slice.  Segments by source so a _pkey hash
+    collision can never merge rows across sources."""
+    if "_pkey" in g.column_names:
+        g = g.drop_columns(["_pkey"])
     ts_us = g["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
     doc_id = g["doc_id"].to_numpy(zero_copy_only=False)
-    order = np.lexsort((doc_id, ts_us))
-    ts_s = ts_us[order]
-    keep = np.r_[True, ts_s[1:] != ts_s[:-1]] if len(ts_s) else np.zeros(0, bool)
+    codes = g["source"].combine_chunks().dictionary_encode().indices.to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    order = np.lexsort((doc_id, ts_us, codes))
+    ts_s, code_s = ts_us[order], codes[order]
+    keep = (
+        np.r_[True, (ts_s[1:] != ts_s[:-1]) | (code_s[1:] != code_s[:-1])]
+        if len(ts_s)
+        else np.zeros(0, bool)
+    )
     t = g.take(pa.array(order[keep], type=pa.int64()))
     if qc_stage is not None:
         t = qc_stage(t)
@@ -89,28 +118,56 @@ class PipelineConfig:
     retention_s: dict = field(default_factory=lambda: dict(DEFAULT_RETENTION_S))
     resume: bool = True
     run_id: str = ""
+    # Input block count. None → 2×cluster CPUs.  Block count propagates through
+    # the whole chain (shuffle partition count follows input blocks), so
+    # over-blocking small inputs multiplies fixed per-task cost ~4× (measured:
+    # 26s → 12s at sf0.1 going from 200 to 64 blocks on 32 CPUs).  At real
+    # scale leave None — blocks are then bounded by target_max_block_size.
+    parallelism: Optional[int] = None
+
+
+def _num_blocks(cfg: PipelineConfig) -> int:
+    if cfg.parallelism:
+        return cfg.parallelism
+    import ray
+
+    return max(8, 2 * int(ray.cluster_resources().get("CPU", 8)))
+
+
+def _tier_rcfg(tier: str, cfg: PipelineConfig) -> RollupConfig:
+    return RollupConfig(
+        interval_s=TIERS[tier],
+        values=cfg.values,
+        window_s=cfg.window_s.get(tier, 86400),
+        carry_tokens=cfg.carry_tokens,
+    )
+
+
+def _clean_dataset(input_paths, cfg: PipelineConfig, done: frozenset):
+    """read → standardize → resume-skip → ONE groupby(_pkey) clean shuffle."""
+    import ray.data as rd
+
+    qc_stage = QCStage(cfg.qc) if cfg.qc else None
+    std_cfg = cfg.std
+    ds = rd.read_parquet(input_paths, override_num_blocks=_num_blocks(cfg))
+    ds = ds.map_batches(lambda b: standardize_batch(b, std_cfg), batch_format="pyarrow")
+    if done:
+        ds = ds.map_batches(lambda b: _skip_completed(b, "ts", done, "source"), batch_format="pyarrow")
+    ds = ds.map_batches(lambda b: _add_day(b, "ts"), batch_format="pyarrow")
+    ds = ds.map_batches(lambda b: _add_pkey(b, "ts"), batch_format="pyarrow")
+    return ds.groupby("_pkey").map_groups(
+        lambda g: clean_group(g, qc_stage), batch_format="pyarrow"
+    )
 
 
 def ingest_raw(input_paths, cfg: PipelineConfig) -> dict:
-    """sequences Parquet → standardized, deduped, QC'd raw tier."""
-    import ray.data as rd
-
+    """sequences Parquet → standardized, deduped, QC'd raw tier on disk."""
     t0 = time.time()
     man = Manifest(cfg.out_root)
     done = frozenset(man.completed("raw")) if cfg.resume else frozenset()
     if cfg.resume:
         man.wipe_uncommitted("raw")
-
-    qc_stage = QCStage(cfg.qc) if cfg.qc else None
-    std_cfg = cfg.std
-
-    ds = rd.read_parquet(input_paths)
-    ds = ds.map_batches(lambda b: standardize_batch(b, std_cfg), batch_format="pyarrow")
-    ds = ds.map_batches(lambda b: _skip_completed(b, "ts", done, "source"), batch_format="pyarrow")
-    ds = ds.map_batches(lambda b: _add_day(b, "ts"), batch_format="pyarrow")
-    ds = ds.groupby(["source", "day"]).map_groups(
-        lambda g: clean_group(g, qc_stage), batch_format="pyarrow"
-    )
+    ds = _clean_dataset(input_paths, cfg, done)
     ds.write_parquet(man.tier_dir("raw"), partition_cols=["source", "day"])
     inputs = list(input_paths) if isinstance(input_paths, (list, tuple)) else [input_paths]
     recs = man.commit_partitions("raw", inputs, cfg.run_id, time.time() - t0)
@@ -118,7 +175,8 @@ def ingest_raw(input_paths, cfg: PipelineConfig) -> dict:
 
 
 def rollup_tier(tier: str, cfg: PipelineConfig) -> dict:
-    """Aggregate the previous tier into ``tier`` (raw→1m, 1m→1h, 1h→1d)."""
+    """Aggregate the previous tier into ``tier`` (raw→1m, 1m→1h, 1h→1d),
+    reading the source tier from disk (resume path)."""
     import ray.data as rd
 
     t0 = time.time()
@@ -130,18 +188,13 @@ def rollup_tier(tier: str, cfg: PipelineConfig) -> dict:
         man.wipe_uncommitted(f"t{tier}")
 
     src_dir = man.tier_dir("raw" if src_tier == "raw" else f"t{src_tier}")
-    ds = rd.read_parquet(src_dir)
+    ds = rd.read_parquet(src_dir, override_num_blocks=_num_blocks(cfg))
     if "day" in ds.schema().names:
         ds = ds.drop_columns(["day"])
     ts_col = "ts" if src_tier == "raw" else "bucket"
-    ds = ds.map_batches(lambda b: _skip_completed(b, ts_col, done, "source"), batch_format="pyarrow")
-    rcfg = RollupConfig(
-        interval_s=TIERS[tier],
-        values=cfg.values,
-        window_s=cfg.window_s.get(tier, 86400),
-        carry_tokens=cfg.carry_tokens,
-    )
-    out = rollup(ds, rcfg, from_tier=(src_tier != "raw"))
+    if done:
+        ds = ds.map_batches(lambda b: _skip_completed(b, ts_col, done, "source"), batch_format="pyarrow")
+    out = rollup_fast(ds, _tier_rcfg(tier, cfg), from_tier=(src_tier != "raw"))
     out = out.map_batches(lambda b: _add_day(b, "bucket"), batch_format="pyarrow")
     out.write_parquet(man.tier_dir(f"t{tier}"), partition_cols=["source", "day"])
     recs = man.commit_partitions(f"t{tier}", [src_dir], cfg.run_id, time.time() - t0)
@@ -172,11 +225,46 @@ def prune_retention(cfg: PipelineConfig, now_us: int) -> dict:
     return {"pruned": {k: len(v) for k, v in pruned.items()}}
 
 
-def run_pipeline(input_paths, cfg: PipelineConfig, now_us: Optional[int] = None) -> dict:
-    """Full cascade: ingest + every tier + retention. Returns per-stage stats."""
-    stats = {"raw": ingest_raw(input_paths, cfg)}
+def _run_chained(input_paths, cfg: PipelineConfig) -> dict:
+    """Fresh-run fast path: tiers chained in memory — the raw data is read
+    once, shuffled once, and every tier is materialized exactly once."""
+    man = Manifest(cfg.out_root)
+    stats: dict = {}
+
+    t0 = time.time()
+    cleaned = _clean_dataset(input_paths, cfg, frozenset()).materialize()
+    cleaned.write_parquet(man.tier_dir("raw"), partition_cols=["source", "day"])
+    inputs = list(input_paths) if isinstance(input_paths, (list, tuple)) else [input_paths]
+    recs = man.commit_partitions("raw", inputs, cfg.run_id, time.time() - t0)
+    stats["raw"] = {"tier": "raw", "new_partitions": len(recs), "skipped": 0, "wall_s": time.time() - t0}
+
+    prev = cleaned.drop_columns(["day"])
+    prev_tier = "raw"
     for tier in cfg.tiers:
-        stats[tier] = rollup_tier(tier, cfg)
+        t0 = time.time()
+        cur = rollup_fast(prev, _tier_rcfg(tier, cfg), from_tier=(prev_tier != "raw")).materialize()
+        cur.map_batches(lambda b: _add_day(b, "bucket"), batch_format="pyarrow").write_parquet(
+            man.tier_dir(f"t{tier}"), partition_cols=["source", "day"]
+        )
+        recs = man.commit_partitions(f"t{tier}", [f"mem:{prev_tier}"], cfg.run_id, time.time() - t0)
+        stats[tier] = {"tier": tier, "new_partitions": len(recs), "skipped": 0, "wall_s": time.time() - t0}
+        prev, prev_tier = cur, tier
+    return stats
+
+
+def run_pipeline(input_paths, cfg: PipelineConfig, now_us: Optional[int] = None) -> dict:
+    """Full cascade: ingest + every tier + retention. Returns per-stage stats.
+
+    Fresh runs (resume off, or an empty manifest) chain tiers in memory;
+    resumed runs go tier-by-tier from disk so completed partitions are
+    skipped and upstream data for missing partitions is re-read."""
+    man = Manifest(cfg.out_root)
+    if cfg.resume and man.records():
+        stats = {"raw": ingest_raw(input_paths, cfg)}
+        for tier in cfg.tiers:
+            stats[tier] = rollup_tier(tier, cfg)
+    else:
+        stats = _run_chained(input_paths, cfg)
     if now_us is not None:
         stats["retention"] = prune_retention(cfg, now_us)
     return stats

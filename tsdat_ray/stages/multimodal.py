@@ -1,0 +1,239 @@
+"""Multimodal (image / audio / video) stages for training-data pipelines.
+
+The reference has no media handling (its readers are csv/parquet/netcdf —
+/root/reference/tsdat/io/readers/); these are the engine-native operators a
+multimodal training corpus needs, built on the same actor-pool
+``map_batches(Cls, batch_format="pyarrow")`` pattern as every stateful stage.
+
+Data model: media is an opaque ``payload: binary`` column plus typed metadata
+columns (``kind``, ``width``, ``height``, ``channels``, ``sample_rate``,
+``n_frames``, ``codec``).  The Ray-side plumbing (schema, batch sizing, actor
+signatures, zero-copy binary handling, output layout) is fully real and
+tested; payloads in codec ``"raw"`` are decoded with numpy (real math), while
+compressed codecs (jpeg/png/opus/h264) are stubbed behind a clearly-marked
+``NotImplementedError`` because the image/audio libraries are not in this
+container — swap ``_decode_compressed`` for PIL/soundfile/av in production.
+
+Batch-size note (SURVEY.md §4): media payloads are large; callers should pass
+``batch_size`` small (e.g. 32–256 rows) so batch × concurrency stays well
+under the worker heap, and let the object store spill the rest.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),        # image | audio | video
+        ("codec", pa.string()),       # raw | jpeg | png | pcm16 | opus | h264
+        ("payload", pa.binary()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("channels", pa.int32()),
+        ("sample_rate", pa.int32()),  # audio only
+        ("n_frames", pa.int32()),     # video only
+    ]
+)
+
+
+def _decode_compressed(codec: str, payload: bytes) -> np.ndarray:
+    """STUB: compressed-codec decode.  The container has no image/audio
+    libraries (PIL/soundfile/av); production swaps this for the real decoder.
+    The surrounding plumbing (actor pools, schema, batching) is real."""
+    raise NotImplementedError(
+        f"codec {codec!r}: compressed media decode requires an image/audio "
+        "library not present in this environment (PIL / soundfile / av). "
+        "Use codec='raw'/'pcm16' payloads, or install a decoder."
+    )
+
+
+def synth_media_table(n: int = 64, seed: int = 123) -> pa.Table:
+    """Deterministic fake media corpus: raw RGB images, pcm16 audio clips and
+    raw frame-stacked videos (seeded; used by tests and the media queries)."""
+    rng = np.random.Generator(np.random.Philox(key=np.array([seed, 2], dtype=np.uint64)))
+    rows = {k: [] for k in MEDIA_SCHEMA.names}
+    for i in range(n):
+        kind = ("image", "audio", "video")[i % 3]
+        if kind == "image":
+            w, h, c = int(rng.integers(8, 24)), int(rng.integers(8, 24)), 3
+            payload = rng.integers(0, 256, w * h * c, dtype=np.uint8).tobytes()
+            meta = dict(width=w, height=h, channels=c, sample_rate=0, n_frames=0, codec="raw")
+        elif kind == "audio":
+            sr, nsamp = 16000, int(rng.integers(256, 2048))
+            payload = rng.integers(-32768, 32767, nsamp, dtype=np.int16).tobytes()
+            meta = dict(width=0, height=0, channels=1, sample_rate=sr, n_frames=0, codec="pcm16")
+        else:
+            w, h, c, f = 8, 8, 3, int(rng.integers(4, 12))
+            payload = rng.integers(0, 256, w * h * c * f, dtype=np.uint8).tobytes()
+            meta = dict(width=w, height=h, channels=c, sample_rate=0, n_frames=f, codec="raw")
+        rows["media_id"].append(i)
+        rows["kind"].append(kind)
+        rows["payload"].append(payload)
+        for k, v in meta.items():
+            rows[k].append(v)
+    return pa.table(
+        {name: pa.array(rows[name], type=MEDIA_SCHEMA.field(name).type) for name in MEDIA_SCHEMA.names}
+    )
+
+
+class ImageDecode:
+    """Actor-pool stage: payload binary → per-image pixel stats + normalized
+    small feature vector.  Raw payloads decode with numpy (zero-copy
+    frombuffer); compressed codecs hit the stub."""
+
+    def __init__(self, payload_col: str = "payload", id_col: str = "media_id",
+                 feature_bins: int = 16):
+        self.payload_col = payload_col
+        self.id_col = id_col
+        self.bins = feature_bins
+        self.edges = np.linspace(0, 256, feature_bins + 1)
+
+    def decode_one(self, codec: str, payload: bytes, w: int, h: int, c: int) -> np.ndarray:
+        if codec == "raw":
+            return np.frombuffer(payload, dtype=np.uint8).reshape(h * w * c)
+        return _decode_compressed(codec, payload)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, means, stds, hists = [], [], [], []
+        pay = batch[self.payload_col].combine_chunks()
+        codecs = batch["codec"].to_pylist()
+        ws = batch["width"].to_pylist()
+        hs = batch["height"].to_pylist()
+        cs = batch["channels"].to_pylist()
+        for i in range(batch.num_rows):
+            px = self.decode_one(codecs[i], pay[i].as_py(), ws[i], hs[i], cs[i])
+            hist, _ = np.histogram(px, bins=self.edges)
+            ids.append(batch[self.id_col][i].as_py())
+            means.append(float(px.mean()))
+            stds.append(float(px.std()))
+            hists.append((hist / max(1, px.size)).astype(np.float32))
+        return pa.table(
+            {
+                self.id_col: pa.array(ids, pa.int64()),
+                "px_mean": pa.array(means, pa.float64()),
+                "px_std": pa.array(stds, pa.float64()),
+                "hist": pa.array([h.tolist() for h in hists], pa.list_(pa.float32())),
+            }
+        )
+
+
+class ImageResize:
+    """Actor-pool stage: nearest-neighbor resize of raw images to a fixed
+    (out_w, out_h) — pure numpy index math, emits raw payloads again."""
+
+    def __init__(self, out_w: int = 8, out_h: int = 8,
+                 payload_col: str = "payload", id_col: str = "media_id"):
+        self.out_w, self.out_h = out_w, out_h
+        self.payload_col = payload_col
+        self.id_col = id_col
+
+    def resize_one(self, payload: bytes, w: int, h: int, c: int) -> bytes:
+        img = np.frombuffer(payload, dtype=np.uint8).reshape(h, w, c)
+        yi = (np.arange(self.out_h) * h // self.out_h)
+        xi = (np.arange(self.out_w) * w // self.out_w)
+        return img[np.ix_(yi, xi)].tobytes()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pay = batch[self.payload_col].combine_chunks()
+        out = []
+        for i in range(batch.num_rows):
+            if batch["codec"][i].as_py() != "raw":
+                _decode_compressed(batch["codec"][i].as_py(), b"")
+            out.append(
+                self.resize_one(
+                    pay[i].as_py(),
+                    batch["width"][i].as_py(),
+                    batch["height"][i].as_py(),
+                    batch["channels"][i].as_py(),
+                )
+            )
+        n = batch.num_rows
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "payload": pa.array(out, pa.binary()),
+                "width": pa.array([self.out_w] * n, pa.int32()),
+                "height": pa.array([self.out_h] * n, pa.int32()),
+                "channels": batch["channels"],
+                "codec": pa.array(["raw"] * n, pa.string()),
+            }
+        )
+
+
+class AudioFeatures:
+    """Actor-pool stage: pcm16 payload → per-window RMS energy features +
+    clip-level stats (duration, peak, rms)."""
+
+    def __init__(self, frame: int = 256, payload_col: str = "payload", id_col: str = "media_id"):
+        self.frame = frame
+        self.payload_col = payload_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pay = batch[self.payload_col].combine_chunks()
+        ids, durs, peaks, rmss, frames = [], [], [], [], []
+        for i in range(batch.num_rows):
+            codec = batch["codec"][i].as_py()
+            if codec != "pcm16":
+                _decode_compressed(codec, b"")
+            x = np.frombuffer(pay[i].as_py(), dtype=np.int16).astype(np.float64) / 32768.0
+            sr = max(1, batch["sample_rate"][i].as_py())
+            nf = len(x) // self.frame
+            fr = x[: nf * self.frame].reshape(nf, self.frame) if nf else x.reshape(0, 0)
+            frame_rms = np.sqrt((fr**2).mean(axis=1)) if nf else np.zeros(0)
+            ids.append(batch[self.id_col][i].as_py())
+            durs.append(len(x) / sr)
+            peaks.append(float(np.abs(x).max()) if len(x) else 0.0)
+            rmss.append(float(np.sqrt((x**2).mean())) if len(x) else 0.0)
+            frames.append(frame_rms.astype(np.float32).tolist())
+        return pa.table(
+            {
+                self.id_col: pa.array(ids, pa.int64()),
+                "duration_s": pa.array(durs, pa.float64()),
+                "peak": pa.array(peaks, pa.float64()),
+                "rms": pa.array(rmss, pa.float64()),
+                "frame_rms": pa.array(frames, pa.list_(pa.float32())),
+            }
+        )
+
+
+class VideoFrameSample:
+    """Actor-pool stage: raw frame-stacked video payload → every k-th frame as
+    one output row (flat_map-style row expansion inside map_batches)."""
+
+    def __init__(self, every: int = 2, payload_col: str = "payload", id_col: str = "media_id"):
+        self.every = every
+        self.payload_col = payload_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pay = batch[self.payload_col].combine_chunks()
+        ids, fidx, payloads, ws, hs, cs = [], [], [], [], [], []
+        for i in range(batch.num_rows):
+            if batch["codec"][i].as_py() != "raw":
+                _decode_compressed(batch["codec"][i].as_py(), b"")
+            w = batch["width"][i].as_py()
+            h = batch["height"][i].as_py()
+            c = batch["channels"][i].as_py()
+            nf = batch["n_frames"][i].as_py()
+            raw = np.frombuffer(pay[i].as_py(), dtype=np.uint8).reshape(nf, h * w * c)
+            for j in range(0, nf, self.every):
+                ids.append(batch[self.id_col][i].as_py())
+                fidx.append(j)
+                payloads.append(raw[j].tobytes())
+                ws.append(w)
+                hs.append(h)
+                cs.append(c)
+        return pa.table(
+            {
+                self.id_col: pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(fidx, pa.int32()),
+                "payload": pa.array(payloads, pa.binary()),
+                "width": pa.array(ws, pa.int32()),
+                "height": pa.array(hs, pa.int32()),
+                "channels": pa.array(cs, pa.int32()),
+            }
+        )

@@ -18,21 +18,30 @@ center (ties → the later row, matching xarray reindex "nearest" tie-breaking
 observed in the reference's 19-point golden) and carries its ``tokens`` array
 verbatim through every tier.
 
-Physical plan (Ray-Data-first, explicit shuffle):
+Two physical plans, one shared vectorized kernel (``rollup_batch``):
 
-    map_batches(add bucket/window cols)          # stateless, vectorized
-      → groupby([key, _window]).map_groups(...)  # ONE all-to-all exchange
-                                                 # window = coarse time range
-                                                 # bounding group size (skew)
+* ``rollup``      — groupby([key, _window]).map_groups(kernel): ONE all-to-all
+  exchange of the full input; supports cross-batch dedup.  The semantic
+  reference plan.
+* ``rollup_fast`` — combiner push-down (the 100 TB plan): the kernel runs per
+  **batch** first (map_batches, no shuffle), emitting tier-shaped partial
+  rows; only those partials — one per (key, bucket) per block, orders of
+  magnitude smaller than the input and WITHOUT re-shipping every token
+  payload — go through the groupby, where the same kernel (cascade mode, same
+  interval) merges them.  Partials carry ``_first_ts`` (min contributing
+  input ts) and the combine sorts on it, so float summation order and the
+  nearest-row tie-break stay deterministic under any block layout.
+  Requires ``dedup=False`` or upstream-deduplicated input (the flagship
+  pipeline dedups in its clean stage, co-located per (source, day)).
 
-Group size is bounded by ``window_s`` regardless of source skew (a hot source
-becomes many windows, not one giant group), which is the salting strategy the
-north rule asks for — the salt is the time range itself.
+Group size in both plans is bounded by ``window_s`` regardless of source skew
+(a hot source becomes many windows, not one giant group) — the salting
+strategy the north rule asks for, with the time range itself as the salt.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 import pyarrow as pa
@@ -78,14 +87,25 @@ def floor_bucket_us(ts_us: np.ndarray, interval_s: int) -> np.ndarray:
     return (ts_us // iv) * iv
 
 
-def _segment_starts(sorted_keys: np.ndarray) -> np.ndarray:
-    if len(sorted_keys) == 0:
+def _segment_starts(change: np.ndarray) -> np.ndarray:
+    """Start indices of segments given a per-row 'differs from previous' mask
+    (first row always starts a segment)."""
+    if len(change) == 0:
         return np.zeros(0, dtype=np.int64)
-    return np.flatnonzero(np.r_[True, sorted_keys[1:] != sorted_keys[:-1]]).astype(np.int64)
+    change = change.copy()
+    change[0] = True
+    return np.flatnonzero(change).astype(np.int64)
 
 
 def _seg_sum(x: np.ndarray, starts: np.ndarray) -> np.ndarray:
     return np.add.reduceat(x, starts) if len(starts) else np.zeros(0, dtype=x.dtype)
+
+
+def _key_codes(col) -> tuple[np.ndarray, pa.Array]:
+    """Dictionary-encode the key column → (int32 codes, values array)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    d = arr.dictionary_encode()
+    return d.indices.to_numpy(zero_copy_only=False).astype(np.int64), arr
 
 
 def _bucket_qc_bits(
@@ -135,9 +155,9 @@ def _finalize_value(
     out[f"{v}_sum_w"] = sum_w
     out[f"{v}_sum_wx"] = sum_wx
     out[f"{v}_sum_wx2"] = sum_wx2
-    out[f"{v}_n"] = n
-    out[f"{v}_n_bad"] = n_bad
-    out[f"{v}_n_ind"] = n_ind
+    out[f"{v}_n"] = n.astype(np.int64)
+    out[f"{v}_n_bad"] = n_bad.astype(np.int64)
+    out[f"{v}_n_ind"] = n_ind.astype(np.int64)
     if vmin is not None:
         out[f"{v}_min"] = vmin
         out[f"{v}_max"] = vmax
@@ -146,8 +166,9 @@ def _finalize_value(
 def _select_nearest(
     bucket: np.ndarray, starts: np.ndarray, counts: np.ndarray, ts_us: np.ndarray, interval_us: int
 ) -> np.ndarray:
-    """Per bucket: index of the row whose ts is nearest the bucket center
-    (ties → later row). Input sorted by (bucket, ts)."""
+    """Per bucket segment: index of the row whose ts is nearest the bucket
+    center, ties → the row with the larger ts.  Rows must be sorted so ts is
+    nondecreasing within each segment."""
     center = bucket + interval_us // 2
     dist = np.abs(ts_us - center[np.repeat(np.arange(len(starts)), counts)])
     mind = np.minimum.reduceat(dist, starts)
@@ -156,40 +177,56 @@ def _select_nearest(
     return np.maximum.reduceat(pos, starts)
 
 
-def rollup_group_raw(g: pa.Table, cfg: RollupConfig) -> pa.Table:
-    """Finalize one (key, window) group of standardized raw rows into tier rows.
-
-    Sorts by (ts, doc_id), drops exact-duplicate timestamps (keep first =
-    smallest doc_id; the reference tolerates duplicates silently via xr.merge
-    — our engine dedups explicitly, SURVEY.md §2.7), then computes per-bucket
-    aggregates with deterministic in-order summation.
+def rollup_batch(g: pa.Table, cfg: RollupConfig, from_tier: bool = False) -> pa.Table:
+    """The shared rollup kernel: any mix of keys/buckets in one Arrow table →
+    one tier-shaped row per (key, bucket), fully vectorized (no Python row
+    loop).  Works as the per-group finalizer (grouped plan), the per-batch
+    partial aggregator, and the partial combiner (cascade mode at the same
+    interval merges tier-shaped rows exactly — sums of sums).
     """
+    codes, key_arr = _key_codes(g[cfg.key])
+    iv_us = cfg.interval_s * US
+
+    if from_tier:
+        return _rollup_cascade_sorted(g, cfg, codes, key_arr, iv_us)
+    return _rollup_raw_sorted(g, cfg, codes, key_arr, iv_us)
+
+
+def _rollup_raw_sorted(g, cfg, codes, key_arr, iv_us):
     ts_us = g[cfg.ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
     row_id = g[cfg.id_col].to_numpy(zero_copy_only=False)
-    order = np.lexsort((row_id, ts_us))
-    ts_us = ts_us[order]
+    order = np.lexsort((row_id, ts_us, codes))
+    ts_s = ts_us[order]
+    code_s = codes[order]
 
-    if cfg.dedup:  # exact dedup on ts within (key, window), keep first by id
-        keep = np.r_[True, ts_us[1:] != ts_us[:-1]] if len(ts_us) else np.zeros(0, bool)
+    if cfg.dedup:  # exact dedup on (key, ts), keep first by id (smallest id)
+        keep = (
+            np.r_[True, (ts_s[1:] != ts_s[:-1]) | (code_s[1:] != code_s[:-1])]
+            if len(ts_s)
+            else np.zeros(0, bool)
+        )
         sel_rows = order[keep]
-        ts_us = ts_us[keep]
+        ts_s, code_s = ts_s[keep], code_s[keep]
     else:
         sel_rows = order
 
-    iv_us = cfg.interval_s * US
-    bucket = floor_bucket_us(ts_us, cfg.interval_s)
-    starts = _segment_starts(bucket)
+    bucket = floor_bucket_us(ts_s, cfg.interval_s)
+    change = (
+        np.r_[True, (bucket[1:] != bucket[:-1]) | (code_s[1:] != code_s[:-1])]
+        if len(bucket)
+        else np.zeros(0, bool)
+    )
+    starts = _segment_starts(change)
     counts = np.diff(np.r_[starts, len(bucket)])
-    blabels = bucket[starts]
-    m = len(starts)
-
+    blabels = bucket[starts] if len(starts) else np.zeros(0, np.int64)
     out: dict = {
-        cfg.key: pa.array(np.repeat(g[cfg.key][0].as_py(), m)),
+        cfg.key: key_arr.take(pa.array(sel_rows[starts], type=pa.int64())),
         "bucket": pa.array(blabels, type=pa.int64()).cast(pa.timestamp("us")),
         "n_rows": counts.astype(np.int64),
+        "_first_ts": ts_s[starts] if len(starts) else np.zeros(0, np.int64),
     }
 
-    ones = np.ones(len(ts_us), dtype=np.float64)
+    ones = np.ones(len(ts_s), dtype=np.float64)
     for v in cfg.values:
         x = g[v].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)[sel_rows]
         if f"qc_{v}" in g.column_names:
@@ -219,8 +256,11 @@ def rollup_group_raw(g: pa.Table, cfg: RollupConfig) -> pa.Table:
         )
 
     if cfg.carry_tokens:
-        pick = _select_nearest(blabels, starts, counts, ts_us, iv_us)
-        take = pa.array(sel_rows[pick], type=pa.int64())
+        if len(starts):
+            pick = _select_nearest(blabels, starts, counts, ts_s, iv_us)
+            take = pa.array(sel_rows[pick], type=pa.int64())
+        else:
+            take = pa.array([], type=pa.int64())
         out[f"sel_{cfg.id_col}"] = g[cfg.id_col].take(take)
         out["sel_ts"] = g[cfg.ts_col].take(take)
         for c in cfg.carry_cols:
@@ -229,27 +269,35 @@ def rollup_group_raw(g: pa.Table, cfg: RollupConfig) -> pa.Table:
     return pa.table(out)
 
 
-def rollup_group_cascade(g: pa.Table, cfg: RollupConfig) -> pa.Table:
-    """Aggregate finer-tier rows into a coarser tier (exact: sums of sums)."""
+def _rollup_cascade_sorted(g, cfg, codes, key_arr, iv_us):
     b_us = g["bucket"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
-    order = np.argsort(b_us, kind="stable")
-    b_us = b_us[order]
+    if "_first_ts" in g.column_names:
+        first_ts = g["_first_ts"].combine_chunks().to_numpy(zero_copy_only=False)
+    else:
+        first_ts = b_us
+    order = np.lexsort((first_ts, b_us, codes))
+    b_s, code_s, first_s = b_us[order], codes[order], first_ts[order]
     take = pa.array(order, type=pa.int64())
 
-    iv_us = cfg.interval_s * US
-    bucket = floor_bucket_us(b_us, cfg.interval_s)
-    starts = _segment_starts(bucket)
+    bucket = floor_bucket_us(b_s, cfg.interval_s)
+    change = (
+        np.r_[True, (bucket[1:] != bucket[:-1]) | (code_s[1:] != code_s[:-1])]
+        if len(bucket)
+        else np.zeros(0, bool)
+    )
+    starts = _segment_starts(change)
     counts = np.diff(np.r_[starts, len(bucket)])
-    blabels = bucket[starts]
+    blabels = bucket[starts] if len(starts) else np.zeros(0, np.int64)
     m = len(starts)
 
     def col(name: str) -> np.ndarray:
         return g[name].combine_chunks().to_numpy(zero_copy_only=False)[order]
 
     out: dict = {
-        cfg.key: pa.array(np.repeat(g[cfg.key][0].as_py(), m)),
+        cfg.key: key_arr.take(pa.array(order[starts], type=pa.int64())),
         "bucket": pa.array(blabels, type=pa.int64()).cast(pa.timestamp("us")),
         "n_rows": _seg_sum(col("n_rows"), starts),
+        "_first_ts": first_s[starts] if m else np.zeros(0, np.int64),
     }
     for v in cfg.values:
         has_minmax = f"{v}_min" in g.column_names
@@ -257,8 +305,8 @@ def rollup_group_cascade(g: pa.Table, cfg: RollupConfig) -> pa.Table:
         if has_minmax:
             xmin = np.where(np.isnan(col(f"{v}_min")), np.inf, col(f"{v}_min"))
             xmax = np.where(np.isnan(col(f"{v}_max")), -np.inf, col(f"{v}_max"))
-            vmin = np.minimum.reduceat(xmin, starts) if len(starts) else np.zeros(0)
-            vmax = np.maximum.reduceat(xmax, starts) if len(starts) else np.zeros(0)
+            vmin = np.minimum.reduceat(xmin, starts) if m else np.zeros(0)
+            vmax = np.maximum.reduceat(xmax, starts) if m else np.zeros(0)
             vmin = np.where(np.isfinite(vmin), vmin, np.nan)
             vmax = np.where(np.isfinite(vmax), vmax, np.nan)
         _finalize_value(
@@ -277,8 +325,15 @@ def rollup_group_cascade(g: pa.Table, cfg: RollupConfig) -> pa.Table:
 
     if cfg.carry_tokens and "sel_ts" in g.column_names:
         sel_ts = g["sel_ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)[order]
-        pick = _select_nearest(blabels, starts, counts, sel_ts, iv_us)
-        ptake = pa.array(order[np.asarray(pick)], type=pa.int64())
+        # candidates within a segment must be ts-nondecreasing for the
+        # tie-break; re-sort each segment by sel_ts via a scoped lexsort
+        if m:
+            seg_id = np.repeat(np.arange(m), counts)
+            sub = np.lexsort((sel_ts, seg_id))
+            pick = sub[_select_nearest(blabels, starts, counts, sel_ts[sub], iv_us)]
+            ptake = pa.array(order[np.asarray(pick)], type=pa.int64())
+        else:
+            ptake = pa.array([], type=pa.int64())
         out[f"sel_{cfg.id_col}"] = g[f"sel_{cfg.id_col}"].take(ptake)
         out["sel_ts"] = g["sel_ts"].take(ptake)
         for c in cfg.carry_cols:
@@ -298,14 +353,33 @@ def _add_window(ds, ts_col: str, window_s: int, from_tier: bool):
 
 
 def rollup(ds, cfg: RollupConfig, from_tier: bool = False):
-    """raw rows (from_tier=False) or finer tier rows (from_tier=True) → tier.
-
-    One explicit shuffle: ``groupby([key, _window]).map_groups``.
-    """
-    fn = rollup_group_cascade if from_tier else rollup_group_raw
+    """Grouped (semantic-reference) plan: raw rows (from_tier=False) or finer
+    tier rows (from_tier=True) → tier, via ONE full
+    ``groupby([key, _window]).map_groups`` exchange.  Supports cross-batch
+    dedup within each (key, window)."""
     ds = _add_window(ds, cfg.ts_col, cfg.window_s, from_tier)
 
     def run(group: pa.Table) -> pa.Table:
-        return fn(group.drop_columns(["_window"]), cfg)
+        return rollup_batch(group.drop_columns(["_window"]), cfg, from_tier)
 
     return ds.groupby([cfg.key, "_window"]).map_groups(run, batch_format="pyarrow")
+
+
+def rollup_fast(ds, cfg: RollupConfig, from_tier: bool = False):
+    """Combiner plan (the scale path): per-batch partial aggregation, then a
+    shuffle of ONLY the tier-shaped partials, merged by the same kernel.
+
+    Exactly equal to ``rollup`` output (deterministic combine order via
+    ``_first_ts``) provided input needs no cross-batch dedup: pass
+    ``dedup=False`` or feed upstream-deduplicated data (the flagship's clean
+    stage dedups per (source, day) before this)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return rollup_batch(batch, cfg, from_tier)
+
+    def combine(group: pa.Table) -> pa.Table:
+        return rollup_batch(group.drop_columns(["_window"]), cfg, from_tier=True)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    partials = _add_window(partials, "bucket", cfg.window_s, from_tier=True)
+    return partials.groupby([cfg.key, "_window"]).map_groups(combine, batch_format="pyarrow")
