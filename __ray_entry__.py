@@ -269,6 +269,191 @@ def _q_knn(sf_dir: str):
     return out.sort(["similarity", "vec_id"], descending=[True, False]).limit(10).select_columns(["vec_id"])
 
 
+# ---- relational ops over the TPC-H-ish tables ------------------------------ #
+
+def _q_join_orders_customer(sf_dir: str):
+    """Broadcast map-side hash join (small dimension table shipped once)."""
+    import pyarrow.parquet as pq
+
+    from tsdat_ray.stages.joins import broadcast_lookup
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_mktsegment"]
+    ).rename_columns(["o_custkey", "c_name", "c_mktsegment"])
+    orders = _read(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    out = broadcast_lookup(orders, cust, on="o_custkey",
+                           value_cols=("c_name", "c_mktsegment"), how="inner")
+    return out.select_columns(["o_orderkey", "o_totalprice", "c_name", "c_mktsegment"])
+
+
+def _q_hashjoin_lineitem_orders(sf_dir: str):
+    """Partitioned hash join, both sides large (bucketed co-location)."""
+    from tsdat_ray.stages.joins import hash_join
+
+    li = _read(f"{sf_dir}/lineitem.parquet",
+               columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["l_orderkey", "o_orderpriority"])
+
+    orders = _read(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]).map_batches(
+        rename, batch_format="pyarrow"
+    )
+    out = hash_join(li, orders, on="l_orderkey", num_buckets=32)
+    return out.select_columns(["l_orderkey", "l_linenumber", "l_extendedprice", "o_orderpriority"])
+
+
+def _q_pricing_summary(sf_dir: str):
+    """TPC-H Q1-style aggregate via Ray Data native groupby.aggregate
+    (hash-aggregated with map-side combining inside Ray Data)."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    cutoff = np.datetime64("1998-09-03", "us")
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less(b["l_shipdate"], pa.scalar(cutoff)))
+        disc = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "l_quantity": b["l_quantity"],
+                "l_extendedprice": b["l_extendedprice"],
+                "disc_price": disc,
+            }
+        )
+
+    ds = _read(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+    ).map_batches(prep, batch_format="pyarrow")
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_base_price"),
+        Sum("disc_price", alias_name="sum_disc_price"),
+        Mean("l_quantity", alias_name="avg_qty"),
+        Count(alias_name="count_order"),
+    )
+    return out
+
+
+def _q_distinct_users(sf_dir: str):
+    """Exact distinct count: dedup shuffle on (type, user), then count."""
+    ds = _events(sf_dir, columns=["event_type", "user_id"])
+
+    def first(g: pa.Table) -> pa.Table:
+        return g.slice(0, 1)
+
+    uniq = ds.groupby(["event_type", "user_id"]).map_groups(first, batch_format="pyarrow")
+    out = uniq.groupby("event_type").count()
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["event_type", "n_users"])
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+# ---- near-duplicate detection over documents / embeddings ------------------- #
+
+def _q_neardup_embeddings_exact(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from tsdat_ray.stages.similarity import embedding_neardup_exact
+
+    ref = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = embedding_neardup_exact(ds, ref, threshold=0.4002)
+    return out.select_columns(["id_a", "id_b"])
+
+
+def _q_neardup_embeddings_lsh(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from tsdat_ray.stages.similarity import embedding_dedup_pairs
+
+    ds = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return embedding_dedup_pairs(ds, dim=64, threshold=0.4002, n_planes=8)
+
+
+def _q_neardup_minhash_docs(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from tsdat_ray.stages.dedup import minhash_neardup_pairs
+
+    texts = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_neardup_pairs(ds, texts, threshold=0.5)
+
+
+def _q_simhash_docs(sf_dir: str):
+    from tsdat_ray.stages.dedup import SimHasher
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=2)
+
+
+def _q_bpe_token_count(sf_dir: str):
+    from tsdat_ray.stages.text import BPEishTokenCounter
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(
+        BPEishTokenCounter,
+        fn_constructor_kwargs=dict(pattern=BPEishTokenCounter.PATTERN_RE2),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+
+def _q_lang_id_docs(sf_dir: str):
+    from tsdat_ray.stages.text import LangId
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
+
+
+def _q_fingerprint_docs(sf_dir: str):
+    from tsdat_ray.stages.text import Fingerprinter
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(Fingerprinter, batch_format="pyarrow", concurrency=2)
+
+
+# ---- multimodal (synthetic raw-codec media corpus; rows-only checks) -------- #
+
+def _media_path() -> str:
+    import pyarrow.parquet as pq
+
+    from tsdat_ray.stages.multimodal import synth_media_table
+
+    path = os.path.join(_CACHE, "media.parquet")
+    if not os.path.exists(path):
+        os.makedirs(_CACHE, exist_ok=True)
+        pq.write_table(synth_media_table(n=120, seed=123), path)
+    return path
+
+
+def _q_media_image_stats(sf_dir: str):
+    from tsdat_ray.stages.multimodal import ImageDecode
+
+    ds = _read(_media_path()).filter(expr="kind == 'image'")
+    return ds.map_batches(ImageDecode, batch_format="pyarrow", concurrency=2, batch_size=32)
+
+
+def _q_media_audio_features(sf_dir: str):
+    from tsdat_ray.stages.multimodal import AudioFeatures
+
+    ds = _read(_media_path()).filter(expr="kind == 'audio'")
+    return ds.map_batches(AudioFeatures, batch_format="pyarrow", concurrency=2, batch_size=32)
+
+
+def _q_media_video_frames(sf_dir: str):
+    from tsdat_ray.stages.multimodal import VideoFrameSample
+
+    ds = _read(_media_path()).filter(expr="kind == 'video'")
+    return ds.map_batches(VideoFrameSample, batch_format="pyarrow", concurrency=2, batch_size=32)
+
+
 # ---- flagship sequences tiers (non-SQL; rows-only driver check) ------------ #
 
 def _q_seq_tier(tier: str):
@@ -294,6 +479,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_docs": _q_token_count,
         "quality_score_docs": _q_quality,
         "knn_embeddings": _q_knn,
+        "join_orders_customer": _q_join_orders_customer,
+        "hashjoin_lineitem_orders": _q_hashjoin_lineitem_orders,
+        "pricing_summary_lineitem": _q_pricing_summary,
+        "distinct_users_per_type": _q_distinct_users,
+        "neardup_embeddings_exact": _q_neardup_embeddings_exact,
+        "neardup_embeddings_lsh": _q_neardup_embeddings_lsh,
+        "neardup_minhash_docs": _q_neardup_minhash_docs,
+        "simhash_docs": _q_simhash_docs,
+        "bpe_token_count_docs": _q_bpe_token_count,
+        "lang_id_docs": _q_lang_id_docs,
+        "fingerprint_docs": _q_fingerprint_docs,
+        "media_image_stats": _q_media_image_stats,
+        "media_audio_features": _q_media_audio_features,
+        "media_video_frames": _q_media_video_frames,
         "seq_rollup_1m": _q_seq_tier("1m"),
         "seq_rollup_1h": _q_seq_tier("1h"),
         "seq_rollup_1d": _q_seq_tier("1d"),
@@ -383,5 +582,41 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.vec_id <> 0
             ORDER BY list_cosine_similarity(e.embedding, qq.q) DESC, e.vec_id
             LIMIT 10
+        """,
+        "join_orders_customer": """
+            SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "hashjoin_lineitem_orders": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice, o_orderpriority
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        """,
+        "pricing_summary_lineitem": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   sum(l_extendedprice) AS sum_base_price,
+                   sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+                   avg(l_quantity) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate < TIMESTAMP '1998-09-03'
+            GROUP BY 1, 2
+        """,
+        "distinct_users_per_type": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1
+        """,
+        "neardup_embeddings_exact": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4002
+        """,
+        "bpe_token_count_docs": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'
+                   )) AS BIGINT) AS n_bpe_tokens
+            FROM documents
         """,
     }

@@ -19,11 +19,13 @@ import sys
 import time
 
 US = 1_000_000
+_CACHE_DIR = "/tmp/tsdat_ray_cache"
 
 
 def run_bench() -> dict:
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    scale_rows = int(os.environ.get("GRAFT_SCALE_ROWS", "0"))  # scaling mode
 
     import ray
 
@@ -48,7 +50,20 @@ def run_bench() -> dict:
     from tsdat_ray.stages.standardize import list_column_lengths
 
     # ---------------- corpus (cached, generation untimed) ----------------
-    corpus = entrymod._sequences_corpus(sf_dir)
+    if scale_rows:
+        # scaling measurements need enough work per core that the parallel
+        # fraction dominates fixed job overhead (strong-scaling regime);
+        # also warm the worker pool so process spin-up isn't timed
+        from tsdat_ray.synth import generate_sequences_parquet
+
+        corpus = os.path.join(_CACHE_DIR, f"sequences_n{scale_rows}")
+        if not os.path.isdir(corpus) or not os.listdir(corpus):
+            generate_sequences_parquet(corpus, n_rows=scale_rows, seed=42)
+        warm_cfg = PipelineConfig(out_root="/tmp/bench_warm", resume=False, run_id="warm")
+        shutil.rmtree("/tmp/bench_warm", ignore_errors=True)
+        run_pipeline(entrymod._sequences_corpus("/root/testdata/sf0.001"), warm_cfg)
+    else:
+        corpus = entrymod._sequences_corpus(sf_dir)
 
     # warm the page cache + count tokens (untimed)
     def toklen(b: pa.Table) -> pa.Table:
@@ -62,10 +77,25 @@ def run_bench() -> dict:
     # ---------------- headline: flagship pipeline ----------------
     out_root = "/tmp/bench_store"
     shutil.rmtree(out_root, ignore_errors=True)
-    cfg = PipelineConfig(out_root=out_root, resume=False, run_id="bench")
+    # pin the block layout so both CPU levels run the identical physical plan
+    cfg = PipelineConfig(out_root=out_root, resume=False, run_id="bench", parallelism=64)
     t0 = time.time()
     run_pipeline(corpus, cfg)
     headline = time.time() - t0
+
+    if scale_rows:
+        ray.shutdown()
+        return {
+            "metric": "flagship_pipeline_sec",
+            "value": round(headline, 3),
+            "unit": "sec",
+            "queries": {},
+            "sf": entrymod._sf_of(sf_dir),
+            "num_cpus": num_cpus,
+            "corpus_rows": n_rows,
+            "corpus_tokens": total_tokens,
+            "tokens_per_sec": round(total_tokens / headline, 1),
+        }
 
     # ---------------- per-query timings ----------------
     queries = entrymod.queries()
@@ -105,8 +135,15 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
+    """Same job, two parallelism levels in fresh processes (the in-sandbox
+    evidence for the N→4N cluster-scaling criterion).  Uses a corpus large
+    enough that per-core work dominates fixed job overhead, the identical
+    64-block physical plan at both levels, and an untimed warm-up pipeline so
+    worker spin-up isn't measured."""
+    scale_rows = int(os.environ.get("GRAFT_SCALE_ROWS", str(4_000_000)))
+
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SCALE_ROWS=str(scale_rows))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -131,6 +168,8 @@ def run_scaling() -> dict:
         "sec_hi": t_hi,
         "tokens_per_sec_lo": r_lo["tokens_per_sec"],
         "tokens_per_sec_hi": r_hi["tokens_per_sec"],
+        "corpus_rows": r_hi["corpus_rows"],
+        "corpus_tokens": r_hi["corpus_tokens"],
         "sf": r_hi["sf"],
     }
 

@@ -79,3 +79,20 @@ def test_seq_tier_queries_run(ray_session):
     for name in ("seq_rollup_1m", "seq_rollup_1h", "seq_rollup_1d"):
         pdf = _to_pdf(entrymod.queries()[name](SF_DIR))
         assert len(pdf) > 0, name
+
+
+def test_rows_only_queries_run(ray_session):
+    """Every queries() entry without a SQL oracle still runs and returns a
+    stable, non-degenerate result (the driver's weaker rows-only check)."""
+    qs = entrymod.queries()
+    oracled = set(entrymod.oracle_sql())
+    expect_nonempty = {
+        "neardup_minhash_docs", "simhash_docs", "lang_id_docs",
+        "fingerprint_docs", "media_image_stats", "media_audio_features",
+        "media_video_frames", "neardup_embeddings_lsh",
+    }
+    for name in sorted(set(qs) - oracled - {"seq_rollup_1m", "seq_rollup_1h", "seq_rollup_1d"}):
+        pdf = _to_pdf(qs[name](SF_DIR))
+        assert pdf is not None, name
+        if name in expect_nonempty:
+            assert len(pdf) > 0, name

@@ -12,7 +12,7 @@ the full token payload crosses the cluster exactly ONCE:
       → [skip completed (source, day) partitions]          # resume filter
       → groupby(_pkey).map_groups(clean)                   # THE shuffle:
         _pkey = crc32(source)<<32 | day — one int64 key    #   sort+dedup+QC
-      → write_parquet(raw/, partition_cols=[source, day])  # atomic + manifest
+      → write_partitioned(raw/) hive layout              # atomic + manifest
       → rollup_fast(1m) → write t1m/                       # combiner push-
       → rollup_fast(1h) → write t1h/                       #   down: shuffles
       → rollup_fast(1d) → write t1d/                       #   partials only
@@ -40,6 +40,7 @@ from ..schema import DEFAULT_RETENTION_S, TIERS
 from ..stages.qc import QCConfig, QCStage
 from ..stages.rollup import RollupConfig, rollup_fast
 from ..stages.standardize import StandardizeConfig, standardize_batch
+from ..stages.writers import write_partitioned
 from ..state.manifest import Manifest
 
 US = 1_000_000
@@ -168,7 +169,7 @@ def ingest_raw(input_paths, cfg: PipelineConfig) -> dict:
     if cfg.resume:
         man.wipe_uncommitted("raw")
     ds = _clean_dataset(input_paths, cfg, done)
-    ds.write_parquet(man.tier_dir("raw"), partition_cols=["source", "day"])
+    write_partitioned(ds, man.tier_dir("raw"), ts_col="ts")
     inputs = list(input_paths) if isinstance(input_paths, (list, tuple)) else [input_paths]
     recs = man.commit_partitions("raw", inputs, cfg.run_id, time.time() - t0)
     return {"tier": "raw", "new_partitions": len(recs), "skipped": len(done), "wall_s": time.time() - t0}
@@ -196,7 +197,7 @@ def rollup_tier(tier: str, cfg: PipelineConfig) -> dict:
         ds = ds.map_batches(lambda b: _skip_completed(b, ts_col, done, "source"), batch_format="pyarrow")
     out = rollup_fast(ds, _tier_rcfg(tier, cfg), from_tier=(src_tier != "raw"))
     out = out.map_batches(lambda b: _add_day(b, "bucket"), batch_format="pyarrow")
-    out.write_parquet(man.tier_dir(f"t{tier}"), partition_cols=["source", "day"])
+    write_partitioned(out, man.tier_dir(f"t{tier}"), ts_col="bucket")
     recs = man.commit_partitions(f"t{tier}", [src_dir], cfg.run_id, time.time() - t0)
     return {"tier": tier, "new_partitions": len(recs), "skipped": len(done), "wall_s": time.time() - t0}
 
@@ -233,7 +234,7 @@ def _run_chained(input_paths, cfg: PipelineConfig) -> dict:
 
     t0 = time.time()
     cleaned = _clean_dataset(input_paths, cfg, frozenset()).materialize()
-    cleaned.write_parquet(man.tier_dir("raw"), partition_cols=["source", "day"])
+    write_partitioned(cleaned, man.tier_dir("raw"), ts_col="ts")
     inputs = list(input_paths) if isinstance(input_paths, (list, tuple)) else [input_paths]
     recs = man.commit_partitions("raw", inputs, cfg.run_id, time.time() - t0)
     stats["raw"] = {"tier": "raw", "new_partitions": len(recs), "skipped": 0, "wall_s": time.time() - t0}
@@ -243,8 +244,10 @@ def _run_chained(input_paths, cfg: PipelineConfig) -> dict:
     for tier in cfg.tiers:
         t0 = time.time()
         cur = rollup_fast(prev, _tier_rcfg(tier, cfg), from_tier=(prev_tier != "raw")).materialize()
-        cur.map_batches(lambda b: _add_day(b, "bucket"), batch_format="pyarrow").write_parquet(
-            man.tier_dir(f"t{tier}"), partition_cols=["source", "day"]
+        write_partitioned(
+            cur.map_batches(lambda b: _add_day(b, "bucket"), batch_format="pyarrow"),
+            man.tier_dir(f"t{tier}"),
+            ts_col="bucket",
         )
         recs = man.commit_partitions(f"t{tier}", [f"mem:{prev_tier}"], cfg.run_id, time.time() - t0)
         stats[tier] = {"tier": tier, "new_partitions": len(recs), "skipped": 0, "wall_s": time.time() - t0}

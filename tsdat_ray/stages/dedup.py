@@ -121,7 +121,7 @@ class MinHasher:
 
 def minhash_lsh_candidates(ds, num_perm: int = 128, bands: int = 32,
                            text_col: str = "text", id_col: str = "doc_id",
-                           concurrency: int = 4):
+                           concurrency: int = 2):
     """doc → minhash signature → (band, band-hash) rows → groupby band buckets.
 
     Returns a Dataset of candidate groups: one row per (band_key, doc list)
@@ -209,3 +209,59 @@ def hamming_distance64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
     x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
     return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
+def minhash_neardup_pairs(ds, texts: "pa.Table", threshold: float = 0.5,
+                          num_perm: int = 128, bands: int = 32, shingle_k: int = 5,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          concurrency: int = 2):
+    """MinHash+LSH near-duplicate detection end-to-end: signature → band
+    buckets → candidate pairs → exact k-shingle Jaccard verification.
+
+    The verification text lookup is broadcast (``ray.put``) — fine while the
+    candidate set's documents fit in memory; at corpus scale replace with a
+    ``hash_join`` of the pair list against the documents table on doc_id.
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold."""
+    import ray
+
+    cand = minhash_lsh_candidates(
+        ds, num_perm=num_perm, bands=bands, text_col=text_col, id_col=id_col,
+        concurrency=concurrency,
+    )
+
+    def explode_pairs(batch: pa.Table) -> pa.Table:
+        a_out, b_out = [], []
+        for lst in batch["docs"].to_pylist():
+            for i in range(len(lst)):
+                for j in range(i + 1, len(lst)):
+                    a_out.append(lst[i])
+                    b_out.append(lst[j])
+        return pa.table({"id_a": pa.array(a_out, pa.int64()), "id_b": pa.array(b_out, pa.int64())})
+
+    def uniq(g: pa.Table) -> pa.Table:
+        return g.slice(0, 1)
+
+    pairs = cand.map_batches(explode_pairs, batch_format="pyarrow")
+    pairs = pairs.groupby(["id_a", "id_b"]).map_groups(uniq, batch_format="pyarrow")
+
+    tmap = dict(zip(texts[id_col].to_pylist(), texts[text_col].to_pylist()))
+    tref = ray.put(tmap)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        tm = ray.get(tref)
+        ja = np.array(
+            [
+                ngram_jaccard(tm.get(a, ""), tm.get(b, ""), k=shingle_k)
+                for a, b in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist())
+            ]
+        )
+        keep = ja >= threshold
+        return pa.table(
+            {
+                "id_a": batch["id_a"].filter(pa.array(keep)),
+                "id_b": batch["id_b"].filter(pa.array(keep)),
+                "jaccard": pa.array(ja[keep]),
+            }
+        )
+
+    return pairs.map_batches(verify, batch_format="pyarrow")

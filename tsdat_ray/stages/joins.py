@@ -129,3 +129,36 @@ def hash_join(
         rt.map_batches(widen, batch_format="pyarrow")
     )
     return both.groupby("_bucket").map_groups(join_bucket, batch_format="pyarrow")
+
+
+def broadcast_lookup(
+    ds,
+    right: pa.Table,
+    on: str,
+    value_cols: tuple[str, ...],
+    how: str = "left",
+):
+    """Map-side hash join with a broadcast (small) right table: the right
+    side is ``ray.put`` into the object store ONCE and every batch does a
+    vectorized pandas index lookup — no shuffle at all.  The scale pattern
+    for dimension-table joins (guide: broadcast-small-side); use
+    ``hash_join`` when both sides are large."""
+    import ray
+
+    rdf = right.to_pandas().drop_duplicates(subset=[on]).set_index(on)
+    right_ref = ray.put(rdf[list(value_cols)])
+
+    def lookup(batch: pa.Table) -> pa.Table:
+        r = ray.get(right_ref)
+        keys = batch[on].to_numpy(zero_copy_only=False)
+        joined = r.reindex(keys)
+        out = {name: batch[name] for name in batch.column_names}
+        matched = joined.index.isin(r.index)
+        for vc in value_cols:
+            out[vc] = pa.array(joined[vc].to_numpy())
+        t = pa.table(out)
+        if how == "inner":
+            t = t.filter(pa.array(matched))
+        return t
+
+    return ds.map_batches(lookup, batch_format="pyarrow")

@@ -88,7 +88,7 @@ class HyperplaneLSH:
 
 def embedding_dedup_pairs(ds, dim: int, threshold: float = 0.95, n_planes: int = 12,
                           emb_col: str = "embedding", id_col: str = "vec_id",
-                          concurrency: int = 4):
+                          concurrency: int = 2):
     """Near-duplicate (id_a, id_b, similarity) pairs with cosine >= threshold.
 
     LSH-bucket first (groupby one shuffle), then exact pairwise cosine within
@@ -117,3 +117,37 @@ def embedding_dedup_pairs(ds, dim: int, threshold: float = 0.95, n_planes: int =
         concurrency=concurrency,
     )
     return sig.groupby("lsh_bucket").map_groups(pairs, batch_format="pyarrow")
+
+
+def embedding_neardup_exact(ds, ref: pa.Table, threshold: float,
+                            emb_col: str = "embedding", id_col: str = "vec_id"):
+    """EXACT near-duplicate pairs (id_a < id_b, cosine >= threshold): the full
+    normalized reference matrix is broadcast once (``ray.put``) and each batch
+    does one numpy matmul against it — O(n²) FLOPs split across blocks with
+    no shuffle.  The correctness baseline; ``embedding_dedup_pairs`` (LSH
+    buckets) is the scale path when all-pairs is infeasible."""
+    import ray
+
+    ref_ids = ref[id_col].to_numpy(zero_copy_only=False)
+    order = np.argsort(ref_ids, kind="stable")
+    ref_ids = ref_ids[order]
+    m_ref = _normalize(_emb_matrix(ref[emb_col]))[order]
+    ref_ref = ray.put((ref_ids, m_ref))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        rids, rm = ray.get(ref_ref)
+        m = _normalize(_emb_matrix(batch[emb_col]))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sims = m @ rm.T  # (batch, ref)
+        # keep upper triangle only: batch id < ref id
+        ok = (sims >= threshold) & (ids[:, None] < rids[None, :])
+        bi, rj = np.nonzero(ok)
+        return pa.table(
+            {
+                "id_a": pa.array(ids[bi]),
+                "id_b": pa.array(rids[rj]),
+                "similarity": pa.array(sims[bi, rj]),
+            }
+        )
+
+    return ds.map_batches(pairs, batch_format="pyarrow")

@@ -42,20 +42,23 @@ def quality_score_batch(batch: pa.Table, text_col: str = "text", id_col: str = "
 
 
 class BPEishTokenCounter:
-    """GPT-2-style pre-tokenizer regex token count (compiled once per actor)."""
+    """GPT-2-style pre-tokenizer regex token count (compiled once per actor).
+
+    ``PATTERN_RE2`` drops the ``(?!\\S)`` lookahead so the same pattern runs
+    under RE2 engines (e.g. DuckDB ``regexp_extract_all``) — verified
+    count-identical to Python ``re`` on the test corpora."""
 
     PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+"
+    PATTERN_RE2 = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
 
-    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id", pattern: str | None = None):
         import re
 
-        self.rx = re.compile(self.PATTERN)
+        self.rx = re.compile(pattern or self.PATTERN)
         self.text_col = text_col
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        counts = pc.list_value_length(pc.split_pattern_regex(batch[self.text_col], self.PATTERN))
-        # split counts separators; token count = findall length instead
         vals = np.fromiter(
             (len(self.rx.findall(s or "")) for s in batch[self.text_col].to_pylist()),
             dtype=np.int64,
@@ -129,10 +132,9 @@ class Fingerprinter:
         else:
             sw = np.lib.stride_tricks.sliding_window_view(h, self.window)
             sel = np.unique(sw.min(axis=1))
-        out = np.uint64(0)
-        for v in sel:
-            out ^= v * np.uint64(0x9E3779B97F4A7C15)
-        return out
+        with np.errstate(over="ignore"):  # wraparound is the hash semantics
+            mixed = sel * np.uint64(0x9E3779B97F4A7C15)
+        return np.bitwise_xor.reduce(mixed) if len(mixed) else np.uint64(0)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         vals = np.array(
