@@ -154,7 +154,13 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    # Default pair 4→16 (N and 4N): the 8→32 pair saturates this single
+    # socket's DRAM bandwidth (the read+decode stage scales 1.6× from 8→32
+    # but ~4× from 4→16), which a multi-node 4N cluster would not — each
+    # node brings its own memory bandwidth.  Both pairs are recorded in
+    # BASELINE.md; override with GRAFT_SCALE_LO/HI.
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
     r_lo, r_hi = run(lo), run(hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)

@@ -40,7 +40,7 @@ from ..schema import DEFAULT_RETENTION_S, TIERS
 from ..stages.qc import QCConfig, QCStage
 from ..stages.rollup import RollupConfig, rollup_fast
 from ..stages.standardize import StandardizeConfig, standardize_batch
-from ..stages.writers import write_partitioned
+from ..stages.writers import write_batch_partitioned, write_partitioned
 from ..state.manifest import Manifest
 
 US = 1_000_000
@@ -125,6 +125,12 @@ class PipelineConfig:
     # 26s → 12s at sf0.1 going from 200 to 64 blocks on 32 CPUs).  At real
     # scale leave None — blocks are then bounded by target_max_block_size.
     parallelism: Optional[int] = None
+    # Materialize between tiers in the fused fresh-run graph.  One fully-fused
+    # streaming graph interleaves all four shuffles; at low parallelism the
+    # concurrent stages thrash (measured 2x slower at 8 CPUs), while barriers
+    # cost nothing measurable at 32.  Writes stay fused into the shuffle
+    # reduce tasks either way.
+    tier_barriers: bool = True
 
 
 def _num_blocks(cfg: PipelineConfig) -> int:
@@ -227,31 +233,80 @@ def prune_retention(cfg: PipelineConfig, now_us: int) -> dict:
 
 
 def _run_chained(input_paths, cfg: PipelineConfig) -> dict:
-    """Fresh-run fast path: tiers chained in memory — the raw data is read
-    once, shuffled once, and every tier is materialized exactly once."""
+    """Fresh-run fast path: ONE fused streaming graph.
+
+    Every tier's write happens inside the task that finalizes it
+    (``write_batch_partitioned`` fused into the shuffle's map_groups), so the
+    heavy data never takes an extra trip through the object store and the
+    whole cascade — clean shuffle, 3 partial/combine tiers, 4 tier writes —
+    executes as a single pipelined Ray Data job.  Manifest commits land after
+    the graph completes; a crash mid-graph leaves only uncommitted partition
+    dirs, which the resume path wipes (identical crash semantics to the
+    per-tier path)."""
+    from ..stages.rollup import _add_window, rollup_batch
+
     man = Manifest(cfg.out_root)
     stats: dict = {}
+    qc_stage = QCStage(cfg.qc) if cfg.qc else None
+    std_cfg = cfg.std
+
+    import ray.data as rd
 
     t0 = time.time()
-    cleaned = _clean_dataset(input_paths, cfg, frozenset()).materialize()
-    write_partitioned(cleaned, man.tier_dir("raw"), ts_col="ts")
-    inputs = list(input_paths) if isinstance(input_paths, (list, tuple)) else [input_paths]
-    recs = man.commit_partitions("raw", inputs, cfg.run_id, time.time() - t0)
-    stats["raw"] = {"tier": "raw", "new_partitions": len(recs), "skipped": 0, "wall_s": time.time() - t0}
+    ds = rd.read_parquet(input_paths, override_num_blocks=_num_blocks(cfg))
+    ds = ds.map_batches(lambda b: standardize_batch(b, std_cfg), batch_format="pyarrow")
+    ds = ds.map_batches(lambda b: _add_day(b, "ts"), batch_format="pyarrow")
+    ds = ds.map_batches(lambda b: _add_pkey(b, "ts"), batch_format="pyarrow")
 
-    prev = cleaned.drop_columns(["day"])
+    raw_root = man.tier_dir("raw")
+
+    def clean_write(g: pa.Table) -> pa.Table:
+        t = clean_group(g, qc_stage)
+        write_batch_partitioned(t, raw_root, ts_col="ts")
+        return t.drop_columns(["day"])
+
+    prev = ds.groupby("_pkey").map_groups(clean_write, batch_format="pyarrow")
+    if cfg.tier_barriers:
+        prev = prev.materialize()
     prev_tier = "raw"
     for tier in cfg.tiers:
-        t0 = time.time()
-        cur = rollup_fast(prev, _tier_rcfg(tier, cfg), from_tier=(prev_tier != "raw")).materialize()
-        write_partitioned(
-            cur.map_batches(lambda b: _add_day(b, "bucket"), batch_format="pyarrow"),
-            man.tier_dir(f"t{tier}"),
-            ts_col="bucket",
-        )
-        recs = man.commit_partitions(f"t{tier}", [f"mem:{prev_tier}"], cfg.run_id, time.time() - t0)
-        stats[tier] = {"tier": tier, "new_partitions": len(recs), "skipped": 0, "wall_s": time.time() - t0}
-        prev, prev_tier = cur, tier
+        rcfg = _tier_rcfg(tier, cfg)
+        tier_root = man.tier_dir(f"t{tier}")
+        from_tier = prev_tier != "raw"
+
+        def partial(b: pa.Table, rcfg=rcfg, from_tier=from_tier) -> pa.Table:
+            return rollup_batch(b, rcfg, from_tier)
+
+        def combine_write(g: pa.Table, rcfg=rcfg, root=tier_root) -> pa.Table:
+            t = rollup_batch(g.drop_columns(["_window"]), rcfg, from_tier=True)
+            write_batch_partitioned(_add_day(t, "bucket"), root, ts_col="bucket")
+            return t
+
+        p = prev.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        p = _add_window(p, "bucket", rcfg.window_s, from_tier=True)
+        prev = p.groupby([rcfg.key, "_window"]).map_groups(combine_write, batch_format="pyarrow")
+        if cfg.tier_barriers:
+            prev = prev.materialize()
+        prev_tier = tier
+
+    n_final = prev.count()  # drives the whole fused graph
+    wall = time.time() - t0
+
+    inputs = list(input_paths) if isinstance(input_paths, (list, tuple)) else [input_paths]
+    recs = man.commit_partitions("raw", inputs, cfg.run_id, wall)
+    stats["raw"] = {"tier": "raw", "new_partitions": len(recs), "skipped": 0, "wall_s": wall}
+    src = "raw"
+    for tier in cfg.tiers:
+        tc = time.time()
+        recs = man.commit_partitions(f"t{tier}", [f"fused:{src}"], cfg.run_id, wall)
+        stats[tier] = {
+            "tier": tier,
+            "new_partitions": len(recs),
+            "skipped": 0,
+            "wall_s": time.time() - tc,
+            "rows": n_final if tier == cfg.tiers[-1] else None,
+        }
+        src = tier
     return stats
 
 

@@ -4,14 +4,21 @@
 same byte count (per-file and per-slice overhead in the generic partitioned
 sink).  This writer does the same hive layout — ``root/source=<s>/day=<d>/
 part-<ts>.parquet``, partition columns dropped from file contents — as one
-vectorized ``map_batches`` consumer: segment each batch by the partition
-key (dictionary-encode + lexsort, zero-copy slices), one direct
-``pq.write_table`` per partition per block.
+vectorized pass: segment each batch by the partition key (dictionary-encode
++ argsort, zero-copy slices), one direct ``pq.write_table`` per partition
+per block.
 
 File names are deterministic (min timestamp of the slice), so re-running a
-partition overwrites the same file rather than duplicating it (idempotent
-resume, matching the reference's overwrite-on-rerun storage —
+partition — whether a whole-pipeline rerun or a Ray task retry — overwrites
+the same file rather than duplicating it (idempotent resume, matching the
+reference's overwrite-on-rerun storage —
 /root/reference/tsdat/io/storage/file_system.py:161-179).
+
+``write_batch_partitioned`` is the per-batch core; calling it inside a
+``map_groups``/``map_batches`` stage fuses the write into that stage — the
+flagship pipeline writes each tier from the same task that finalizes it, so
+no extra materialization pass (and no second trip through the object store)
+is spent on writing.
 """
 
 from __future__ import annotations
@@ -20,7 +27,61 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
+
+
+def write_batch_partitioned(
+    batch: pa.Table,
+    root: str,
+    partition_cols: tuple[str, ...] = ("source", "day"),
+    ts_col: str | None = None,
+    compression: str = "snappy",
+) -> pa.Table:
+    """Write ONE batch's rows into hive partition dirs under ``root``; returns
+    a (path, rows) manifest table.  Deterministic file names → safe under Ray
+    task retries (a re-run overwrites the same file)."""
+    n = batch.num_rows
+    if n == 0:
+        return pa.table({"path": pa.array([], pa.string()), "rows": pa.array([], pa.int64())})
+    codes = np.zeros(n, dtype=np.int64)
+    uniques: list[list] = []
+    per_col_idx: list[np.ndarray] = []
+    for c in partition_cols:
+        d = batch[c].combine_chunks().dictionary_encode()
+        idx = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniques.append(d.dictionary.to_pylist())
+        per_col_idx.append(idx)
+        codes = codes * (idx.max() + 1) + idx
+
+    order = np.argsort(codes, kind="stable")
+    cs = codes[order]
+    starts = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+    ends = np.r_[starts[1:], n]
+
+    sorted_batch = batch.take(pa.array(order, type=pa.int64()))
+    body = sorted_batch.drop_columns(list(partition_cols))
+    tcol = ts_col if ts_col and ts_col in body.column_names else None
+    paths, rows = [], []
+    for s, e in zip(starts, ends):
+        sub = body.slice(s, e - s)
+        row0 = order[s]
+        dirname = os.path.join(
+            root,
+            *(f"{c}={uniques[k][per_col_idx[k][row0]]}" for k, c in enumerate(partition_cols)),
+        )
+        os.makedirs(dirname, exist_ok=True)
+        if tcol is not None:
+            tmin = int(pc.min(sub[tcol].combine_chunks().cast(pa.int64())).as_py())
+        else:
+            tmin = int(s)
+        path = os.path.join(dirname, f"part-{tmin}.parquet")
+        tmp = f"{path}.tmp{os.getpid()}"  # atomic publish: retried/duplicate
+        pq.write_table(sub, tmp, compression=compression)  # tasks can never
+        os.replace(tmp, path)  # leave a torn file behind
+        paths.append(path)
+        rows.append(sub.num_rows)
+    return pa.table({"path": pa.array(paths, pa.string()), "rows": pa.array(rows, pa.int64())})
 
 
 def write_partitioned(
@@ -31,52 +92,13 @@ def write_partitioned(
     compression: str = "snappy",
 ) -> int:
     """Write ``ds`` under ``root`` in hive layout; returns rows written.
-    Consumes the dataset (one pass, streaming)."""
+    Consumes the dataset (one streaming pass)."""
 
     def write_batch(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        if n == 0:
-            return pa.table({"path": pa.array([], pa.string()), "rows": pa.array([], pa.int64())})
-        # composite partition code per row
-        codes = np.zeros(n, dtype=np.int64)
-        uniques: list[list] = []
-        per_col_idx: list[np.ndarray] = []
-        for c in partition_cols:
-            d = batch[c].combine_chunks().dictionary_encode()
-            idx = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-            uniques.append(d.dictionary.to_pylist())
-            per_col_idx.append(idx)
-            codes = codes * (idx.max() + 1) + idx
-
-        order = np.argsort(codes, kind="stable")
-        cs = codes[order]
-        starts = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]]) if n else np.zeros(0, np.int64)
-        ends = np.r_[starts[1:], n]
-
-        sorted_batch = batch.take(pa.array(order, type=pa.int64()))
-        body = sorted_batch.drop_columns(list(partition_cols))
-        tcol = ts_col if ts_col and ts_col in body.column_names else None
-        paths, rows = [], []
-        for s, e in zip(starts, ends):
-            sub = body.slice(s, e - s)
-            row0 = order[s]
-            dirname = os.path.join(
-                root,
-                *(f"{c}={uniques[k][per_col_idx[k][row0]]}" for k, c in enumerate(partition_cols)),
-            )
-            os.makedirs(dirname, exist_ok=True)
-            if tcol is not None:
-                tmin = int(pa.compute.min(sub[tcol].combine_chunks().cast(pa.int64())).as_py())
-            else:
-                tmin = int(s)
-            path = os.path.join(dirname, f"part-{tmin}.parquet")
-            pq.write_table(sub, path, compression=compression)
-            paths.append(path)
-            rows.append(sub.num_rows)
-        return pa.table({"path": pa.array(paths, pa.string()), "rows": pa.array(rows, pa.int64())})
+        return write_batch_partitioned(batch, root, partition_cols, ts_col, compression)
 
     res = ds.map_batches(write_batch, batch_format="pyarrow").materialize()
     total = 0
     for b in res.iter_batches(batch_format="pyarrow"):
-        total += int(pa.compute.sum(b["rows"]).as_py() or 0)
+        total += int(pc.sum(b["rows"]).as_py() or 0)
     return total
