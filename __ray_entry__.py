@@ -376,6 +376,29 @@ def _q_neardup_embeddings_lsh(sf_dir: str):
     return embedding_dedup_pairs(ds, dim=64, threshold=0.4002, n_planes=8)
 
 
+def _q_knn_lsh(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from tsdat_ray.stages.similarity import knn_lsh
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = np.asarray(emb.filter(pc.equal(emb["vec_id"], 0))["embedding"][0].as_py())
+    ds = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return knn_lsh(ds, q, k=10, probe_hamming=2, exclude_ids=(0,))
+
+
+def _q_knn_ivf(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from tsdat_ray.stages.similarity import build_ivf_centroids, knn_ivf, _emb_matrix
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = np.asarray(emb.filter(pc.equal(emb["vec_id"], 0))["embedding"][0].as_py())
+    cent = build_ivf_centroids(_emb_matrix(emb["embedding"]), n_lists=8)
+    ds = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return knn_ivf(ds, q, cent, k=10, n_probe=3, exclude_ids=(0,))
+
+
 def _q_neardup_minhash_docs(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -485,6 +508,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_per_type": _q_distinct_users,
         "neardup_embeddings_exact": _q_neardup_embeddings_exact,
         "neardup_embeddings_lsh": _q_neardup_embeddings_lsh,
+        "knn_lsh_embeddings": _q_knn_lsh,
+        "knn_ivf_embeddings": _q_knn_ivf,
         "neardup_minhash_docs": _q_neardup_minhash_docs,
         "simhash_docs": _q_simhash_docs,
         "bpe_token_count_docs": _q_bpe_token_count,

@@ -1,0 +1,141 @@
+"""Similarity-search + near-dup operators: ANN recall vs brute force, LSH /
+IVF candidate pruning, minhash near-dup detection on a planted corpus."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from tsdat_ray.stages.dedup import (
+    MinHasher,
+    hamming_distance64,
+    minhash_neardup_pairs,
+    ngram_jaccard,
+)
+from tsdat_ray.stages.similarity import (
+    build_ivf_centroids,
+    embedding_neardup_exact,
+    knn_brute_force,
+    knn_ivf,
+    knn_lsh,
+)
+
+DIM = 32
+N = 400
+
+
+@pytest.fixture(scope="module")
+def emb_table() -> pa.Table:
+    rng = np.random.Generator(np.random.Philox(key=np.array([99, 0], dtype=np.uint64)))
+    base = rng.standard_normal((N, DIM))
+    # plant 5 clusters of near-duplicates of row 0..4
+    for i in range(5):
+        for j in range(3):
+            base[50 + i * 10 + j] = base[i] + 0.01 * rng.standard_normal(DIM)
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(N)),
+            "embedding": pa.array([r.astype(np.float32).tolist() for r in base],
+                                  pa.list_(pa.float32())),
+        }
+    )
+
+
+def _brute_top(emb_table, qid, k):
+    m = np.stack([np.asarray(x) for x in emb_table["embedding"].to_pylist()]).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m[qid]
+    order = [i for i in np.argsort(-sims, kind="stable") if i != qid]
+    return order[:k]
+
+
+def test_knn_brute_force_matches_numpy(ray_session, emb_table):
+    import ray.data as rd
+
+    q = np.asarray(emb_table["embedding"][0].as_py())
+    ds = rd.from_arrow(emb_table)
+    got = knn_brute_force(ds, q, k=10, exclude_ids=(0,)).to_pandas()["vec_id"].tolist()
+    assert got == _brute_top(emb_table, 0, 10)
+
+
+def test_knn_lsh_recall(ray_session, emb_table):
+    import ray.data as rd
+
+    q = np.asarray(emb_table["embedding"][0].as_py())
+    ds = rd.from_arrow(emb_table)
+    got = set(knn_lsh(ds, q, k=10, probe_hamming=2, exclude_ids=(0,)).to_pandas()["vec_id"])
+    exact = set(_brute_top(emb_table, 0, 10))
+    # planted near-dups of row 0 land in the same LSH buckets → recall ≥ 0.5
+    assert len(got & exact) >= 5
+
+
+def test_knn_ivf_recall(ray_session, emb_table):
+    import ray.data as rd
+
+    m = np.stack([np.asarray(x) for x in emb_table["embedding"].to_pylist()])
+    cent = build_ivf_centroids(m, n_lists=8)
+    assert cent.shape == (8, DIM)
+    q = np.asarray(emb_table["embedding"][0].as_py())
+    ds = rd.from_arrow(emb_table)
+    got = set(knn_ivf(ds, q, cent, k=10, n_probe=3, exclude_ids=(0,)).to_pandas()["vec_id"])
+    exact = set(_brute_top(emb_table, 0, 10))
+    assert len(got & exact) >= 5
+
+
+def test_embedding_neardup_exact_finds_planted(ray_session, emb_table):
+    import ray.data as rd
+
+    ds = rd.from_arrow(emb_table)
+    pairs = embedding_neardup_exact(ds, emb_table, threshold=0.99).to_pandas()
+    # every planted near-dup (sim ≈ 1) appears; id_a < id_b holds
+    assert (pairs["id_a"] < pairs["id_b"]).all()
+    found = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    for i in range(5):
+        for j in range(3):
+            assert (i, 50 + i * 10 + j) in found
+
+
+def test_minhash_and_jaccard_planted_dups(ray_session):
+    import ray.data as rd
+
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again in the field",
+        "completely different content about ray data pipelines and arrow tables",
+        "numerical weather prediction requires massive data assimilation systems",
+    ]
+    texts, ids = [], []
+    for i, t in enumerate(base):
+        ids.append(i)
+        texts.append(t)
+        ids.append(100 + i)
+        texts.append(t.replace("the", "a", 1))  # near-duplicate
+    for i in range(50):  # noise docs
+        ids.append(1000 + i)
+        texts.append(f"unique filler document number {i} with its own random words {i*7}")
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    ds = rd.from_arrow(tbl)
+    pairs = minhash_neardup_pairs(ds, tbl, threshold=0.5).to_pandas()
+    found = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    for i in range(3):
+        assert (i, 100 + i) in found, f"planted near-dup pair {i} missed"
+    assert (pairs["jaccard"] >= 0.5).all()
+
+
+def test_hamming_and_jaccard_kernels():
+    a = np.array([0b1011, 0], dtype=np.uint64)
+    b = np.array([0b0010, np.iinfo(np.uint64).max], dtype=np.uint64)
+    assert hamming_distance64(a, b).tolist() == [2, 64]
+    assert ngram_jaccard("abcdefgh", "abcdefgh", k=3) == 1.0
+    assert ngram_jaccard("abcdefgh", "zzzzzzzz", k=3) == 0.0
+
+
+def test_minhash_signature_similarity_tracks_jaccard():
+    h = MinHasher(num_perm=128, shingle_k=4)
+    a = "the quick brown fox jumps over the lazy dog " * 3
+    b = a.replace("quick", "swift")
+    c = "entirely unrelated text with no overlap whatsoever here at all friends"
+    sa, sb, sc = h.signature(a), h.signature(b), h.signature(c)
+    sim_ab = (sa == sb).mean()
+    sim_ac = (sa == sc).mean()
+    true_ab = ngram_jaccard(a, b, k=4)
+    assert abs(sim_ab - true_ab) < 0.15
+    assert sim_ac < 0.1 < sim_ab

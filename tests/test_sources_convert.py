@@ -1,0 +1,125 @@
+"""Declared-schema CSV sources + unit/datetime converters."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from tsdat_ray.sources.csv_source import parse_preamble, read_csv_declared, read_preamble_csv
+from tsdat_ray.sources.declared import DeclaredSchema, DeclaredVar, standardize_declared
+from tsdat_ray.stages.convert import UnitsError, convert_units, string_to_datetime, unit_factors
+
+
+# --------------------------------------------------------------------------- #
+# converters
+# --------------------------------------------------------------------------- #
+
+def test_unit_factors_linear():
+    s, o = unit_factors("km/h", "m/s")
+    assert np.isclose(np.array([36.0]) * s + o, [10.0]).all()
+    s, o = unit_factors("mm", "m")
+    assert np.isclose(1000.0 * s + o, 1.0)
+
+
+def test_unit_factors_affine_temperature():
+    s, o = unit_factors("degC", "degF")
+    assert np.isclose(100.0 * s + o, 212.0)
+    s, o = unit_factors("degF", "K")
+    assert np.isclose(32.0 * s + o, 273.15)
+
+
+def test_unit_errors():
+    with pytest.raises(UnitsError):
+        unit_factors("m", "s")
+    with pytest.raises(UnitsError):
+        unit_factors("furlongs", "m")
+
+
+def test_convert_units_column():
+    col = pa.chunked_array([[0.0, 100.0]])
+    out = convert_units(col, "degC", "K")
+    assert np.allclose(out.to_numpy(), [273.15, 373.15])
+    # no-op paths (units_converter.py:34-44)
+    assert convert_units(col, "degC", "degC") is col
+    assert convert_units(col, "degC", "1") is col
+    s = pa.chunked_array([["a", "b"]])
+    assert convert_units(s, "degC", "K") is s
+
+
+def test_string_to_datetime_tz():
+    col = pa.array(["2024-01-01 05:30:00", "2024-06-01 05:30:00"])
+    out = string_to_datetime(col, "%Y-%m-%d %H:%M:%S", timezone="America/New_York")
+    got = out.cast(pa.int64()).to_pylist()
+    # EST (UTC-5) then EDT (UTC-4)
+    exp = [
+        np.datetime64("2024-01-01T10:30:00", "us").astype(np.int64),
+        np.datetime64("2024-06-01T09:30:00", "us").astype(np.int64),
+    ]
+    assert got == [int(e) for e in exp]
+
+
+# --------------------------------------------------------------------------- #
+# declared-schema standardize
+# --------------------------------------------------------------------------- #
+
+SCHEMA = DeclaredSchema(
+    variables=(
+        DeclaredVar("time", "timestamp[us]", retrieve_from=("Timestamp", "time"),
+                    converter=lambda c: string_to_datetime(c, "%Y-%m-%d %H:%M:%S")),
+        DeclaredVar("temp", "float64", retrieve_from=("Temp_C",),
+                    converter=lambda c: convert_units(c, "degC", "K")),
+        DeclaredVar("rh", "float64", retrieve_from=("RH",)),
+        DeclaredVar("missing_declared", "int32"),
+        DeclaredVar("site", "string", static="sgp"),
+    )
+)
+
+
+def test_standardize_declared_batch():
+    batch = pa.table(
+        {
+            "Timestamp": ["2024-01-01 00:00:00", "2024-01-01 00:10:00"],
+            "Temp_C": [0.0, 10.0],
+            "RH": [50, 60],  # int → cast to float
+            "undeclared_junk": ["x", "y"],
+        }
+    )
+    out = standardize_declared(batch, SCHEMA)
+    assert out.column_names == ["time", "temp", "rh", "missing_declared", "site"]
+    assert out["temp"].to_pylist() == [273.15, 283.15]
+    assert out["rh"].type == pa.float64()
+    assert out["missing_declared"].to_pylist() == [-9999, -9999]  # default fill
+    assert out["site"].to_pylist() == ["sgp", "sgp"]
+    assert out["time"].type == pa.timestamp("us")
+
+
+def test_read_csv_declared(ray_session, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "Timestamp,Temp_C,RH,undeclared_junk\n"
+        "2024-01-01 00:00:00,0.0,50,x\n"
+        "2024-01-01 00:10:00,10.0,60,y\n"
+    )
+    ds = read_csv_declared(str(p), SCHEMA)
+    pdf = ds.to_pandas()
+    assert len(pdf) == 2
+    assert list(pdf.columns) == ["time", "temp", "rh", "missing_declared", "site"]
+    assert np.allclose(pdf["temp"], [273.15, 283.15])
+
+
+def test_preamble_csv(ray_session, tmp_path):
+    p = tmp_path / "a2e.csv"
+    p.write_text(
+        "location,sgp_site\n"
+        "instrument,met01\n"
+        "header=3\n"
+        "Timestamp,Temp_C,RH\n"
+        "2024-01-01 00:00:00,0.0,50\n"
+        "2024-01-01 00:10:00,10.0,60\n"
+    )
+    attrs, skip = parse_preamble(str(p))
+    assert attrs == {"location": "sgp_site", "instrument": "met01"} and skip == 3
+    ds, attrs2 = read_preamble_csv(str(p), SCHEMA)
+    pdf = ds.to_pandas()
+    assert len(pdf) == 2
+    assert attrs2["instrument"] == "met01"
+    assert np.allclose(pdf["temp"], [273.15, 283.15])

@@ -1,0 +1,89 @@
+"""Declared-schema standardization: the engine's equivalent of tsdat's
+DatasetConfig + retrieval rules.
+
+The reference declares every output variable (name, dtype, attrs) in yaml and
+standardizes retrieved data against it — rename by rule, drop undeclared
+variables, create declared-but-missing ones filled with ``_FillValue``, cast
+dtypes, inject static values (/root/reference/tsdat/pipeline/base/
+pipeline.py:59-148, io/retrievers/_rename_variables.py:16-91,
+perform_data_retrieval.py:36-92 first-match-wins).  Here the same contract is
+a small dataclass plus ONE vectorized ``map_batches`` stage.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+FILL_DEFAULT = -9999  # reference default _FillValue (config/variables/variable.py:64-81)
+
+
+@dataclass(frozen=True)
+class DeclaredVar:
+    name: str
+    dtype: str  # pyarrow type name: int32/int64/float32/float64/string/timestamp[us]
+    # input column candidates, first present wins (perform_data_retrieval.py:36-92);
+    # defaults to [name]
+    retrieve_from: tuple[str, ...] = ()
+    fill_value: object = None  # used when no candidate is present
+    static: object = None  # constant-valued variable ("data:" in tsdat configs)
+    converter: object = None  # optional callable(pa.ChunkedArray) -> pa.Array
+
+
+@dataclass(frozen=True)
+class DeclaredSchema:
+    variables: tuple[DeclaredVar, ...]
+    attrs: dict = field(default_factory=dict)
+
+    def arrow_schema(self) -> pa.Schema:
+        return pa.schema([(v.name, _pa_type(v.dtype)) for v in self.variables])
+
+
+def _pa_type(name: str) -> pa.DataType:
+    if name.startswith("timestamp"):
+        unit = name[name.index("[") + 1 : name.index("]")] if "[" in name else "us"
+        return pa.timestamp(unit)
+    return pa.type_for_alias(name)
+
+
+def _fill_for(v: DeclaredVar, typ: pa.DataType):
+    if v.fill_value is not None:
+        return v.fill_value
+    if pa.types.is_integer(typ):
+        return FILL_DEFAULT
+    if pa.types.is_floating(typ):
+        return float("nan")
+    return None
+
+
+def standardize_declared(batch: pa.Table, schema: DeclaredSchema) -> pa.Table:
+    """Vectorized standardize: rename/select/cast/fill/inject per the declared
+    schema.  Undeclared input columns are dropped; declared-but-missing ones
+    are created filled; dtypes are cast (safe=False, like the reference's
+    astype — pipeline.py:112-122)."""
+    n = batch.num_rows
+    out: dict[str, pa.Array | pa.ChunkedArray] = {}
+    for v in schema.variables:
+        typ = _pa_type(v.dtype)
+        if v.static is not None:
+            out[v.name] = pa.array(np.repeat(v.static, n)).cast(typ)
+            continue
+        src = None
+        for cand in (v.retrieve_from or (v.name,)):
+            if cand in batch.column_names:
+                src = batch[cand]
+                break
+        if src is None:
+            fill = _fill_for(v, typ)
+            out[v.name] = pa.nulls(n, typ) if fill is None else pa.array([fill] * n).cast(typ)
+            continue
+        if v.converter is not None:
+            src = v.converter(src)
+        col = src if isinstance(src, (pa.Array, pa.ChunkedArray)) else pa.array(src)
+        if col.type != typ:
+            col = pc.cast(col, typ, safe=False)
+        out[v.name] = col
+    return pa.table(out)

@@ -151,3 +151,108 @@ def embedding_neardup_exact(ds, ref: pa.Table, threshold: float,
         )
 
     return ds.map_batches(pairs, batch_format="pyarrow")
+
+
+def knn_lsh(ds, query: np.ndarray, k: int = 10, n_planes: int = 8, seed: int = 5,
+            probe_hamming: int = 1, emb_col: str = "embedding", id_col: str = "vec_id",
+            exclude_ids: tuple = ()):
+    """Approximate cosine top-k via hyperplane-LSH bucket probing: only rows
+    whose signature is within ``probe_hamming`` bits of the query's signature
+    are exactly re-scored (the scale path — candidate set shrinks ~2^planes×;
+    recall grows with probe_hamming).  Same deterministic planes as
+    ``HyperplaneLSH`` so index and query always agree."""
+    q = _normalize(np.asarray(query, dtype=np.float64).reshape(1, -1))
+    dim = q.shape[1]
+    rng = np.random.Generator(np.random.Philox(key=np.array([seed, 1], dtype=np.uint64)))
+    planes = rng.standard_normal((dim, n_planes))
+    qbits = (q @ planes > 0).ravel()
+    qsig = np.uint64(0)
+    for j in range(n_planes):
+        qsig |= np.uint64(qbits[j]) << np.uint64(j)
+
+    probes = {int(qsig)}
+    if probe_hamming >= 1:
+        probes |= {int(qsig ^ np.uint64(1 << j)) for j in range(n_planes)}
+    if probe_hamming >= 2:
+        probes |= {
+            int(qsig ^ np.uint64((1 << i) | (1 << j)))
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        }
+    excl = set(exclude_ids)
+
+    def local(batch: pa.Table) -> pa.Table:
+        m = _emb_matrix(batch[emb_col])
+        bits = (m @ planes) > 0
+        sig = np.zeros(len(m), dtype=np.uint64)
+        for j in range(bits.shape[1]):
+            sig |= bits[:, j].astype(np.uint64) << np.uint64(j)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        cand = np.isin(sig.astype(np.int64), list(probes))
+        if excl:
+            cand &= ~np.isin(ids, list(excl))
+        if not cand.any():
+            return pa.table({id_col: pa.array([], batch[id_col].type),
+                             "similarity": pa.array([], pa.float64())})
+        mm = _normalize(m[cand])
+        sims = (mm @ q.T).ravel()
+        top = np.argsort(-sims, kind="stable")[:k]
+        sel = np.flatnonzero(cand)[top]
+        return pa.table({id_col: batch[id_col].take(pa.array(sel, type=pa.int64())),
+                         "similarity": pa.array(sims[top])})
+
+    return ds.map_batches(local, batch_format="pyarrow").sort(
+        "similarity", descending=True
+    ).limit(k)
+
+
+def build_ivf_centroids(ref_m: np.ndarray, n_lists: int = 16, n_iter: int = 8,
+                        seed: int = 13) -> np.ndarray:
+    """Deterministic spherical k-means coarse quantizer (IVF training), plain
+    numpy — train driver-side on a sample, broadcast to workers."""
+    m = _normalize(np.asarray(ref_m, dtype=np.float64))
+    rng = np.random.Generator(np.random.Philox(key=np.array([seed, 3], dtype=np.uint64)))
+    cent = m[rng.choice(len(m), size=min(n_lists, len(m)), replace=False)]
+    for _ in range(n_iter):
+        assign = (m @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            sel = m[assign == c]
+            if len(sel):
+                cent[c] = sel.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def knn_ivf(ds, query: np.ndarray, centroids: np.ndarray, k: int = 10, n_probe: int = 4,
+            emb_col: str = "embedding", id_col: str = "vec_id", exclude_ids: tuple = ()):
+    """IVF approximate top-k: per batch, assign rows to their nearest
+    centroid; only rows whose list is among the query's ``n_probe`` nearest
+    lists are exactly re-scored.  Centroids are broadcast once (``ray.put``)."""
+    import ray
+
+    q = _normalize(np.asarray(query, dtype=np.float64).reshape(1, -1))
+    cent = _normalize(np.asarray(centroids, dtype=np.float64))
+    probe_lists = np.argsort(-(cent @ q.T).ravel(), kind="stable")[:n_probe]
+    cent_ref = ray.put((cent, set(int(x) for x in probe_lists)))
+    excl = set(exclude_ids)
+
+    def local(batch: pa.Table) -> pa.Table:
+        c, probes = ray.get(cent_ref)
+        m = _normalize(_emb_matrix(batch[emb_col]))
+        assign = (m @ c.T).argmax(axis=1)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        cand = np.isin(assign, list(probes))
+        if excl:
+            cand &= ~np.isin(ids, list(excl))
+        if not cand.any():
+            return pa.table({id_col: pa.array([], batch[id_col].type),
+                             "similarity": pa.array([], pa.float64())})
+        sims = (m[cand] @ q.T).ravel()
+        top = np.argsort(-sims, kind="stable")[:k]
+        sel = np.flatnonzero(cand)[top]
+        return pa.table({id_col: batch[id_col].take(pa.array(sel, type=pa.int64())),
+                         "similarity": pa.array(sims[top])})
+
+    return ds.map_batches(local, batch_format="pyarrow").sort(
+        "similarity", descending=True
+    ).limit(k)
