@@ -354,6 +354,29 @@ def _q_distinct_users(sf_dir: str):
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+def _q_merge_click_purchase(sf_dir: str):
+    """Outer coordinate merge with priority (engine version of tsdat's
+    multi-input retrieval): clicks win on shared columns, purchases fill
+    the gaps; side-only columns survive the outer align."""
+    from tsdat_ray.stages.joins import merge_sources
+
+    def side(event_type: str, only_col: str):
+        ds = _events(sf_dir, columns=["ts", "event_type", "value"])
+
+        def f(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b["event_type"], event_type)).select(["ts", "value"])
+
+        agg = ds.map_batches(f, batch_format="pyarrow").groupby("ts").max("value")
+
+        def rename(b: pa.Table) -> pa.Table:
+            return pa.table({"ts": b["ts"], "v": b["max(value)"], only_col: b["max(value)"]})
+
+        return agg.map_batches(rename, batch_format="pyarrow")
+
+    merged = merge_sources([side("click", "v_click"), side("purchase", "v_purch")], on="ts")
+    return merged.select_columns(["ts", "v", "v_click", "v_purch"])
+
+
 # ---- near-duplicate detection over documents / embeddings ------------------- #
 
 def _q_neardup_embeddings_exact(sf_dir: str):
@@ -506,6 +529,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hashjoin_lineitem_orders": _q_hashjoin_lineitem_orders,
         "pricing_summary_lineitem": _q_pricing_summary,
         "distinct_users_per_type": _q_distinct_users,
+        "merge_click_purchase": _q_merge_click_purchase,
         "neardup_embeddings_exact": _q_neardup_embeddings_exact,
         "neardup_embeddings_lsh": _q_neardup_embeddings_lsh,
         "knn_lsh_embeddings": _q_knn_lsh,
@@ -630,6 +654,15 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_per_type": """
             SELECT event_type, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1
+        """,
+        "merge_click_purchase": """
+            WITH c AS (SELECT ts, max(value) AS v, max(value) AS v_click
+                       FROM events WHERE event_type = 'click' GROUP BY ts),
+                 p AS (SELECT ts, max(value) AS v, max(value) AS v_purch
+                       FROM events WHERE event_type = 'purchase' GROUP BY ts)
+            SELECT COALESCE(c.ts, p.ts) AS ts, COALESCE(c.v, p.v) AS v,
+                   c.v_click, p.v_purch
+            FROM c FULL OUTER JOIN p ON c.ts = p.ts
         """,
         "neardup_embeddings_exact": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b

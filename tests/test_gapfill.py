@@ -72,3 +72,54 @@ def test_max_gap_window_guard(ray_session):
             rd.from_arrow(_tier_table()),
             GapFillConfig(interval_s=60, values=("value",), key="source", max_gap=10, window_s=300),
         )
+
+
+def test_natural_cubic_spline_kernel():
+    """Spline through known points: exact at knots, smooth between, matches
+    the analytic natural spline for a simple parabola-ish case."""
+    import numpy as np
+
+    from tsdat_ray.stages.gapfill import natural_cubic_interp
+
+    xs = np.array([0.0, 1.0, 2.0, 3.0, 4.0])
+    ys = xs**2
+    # exact at knots
+    assert np.allclose(natural_cubic_interp(xs, ys, xs), ys)
+    # interpolated points lie close to x^2 in the interior
+    xq = np.array([1.5, 2.5])
+    got = natural_cubic_interp(xs, ys, xq)
+    assert np.allclose(got, xq**2, atol=0.06)
+    # < 3 points → linear fallback
+    assert np.allclose(natural_cubic_interp(xs[:2], ys[:2], np.array([0.5])), [0.5])
+
+
+def test_gapfill_spline(ray_session):
+    """Spline fill recovers a smooth signal's missing buckets better than
+    linear on curved data."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tsdat_ray.stages.gapfill import GapFillConfig, gapfill_tier
+
+    US = 1_000_000
+    n = 40
+    buckets = np.arange(n, dtype=np.int64) * 60 * US
+    vals = np.sin(np.arange(n) / 5.0) * 10
+    present = np.ones(n, bool)
+    present[[10, 11, 20]] = False  # a 2-run and a 1-run gap
+    tbl = pa.table(
+        {
+            "source": pa.array(np.repeat("web", present.sum())),
+            "bucket": pa.array(buckets[present]).cast(pa.timestamp("us")),
+            "value_mean": pa.array(vals[present]),
+        }
+    )
+    cfg = GapFillConfig(interval_s=60, values=("value",), key="source",
+                        method="spline", max_gap=5, window_s=3600)
+    out = gapfill_tier(rd.from_arrow(tbl), cfg).to_pandas()
+    filled = out[out["filled"]].sort_values("bucket")
+    assert len(filled) == 3
+    got = filled["value_mean"].to_numpy()
+    exp = vals[[10, 11, 20]]
+    assert np.allclose(got, exp, atol=0.05), (got, exp)

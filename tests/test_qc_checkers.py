@@ -231,3 +231,15 @@ def test_qc_stage_in_ray_pipeline(ray_session):
         .to_pandas()
     )
     assert out["qc_missing_var"].tolist() == [1, 1, 0, 0]
+
+
+def test_array_mask_threshold():
+    import numpy as np
+
+    from tsdat_ray.stages.qc import CHECKERS
+
+    x = np.array([1.0, 5.0, np.nan, -2.0])
+    fails = CHECKERS["array_mask_threshold"](x, {}, {"threshold": 0.0, "comparator": "<"}, {})
+    assert fails.tolist() == [False, False, False, True]
+    fails = CHECKERS["array_mask_threshold"](x, {}, {"threshold": 5.0, "comparator": ">="}, {})
+    assert fails.tolist() == [False, True, False, False]

@@ -123,3 +123,58 @@ def test_preamble_csv(ray_session, tmp_path):
     assert len(pdf) == 2
     assert attrs2["instrument"] == "met01"
     assert np.allclose(pdf["temp"], [273.15, 283.15])
+
+
+# --------------------------------------------------------------------------- #
+# archive source + path templates
+# --------------------------------------------------------------------------- #
+
+def test_read_archive_csv(ray_session, tmp_path):
+    import io
+    import tarfile
+    import zipfile
+
+    body = (
+        "Timestamp,Temp_C,RH\n"
+        "2024-01-01 00:00:00,0.0,50\n"
+        "2024-01-01 00:10:00,10.0,60\n"
+    )
+    tar_p = tmp_path / "in.tar"
+    with tarfile.open(tar_p, "w") as tf:
+        for name in ("a.csv", "b.csv", "skip.txt", "__MACOSX/junk.csv"):
+            data = body.encode() if name.endswith(".csv") else b"junk"
+            ti = tarfile.TarInfo(name)
+            ti.size = len(data)
+            tf.addfile(ti, io.BytesIO(data))
+    zip_p = tmp_path / "in.zip"
+    with zipfile.ZipFile(zip_p, "w") as zf:
+        zf.writestr("c.csv", body)
+
+    from tsdat_ray.sources.archive_source import read_archive_csv
+
+    ds = read_archive_csv([str(tar_p), str(zip_p)], SCHEMA)
+    pdf = ds.to_pandas()
+    assert len(pdf) == 6  # 3 csv members x 2 rows, txt + __MACOSX excluded
+    assert set(pdf["_member"]) == {"a.csv", "b.csv", "c.csv"}
+    assert np.allclose(sorted(pdf["temp"].unique()), [273.15, 283.15])
+
+
+def test_template_substitute_extract():
+    from tsdat_ray.state.template import Template, TemplateError
+
+    t = Template("{datastream}.{date}[.{time}].parquet",
+                 regex={"date": r"\d{8}", "time": r"\d{6}"})
+    assert t.substitute({"datastream": "sgp.met.b1", "date": "20240101"}) == (
+        "sgp.met.b1.20240101.parquet"
+    )
+    full = t.substitute({"datastream": "sgp.met.b1", "date": "20240101", "time": "120000"})
+    assert full == "sgp.met.b1.20240101.120000.parquet"
+    got = t.extract(full)
+    assert got == {"datastream": "sgp.met.b1", "date": "20240101", "time": "120000"}
+    assert t.extract("sgp.met.b1.20240101.parquet") == {
+        "datastream": "sgp.met.b1", "date": "20240101",
+    }
+    with pytest.raises(TemplateError):
+        t.substitute({"date": "20240101"})
+    with pytest.raises(TemplateError):
+        t.extract("does-not-match")

@@ -40,10 +40,49 @@ class GapFillConfig:
     interval_s: int
     values: tuple[str, ...] = ("value",)
     key: str = "source"
-    method: str = "ffill"  # "ffill" | "linear"
+    method: str = "ffill"  # "ffill" | "linear" | "spline"
     max_gap: int = 5  # max gap distance in buckets
     window_s: int = 86400
     value_suffix: str = "_mean"  # tier column holding the bucket value
+
+
+def natural_cubic_interp(xs: np.ndarray, ys: np.ndarray, xq: np.ndarray) -> np.ndarray:
+    """Natural cubic spline through (xs, ys) evaluated at xq — pure numpy
+    (tridiagonal Thomas solve; no scipy in this environment).  Gap-fill
+    parity with the reference's CubicSplineInterp handler
+    (/root/reference/tsdat/qc/handlers/cubic_spline_interp.py:9-53, which
+    delegates to mhkit clean_fill).  Falls back to linear below 3 points."""
+    xs = xs.astype(np.float64)
+    ys = ys.astype(np.float64)
+    n = len(xs)
+    if n < 3:
+        return np.interp(xq.astype(np.float64), xs, ys)
+    h = np.diff(xs)
+    rhs = 6.0 * ((ys[2:] - ys[1:-1]) / h[1:] - (ys[1:-1] - ys[:-2]) / h[:-1])
+    diag = 2.0 * (h[:-1] + h[1:])
+    sub, sup = h[:-1].copy(), h[1:].copy()
+    m = n - 2  # unknown second derivatives (natural ends = 0)
+    cp = np.zeros(m)
+    dp = np.zeros(m)
+    cp[0] = sup[0] / diag[0]
+    dp[0] = rhs[0] / diag[0]
+    for i in range(1, m):
+        denom = diag[i] - sub[i] * cp[i - 1]
+        cp[i] = sup[i] / denom
+        dp[i] = (rhs[i] - sub[i] * dp[i - 1]) / denom
+    M = np.zeros(n)
+    M[m] = dp[m - 1]
+    for i in range(m - 2, -1, -1):
+        M[i + 1] = dp[i] - cp[i] * M[i + 2]
+    idx = np.clip(np.searchsorted(xs, xq, side="right") - 1, 0, n - 2)
+    t = xq.astype(np.float64) - xs[idx]
+    hs = h[idx]
+    return (
+        ys[idx]
+        + t * ((ys[idx + 1] - ys[idx]) / hs - hs * (2 * M[idx] + M[idx + 1]) / 6.0)
+        + t * t * M[idx] / 2.0
+        + t * t * t * (M[idx + 1] - M[idx]) / (6.0 * hs)
+    )
 
 
 def _summaries(ds, cfg: GapFillConfig):
@@ -152,7 +191,7 @@ def gapfill_tier(ds, cfg: GapFillConfig):
 
         if cfg.method == "ffill":
             ok = prev_ok & (gap_back <= cfg.max_gap)
-        else:  # linear: total run length must fit in max_gap
+        else:  # linear/spline: total run length must fit in max_gap
             next_b = np.where(next_ok, all_b[np.clip(next_i, 0, len(all_b) - 1)], 0)
             run = np.where(next_ok & prev_ok, (next_b - prev_b) // iv - 1, np.iinfo(np.int64).max)
             ok = prev_ok & next_ok & (run <= cfg.max_gap)
@@ -166,6 +205,11 @@ def gapfill_tier(ds, cfg: GapFillConfig):
             for v in cfg.values:
                 if cfg.method == "ffill":
                     filled_val = all_vals[v][pi]
+                elif cfg.method == "spline":
+                    good = ~np.isnan(all_vals[v])
+                    filled_val = natural_cubic_interp(
+                        all_b[good], all_vals[v][good], fill_b
+                    )
                 else:
                     x0, x1 = all_b[pi].astype(float), all_b[ni].astype(float)
                     y0, y1 = all_vals[v][pi], all_vals[v][ni]

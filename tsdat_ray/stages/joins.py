@@ -162,3 +162,76 @@ def broadcast_lookup(
         return t
 
     return ds.map_batches(lookup, batch_format="pyarrow")
+
+
+def merge_sources(datasets, on: str = "ts", window_s: int = 86400):
+    """Outer coordinate merge with first-match-wins priority — the engine's
+    version of the reference's multi-input retrieval (xr.merge outer align,
+    /root/reference/tsdat/io/retrievers/default_retriever.py:89-90, plus the
+    first-matching-input rule of perform_data_retrieval.py:36-92).
+
+    ``datasets`` are priority-ordered Ray Datasets sharing the ``on``
+    coordinate.  Output: one row per distinct ``on`` value (union of all
+    inputs); each column takes the value from the highest-priority input
+    that has it non-null at that coordinate.  One groupby((window)) shuffle;
+    group size bounded by window_s."""
+    import pyarrow.compute as pc
+
+    from .rollup import floor_bucket_us
+
+    # union of all columns in priority order, with the first seen type
+    types: dict[str, pa.DataType] = {}
+    for ds in datasets:
+        sch = ds.schema()
+        for name, typ in zip(sch.names, sch.types):
+            types.setdefault(name, typ)
+    all_cols = list(types)
+
+    def widen(prio: int):
+        def f(batch: pa.Table) -> pa.Table:
+            cols = {
+                c: (batch[c] if c in batch.column_names else pa.nulls(batch.num_rows, types[c]))
+                for c in all_cols
+            }
+            cols["_prio"] = pa.array(np.full(batch.num_rows, prio, dtype=np.int64))
+            return pa.table(cols)
+
+        return f
+
+    u = datasets[0].map_batches(widen(0), batch_format="pyarrow")
+    for i, ds in enumerate(datasets[1:], start=1):
+        u = u.union(ds.map_batches(widen(i), batch_format="pyarrow"))
+
+    US = 1_000_000
+
+    def add_window(b: pa.Table) -> pa.Table:
+        ts = b[on].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return b.append_column("_window", pa.array(floor_bucket_us(ts, window_s)))
+
+    u = u.map_batches(add_window, batch_format="pyarrow")
+
+    def merge_window(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_window"])
+        ts = g[on].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        prio = g["_prio"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((prio, ts))
+        ts_s = ts[order]
+        starts = np.flatnonzero(np.r_[True, ts_s[1:] != ts_s[:-1]]) if len(ts_s) else np.zeros(0, np.int64)
+        take = pa.array(order, type=pa.int64())
+        gs = g.take(take)
+        n_out = len(starts)
+        BIG = np.iinfo(np.int64).max
+        out: dict = {on: gs[on].take(pa.array(starts, type=pa.int64()))}
+        for c in all_cols:
+            if c == on:
+                continue
+            col = gs[c].combine_chunks()
+            valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+            pos = np.where(valid, np.arange(len(valid)), BIG)
+            first = np.minimum.reduceat(pos, starts) if n_out else np.zeros(0, np.int64)
+            has = first != BIG
+            taken = col.take(pa.array(np.where(has, first, 0), type=pa.int64()))
+            out[c] = pc.if_else(pa.array(has), taken, pa.nulls(n_out, types[c]))
+        return pa.table(out)
+
+    return u.groupby("_window").map_groups(merge_window, batch_format="pyarrow")

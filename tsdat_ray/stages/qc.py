@@ -166,9 +166,28 @@ def make_check_std(attribute_name: str):
     return run
 
 
+_COMPARATORS = {
+    "<": np.less, "<=": np.less_equal, ">": np.greater, ">=": np.greater_equal,
+    "==": np.equal, "!=": np.not_equal,
+}
+
+
+def check_array_mask_threshold(x, attrs, params, cols):
+    """Compare the whole array to a scalar with a configurable comparator
+    (parity: tsdat CheckArrayMaskThreshold,
+    /root/reference/tsdat/qc/checkers/check_array_mask_threshold.py:18-78).
+    params: {"threshold": value, "comparator": "<"|"<="|">"|">="|"=="|"!="}."""
+    thr = params.get("threshold", 0)
+    comp = _COMPARATORS[params.get("comparator", "<")]
+    with np.errstate(invalid="ignore"):
+        out = comp(x, thr)
+    return np.asarray(out, dtype=bool) & ~_isnull(np.asarray(x))
+
+
 CHECKERS: dict[str, Callable] = {
     "missing": check_missing,
     "monotonic": check_monotonic,
+    "array_mask_threshold": check_array_mask_threshold,
 }
 for kind in ("valid", "fail", "warn"):
     CHECKERS[f"{kind}_max"] = make_check_max(f"{kind}_max")
