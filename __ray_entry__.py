@@ -354,6 +354,18 @@ def _q_distinct_users(sf_dir: str):
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+def _q_encode_1m(sf_dir: str):
+    """Gorilla/DoD-encode the events 1m tier: one blob row per
+    (event_type, window) with raw/encoded byte counts (lossless; roundtrip
+    verified in tests/test_encode.py)."""
+    from tsdat_ray.stages.encode import EncodeConfig, encode_tier
+
+    tier = _events_rollup(sf_dir, "1m")
+    ecfg = EncodeConfig(key="event_type", values=("value_mean",))
+    enc = encode_tier(tier, ecfg)
+    return enc.select_columns(["event_type", "window", "n", "bytes_raw", "bytes_enc"])
+
+
 def _q_merge_click_purchase(sf_dir: str):
     """Outer coordinate merge with priority (engine version of tsdat's
     multi-input retrieval): clicks win on shared columns, purchases fill
@@ -530,6 +542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary_lineitem": _q_pricing_summary,
         "distinct_users_per_type": _q_distinct_users,
         "merge_click_purchase": _q_merge_click_purchase,
+        "encode_1m_events": _q_encode_1m,
         "neardup_embeddings_exact": _q_neardup_embeddings_exact,
         "neardup_embeddings_lsh": _q_neardup_embeddings_lsh,
         "knn_lsh_embeddings": _q_knn_lsh,

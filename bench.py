@@ -106,10 +106,24 @@ def run_bench() -> dict:
         "filter_project_events",
         "topk_events",
         "asof_click_purchase",
+        "merge_click_purchase",
+        "gapfill_1m_events",
+        "encode_1m_events",
+        "join_orders_customer",
+        "hashjoin_lineitem_orders",
+        "pricing_summary_lineitem",
+        "distinct_users_per_type",
         "dedup_exact_docs",
+        "neardup_minhash_docs",
+        "neardup_embeddings_exact",
         "token_count_docs",
+        "bpe_token_count_docs",
         "quality_score_docs",
+        "lang_id_docs",
+        "fingerprint_docs",
         "knn_embeddings",
+        "knn_lsh_embeddings",
+        "knn_ivf_embeddings",
     ]
     qtimes = {}
     for name in bench_queries:

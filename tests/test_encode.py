@@ -111,3 +111,38 @@ def test_encode_tier_stage(ray_session):
         total += row["n"]
         assert row["bytes_enc"] < row["bytes_raw"]
     assert total == len(ts)
+
+
+def test_encoded_tier_store_roundtrip(ray_session, tmp_path):
+    """Flagship writes t1m_enc blobs; decoding them reproduces the t1m tier
+    values exactly, and the manifest records the compression ratio."""
+    import numpy as np
+    import ray.data as rd
+
+    from tsdat_ray.pipelines.rollup_pipeline import PipelineConfig, run_pipeline
+    from tsdat_ray.stages.encode import decode_tier_row
+    from tsdat_ray.synth import generate_sequences_parquet
+
+    corpus = generate_sequences_parquet(str(tmp_path / "c"), n_rows=8000, seed=7)
+    root = str(tmp_path / "store")
+    stats = run_pipeline(corpus, PipelineConfig(out_root=root, resume=False, run_id="e"))
+    assert stats["1m_enc"]["new_partitions"] > 0
+    assert stats["1m_enc"]["compression_ratio"] > 1.0, "DoD+Gorilla should compress the tier"
+
+    t1m = rd.read_parquet(f"{root}/t1m").to_pandas()
+    enc = rd.read_parquet(f"{root}/t1m_enc").to_pandas()
+    vals = ("n_tok_mean", "tok_mean_mean")
+    # decode one (source, window) blob and compare against the tier rows
+    row = enc.iloc[0]
+    dec = decode_tier_row(row, vals)
+    src = row["source"]
+    sel = t1m[(t1m["source"] == src)].copy()
+    sel["b_us"] = sel["bucket"].astype("int64")
+    sel = sel[sel["b_us"].isin(dec["ts"])].sort_values("b_us")
+    m = len(dec["ts"])
+    assert m == row["n"]
+    got_sel = sel.iloc[:m]
+    np.testing.assert_array_equal(np.sort(dec["ts"]), np.sort(got_sel["b_us"].to_numpy()[:m]))
+    order = np.argsort(dec["ts"])
+    for v in vals:
+        np.testing.assert_allclose(np.asarray(dec[v])[order], got_sel[v].to_numpy()[:m], rtol=0, atol=0)

@@ -131,6 +131,9 @@ class PipelineConfig:
     # cost nothing measurable at 32.  Writes stay fused into the shuffle
     # reduce tasks either way.
     tier_barriers: bool = True
+    # Tiers additionally stored as delta-of-delta timestamp + Gorilla-XOR
+    # value blobs (one blob row per (source, window)) under t<tier>_enc/.
+    encode_tiers: tuple[str, ...] = ("1m",)
 
 
 def _num_blocks(cfg: PipelineConfig) -> int:
@@ -206,6 +209,39 @@ def rollup_tier(tier: str, cfg: PipelineConfig) -> dict:
     write_partitioned(out, man.tier_dir(f"t{tier}"), ts_col="bucket")
     recs = man.commit_partitions(f"t{tier}", [src_dir], cfg.run_id, time.time() - t0)
     return {"tier": tier, "new_partitions": len(recs), "skipped": len(done), "wall_s": time.time() - t0}
+
+
+def encode_tier_store(tier: str, cfg: PipelineConfig) -> dict:
+    """Read tier ``t<tier>`` (pruned columns: bucket + the value means) and
+    store the Gorilla/DoD-encoded representation under ``t<tier>_enc/``, one
+    blob row per (source, window), partitioned like the tiers.  The encoded
+    store is the long-retention format (north star: compressed continuous
+    aggregates); compression ratio lands in the returned stats + manifest."""
+    import ray.data as rd
+
+    from ..stages.encode import EncodeConfig, encode_tier
+
+    t0 = time.time()
+    man = Manifest(cfg.out_root)
+    ecfg = EncodeConfig(values=tuple(f"{v}_mean" for v in cfg.values))
+    cols = ["source", "bucket", *ecfg.values]
+    ds = rd.read_parquet(man.tier_dir(f"t{tier}"), columns=cols,
+                         override_num_blocks=_num_blocks(cfg))
+    enc = encode_tier(ds, ecfg)
+    enc = enc.map_batches(lambda b: _add_day(b, "window"), batch_format="pyarrow")
+    enc = enc.materialize()
+    import pyarrow.compute as _pc
+
+    braw = benc = 0
+    for b in enc.iter_batches(batch_format="pyarrow"):
+        braw += int(_pc.sum(b["bytes_raw"]).as_py() or 0)
+        benc += int(_pc.sum(b["bytes_enc"]).as_py() or 0)
+    write_partitioned(enc, man.tier_dir(f"t{tier}_enc"), ts_col="window")
+    recs = man.commit_partitions(f"t{tier}_enc", [man.tier_dir(f"t{tier}")], cfg.run_id,
+                                 time.time() - t0)
+    ratio = round(braw / benc, 3) if benc else None
+    return {"tier": f"{tier}_enc", "new_partitions": len(recs), "bytes_raw": braw,
+            "bytes_enc": benc, "compression_ratio": ratio, "wall_s": time.time() - t0}
 
 
 def prune_retention(cfg: PipelineConfig, now_us: int) -> dict:
@@ -323,6 +359,9 @@ def run_pipeline(input_paths, cfg: PipelineConfig, now_us: Optional[int] = None)
             stats[tier] = rollup_tier(tier, cfg)
     else:
         stats = _run_chained(input_paths, cfg)
+    for tier in cfg.encode_tiers:
+        if tier in cfg.tiers:
+            stats[f"{tier}_enc"] = encode_tier_store(tier, cfg)
     if now_us is not None:
         stats["retention"] = prune_retention(cfg, now_us)
     return stats
