@@ -108,13 +108,27 @@ class MinHasher:
         return v.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = np.stack(
-            [self.signature(s or "") for s in batch[self.text_col].to_pylist()]
-        )
+        """Whole-batch vectorized signatures: concatenate every doc's shingle
+        hashes, then per permutation one fused (a·x+b) mod p pass + a
+        segment-min (`minimum.reduceat`) — no per-doc numpy calls in the
+        permutation loop (the hot dimension)."""
+        texts = batch[self.text_col].to_pylist()
+        n = len(texts)
+        if n == 0:
+            return pa.table({self.id_col: batch[self.id_col],
+                             "sig": pa.array([], pa.list_(pa.uint64()))})
+        sh_list = [self.shingle_hashes(s or "") for s in texts]
+        lens = np.array([len(x) for x in sh_list], dtype=np.int64)
+        concat = np.concatenate(sh_list)
+        starts = np.r_[0, np.cumsum(lens)[:-1]]
+        sigs = np.empty((n, self.num_perm), dtype=np.uint64)
+        for j in range(self.num_perm):
+            v = (self.a[j] * concat + self.b[j]) % _MERSENNE
+            sigs[:, j] = np.minimum.reduceat(v, starts)
         return pa.table(
             {
                 self.id_col: batch[self.id_col],
-                "sig": pa.array(list(sigs.astype(np.uint64))),
+                "sig": pa.array(list(sigs)),
             }
         )
 
@@ -145,19 +159,48 @@ def minhash_lsh_candidates(ds, num_perm: int = 128, bands: int = 32,
             bh[b * n : (b + 1) * n] = h
         return pa.table({"band": pa.array(band_ids), "bh": pa.array(bh), id_col: pa.array(doc)})
 
-    def bucket(g: pa.Table) -> pa.Table:
-        ids = sorted(g[id_col].to_pylist())
-        if len(ids) < 2:
+    def add_salt(batch: pa.Table) -> pa.Table:
+        bh = batch["bh"].combine_chunks().to_numpy(zero_copy_only=False)
+        return batch.append_column("_salt", pa.array((bh % np.uint64(256)).astype(np.int64)))
+
+    def bucket_part(g: pa.Table) -> pa.Table:
+        """One salt partition holds many (band, bh) buckets: segment them
+        vectorized (lexsort + boundary diff) and emit each >=2-doc bucket's
+        doc list via a single offsets-based ListArray — no per-bucket Python
+        calls (20k buckets per run made map_groups-per-bucket the hot spot)."""
+        band = g["band"].combine_chunks().to_numpy(zero_copy_only=False)
+        bh = g["bh"].combine_chunks().to_numpy(zero_copy_only=False)
+        doc = g[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, bh, band))
+        band_s, bh_s, doc_s = band[order], bh[order], doc[order]
+        n = len(band_s)
+        change = np.r_[True, (band_s[1:] != band_s[:-1]) | (bh_s[1:] != bh_s[:-1])]
+        starts = np.flatnonzero(change)
+        ends = np.r_[starts[1:], n]
+        keep = (ends - starts) >= 2
+        if not keep.any():
             return pa.table({"band": pa.array([], pa.int64()), "bh": pa.array([], pa.uint64()),
                              "docs": pa.array([], pa.list_(pa.int64()))})
-        return pa.table({"band": g["band"].slice(0, 1), "bh": g["bh"].slice(0, 1),
-                         "docs": pa.array([ids], type=pa.list_(pa.int64()))})
+        ks, ke = starts[keep], ends[keep]
+        # gather the kept segments' doc runs + list offsets
+        lens = ke - ks
+        idx = np.repeat(ks, lens) + (np.arange(int(lens.sum())) - np.repeat(np.cumsum(lens) - lens, lens))
+        values = pa.array(doc_s[idx], pa.int64())
+        offsets = pa.array(np.r_[0, np.cumsum(lens)].astype(np.int32))
+        return pa.table(
+            {
+                "band": pa.array(band_s[ks]),
+                "bh": pa.array(bh_s[ks]),
+                "docs": pa.ListArray.from_arrays(offsets, values),
+            }
+        )
 
     sigs = ds.map_batches(MinHasher, fn_constructor_kwargs=hasher_kwargs,
                           batch_format="pyarrow", concurrency=concurrency)
-    return sigs.map_batches(explode, batch_format="pyarrow").groupby(["band", "bh"]).map_groups(
-        bucket, batch_format="pyarrow"
+    exploded = sigs.map_batches(explode, batch_format="pyarrow").map_batches(
+        add_salt, batch_format="pyarrow"
     )
+    return exploded.groupby("_salt").map_groups(bucket_part, batch_format="pyarrow")
 
 
 def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
@@ -236,13 +279,22 @@ def minhash_neardup_pairs(ds, texts: "pa.Table", threshold: float = 0.5,
                 for j in range(i + 1, len(lst)):
                     a_out.append(lst[i])
                     b_out.append(lst[j])
-        return pa.table({"id_a": pa.array(a_out, pa.int64()), "id_b": pa.array(b_out, pa.int64())})
+        # single int64 pair key → dedup via groupby().count() (vectorized
+        # hash aggregate; no per-pair Python group calls)
+        pk = (np.array(a_out, dtype=np.int64) << np.int64(32)) | np.array(b_out, dtype=np.int64)
+        return pa.table({"_pk": pa.array(pk)})
 
-    def uniq(g: pa.Table) -> pa.Table:
-        return g.slice(0, 1)
+    def unkey(batch: pa.Table) -> pa.Table:
+        pk = batch["_pk"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "id_a": pa.array(pk >> np.int64(32)),
+                "id_b": pa.array(pk & np.int64(0xFFFFFFFF)),
+            }
+        )
 
     pairs = cand.map_batches(explode_pairs, batch_format="pyarrow")
-    pairs = pairs.groupby(["id_a", "id_b"]).map_groups(uniq, batch_format="pyarrow")
+    pairs = pairs.groupby("_pk").count().map_batches(unkey, batch_format="pyarrow")
 
     tmap = dict(zip(texts[id_col].to_pylist(), texts[text_col].to_pylist()))
     tref = ray.put(tmap)
