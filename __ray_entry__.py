@@ -354,6 +354,29 @@ def _q_distinct_users(sf_dir: str):
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+def _q_qc_range_events(sf_dir: str):
+    """The QC subsystem end-to-end on events: fail_range checks record bits
+    into qc_value (manager order = bit order) and null the failed values —
+    exactly tsdat's checker→record→remove handler chain, oracled in SQL."""
+    from tsdat_ray.stages.qc import Manager, QCConfig, QCStage
+
+    cfg = QCConfig(
+        managers=(
+            Manager(name="too_high", checker="fail_range_max", apply_to=("value",),
+                    handlers=({"name": "record_quality_results"},
+                              {"name": "remove_failed_values"})),
+            Manager(name="too_low", checker="fail_range_min", apply_to=("value",),
+                    handlers=({"name": "record_quality_results"},
+                              {"name": "remove_failed_values"})),
+        ),
+        attrs={"value": {"fail_range": [2.0, 150.0]}},
+        coords=(),
+    )
+    stage = QCStage(cfg)
+    ds = _events(sf_dir, columns=["event_id", "value"])
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
 def _q_encode_1m(sf_dir: str):
     """Gorilla/DoD-encode the events 1m tier: one blob row per
     (event_type, window) with raw/encoded byte counts (lossless; roundtrip
@@ -543,6 +566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_per_type": _q_distinct_users,
         "merge_click_purchase": _q_merge_click_purchase,
         "encode_1m_events": _q_encode_1m,
+        "qc_range_events": _q_qc_range_events,
         "neardup_embeddings_exact": _q_neardup_embeddings_exact,
         "neardup_embeddings_lsh": _q_neardup_embeddings_lsh,
         "knn_lsh_embeddings": _q_knn_lsh,
@@ -667,6 +691,13 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_per_type": """
             SELECT event_type, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1
+        """,
+        "qc_range_events": """
+            SELECT event_id,
+                   CASE WHEN value > 150.0 OR value < 2.0 THEN NULL ELSE value END AS value,
+                   CAST((CASE WHEN value > 150.0 THEN 1 ELSE 0 END)
+                      + (CASE WHEN value < 2.0 THEN 2 ELSE 0 END) AS INTEGER) AS qc_value
+            FROM events
         """,
         "merge_click_purchase": """
             WITH c AS (SELECT ts, max(value) AS v, max(value) AS v_click

@@ -102,3 +102,28 @@ def test_retention_pruning(ray_session, corpus, tmp_path):
     remaining = man.completed("raw")
     for p in man.list_partition_dirs("raw"):
         assert p in remaining
+
+
+def test_manifest_modified_since(ray_session, corpus, tmp_path):
+    """Incremental-processing hook: recommitted partitions (and only they)
+    surface via modified_since; pruned ones drop out."""
+    import time
+
+    out = str(tmp_path / "ms_store")
+    cfg = PipelineConfig(out_root=out, run_id="m1")
+    run_pipeline(corpus, cfg)
+    man = Manifest(out)
+    t_mid = time.time()
+    assert man.modified_since("raw", t_mid) == []
+    assert man.last_modified("raw") is not None and man.last_modified("raw") <= t_mid
+
+    # recommit one partition → it (alone) shows up after t_mid
+    victim = sorted(man.completed("raw"))[0]
+    recs = [r for r in man.records() if not (r["tier"] == "raw" and r["partition"] == victim)]
+    os.remove(man.path)
+    for r in recs:
+        man.append({k: v for k, v in r.items()})
+    shutil.rmtree(man.partition_dir("raw", victim))
+    run_pipeline(corpus, PipelineConfig(out_root=out, run_id="m2"))
+    changed = man.modified_since("raw", t_mid)
+    assert changed == [victim], changed

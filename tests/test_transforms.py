@@ -166,3 +166,54 @@ def test_nearest_neighbor_grid_distributed(ray_session):
     assert out["rh"].tolist() == [float(v) for v in expected]
     # token payloads carried verbatim from the selected rows
     assert out["tokens"].map(len).eq(1).all()
+
+
+def test_auto_slice_branches():
+    """TRANS_AUTO picks bin-average for dense regions, interpolate for sparse
+    (adi_transformer.py:121-133)."""
+    import numpy as np
+
+    from tsdat_ray.stages.transforms import GridSpec, auto_slice
+
+    US = 1_000_000
+    grid = GridSpec(start_us=0, stop_us=600 * US, interval_us=60 * US)  # 10 bins
+    # dense: 60 inputs > 10 outputs → bin average
+    ts_dense = np.arange(60, dtype=np.int64) * 10 * US
+    x = np.linspace(0.0, 59.0, 60)
+    vals = {"v": (x, np.zeros(60, bool), np.zeros(60, bool))}
+    mode, res = auto_slice(ts_dense, vals, grid)
+    assert mode == "bin_average"
+    # centered input bounds (reference create_bounds semantics): bin [0,60s)
+    # gets half weight from the points at 0s and 60s → (0*0.5+1+2+3+4+5+6*0.5)/6
+    assert np.isclose(res["v_mean"][0], 3.0)
+    # sparse: 5 inputs < 10 outputs → interpolate
+    ts_sparse = np.array([0, 150, 300, 450, 590], dtype=np.int64) * US
+    xs = np.array([0.0, 15.0, 30.0, 45.0, 59.0])
+    mode, res = auto_slice(ts_sparse, {"v": (xs, np.zeros(5, bool), np.zeros(5, bool))}, grid)
+    assert mode == "interpolate"
+    assert len(res["v_mean"]) == 10
+
+
+def test_auto_grid_distributed(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tsdat_ray.stages.transforms import GridSpec, auto_grid
+
+    US = 1_000_000
+    # source A: dense (120 points over 10 min); source B: sparse (4 points)
+    ts_a = np.arange(120, dtype=np.int64) * 5 * US
+    ts_b = np.array([30, 200, 380, 550], dtype=np.int64) * US
+    tbl = pa.table(
+        {
+            "source": pa.array(["A"] * 120 + ["B"] * 4),
+            "ts": pa.array(np.r_[ts_a, ts_b]).cast(pa.timestamp("us")),
+            "v": pa.array(np.r_[np.arange(120.0), [1.0, 2.0, 3.0, 4.0]]),
+        }
+    )
+    grid = GridSpec(start_us=0, stop_us=600 * US, interval_us=60 * US)
+    out = auto_grid(rd.from_arrow(tbl), grid, values=("v",), window_s=86400).to_pandas()
+    assert set(out[out["source"] == "A"]["mode"]) == {"bin_average"}
+    assert set(out[out["source"] == "B"]["mode"]) == {"interpolate"}
+    assert len(out) == 20  # 10 grid points per source

@@ -508,3 +508,85 @@ def nearest_neighbor_grid(
 
     cand = ds.map_batches(candidates, batch_format="pyarrow")
     return cand.groupby([key, "grid_ts"]).map_groups(combine, batch_format="pyarrow")
+
+
+def auto_slice(
+    ts_us: np.ndarray,
+    values: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],
+    grid: GridSpec,
+    input_width_us: int | None = None,
+) -> tuple[str, dict[str, np.ndarray]]:
+    """TRANS_AUTO (parity: /root/reference/tsdat/transform/adi/
+    adi_transformer.py:121-133): bin-average when the region has more inputs
+    than outputs, else interpolate.  Region = this slice.  Returns
+    (chosen_mode, result)."""
+    if len(ts_us) > grid.n:
+        return "bin_average", bin_average_slice(ts_us, values, grid, input_width_us)
+    interp_vals = {v: x for v, (x, _b, _i) in values.items()}
+    res = interpolate_slice(ts_us, interp_vals, grid)
+    for v in interp_vals:  # align output naming with the bin-average branch
+        res[f"{v}_mean"] = res.pop(v)
+    return "interpolate", res
+
+
+def auto_grid(
+    ds,
+    grid: GridSpec,
+    key: str = "source",
+    ts_col: str = "ts",
+    values: tuple[str, ...] = ("n_tok",),
+    bad_bits: int = 3,
+    window_s: int = 86400,
+):
+    """Distributed TRANS_AUTO: per (key, window) region, bin-average when
+    #inputs > #outputs in the region, else linear interpolation — each
+    region's branch decided from its own counts (one groupby shuffle)."""
+    window_us = window_s * US
+
+    def add_window(b: pa.Table) -> pa.Table:
+        ts = _ts_np(b[ts_col])
+        return b.append_column("_window", pa.array((ts // window_us) * window_us))
+
+    def run_region(g: pa.Table) -> pa.Table:
+        win = int(g["_window"][0].as_py())
+        sub = GridSpec(
+            start_us=max(grid.start_us, win),
+            stop_us=min(grid.stop_us, win + window_us),
+            interval_us=grid.interval_us,
+            width_us=grid.width_us,
+            alignment=grid.alignment,
+        )
+        if sub.n == 0 or g.num_rows == 0:
+            empty: dict = {key: pa.array([], pa.string()),
+                           "grid_ts": pa.array([], pa.timestamp("us")),
+                           "mode": pa.array([], pa.string())}
+            for v in values:
+                empty[f"{v}_mean"] = pa.array([], pa.float64())
+                empty[f"qc_{v}"] = pa.array([], pa.int32())
+            return pa.table(empty)
+        ts = _ts_np(g[ts_col])
+        order = np.argsort(ts, kind="stable")
+        ts = ts[order]
+        vals = {}
+        for v in values:
+            x = g[v].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)[order]
+            qc = (
+                g[f"qc_{v}"].combine_chunks().to_numpy(zero_copy_only=False)[order]
+                if f"qc_{v}" in g.column_names
+                else np.zeros(len(x), np.int32)
+            )
+            bad = ((qc & bad_bits) != 0) | np.isnan(x)
+            vals[v] = (np.where(bad, np.nan, x), bad, np.zeros(len(x), bool))
+        mode, res = auto_slice(ts, vals, sub, input_width_us=None)
+        out: dict = {
+            key: pa.array(np.repeat(g[key][0].as_py(), sub.n)),
+            "grid_ts": pa.array(sub.labels).cast(pa.timestamp("us")),
+            "mode": pa.array(np.repeat(mode, sub.n)),
+        }
+        for v in values:
+            out[f"{v}_mean"] = pa.array(res[f"{v}_mean"])
+            out[f"qc_{v}"] = pa.array(res[f"qc_{v}"].astype(np.int32))
+        return pa.table(out)
+
+    dsw = ds.map_batches(add_window, batch_format="pyarrow")
+    return dsw.groupby([key, "_window"]).map_groups(run_region, batch_format="pyarrow")

@@ -67,8 +67,11 @@ class Manifest:
         return done
 
     def append(self, record: PartitionRecord | dict) -> None:
+        import time as _time
+
         os.makedirs(self.root, exist_ok=True)
-        rec = asdict(record) if isinstance(record, PartitionRecord) else record
+        rec = asdict(record) if isinstance(record, PartitionRecord) else dict(record)
+        rec.setdefault("committed_at", _time.time())
         with open(self.path, "a") as f:
             f.write(json.dumps(rec, default=str) + "\n")
             f.flush()
@@ -154,3 +157,29 @@ class Manifest:
             self.append(rec)
             new.append(rec)
         return new
+
+
+    def last_modified(self, tier: str) -> float | None:
+        """Latest commit wall-clock for a tier (parity: Storage.last_modified,
+        /root/reference/tsdat/io/storage/file_system.py:85-141 — but from the
+        commit log, not an mtime scan over every file)."""
+        times = [
+            r["committed_at"]
+            for r in self.records()
+            if r["tier"] == tier and r.get("action") != "pruned" and "committed_at" in r
+        ]
+        return max(times) if times else None
+
+    def modified_since(self, tier: str, since: float) -> list[str]:
+        """Partitions (re)committed after ``since`` — the incremental-
+        processing hook (parity: Storage.modified_since): a downstream
+        consumer re-processes exactly these."""
+        out: dict[str, float] = {}
+        for r in self.records():
+            if r["tier"] != tier:
+                continue
+            if r.get("action") == "pruned":
+                out.pop(r["partition"], None)
+            elif "committed_at" in r:
+                out[r["partition"]] = r["committed_at"]
+        return sorted(p for p, t in out.items() if t > since)
