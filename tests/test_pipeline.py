@@ -127,3 +127,51 @@ def test_manifest_modified_since(ray_session, corpus, tmp_path):
     run_pipeline(corpus, PipelineConfig(out_root=out, run_id="m2"))
     changed = man.modified_since("raw", t_mid)
     assert changed == [victim], changed
+
+
+def _qc_cfg(fail_tolerance=None):
+    from tsdat_ray.stages.qc import Manager, QCConfig
+
+    handlers = [{"name": "record_quality_results"}]
+    managers = [
+        Manager(name="n_tok_high", checker="warn_max", apply_to=("n_tok",),
+                handlers=tuple(handlers), assessment="Indeterminate"),
+    ]
+    if fail_tolerance is not None:
+        managers.append(
+            Manager(name="too_many_high", checker="warn_max", apply_to=("n_tok",),
+                    handlers=({"name": "fail_pipeline", "tolerance": fail_tolerance},))
+        )
+    return QCConfig(managers=tuple(managers), attrs={"n_tok": {"warn_max": 100}})
+
+
+def test_qc_counts_in_manifest(ray_session, corpus, tmp_path):
+    out = str(tmp_path / "qcstore")
+    cfg = PipelineConfig(out_root=out, run_id="q1", qc=_qc_cfg())
+    run_pipeline(corpus, cfg)
+    man = Manifest(out)
+    recs = [r for r in man.records() if r["tier"] == "raw" and r.get("qc_counts")]
+    assert recs, "no raw records carry qc_counts"
+    total = sum(r["qc_counts"].get("n_tok_high:n_tok", 0) for r in recs)
+    assert total > 0
+
+
+def test_qc_quarantine_diverts_partition(ray_session, corpus, tmp_path):
+    import glob
+
+    out = str(tmp_path / "qstore")
+    # tolerance 0 + plenty of >100 n_tok values → every partition breaches
+    cfg = PipelineConfig(out_root=out, run_id="q2", qc=_qc_cfg(fail_tolerance=0.0),
+                         qc_quarantine=True)
+    stats = run_pipeline(corpus, cfg)
+    qfiles = glob.glob(f"{out}/quarantine/**/*.parquet", recursive=True)
+    assert qfiles, "no quarantined partitions written"
+    assert glob.glob(f"{out}/quarantine/**/_qc_error.txt", recursive=True)
+    # and without quarantine the same run aborts
+    from tsdat_ray.stages.qc import DataQualityError
+    import ray.exceptions
+
+    out2 = str(tmp_path / "qstore2")
+    with pytest.raises((DataQualityError, ray.exceptions.RayTaskError)):
+        run_pipeline(corpus, PipelineConfig(out_root=out2, run_id="q3",
+                                            qc=_qc_cfg(fail_tolerance=0.0)))

@@ -27,6 +27,7 @@ writing, so a killed run resumes idempotently mid-rollup (north rule).
 
 from __future__ import annotations
 
+import os
 import time
 import zlib
 from dataclasses import dataclass, field
@@ -134,6 +135,10 @@ class PipelineConfig:
     # Tiers additionally stored as delta-of-delta timestamp + Gorilla-XOR
     # value blobs (one blob row per (source, window)) under t<tier>_enc/.
     encode_tiers: tuple[str, ...] = ("1m",)
+    # fail_pipeline tolerance breaches: False → raise (job aborts, reference
+    # FailPipeline semantics); True → divert the partition's pre-QC rows to
+    # quarantine/ and continue (SURVEY §7.4-4).
+    qc_quarantine: bool = False
 
 
 def _num_blocks(cfg: PipelineConfig) -> int:
@@ -153,8 +158,50 @@ def _tier_rcfg(tier: str, cfg: PipelineConfig) -> RollupConfig:
     )
 
 
-def _clean_dataset(input_paths, cfg: PipelineConfig, done: frozenset):
-    """read → standardize → resume-skip → ONE groupby(_pkey) clean shuffle."""
+def _clean_write_group(g: pa.Table, qc_stage, raw_root: str,
+                       quarantine_root: str | None) -> pa.Table:
+    """Clean one (source, day) group, run QC with per-partition counters,
+    write the partition + a ``_qc.json`` lineage sidecar (QC counts land in
+    the manifest record at commit), and return the cleaned rows onward.
+
+    ``fail_pipeline`` tolerance breaches either abort the job (reference
+    FailPipeline semantics, quarantine_root=None) or divert the partition's
+    pre-QC rows to ``quarantine/`` and keep the job going (SURVEY §7.4-4)."""
+    import json
+
+    from ..stages.qc import DataQualityError, QCReport
+
+    if "_pkey" in g.column_names:
+        g = g.drop_columns(["_pkey"])
+    t = clean_group(g, None)
+    report = QCReport()
+    if qc_stage is not None:
+        try:
+            t_qc = qc_stage(t, report)
+        except DataQualityError as e:
+            if quarantine_root is None:
+                raise
+            res = write_batch_partitioned(t, quarantine_root, ts_col="ts")
+            for p in {os.path.dirname(x) for x in res["path"].to_pylist()}:
+                with open(os.path.join(p, "_qc_error.txt"), "w") as f:
+                    f.write(str(e))
+            empty = qc_stage(t.slice(0, 0))
+            return empty.drop_columns(["day"])
+        t = t_qc
+    res = write_batch_partitioned(t, raw_root, ts_col="ts")
+    if report:
+        counts = {f"{m}:{v}": int(n) for (m, v), n in report.items()}
+        for p in {os.path.dirname(x) for x in res["path"].to_pylist()}:
+            with open(os.path.join(p, "_qc.json"), "w") as f:
+                json.dump(counts, f)
+    return t.drop_columns(["day"])
+
+
+def _clean_dataset(input_paths, cfg: PipelineConfig, done: frozenset,
+                   write_root: str | None = None):
+    """read → standardize → resume-skip → ONE groupby(_pkey) clean shuffle.
+    With ``write_root`` the raw partition write (+ QC sidecars/quarantine) is
+    fused into the shuffle's reduce tasks."""
     import ray.data as rd
 
     qc_stage = QCStage(cfg.qc) if cfg.qc else None
@@ -165,8 +212,14 @@ def _clean_dataset(input_paths, cfg: PipelineConfig, done: frozenset):
         ds = ds.map_batches(lambda b: _skip_completed(b, "ts", done, "source"), batch_format="pyarrow")
     ds = ds.map_batches(lambda b: _add_day(b, "ts"), batch_format="pyarrow")
     ds = ds.map_batches(lambda b: _add_pkey(b, "ts"), batch_format="pyarrow")
+    if write_root is None:
+        return ds.groupby("_pkey").map_groups(
+            lambda g: clean_group(g, qc_stage), batch_format="pyarrow"
+        )
+    qroot = os.path.join(cfg.out_root, "quarantine") if cfg.qc_quarantine else None
     return ds.groupby("_pkey").map_groups(
-        lambda g: clean_group(g, qc_stage), batch_format="pyarrow"
+        lambda g: _clean_write_group(g, qc_stage, write_root, qroot),
+        batch_format="pyarrow",
     )
 
 
@@ -177,8 +230,8 @@ def ingest_raw(input_paths, cfg: PipelineConfig) -> dict:
     done = frozenset(man.completed("raw")) if cfg.resume else frozenset()
     if cfg.resume:
         man.wipe_uncommitted("raw")
-    ds = _clean_dataset(input_paths, cfg, done)
-    write_partitioned(ds, man.tier_dir("raw"), ts_col="ts")
+    ds = _clean_dataset(input_paths, cfg, done, write_root=man.tier_dir("raw"))
+    ds.count()  # drive the fused clean+write graph
     inputs = list(input_paths) if isinstance(input_paths, (list, tuple)) else [input_paths]
     recs = man.commit_partitions("raw", inputs, cfg.run_id, time.time() - t0)
     return {"tier": "raw", "new_partitions": len(recs), "skipped": len(done), "wall_s": time.time() - t0}
@@ -223,6 +276,10 @@ def encode_tier_store(tier: str, cfg: PipelineConfig) -> dict:
 
     t0 = time.time()
     man = Manifest(cfg.out_root)
+    if not man.list_partition_dirs(f"t{tier}"):  # nothing rolled up (e.g.
+        return {"tier": f"{tier}_enc", "new_partitions": 0,  # all quarantined)
+                "bytes_raw": 0, "bytes_enc": 0, "compression_ratio": None,
+                "wall_s": time.time() - t0}
     ecfg = EncodeConfig(values=tuple(f"{v}_mean" for v in cfg.values))
     cols = ["source", "bucket", *ecfg.values]
     ds = rd.read_parquet(man.tier_dir(f"t{tier}"), columns=cols,
@@ -283,25 +340,9 @@ def _run_chained(input_paths, cfg: PipelineConfig) -> dict:
 
     man = Manifest(cfg.out_root)
     stats: dict = {}
-    qc_stage = QCStage(cfg.qc) if cfg.qc else None
-    std_cfg = cfg.std
-
-    import ray.data as rd
 
     t0 = time.time()
-    ds = rd.read_parquet(input_paths, override_num_blocks=_num_blocks(cfg))
-    ds = ds.map_batches(lambda b: standardize_batch(b, std_cfg), batch_format="pyarrow")
-    ds = ds.map_batches(lambda b: _add_day(b, "ts"), batch_format="pyarrow")
-    ds = ds.map_batches(lambda b: _add_pkey(b, "ts"), batch_format="pyarrow")
-
-    raw_root = man.tier_dir("raw")
-
-    def clean_write(g: pa.Table) -> pa.Table:
-        t = clean_group(g, qc_stage)
-        write_batch_partitioned(t, raw_root, ts_col="ts")
-        return t.drop_columns(["day"])
-
-    prev = ds.groupby("_pkey").map_groups(clean_write, batch_format="pyarrow")
+    prev = _clean_dataset(input_paths, cfg, frozenset(), write_root=man.tier_dir("raw"))
     if cfg.tier_barriers:
         prev = prev.materialize()
     prev_tier = "raw"

@@ -134,7 +134,12 @@ class Manifest:
                 continue
             pdir = self.partition_dir(tier, part)
             files, rows, nbytes, crc = [], 0, 0, 0
+            qc_counts: dict = {}
             for fn in sorted(os.listdir(pdir)):
+                if fn == "_qc.json":  # QC counter sidecar → lineage record
+                    with open(os.path.join(pdir, fn)) as f:
+                        qc_counts = json.load(f)
+                    continue
                 if not fn.endswith(".parquet"):
                     continue
                 fp = os.path.join(pdir, fn)
@@ -147,6 +152,7 @@ class Manifest:
                 tier=tier,
                 partition=part,
                 inputs=sorted(inputs),
+                qc_counts=qc_counts,
                 rows=rows,
                 bytes=nbytes,
                 files=files,
