@@ -500,6 +500,38 @@ def _q_fingerprint_docs(sf_dir: str):
     return ds.map_batches(Fingerprinter, batch_format="pyarrow", concurrency=2)
 
 
+# ---- sampling / packing / vocab stats -------------------------------------- #
+
+def _q_stratified_sample(sf_dir: str):
+    from tsdat_ray.stages.sampling import stratified_sample
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    out = stratified_sample(ds, key="source", order_col="doc_id", n_per_key=25)
+    return out.select_columns(["doc_id", "source"])
+
+
+def _q_hash_split(sf_dir: str):
+    from tsdat_ray.stages.sampling import hash_split
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return hash_split(ds, id_col="doc_id")
+
+
+def _q_pack_sequences(sf_dir: str):
+    from tsdat_ray.stages.sampling import pack_sequences
+
+    ds = _read(_sequences_corpus(sf_dir), columns=["doc_id", "tokens"])
+    out = pack_sequences(ds, context_len=2048)
+    return _strip_tokens(out)
+
+
+def _q_token_histogram(sf_dir: str):
+    from tsdat_ray.stages.sampling import token_histogram
+
+    ds = _read(_sequences_corpus(sf_dir), columns=["tokens"])
+    return token_histogram(ds)
+
+
 # ---- multimodal (synthetic raw-codec media corpus; rows-only checks) -------- #
 
 def _media_path() -> str:
@@ -576,6 +608,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_count_docs": _q_bpe_token_count,
         "lang_id_docs": _q_lang_id_docs,
         "fingerprint_docs": _q_fingerprint_docs,
+        "stratified_sample_docs": _q_stratified_sample,
+        "hash_split_docs": _q_hash_split,
+        "pack_sequences": _q_pack_sequences,
+        "token_histogram": _q_token_histogram,
         "media_image_stats": _q_media_image_stats,
         "media_audio_features": _q_media_audio_features,
         "media_video_frames": _q_media_video_frames,
@@ -691,6 +727,13 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_per_type": """
             SELECT event_type, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1
+        """,
+        "stratified_sample_docs": """
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (PARTITION BY source ORDER BY doc_id) rn
+                FROM documents
+            ) WHERE rn <= 25
         """,
         "qc_range_events": """
             SELECT event_id,

@@ -1,0 +1,90 @@
+"""Sampling / packing / histogram operators (training-data curation)."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from tsdat_ray.stages.sampling import (
+    hash_split,
+    pack_sequences,
+    stratified_sample,
+    token_histogram,
+)
+from tsdat_ray.synth import generate_sequences_table
+
+
+@pytest.fixture(scope="module")
+def seqs() -> pa.Table:
+    return generate_sequences_table(3000, seed=5)
+
+
+def test_stratified_sample_matches_window_sql(ray_session, seqs):
+    import ray.data as rd
+
+    out = stratified_sample(rd.from_arrow(seqs), key="source", order_col="doc_id",
+                            n_per_key=40).to_pandas()
+    con = duckdb.connect()
+    con.register("t", seqs.select(["doc_id", "source"]))
+    exp = con.sql(
+        "SELECT doc_id, source FROM (SELECT doc_id, source,"
+        " row_number() OVER (PARTITION BY source ORDER BY doc_id) rn FROM t)"
+        " WHERE rn <= 40"
+    ).df()
+    got = out[["doc_id", "source"]].sort_values(["source", "doc_id"]).reset_index(drop=True)
+    exp = exp.sort_values(["source", "doc_id"]).reset_index(drop=True)
+    assert got.equals(exp)
+
+
+def test_hash_split_deterministic_fractions(ray_session, seqs):
+    import ray.data as rd
+
+    out = hash_split(rd.from_arrow(seqs), fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+                     seed=3).to_pandas()
+    again = hash_split(rd.from_arrow(seqs), fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+                       seed=3).to_pandas()
+    m = out.merge(again, on="doc_id", suffixes=("_a", "_b"))
+    assert (m["split_a"] == m["split_b"]).all(), "split not deterministic"
+    frac = out["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.03
+    assert abs(frac["val"] - 0.1) < 0.02
+    # different seed → different assignment (mostly)
+    other = hash_split(rd.from_arrow(seqs), seed=4).to_pandas()
+    m2 = out.merge(other, on="doc_id", suffixes=("_a", "_b"))
+    assert (m2["split_a"] != m2["split_b"]).mean() > 0.05
+
+
+def test_pack_sequences_conserves_tokens(ray_session, seqs):
+    import ray.data as rd
+
+    ctx = 512
+    sub = seqs.slice(0, 500)
+    out = pack_sequences(rd.from_arrow(sub), context_len=ctx).to_pandas()
+    # every example except (possibly) per-batch finals is exactly ctx long
+    lens = out["n_tok"].to_numpy()
+    assert (lens <= ctx).all()
+    assert (lens == ctx).sum() >= len(lens) - out["example_id"].eq(out["example_id"].max()).sum()
+    # token conservation: total packed == total input
+    assert lens.sum() == sum(len(t) for t in sub["tokens"].to_pylist())
+    # boundary sanity on the first example of the first batch
+    row = out[out["example_id"] == 0].iloc[0]
+    toks = row["tokens"]
+    first_doc = row["doc_ids"][0]
+    orig = dict(zip(sub["doc_id"].to_pylist(), sub["tokens"].to_pylist()))[first_doc]
+    k = min(len(orig), len(toks))
+    assert list(toks[:k]) == list(orig[:k]) or list(toks[: len(orig)]) == list(orig)
+
+
+def test_token_histogram_matches_duckdb(ray_session, seqs):
+    import ray.data as rd
+
+    got = token_histogram(rd.from_arrow(seqs)).to_pandas().sort_values("token").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", seqs.select(["tokens"]))
+    exp = con.sql(
+        "SELECT CAST(u AS INTEGER) AS token, count(*) AS n FROM"
+        " (SELECT unnest(tokens) u FROM t) GROUP BY 1 ORDER BY 1"
+    ).df()
+    assert len(got) == len(exp)
+    np.testing.assert_array_equal(got["token"].to_numpy(), exp["token"].to_numpy())
+    np.testing.assert_array_equal(got["n"].to_numpy(), exp["n"].to_numpy())

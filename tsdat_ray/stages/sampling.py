@@ -1,0 +1,143 @@
+"""Sampling + sequence-packing operators for training-data curation.
+
+Absent from the reference (SURVEY §2.7 — tsdat has no sampling); these are
+the corpus-curation operators a token pipeline needs:
+
+* ``stratified_sample`` — deterministic per-key cap: the first ``n_per_key``
+  rows of each key by a stable order column (SQL: ``row_number() OVER
+  (PARTITION BY key ORDER BY order_col) <= n``).  One windowless groupby —
+  group size bounded by pre-limiting inside map_batches first (combiner
+  push-down: each batch keeps at most n_per_key rows per key, so the shuffle
+  moves ≤ n_per_key × blocks rows per key, never the full corpus).
+* ``hash_split`` — deterministic train/val/test assignment from a stable
+  content hash of an id column; no shuffle at all.
+* ``pack_sequences`` — greedy sequence packing: concatenate token lists into
+  fixed-length training examples (context windows), emitting one row per
+  packed example with document boundaries.  Packing is batch-local (each
+  block packs its own rows — the standard streaming approximation; a global
+  bin-packing would serialize the corpus).
+* ``token_histogram`` — distributed unigram counts over ``tokens`` list
+  columns: per-batch ``np.bincount`` partials → one small groupby sum
+  (shuffle carries at most vocab-size rows per block, not tokens).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def stratified_sample(ds, key: str = "source", order_col: str = "doc_id",
+                      n_per_key: int = 100):
+    """First ``n_per_key`` rows per key by ``order_col`` (deterministic)."""
+
+    def local_cap(batch: pa.Table) -> pa.Table:
+        codes = batch[key].combine_chunks().dictionary_encode()
+        k = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        o = batch[order_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((o, k))
+        k_s = k[order]
+        starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]]) if len(k_s) else np.zeros(0, np.int64)
+        within = np.arange(len(k_s)) - np.repeat(starts, np.diff(np.r_[starts, len(k_s)]))
+        keep = order[within < n_per_key]
+        return batch.take(pa.array(np.sort(keep), type=pa.int64()))
+
+    def final_cap(g: pa.Table) -> pa.Table:
+        o = g[order_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(o, kind="stable")[:n_per_key]
+        return g.take(pa.array(np.sort(order), type=pa.int64()))
+
+    capped = ds.map_batches(local_cap, batch_format="pyarrow")
+    return capped.groupby(key).map_groups(final_cap, batch_format="pyarrow")
+
+
+def hash_split(ds, id_col: str = "doc_id", fractions: dict[str, float] | None = None,
+               seed: int = 17):
+    """Stable train/val/test split: crc32(id, seed) mod 10^6 → cumulative
+    fraction buckets.  Pure map — rows never move, assignment survives
+    re-runs and re-partitioning."""
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    names = list(fractions)
+    edges = np.cumsum([fractions[n] for n in names]) * 1_000_000
+    salt = str(seed).encode()
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        h = np.array([zlib.crc32(str(i).encode() + salt) % 1_000_000 for i in ids],
+                     dtype=np.int64)
+        idx = np.searchsorted(edges, h, side="right").clip(0, len(names) - 1)
+        split = np.array(names, dtype=object)[idx]
+        return batch.append_column("split", pa.array(split.tolist(), pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def pack_sequences(ds, context_len: int = 2048, tokens_col: str = "tokens",
+                   id_col: str = "doc_id", drop_last: bool = False):
+    """Greedy batch-local packing of token lists into fixed-length examples.
+
+    Documents are taken in batch order; each is split across examples as
+    needed (no padding between docs — GPT-style packed pretraining layout).
+    Output rows: ``example_id`` (batch-local), ``tokens`` (≤ context_len,
+    == context_len except possibly the final example per batch),
+    ``doc_ids`` + ``doc_offsets`` marking where each document starts."""
+
+    def pack(batch: pa.Table) -> pa.Table:
+        toks = batch[tokens_col].combine_chunks()
+        values = toks.values.to_numpy(zero_copy_only=False)
+        offsets = toks.offsets.to_numpy().astype(np.int64)
+        ids = batch[id_col].to_pylist()
+        total = int(offsets[-1] - offsets[0]) if batch.num_rows else 0
+        base = offsets[0]
+        n_ex = total // context_len + (0 if (drop_last or total % context_len == 0) else 1)
+
+        ex_tokens, ex_ids, ex_offs = [], [], []
+        for e in range(n_ex):
+            lo, hi = e * context_len, min((e + 1) * context_len, total)
+            ex_tokens.append(values[base + lo : base + hi])
+            # docs whose span [offsets[i], offsets[i+1]) intersects [lo, hi)
+            first = int(np.searchsorted(offsets - base, lo, side="right")) - 1
+            last = int(np.searchsorted(offsets - base, hi, side="left"))
+            ex_ids.append(ids[first:last])
+            ex_offs.append((offsets[first:last] - base - lo).clip(0).astype(np.int32))
+
+        return pa.table(
+            {
+                "example_id": pa.array(np.arange(n_ex, dtype=np.int64)),
+                "tokens": pa.array([t.tolist() for t in ex_tokens], pa.list_(pa.int32())),
+                "n_tok": pa.array([len(t) for t in ex_tokens], pa.int32()),
+                "doc_ids": pa.array(ex_ids, pa.list_(pa.string())),
+                "doc_offsets": pa.array([o.tolist() for o in ex_offs], pa.list_(pa.int32())),
+            }
+        )
+
+    return ds.map_batches(pack, batch_format="pyarrow")
+
+
+def token_histogram(ds, tokens_col: str = "tokens", vocab_size: int = 50_000):
+    """Distributed unigram histogram: per-batch ``bincount`` partials (one
+    row per present token id) → groupby(token).sum — the shuffle carries at
+    most vocab_size rows per block, never the token stream itself."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = batch[tokens_col].combine_chunks()
+        values = toks.values.to_numpy(zero_copy_only=False)
+        counts = np.bincount(values, minlength=0)
+        present = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "token": pa.array(present.astype(np.int32)),
+                "n": pa.array(counts[present].astype(np.int64)),
+            }
+        )
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+    agg = part.groupby("token").sum("n")
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"token": b["token"], "n": b["sum(n)"]})
+
+    return agg.map_batches(rename, batch_format="pyarrow")
