@@ -500,6 +500,25 @@ def _q_fingerprint_docs(sf_dir: str):
     return ds.map_batches(Fingerprinter, batch_format="pyarrow", concurrency=2)
 
 
+# ---- windowed aggregates (streaming-shaped) --------------------------------- #
+
+def _q_sliding_window(sf_dir: str):
+    from tsdat_ray.stages.window import sliding_window_agg
+
+    ds = _events(sf_dir, columns=["ts", "event_type", "value"])
+    out = sliding_window_agg(ds, key="event_type", ts_col="ts", value_col="value",
+                             window_s=300, slide_s=60)
+    return out.select_columns(["event_type", "window_start", "n_rows", "value_sum"])
+
+
+def _q_session_window(sf_dir: str):
+    from tsdat_ray.stages.window import session_window_agg
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "event_type", "value"])
+    return session_window_agg(ds, key="event_type", ts_col="ts", value_col="value",
+                              gap_s=1800, id_col="event_id")
+
+
 # ---- sampling / packing / vocab stats -------------------------------------- #
 
 def _q_stratified_sample(sf_dir: str):
@@ -608,6 +627,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_count_docs": _q_bpe_token_count,
         "lang_id_docs": _q_lang_id_docs,
         "fingerprint_docs": _q_fingerprint_docs,
+        "sliding_window_events": _q_sliding_window,
+        "session_window_events": _q_session_window,
         "stratified_sample_docs": _q_stratified_sample,
         "hash_split_docs": _q_hash_split,
         "pack_sequences": _q_pack_sequences,
@@ -727,6 +748,37 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_per_type": """
             SELECT event_type, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1
+        """,
+        "sliding_window_events": """
+            SELECT event_type, w AS window_start,
+                   count(*) AS n_rows, sum(value) AS value_sum
+            FROM (
+                SELECT event_type, value,
+                       unnest(generate_series(
+                           date_trunc('minute', ts) - INTERVAL 4 MINUTE,
+                           date_trunc('minute', ts),
+                           INTERVAL 1 MINUTE)) AS w
+                FROM events
+            )
+            GROUP BY 1, 2
+        """,
+        "session_window_events": """
+            WITH d AS (
+                SELECT event_type, event_id, ts, value,
+                       CASE WHEN ts - lag(ts) OVER
+                                (PARTITION BY event_type ORDER BY ts, event_id)
+                            > INTERVAL 1800 SECOND THEN 1 ELSE 0 END AS brk
+                FROM events
+            ),
+            s AS (
+                SELECT *, sum(brk) OVER (PARTITION BY event_type
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS sid
+                FROM d
+            )
+            SELECT event_type, min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_rows, sum(value) AS value_sum
+            FROM s GROUP BY event_type, sid
         """,
         "stratified_sample_docs": """
             SELECT doc_id, source FROM (

@@ -88,3 +88,65 @@ def test_token_histogram_matches_duckdb(ray_session, seqs):
     assert len(got) == len(exp)
     np.testing.assert_array_equal(got["token"].to_numpy(), exp["token"].to_numpy())
     np.testing.assert_array_equal(got["n"].to_numpy(), exp["n"].to_numpy())
+
+
+# --------------------------------------------------------------------------- #
+# windowed aggregates
+# --------------------------------------------------------------------------- #
+
+def test_sliding_window_small(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tsdat_ray.stages.window import sliding_window_agg
+
+    US = 1_000_000
+    # events at 0s, 70s, 130s for key "a"; window 120s, slide 60s
+    tbl = pa.table(
+        {
+            "k": pa.array(["a", "a", "a"]),
+            "ts": pa.array(np.array([0, 70, 130], dtype=np.int64) * US).cast(pa.timestamp("us")),
+            "v": pa.array([1.0, 2.0, 4.0]),
+        }
+    )
+    out = (
+        sliding_window_agg(rd.from_arrow(tbl), key="k", ts_col="ts", value_col="v",
+                           window_s=120, slide_s=60)
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    # windows: -60 [only ev0], 0 [ev0, ev1], 60 [ev1, ev2], 120 [ev2]
+    assert out["window_start"].astype("int64").tolist() == [-60 * US, 0, 60 * US, 120 * US]
+    assert out["n_rows"].tolist() == [1, 2, 2, 1]
+    assert out["value_sum"].tolist() == [1.0, 3.0, 6.0, 4.0]
+    assert out["value_max"].tolist() == [1.0, 2.0, 4.0, 4.0]
+
+
+def test_session_window_small(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tsdat_ray.stages.window import session_window_agg
+
+    US = 1_000_000
+    ts = np.array([0, 10, 25, 100, 111, 300], dtype=np.int64) * US
+    tbl = pa.table(
+        {
+            "k": pa.array(["a"] * 6),
+            "eid": pa.array(np.arange(6)),
+            "ts": pa.array(ts).cast(pa.timestamp("us")),
+            "v": pa.array([1.0] * 6),
+        }
+    )
+    out = (
+        session_window_agg(rd.from_arrow(tbl), key="k", ts_col="ts", value_col="v",
+                           gap_s=30, id_col="eid")
+        .to_pandas()
+        .sort_values("session_start")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 3
+    assert out["n_rows"].tolist() == [3, 2, 1]
+    assert out["session_start"].astype("int64").tolist() == [0, 100 * US, 300 * US]
+    assert out["session_end"].astype("int64").tolist() == [25 * US, 111 * US, 300 * US]
