@@ -124,6 +124,11 @@ def run_bench() -> dict:
         "knn_embeddings",
         "knn_lsh_embeddings",
         "knn_ivf_embeddings",
+        "sliding_window_events",
+        "session_window_events",
+        "stratified_sample_docs",
+        "token_histogram",
+        "pack_sequences",
     ]
     qtimes = {}
     for name in bench_queries:

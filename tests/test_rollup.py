@@ -140,3 +140,37 @@ def test_rollup_fast_matches_grouped(ray_session, seq_table):
     fast_h = rollup_fast(fast.repartition(17), c_cfg, from_tier=True).materialize()
     slow_h = rollup(slow, c_cfg, from_tier=True).materialize()
     _assert_tier_matches(_sorted_pdf(fast_h), _sorted_pdf(slow_h))
+
+
+def test_rollup_edge_cases_vs_oracle(ray_session):
+    """Property-style edge cases: tiny/empty/degenerate inputs through both
+    rollup plans vs the oracle (hypothesis-lite: deterministic seeds over the
+    edge-case grid beats flaky random draws in CI)."""
+    import ray.data as rd
+
+    from tsdat_ray.stages.rollup import rollup_fast
+
+    cases = []
+    # single row
+    cases.append(generate_sequences_table(1, seed=1))
+    # two rows same bucket
+    cases.append(generate_sequences_table(2, seed=2))
+    # a few dozen rows, multiple seeds (different anomaly mixes)
+    for s in (3, 4, 5):
+        cases.append(generate_sequences_table(60, seed=s))
+
+    for tbl in cases:
+        odf = oracle_standardize(tbl)
+        o1m = oracle_rollup_raw(odf, 60)
+        ds = rd.from_arrow(tbl).map_batches(standardize_batch, batch_format="pyarrow")
+        got = rollup(ds, RollupConfig(interval_s=60, window_s=3600)).materialize()
+        _assert_tier_matches(_sorted_pdf(got), _sorted_pdf(o1m))
+
+
+def test_rollup_empty_input(ray_session):
+    import ray.data as rd
+
+    tbl = generate_sequences_table(10, seed=9).slice(0, 0)
+    ds = rd.from_arrow(tbl).map_batches(standardize_batch, batch_format="pyarrow")
+    out = rollup(ds, RollupConfig(interval_s=60, window_s=3600)).to_pandas()
+    assert len(out) == 0
