@@ -233,6 +233,35 @@ def _q_gapfill(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_gapfill_linear(sf_dir: str):
+    """1m rollup of events → linear interpolation across gaps of ≤5 buckets."""
+    from tsdat_ray.stages.gapfill import GapFillConfig, gapfill_tier
+
+    tier = _events_rollup(sf_dir, "1m")
+
+    def slim(b: pa.Table) -> pa.Table:
+        return b.select(["event_type", "bucket", "value_mean"])
+
+    ds = tier.map_batches(slim, batch_format="pyarrow")
+    out = gapfill_tier(
+        ds,
+        GapFillConfig(interval_s=60, values=("value",), key="event_type",
+                      method="linear", max_gap=5),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "bucket": b["bucket"],
+                "value_filled": b["value_mean"],
+                "filled": b["filled"],
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 # ---- documents / embeddings ops ------------------------------------------- #
 
 def _q_dedup_docs(sf_dir: str):
@@ -607,6 +636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parse_props_events": _q_parse_props,
         "asof_click_purchase": _q_asof,
         "gapfill_1m_events": _q_gapfill,
+        "gapfill_linear_1m_events": _q_gapfill_linear,
         "dedup_exact_docs": _q_dedup_docs,
         "token_count_docs": _q_token_count,
         "quality_score_docs": _q_quality,
@@ -697,6 +727,48 @@ def oracle_sql() -> dict[str, str]:
                    bucket <> src_bucket AS filled
             FROM j
             WHERE date_diff('minute', src_bucket, bucket) <= 5
+        """,
+        "gapfill_linear_1m_events": """
+            WITH b AS (
+                SELECT event_type, date_trunc('minute', ts) AS bucket,
+                       avg(value) AS v
+                FROM events GROUP BY 1, 2
+            ),
+            bounds AS (
+                SELECT event_type, min(bucket) AS mn, max(bucket) AS mx
+                FROM b GROUP BY 1
+            ),
+            grid AS (
+                SELECT event_type,
+                       unnest(generate_series(mn, mx, INTERVAL 1 MINUTE)) AS bucket
+                FROM bounds
+            ),
+            pj AS (
+                SELECT g.event_type, g.bucket, bb.bucket AS pb, bb.v AS pv
+                FROM grid g
+                ASOF LEFT JOIN b bb
+                  ON g.event_type = bb.event_type AND g.bucket >= bb.bucket
+            ),
+            nj AS (
+                SELECT g.event_type, g.bucket, bb.bucket AS nb, bb.v AS nv
+                FROM grid g
+                ASOF LEFT JOIN b bb
+                  ON g.event_type = bb.event_type AND g.bucket <= bb.bucket
+            ),
+            j AS (
+                SELECT p.event_type, p.bucket, p.pb, p.pv, n.nb, n.nv
+                FROM pj p JOIN nj n
+                  ON p.event_type = n.event_type AND p.bucket = n.bucket
+            )
+            SELECT event_type, bucket,
+                   CASE WHEN pb = bucket THEN pv
+                        ELSE pv + (nv - pv) * date_diff('minute', pb, bucket)
+                             / date_diff('minute', pb, nb) END AS value_filled,
+                   pb <> bucket AS filled
+            FROM j
+            WHERE pb = bucket
+               OR (pb IS NOT NULL AND nb IS NOT NULL
+                   AND date_diff('minute', pb, nb) - 1 <= 5)
         """,
         "dedup_exact_docs": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
