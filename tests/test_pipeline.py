@@ -175,3 +175,22 @@ def test_qc_quarantine_diverts_partition(ray_session, corpus, tmp_path):
     with pytest.raises((DataQualityError, ray.exceptions.RayTaskError)):
         run_pipeline(corpus, PipelineConfig(out_root=out2, run_id="q3",
                                             qc=_qc_cfg(fail_tolerance=0.0)))
+
+
+def test_cli_manifest_summary(tmp_path, corpus, ray_session):
+    """CLI manifest summary over a real store (run/prune own their Ray
+    session, so only the sessionless subcommand runs inside the suite)."""
+    import json
+
+    from tsdat_ray.__main__ import main
+
+    out = str(tmp_path / "cli_m")
+    run_pipeline(corpus, PipelineConfig(out_root=out, run_id="c1"))
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["manifest", "--out", out]) == 0
+    summary = json.loads(buf.getvalue())
+    assert summary["raw"]["partitions"] > 0
+    assert summary["t1m"]["rows"] > 0
