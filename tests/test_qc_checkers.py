@@ -243,3 +243,20 @@ def test_array_mask_threshold():
     assert fails.tolist() == [False, False, False, True]
     fails = CHECKERS["array_mask_threshold"](x, {}, {"threshold": 5.0, "comparator": ">="}, {})
     assert fails.tolist() == [False, True, False, False]
+
+
+def test_despike_gn2002_flags_planted_spikes():
+    import numpy as np
+
+    from tsdat_ray.stages.qc import CHECKERS
+
+    rng = np.random.Generator(np.random.Philox(key=np.array([21, 0], dtype=np.uint64)))
+    x = np.sin(np.arange(400) / 10.0) + 0.05 * rng.standard_normal(400)
+    spikes = [50, 180, 333]
+    x[spikes] += np.array([6.0, -7.0, 8.0])
+    fails = CHECKERS["despike_gn2002"](x, {}, {"n_iter": 3}, {})
+    assert all(fails[i] for i in spikes), "planted spikes not flagged"
+    assert fails.sum() <= 20, f"too many false positives: {fails.sum()}"
+    # clean signal → (almost) nothing flagged
+    clean = np.sin(np.arange(400) / 10.0)
+    assert CHECKERS["despike_gn2002"](clean, {}, {}, {}).sum() <= 4

@@ -184,10 +184,49 @@ def check_array_mask_threshold(x, attrs, params, cols):
     return np.asarray(out, dtype=bool) & ~_isnull(np.asarray(x))
 
 
+def check_despike_gn2002(x, attrs, params, cols):
+    """Goring & Nikora (2002) phase-space despiking (parity target:
+    tsdat CheckGoringNikora2002, which delegates to mhkit —
+    /root/reference/tsdat/qc/checkers/oceanography/check_goring_nikora_2002.py:9-22.
+    mhkit isn't in this container; this is the published algorithm in numpy):
+    points outside the universal-threshold ellipsoid in (u, ∂u, ∂²u) phase
+    space are spikes.  params: {"n_iter": 3}."""
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    if n < 5:
+        return np.zeros(n, dtype=bool)
+    failures = np.zeros(n, dtype=bool)
+    for _ in range(int(params.get("n_iter", 3))):
+        u = np.where(failures, np.nan, x)
+        u = u - np.nanmean(u)
+        du = np.gradient(u)
+        d2u = np.gradient(du)
+        lam = np.sqrt(2.0 * np.log(np.count_nonzero(~np.isnan(u))))
+        su, sdu, sd2u = (np.nanstd(v) for v in (u, du, d2u))
+        if 0.0 in (su, sdu, sd2u):
+            break
+        # rotation angle of the u–d2u ellipse principal axis
+        theta = np.arctan2(np.nansum(u * d2u), np.nansum(u * u))
+        ct, st = np.cos(theta), np.sin(theta)
+        a, b = lam * su, lam * sd2u
+        with np.errstate(invalid="ignore", divide="ignore"):
+            e1 = (u / (lam * su)) ** 2 + (du / (lam * sdu)) ** 2
+            e2 = (du / (lam * sdu)) ** 2 + (d2u / (lam * sd2u)) ** 2
+            ur, d2r = u * ct + d2u * st, -u * st + d2u * ct
+            e3 = (ur / a) ** 2 + (d2r / b) ** 2
+        new = (e1 > 1.0) | (e2 > 1.0) | (e3 > 1.0)
+        new &= ~np.isnan(x)
+        if not (new & ~failures).any():
+            break
+        failures |= new
+    return failures
+
+
 CHECKERS: dict[str, Callable] = {
     "missing": check_missing,
     "monotonic": check_monotonic,
     "array_mask_threshold": check_array_mask_threshold,
+    "despike_gn2002": check_despike_gn2002,
 }
 for kind in ("valid", "fail", "warn"):
     CHECKERS[f"{kind}_max"] = make_check_max(f"{kind}_max")
