@@ -368,14 +368,12 @@ def _q_pricing_summary(sf_dir: str):
 
 
 def _q_distinct_users(sf_dir: str):
-    """Exact distinct count: dedup shuffle on (type, user), then count."""
+    """Exact distinct count via per-batch dedup + repartition tree-dedup
+    (no keyed shuffle; the moving set is bounded by distinct pairs)."""
+    from tsdat_ray.stages.dedup import distinct_count
+
     ds = _events(sf_dir, columns=["event_type", "user_id"])
-
-    def first(g: pa.Table) -> pa.Table:
-        return g.slice(0, 1)
-
-    uniq = ds.groupby(["event_type", "user_id"]).map_groups(first, batch_format="pyarrow")
-    out = uniq.groupby("event_type").count()
+    out = distinct_count(ds, key="event_type", value="user_id")
 
     def rename(b: pa.Table) -> pa.Table:
         return b.rename_columns(["event_type", "n_users"])

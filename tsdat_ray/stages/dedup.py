@@ -317,3 +317,39 @@ def minhash_neardup_pairs(ds, texts: "pa.Table", threshold: float = 0.5,
         )
 
     return pairs.map_batches(verify, batch_format="pyarrow")
+
+
+def distinct_count(ds, key: str, value: str, fanin: int = 8):
+    """Exact count(DISTINCT value) per key: per-batch vectorized dedup of
+    (key, value) pairs → repartition tree-dedup (set union is associative)
+    → final per-key count.  No keyed shuffle at all — the moving set is
+    bounded by the number of DISTINCT pairs (≪ rows for skewed logs); when
+    distinct pairs outgrow a worker, hash-partition by value instead."""
+
+    def uniq(batch: pa.Table) -> pa.Table:
+        codes = batch[key].combine_chunks().dictionary_encode()
+        kc = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch[value].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, kc))
+        kc_s, v_s = kc[order], v[order]
+        keep = np.r_[True, (kc_s[1:] != kc_s[:-1]) | (v_s[1:] != v_s[:-1])] if len(kc_s) else np.zeros(0, bool)
+        return batch.select([key, value]).take(pa.array(order[keep], type=pa.int64()))
+
+    def count(batch: pa.Table) -> pa.Table:
+        codes = batch[key].combine_chunks().dictionary_encode()
+        kc = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(kc, kind="stable")
+        kc_s = kc[order]
+        starts = np.flatnonzero(np.r_[True, kc_s[1:] != kc_s[:-1]]) if len(kc_s) else np.zeros(0, np.int64)
+        n = np.diff(np.r_[starts, len(kc_s)])
+        return pa.table(
+            {
+                key: batch[key].take(pa.array(order[starts] if len(starts) else [], type=pa.int64())),
+                "n_distinct": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    u = ds.map_batches(uniq, batch_format="pyarrow")
+    u = u.repartition(fanin).map_batches(uniq, batch_format="pyarrow", batch_size=None)
+    u = u.repartition(1).map_batches(uniq, batch_format="pyarrow", batch_size=None)
+    return u.map_batches(count, batch_format="pyarrow", batch_size=None)

