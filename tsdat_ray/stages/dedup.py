@@ -284,6 +284,10 @@ def minhash_neardup_pairs(ds, texts: "pa.Table", threshold: float = 0.5,
         pk = (np.array(a_out, dtype=np.int64) << np.int64(32)) | np.array(b_out, dtype=np.int64)
         return pa.table({"_pk": pa.array(pk)})
 
+    def uniq(batch: pa.Table) -> pa.Table:
+        pk = batch["_pk"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({"_pk": pa.array(np.unique(pk))})
+
     def unkey(batch: pa.Table) -> pa.Table:
         pk = batch["_pk"].combine_chunks().to_numpy(zero_copy_only=False)
         return pa.table(
@@ -293,8 +297,22 @@ def minhash_neardup_pairs(ds, texts: "pa.Table", threshold: float = 0.5,
             }
         )
 
-    pairs = cand.map_batches(explode_pairs, batch_format="pyarrow")
-    pairs = pairs.groupby("_pk").count().map_batches(unkey, batch_format="pyarrow")
+    # dedup candidate pairs by repartition tree-unique (pair count is bounded
+    # by true near-dups × bands, far below the corpus — same reduction shape
+    # as distinct_count; a keyed groupby costs a full sort round-trip).
+    # The materialize barrier matters: one lazy graph mixing the actor pool,
+    # the band groupby AND repartitions schedules pathologically in the
+    # streaming executor (measured 4× slower end-to-end); the candidate set
+    # is tiny, so the barrier is free.
+    pairs = cand.map_batches(explode_pairs, batch_format="pyarrow").map_batches(
+        uniq, batch_format="pyarrow"
+    ).materialize()
+    pairs = pairs.repartition(4).map_batches(uniq, batch_format="pyarrow", batch_size=None)
+    pairs = pairs.repartition(1).map_batches(uniq, batch_format="pyarrow", batch_size=None)
+    # spread the (expensive, per-pair) jaccard verification back across the
+    # cluster — leaving it downstream of repartition(1) serializes it into
+    # one task (measured 38 s for ~300k candidate pairs vs ~3 s spread)
+    pairs = pairs.repartition(16).map_batches(unkey, batch_format="pyarrow")
 
     tmap = dict(zip(texts[id_col].to_pylist(), texts[text_col].to_pylist()))
     tref = ray.put(tmap)
