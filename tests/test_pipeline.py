@@ -194,3 +194,24 @@ def test_cli_manifest_summary(tmp_path, corpus, ray_session):
     summary = json.loads(buf.getvalue())
     assert summary["raw"]["partitions"] > 0
     assert summary["t1m"]["rows"] > 0
+
+
+def test_qc_flag_metadata_in_raw_files(ray_session, corpus, tmp_path):
+    """Raw-tier parquet footers carry the QC bit tables (flag_masks /
+    meanings / assessments, ACT-convention parity)."""
+    import glob
+    import json
+
+    import pyarrow.parquet as pq
+
+    from tests.test_pipeline import _qc_cfg  # self-import safe under pytest
+
+    out = str(tmp_path / "metastore")
+    run_pipeline(corpus, PipelineConfig(out_root=out, run_id="meta1", qc=_qc_cfg()))
+    f = sorted(glob.glob(f"{out}/raw/**/*.parquet", recursive=True))[0]
+    md = pq.read_schema(f).metadata
+    md = {k.decode(): v.decode() for k, v in md.items()}
+    assert md.get("engine") == "tsdat_ray"
+    assert json.loads(md["qc_n_tok_flag_masks"]) == [1]
+    assert json.loads(md["qc_n_tok_flag_meanings"]) == ["n_tok_high"]
+    assert json.loads(md["qc_n_tok_flag_assessments"]) == ["Indeterminate"]

@@ -158,8 +158,23 @@ def _tier_rcfg(tier: str, cfg: PipelineConfig) -> RollupConfig:
     )
 
 
+def _qc_file_metadata(qc_stage, run_id: str = "") -> dict:
+    """Parquet footer attrs for raw-tier files: QC bit tables per variable
+    (flag_masks / flag_meanings / flag_assessments — the ACT convention the
+    reference records per qc_ variable, record_quality_results.py:56-83)."""
+    import json
+
+    meta = {"engine": "tsdat_ray", "run_id": run_id}
+    if qc_stage is not None:
+        for var, lst in qc_stage.meanings.items():
+            meta[f"qc_{var}_flag_masks"] = json.dumps([b for b, _, _ in lst])
+            meta[f"qc_{var}_flag_meanings"] = json.dumps([m for _, m, _ in lst])
+            meta[f"qc_{var}_flag_assessments"] = json.dumps([a for _, _, a in lst])
+    return meta
+
+
 def _clean_write_group(g: pa.Table, qc_stage, raw_root: str,
-                       quarantine_root: str | None) -> pa.Table:
+                       quarantine_root: str | None, metadata: dict | None = None) -> pa.Table:
     """Clean one (source, day) group, run QC with per-partition counters,
     write the partition + a ``_qc.json`` lineage sidecar (QC counts land in
     the manifest record at commit), and return the cleaned rows onward.
@@ -188,7 +203,7 @@ def _clean_write_group(g: pa.Table, qc_stage, raw_root: str,
             empty = qc_stage(t.slice(0, 0))
             return empty.drop_columns(["day"])
         t = t_qc
-    res = write_batch_partitioned(t, raw_root, ts_col="ts")
+    res = write_batch_partitioned(t, raw_root, ts_col="ts", metadata=metadata)
     if report:
         counts = {f"{m}:{v}": int(n) for (m, v), n in report.items()}
         for p in {os.path.dirname(x) for x in res["path"].to_pylist()}:
@@ -217,8 +232,9 @@ def _clean_dataset(input_paths, cfg: PipelineConfig, done: frozenset,
             lambda g: clean_group(g, qc_stage), batch_format="pyarrow"
         )
     qroot = os.path.join(cfg.out_root, "quarantine") if cfg.qc_quarantine else None
+    meta = _qc_file_metadata(qc_stage, cfg.run_id)
     return ds.groupby("_pkey").map_groups(
-        lambda g: _clean_write_group(g, qc_stage, write_root, qroot),
+        lambda g: _clean_write_group(g, qc_stage, write_root, qroot, meta),
         batch_format="pyarrow",
     )
 

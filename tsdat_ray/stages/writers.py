@@ -37,6 +37,7 @@ def write_batch_partitioned(
     partition_cols: tuple[str, ...] = ("source", "day"),
     ts_col: str | None = None,
     compression: str = "snappy",
+    metadata: dict | None = None,
 ) -> pa.Table:
     """Write ONE batch's rows into hive partition dirs under ``root``; returns
     a (path, rows) manifest table.  Deterministic file names → safe under Ray
@@ -61,6 +62,11 @@ def write_batch_partitioned(
 
     sorted_batch = batch.take(pa.array(order, type=pa.int64()))
     body = sorted_batch.drop_columns(list(partition_cols))
+    if metadata:
+        # global attrs / QC flag meanings land in every file footer (the
+        # engine's xr attrs equivalent; reference: NetCDFWriter attrs)
+        md = {str(k).encode(): str(v).encode() for k, v in metadata.items()}
+        body = body.replace_schema_metadata({**(body.schema.metadata or {}), **md})
     tcol = ts_col if ts_col and ts_col in body.column_names else None
     paths, rows = [], []
     for s, e in zip(starts, ends):
@@ -90,12 +96,13 @@ def write_partitioned(
     partition_cols: tuple[str, ...] = ("source", "day"),
     ts_col: str | None = None,
     compression: str = "snappy",
+    metadata: dict | None = None,
 ) -> int:
     """Write ``ds`` under ``root`` in hive layout; returns rows written.
     Consumes the dataset (one streaming pass)."""
 
     def write_batch(batch: pa.Table) -> pa.Table:
-        return write_batch_partitioned(batch, root, partition_cols, ts_col, compression)
+        return write_batch_partitioned(batch, root, partition_cols, ts_col, compression, metadata)
 
     res = ds.map_batches(write_batch, batch_format="pyarrow").materialize()
     total = 0
