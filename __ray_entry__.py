@@ -494,6 +494,13 @@ def _q_neardup_minhash_docs(sf_dir: str):
     return minhash_neardup_pairs(ds, texts, threshold=0.5)
 
 
+def _q_simhash_neardup(sf_dir: str):
+    from tsdat_ray.stages.dedup import simhash_neardup_pairs
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_neardup_pairs(ds, max_hamming=3)
+
+
 def _q_simhash_docs(sf_dir: str):
     from tsdat_ray.stages.dedup import SimHasher
 
@@ -652,6 +659,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_embeddings": _q_knn_ivf,
         "neardup_minhash_docs": _q_neardup_minhash_docs,
         "simhash_docs": _q_simhash_docs,
+        "neardup_simhash_docs": _q_simhash_neardup,
         "bpe_token_count_docs": _q_bpe_token_count,
         "lang_id_docs": _q_lang_id_docs,
         "fingerprint_docs": _q_fingerprint_docs,

@@ -139,3 +139,32 @@ def test_minhash_signature_similarity_tracks_jaccard():
     true_ab = ngram_jaccard(a, b, k=4)
     assert abs(sim_ab - true_ab) < 0.15
     assert sim_ac < 0.1 < sim_ab
+
+
+def test_simhash_neardup_pairs_planted(ray_session):
+    import ray.data as rd
+
+    from tsdat_ray.stages.dedup import simhash_neardup_pairs
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running through "
+        "the wide green field toward the river bank where boats are moored"
+    )
+    ids, texts = [], []
+    for i in range(3):
+        ids.append(i)
+        texts.append(base + f" variant {i}")
+        ids.append(100 + i)
+        texts.append(base.replace("quick", "swift") + f" variant {i}")  # near-dup of i
+    for i in range(60):
+        ids.append(1000 + i)
+        texts.append(
+            f"document {i} talks about completely unrelated topic number {i*13} "
+            f"with its own vocabulary like {'zymurgy' if i%2 else 'quixotic'} {i*7}"
+        )
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    out = simhash_neardup_pairs(rd.from_arrow(tbl), max_hamming=6).to_pandas()
+    found = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
+    for i in range(3):
+        assert (i, 100 + i) in found, f"planted simhash near-dup {i} missed: {found}"
+    assert (out["hamming"] <= 6).all()

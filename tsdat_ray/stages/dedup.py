@@ -371,3 +371,103 @@ def distinct_count(ds, key: str, value: str, fanin: int = 8):
     u = u.repartition(fanin).map_batches(uniq, batch_format="pyarrow", batch_size=None)
     u = u.repartition(1).map_batches(uniq, batch_format="pyarrow", batch_size=None)
     return u.map_batches(count, batch_format="pyarrow", batch_size=None)
+
+
+def simhash_neardup_pairs(ds, max_hamming: int = 3, n_tables: int = 4,
+                          prefix_bits: int = 16, text_col: str = "text",
+                          id_col: str = "doc_id", concurrency: int = 2):
+    """SimHash near-duplicate pairs: 64-bit signatures, then candidate
+    generation by equal ``prefix_bits`` prefixes under ``n_tables`` bit
+    rotations (two docs within hamming distance d collide in at least one
+    rotated prefix with high probability when d ≪ 64/n_tables), exact
+    hamming verification ≤ ``max_hamming`` within buckets.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b."""
+
+    def rotations(batch: pa.Table) -> pa.Table:
+        sig = batch["simhash"].combine_chunks().to_numpy(zero_copy_only=False)
+        ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(sig)
+        rot_id, bucket, out_ids, out_sig = [], [], [], []
+        step = 64 // n_tables
+        for r in range(n_tables):
+            rot = np.bitwise_or(
+                np.left_shift(sig, np.uint64(r * step)),
+                np.right_shift(sig, np.uint64(64 - r * step)) if r else np.uint64(0),
+            )
+            rot_id.append(np.full(n, r, dtype=np.int64))
+            bucket.append(np.right_shift(rot, np.uint64(64 - prefix_bits)).astype(np.int64))
+            out_ids.append(ids)
+            out_sig.append(sig)
+        return pa.table(
+            {
+                "rot": pa.array(np.concatenate(rot_id)),
+                "bucket": pa.array(np.concatenate(bucket)),
+                id_col: pa.array(np.concatenate(out_ids)),
+                "simhash": pa.array(np.concatenate(out_sig)),
+            }
+        )
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        """One (rot % salt) partition: segment by (rot, bucket), emit verified
+        pairs per segment (vectorized per segment; segments are small)."""
+        rot = g["rot"].combine_chunks().to_numpy(zero_copy_only=False)
+        bkt = g["bucket"].combine_chunks().to_numpy(zero_copy_only=False)
+        ids = g[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        sig = g["simhash"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, bkt, rot))
+        rot, bkt, ids, sig = rot[order], bkt[order], ids[order], sig[order]
+        change = np.r_[True, (rot[1:] != rot[:-1]) | (bkt[1:] != bkt[:-1])]
+        starts = np.flatnonzero(change)
+        ends = np.r_[starts[1:], len(rot)]
+        a_out, b_out, h_out = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            sub_ids, sub_sig = ids[s:e], sig[s:e]
+            iu, ju = np.triu_indices(e - s, k=1)
+            hd = hamming_distance64(sub_sig[iu], sub_sig[ju])
+            ok = hd <= max_hamming
+            a_out.append(sub_ids[iu[ok]])
+            b_out.append(sub_ids[ju[ok]])
+            h_out.append(hd[ok])
+        if not a_out:
+            return pa.table({"_pk": pa.array([], pa.int64()), "hamming": pa.array([], pa.int64())})
+        a = np.concatenate(a_out)
+        b = np.concatenate(b_out)
+        h = np.concatenate(h_out)
+        pk = (np.minimum(a, b) << np.int64(32)) | np.maximum(a, b)
+        return pa.table({"_pk": pa.array(pk.astype(np.int64)), "hamming": pa.array(h.astype(np.int64))})
+
+    def uniq(batch: pa.Table) -> pa.Table:
+        pk = batch["_pk"].combine_chunks().to_numpy(zero_copy_only=False)
+        h = batch["hamming"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(pk, kind="stable")
+        pk_s, h_s = pk[order], h[order]
+        keep = np.r_[True, pk_s[1:] != pk_s[:-1]] if len(pk_s) else np.zeros(0, bool)
+        return pa.table({"_pk": pa.array(pk_s[keep]), "hamming": pa.array(h_s[keep])})
+
+    def unkey(batch: pa.Table) -> pa.Table:
+        pk = batch["_pk"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "id_a": pa.array(pk >> np.int64(32)),
+                "id_b": pa.array(pk & np.int64(0xFFFFFFFF)),
+                "hamming": batch["hamming"],
+            }
+        )
+
+    sigs = ds.map_batches(SimHasher, fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
+                          batch_format="pyarrow", concurrency=concurrency)
+    ex = sigs.map_batches(rotations, batch_format="pyarrow")
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        b = batch["bucket"].combine_chunks().to_numpy(zero_copy_only=False)
+        return batch.append_column("_salt", pa.array(b % np.int64(64)))
+
+    pairs = ex.map_batches(add_salt, batch_format="pyarrow").groupby("_salt").map_groups(
+        bucket_pairs, batch_format="pyarrow"
+    ).materialize()  # barrier: see minhash_neardup_pairs scheduling note
+    pairs = pairs.repartition(4).map_batches(uniq, batch_format="pyarrow", batch_size=None)
+    pairs = pairs.repartition(1).map_batches(uniq, batch_format="pyarrow", batch_size=None)
+    return pairs.map_batches(unkey, batch_format="pyarrow")
