@@ -22,46 +22,46 @@ import pyarrow.compute as pc
 
 
 def _hash_text(col: pa.ChunkedArray) -> np.ndarray:
-    """Stable 64-bit content hash of a string column (vectorized FNV-1a over
-    numpy byte views would be ideal; python hashlib per row is too slow, so we
-    use pyarrow's string → uint64 path via polars-free approach: md5 via
-    pandas is slow too — use np.frombuffer per batch)."""
-    import hashlib
+    """Stable 64-bit content hash of a string column, vectorized (pandas
+    hash_array: C siphash with a fixed key — deterministic across workers
+    and processes)."""
+    import pandas as pd
 
-    # NOTE: per-row hashing is unavoidable for variable-length strings without
-    # an Arrow hash kernel; use the C-speed hashlib on the raw buffer slices.
-    arr = col.combine_chunks()
-    out = np.empty(len(arr), dtype=np.uint64)
-    for i, v in enumerate(arr):
-        s = v.as_py()
-        out[i] = (
-            np.frombuffer(hashlib.blake2b((s or "").encode(), digest_size=8).digest(), dtype=np.uint64)[0]
-        )
-    return out
+    arr = col.combine_chunks().to_numpy(zero_copy_only=False)
+    return pd.util.hash_array(arr)
 
 
-def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", keep_cols=None):
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", keep_cols=None,
+                salt_mod: int = 256):
     """Exact dedup on the content of ``text_col``: keep the row with the
-    minimum ``id_col`` per distinct content (deterministic)."""
+    minimum ``id_col`` per distinct content (deterministic).
+
+    Shuffle shape: hash-partition on ``_h % salt_mod`` (coarse buckets, so
+    hot duplicate clusters spread across a bounded number of groups and each
+    group dedups MANY hashes vectorized — one Python call per distinct text
+    was the hot spot before), then per-partition segmentation by (hash,
+    text) with rare-collision resolution via exact text compare."""
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        return batch.append_column("_h", pa.array(_hash_text(batch[text_col])))
+        h = _hash_text(batch[text_col])
+        batch = batch.append_column("_h", pa.array(h))
+        return batch.append_column("_salt", pa.array((h % np.uint64(salt_mod)).astype(np.int64)))
 
-    def first(g: pa.Table) -> pa.Table:
+    def first_part(g: pa.Table) -> pa.Table:
         ids = g[id_col].to_numpy(zero_copy_only=False)
-        # groups share a hash; resolve rare collisions by exact text equality
+        h = g["_h"].combine_chunks().to_numpy(zero_copy_only=False)
         texts = g[text_col].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, texts))
-        ts = texts[order]
-        keep = np.r_[True, ts[1:] != ts[:-1]]
+        order = np.lexsort((ids, texts, h))
+        ts, hs = texts[order], h[order]
+        keep = np.r_[True, (hs[1:] != hs[:-1]) | (ts[1:] != ts[:-1])] if len(ts) else np.zeros(0, bool)
         starts = np.flatnonzero(keep)
         counts = np.diff(np.r_[starts, len(ts)])
         t = g.take(pa.array(order[keep], type=pa.int64()))
-        t = t.drop_columns(["_h"])
+        t = t.drop_columns(["_h", "_salt"])
         return t.append_column("n_copies", pa.array(counts.astype(np.int64)))
 
-    out = ds.map_batches(add_hash, batch_format="pyarrow").groupby("_h").map_groups(
-        first, batch_format="pyarrow"
+    out = ds.map_batches(add_hash, batch_format="pyarrow").groupby("_salt").map_groups(
+        first_part, batch_format="pyarrow"
     )
     if keep_cols:
         out = out.select_columns(list(keep_cols))
