@@ -575,7 +575,17 @@ def _q_pack_sequences(sf_dir: str):
 
     ds = _read(_sequences_corpus(sf_dir), columns=["doc_id", "tokens"])
     out = pack_sequences(ds, context_len=2048)
-    return _strip_tokens(out)
+
+    def scalars(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "example_id": b["example_id"],
+                "n_tok": b["n_tok"],
+                "n_docs": pc.cast(pc.list_value_length(b["doc_ids"]), pa.int32()),
+            }
+        )
+
+    return out.map_batches(scalars, batch_format="pyarrow")
 
 
 def _q_token_histogram(sf_dir: str):
@@ -603,14 +613,17 @@ def _q_media_image_stats(sf_dir: str):
     from tsdat_ray.stages.multimodal import ImageDecode
 
     ds = _read(_media_path()).filter(expr="kind == 'image'")
-    return ds.map_batches(ImageDecode, batch_format="pyarrow", concurrency=2, batch_size=32)
+    out = ds.map_batches(ImageDecode, batch_format="pyarrow", concurrency=2, batch_size=32)
+    # scalar columns only (list columns break generic sort-and-hash compares)
+    return out.select_columns(["media_id", "px_mean", "px_std"])
 
 
 def _q_media_audio_features(sf_dir: str):
     from tsdat_ray.stages.multimodal import AudioFeatures
 
     ds = _read(_media_path()).filter(expr="kind == 'audio'")
-    return ds.map_batches(AudioFeatures, batch_format="pyarrow", concurrency=2, batch_size=32)
+    out = ds.map_batches(AudioFeatures, batch_format="pyarrow", concurrency=2, batch_size=32)
+    return out.select_columns(["media_id", "duration_s", "peak", "rms"])
 
 
 def _q_media_video_frames(sf_dir: str):
