@@ -260,3 +260,32 @@ def test_despike_gn2002_flags_planted_spikes():
     # clean signal → (almost) nothing flagged
     clean = np.sin(np.arange(400) / 10.0)
     assert CHECKERS["despike_gn2002"](clean, {}, {}, {}).sum() <= 4
+
+
+def test_apply_to_keywords_and_exclude():
+    import numpy as np
+    import pyarrow as pa
+
+    from tsdat_ray.stages.qc import Manager, QCConfig, QCStage
+
+    cfg = QCConfig(
+        managers=(
+            Manager(name="miss_all", checker="missing", apply_to=("DATA_VARS",),
+                    exclude=("b",)),
+        ),
+        attrs={"a": {"_FillValue": -9999.0}},
+        coords=("ts",),
+    )
+    stage = QCStage(cfg)
+    batch = pa.table(
+        {
+            "ts": pa.array(np.arange(4).astype("datetime64[us]")),
+            "a": pa.array([1.0, -9999.0, float("nan"), 4.0]),
+            "b": pa.array([float("nan")] * 4),  # excluded → never flagged
+        }
+    )
+    out = stage(batch)
+    assert "qc_a" in out.column_names and "qc_b" not in out.column_names
+    assert out["qc_a"].to_pylist() == [0, 1, 1, 0]
+    # bit table resolved deterministically
+    assert stage.meanings == {"a": [(1, "miss_all", "Bad")]}

@@ -245,7 +245,10 @@ for kind in ("valid", "fail", "warn"):
 class Manager:
     name: str
     checker: str
+    # variable names, or the keywords "COORDS" / "DATA_VARS" (resolved against
+    # the first batch's columns — parity quality_manager.py:23-29,52-65)
     apply_to: tuple[str, ...]
+    exclude: tuple[str, ...] = ()
     parameters: dict = dc_field(default_factory=dict)
     handlers: tuple[dict, ...] = (({"name": "record_quality_results"}),)
     assessment: str = "Bad"  # recorded assessment of this test
@@ -268,20 +271,62 @@ class QCStage:
 
     def __init__(self, config: QCConfig):
         self.config = config
+        self._has_keywords = any(
+            v in ("COORDS", "DATA_VARS")
+            for m in config.managers
+            for v in tuple(m.apply_to) + tuple(m.exclude)
+        )
+        self._resolved: dict[str, tuple[str, ...]] | None = None
+        if not self._has_keywords:
+            self._build_bits({m.name: tuple(m.apply_to) for m in config.managers})
+
+    def _build_bits(self, apply_map: dict[str, tuple[str, ...]]) -> None:
         # bit number per (var, manager) assigned in manager order, parity
         # record_quality_results.py:74-83 (next free bit = #existing tests + 1)
+        self._resolved = apply_map
         self._bits: dict[tuple[str, str], int] = {}
         counts: dict[str, int] = {}
         self.meanings: dict[str, list[tuple[int, str, str]]] = {}
-        for m in config.managers:
+        for m in self.config.managers:
             recorded = any(h["name"] == "record_quality_results" for h in m.handlers)
-            for var in m.apply_to:
+            for var in apply_map[m.name]:
                 if recorded:
                     counts[var] = counts.get(var, 0) + 1
                     self._bits[(var, m.name)] = counts[var]
                     self.meanings.setdefault(var, []).append(
                         (1 << (counts[var] - 1), m.name, m.assessment)
                     )
+
+    def _resolve(self, columns: list[str]) -> None:
+        """Expand COORDS/DATA_VARS keywords against an actual schema (stable
+        across batches, so the bit table is deterministic)."""
+        if self._resolved is not None:
+            return
+        apply_map: dict[str, tuple[str, ...]] = {}
+        coords = tuple(self.config.coords)
+        data_vars = tuple(
+            c for c in columns
+            if c not in coords and not c.startswith("qc_") and not c.startswith("_")
+        )
+        for m in self.config.managers:
+            out: list[str] = []
+            for v in m.apply_to:
+                if v == "COORDS":
+                    out.extend(c for c in coords if c in columns)
+                elif v == "DATA_VARS":
+                    out.extend(data_vars)
+                else:
+                    out.append(v)
+            excl = set()
+            for v in m.exclude:
+                if v == "COORDS":
+                    excl.update(coords)
+                elif v == "DATA_VARS":
+                    excl.update(data_vars)
+                else:
+                    excl.add(v)
+            apply_map[m.name] = tuple(v for v in dict.fromkeys(out) if v not in excl)
+        self._build_bits(apply_map)
 
     def bad_bits(self, var: str) -> int:
         return sum(b for b, _, a in self.meanings.get(var, []) if a == "Bad")
@@ -301,9 +346,10 @@ class QCStage:
         n = batch.num_rows
         keep = np.ones(n, dtype=bool)
 
+        self._resolve(batch.column_names)
         for m in self.config.managers:
             fn = CHECKERS[m.checker]
-            for var in m.apply_to:
+            for var in self._resolved[m.name]:
                 if var not in cols:
                     continue
                 attrs = self.config.attrs.get(var, {})
