@@ -139,6 +139,10 @@ class PipelineConfig:
     # FailPipeline semantics); True → divert the partition's pre-QC rows to
     # quarantine/ and continue (SURVEY §7.4-4).
     qc_quarantine: bool = False
+    # user hooks (reference ingest_pipeline.py:51-87): "customize" runs after
+    # standardize (before the clean shuffle), "finalize" after QC before the
+    # raw write; each is a picklable callable (pa.Table) -> pa.Table
+    hooks: dict = field(default_factory=dict)
 
 
 def _num_blocks(cfg: PipelineConfig) -> int:
@@ -174,7 +178,8 @@ def _qc_file_metadata(qc_stage, run_id: str = "") -> dict:
 
 
 def _clean_write_group(g: pa.Table, qc_stage, raw_root: str,
-                       quarantine_root: str | None, metadata: dict | None = None) -> pa.Table:
+                       quarantine_root: str | None, metadata: dict | None = None,
+                       finalize_hook=None) -> pa.Table:
     """Clean one (source, day) group, run QC with per-partition counters,
     write the partition + a ``_qc.json`` lineage sidecar (QC counts land in
     the manifest record at commit), and return the cleaned rows onward.
@@ -203,6 +208,8 @@ def _clean_write_group(g: pa.Table, qc_stage, raw_root: str,
             empty = qc_stage(t.slice(0, 0))
             return empty.drop_columns(["day"])
         t = t_qc
+    if finalize_hook is not None:
+        t = finalize_hook(t)
     res = write_batch_partitioned(t, raw_root, ts_col="ts", metadata=metadata)
     if report:
         counts = {f"{m}:{v}": int(n) for (m, v), n in report.items()}
@@ -223,6 +230,8 @@ def _clean_dataset(input_paths, cfg: PipelineConfig, done: frozenset,
     std_cfg = cfg.std
     ds = rd.read_parquet(input_paths, override_num_blocks=_num_blocks(cfg))
     ds = ds.map_batches(lambda b: standardize_batch(b, std_cfg), batch_format="pyarrow")
+    if cfg.hooks.get("customize") is not None:
+        ds = ds.map_batches(cfg.hooks["customize"], batch_format="pyarrow")
     if done:
         ds = ds.map_batches(lambda b: _skip_completed(b, "ts", done, "source"), batch_format="pyarrow")
     ds = ds.map_batches(lambda b: _add_day(b, "ts"), batch_format="pyarrow")
@@ -233,8 +242,9 @@ def _clean_dataset(input_paths, cfg: PipelineConfig, done: frozenset,
         )
     qroot = os.path.join(cfg.out_root, "quarantine") if cfg.qc_quarantine else None
     meta = _qc_file_metadata(qc_stage, cfg.run_id)
+    fin = cfg.hooks.get("finalize")
     return ds.groupby("_pkey").map_groups(
-        lambda g: _clean_write_group(g, qc_stage, write_root, qroot, meta),
+        lambda g: _clean_write_group(g, qc_stage, write_root, qroot, meta, fin),
         batch_format="pyarrow",
     )
 
