@@ -1,0 +1,152 @@
+"""CLI: run the flagship pipeline / prune retention / inspect the manifest.
+
+The reference ships a single-command CLI (tsdat generate-schema —
+/root/reference/tsdat/cli/cli.py:1-18) with pipeline execution living in
+template repos; this engine's CLI IS the pipeline runner, shaped for
+``ray job submit``:
+
+    ray job submit -- python -m tsdat_ray run \
+        --input /data/sequences --out /data/store --resume
+    python -m tsdat_ray prune --out /data/store
+    python -m tsdat_ray manifest --out /data/store --tier raw
+
+Owns its Ray session (scripts may init; the library never does)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="tsdat_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    runp = sub.add_parser("run", help="run the rollup pipeline (ingest + tiers + encode)")
+    runp.add_argument("--input", required=True, help="input Parquet path(s), comma-separated")
+    runp.add_argument("--out", required=True, help="output store root")
+    runp.add_argument("--resume", action="store_true", help="skip manifest-completed partitions")
+    runp.add_argument("--run-id", default="", help="lineage run id")
+    runp.add_argument("--num-cpus", type=int, default=None)
+    runp.add_argument("--quarantine", action="store_true",
+                      help="divert fail_pipeline breaches instead of aborting")
+    runp.add_argument("--config", default=None,
+                      help="yaml pipeline config (cli flags override it)")
+    runp.add_argument("--set", action="append", default=[], metavar="PATH=VALUE",
+                      help="dotted-path config override, e.g. qc.attrs.n_tok.warn_max=50")
+
+    prunep = sub.add_parser("prune", help="apply per-tier retention pruning")
+    prunep.add_argument("--out", required=True)
+    prunep.add_argument("--now-us", type=int, default=None,
+                        help="'now' in epoch µs (default: wall clock)")
+
+    manp = sub.add_parser("manifest", help="summarize the lineage manifest")
+    manp.add_argument("--out", required=True)
+    manp.add_argument("--tier", default=None)
+
+    sub.add_parser("schema", help="print the yaml config schema (fields, checkers, handlers)")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "schema":
+        # parity: the reference CLI's single command emits config schemas
+        # (tsdat generate-schema — cli/generate_schema/generate_schema.py)
+        from tsdat_ray.pipelines.rollup_pipeline import PipelineConfig
+        from tsdat_ray.stages.qc import CHECKERS
+
+        fields = {
+            name: str(f.type)
+            for name, f in PipelineConfig.__dataclass_fields__.items()
+        }
+        print(json.dumps(
+            {
+                "pipeline_fields": fields,
+                "qc_checkers": sorted(CHECKERS),
+                "qc_handlers": ["record_quality_results", "remove_failed_values",
+                                 "sort_dataset_by_coordinate", "fail_pipeline"],
+                "manager_fields": ["name", "checker", "apply_to", "exclude",
+                                    "parameters", "handlers", "assessment"],
+                "apply_to_keywords": ["COORDS", "DATA_VARS"],
+            },
+            indent=2,
+        ))
+        return 0
+
+    if args.cmd == "manifest":
+        from tsdat_ray.state.manifest import Manifest
+
+        man = Manifest(args.out)
+        recs = man.records()
+        if args.tier:
+            recs = [r for r in recs if r.get("tier") == args.tier]
+        summary: dict = {}
+        for r in recs:
+            t = r.get("tier", "?")
+            s = summary.setdefault(t, {"partitions": 0, "rows": 0, "bytes": 0, "pruned": 0})
+            if r.get("action") == "pruned":
+                s["pruned"] += 1
+            else:
+                s["partitions"] += 1
+                s["rows"] += r.get("rows", 0)
+                s["bytes"] += r.get("bytes", 0)
+        print(json.dumps(summary, indent=2))
+        return 0
+
+    import ray
+
+    if not ray.is_initialized():
+        kw = dict(address="local", include_dashboard=False, logging_level="ERROR")
+        if args.cmd == "run" and args.num_cpus:
+            kw["num_cpus"] = args.num_cpus
+        ray.init(**kw)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from tsdat_ray.pipelines.rollup_pipeline import (
+        PipelineConfig,
+        prune_retention,
+        run_pipeline,
+    )
+
+    try:
+        if args.cmd == "run":
+            if args.config:
+                from tsdat_ray.config import load_pipeline_config
+
+                overrides = {}
+                for item in args.set:
+                    path, _, value = item.partition("=")
+                    try:
+                        value = json.loads(value)
+                    except json.JSONDecodeError:
+                        pass
+                    overrides[path] = value
+                overrides.setdefault("out_root", args.out)
+                cfg = load_pipeline_config(args.config, overrides)
+                cfg.resume = args.resume or cfg.resume
+                cfg.run_id = args.run_id or cfg.run_id or f"cli-{int(time.time())}"
+                cfg.qc_quarantine = args.quarantine or cfg.qc_quarantine
+            else:
+                cfg = PipelineConfig(
+                    out_root=args.out,
+                    resume=args.resume,
+                    run_id=args.run_id or f"cli-{int(time.time())}",
+                    qc_quarantine=args.quarantine,
+                )
+            inputs = args.input.split(",")
+            stats = run_pipeline(inputs if len(inputs) > 1 else inputs[0], cfg)
+            print(json.dumps(stats, default=str))
+        elif args.cmd == "prune":
+            cfg = PipelineConfig(out_root=args.out, run_id="prune")
+            now_us = args.now_us if args.now_us is not None else int(time.time() * 1_000_000)
+            print(json.dumps(prune_retention(cfg, now_us)))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
