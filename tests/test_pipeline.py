@@ -215,3 +215,49 @@ def test_qc_flag_metadata_in_raw_files(ray_session, corpus, tmp_path):
     assert json.loads(md["qc_n_tok_flag_masks"]) == [1]
     assert json.loads(md["qc_n_tok_flag_meanings"]) == ["n_tok_high"]
     assert json.loads(md["qc_n_tok_flag_assessments"]) == ["Indeterminate"]
+
+
+def test_task_retry_with_idempotent_writes(ray_session, corpus, tmp_path):
+    """North-rule fault tolerance: a transient task failure mid-pipeline is
+    retried by Ray, and the deterministic atomic partition writes make the
+    retried run's output identical to a clean run (no duplicate/torn files)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    clean_out = str(tmp_path / "clean")
+    run_pipeline(corpus, PipelineConfig(out_root=clean_out, resume=False, run_id="c"))
+
+    flag = str(tmp_path / "kill-once")
+
+    def killer_once(batch, flag=flag):
+        # exactly ONE task dies mid-flight (worker process exit = the crash
+        # class Ray's lineage-based retry handles); every retry/other task
+        # proceeds because the flag file already exists
+        try:
+            fd = os.open(flag, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            os._exit(1)
+        except FileExistsError:
+            return batch
+
+    faulty_out = str(tmp_path / "faulty")
+    cfg = PipelineConfig(out_root=faulty_out, resume=False, run_id="f",
+                         hooks={"customize": killer_once})
+    run_pipeline(corpus, cfg)  # must complete despite the injected crash
+    assert os.path.exists(flag), "fault was never injected"
+
+    a = rd.read_parquet(f"{clean_out}/t1m").to_pandas()
+    b = rd.read_parquet(f"{faulty_out}/t1m").to_pandas()
+    key = ["source", "bucket"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b)
+    np.testing.assert_allclose(a["n_tok_mean"], b["n_tok_mean"], rtol=0, atol=0)
+    np.testing.assert_array_equal(a["n_rows"], b["n_rows"])
+    # every partition has exactly the expected file set (no dup part files)
+    import glob
+
+    fa = sorted(p.split("clean/")[-1] for p in glob.glob(f"{clean_out}/raw/**/*.parquet", recursive=True))
+    fb = sorted(p.split("faulty/")[-1] for p in glob.glob(f"{faulty_out}/raw/**/*.parquet", recursive=True))
+    assert fa == fb

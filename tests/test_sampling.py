@@ -150,3 +150,18 @@ def test_session_window_small(ray_session):
     assert out["n_rows"].tolist() == [3, 2, 1]
     assert out["session_start"].astype("int64").tolist() == [0, 100 * US, 300 * US]
     assert out["session_end"].astype("int64").tolist() == [25 * US, 111 * US, 300 * US]
+
+
+def test_approx_global_shuffle(ray_session, seqs):
+    import ray.data as rd
+
+    from tsdat_ray.stages.sampling import approx_global_shuffle
+
+    ds = rd.from_arrow(seqs).repartition(8)
+    out1 = approx_global_shuffle(ds, seed=1).to_pandas()["doc_id"].tolist()
+    out2 = approx_global_shuffle(rd.from_arrow(seqs).repartition(8), seed=1).to_pandas()["doc_id"].tolist()
+    out3 = approx_global_shuffle(rd.from_arrow(seqs).repartition(8), seed=2).to_pandas()["doc_id"].tolist()
+    orig = seqs["doc_id"].to_pylist()
+    assert sorted(out1) == sorted(orig)          # permutation, nothing lost
+    assert out1 == out2                          # deterministic per seed
+    assert out1 != out3 and out1 != orig         # actually shuffles

@@ -153,3 +153,25 @@ def token_histogram(ds, tokens_col: str = "tokens", fanin: int = 8):
     part = ds.map_batches(partial, batch_format="pyarrow")
     mid = part.repartition(fanin).map_batches(merge, batch_format="pyarrow", batch_size=None)
     return mid.repartition(1).map_batches(merge, batch_format="pyarrow", batch_size=None)
+
+
+def approx_global_shuffle(ds, seed: int = 42):
+    """Two-level shuffle for training-example streams: randomize block order
+    + an independent seeded permutation within each block.  This is the
+    standard pretraining-loader approximation — O(1) memory, no all-to-all —
+    vs ``ds.random_shuffle()`` which moves every row (use that when exact
+    uniformity matters more than a full extra shuffle)."""
+
+    def perm(batch: pa.Table, seed=seed) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return batch
+        # per-batch deterministic stream: fold batch content into the key
+        first = str(batch.column(0)[0].as_py()) if batch.num_columns else "0"
+        key = np.array([seed, zlib.crc32(first.encode())], dtype=np.uint64)
+        rng = np.random.Generator(np.random.Philox(key=key))
+        return batch.take(pa.array(rng.permutation(n), type=pa.int64()))
+
+    return ds.randomize_block_order(seed=seed).map_batches(
+        perm, batch_format="pyarrow", batch_size=None
+    )
