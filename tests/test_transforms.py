@@ -217,3 +217,27 @@ def test_auto_grid_distributed(ray_session):
     assert set(out[out["source"] == "A"]["mode"]) == {"bin_average"}
     assert set(out[out["source"] == "B"]["mode"]) == {"interpolate"}
     assert len(out) == 20  # 10 grid points per source
+
+
+def test_auto_grid_forced_modes(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tsdat_ray.stages.transforms import GridSpec, auto_grid
+
+    US = 1_000_000
+    ts = np.arange(120, dtype=np.int64) * 5 * US
+    tbl = pa.table(
+        {
+            "source": pa.array(["A"] * 120),
+            "ts": pa.array(ts).cast(pa.timestamp("us")),
+            "v": pa.array(np.arange(120.0)),
+        }
+    )
+    grid = GridSpec(start_us=0, stop_us=600 * US, interval_us=60 * US)
+    for mode in ("bin_average", "interpolate"):
+        out = auto_grid(rd.from_arrow(tbl), grid, values=("v",), window_s=86400,
+                        mode=mode).to_pandas()
+        assert set(out["mode"]) == {mode}
+        assert len(out) == 10

@@ -537,10 +537,16 @@ def auto_grid(
     values: tuple[str, ...] = ("n_tok",),
     bad_bits: int = 3,
     window_s: int = 86400,
+    mode: str = "auto",
 ):
-    """Distributed TRANS_AUTO: per (key, window) region, bin-average when
-    #inputs > #outputs in the region, else linear interpolation — each
-    region's branch decided from its own counts (one groupby shuffle)."""
+    """Distributed grid transform. ``mode``:
+
+    * ``auto`` — TRANS_AUTO: per (key, window) region, bin-average when
+      #inputs > #outputs in the region, else linear interpolation
+      (adi_transformer.py:121-133)
+    * ``bin_average`` / ``interpolate`` — force one branch everywhere
+      (TRANS_BIN_AVERAGE / TRANS_INTERPOLATE)
+    One groupby shuffle either way."""
     window_us = window_s * US
 
     def add_window(b: pa.Table) -> pa.Table:
@@ -577,11 +583,19 @@ def auto_grid(
             )
             bad = ((qc & bad_bits) != 0) | np.isnan(x)
             vals[v] = (np.where(bad, np.nan, x), bad, np.zeros(len(x), bool))
-        mode, res = auto_slice(ts, vals, sub, input_width_us=None)
+        if mode == "auto":
+            chosen, res = auto_slice(ts, vals, sub, input_width_us=None)
+        elif mode == "bin_average":
+            chosen, res = "bin_average", bin_average_slice(ts, vals, sub, None)
+        else:
+            res = interpolate_slice(ts, {v: x for v, (x, _b, _i) in vals.items()}, sub)
+            for v in values:
+                res[f"{v}_mean"] = res.pop(v)
+            chosen = "interpolate"
         out: dict = {
             key: pa.array(np.repeat(g[key][0].as_py(), sub.n)),
             "grid_ts": pa.array(sub.labels).cast(pa.timestamp("us")),
-            "mode": pa.array(np.repeat(mode, sub.n)),
+            "mode": pa.array(np.repeat(chosen, sub.n)),
         }
         for v in values:
             out[f"{v}_mean"] = pa.array(res[f"{v}_mean"])
