@@ -610,6 +610,15 @@ def _q_pack_sequences(sf_dir: str):
     return out.map_batches(scalars, batch_format="pyarrow")
 
 
+def _q_shuffle_sequences(sf_dir: str):
+    """Deterministic approximate global shuffle of packed training examples
+    (block-order randomization + seeded in-block permutation)."""
+    from tsdat_ray.stages.sampling import approx_global_shuffle
+
+    ds = _read(_sequences_corpus(sf_dir), columns=["doc_id", "n_tok", "source"])
+    return approx_global_shuffle(ds, seed=7)
+
+
 def _q_token_histogram(sf_dir: str):
     from tsdat_ray.stages.sampling import token_histogram
 
@@ -703,6 +712,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_docs": _q_stratified_sample,
         "hash_split_docs": _q_hash_split,
         "pack_sequences": _q_pack_sequences,
+        "shuffle_sequences": _q_shuffle_sequences,
         "token_histogram": _q_token_histogram,
         "media_image_stats": _q_media_image_stats,
         "media_audio_features": _q_media_audio_features,
