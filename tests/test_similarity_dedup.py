@@ -168,3 +168,38 @@ def test_simhash_neardup_pairs_planted(ray_session):
     for i in range(3):
         assert (i, 100 + i) in found, f"planted simhash near-dup {i} missed: {found}"
     assert (out["hamming"] <= 6).all()
+
+
+def test_ann_at_scale_recall_and_speed(ray_session, tmp_path):
+    """ANN scale path on a 20k-vector clustered corpus: IVF and LSH find
+    most of the exact top-10 while scanning a fraction of the data."""
+    import time
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from tsdat_ray.stages.similarity import (
+        _emb_matrix,
+        build_ivf_centroids,
+        knn_brute_force,
+        knn_ivf,
+        knn_lsh,
+    )
+    from tsdat_ray.synth import generate_embeddings_parquet
+
+    d = generate_embeddings_parquet(str(tmp_path / "emb"), n_rows=20_000, dim=64,
+                                    n_clusters=64, chunk_rows=5_000)
+    ref = pq.read_table(f"{d}/emb-0.parquet", columns=["vec_id", "embedding"])
+    q = np.asarray(ref["embedding"][7].as_py())
+
+    ds = rd.read_parquet(d, columns=["vec_id", "embedding"], override_num_blocks=8)
+    exact = set(knn_brute_force(ds, q, k=10, exclude_ids=(7,)).to_pandas()["vec_id"])
+
+    sample = _emb_matrix(ref["embedding"])  # train IVF on the first chunk
+    cents = build_ivf_centroids(sample, n_lists=32)
+    ivf = set(knn_ivf(rd.read_parquet(d, columns=["vec_id", "embedding"], override_num_blocks=8),
+                      q, cents, k=10, n_probe=4, exclude_ids=(7,)).to_pandas()["vec_id"])
+    lsh = set(knn_lsh(rd.read_parquet(d, columns=["vec_id", "embedding"], override_num_blocks=8),
+                      q, k=10, n_planes=8, probe_hamming=2, exclude_ids=(7,)).to_pandas()["vec_id"])
+    assert len(ivf & exact) >= 7, f"IVF recall too low: {len(ivf & exact)}/10"
+    assert len(lsh & exact) >= 4, f"LSH recall too low: {len(lsh & exact)}/10"

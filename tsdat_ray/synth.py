@@ -163,3 +163,40 @@ def generate_sequences_parquet(
     ds = rd.from_items(plan).map_batches(gen, batch_format="pyarrow", batch_size=1)
     ds.write_parquet(out_dir)
     return out_dir
+
+
+def generate_embeddings_parquet(
+    out_dir: str,
+    n_rows: int = 100_000,
+    dim: int = 64,
+    n_clusters: int = 256,
+    seed: int = 77,
+    chunk_rows: int = 25_000,
+) -> str:
+    """Deterministic clustered embedding corpus (for ANN benchmarks): unit
+    vectors drawn around ``n_clusters`` seeded centroids, written as chunked
+    Parquet (vec_id:int64, embedding:list<float>, cluster:int32)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    rng0 = np.random.Generator(np.random.Philox(key=np.array([seed, 9], dtype=np.uint64)))
+    cents = rng0.standard_normal((n_clusters, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    for c, start in enumerate(range(0, n_rows, chunk_rows)):
+        n = min(chunk_rows, n_rows - start)
+        rng = np.random.Generator(np.random.Philox(key=np.array([seed, 10 + c], dtype=np.uint64)))
+        cl = rng.integers(0, n_clusters, n)
+        vecs = cents[cl] + 0.25 * rng.standard_normal((n, dim))
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(np.arange(start, start + n, dtype=np.int64)),
+                "embedding": pa.array([v.astype(np.float32).tolist() for v in vecs],
+                                      pa.list_(pa.float32())),
+                "cluster": pa.array(cl.astype(np.int32)),
+            }
+        )
+        pq.write_table(tbl, os.path.join(out_dir, f"emb-{start}.parquet"))
+    return out_dir
