@@ -289,3 +289,31 @@ def test_apply_to_keywords_and_exclude():
     assert out["qc_a"].to_pylist() == [0, 1, 1, 0]
     # bit table resolved deterministically
     assert stage.meanings == {"a": [(1, "miss_all", "Bad")]}
+
+
+def test_check_std_global_two_pass(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tsdat_ray.stages.qc import check_std_global
+
+    rng = np.random.Generator(np.random.Philox(key=np.array([31, 0], dtype=np.uint64)))
+    n = 4000
+    keys = np.repeat(["a", "b"], n // 2)
+    x = np.r_[rng.normal(0, 1, n // 2), rng.normal(100, 5, n // 2)]
+    x[10] = 50.0    # outlier for key a (way over mean+3std of N(0,1))
+    x[3000] = 500.0  # outlier for key b
+    tbl = pa.table({"source": pa.array(keys), "v": pa.array(x)})
+    out = check_std_global(rd.from_arrow(tbl).repartition(8), var="v").to_pandas()
+
+    df = pd.DataFrame({"source": keys, "v": x})
+    g = df.groupby("source")["v"]
+    thr = g.transform("mean") + 3.0 * g.transform(lambda s: s.std(ddof=1))
+    exp = (df["v"] > thr).to_numpy()
+    got = (out.sort_values(["source", "v"]).reset_index(drop=True)["qc_v"] != 0).to_numpy()
+    exps = pd.DataFrame({"source": keys, "v": x, "f": exp}).sort_values(
+        ["source", "v"]).reset_index(drop=True)["f"].to_numpy()
+    np.testing.assert_array_equal(got, exps)
+    assert got.sum() >= 2  # both planted outliers flagged

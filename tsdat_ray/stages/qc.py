@@ -415,3 +415,48 @@ class QCStage:
             if name not in batch.column_names:  # new qc_ columns
                 out[name] = pa.array(cols[name][keep] if drop_any else cols[name])
         return pa.table(out)
+
+
+def check_std_global(ds, var: str, key: str = "source", n_std: float = 3.0,
+                     qc_bit: int | None = None):
+    """Distributed two-pass CheckStd (SURVEY §7.4-3): pass 1 computes each
+    key's mean/std (ddof=1) with one small groupby-aggregate, the per-key
+    table is broadcast once (``ray.put``), pass 2 flags x > mean + n_std·std
+    per batch — the whole-slice statistics the in-group checker can't see
+    when a key's history spans many partitions (reference semantics:
+    check_std.py:21-42 over the full retrieved slice).
+
+    Adds/ORs ``qc_<var>`` with ``qc_bit`` (default: next power of two above
+    any bit used by the batch's existing qc column, fixed at 1<<30 for
+    stability) and returns the transformed Dataset."""
+    import ray
+    from ray.data.aggregate import Mean, Std
+
+    bit = np.int32(qc_bit if qc_bit is not None else (1 << 30))
+    stats = ds.groupby(key).aggregate(
+        Mean(var, alias_name="_mean"), Std(var, ddof=1, alias_name="_std")
+    ).to_pandas()
+    table = {
+        r[key]: (float(r["_mean"]), float(r["_std"]) if np.isfinite(r["_std"]) else 0.0)
+        for _, r in stats.iterrows()
+    }
+    ref = ray.put(table)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        t = ray.get(ref)
+        keys = batch[key].to_numpy(zero_copy_only=False)
+        x = batch[var].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        means = np.array([t.get(k, (np.nan, 0.0))[0] for k in uniq])[inv]
+        stds = np.array([t.get(k, (np.nan, 0.0))[1] for k in uniq])[inv]
+        with np.errstate(invalid="ignore"):
+            fails = x > means + n_std * stds
+        qc_name = f"qc_{var}"
+        if qc_name in batch.column_names:
+            qc = batch[qc_name].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int32)
+            qc = qc | np.where(fails, bit, 0).astype(np.int32)
+            idx = batch.column_names.index(qc_name)
+            return batch.set_column(idx, qc_name, pa.array(qc))
+        return batch.append_column(qc_name, pa.array(np.where(fails, bit, 0).astype(np.int32)))
+
+    return ds.map_batches(flag, batch_format="pyarrow")
