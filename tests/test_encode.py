@@ -146,3 +146,45 @@ def test_encoded_tier_store_roundtrip(ray_session, tmp_path):
     order = np.argsort(dec["ts"])
     for v in vals:
         np.testing.assert_allclose(np.asarray(dec[v])[order], got_sel[v].to_numpy()[:m], rtol=0, atol=0)
+
+
+# --------------------------------------------------------------------------- #
+# property-based roundtrips (hypothesis)
+# --------------------------------------------------------------------------- #
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.floats(allow_nan=True, allow_infinity=True, width=64),
+        min_size=0,
+        max_size=64,
+    )
+)
+def test_gorilla_roundtrip_any_floats(vals):
+    import numpy as np
+
+    x = np.array(vals, dtype=np.float64)
+    got = decode_values(encode_values(x))
+    np.testing.assert_array_equal(
+        got.view(np.uint64), x.view(np.uint64)  # bitwise: NaN payloads too
+    )
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62),
+        min_size=0,
+        max_size=64,
+    )
+)
+def test_dod_roundtrip_any_timestamps(vals):
+    import numpy as np
+
+    ts = np.array(sorted(vals), dtype=np.int64)
+    got = decode_timestamps(encode_timestamps(ts))
+    np.testing.assert_array_equal(got, ts)
