@@ -445,17 +445,28 @@ def _q_merge_click_purchase(sf_dir: str):
     from tsdat_ray.stages.joins import merge_sources
 
     def side(event_type: str, only_col: str):
+        from tsdat_ray.stages.reduce import tree_reduce
+
         ds = _events(sf_dir, columns=["ts", "event_type", "value"])
 
-        def f(b: pa.Table) -> pa.Table:
-            return b.filter(pc.equal(b["event_type"], event_type)).select(["ts", "value"])
+        def max_per_ts(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.equal(b["event_type"], event_type)) if "event_type" in b.column_names else b
+            ts = b["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+            v = b["value" if "value" in b.column_names else "v"].combine_chunks().cast(
+                pa.float64()).to_numpy(zero_copy_only=False)
+            order = np.lexsort((-v, ts))
+            ts_s, v_s = ts[order], v[order]
+            keep = np.r_[True, ts_s[1:] != ts_s[:-1]] if len(ts_s) else np.zeros(0, bool)
+            return pa.table({"ts": pa.array(ts_s[keep]).cast(pa.timestamp("us")),
+                             "v": pa.array(v_s[keep])})
 
-        agg = ds.map_batches(f, batch_format="pyarrow").groupby("ts").max("value")
+        # distinct-ts count is bounded → tree reduction beats a keyed shuffle
+        agg = tree_reduce(ds, max_per_ts)
 
-        def rename(b: pa.Table) -> pa.Table:
-            return pa.table({"ts": b["ts"], "v": b["max(value)"], only_col: b["max(value)"]})
+        def widen(b: pa.Table) -> pa.Table:
+            return pa.table({"ts": b["ts"], "v": b["v"], only_col: b["v"]})
 
-        return agg.map_batches(rename, batch_format="pyarrow")
+        return agg.map_batches(widen, batch_format="pyarrow")
 
     merged = merge_sources([side("click", "v_click"), side("purchase", "v_purch")], on="ts")
     return merged.select_columns(["ts", "v", "v_click", "v_purch"])
