@@ -261,3 +261,42 @@ def test_task_retry_with_idempotent_writes(ray_session, corpus, tmp_path):
     fa = sorted(p.split("clean/")[-1] for p in glob.glob(f"{clean_out}/raw/**/*.parquet", recursive=True))
     fb = sorted(p.split("faulty/")[-1] for p in glob.glob(f"{faulty_out}/raw/**/*.parquet", recursive=True))
     assert fa == fb
+
+
+def test_resume_rebuilds_missing_tier_only(ray_session, corpus, tmp_path):
+    """Crash between tiers: raw + t1m committed, t1h/t1d lost → resume
+    rebuilds the lost tiers from the t1m on disk without touching raw
+    (commit timestamps prove what was and wasn't recomputed)."""
+    import ray.data as rd
+
+    out = str(tmp_path / "midstore")
+    run_pipeline(corpus, PipelineConfig(out_root=out, run_id="m1"))
+    man = Manifest(out)
+    before_raw = man.last_modified("raw")
+    before_1m = man.last_modified("t1m")
+    t1h_before = rd.read_parquet(f"{out}/t1h").to_pandas().sort_values(
+        ["source", "bucket"]).reset_index(drop=True)
+
+    # simulate the crash: drop t1h/t1d dirs and their manifest records
+    for tier in ("t1h", "t1d"):
+        shutil.rmtree(os.path.join(out, tier))
+    recs = [r for r in man.records() if r["tier"] not in ("t1h", "t1d")]
+    os.remove(man.path)
+    for r in recs:
+        man.append(dict(r))
+
+    stats = run_pipeline(corpus, PipelineConfig(out_root=out, run_id="m2"))
+    assert stats["raw"]["new_partitions"] == 0, "raw should be fully skipped"
+    assert stats["1m"]["new_partitions"] == 0, "t1m should be fully skipped"
+    assert stats["1h"]["new_partitions"] > 0
+    assert stats["1d"]["new_partitions"] > 0
+    # raw/t1m commits untouched; rebuilt t1h identical to the original
+    assert man.last_modified("raw") == before_raw
+    assert man.last_modified("t1m") == before_1m
+    t1h_after = rd.read_parquet(f"{out}/t1h").to_pandas().sort_values(
+        ["source", "bucket"]).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        t1h_before.drop(columns=["tokens"]), t1h_after.drop(columns=["tokens"])
+    )
