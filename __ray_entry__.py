@@ -355,22 +355,58 @@ def _q_hashjoin_lineitem_orders(sf_dir: str):
 
 
 def _q_pricing_summary(sf_dir: str):
-    """TPC-H Q1-style aggregate via Ray Data native groupby.aggregate
-    (hash-aggregated with map-side combining inside Ray Data)."""
-    from ray.data.aggregate import Count, Mean, Sum
+    """TPC-H Q1-style aggregate with a DETERMINISTIC combiner: monetary sums
+    accumulate as exact int64 cent counts (l_extendedprice is cent-quantized,
+    disc_price 1e-4-quantized — integer addition is associative, so the result
+    is bit-identical under any block/combine order; float Sum aggregates were
+    order-dependent and diverged ~4e-6 from DuckDB).  Partials per group
+    (6 groups, bounded) fold via tree_reduce; final monetary values are
+    rounded to their quantum on BOTH sides (ROUND in oracle_sql), making the
+    float contract well-posed."""
+    from tsdat_ray.stages.reduce import tree_reduce
 
     cutoff = np.datetime64("1998-09-03", "us")
 
-    def prep(b: pa.Table) -> pa.Table:
+    def partial(b: pa.Table) -> pa.Table:
+        if "_gk" in b.column_names:  # already a partial: merge by group key
+            gk = b["_gk"].to_numpy(zero_copy_only=False)
+            order = np.argsort(gk, kind="stable")
+            starts = np.flatnonzero(np.r_[True, gk[order][1:] != gk[order][:-1]]) if len(gk) else np.zeros(0, np.int64)
+            take = pa.array(order[starts] if len(starts) else [], type=pa.int64())
+            out = {"_gk": b["_gk"].take(take),
+                   "l_returnflag": b["l_returnflag"].take(take),
+                   "l_linestatus": b["l_linestatus"].take(take)}
+            for c in ("qty_sum", "base_cents", "disc_e4", "n"):
+                x = b[c].combine_chunks().to_numpy(zero_copy_only=False)[order]
+                out[c] = pa.array(np.add.reduceat(x, starts) if len(starts) else x[:0])
+            return pa.table(out)
         b = b.filter(pc.less(b["l_shipdate"], pa.scalar(cutoff)))
-        disc = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        flag = b["l_returnflag"].to_numpy(zero_copy_only=False)
+        status = b["l_linestatus"].to_numpy(zero_copy_only=False)
+        gk = np.char.add(flag.astype(str), status.astype(str))
+        qty = b["l_quantity"].combine_chunks().to_numpy(zero_copy_only=False)
+        price = b["l_extendedprice"].combine_chunks().to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)
+        base_cents = np.round(price * 100).astype(np.int64)
+        disc_e4 = np.round(price * (1.0 - disc) * 10000).astype(np.int64)
+        order = np.argsort(gk, kind="stable")
+        gks = gk[order]
+        starts = np.flatnonzero(np.r_[True, gks[1:] != gks[:-1]]) if len(gks) else np.zeros(0, np.int64)
+        counts = np.diff(np.r_[starts, len(gks)])
+
+        def seg(x):
+            return np.add.reduceat(x[order], starts) if len(starts) else x[:0]
+
+        take = pa.array(order[starts] if len(starts) else [], type=pa.int64())
         return pa.table(
             {
-                "l_returnflag": b["l_returnflag"],
-                "l_linestatus": b["l_linestatus"],
-                "l_quantity": b["l_quantity"],
-                "l_extendedprice": b["l_extendedprice"],
-                "disc_price": disc,
+                "_gk": pa.array(gks[starts] if len(starts) else gks[:0]),
+                "l_returnflag": b["l_returnflag"].take(take),
+                "l_linestatus": b["l_linestatus"].take(take),
+                "qty_sum": pa.array(seg(qty)),
+                "base_cents": pa.array(seg(base_cents)),
+                "disc_e4": pa.array(seg(disc_e4)),
+                "n": pa.array(counts.astype(np.int64) if len(starts) else np.zeros(0, np.int64)),
             }
         )
 
@@ -378,15 +414,27 @@ def _q_pricing_summary(sf_dir: str):
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
                  "l_discount", "l_shipdate"],
-    ).map_batches(prep, batch_format="pyarrow")
-    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Sum("l_extendedprice", alias_name="sum_base_price"),
-        Sum("disc_price", alias_name="sum_disc_price"),
-        Mean("l_quantity", alias_name="avg_qty"),
-        Count(alias_name="count_order"),
     )
-    return out
+    agg = tree_reduce(ds, partial)
+
+    def finish(b: pa.Table) -> pa.Table:
+        base = b["base_cents"].combine_chunks().to_numpy(zero_copy_only=False)
+        de4 = b["disc_e4"].combine_chunks().to_numpy(zero_copy_only=False)
+        qty = b["qty_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = b["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "sum_qty": pa.array(qty),
+                "sum_base_price": pa.array(base / 100.0),
+                "sum_disc_price": pa.array(de4 / 10000.0),
+                "avg_qty": pa.array(qty / n),
+                "count_order": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def _q_distinct_users(sf_dir: str):
@@ -869,10 +917,14 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         """,
         "pricing_summary_lineitem": """
+            -- monetary sums rounded to their quantum (prices are cent-
+            -- quantized, disc_price 1e-4-quantized) so the float contract is
+            -- well-posed: the engine accumulates exact integer cents and both
+            -- sides land on the identical nearest-double of the exact value
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity) AS sum_qty,
-                   sum(l_extendedprice) AS sum_base_price,
-                   sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+                   ROUND(sum(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
                    avg(l_quantity) AS avg_qty,
                    count(*) AS count_order
             FROM lineitem

@@ -1,0 +1,51 @@
+"""hash_join: dtype preservation and join semantics (the round-1 red cell was
+int32 → float64 corruption via pandas nullable promotion in the bucket join)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from tsdat_ray.stages.joins import hash_join
+
+
+@pytest.fixture
+def sides(ray_session):
+    left = pa.table(
+        {
+            "k": pa.array([1, 2, 2, 3, 5], pa.int64()),
+            "ln": pa.array([10, 20, 21, 30, 50], pa.int32()),
+            "price": pa.array([1.5, 2.5, 2.6, 3.5, 5.5]),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([1, 2, 4], pa.int64()),
+            "prio": pa.array(["a", "b", "d"]),
+            "rn": pa.array([7, 8, 9], pa.int16()),
+        }
+    )
+    return rd.from_arrow(left), rd.from_arrow(right)
+
+
+def _collect(ds) -> pa.Table:
+    return pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
+
+
+def test_inner_preserves_dtypes(sides):
+    l, r = sides
+    out = _collect(hash_join(l, r, on="k", num_buckets=4))
+    assert out.schema.field("ln").type == pa.int32()
+    assert out.schema.field("rn").type == pa.int16()
+    assert out.schema.field("k").type == pa.int64()
+    got = sorted(zip(out["k"].to_pylist(), out["ln"].to_pylist(), out["prio"].to_pylist()))
+    assert got == [(1, 10, "a"), (2, 20, "b"), (2, 21, "b")]
+
+
+def test_left_join_nulls_keep_types(sides):
+    l, r = sides
+    out = _collect(hash_join(l, r, on="k", num_buckets=4, how="left"))
+    assert out.num_rows == 5
+    assert out.schema.field("rn").type == pa.int16()  # null-padded, still int16
+    m = {k: v for k, v in zip(out["k"].to_pylist(), out["prio"].to_pylist())}
+    assert m[3] is None and m[5] is None and m[1] == "a"

@@ -13,6 +13,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def asof_lookup(
@@ -89,45 +90,52 @@ def hash_join(
 ):
     """Explicit partitioned hash join for two large Datasets: both sides get a
     ``bucket = hash(key) % B`` column, one groupby co-locates matching
-    buckets, and each bucket joins with pandas merge.  (Salt hot keys by
-    raising num_buckets; the bucket count bounds per-task memory.)"""
+    buckets, and each bucket joins in Arrow (``pa.Table.join``), preserving
+    source dtypes exactly — the union's missing columns are padded with TYPED
+    nulls and each side's columns are re-selected before the join, so an int32
+    column never takes the pandas nullable-promotion trip to float64.  (Salt
+    hot keys by raising num_buckets; the bucket count bounds per-task memory.)
+    """
+    l_schema: pa.Schema = pa.schema(list(zip(left.schema().names, left.schema().types)))
+    r_schema: pa.Schema = pa.schema(list(zip(right.schema().names, right.schema().types)))
+    l_names, r_names = list(l_schema.names), list(r_schema.names)
+    types: dict[str, pa.DataType] = {}
+    for sch in (l_schema, r_schema):
+        for f in sch:
+            types.setdefault(f.name, f.type)
+    all_cols = list(types)
 
-    def tag(side: str):
+    def tag(side: int):
         def add(batch: pa.Table) -> pa.Table:
             keys = batch[on].to_numpy(zero_copy_only=False)
             h = pd.util.hash_array(np.asarray(keys)) % num_buckets
-            t = batch.append_column("_bucket", pa.array(h.astype(np.int64)))
-            return t.append_column("_side", pa.array(np.repeat(side, len(keys))))
+            cols = {
+                c: (batch[c] if c in batch.column_names else pa.nulls(batch.num_rows, types[c]))
+                for c in all_cols
+            }
+            cols["_bucket"] = pa.array(h.astype(np.int64))
+            cols["_side"] = pa.array(np.full(len(keys), side, dtype=np.int8))
+            return pa.table(cols)
 
         return add
 
-    lt = left.map_batches(tag("l"), batch_format="pyarrow")
-    rt = right.map_batches(tag("r"), batch_format="pyarrow")
-
-    l_names = left.schema().names
-    r_names = right.schema().names
-
-    def join_bucket(g: pa.Table) -> pd.DataFrame:
-        df = g.to_pandas()
-        ldf = df[df["_side"] == "l"][[c for c in l_names]]
-        rdf = df[df["_side"] == "r"][[c for c in r_names]]
-        return ldf.merge(rdf, on=on, how=how)
-
-    # union with differing schemas: align by filling missing columns
-    all_cols = list(dict.fromkeys(l_names + r_names)) + ["_bucket", "_side"]
-
-    def widen(batch: pa.Table) -> pa.Table:
-        cols = {}
-        for c in all_cols:
-            if c in batch.column_names:
-                cols[c] = batch[c]
-            else:
-                cols[c] = pa.nulls(batch.num_rows)
-        return pa.table(cols)
-
-    both = lt.map_batches(widen, batch_format="pyarrow").union(
-        rt.map_batches(widen, batch_format="pyarrow")
+    both = left.map_batches(tag(0), batch_format="pyarrow").union(
+        right.map_batches(tag(1), batch_format="pyarrow")
     )
+
+    arrow_how = {"inner": "inner", "left": "left outer", "right": "right outer",
+                 "outer": "full outer"}[how]
+    out_cols = l_names + [c for c in r_names if c != on]
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        side = g["_side"].combine_chunks().to_numpy(zero_copy_only=False)
+        g = g.drop_columns(["_bucket", "_side"])
+        mask = pa.array(side == 0)
+        ltab = g.filter(mask).select(l_names)
+        rtab = g.filter(pc.invert(mask)).select(r_names)
+        joined = ltab.join(rtab, keys=on, join_type=arrow_how)
+        return joined.select(out_cols)
+
     return both.groupby("_bucket").map_groups(join_bucket, batch_format="pyarrow")
 
 
