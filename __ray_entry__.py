@@ -566,13 +566,10 @@ def _q_knn_ivf(sf_dir: str):
 
 
 def _q_neardup_minhash_docs(sf_dir: str):
-    import pyarrow.parquet as pq
-
     from tsdat_ray.stages.dedup import minhash_neardup_pairs
 
-    texts = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return minhash_neardup_pairs(ds, texts, threshold=0.5)
+    return minhash_neardup_pairs(ds, threshold=0.5)
 
 
 def _q_simhash_neardup(sf_dir: str):
@@ -621,8 +618,10 @@ def _q_sliding_window(sf_dir: str):
     from tsdat_ray.stages.window import sliding_window_agg
 
     ds = _events(sf_dir, columns=["ts", "event_type", "value"])
+    # value is cent-quantized → exact int64 accumulation (bit-deterministic
+    # combine; oracle rounds to the same quantum)
     out = sliding_window_agg(ds, key="event_type", ts_col="ts", value_col="value",
-                             window_s=300, slide_s=60)
+                             window_s=300, slide_s=60, value_scale=100)
     return out.select_columns(["event_type", "window_start", "n_rows", "value_sum"])
 
 
@@ -631,7 +630,7 @@ def _q_session_window(sf_dir: str):
 
     ds = _events(sf_dir, columns=["event_id", "ts", "event_type", "value"])
     return session_window_agg(ds, key="event_type", ts_col="ts", value_col="value",
-                              gap_s=1800, id_col="event_id")
+                              gap_s=1800, id_col="event_id", value_scale=100)
 
 
 # ---- sampling / packing / vocab stats -------------------------------------- #
@@ -937,7 +936,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sliding_window_events": """
             SELECT event_type, w AS window_start,
-                   count(*) AS n_rows, sum(value) AS value_sum
+                   count(*) AS n_rows, ROUND(sum(value), 2) AS value_sum
             FROM (
                 SELECT event_type, value,
                        unnest(generate_series(
@@ -963,7 +962,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM d
             )
             SELECT event_type, min(ts) AS session_start, max(ts) AS session_end,
-                   count(*) AS n_rows, sum(value) AS value_sum
+                   count(*) AS n_rows, ROUND(sum(value), 2) AS value_sum
             FROM s GROUP BY event_type, sid
         """,
         "stratified_sample_docs": """

@@ -152,6 +152,52 @@ def test_session_window_small(ray_session):
     assert out["session_end"].astype("int64").tolist() == [25 * US, 111 * US, 300 * US]
 
 
+def test_session_window_spans_salt_partitions(ray_session):
+    """One key whose sessions straddle many salt windows must match the
+    single-pass reference exactly (VERDICT r1 item 5: salted sessionization
+    with boundary merge)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tsdat_ray.stages.window import session_window_agg
+
+    US = 1_000_000
+    rng = np.random.default_rng(3)
+    # bursts separated by > gap, with events that intentionally cross the
+    # salt-window edges (salt_window_s=100 → edges at 100s, 200s, ...)
+    gaps = rng.integers(1, 20, 200)  # intra-session gaps (< gap_s=25)
+    breaks = np.zeros(200, dtype=np.int64)
+    breaks[rng.choice(200, 12, replace=False)] = rng.integers(26, 120, 12)
+    ts = np.cumsum(gaps + breaks).astype(np.int64) * US
+    tbl = pa.table(
+        {
+            "k": pa.array(["hot"] * 200),
+            "eid": pa.array(np.arange(200)),
+            "ts": pa.array(ts).cast(pa.timestamp("us")),
+            "v": pa.array(rng.normal(size=200)),
+        }
+    )
+    out = (
+        session_window_agg(rd.from_arrow(tbl).repartition(8), key="k", ts_col="ts",
+                           value_col="v", gap_s=25, id_col="eid", salt_window_s=100)
+        .to_pandas().sort_values("session_start").reset_index(drop=True)
+    )
+    assert ts.max() // (100 * US) >= 4, "test must span >=4 salt windows"
+    # single-pass reference
+    order = np.argsort(ts, kind="stable")
+    tss = ts[order]
+    brk = np.r_[True, np.diff(tss) > 25 * US]
+    starts = np.flatnonzero(brk)
+    ends = np.r_[starts[1:], len(tss)]
+    assert len(out) == len(starts)
+    assert out["session_start"].astype("int64").tolist() == tss[starts].tolist()
+    assert out["session_end"].astype("int64").tolist() == tss[ends - 1].tolist()
+    assert out["n_rows"].tolist() == (ends - starts).tolist()
+    v = tbl["v"].to_numpy()[order]
+    np.testing.assert_allclose(out["value_sum"].to_numpy(),
+                               np.add.reduceat(v, starts), rtol=1e-12)
+
+
 def test_approx_global_shuffle(ray_session, seqs):
     import ray.data as rd
 

@@ -113,7 +113,7 @@ def test_minhash_and_jaccard_planted_dups(ray_session):
         texts.append(f"unique filler document number {i} with its own random words {i*7}")
     tbl = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
     ds = rd.from_arrow(tbl)
-    pairs = minhash_neardup_pairs(ds, tbl, threshold=0.5).to_pandas()
+    pairs = minhash_neardup_pairs(ds, threshold=0.5).to_pandas()
     found = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
     for i in range(3):
         assert (i, 100 + i) in found, f"planted near-dup pair {i} missed"

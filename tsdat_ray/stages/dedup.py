@@ -254,18 +254,20 @@ def hamming_distance64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
 
 
-def minhash_neardup_pairs(ds, texts: "pa.Table", threshold: float = 0.5,
+def minhash_neardup_pairs(ds, threshold: float = 0.5,
                           num_perm: int = 128, bands: int = 32, shingle_k: int = 5,
                           text_col: str = "text", id_col: str = "doc_id",
-                          concurrency: int = 2):
+                          concurrency: int = 2, verify_salt: int = 64):
     """MinHash+LSH near-duplicate detection end-to-end: signature → band
     buckets → candidate pairs → exact k-shingle Jaccard verification.
 
-    The verification text lookup is broadcast (``ray.put``) — fine while the
-    candidate set's documents fit in memory; at corpus scale replace with a
-    ``hash_join`` of the pair list against the documents table on doc_id.
-    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold."""
-    import ray
+    Verification STREAMS: the candidate pair list explodes to (doc_id, pair,
+    side) rows and hash-joins against the documents Dataset on doc_id (the
+    corpus text is shuffled once, never broadcast or driver-materialized),
+    then one salted groupby co-locates each pair's two texts for the exact
+    Jaccard.  Returns (id_a, id_b, jaccard) with id_a < id_b and
+    jaccard >= threshold."""
+    from .joins import hash_join
 
     cand = minhash_lsh_candidates(
         ds, num_perm=num_perm, bands=bands, text_col=text_col, id_col=id_col,
@@ -288,15 +290,6 @@ def minhash_neardup_pairs(ds, texts: "pa.Table", threshold: float = 0.5,
         pk = batch["_pk"].combine_chunks().to_numpy(zero_copy_only=False)
         return pa.table({"_pk": pa.array(np.unique(pk))})
 
-    def unkey(batch: pa.Table) -> pa.Table:
-        pk = batch["_pk"].combine_chunks().to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "id_a": pa.array(pk >> np.int64(32)),
-                "id_b": pa.array(pk & np.int64(0xFFFFFFFF)),
-            }
-        )
-
     # dedup candidate pairs by repartition tree-unique (pair count is bounded
     # by true near-dups × bands, far below the corpus — same reduction shape
     # as distinct_count; a keyed groupby costs a full sort round-trip).
@@ -309,32 +302,64 @@ def minhash_neardup_pairs(ds, texts: "pa.Table", threshold: float = 0.5,
     ).materialize()
     pairs = pairs.repartition(4).map_batches(uniq, batch_format="pyarrow", batch_size=None)
     pairs = pairs.repartition(1).map_batches(uniq, batch_format="pyarrow", batch_size=None)
-    # spread the (expensive, per-pair) jaccard verification back across the
-    # cluster — leaving it downstream of repartition(1) serializes it into
-    # one task (measured 38 s for ~300k candidate pairs vs ~3 s spread)
-    pairs = pairs.repartition(16).map_batches(unkey, batch_format="pyarrow")
+    # spread the per-pair work back across the cluster — leaving it
+    # downstream of repartition(1) serializes it into one task (measured
+    # 38 s for ~300k candidate pairs vs ~3 s spread)
+    pairs = pairs.repartition(16)
 
-    tmap = dict(zip(texts[id_col].to_pylist(), texts[text_col].to_pylist()))
-    tref = ray.put(tmap)
-
-    def verify(batch: pa.Table) -> pa.Table:
-        tm = ray.get(tref)
-        ja = np.array(
-            [
-                ngram_jaccard(tm.get(a, ""), tm.get(b, ""), k=shingle_k)
-                for a, b in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist())
-            ]
-        )
-        keep = ja >= threshold
+    def explode_sides(batch: pa.Table) -> pa.Table:
+        pk = batch["_pk"].combine_chunks().to_numpy(zero_copy_only=False)
+        ida = pk >> np.int64(32)
+        idb = pk & np.int64(0xFFFFFFFF)
         return pa.table(
             {
-                "id_a": batch["id_a"].filter(pa.array(keep)),
-                "id_b": batch["id_b"].filter(pa.array(keep)),
-                "jaccard": pa.array(ja[keep]),
+                id_col: pa.array(np.r_[ida, idb]),
+                "_pk": pa.array(np.r_[pk, pk]),
+                "_pside": pa.array(np.r_[np.zeros(len(pk), np.int8), np.ones(len(pk), np.int8)]),
             }
         )
 
-    return pairs.map_batches(verify, batch_format="pyarrow")
+    sides = pairs.map_batches(explode_sides, batch_format="pyarrow")
+
+    def slim(batch: pa.Table) -> pa.Table:
+        return batch.select([id_col, text_col])
+
+    # stream the corpus text through ONE bucketed shuffle against the
+    # (small) candidate-side rows — no ray.put of texts, no driver read
+    joined = hash_join(sides, ds.map_batches(slim, batch_format="pyarrow"), on=id_col)
+
+    def add_vsalt(batch: pa.Table) -> pa.Table:
+        pk = batch["_pk"].combine_chunks().to_numpy(zero_copy_only=False)
+        return batch.append_column("_vsalt", pa.array(pk % np.int64(verify_salt)))
+
+    def verify_part(g: pa.Table) -> pa.Table:
+        pk = g["_pk"].combine_chunks().to_numpy(zero_copy_only=False)
+        side = g["_pside"].combine_chunks().to_numpy(zero_copy_only=False)
+        texts = g[text_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, pk))
+        pk_s, side_s, tx = pk[order], side[order], texts[order]
+        starts = np.flatnonzero(np.r_[True, pk_s[1:] != pk_s[:-1]]) if len(pk_s) else np.zeros(0, np.int64)
+        ends = np.r_[starts[1:], len(pk_s)]
+        out_pk, out_j = [], []
+        for s, e in zip(starts, ends):
+            if e - s != 2 or side_s[s] == side_s[e - 1]:
+                continue  # a doc_id missing from the corpus: drop the pair
+            j = ngram_jaccard(tx[s] or "", tx[e - 1] or "", k=shingle_k)
+            if j >= threshold:
+                out_pk.append(pk_s[s])
+                out_j.append(j)
+        pko = np.array(out_pk, dtype=np.int64)
+        return pa.table(
+            {
+                "id_a": pa.array(pko >> np.int64(32)),
+                "id_b": pa.array(pko & np.int64(0xFFFFFFFF)),
+                "jaccard": pa.array(np.array(out_j, dtype=np.float64)),
+            }
+        )
+
+    return joined.map_batches(add_vsalt, batch_format="pyarrow").groupby("_vsalt").map_groups(
+        verify_part, batch_format="pyarrow"
+    )
 
 
 def distinct_count(ds, key: str, value: str, fanin: int = 8):
