@@ -190,6 +190,7 @@ def _clean_write_group(g: pa.Table, qc_stage, raw_root: str,
     import json
 
     from ..stages.qc import DataQualityError, QCReport
+    from ..state.uri import StorageFS
 
     if "_pkey" in g.column_names:
         g = g.drop_columns(["_pkey"])
@@ -202,9 +203,9 @@ def _clean_write_group(g: pa.Table, qc_stage, raw_root: str,
             if quarantine_root is None:
                 raise
             res = write_batch_partitioned(t, quarantine_root, ts_col="ts")
+            qfs = StorageFS(quarantine_root)
             for p in {os.path.dirname(x) for x in res["path"].to_pylist()}:
-                with open(os.path.join(p, "_qc_error.txt"), "w") as f:
-                    f.write(str(e))
+                qfs.write_text(f"{p}/_qc_error.txt", str(e))
             empty = qc_stage(t.slice(0, 0))
             return empty.drop_columns(["day"])
         t = t_qc
@@ -213,9 +214,9 @@ def _clean_write_group(g: pa.Table, qc_stage, raw_root: str,
     res = write_batch_partitioned(t, raw_root, ts_col="ts", metadata=metadata)
     if report:
         counts = {f"{m}:{v}": int(n) for (m, v), n in report.items()}
+        rfs = StorageFS(raw_root)
         for p in {os.path.dirname(x) for x in res["path"].to_pylist()}:
-            with open(os.path.join(p, "_qc.json"), "w") as f:
-                json.dump(counts, f)
+            rfs.write_text(f"{p}/_qc.json", json.dumps(counts))
     return t.drop_columns(["day"])
 
 

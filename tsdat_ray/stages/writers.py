@@ -14,6 +14,11 @@ the same file rather than duplicating it (idempotent resume, matching the
 reference's overwrite-on-rerun storage —
 /root/reference/tsdat/io/storage/file_system.py:161-179).
 
+``root`` may be a plain path (POSIX fast path) or any ``pyarrow.fs`` URI
+(``file://``, ``s3://``, ``gs://`` — parity with the reference's
+FileSystemS3, io/storage/file_system_s3.py:24+); see state/uri.py for the
+atomicity model per backend.
+
 ``write_batch_partitioned`` is the per-batch core; calling it inside a
 ``map_groups``/``map_batches`` stage fuses the write into that stage — the
 flagship pipeline writes each tier from the same task that finalizes it, so
@@ -23,12 +28,9 @@ is spent on writing.
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
-import pyarrow.parquet as pq
 
 
 def write_batch_partitioned(
@@ -42,9 +44,12 @@ def write_batch_partitioned(
     """Write ONE batch's rows into hive partition dirs under ``root``; returns
     a (path, rows) manifest table.  Deterministic file names → safe under Ray
     task retries (a re-run overwrites the same file)."""
+    from ..state.uri import StorageFS
+
     n = batch.num_rows
     if n == 0:
         return pa.table({"path": pa.array([], pa.string()), "rows": pa.array([], pa.int64())})
+    sfs = StorageFS(root)
     codes = np.zeros(n, dtype=np.int64)
     uniques: list[list] = []
     per_col_idx: list[np.ndarray] = []
@@ -72,19 +77,16 @@ def write_batch_partitioned(
     for s, e in zip(starts, ends):
         sub = body.slice(s, e - s)
         row0 = order[s]
-        dirname = os.path.join(
-            root,
+        dirname = sfs.join(
             *(f"{c}={uniques[k][per_col_idx[k][row0]]}" for k, c in enumerate(partition_cols)),
         )
-        os.makedirs(dirname, exist_ok=True)
+        sfs.makedirs(dirname)
         if tcol is not None:
             tmin = int(pc.min(sub[tcol].combine_chunks().cast(pa.int64())).as_py())
         else:
             tmin = int(s)
-        path = os.path.join(dirname, f"part-{tmin}.parquet")
-        tmp = f"{path}.tmp{os.getpid()}"  # atomic publish: retried/duplicate
-        pq.write_table(sub, tmp, compression=compression)  # tasks can never
-        os.replace(tmp, path)  # leave a torn file behind
+        path = f"{dirname}/part-{tmin}.parquet"
+        sfs.write_table_atomic(sub, path, compression=compression)
         paths.append(path)
         rows.append(sub.num_rows)
     return pa.table({"path": pa.array(paths, pa.string()), "rows": pa.array(rows, pa.int64())})

@@ -19,8 +19,6 @@ the driver only — workers never touch the manifest)."""
 from __future__ import annotations
 
 import json
-import os
-import shutil
 import zlib
 from dataclasses import asdict, dataclass, field
 from typing import Iterable
@@ -41,19 +39,24 @@ class PartitionRecord:
 
 
 class Manifest:
+    """``root`` may be a plain path or a ``pyarrow.fs`` URI (file://, s3://);
+    all filesystem access goes through state/uri.StorageFS."""
+
     def __init__(self, root: str):
+        from .uri import StorageFS
+
         self.root = root
-        self.path = os.path.join(root, "_manifest.jsonl")
+        self.sfs = StorageFS(root)
+        self.path = self.sfs.join("_manifest.jsonl")
 
     def records(self) -> list[dict]:
-        if not os.path.exists(self.path):
+        if not self.sfs.exists(self.path):
             return []
         out = []
-        with open(self.path) as f:
-            for line in f:
-                line = line.strip()
-                if line:
-                    out.append(json.loads(line))
+        for line in self.sfs.read_text(self.path).splitlines():
+            line = line.strip()
+            if line:
+                out.append(json.loads(line))
         return out
 
     def completed(self, tier: str) -> set[str]:
@@ -69,33 +72,30 @@ class Manifest:
     def append(self, record: PartitionRecord | dict) -> None:
         import time as _time
 
-        os.makedirs(self.root, exist_ok=True)
+        self.sfs.makedirs(self.sfs.path)
         rec = asdict(record) if isinstance(record, PartitionRecord) else dict(record)
         rec.setdefault("committed_at", _time.time())
-        with open(self.path, "a") as f:
-            f.write(json.dumps(rec, default=str) + "\n")
-            f.flush()
-            os.fsync(f.fileno())
+        self.sfs.append_line(self.path, json.dumps(rec, default=str) + "\n")
 
     # ------------------------------------------------------------------ utils
     def tier_dir(self, tier: str) -> str:
-        return os.path.join(self.root, tier)
+        """Root-form (URI-preserving) tier directory — valid as a
+        ``read_parquet`` source and as a writer root."""
+        return self.sfs.join_root(tier)
 
     def partition_dir(self, tier: str, partition: str) -> str:
-        return os.path.join(self.root, tier, partition)
+        return self.sfs.join_root(tier, partition)
 
     def list_partition_dirs(self, tier: str) -> list[str]:
         """Existing 'source=<s>/day=<d>' partition dirs under a tier."""
         base = self.tier_dir(tier)
         out = []
-        if not os.path.isdir(base):
-            return out
-        for s in sorted(os.listdir(base)):
-            sdir = os.path.join(base, s)
-            if not (os.path.isdir(sdir) and s.startswith("source=")):
+        for s in self.sfs.listdir(base):
+            sdir = f"{base}/{s}"
+            if not (s.startswith("source=") and self.sfs.isdir(sdir)):
                 continue
-            for d in sorted(os.listdir(sdir)):
-                if d.startswith("day=") and os.path.isdir(os.path.join(sdir, d)):
+            for d in self.sfs.listdir(sdir):
+                if d.startswith("day=") and self.sfs.isdir(f"{sdir}/{d}"):
                     out.append(f"{s}/{d}")
         return out
 
@@ -106,15 +106,12 @@ class Manifest:
         wiped = []
         for part in self.list_partition_dirs(tier):
             if part not in done:
-                shutil.rmtree(self.partition_dir(tier, part))
+                self.sfs.rmtree(self.partition_dir(tier, part))
                 wiped.append(part)
         # clean up empty source dirs
         base = self.tier_dir(tier)
-        if os.path.isdir(base):
-            for s in os.listdir(base):
-                sdir = os.path.join(base, s)
-                if os.path.isdir(sdir) and not os.listdir(sdir):
-                    os.rmdir(sdir)
+        for s in self.sfs.listdir(base):
+            self.sfs.rmdir_if_empty(f"{base}/{s}")
         return wiped
 
     def commit_partitions(
@@ -125,8 +122,6 @@ class Manifest:
         Row/byte counts come from parquet footers (no data read); the checksum
         is a crc32 over (file name, size) pairs — enough to detect partial or
         clobbered partitions on the next resume."""
-        import pyarrow.parquet as pq
-
         done = self.completed(tier)
         new = []
         for part in self.list_partition_dirs(tier):
@@ -135,16 +130,15 @@ class Manifest:
             pdir = self.partition_dir(tier, part)
             files, rows, nbytes, crc = [], 0, 0, 0
             qc_counts: dict = {}
-            for fn in sorted(os.listdir(pdir)):
+            for fn in self.sfs.listdir(pdir):
                 if fn == "_qc.json":  # QC counter sidecar → lineage record
-                    with open(os.path.join(pdir, fn)) as f:
-                        qc_counts = json.load(f)
+                    qc_counts = json.loads(self.sfs.read_text(f"{pdir}/{fn}"))
                     continue
                 if not fn.endswith(".parquet"):
                     continue
-                fp = os.path.join(pdir, fn)
-                size = os.path.getsize(fp)
-                rows += pq.ParquetFile(fp).metadata.num_rows
+                fp = f"{pdir}/{fn}"
+                size = self.sfs.getsize(fp)
+                rows += self.sfs.parquet_num_rows(fp)
                 nbytes += size
                 crc = zlib.crc32(f"{fn}:{size}".encode(), crc)
                 files.append(fn)
