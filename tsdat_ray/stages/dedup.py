@@ -218,30 +218,74 @@ def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
 
 
 class SimHasher:
-    """64-bit simhash over word features (Charikar '02)."""
+    """64-bit simhash over word features (Charikar '02).
+
+    Vectorized per batch: words split in C (Arrow ``split_pattern_regex``),
+    each DISTINCT word blake2b-hashed once with a cross-batch per-actor cache
+    (the round-1 per-occurrence hashlib loop was the throughput bottleneck),
+    then per-doc ±1 bit accumulation via a prefix-sum difference — no Python
+    work proportional to occurrences, only to new vocabulary."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id", seed: int = 11):
-        import re
-
-        self.word = re.compile(r"\w+")
         self.text_col = text_col
         self.id_col = id_col
+        self._cache: dict[str, int] = {}
+        self._bitcols = np.arange(64, dtype=np.uint64)
 
-    def simhash(self, s: str) -> np.uint64:
+    def _vocab_hashes(self, vocab: list) -> np.ndarray:
         import hashlib
 
-        acc = np.zeros(64, dtype=np.int64)
-        for w in self.word.findall((s or "").lower()):
-            h = np.frombuffer(
-                hashlib.blake2b(w.encode(), digest_size=8).digest(), dtype=np.uint64
-            )[0]
-            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            acc += np.where(bits.astype(bool), 1, -1)
-        bits = (acc > 0).astype(np.uint64)
-        return np.uint64((bits << np.arange(64, dtype=np.uint64)).sum())
+        out = np.empty(len(vocab), dtype=np.uint64)
+        cache = self._cache
+        for i, w in enumerate(vocab):
+            h = cache.get(w)
+            if h is None:
+                h = np.frombuffer(
+                    hashlib.blake2b(w.encode(), digest_size=8).digest(), dtype=np.uint64
+                )[0]
+                cache[w] = h
+            out[i] = h
+        return out
+
+    def simhash(self, s: str) -> np.uint64:
+        """Single-doc reference path (tests); the batch path is __call__."""
+        t = pa.table({self.id_col: pa.array([0]), self.text_col: pa.array([s])})
+        return np.uint64(self(t)["simhash"][0].as_py())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vals = np.array([self.simhash(s) for s in batch[self.text_col].to_pylist()], dtype=np.uint64)
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({self.id_col: batch[self.id_col],
+                             "simhash": pa.array([], pa.uint64())})
+        txt = pc.utf8_lower(pc.coalesce(batch[self.text_col].combine_chunks(), ""))
+        words = pc.split_pattern_regex(txt, r"[^0-9A-Za-z_]+")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        offsets = words.offsets.to_numpy().astype(np.int64)
+        d = flat.dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = d.dictionary.to_pylist()
+        hashes = self._vocab_hashes(vocab)
+        weight = np.array([1 if w else 0 for w in vocab], dtype=bool)
+        base = offsets[0]
+        occ_doc = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
+        keep = weight[codes]  # drop the '' artifacts of boundary splits
+        doc_k = occ_doc[keep]
+        h_k = hashes[codes[keep]]
+        # n_k×64 bit matrix straight from the packed hashes (uint8, cheap)
+        bitmat = np.unpackbits(h_k.view(np.uint8).reshape(-1, 8), axis=1,
+                               bitorder="little").astype(np.int32)
+        starts = np.flatnonzero(np.r_[True, np.diff(doc_k) != 0]) if len(doc_k) else np.zeros(0, np.int64)
+        ones = np.zeros((n, 64), dtype=np.int64)
+        cnt = np.zeros(n, dtype=np.int64)
+        if len(starts):
+            present = doc_k[starts]
+            ones[present] = np.add.reduceat(bitmat, starts, axis=0)
+            cnt[present] = np.diff(np.r_[starts, len(doc_k)])
+        acc = 2 * ones - cnt[:, None]  # ±1 votes per bit, vectorized
+        bits = (acc > 0).astype(np.uint64)
+        vals = (bits << self._bitcols[None, :]).sum(axis=1, dtype=np.uint64)
         return pa.table({self.id_col: batch[self.id_col], "simhash": pa.array(vals)})
 
 

@@ -56,18 +56,24 @@ def stratified_sample(ds, key: str = "source", order_col: str = "doc_id",
 
 def hash_split(ds, id_col: str = "doc_id", fractions: dict[str, float] | None = None,
                seed: int = 17):
-    """Stable train/val/test split: crc32(id, seed) mod 10^6 → cumulative
-    fraction buckets.  Pure map — rows never move, assignment survives
-    re-runs and re-partitioning."""
+    """Stable train/val/test split: siphash(id, seed-key) mod 10^6 →
+    cumulative fraction buckets (vectorized ``pd.util.hash_array`` — the
+    per-row crc32 loop was the round-1 hot spot here).  Pure map — rows
+    never move, assignment survives re-runs and re-partitioning."""
+    import pandas as pd
+
     fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
     names = list(fractions)
     edges = np.cumsum([fractions[n] for n in names]) * 1_000_000
-    salt = str(seed).encode()
+    hash_key = f"{seed:016d}"[-16:]  # 16-byte siphash key derived from seed
 
     def assign(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        h = np.array([zlib.crc32(str(i).encode() + salt) % 1_000_000 for i in ids],
-                     dtype=np.int64)
+        ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        if ids.dtype == object:
+            h = pd.util.hash_array(ids, hash_key=hash_key)
+        else:  # numeric ids: mix the seed in arithmetically (hash_key is str-only)
+            h = pd.util.hash_array(ids.astype(np.uint64) + np.uint64(seed))
+        h = (h % np.uint64(1_000_000)).astype(np.int64)
         idx = np.searchsorted(edges, h, side="right").clip(0, len(names) - 1)
         split = np.array(names, dtype=object)[idx]
         return batch.append_column("split", pa.array(split.tolist(), pa.string()))
