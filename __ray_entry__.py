@@ -195,22 +195,29 @@ def _q_parse_props(sf_dir: str):
 
 
 def _q_asof(sf_dir: str):
-    import pyarrow.parquet as pq
-
     from tsdat_ray.stages.joins import asof_lookup
+    from tsdat_ray.stages.reduce import tree_reduce
 
-    # small right side built with Arrow: purchases, deduped per ts (keep max
-    # event_id), sorted — the broadcast side of the as-of join
-    ev = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type"])
-    pur = ev.filter(pc.equal(ev["event_type"], "purchase"))
-    import pyarrow as _pa
+    # small right side built IN RAY (no driver-side full-table read): filter
+    # purchases, dedup per ts keeping max event_id — distinct-ts count is
+    # bounded, so a tree reduction beats a keyed shuffle; the (small) result
+    # becomes the broadcast side of the as-of join
+    def max_per_ts(b: pa.Table) -> pa.Table:
+        if "event_type" in b.column_names:  # raw batch (vs partial re-merge)
+            b = b.filter(pc.equal(b["event_type"], "purchase"))
+        idc = "event_id" if "event_id" in b.column_names else "event_id_p"
+        ts = b["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = b[idc].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((-eid, ts))
+        ts_s, eid_s = ts[order], eid[order]
+        keep = np.r_[True, ts_s[1:] != ts_s[:-1]] if len(ts_s) else np.zeros(0, bool)
+        return pa.table({"ts": pa.array(ts_s[keep]).cast(pa.timestamp("us")),
+                         "event_id_p": pa.array(eid_s[keep])})
 
-    p = (
-        _pa.TableGroupBy(pur.select(["ts", "event_id"]), "ts")
-        .aggregate([("event_id", "max")])
-        .rename_columns(["ts", "event_id_p"])
-        .sort_by("ts")
-    )
+    pur_ds = _events(sf_dir, columns=["event_id", "ts", "event_type"])
+    p = pa.concat_tables(
+        tree_reduce(pur_ds, max_per_ts).iter_batches(batch_format="pyarrow")
+    ).sort_by("ts")
     clicks = _events(sf_dir, columns=["event_id", "ts", "event_type"])
 
     def only_clicks(b: pa.Table) -> pa.Table:

@@ -224,6 +224,10 @@ def _rollup_raw_sorted(g, cfg, codes, key_arr, iv_us):
         "bucket": pa.array(blabels, type=pa.int64()).cast(pa.timestamp("us")),
         "n_rows": counts.astype(np.int64),
         "_first_ts": ts_s[starts] if len(starts) else np.zeros(0, np.int64),
+        # deterministic combine tiebreak when two partials of one (key,
+        # bucket) share _first_ts (possible with dedup=False + duplicate
+        # timestamps split across blocks): the minimal contributing row id
+        "_first_id": g[cfg.id_col].take(pa.array(sel_rows[starts], type=pa.int64())),
     }
 
     ones = np.ones(len(ts_s), dtype=np.float64)
@@ -275,7 +279,12 @@ def _rollup_cascade_sorted(g, cfg, codes, key_arr, iv_us):
         first_ts = g["_first_ts"].combine_chunks().to_numpy(zero_copy_only=False)
     else:
         first_ts = b_us
-    order = np.lexsort((first_ts, b_us, codes))
+    if "_first_id" in g.column_names:
+        first_id = g["_first_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((first_id, first_ts, b_us, codes))
+    else:
+        first_id = None
+        order = np.lexsort((first_ts, b_us, codes))
     b_s, code_s, first_s = b_us[order], codes[order], first_ts[order]
     take = pa.array(order, type=pa.int64())
 
@@ -299,6 +308,8 @@ def _rollup_cascade_sorted(g, cfg, codes, key_arr, iv_us):
         "n_rows": _seg_sum(col("n_rows"), starts),
         "_first_ts": first_s[starts] if m else np.zeros(0, np.int64),
     }
+    if first_id is not None:
+        out["_first_id"] = g["_first_id"].take(pa.array(order[starts], type=pa.int64()))
     for v in cfg.values:
         has_minmax = f"{v}_min" in g.column_names
         vmin = vmax = None

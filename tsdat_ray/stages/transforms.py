@@ -318,6 +318,7 @@ def bin_average_grid(
     ind_bits: int = 0,
     input_width_us: int | None = None,
     window_s: int = 86400,
+    key_domain: tuple | list | None = None,
 ):
     """Distributed reference-parity bin average.
 
@@ -327,6 +328,11 @@ def bin_average_grid(
     contributions are completed from a skeleton so the output covers the full
     grid per key (QC_OUTSIDE_RANGE|QC_BAD, parity with empty_dataset_like +
     qc table).
+
+    ``key_domain``: the declared set of keys the grid covers.  When omitted
+    it is derived with a ``unique(key)`` pass over ``ds`` — an extra full
+    scan; at scale pass the domain (retrieval configs declare their sources,
+    matching the reference's dataset-config coords).
     """
     import ray
     import ray.data as rd
@@ -360,7 +366,9 @@ def bin_average_grid(
         return pa.table(cols)
 
     # skeleton: one zero-weight marker row per (key, bin) so empty bins appear
-    keys = sorted(ds.select_columns([key]).unique(key))
+    keys = sorted(key_domain) if key_domain is not None else sorted(
+        ds.select_columns([key]).unique(key)
+    )
 
     def skeleton(batch: pa.Table) -> pa.Table:
         out = []
