@@ -32,6 +32,34 @@ def test_unit_errors():
         unit_factors("m", "s")
     with pytest.raises(UnitsError):
         unit_factors("furlongs", "m")
+    with pytest.raises(UnitsError):
+        unit_factors("W/m^2", "J/m^2")  # power vs energy flux
+
+
+@pytest.mark.parametrize(
+    "src,dst,scale,offset",
+    [
+        # the reference's pint cases (test_converters.py:53-93): degF→degC,
+        # degK→degC, "km s-1"→"m s-1"
+        ("degF", "degC", 5 / 9, -32 * 5 / 9),
+        ("degK", "degC", 1.0, -273.15),
+        ("km s-1", "m s-1", 1000.0, 0.0),
+        # compound/UDUNITS strings from the reference's example configs
+        ("m s-2", "ft s-2", 1 / 0.3048, 0.0),
+        ("W/m^2", "W m-2", 1.0, 0.0),
+        ("mg/L", "g/m^3", 1.0, 0.0),
+        ("mm/day", "m/s", 0.001 / 86400, 0.0),
+        ("kg m2 s-3", "W", 1.0, 0.0),
+        ("hPa", "mbar", 1.0, 0.0),
+        ("knots", "km/h", 1.852, 0.0),
+        ("%", "1", 0.01, 0.0),
+        ("us", "ms", 1e-3, 0.0),
+    ],
+)
+def test_unit_factors_compound(src, dst, scale, offset):
+    s, o = unit_factors(src, dst)
+    assert np.isclose(s, scale, rtol=1e-12)
+    assert np.isclose(o, offset, rtol=1e-9, atol=1e-9)
 
 
 def test_convert_units_column():
