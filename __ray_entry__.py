@@ -619,6 +619,47 @@ def _q_fingerprint_docs(sf_dir: str):
     return ds.map_batches(Fingerprinter, batch_format="pyarrow", concurrency=2)
 
 
+def _q_bin2d_events(sf_dir: str):
+    """2-D (time × pseudo-height) bin average over events: the distributed
+    twod.bin_average_grid_2d kernel in point-sample mode, cells = (day,
+    user_id%50 in 10-wide bins).  Sums round to cents so the float contract
+    is order-independent (events.value is cent-quantized)."""
+    from tsdat_ray.stages.transforms import GridSpec
+    from tsdat_ray.stages.twod import FloatGrid, bin_average_grid_2d
+
+    t0 = int(np.datetime64("2023-01-01", "us").astype(np.int64))
+    t1 = int(np.datetime64("2026-01-01", "us").astype(np.int64))
+    tgrid = GridSpec(t0, t1, 86400 * US)
+    hgrid = FloatGrid(0.0, 50.0, 10.0)
+
+    def prep(b: pa.Table) -> pa.Table:
+        h = pc.cast(pc.subtract(b["user_id"], pc.multiply(
+            pc.floor(pc.divide(pc.cast(b["user_id"], pa.float64()), 50.0)), 50.0)), pa.float64())
+        return pa.table({"source": pa.array(np.repeat("all", b.num_rows)),
+                         "ts": b["ts"], "height": pc.cast(h, pa.float64()),
+                         "value": b["value"]})
+
+    ds = _events(sf_dir, columns=["ts", "user_id", "value"]).map_batches(
+        prep, batch_format="pyarrow")
+    out = bin_average_grid_2d(ds, tgrid, hgrid, key="source", window_s=16 * 86400,
+                              input_width_us=0, input_width_h=0)
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["value_n"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = n > 0
+        sw = b["value_sum_wx"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": b["bucket"].filter(pa.array(keep)),
+                "hbin": b["height"].filter(pa.array(keep)),
+                "n_rows": pa.array(n[keep]),
+                "value_sum": pa.array(np.round(sw[keep], 2)),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 # ---- windowed aggregates (streaming-shaped) --------------------------------- #
 
 def _q_sliding_window(sf_dir: str):
@@ -762,6 +803,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_click_purchase": _q_merge_click_purchase,
         "encode_1m_events": _q_encode_1m,
         "qc_range_events": _q_qc_range_events,
+        "bin2d_events": _q_bin2d_events,
         "neardup_embeddings_exact": _q_neardup_embeddings_exact,
         "neardup_embeddings_lsh": _q_neardup_embeddings_lsh,
         "knn_lsh_embeddings": _q_knn_lsh,
@@ -994,6 +1036,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT COALESCE(c.ts, p.ts) AS ts, COALESCE(c.v, p.v) AS v,
                    c.v_click, p.v_purch
             FROM c FULL OUTER JOIN p ON c.ts = p.ts
+        """,
+        "bin2d_events": """
+            SELECT date_trunc('day', ts) AS bucket,
+                   FLOOR((user_id % 50) / 10) * 10 AS hbin,
+                   count(*) AS n_rows,
+                   ROUND(sum(value), 2) AS value_sum
+            FROM events GROUP BY 1, 2
         """,
         "neardup_embeddings_exact": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
