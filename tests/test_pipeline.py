@@ -333,3 +333,30 @@ def test_pipeline_with_file_uri_root(ray_session, corpus, tmp_path):
     stats2 = ingest_raw(corpus, PipelineConfig(out_root=uri, run_id="u2"))
     assert stats2["new_partitions"] == 0
     assert stats2["skipped"] == len(man_u.completed("raw"))
+
+
+def test_plot_hook_publishes_ancillary_files(ray_session, corpus, tmp_path):
+    """hook_plot_dataset parity: the plot hook runs after tiers are saved,
+    writes files into the uploadable dir, and they publish under
+    <root>/ancillary/ with a manifest record (storage.py:252-302)."""
+    out = str(tmp_path / "store")
+
+    def plot_hook(man, tmp_dir):
+        import ray.data as rd
+
+        t1h = rd.read_parquet(man.tier_dir("t1h")).to_pandas()
+        (tmp_path / "marker").write_text("hook ran")  # proof of invocation
+        with open(os.path.join(tmp_dir, "summary.csv"), "w") as f:
+            f.write(f"rows,{len(t1h)}\n")
+        os.makedirs(os.path.join(tmp_dir, "plots"), exist_ok=True)
+        with open(os.path.join(tmp_dir, "plots", "tiers.svg"), "w") as f:
+            f.write("<svg/>")
+
+    run_pipeline(corpus, PipelineConfig(out_root=out, run_id="p1",
+                                        hooks={"plot": plot_hook}))
+    assert (tmp_path / "marker").exists()
+    assert os.path.exists(os.path.join(out, "ancillary", "summary.csv"))
+    assert os.path.exists(os.path.join(out, "ancillary", "plots", "tiers.svg"))
+    recs = [r for r in Manifest(out).records() if r["tier"] == "ancillary"]
+    assert len(recs) == 1
+    assert sorted(recs[0]["files"]) == ["plots/tiers.svg", "summary.csv"]

@@ -430,6 +430,13 @@ def run_pipeline(input_paths, cfg: PipelineConfig, now_us: Optional[int] = None)
     for tier in cfg.encode_tiers:
         if tier in cfg.tiers:
             stats[f"{tier}_enc"] = encode_tier_store(tier, cfg)
+    if cfg.hooks.get("plot") is not None:
+        # plot hook runs AFTER the dataset is saved (reference
+        # ingest_pipeline.py:79-87 hook_plot_dataset): the hook reads tiers
+        # via the manifest and drops files into the uploadable dir, which
+        # publishes them under <root>/ancillary/ on exit
+        with man.uploadable_dir() as tmp:
+            cfg.hooks["plot"](man, tmp)
     if now_us is not None:
         stats["retention"] = prune_retention(cfg, now_us)
     return stats

@@ -38,24 +38,11 @@ def _dtype_str(dt: np.dtype) -> str:
 
 
 def _write_bytes(sfs: StorageFS, path: str, data: bytes) -> None:
-    if sfs.fs is None:
-        import os
-
-        tmp = f"{path}.tmp{os.getpid()}"
-        with open(tmp, "wb") as f:
-            f.write(data)
-        os.replace(tmp, path)
-    else:
-        with sfs.fs.open_output_stream(sfs._n(path)) as f:
-            f.write(data)
+    sfs.write_bytes(path, data)
 
 
 def _read_bytes(sfs: StorageFS, path: str) -> bytes:
-    if sfs.fs is None:
-        with open(path, "rb") as f:
-            return f.read()
-    with sfs.fs.open_input_stream(sfs._n(path)) as f:
-        return f.read()
+    return sfs.read_bytes(path)
 
 
 def write_array(root: str, arr: np.ndarray, chunks: int | None = None,

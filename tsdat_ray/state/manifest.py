@@ -159,6 +159,46 @@ class Manifest:
         return new
 
 
+    # ------------------------------------------------------- ancillary files
+    def save_ancillary_file(self, src_path: str, rel_target: str) -> str:
+        """Publish one local file into ``<root>/ancillary/<rel_target>`` (any
+        bytes: plots, reports, logs).  Parity: Storage.save_ancillary_file,
+        /root/reference/tsdat/io/base/storage.py:230-250."""
+        import posixpath
+
+        with open(src_path, "rb") as f:
+            data = f.read()
+        target = self.sfs.join("ancillary", rel_target)
+        self.sfs.makedirs(posixpath.dirname(target.replace("\\", "/")))
+        self.sfs.write_bytes(target, data)
+        return self.sfs.join_root("ancillary", rel_target)
+
+    def uploadable_dir(self):
+        """Context manager yielding a temp dir; on exit every file written
+        under it is published to ``<root>/ancillary/`` (relative paths kept)
+        and one manifest record lists the uploads.  Parity:
+        Storage.uploadable_dir, io/base/storage.py:252-302."""
+        import contextlib
+        import os as _os
+        import tempfile
+
+        @contextlib.contextmanager
+        def ctx():
+            with tempfile.TemporaryDirectory() as tmp:
+                yield tmp
+                uploaded = []
+                for dirpath, _dirs, files in _os.walk(tmp):
+                    for fn in sorted(files):
+                        full = _os.path.join(dirpath, fn)
+                        rel = _os.path.relpath(full, tmp)
+                        self.save_ancillary_file(full, rel.replace(_os.sep, "/"))
+                        uploaded.append(rel.replace(_os.sep, "/"))
+                if uploaded:
+                    self.append({"tier": "ancillary", "partition": "",
+                                 "files": uploaded, "rows": 0, "bytes": 0})
+
+        return ctx()
+
     def last_modified(self, tier: str) -> float | None:
         """Latest commit wall-clock for a tier (parity: Storage.last_modified,
         /root/reference/tsdat/io/storage/file_system.py:85-141 — but from the

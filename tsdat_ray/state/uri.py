@@ -147,6 +147,31 @@ class StorageFS:
             with self.fs.open_output_stream(path) as f:
                 f.write(text.encode())
 
+    def write_bytes(self, path: str, data: bytes, atomic: bool = True) -> None:
+        """Publish raw bytes; local writes go through tmp+rename when
+        ``atomic`` (same torn-file guarantee as parquet publishes)."""
+        path = self._n(path)
+        if self.fs is None:
+            if atomic:
+                tmp = f"{path}.tmp{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    f.write(data)
+                os.replace(tmp, path)
+            else:
+                with open(path, "wb") as f:
+                    f.write(data)
+        else:
+            with self.fs.open_output_stream(path) as f:
+                f.write(data)
+
+    def read_bytes(self, path: str) -> bytes:
+        path = self._n(path)
+        if self.fs is None:
+            with open(path, "rb") as f:
+                return f.read()
+        with self.fs.open_input_stream(path) as f:
+            return f.read()
+
     def read_text(self, path: str) -> str:
         path = self._n(path)
         if self.fs is None:
