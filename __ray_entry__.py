@@ -55,6 +55,15 @@ def _nblocks() -> int:
     return max(8, int(ray.cluster_resources().get("CPU", 8)))
 
 
+def _conc() -> int:
+    """Actor-pool size for stateful map_batches stages: scale with the
+    cluster but stay small enough that pools never starve the shuffle
+    stages (4-CPU test sessions get 2; 32-CPU bench gets 8)."""
+    import ray
+
+    return max(2, min(8, int(ray.cluster_resources().get("CPU", 8)) // 4))
+
+
 def _read(path: str, columns=None):
     import ray.data as rd
 
@@ -576,21 +585,21 @@ def _q_neardup_minhash_docs(sf_dir: str):
     from tsdat_ray.stages.dedup import minhash_neardup_pairs
 
     ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return minhash_neardup_pairs(ds, threshold=0.5)
+    return minhash_neardup_pairs(ds, threshold=0.5, concurrency=_conc())
 
 
 def _q_simhash_neardup(sf_dir: str):
     from tsdat_ray.stages.dedup import simhash_neardup_pairs
 
     ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return simhash_neardup_pairs(ds, max_hamming=3)
+    return simhash_neardup_pairs(ds, max_hamming=3, concurrency=_conc())
 
 
 def _q_simhash_docs(sf_dir: str):
     from tsdat_ray.stages.dedup import SimHasher
 
     ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=2)
+    return ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=_conc())
 
 
 def _q_bpe_token_count(sf_dir: str):
@@ -601,7 +610,7 @@ def _q_bpe_token_count(sf_dir: str):
         BPEishTokenCounter,
         fn_constructor_kwargs=dict(pattern=BPEishTokenCounter.PATTERN_RE2),
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=_conc(),
     )
 
 
@@ -609,14 +618,14 @@ def _q_lang_id_docs(sf_dir: str):
     from tsdat_ray.stages.text import LangId
 
     ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
+    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=_conc())
 
 
 def _q_fingerprint_docs(sf_dir: str):
     from tsdat_ray.stages.text import Fingerprinter
 
     ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ds.map_batches(Fingerprinter, batch_format="pyarrow", concurrency=2)
+    return ds.map_batches(Fingerprinter, batch_format="pyarrow", concurrency=_conc())
 
 
 def _q_bin2d_events(sf_dir: str):

