@@ -690,6 +690,80 @@ def _q_session_window(sf_dir: str):
                               gap_s=1800, id_col="event_id", value_scale=100)
 
 
+# ---- SQL-window-function equivalents (distributed, skew-safe) --------------- #
+
+def _q_lag_events(sf_dir: str):
+    from tsdat_ray.stages.window_funcs import partitioned_lag
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "event_type", "value"])
+    out = partitioned_lag(ds, key="event_type", ts_col="ts", value_col="value",
+                          id_col="event_id")
+    return out.select_columns(["event_id", "value_lag"])
+
+
+def _q_cumsum_events(sf_dir: str):
+    from tsdat_ray.stages.window_funcs import partitioned_cumsum
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "event_type", "value"])
+    out = partitioned_cumsum(ds, key="event_type", ts_col="ts", value_col="value",
+                             id_col="event_id", value_scale=100)
+    return out.select_columns(["event_id", "value_cumsum"])
+
+
+def _q_rank_events(sf_dir: str):
+    from tsdat_ray.stages.window_funcs import grouped_rank
+
+    ds = _events(sf_dir, columns=["event_id", "event_type", "value"])
+    out = grouped_rank(ds, key="event_type", value_col="value", id_col="event_id")
+    return out.select_columns(["event_id", "rnk"])
+
+
+def _q_top3_events(sf_dir: str):
+    from tsdat_ray.stages.window_funcs import grouped_topk
+
+    ds = _events(sf_dir, columns=["event_id", "event_type", "value"])
+    out = grouped_topk(ds, key="event_type", value_col="value", id_col="event_id", k=3)
+    return out.select_columns(["event_type", "event_id", "value"])
+
+
+def _q_semi_join_events(sf_dir: str):
+    from tsdat_ray.stages.window_funcs import semi_anti_join
+
+    clicks = _events(sf_dir, columns=["event_id", "user_id", "event_type"]).filter(
+        expr="event_type == 'click'")
+    purchases = _events(sf_dir, columns=["user_id", "event_type"]).filter(
+        expr="event_type == 'purchase'")
+    out = semi_anti_join(clicks, key_col="user_id", right=purchases, right_key="user_id")
+    return out.select_columns(["event_id", "user_id"])
+
+
+def _q_anti_join_events(sf_dir: str):
+    from tsdat_ray.stages.window_funcs import semi_anti_join
+
+    clicks = _events(sf_dir, columns=["event_id", "user_id", "event_type"]).filter(
+        expr="event_type == 'click'")
+    # restrict the right side so the anti set is non-empty at every sf
+    purchases = _events(sf_dir, columns=["user_id", "event_type", "value"]).filter(
+        expr="event_type == 'purchase' and value > 50")
+    out = semi_anti_join(clicks, key_col="user_id", right=purchases,
+                         right_key="user_id", anti=True)
+    return out.select_columns(["event_id", "user_id"])
+
+
+def _q_median_events(sf_dir: str):
+    from tsdat_ray.stages.window_funcs import exact_median_quantized
+
+    ds = _events(sf_dir, columns=["event_type", "value"])
+    out = exact_median_quantized(ds, key="event_type", value_col="value", scale=100)
+
+    def finish(b: pa.Table) -> pa.Table:
+        m = b["median_value"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({"event_type": b["event_type"],
+                         "median_value": pa.array(np.round(m, 3))})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 # ---- sampling / packing / vocab stats -------------------------------------- #
 
 def _q_stratified_sample(sf_dir: str):
@@ -823,6 +897,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_count_docs": _q_bpe_token_count,
         "lang_id_docs": _q_lang_id_docs,
         "fingerprint_docs": _q_fingerprint_docs,
+        "lag_events": _q_lag_events,
+        "cumsum_events": _q_cumsum_events,
+        "rank_events": _q_rank_events,
+        "top3_per_type_events": _q_top3_events,
+        "semi_join_click_purchase": _q_semi_join_events,
+        "anti_join_click_purchase": _q_anti_join_events,
+        "median_value_per_type": _q_median_events,
         "sliding_window_events": _q_sliding_window,
         "session_window_events": _q_session_window,
         "stratified_sample_docs": _q_stratified_sample,
@@ -990,6 +1071,48 @@ def oracle_sql() -> dict[str, str]:
         """,
         "distinct_users_per_type": """
             SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1
+        """,
+        "lag_events": """
+            SELECT event_id,
+                   lag(value) OVER (PARTITION BY event_type
+                                    ORDER BY ts, event_id) AS value_lag
+            FROM events
+        """,
+        "cumsum_events": """
+            SELECT event_id,
+                   ROUND(sum(value) OVER (PARTITION BY event_type
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING), 2) AS value_cumsum
+            FROM events
+        """,
+        "rank_events": """
+            SELECT event_id,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY value DESC, event_id) AS rnk
+            FROM events
+        """,
+        "top3_per_type_events": """
+            SELECT event_type, event_id, value FROM events
+            QUALIFY row_number() OVER (PARTITION BY event_type
+                                       ORDER BY value DESC, event_id) <= 3
+        """,
+        "semi_join_click_purchase": """
+            SELECT event_id, user_id FROM events e
+            WHERE event_type = 'click'
+              AND EXISTS (SELECT 1 FROM events p
+                          WHERE p.event_type = 'purchase'
+                            AND p.user_id = e.user_id)
+        """,
+        "anti_join_click_purchase": """
+            SELECT event_id, user_id FROM events e
+            WHERE event_type = 'click'
+              AND NOT EXISTS (SELECT 1 FROM events p
+                              WHERE p.event_type = 'purchase' AND p.value > 50
+                                AND p.user_id = e.user_id)
+        """,
+        "median_value_per_type": """
+            SELECT event_type, ROUND(median(value), 3) AS median_value
             FROM events GROUP BY 1
         """,
         "sliding_window_events": """

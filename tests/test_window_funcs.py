@@ -1,0 +1,147 @@
+"""Distributed window-function operators vs sequential references."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from tsdat_ray.stages.window_funcs import (
+    exact_median_quantized,
+    grouped_rank,
+    grouped_topk,
+    partitioned_cumsum,
+    partitioned_lag,
+    semi_anti_join,
+)
+
+US = 1_000_000
+
+
+@pytest.fixture
+def log(ray_session):
+    rng = np.random.default_rng(13)
+    n = 3000
+    ts = np.sort(rng.integers(0, 40 * 3600, n)).astype(np.int64) * US
+    # force empty-window gaps for the minority key: all its events cluster
+    # in hours 0-2 and 30-32 (6h windows 1..4 empty for it)
+    key = np.where(rng.random(n) < 0.9, "hot", "cold")
+    cold = key == "cold"
+    ts[cold] = np.where(rng.random(cold.sum()) < 0.5,
+                        rng.integers(0, 2 * 3600, cold.sum()),
+                        rng.integers(30 * 3600, 32 * 3600, cold.sum())).astype(np.int64) * US
+    v = rng.integers(0, 10000, n) / 100.0  # cent-quantized
+    return pa.table(
+        {
+            "k": pa.array(key),
+            "eid": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(ts).cast(pa.timestamp("us")),
+            "v": pa.array(v),
+        }
+    )
+
+
+def _seq_order(t):
+    ts = t["ts"].cast(pa.int64()).to_numpy()
+    eid = t["eid"].to_numpy()
+    k = t["k"].to_numpy(zero_copy_only=False)
+    return np.lexsort((eid, ts, k))
+
+
+def test_partitioned_lag_exact_across_empty_windows(log):
+    out = (
+        partitioned_lag(rd.from_arrow(log).repartition(5), key="k", ts_col="ts",
+                        value_col="v", id_col="eid", window_s=6 * 3600)
+        .to_pandas().sort_values("eid").reset_index(drop=True)
+    )
+    order = _seq_order(log)
+    k = log["k"].to_numpy(zero_copy_only=False)[order]
+    v = log["v"].to_numpy()[order]
+    eid = log["eid"].to_numpy()[order]
+    exp = np.full(len(v), np.nan)
+    exp[1:] = np.where(k[1:] == k[:-1], v[:-1], np.nan)
+    expected = dict(zip(eid, exp))
+    got = out.set_index("eid")["v_lag"]
+    for e in eid:
+        a, b = got[e], expected[e]
+        assert (np.isnan(a) and np.isnan(b)) or a == b
+
+
+def test_partitioned_cumsum_matches_sequential(log):
+    out = (
+        partitioned_cumsum(rd.from_arrow(log).repartition(5), key="k", ts_col="ts",
+                           value_col="v", id_col="eid", window_s=6 * 3600,
+                           value_scale=100)
+        .to_pandas().sort_values("eid").reset_index(drop=True)
+    )
+    order = _seq_order(log)
+    k = log["k"].to_numpy(zero_copy_only=False)[order]
+    cents = np.round(log["v"].to_numpy()[order] * 100).astype(np.int64)
+    eid = log["eid"].to_numpy()[order]
+    exp = np.empty(len(cents), np.int64)
+    run = {}
+    for i, (kk, c) in enumerate(zip(k, cents)):
+        run[kk] = run.get(kk, 0) + int(c)
+        exp[i] = run[kk]
+    expected = dict(zip(eid, exp / 100.0))
+    got = out.set_index("eid")["v_cumsum"]
+    for e in eid:
+        assert got[e] == expected[e]  # bitwise: exact int accumulation
+
+
+def test_grouped_rank_matches_argsort(log):
+    out = (
+        grouped_rank(rd.from_arrow(log).repartition(5), key="k", value_col="v",
+                     id_col="eid", n_buckets=16)
+        .to_pandas().sort_values("eid").reset_index(drop=True)
+    )
+    k = log["k"].to_numpy(zero_copy_only=False)
+    v = log["v"].to_numpy()
+    eid = log["eid"].to_numpy()
+    got = out.set_index("eid")["rnk"]
+    for kk in ("hot", "cold"):
+        m = k == kk
+        order = np.lexsort((eid[m], -v[m]))
+        for r, e in enumerate(eid[m][order], start=1):
+            assert got[e] == r
+
+
+def test_grouped_topk(log):
+    out = (
+        grouped_topk(rd.from_arrow(log).repartition(5), key="k", value_col="v",
+                     id_col="eid", k=3)
+        .to_pandas()
+    )
+    k = log["k"].to_numpy(zero_copy_only=False)
+    v = log["v"].to_numpy()
+    eid = log["eid"].to_numpy()
+    for kk in ("hot", "cold"):
+        m = k == kk
+        order = np.lexsort((eid[m], -v[m]))[:3]
+        exp = set(eid[m][order])
+        got = set(out[out["k"] == kk]["eid"])
+        assert got == exp
+
+
+def test_semi_anti_partition(log):
+    left = rd.from_arrow(log)
+    right = rd.from_arrow(log.filter(pa.compute.greater(log["v"], 99.0)))
+    semi = semi_anti_join(left, "eid", right, "eid").to_pandas()
+    anti = semi_anti_join(rd.from_arrow(log), "eid", right, "eid", anti=True).to_pandas()
+    n_hi = int((log["v"].to_numpy() > 99.0).sum())
+    assert len(semi) == n_hi
+    assert len(anti) == log.num_rows - n_hi
+    assert set(semi["eid"]).isdisjoint(set(anti["eid"]))
+
+
+def test_exact_median_odd_even(ray_session):
+    t = pa.table(
+        {
+            "k": pa.array(["a"] * 5 + ["b"] * 4),
+            "v": pa.array([1.00, 3.50, 2.25, 9.99, 0.01, 4.0, 1.0, 2.0, 3.0]),
+        }
+    )
+    out = exact_median_quantized(rd.from_arrow(t).repartition(3), key="k",
+                                 value_col="v", scale=100).to_pandas()
+    m = dict(zip(out["k"], out["median_value"]))
+    assert m["a"] == 2.25          # odd count: middle
+    assert m["b"] == 2.5           # even count: avg of 2, 3

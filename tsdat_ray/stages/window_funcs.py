@@ -1,0 +1,360 @@
+"""Distributed SQL-window-function equivalents over partitioned logs.
+
+The reference has none of these (its xarray model is whole-array in one
+process); a data engine replacing it at 100 TB needs them.  Every operator
+here avoids the naive ``groupby(key)`` whole-history-in-one-task shape:
+
+* ``partitioned_lag``  — LAG(value) OVER (PARTITION BY key ORDER BY ts, id).
+  Two-phase: per-(key, window) local lags, then each window's LAST value
+  (tiny table) drives an exact cross-window carry broadcast — correct even
+  across empty windows (a halo-to-next-window shuffle is not).
+* ``partitioned_cumsum`` — SUM(value) OVER (... ROWS UNBOUNDED PRECEDING).
+  Two-phase scan: per-(key, window) in-order prefix sums + window totals;
+  the tiny (key, window, total) table drives per-window offsets broadcast
+  back — the classic distributed prefix-sum.  Exact-decimal mode
+  (``value_scale``) keeps sums bit-deterministic.
+* ``grouped_rank``     — ROW_NUMBER() OVER (PARTITION BY key ORDER BY v
+  DESC, id).  Value-bucket salting: rank within (key, value-bucket) +
+  offset from the (tiny) per-bucket count table — skew-safe for
+  low-cardinality keys.
+* ``grouped_topk``     — top-k rows per key: per-batch local top-k
+  (combiner push-down) then one tiny groupby finalize.
+* ``semi_anti_join``   — EXISTS / NOT EXISTS against a key set built with a
+  tree reduction and broadcast (distinct keys bounded ≪ rows).
+* ``exact_median_quantized`` — exact per-key median of a decimal-quantized
+  column from a bounded histogram (tree-reduced; no sort, no shuffle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+US = 1_000_000
+
+
+def partitioned_lag(ds, key: str, ts_col: str, value_col: str,
+                    id_col: str | None = None, window_s: int = 6 * 3600):
+    """LAG(value, 1) over (key ORDER BY ts, id), exact across any window
+    layout.  Phase 1: one (key, window) shuffle computes in-window lags and
+    marks each window's first row.  Phase 2: the tiny per-(key, window)
+    last-value table (driver-side, bounded by keys × windows) yields each
+    window's carry = last value of the nearest earlier non-empty window,
+    broadcast for a final map fill."""
+    import ray
+
+    win_us = window_s * US
+
+    def add_window(b: pa.Table) -> pa.Table:
+        ts = b[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return b.append_column("_window", pa.array((ts // win_us) * win_us))
+
+    def per_window(g: pa.Table) -> pa.Table:
+        ts = g[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        x = g[value_col].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
+        if id_col is not None:
+            ids = g[id_col].to_numpy(zero_copy_only=False)
+            order = np.lexsort((ids, ts))
+        else:
+            order = np.argsort(ts, kind="stable")
+        lag = np.full(len(ts), np.nan)
+        if len(order) > 1:
+            lag[order[1:]] = x[order[:-1]]
+        first = np.zeros(len(ts), dtype=bool)
+        if len(order):
+            first[order[0]] = True
+        out = {c: g[c] for c in g.column_names}
+        out[f"{value_col}_lag"] = pa.array(lag)
+        out["_first"] = pa.array(first)
+        out["_last_val"] = pa.array(np.repeat(x[order[-1]] if len(order) else np.nan, len(ts)))
+        return pa.table(out)
+
+    part = ds.map_batches(add_window, batch_format="pyarrow").groupby(
+        [key, "_window"]
+    ).map_groups(per_window, batch_format="pyarrow").materialize()
+
+    # tiny (key, window) → window-last value; carry = previous non-empty
+    # window's last
+    lasts: dict = {}
+    for b in part.select_columns([key, "_window", "_last_val"]).iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        k = b[key].to_numpy(zero_copy_only=False)
+        w = b["_window"].combine_chunks().to_numpy(zero_copy_only=False)
+        lv = b["_last_val"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((w, k))
+        ks, ws, lvs = k[order], w[order], lv[order]
+        chg = np.r_[True, (ks[1:] != ks[:-1]) | (ws[1:] != ws[:-1])] if len(ks) else np.zeros(0, bool)
+        for i in np.flatnonzero(chg):
+            lasts[(ks[i], int(ws[i]))] = lvs[i]
+    carry: dict = {}
+    prev_key, prev_val = None, np.nan
+    for (kk, ww) in sorted(lasts, key=lambda t: (str(t[0]), t[1])):
+        if kk != prev_key:
+            prev_key, prev_val = kk, np.nan
+        carry[(kk, ww)] = prev_val
+        prev_val = lasts[(kk, ww)]
+    cref = ray.put(carry)
+
+    def fill(b: pa.Table) -> pa.Table:
+        cm = ray.get(cref)
+        first = b["_first"].combine_chunks().to_numpy(zero_copy_only=False)
+        k = b[key].to_numpy(zero_copy_only=False)
+        w = b["_window"].combine_chunks().to_numpy(zero_copy_only=False)
+        lag = b[f"{value_col}_lag"].combine_chunks().to_numpy(zero_copy_only=False).copy()
+        idx = np.flatnonzero(first)
+        for i in idx:
+            lag[i] = cm.get((k[i], int(w[i])), np.nan)
+        out = {c: b[c] for c in b.column_names if c not in ("_window", "_first", "_last_val", f"{value_col}_lag")}
+        out[f"{value_col}_lag"] = pa.array(lag)
+        return pa.table(out)
+
+    return part.map_batches(fill, batch_format="pyarrow")
+
+
+def partitioned_cumsum(ds, key: str, ts_col: str, value_col: str,
+                       id_col: str | None = None, window_s: int = 6 * 3600,
+                       value_scale: int | None = None):
+    """Running SUM over (key ORDER BY ts, id) — distributed prefix sum.
+
+    Phase 1 (one shuffle): per (key, window) sort + local prefix sums,
+    materialized.  Phase 2 (driver, tiny): per-key window totals →
+    exclusive prefix offsets, broadcast.  Phase 3 (map): add offsets.
+    Total order of additions == global (ts, id) order, so with
+    ``value_scale`` (exact int accumulation) the result is bit-equal to
+    the sequential scan."""
+    import ray
+
+    win_us = window_s * US
+
+    def add_window(b: pa.Table) -> pa.Table:
+        ts = b[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return b.append_column("_window", pa.array((ts // win_us) * win_us))
+
+    def local_scan(g: pa.Table) -> pa.Table:
+        ts = g[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        x = g[value_col].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
+        if value_scale:
+            x = np.round(x * value_scale).astype(np.int64)
+        if id_col is not None:
+            ids = g[id_col].to_numpy(zero_copy_only=False)
+            order = np.lexsort((ids, ts))
+        else:
+            order = np.argsort(ts, kind="stable")
+        cs = np.cumsum(x[order])
+        out_cs = np.empty(len(x), dtype=cs.dtype)
+        out_cs[order] = cs
+        out = {c: g[c] for c in g.column_names}
+        out["_lcs"] = pa.array(out_cs)
+        return pa.table(out)
+
+    part = ds.map_batches(add_window, batch_format="pyarrow").groupby(
+        [key, "_window"]
+    ).map_groups(local_scan, batch_format="pyarrow").materialize()
+
+    # tiny per-(key, window) totals → exclusive prefix offsets (blocks from
+    # map_groups hold whole groups; batch_size=None keeps them intact so
+    # the per-block "last cumsum" IS the window total)
+    totals: dict = {}
+    for b in part.select_columns([key, "_window", "_lcs"]).iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        k = b[key].to_numpy(zero_copy_only=False)
+        w = b["_window"].combine_chunks().to_numpy(zero_copy_only=False)
+        cs = b["_lcs"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((cs, w, k))  # cs last so group-max = window total
+        ks, ws, css = k[order], w[order], cs[order]
+        last = np.r_[(ks[1:] != ks[:-1]) | (ws[1:] != ws[:-1]), True] if len(ks) else np.zeros(0, bool)
+        for kk, ww, tot in zip(ks[last], ws[last], css[last]):
+            totals[(kk, int(ww))] = totals.get((kk, int(ww)), 0) + tot
+    offsets: dict = {}
+    by_key: dict = {}
+    for (kk, ww), tot in sorted(totals.items(), key=lambda it: (str(it[0][0]), it[0][1])):
+        offsets[(kk, ww)] = by_key.get(kk, 0)
+        by_key[kk] = by_key.get(kk, 0) + tot
+    off_ref = ray.put(offsets)
+
+    def add_offset(b: pa.Table) -> pa.Table:
+        offs = ray.get(off_ref)
+        k = b[key].to_numpy(zero_copy_only=False)
+        w = b["_window"].combine_chunks().to_numpy(zero_copy_only=False)
+        cs = b["_lcs"].combine_chunks().to_numpy(zero_copy_only=False)
+        off = np.array([offs.get((kk, int(ww)), 0) for kk, ww in zip(k, w)])
+        total = cs + off
+        if value_scale:
+            total = total / float(value_scale)
+        out = {c: b[c] for c in b.column_names if c not in ("_window", "_lcs")}
+        out[f"{value_col}_cumsum"] = pa.array(total.astype(np.float64))
+        return pa.table(out)
+
+    return part.map_batches(add_offset, batch_format="pyarrow")
+
+
+def grouped_rank(ds, key: str, value_col: str, id_col: str,
+                 descending: bool = True, n_buckets: int = 64):
+    """ROW_NUMBER() OVER (PARTITION BY key ORDER BY value [DESC], id) —
+    skew-safe: rows shuffle by (key, value-quantile bucket); global rank =
+    local rank + count of rows in better buckets (tiny table, broadcast)."""
+    import ray
+
+    # bucket edges from a sample (any edges are CORRECT, only balance varies)
+    sample = ds.limit(100_000).select_columns([value_col]).take_all()
+    vs = np.array([r[value_col] for r in sample], dtype=np.float64)
+    qs = np.quantile(vs, np.linspace(0, 1, n_buckets + 1)[1:-1]) if len(vs) else []
+    edges = np.unique(qs)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        v = b[value_col].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
+        bkt = np.searchsorted(edges, v, side="left").astype(np.int64)
+        return b.append_column("_vb", pa.array(bkt))
+
+    withb = ds.map_batches(add_bucket, batch_format="pyarrow").materialize()
+
+    # tiny (key, bucket) counts → offset = rows in BETTER buckets
+    counts: dict = {}
+    for b in withb.select_columns([key, "_vb"]).iter_batches(batch_format="pyarrow"):
+        k = b[key].to_numpy(zero_copy_only=False)
+        vb = b["_vb"].combine_chunks().to_numpy(zero_copy_only=False)
+        # vectorized small-dict accumulation
+        order = np.lexsort((vb, k))
+        ks, vbs = k[order], vb[order]
+        chg = np.r_[True, (ks[1:] != ks[:-1]) | (vbs[1:] != vbs[:-1])] if len(ks) else np.zeros(0, bool)
+        st = np.flatnonzero(chg)
+        cnt = np.diff(np.r_[st, len(ks)])
+        for kk, bb, cc in zip(ks[st], vbs[st], cnt):
+            counts[(kk, int(bb))] = counts.get((kk, int(bb)), 0) + int(cc)
+    offsets: dict = {}
+    keys_seen = sorted({kk for kk, _ in counts}, key=str)
+    for kk in keys_seen:
+        buckets = sorted((bb for k2, bb in counts if k2 == kk), reverse=descending)
+        run = 0
+        for bb in buckets:
+            offsets[(kk, bb)] = run
+            run += counts[(kk, bb)]
+    off_ref = ray.put(offsets)
+
+    def rank_group(g: pa.Table) -> pa.Table:
+        offs = ray.get(off_ref)
+        v = g[value_col].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        vb = g["_vb"].combine_chunks().to_numpy(zero_copy_only=False)
+        k0 = g[key][0].as_py()
+        order = np.lexsort((ids, -v if descending else v))
+        rank = np.empty(len(v), dtype=np.int64)
+        # ranks within each bucket of this group + global bucket offset
+        vbo = vb[order]
+        chg = np.r_[True, vbo[1:] != vbo[:-1]] if len(vbo) else np.zeros(0, bool)
+        st = np.flatnonzero(chg)
+        within = np.arange(len(vbo)) - np.repeat(st, np.diff(np.r_[st, len(vbo)]))
+        base = np.array([offs.get((k0, int(bb)), 0) for bb in vbo])
+        rank[order] = base + within + 1
+        out = {c: g[c] for c in g.column_names if c != "_vb"}
+        out["rnk"] = pa.array(rank)
+        return pa.table(out)
+
+    return withb.groupby([key, "_vb"]).map_groups(rank_group, batch_format="pyarrow")
+
+
+def grouped_topk(ds, key: str, value_col: str, id_col: str, k: int = 3,
+                 descending: bool = True):
+    """Top-k rows per key by (value, id) — combiner push-down: each batch
+    keeps ≤k rows per key, one tiny groupby finalizes."""
+
+    def local(b: pa.Table) -> pa.Table:
+        kc = b[key].combine_chunks().dictionary_encode()
+        codes = kc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b[value_col].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -v if descending else v, codes))
+        cs = codes[order]
+        st = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]]) if len(cs) else np.zeros(0, np.int64)
+        within = np.arange(len(cs)) - np.repeat(st, np.diff(np.r_[st, len(cs)]))
+        keep = order[within < k]
+        return b.take(pa.array(np.sort(keep), type=pa.int64()))
+
+    return ds.map_batches(local, batch_format="pyarrow").groupby(key).map_groups(
+        local, batch_format="pyarrow"
+    )
+
+
+def semi_anti_join(ds, key_col: str, right, right_key: str, anti: bool = False,
+                   fanin: int = 8):
+    """EXISTS / NOT EXISTS: distinct right keys via tree reduction (bounded
+    ≪ rows), broadcast once, vectorized membership filter per batch."""
+    import ray
+
+    from .reduce import tree_reduce
+
+    def uniq(b: pa.Table) -> pa.Table:
+        kk = b[right_key].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({right_key: pa.array(np.unique(kk))})
+
+    keys_ds = tree_reduce(right.select_columns([right_key]), uniq, fanin=fanin)
+    keys = np.concatenate(
+        [b[right_key].combine_chunks().to_numpy(zero_copy_only=False)
+         for b in keys_ds.iter_batches(batch_format="pyarrow")] or [np.zeros(0)]
+    )
+    keys = np.sort(keys)
+    kref = ray.put(keys)
+
+    def member(b: pa.Table) -> pa.Table:
+        ks = ray.get(kref)
+        v = b[key_col].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ks, v)
+        hit = (pos < len(ks)) & (ks[np.clip(pos, 0, max(len(ks) - 1, 0))] == v) if len(ks) else np.zeros(len(v), bool)
+        return b.filter(pa.array(~hit if anti else hit))
+
+    return ds.map_batches(member, batch_format="pyarrow")
+
+
+def exact_median_quantized(ds, key: str, value_col: str, scale: int = 100,
+                           fanin: int = 8):
+    """Exact per-key median of a 1/scale-quantized column via bounded
+    histograms (tree-reduced — NO sort, NO keyed shuffle).  Even counts
+    average the two middle values (SQL median/quantile_cont semantics)."""
+    from .reduce import tree_reduce
+
+    def hist(b: pa.Table) -> pa.Table:
+        if "_cnt" in b.column_names:  # merging partials
+            k = b[key].to_numpy(zero_copy_only=False)
+            q = b["_q"].combine_chunks().to_numpy(zero_copy_only=False)
+            c = b["_cnt"].combine_chunks().to_numpy(zero_copy_only=False)
+        else:
+            k = b[key].to_numpy(zero_copy_only=False)
+            v = b[value_col].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
+            q = np.round(v * scale).astype(np.int64)
+            c = np.ones(len(k), dtype=np.int64)
+        order = np.lexsort((q, k))
+        ks, qs, cs = k[order], q[order], c[order]
+        chg = np.r_[True, (ks[1:] != ks[:-1]) | (qs[1:] != qs[:-1])] if len(ks) else np.zeros(0, bool)
+        st = np.flatnonzero(chg)
+        csum = np.add.reduceat(cs, st) if len(st) else cs[:0]
+        take = pa.array(order[st] if len(st) else [], type=pa.int64())
+        return pa.table({key: b[key].take(take), "_q": pa.array(qs[st] if len(st) else qs[:0]),
+                         "_cnt": pa.array(csum)})
+
+    agg = tree_reduce(ds.select_columns([key, value_col]), hist, fanin=fanin)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        k = b[key].to_numpy(zero_copy_only=False)
+        q = b["_q"].combine_chunks().to_numpy(zero_copy_only=False)
+        c = b["_cnt"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((q, k))
+        ks, qs, cs = k[order], q[order], c[order]
+        chg = np.r_[True, ks[1:] != ks[:-1]] if len(ks) else np.zeros(0, bool)
+        st = np.flatnonzero(chg)
+        en = np.r_[st[1:], len(ks)]
+        out_k, out_m = [], []
+        for s, e in zip(st, en):
+            qq, cc = qs[s:e], cs[s:e]
+            tot = cc.sum()
+            cum = np.cumsum(cc)
+            lo_i = int(np.searchsorted(cum, (tot + 1) // 2))
+            hi_i = int(np.searchsorted(cum, tot // 2 + 1))
+            med = (qq[lo_i] + qq[hi_i]) / 2.0 / scale
+            out_k.append(ks[s])
+            out_m.append(med)
+        return pa.table({key: pa.array(out_k), "median_value": pa.array(out_m)})
+
+    return agg.map_batches(finalize, batch_format="pyarrow", batch_size=None)
