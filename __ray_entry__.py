@@ -815,6 +815,68 @@ def _q_token_histogram(sf_dir: str):
     return token_histogram(ds)
 
 
+# ---- alternate storage formats (roundtrip identity = oracleable) ------------ #
+
+def _q_zarr_roundtrip(sf_dir: str):
+    """events → partitioned Zarr v2 tier store (distributed write) → Ray
+    read-back; identity roundtrip, so the oracle is a plain SELECT."""
+    from tsdat_ray.stages.rollup import floor_bucket_us
+    from tsdat_ray.sources.zarr_store import read_zarr_partitioned, write_zarr_partitioned
+
+    root = os.path.join(_CACHE, f"zarr_events_{_sf_of(sf_dir)}")
+
+    def add_parts(b: pa.Table) -> pa.Table:
+        ts = b["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = pc.strftime(pa.array(floor_bucket_us(ts, 86400)).cast(pa.timestamp("us")),
+                          format="%Y-%m-%d")
+        b = b.append_column("source", b["event_type"])
+        return b.append_column("day", day)
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "event_type", "value"]).map_batches(
+        add_parts, batch_format="pyarrow")
+    write_zarr_partitioned(ds, root, ts_col="ts")
+    back = read_zarr_partitioned(root)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({"event_id": b["event_id"], "ts": b["ts"], "value": b["value"]})
+
+    return back.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_netcdf_roundtrip(sf_dir: str):
+    """events → classic NetCDF bytes → parse → long table, per batch inside
+    map_batches (fully distributed); identity roundtrip, plain-SELECT
+    oracle."""
+    from tsdat_ray.sources.netcdf3 import read_netcdf3_table, write_netcdf3
+
+    def roundtrip(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        if n == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "ts": pa.array([], pa.timestamp("us")),
+                             "value": pa.array([], pa.float64())})
+        buf = write_netcdf3(
+            {"time": n},
+            {
+                "time": {"dims": ["time"],
+                         "data": b["ts"].combine_chunks().to_numpy(zero_copy_only=False)},
+                "event_id": {"dims": ["time"],
+                             "data": b["event_id"].combine_chunks().to_numpy(zero_copy_only=False)},
+                "value": {"dims": ["time"],
+                          "data": b["value"].combine_chunks().to_numpy(zero_copy_only=False),
+                          "attrs": {"units": "1"}},
+            },
+            attrs={"datastream": "events.roundtrip"},
+            record_dim="time",
+        )
+        t = read_netcdf3_table(buf)
+        return pa.table({"event_id": pc.cast(t["event_id"], pa.int64()),
+                         "ts": t["time"], "value": t["value"]})
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "value"])
+    return ds.map_batches(roundtrip, batch_format="pyarrow")
+
+
 # ---- multimodal (synthetic raw-codec media corpus; rows-only checks) -------- #
 
 def _media_path() -> str:
@@ -911,6 +973,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "shuffle_sequences": _q_shuffle_sequences,
         "token_histogram": _q_token_histogram,
+        "zarr_roundtrip_events": _q_zarr_roundtrip,
+        "netcdf_roundtrip_events": _q_netcdf_roundtrip,
         "media_image_stats": _q_media_image_stats,
         "media_audio_features": _q_media_audio_features,
         "media_video_frames": _q_media_video_frames,
@@ -1175,6 +1239,12 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_rows,
                    ROUND(sum(value), 2) AS value_sum
             FROM events GROUP BY 1, 2
+        """,
+        "zarr_roundtrip_events": """
+            SELECT event_id, ts, value FROM events
+        """,
+        "netcdf_roundtrip_events": """
+            SELECT event_id, ts, value FROM events
         """,
         "neardup_embeddings_exact": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b

@@ -267,10 +267,11 @@ def write_netcdf3(dims: dict[str, int], variables: dict[str, dict],
     for name, v in variables.items():
         arr = np.asarray(v["data"])
         if arr.dtype.kind == "M":
+            # microsecond units keep float64 values integral → exact roundtrip
             epoch = np.datetime64("1970-01-01T00:00:00", "us")
-            arr = ((arr.astype("datetime64[us]") - epoch) / np.timedelta64(1, "s")).astype(np.float64)
+            arr = (arr.astype("datetime64[us]") - epoch).astype(np.int64).astype(np.float64)
             v = {**v, "attrs": {**v.get("attrs", {}),
-                                "units": "seconds since 1970-01-01 00:00:00"}}
+                                "units": "microseconds since 1970-01-01 00:00:00"}}
         dt = arr.dtype.newbyteorder("=")
         if dt not in _REV_TYPES:
             if dt.kind == "i":
