@@ -243,6 +243,20 @@ def _q_asof(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_range_join(sf_dir: str):
+    """Range join: per click, count purchases within the 5 minutes ending at
+    the click (non-equi interval predicate, broadcast distinct-ts form)."""
+    from tsdat_ray.stages.joins import range_count_join
+
+    clicks = _events(sf_dir, columns=["event_id", "ts", "event_type"]).filter(
+        expr="event_type == 'click'")
+    purchases = _events(sf_dir, columns=["ts", "event_type"]).filter(
+        expr="event_type == 'purchase'")
+    out = range_count_join(clicks, purchases, left_on="ts", right_on="ts",
+                           lo_offset_s=-300, hi_offset_s=0, out_col="n_purchases")
+    return out.select_columns(["event_id", "n_purchases"])
+
+
 def _q_gapfill(sf_dir: str):
     """1m rollup of events → forward-fill gaps up to 5 buckets."""
     from tsdat_ray.stages.gapfill import GapFillConfig, gapfill_tier
@@ -935,6 +949,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "units_convert_events": _q_units,
         "parse_props_events": _q_parse_props,
         "asof_click_purchase": _q_asof,
+        "rangejoin_click_purchase": _q_range_join,
         "gapfill_1m_events": _q_gapfill,
         "gapfill_linear_1m_events": _q_gapfill_linear,
         "dedup_exact_docs": _q_dedup_docs,
@@ -1013,6 +1028,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.event_id, p.event_id_p
             FROM (SELECT * FROM events WHERE event_type = 'click') c
             ASOF LEFT JOIN p ON c.ts >= p.ts
+        """,
+        "rangejoin_click_purchase": """
+            SELECT c.event_id,
+                   (SELECT count(*) FROM events p
+                    WHERE p.event_type = 'purchase'
+                      AND p.ts >= c.ts - INTERVAL 300 SECOND
+                      AND p.ts <= c.ts) AS n_purchases
+            FROM events c WHERE c.event_type = 'click'
         """,
         "gapfill_1m_events": """
             WITH b AS (

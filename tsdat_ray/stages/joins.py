@@ -172,6 +172,60 @@ def broadcast_lookup(
     return ds.map_batches(lookup, batch_format="pyarrow")
 
 
+def range_count_join(ds, right, left_on: str, right_on: str,
+                     lo_offset_s: float, hi_offset_s: float,
+                     out_col: str = "n_in_range", fanin: int = 8):
+    """Range join (count form): for each left row, the number of right rows
+    with ``right_on`` in [left_on + lo_offset, left_on + hi_offset].
+
+    Scale shape: the right side reduces to its DISTINCT sorted timestamp
+    multiset (tree reduction, bounded by distinct ts ≪ rows), broadcast
+    once; each left batch answers with two vectorized searchsorteds — no
+    shuffle.  The non-equi analog of ``asof_lookup``; for huge right sides
+    partition both by coarse time range and apply per window."""
+    import ray
+
+    from .reduce import tree_reduce
+
+    US = 1_000_000
+
+    def ts_counts(b: pa.Table) -> pa.Table:
+        if "_cnt" in b.column_names:
+            ts = b[right_on].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+            c = b["_cnt"].combine_chunks().to_numpy(zero_copy_only=False)
+        else:
+            ts = b[right_on].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+            c = np.ones(len(ts), dtype=np.int64)
+        order = np.argsort(ts, kind="stable")
+        tss, cs = ts[order], c[order]
+        chg = np.r_[True, tss[1:] != tss[:-1]] if len(tss) else np.zeros(0, bool)
+        st = np.flatnonzero(chg)
+        csum = np.add.reduceat(cs, st) if len(st) else cs[:0]
+        return pa.table({right_on: pa.array(tss[st] if len(st) else tss[:0]).cast(pa.timestamp("us")),
+                         "_cnt": pa.array(csum)})
+
+    agg = tree_reduce(right, ts_counts, fanin=fanin)
+    ts_list, cnt_list = [], []
+    for b in agg.iter_batches(batch_format="pyarrow"):
+        ts_list.append(b[right_on].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False))
+        cnt_list.append(b["_cnt"].combine_chunks().to_numpy(zero_copy_only=False))
+    rts = np.concatenate(ts_list) if ts_list else np.zeros(0, np.int64)
+    rcnt = np.concatenate(cnt_list) if cnt_list else np.zeros(0, np.int64)
+    cum = np.r_[0, np.cumsum(rcnt)]
+    ref = ray.put((rts, cum))
+    lo_us, hi_us = int(lo_offset_s * US), int(hi_offset_s * US)
+
+    def count(b: pa.Table) -> pa.Table:
+        ts_sorted, cumc = ray.get(ref)
+        lt = b[left_on].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(ts_sorted, lt + lo_us, side="left")
+        hi = np.searchsorted(ts_sorted, lt + hi_us, side="right")
+        n = cumc[hi] - cumc[lo]
+        return b.append_column(out_col, pa.array(n.astype(np.int64)))
+
+    return ds.map_batches(count, batch_format="pyarrow")
+
+
 def merge_sources(datasets, on: str = "ts", window_s: int = 86400):
     """Outer coordinate merge with first-match-wins priority — the engine's
     version of the reference's multi-input retrieval (xr.merge outer align,
