@@ -758,7 +758,7 @@ def _q_anti_join_events(sf_dir: str):
         expr="event_type == 'click'")
     # restrict the right side so the anti set is non-empty at every sf
     purchases = _events(sf_dir, columns=["user_id", "event_type", "value"]).filter(
-        expr="event_type == 'purchase' and value > 50")
+        expr="event_type == 'purchase' and value > 80")
     out = semi_anti_join(clicks, key_col="user_id", right=purchases,
                          right_key="user_id", anti=True)
     return out.select_columns(["event_id", "user_id"])
@@ -1195,7 +1195,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id FROM events e
             WHERE event_type = 'click'
               AND NOT EXISTS (SELECT 1 FROM events p
-                              WHERE p.event_type = 'purchase' AND p.value > 50
+                              WHERE p.event_type = 'purchase' AND p.value > 80
                                 AND p.user_id = e.user_id)
         """,
         "median_value_per_type": """

@@ -79,7 +79,10 @@ def run_bench() -> dict:
     # two identical runs is the steady-state number (both runs full + timed)
     out_root = "/tmp/bench_store"
     runs = []
-    for attempt in range(2 if not scale_rows else 1):
+    # best-of-N: this VM's wall varies ±30% run-to-run (measured 17.7s vs
+    # 22.9s for identical consecutive flagship runs); scaling mode takes
+    # best-of-3 per CPU level so one noisy run can't skew the ratio
+    for attempt in range(3 if scale_rows else 2):
         shutil.rmtree(out_root, ignore_errors=True)
         # pin the block layout so both CPU levels run the identical physical plan
         cfg = PipelineConfig(out_root=out_root, resume=False,
@@ -135,6 +138,18 @@ def run_bench() -> dict:
         "stratified_sample_docs",
         "token_histogram",
         "pack_sequences",
+        # round-2 operators
+        "bin2d_events",
+        "lag_events",
+        "cumsum_events",
+        "rank_events",
+        "median_value_per_type",
+        "rangejoin_click_purchase",
+        "semi_join_click_purchase",
+        "neardup_simhash_docs",
+        "hash_split_docs",
+        "zarr_roundtrip_events",
+        "netcdf_roundtrip_events",
     ]
     qtimes = {}
     for name in bench_queries:

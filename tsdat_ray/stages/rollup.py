@@ -224,11 +224,19 @@ def _rollup_raw_sorted(g, cfg, codes, key_arr, iv_us):
         "bucket": pa.array(blabels, type=pa.int64()).cast(pa.timestamp("us")),
         "n_rows": counts.astype(np.int64),
         "_first_ts": ts_s[starts] if len(starts) else np.zeros(0, np.int64),
-        # deterministic combine tiebreak when two partials of one (key,
-        # bucket) share _first_ts (possible with dedup=False + duplicate
-        # timestamps split across blocks): the minimal contributing row id
-        "_first_id": g[cfg.id_col].take(pa.array(sel_rows[starts], type=pa.int64())),
     }
+    # deterministic combine tiebreak when two partials of one (key, bucket)
+    # share _first_ts (possible with dedup=False + duplicate timestamps
+    # split across blocks): a stable uint64 hash of the minimal contributing
+    # row id — any deterministic total order works, and the fixed-width hash
+    # keeps the shuffle payload and the combine lexsort cheap (an object-
+    # dtype string id column cost ~25% of the 16-CPU flagship wall)
+    import pandas as pd
+
+    first_ids = g[cfg.id_col].take(pa.array(sel_rows[starts], type=pa.int64()))
+    out["_first_id"] = pa.array(
+        pd.util.hash_array(np.asarray(first_ids.to_numpy(zero_copy_only=False)))
+    )
 
     ones = np.ones(len(ts_s), dtype=np.float64)
     for v in cfg.values:
