@@ -778,6 +778,53 @@ def _q_median_events(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_quantiles_events(sf_dir: str):
+    from tsdat_ray.stages.window_funcs import exact_quantiles_quantized
+
+    ds = _events(sf_dir, columns=["event_type", "value"])
+    out = exact_quantiles_quantized(ds, key="event_type", value_col="value",
+                                    qs=(0.25, 0.5, 0.75), scale=100)
+
+    def finish(b: pa.Table) -> pa.Table:
+        cols = {"event_type": b["event_type"]}
+        for c in ("q25", "q50", "q75"):
+            # quantile values are multiples of 1/400 → 4-decimal rounding is
+            # exact on both sides of the contract
+            cols[c] = pa.array(np.round(
+                b[c].combine_chunks().to_numpy(zero_copy_only=False), 4))
+        return pa.table(cols)
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+_EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def _q_pivot_events(sf_dir: str):
+    """Pivot long events to one row per day with a count column per event
+    type (declared domain → stable wide schema)."""
+    from tsdat_ray.stages.reshape import pivot_agg
+
+    def add_day(b: pa.Table) -> pa.Table:
+        ts = b["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = (ts // (86400 * US)) * (86400 * US)
+        return b.append_column("bucket", pa.array(day).cast(pa.timestamp("us")))
+
+    ds = _events(sf_dir, columns=["ts", "event_type"]).map_batches(
+        add_day, batch_format="pyarrow")
+    return pivot_agg(ds, row_key_col="bucket", col_key_col="event_type",
+                     col_domain=_EVENT_TYPES)
+
+
+def _q_melt_lineitem(sf_dir: str):
+    from tsdat_ray.stages.reshape import melt
+
+    ds = _read(f"{sf_dir}/lineitem.parquet",
+               columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"])
+    return melt(ds, id_cols=("l_orderkey", "l_linenumber"),
+                value_cols=("l_quantity", "l_extendedprice"))
+
+
 # ---- sampling / packing / vocab stats -------------------------------------- #
 
 def _q_stratified_sample(sf_dir: str):
@@ -981,6 +1028,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join_click_purchase": _q_semi_join_events,
         "anti_join_click_purchase": _q_anti_join_events,
         "median_value_per_type": _q_median_events,
+        "quantiles_per_type": _q_quantiles_events,
+        "pivot_daily_counts": _q_pivot_events,
+        "melt_lineitem": _q_melt_lineitem,
         "sliding_window_events": _q_sliding_window,
         "session_window_events": _q_session_window,
         "stratified_sample_docs": _q_stratified_sample,
@@ -1201,6 +1251,29 @@ def oracle_sql() -> dict[str, str]:
         "median_value_per_type": """
             SELECT event_type, ROUND(median(value), 3) AS median_value
             FROM events GROUP BY 1
+        """,
+        "quantiles_per_type": """
+            SELECT event_type,
+                   ROUND(quantile_cont(value, 0.25), 4) AS q25,
+                   ROUND(quantile_cont(value, 0.50), 4) AS q50,
+                   ROUND(quantile_cont(value, 0.75), 4) AS q75
+            FROM events GROUP BY 1
+        """,
+        "pivot_daily_counts": """
+            SELECT date_trunc('day', ts) AS bucket,
+                   CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+                   CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+                   CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+                   CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+                   CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error
+            FROM events GROUP BY 1
+        """,
+        "melt_lineitem": """
+            SELECT l_orderkey, l_linenumber, 'l_quantity' AS name,
+                   l_quantity AS val FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS name,
+                   l_extendedprice AS val FROM lineitem
         """,
         "sliding_window_events": """
             SELECT event_type, w AS window_start,

@@ -1,0 +1,92 @@
+"""Reshape operators: pivot (long → wide) and melt (wide → long).
+
+Absent from the reference (xarray holds everything wide already); standard
+table ops an engine replacing it needs:
+
+* ``pivot_agg`` — one output row per ``row_key``, one column per declared
+  ``col_domain`` value, cells = count or exact-decimal sum.  Combiner
+  push-down: per-batch partial aggregation of (row, col) pairs (bounded by
+  rows × |domain|), tree-reduced — no keyed shuffle.  The column domain is
+  DECLARED (stable output schema, like the reference's dataset-config
+  variables); sums accumulate as int64 of round(value*scale) so merges are
+  order-independent.
+* ``melt`` — pure map: each row explodes to one (id..., name, value) row
+  per value column.  No shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .reduce import tree_reduce
+
+
+def pivot_agg(ds, row_key_col: str, col_key_col: str, col_domain: tuple,
+              value_col: str | None = None, value_scale: int = 100,
+              prefix: str = "n_", fanin: int = 8):
+    """Pivot with count (value_col=None) or exact-decimal sum cells."""
+    dom = {v: i for i, v in enumerate(col_domain)}
+    ncol = len(col_domain)
+
+    def partial(b: pa.Table) -> pa.Table:
+        if "_cell" in b.column_names:  # merging partials
+            rk = b[row_key_col].to_numpy(zero_copy_only=False)
+            cell = b["_cell"].combine_chunks().to_numpy(zero_copy_only=False)
+            agg = b["_agg"].combine_chunks().to_numpy(zero_copy_only=False)
+        else:
+            rk = b[row_key_col].to_numpy(zero_copy_only=False)
+            ck = b[col_key_col].to_numpy(zero_copy_only=False)
+            cell = np.array([dom.get(c, -1) for c in ck], dtype=np.int64)
+            keep = cell >= 0
+            rk, cell = rk[keep], cell[keep]
+            if value_col is None:
+                agg = np.ones(len(rk), dtype=np.int64)
+            else:
+                v = b[value_col].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)[keep]
+                agg = np.round(v * value_scale).astype(np.int64)
+        order = np.lexsort((cell, rk))
+        rs, cs, ags = rk[order], cell[order], agg[order]
+        chg = np.r_[True, (rs[1:] != rs[:-1]) | (cs[1:] != cs[:-1])] if len(rs) else np.zeros(0, bool)
+        st = np.flatnonzero(chg)
+        summed = np.add.reduceat(ags, st) if len(st) else ags[:0]
+        take = pa.array(order[st] if len(st) else [], type=pa.int64())
+        return pa.table({row_key_col: b[row_key_col].take(take),
+                         "_cell": pa.array(cs[st] if len(st) else cs[:0]),
+                         "_agg": pa.array(summed)})
+
+    agg = tree_reduce(ds, partial, fanin=fanin)
+
+    def widen(b: pa.Table) -> pa.Table:
+        rk = b[row_key_col].to_numpy(zero_copy_only=False)
+        cell = b["_cell"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = b["_agg"].combine_chunks().to_numpy(zero_copy_only=False)
+        rlab, rinv = np.unique(rk, return_inverse=True)
+        mat = np.zeros((len(rlab), ncol), dtype=np.int64)
+        mat[rinv, cell] = v
+        out = {row_key_col: pa.array(rlab)}
+        for name, j in dom.items():
+            col = mat[:, j]
+            out[f"{prefix}{name}"] = pa.array(
+                col if value_col is None else col / float(value_scale)
+            )
+        return pa.table(out)
+
+    return agg.map_batches(widen, batch_format="pyarrow", batch_size=None)
+
+
+def melt(ds, id_cols: tuple, value_cols: tuple,
+         name_col: str = "name", value_out: str = "val"):
+    """Wide → long: one (id..., name, value) row per value column — pure map."""
+
+    def unpivot(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        parts = []
+        for vc in value_cols:
+            cols = {c: b[c] for c in id_cols}
+            cols[name_col] = pa.array(np.repeat(vc, n))
+            cols[value_out] = b[vc].combine_chunks().cast(pa.float64())
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(unpivot, batch_format="pyarrow")

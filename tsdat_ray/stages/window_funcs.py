@@ -308,6 +308,67 @@ def semi_anti_join(ds, key_col: str, right, right_key: str, anti: bool = False,
     return ds.map_batches(member, batch_format="pyarrow")
 
 
+def exact_quantiles_quantized(ds, key: str, value_col: str,
+                              qs: tuple = (0.25, 0.5, 0.75), scale: int = 100,
+                              fanin: int = 8):
+    """Exact per-key quantiles of a 1/scale-quantized column with SQL
+    ``quantile_cont`` semantics (linear interpolation between order stats at
+    position (n-1)·q), computed from bounded tree-reduced histograms — no
+    sort, no keyed shuffle.  Same reduction shape as
+    ``exact_median_quantized``; output columns ``q<percent>``."""
+    from .reduce import tree_reduce
+
+    def hist(b: pa.Table) -> pa.Table:
+        if "_cnt" in b.column_names:
+            k = b[key].to_numpy(zero_copy_only=False)
+            q = b["_q"].combine_chunks().to_numpy(zero_copy_only=False)
+            c = b["_cnt"].combine_chunks().to_numpy(zero_copy_only=False)
+        else:
+            k = b[key].to_numpy(zero_copy_only=False)
+            v = b[value_col].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
+            q = np.round(v * scale).astype(np.int64)
+            c = np.ones(len(k), dtype=np.int64)
+        order = np.lexsort((q, k))
+        ks, qv, cs = k[order], q[order], c[order]
+        chg = np.r_[True, (ks[1:] != ks[:-1]) | (qv[1:] != qv[:-1])] if len(ks) else np.zeros(0, bool)
+        st = np.flatnonzero(chg)
+        csum = np.add.reduceat(cs, st) if len(st) else cs[:0]
+        take = pa.array(order[st] if len(st) else [], type=pa.int64())
+        return pa.table({key: b[key].take(take), "_q": pa.array(qv[st] if len(st) else qv[:0]),
+                         "_cnt": pa.array(csum)})
+
+    agg = tree_reduce(ds.select_columns([key, value_col]), hist, fanin=fanin)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        k = b[key].to_numpy(zero_copy_only=False)
+        qv = b["_q"].combine_chunks().to_numpy(zero_copy_only=False)
+        c = b["_cnt"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((qv, k))
+        ks, qs_v, cs = k[order], qv[order], c[order]
+        chg = np.r_[True, ks[1:] != ks[:-1]] if len(ks) else np.zeros(0, bool)
+        st = np.flatnonzero(chg)
+        en = np.r_[st[1:], len(ks)]
+        out: dict = {key: []}
+        names = [f"q{int(round(qq * 100))}" for qq in qs]
+        for nm in names:
+            out[nm] = []
+        for s, e in zip(st, en):
+            vals, cnt = qs_v[s:e], cs[s:e]
+            n = int(cnt.sum())
+            cum = np.cumsum(cnt)
+            out[key].append(ks[s])
+            for nm, qq in zip(names, qs):
+                p = (n - 1) * qq
+                lo = int(np.searchsorted(cum, np.floor(p) + 1))
+                hi = int(np.searchsorted(cum, np.ceil(p) + 1))
+                frac = p - np.floor(p)
+                val = ((1.0 - frac) * vals[lo] + frac * vals[hi]) / scale
+                out[nm].append(val)
+        return pa.table({k2: pa.array(v) for k2, v in out.items()})
+
+    return agg.map_batches(finalize, batch_format="pyarrow", batch_size=None)
+
+
 def exact_median_quantized(ds, key: str, value_col: str, scale: int = 100,
                            fanin: int = 8):
     """Exact per-key median of a 1/scale-quantized column via bounded
