@@ -150,7 +150,14 @@ def _events_rollup(sf_dir: str, tier: str):
     t = cached(tier)
 
     def finish(b: pa.Table) -> pa.Table:
-        b = b.append_column("value_sum", b["value_sum_wx"])
+        # bitwise-robust float contract for the cascaded tiers: value is
+        # cent-quantized, so rounding the sum to cents absorbs the chunked
+        # combine's ulp-level grouping differences, and defining the mean as
+        # rounded-sum / n makes both sides the identical double
+        s = np.round(b["value_sum_wx"].combine_chunks().to_numpy(zero_copy_only=False), 2)
+        n = b["n_rows"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = b.append_column("value_sum", pa.array(s))
+        b = b.drop_columns(["value_mean"]).append_column("value_mean", pa.array(s / n))
         return b.select(_ROLLUP_SELECT)
 
     return t.map_batches(finish, batch_format="pyarrow")
@@ -159,8 +166,8 @@ def _events_rollup(sf_dir: str, tier: str):
 def _events_rollup_sql(unit: str) -> str:
     return f"""
         SELECT event_type, date_trunc('{unit}', ts) AS bucket, count(*) AS n_rows,
-               avg(value) AS value_mean, min(value) AS value_min,
-               max(value) AS value_max, sum(value) AS value_sum
+               ROUND(sum(value), 2) / count(*) AS value_mean, min(value) AS value_min,
+               max(value) AS value_max, ROUND(sum(value), 2) AS value_sum
         FROM events GROUP BY 1, 2
     """
 
@@ -1090,7 +1097,7 @@ def oracle_sql() -> dict[str, str]:
         "gapfill_1m_events": """
             WITH b AS (
                 SELECT event_type, date_trunc('minute', ts) AS bucket,
-                       avg(value) AS value_mean
+                       ROUND(sum(value), 2) / count(*) AS value_mean
                 FROM events GROUP BY 1, 2
             ),
             bounds AS (
@@ -1116,7 +1123,7 @@ def oracle_sql() -> dict[str, str]:
         "gapfill_linear_1m_events": """
             WITH b AS (
                 SELECT event_type, date_trunc('minute', ts) AS bucket,
-                       avg(value) AS v
+                       ROUND(sum(value), 2) / count(*) AS v
                 FROM events GROUP BY 1, 2
             ),
             bounds AS (

@@ -211,9 +211,14 @@ def gapfill_tier(ds, cfg: GapFillConfig):
                         all_b[good], all_vals[v][good], fill_b
                     )
                 else:
-                    x0, x1 = all_b[pi].astype(float), all_b[ni].astype(float)
+                    # interpolate in BUCKET-INDEX units (exact small ints;
+                    # buckets are iv-aligned) with the same operation order
+                    # as the SQL twin — pv + ((nv-pv)*dd1)/dd2 — so filled
+                    # values are bitwise equal to DuckDB's
+                    dt = ((fill_b - all_b[pi]) // iv).astype(np.float64)
+                    dT = ((all_b[ni] - all_b[pi]) // iv).astype(np.float64)
                     y0, y1 = all_vals[v][pi], all_vals[v][ni]
-                    filled_val = y0 + (y1 - y0) * (fill_b - x0) / (x1 - x0)
+                    filled_val = y0 + (y1 - y0) * dt / dT
                 out_rows[f"{v}{cfg.value_suffix}"] = filled_val
 
         # assemble: original rows + filled rows, aligned on the full schema
