@@ -370,8 +370,6 @@ def _run_chained(input_paths, cfg: PipelineConfig) -> dict:
 
     t0 = time.time()
     prev = _clean_dataset(input_paths, cfg, frozenset(), write_root=man.tier_dir("raw"))
-    if cfg.tier_barriers:
-        prev = prev.materialize()
     prev_tier = "raw"
     for tier in cfg.tiers:
         rcfg = _tier_rcfg(tier, cfg)
@@ -387,10 +385,18 @@ def _run_chained(input_paths, cfg: PipelineConfig) -> dict:
             return t
 
         p = prev.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        if cfg.tier_barriers:
+            # barrier on each tier's PARTIALS, never on full-payload rows:
+            # each Ray job then holds exactly one shuffle ([tier-t combine →
+            # tier-t+1 partial] fused), the raw clean+write reduce tasks
+            # pipeline straight into the 1m partial aggregation, and only
+            # tier-shaped partials sit at barriers.  The r1 layout (barrier
+            # after every combine + one on the cleaned corpus) held the full
+            # token payload in the object store and ran 2 extra jobs
+            # (measured 70.9→61 s at 4 CPUs, 22.7→19.8 s at 16).
+            p = p.materialize()
         p = _add_window(p, "bucket", rcfg.window_s, from_tier=True)
         prev = p.groupby([rcfg.key, "_window"]).map_groups(combine_write, batch_format="pyarrow")
-        if cfg.tier_barriers:
-            prev = prev.materialize()
         prev_tier = tier
 
     n_final = prev.count()  # drives the whole fused graph

@@ -119,26 +119,40 @@ class Manifest:
     ) -> list[PartitionRecord]:
         """Scan newly-written partition dirs and append one record each.
 
-        Row/byte counts come from parquet footers (no data read); the checksum
-        is a crc32 over (file name, size) pairs — enough to detect partial or
-        clobbered partitions on the next resume."""
+        Row/byte counts come from parquet footers (no data read, scanned by
+        a driver-side thread pool — the serial footer loop was ~1s of flat
+        per-run cost on the scaling bench); the checksum is a crc32 over
+        (file name, size) pairs — enough to detect partial or clobbered
+        partitions on the next resume."""
+        from concurrent.futures import ThreadPoolExecutor
+
         done = self.completed(tier)
         new = []
-        for part in self.list_partition_dirs(tier):
-            if part in done:
-                continue
+        todo = [p for p in self.list_partition_dirs(tier) if p not in done]
+        listing = {p: self.sfs.listdir(self.partition_dir(tier, p)) for p in todo}
+
+        def stat_file(arg):
+            pdir, fn = arg
+            fp = f"{pdir}/{fn}"
+            return fn, self.sfs.getsize(fp), self.sfs.parquet_num_rows(fp)
+
+        jobs = [(self.partition_dir(tier, p), fn)
+                for p in todo for fn in listing[p] if fn.endswith(".parquet")]
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            stats = dict(zip([j for j in jobs], ex.map(stat_file, jobs)))
+
+        for part in todo:
             pdir = self.partition_dir(tier, part)
             files, rows, nbytes, crc = [], 0, 0, 0
             qc_counts: dict = {}
-            for fn in self.sfs.listdir(pdir):
+            for fn in listing[part]:
                 if fn == "_qc.json":  # QC counter sidecar → lineage record
                     qc_counts = json.loads(self.sfs.read_text(f"{pdir}/{fn}"))
                     continue
                 if not fn.endswith(".parquet"):
                     continue
-                fp = f"{pdir}/{fn}"
-                size = self.sfs.getsize(fp)
-                rows += self.sfs.parquet_num_rows(fp)
+                _, size, nrows = stats[(pdir, fn)]
+                rows += nrows
                 nbytes += size
                 crc = zlib.crc32(f"{fn}:{size}".encode(), crc)
                 files.append(fn)
