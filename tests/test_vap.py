@@ -80,3 +80,21 @@ def test_vap_empty_range(store):
                     interval_s=3600, source_tier="t1m", values=("n_tok_mean",))
     stats = run_vap(cfg)
     assert stats["new_partitions"] == 0 and stats["rows"] == 0
+
+
+@pytest.mark.parametrize("transform", ["nearest", "interpolate", "auto"])
+def test_vap_other_transforms(store, transform):
+    import ray.data as rd
+
+    lo, hi, _ = _range_of(store)
+    start = (lo // (3600 * US)) * (3600 * US)
+    cfg = VapConfig(store_root=store, start_us=start, end_us=start + 6 * 3600 * US,
+                    interval_s=1800, source_tier="t1m", values=("n_tok_mean",),
+                    transform=transform, out_tier=f"vap_{transform}",
+                    run_id=f"v_{transform}")
+    stats = run_vap(cfg)
+    assert stats["rows"] > 0
+    man = Manifest(store)
+    prod = rd.read_parquet(man.tier_dir(f"vap_{transform}")).to_pandas()
+    assert len(prod) == stats["rows"]
+    assert prod["bucket"].astype("int64").between(start, start + 6 * 3600 * US - 1).all()

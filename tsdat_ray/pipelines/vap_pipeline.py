@@ -140,6 +140,15 @@ def run_vap(cfg: VapConfig) -> dict:
             carry=cfg.extra.get("carry", values),
             grid_start_us=cfg.start_us, grid_stop_us=cfg.end_us,
         )
+    elif cfg.transform in ("interpolate", "auto"):
+        from ..stages.transforms import auto_grid
+
+        out = auto_grid(src, grid, key=cfg.key, ts_col=cfg.ts_col,
+                        values=values, window_s=cfg.window_s, mode=cfg.transform)
+        out = out.map_batches(
+            lambda b: b.rename_columns(
+                ["bucket" if c == "grid_ts" else c for c in b.column_names]),
+            batch_format="pyarrow")
     else:
         raise ValueError(f"unknown transform {cfg.transform!r}")
 
