@@ -46,6 +46,18 @@ def main(argv=None) -> int:
     manp.add_argument("--out", required=True)
     manp.add_argument("--tier", default=None)
 
+    vapp = sub.add_parser("vap", help="transformation pipeline: stored tiers → regridded product")
+    vapp.add_argument("--out", required=True, help="store root (tiers + manifest)")
+    vapp.add_argument("--start", required=True, help="range start, ISO date/datetime")
+    vapp.add_argument("--end", required=True, help="range end (exclusive)")
+    vapp.add_argument("--interval-s", type=int, required=True, help="output grid interval")
+    vapp.add_argument("--source-tier", default="t1m")
+    vapp.add_argument("--values", default="n_tok_mean", help="comma-separated tier columns")
+    vapp.add_argument("--transform", default="bin_average",
+                      choices=["bin_average", "nearest", "interpolate", "auto"])
+    vapp.add_argument("--out-tier", default="vap")
+    vapp.add_argument("--run-id", default="")
+
     sub.add_parser("schema", help="print the yaml config schema (fields, checkers, handlers)")
 
     args = p.parse_args(argv)
@@ -139,6 +151,23 @@ def main(argv=None) -> int:
             inputs = args.input.split(",")
             stats = run_pipeline(inputs if len(inputs) > 1 else inputs[0], cfg)
             print(json.dumps(stats, default=str))
+        elif args.cmd == "vap":
+            import numpy as np
+
+            from tsdat_ray.pipelines.vap_pipeline import VapConfig, run_vap
+
+            vcfg = VapConfig(
+                store_root=args.out,
+                start_us=int(np.datetime64(args.start, "us").astype(np.int64)),
+                end_us=int(np.datetime64(args.end, "us").astype(np.int64)),
+                interval_s=args.interval_s,
+                source_tier=args.source_tier,
+                values=tuple(args.values.split(",")),
+                transform=args.transform,
+                out_tier=args.out_tier,
+                run_id=args.run_id or f"vap-{int(time.time())}",
+            )
+            print(json.dumps(run_vap(vcfg), default=str))
         elif args.cmd == "prune":
             cfg = PipelineConfig(out_root=args.out, run_id="prune")
             now_us = args.now_us if args.now_us is not None else int(time.time() * 1_000_000)
