@@ -983,6 +983,38 @@ def _q_media_video_frames(sf_dir: str):
     return ds.map_batches(VideoFrameSample, batch_format="pyarrow", concurrency=2, batch_size=32)
 
 
+def _q_vap_product(sf_dir: str):
+    """Transformation (VAP) pipeline end-to-end: sequences store (built once
+    per scale under /tmp, manifest-resumed) → fetch padded range from the 1m
+    tier → bin-average onto an hourly grid → product tier; returns the
+    product rows (rows-only driver check — the source is the synthetic
+    corpus, not a registered SQL table)."""
+    import pyarrow.parquet as pq
+
+    from tsdat_ray.pipelines.rollup_pipeline import PipelineConfig, run_pipeline
+    from tsdat_ray.pipelines.vap_pipeline import VapConfig, run_vap
+    from tsdat_ray.state.manifest import Manifest
+
+    store = os.path.join(_CACHE, f"vap_store_{_sf_of(sf_dir)}")
+    man = Manifest(store)
+    if not man.completed("t1m"):
+        run_pipeline(_sequences_corpus(sf_dir), PipelineConfig(out_root=store, run_id="vapq"))
+    # derive a 12h range from the first committed 1m partition
+    part = sorted(man.completed("t1m"))[0]
+    pdir = man.partition_dir("t1m", part)
+    f0 = sorted(p for p in os.listdir(pdir) if p.endswith(".parquet"))[0]
+    tmin = int(pq.read_table(os.path.join(pdir, f0), columns=["bucket"])["bucket"]
+               .cast(pa.int64()).to_pandas().min())
+    start = (tmin // (3600 * US)) * (3600 * US)
+    run_vap(VapConfig(store_root=store, start_us=start, end_us=start + 12 * 3600 * US,
+                      interval_s=3600, source_tier="t1m", values=("n_tok_mean",),
+                      run_id="vapq"))
+    import ray.data as rd
+
+    out = rd.read_parquet(man.tier_dir("vap"))
+    return out.select_columns(["source", "bucket", "n_tok_mean", "qc_n_tok"])
+
+
 # ---- flagship sequences tiers (non-SQL; rows-only driver check) ------------ #
 
 def _q_seq_tier(tier: str):
@@ -1050,6 +1082,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_image_stats": _q_media_image_stats,
         "media_audio_features": _q_media_audio_features,
         "media_video_frames": _q_media_video_frames,
+        "vap_product_1h": _q_vap_product,
         "seq_rollup_1m": _q_seq_tier("1m"),
         "seq_rollup_1h": _q_seq_tier("1h"),
         "seq_rollup_1d": _q_seq_tier("1d"),
