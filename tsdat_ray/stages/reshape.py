@@ -50,8 +50,9 @@ def pivot_agg(ds, row_key_col: str, col_key_col: str, col_domain: tuple,
         chg = np.r_[True, (rs[1:] != rs[:-1]) | (cs[1:] != cs[:-1])] if len(rs) else np.zeros(0, bool)
         st = np.flatnonzero(chg)
         summed = np.add.reduceat(ags, st) if len(st) else ags[:0]
-        take = pa.array(order[st] if len(st) else [], type=pa.int64())
-        return pa.table({row_key_col: b[row_key_col].take(take),
+        # index into the FILTERED/sorted arrays, never back into the table
+        # (rows outside the column domain were dropped above)
+        return pa.table({row_key_col: pa.array(rs[st] if len(st) else rs[:0]),
                          "_cell": pa.array(cs[st] if len(st) else cs[:0]),
                          "_agg": pa.array(summed)})
 
