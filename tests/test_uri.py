@@ -63,3 +63,44 @@ def test_rmtree_and_rmdir(tmp_path):
     assert not s.exists(s.join("d/e"))
     s.rmdir_if_empty(s.join("d"))
     assert not s.exists(s.join("d"))
+
+
+def test_csv_writer_hive_and_preamble(ray_session, tmp_path):
+    import ray.data as rd
+
+    from tsdat_ray.sources.csv_source import parse_preamble
+    from tsdat_ray.stages.writers import write_csv
+
+    t = pa.table(
+        {
+            "source": pa.array(["w", "w", "a"]),
+            "day": pa.array(["2024-01-01"] * 3),
+            "ts": pa.array(np.array([1, 2, 3], dtype=np.int64) * 1_000_000).cast(
+                pa.timestamp("us")),
+            "v": pa.array([1.5, 2.5, 3.5]),
+        }
+    )
+    root = str(tmp_path / "csv")
+    rows = write_csv(rd.from_arrow(t), root, ts_col="ts",
+                     metadata={"datastream": "x.y", "level": "a1"})
+    assert rows == 3
+    import os
+
+    part = os.path.join(root, "source=w", "day=2024-01-01")
+    files = sorted(os.listdir(part))
+    assert any(f.endswith(".csv") for f in files)
+    assert "_header.hdr.csv" in files
+    # A2e preamble variant roundtrips through the preamble reader
+    from tsdat_ray.stages.writers import write_batch_csv
+
+    root2 = str(tmp_path / "a2e")
+    res = write_batch_csv(t, root2, ts_col="ts", preamble=True,
+                          metadata={"datastream": "x.y", "level": "a1"})
+    path = res["path"][0].as_py()
+    attrs, skip = parse_preamble(path)
+    assert attrs == {"datastream": "x.y", "level": "a1"}
+    import pandas as pd
+
+    body = pd.read_csv(path, skiprows=skip)
+    assert list(body.columns) == ["ts", "v"]
+    assert len(body) == 2  # source=w partition rows

@@ -98,12 +98,18 @@ def write_batch_csv(
     partition_cols: tuple[str, ...] = ("source", "day"),
     ts_col: str | None = None,
     metadata: dict | None = None,
+    preamble: bool = False,
 ) -> pa.Table:
     """CSV twin of ``write_batch_partitioned`` (reference parity: CSVWriter,
     /root/reference/tsdat/io/writers/csv_writer.py:14-91 — debug/export
     format).  Same hive layout and deterministic ``part-<min_ts>.csv`` names;
     global attrs land in a ``_header.hdr.csv`` sidecar per partition (the
-    reference's ``.hdr.csv`` convention) since CSV has no footer metadata."""
+    reference's ``.hdr.csv`` convention) since CSV has no footer metadata.
+
+    ``preamble=True`` writes A2e-standard files instead (parity:
+    A2eCSVWriter, io/writers/a2e_csv_writer.py): ``key,value`` metadata
+    lines + a ``header=N`` marker precede the csv body in the SAME file —
+    round-trippable with ``sources.csv_source.read_preamble_csv``."""
     import io
 
     import pyarrow.csv as pacsv
@@ -145,10 +151,18 @@ def write_batch_csv(
         path = f"{dirname}/part-{tmin}.csv"
         buf = io.BytesIO()
         pacsv.write_csv(sub, buf)
-        sfs.write_text(path, buf.getvalue().decode())
-        if metadata:
-            hdr = "".join(f"{k},{v}\n" for k, v in metadata.items())
-            sfs.write_text(f"{dirname}/_header.hdr.csv", hdr)
+        text = buf.getvalue().decode()
+        if preamble:
+            md = metadata or {}
+            lines = [f"{k},{v}" for k, v in md.items()]
+            # marker value = first body row index (preamble lines + marker)
+            lines.append(f"header={len(lines) + 1}")
+            sfs.write_text(path, "\n".join(lines) + "\n" + text)
+        else:
+            sfs.write_text(path, text)
+            if metadata:
+                hdr = "".join(f"{k},{v}\n" for k, v in metadata.items())
+                sfs.write_text(f"{dirname}/_header.hdr.csv", hdr)
         paths.append(path)
         rows.append(sub.num_rows)
     return pa.table({"path": pa.array(paths, pa.string()), "rows": pa.array(rows, pa.int64())})
