@@ -488,6 +488,17 @@ def _q_distinct_users(sf_dir: str):
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+def _q_approx_distinct_users(sf_dir: str):
+    """HyperLogLog approximate count(DISTINCT user_id) per event_type —
+    constant-size mergeable registers per key, tree-merged; ~1.6% standard
+    error at p=12 (rows-only driver check; the exact twin is
+    distinct_users_per_type)."""
+    from tsdat_ray.stages.sketch import approx_distinct
+
+    ds = _events(sf_dir, columns=["event_type", "user_id"])
+    return approx_distinct(ds, key="event_type", value="user_id", p=12)
+
+
 def _q_qc_range_events(sf_dir: str):
     """The QC subsystem end-to-end on events: fail_range checks record bits
     into qc_value (manager order = bit order) and null the failed values —
@@ -1046,6 +1057,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hashjoin_lineitem_orders": _q_hashjoin_lineitem_orders,
         "pricing_summary_lineitem": _q_pricing_summary,
         "distinct_users_per_type": _q_distinct_users,
+        "approx_distinct_users_per_type": _q_approx_distinct_users,
         "merge_click_purchase": _q_merge_click_purchase,
         "encode_1m_events": _q_encode_1m,
         "qc_range_events": _q_qc_range_events,

@@ -1,0 +1,49 @@
+"""HyperLogLog sketch: accuracy, mergeability, distributed equivalence."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from tsdat_ray.stages.sketch import approx_distinct, hll_estimate, hll_registers
+
+
+def test_hll_accuracy_across_cardinalities():
+    rng = np.random.default_rng(9)
+    for true_n in (50, 1000, 50_000, 500_000):
+        vals = rng.integers(0, 10**15, true_n)  # ~all distinct
+        est = hll_estimate(hll_registers(np.unique(vals), p=12))
+        assert est == pytest.approx(len(np.unique(vals)), rel=0.05), true_n
+
+
+def test_hll_merge_equals_union():
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 10**12, 20000)
+    b = rng.integers(0, 10**12, 20000)
+    ra, rb = hll_registers(a, p=12), hll_registers(b, p=12)
+    merged = np.maximum(ra, rb)
+    direct = hll_registers(np.r_[a, b], p=12)
+    np.testing.assert_array_equal(merged, direct)  # merge is exact, not approx
+
+
+def test_hll_duplicates_dont_inflate():
+    vals = np.repeat(np.arange(100), 1000)  # 100 distinct, 100k rows
+    est = hll_estimate(hll_registers(vals, p=12))
+    assert est == pytest.approx(100, rel=0.05)
+
+
+def test_approx_distinct_vs_exact(ray_session):
+    rng = np.random.default_rng(5)
+    n = 60000
+    t = pa.table(
+        {
+            "k": pa.array(rng.choice(["x", "y", "z"], n)),
+            "u": pa.array(rng.integers(0, 5000, n)),
+        }
+    )
+    out = approx_distinct(rd.from_arrow(t).repartition(6), key="k", value="u",
+                          p=12).to_pandas().set_index("k")
+    df = t.to_pandas()
+    for k in ("x", "y", "z"):
+        exact = df[df["k"] == k]["u"].nunique()
+        assert out.loc[k, "n_distinct_approx"] == pytest.approx(exact, rel=0.05)

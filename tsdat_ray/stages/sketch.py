@@ -1,0 +1,112 @@
+"""Mergeable sketches for cardinality at 100 TB scale.
+
+``distinct_count`` (dedup.py) is exact but moves every distinct pair; when
+distinct values outgrow workers, the right tool is a fixed-size mergeable
+sketch.  HyperLogLog (Flajolet et al. 2007, with the small-range linear
+counting correction) fits the engine's reduction shape perfectly: per-batch
+register arrays (2^p bytes per key), element-wise MAX to merge — associative
+and idempotent, so the same ``tree_reduce`` used for histograms applies, and
+the shuffle payload per key is constant regardless of corpus size.
+
+Standard error ≈ 1.04/sqrt(2^p) (p=12 → ~1.6%).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .reduce import tree_reduce
+
+
+def _hash64(values: np.ndarray) -> np.ndarray:
+    import pandas as pd
+
+    return pd.util.hash_array(np.asarray(values))
+
+
+def hll_registers(values: np.ndarray, p: int = 12) -> np.ndarray:
+    """Register array (uint8[2^p]) for one value set, vectorized: bucket =
+    top p hash bits; rank = leading-zero count of the remaining 64-p bits,
+    +1; register = max rank per bucket."""
+    m = 1 << p
+    h = _hash64(values)
+    bucket = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = h << np.uint64(p)  # remaining bits, left-aligned
+    # rank = position of the first 1 bit from the top, 1-based; all-zero
+    # rest → 64-p+1
+    rank = np.full(len(h), 64 - p + 1, dtype=np.uint8)
+    nz = rest != 0
+    if nz.any():
+        # count leading zeros via float trick is lossy; use bit scan loop on
+        # the log2: float64 mantissa holds 52 bits exactly, and rest's top
+        # bit position ≤ 63 → log2 is exact for the leading-bit position
+        top = np.zeros(len(h), dtype=np.int64)
+        r = rest[nz]
+        top_nz = np.floor(np.log2(r.astype(np.float64))).astype(np.int64)
+        # guard against float rounding at 2^63 boundaries: verify and fix
+        too_hi = (np.uint64(1) << np.clip(top_nz, 0, 63).astype(np.uint64)) > r
+        top_nz = top_nz - too_hi.astype(np.int64)
+        top[nz] = top_nz
+        rank_nz = (63 - top[nz] + 1).astype(np.uint8)
+        rank[nz] = rank_nz
+    regs = np.zeros(m, dtype=np.uint8)
+    np.maximum.at(regs, bucket, rank)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Bias-corrected HLL estimate with linear-counting small-range fix."""
+    m = len(regs)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting
+    return float(est)
+
+
+def approx_distinct(ds, key: str, value: str, p: int = 12, fanin: int = 8):
+    """Approximate count(DISTINCT value) per key via per-key HLL registers,
+    tree-merged with element-wise max — constant-size state per key, no
+    shuffle of distinct values at all.  Output: (key, n_distinct_approx)."""
+    m = 1 << p
+
+    def partial(b: pa.Table) -> pa.Table:
+        if "_regs" in b.column_names:  # merge: element-wise max per key
+            k = b[key].to_numpy(zero_copy_only=False)
+            regs = np.stack([np.frombuffer(x, dtype=np.uint8)
+                             for x in b["_regs"].to_pylist()])
+            order = np.argsort(k, kind="stable")
+            ks, rs = k[order], regs[order]
+            chg = np.r_[True, ks[1:] != ks[:-1]] if len(ks) else np.zeros(0, bool)
+            st = np.flatnonzero(chg)
+            en = np.r_[st[1:], len(ks)]
+            out_k, out_r = [], []
+            for s, e in zip(st, en):
+                out_k.append(ks[s])
+                out_r.append(np.max(rs[s:e], axis=0).tobytes())
+            return pa.table({key: pa.array(out_k),
+                             "_regs": pa.array(out_r, pa.binary())})
+        k = b[key].to_numpy(zero_copy_only=False)
+        v = b[value].to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        ks, vs = k[order], v[order]
+        chg = np.r_[True, ks[1:] != ks[:-1]] if len(ks) else np.zeros(0, bool)
+        st = np.flatnonzero(chg)
+        en = np.r_[st[1:], len(ks)]
+        out_k, out_r = [], []
+        for s, e in zip(st, en):
+            out_k.append(ks[s])
+            out_r.append(hll_registers(vs[s:e], p).tobytes())
+        return pa.table({key: pa.array(out_k), "_regs": pa.array(out_r, pa.binary())})
+
+    agg = tree_reduce(ds.select_columns([key, value]), partial, fanin=fanin)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        ests = [round(hll_estimate(np.frombuffer(x, dtype=np.uint8)))
+                for x in b["_regs"].to_pylist()]
+        return pa.table({key: b[key],
+                         "n_distinct_approx": pa.array(np.array(ests, dtype=np.int64))})
+
+    return agg.map_batches(finalize, batch_format="pyarrow", batch_size=None)
