@@ -135,3 +135,18 @@ def test_bin_average_2d_matches_brute_force(ray_session):
     # cells with no inputs carry OUTSIDE_RANGE|BAD, others n>0
     qc = out["qc_value"].to_numpy().reshape(tgrid.n, hgrid.n)
     assert (qc[np.isnan(expected)] != 0).all()
+
+
+def test_monotonic_2d_reference_golden():
+    """Exact re-expression of the reference's manipulated-fixture case
+    (/root/reference/test/qc/test_monotonic_with_2d_vars.py:23-35)."""
+    mat = np.arange(1, 13, dtype=float).reshape(3, 4)
+    mat += np.array([[4, 0, 0, 0], [0, 0, 0, 0], [0, 0, 0, 0]], dtype=float)
+    expected = np.array(
+        [
+            [True, False, False, False],
+            [False, False, False, False],
+            [False, False, False, False],
+        ]
+    )
+    np.testing.assert_array_equal(monotonic_2d_failures(mat, axis=0), expected)
