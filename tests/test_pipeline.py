@@ -360,3 +360,64 @@ def test_plot_hook_publishes_ancillary_files(ray_session, corpus, tmp_path):
     recs = [r for r in Manifest(out).records() if r["tier"] == "ancillary"]
     assert len(recs) == 1
     assert sorted(recs[0]["files"]) == ["plots/tiers.svg", "summary.csv"]
+
+
+def test_reprocess_range_late_data(ray_session, tmp_path):
+    """Late-data story (§2.11): new raw rows for an already-committed day →
+    invalidate + resume recomputes exactly that day's partitions, leaving
+    every other partition file untouched."""
+    import pyarrow as pa
+    import pyarrow.parquet as pqt
+    import ray.data as rd
+
+    from tsdat_ray.pipelines.rollup_pipeline import reprocess_range
+
+    corpus = str(tmp_path / "corpus")
+    generate_sequences_parquet(corpus, n_rows=20000, seed=42)
+    out = str(tmp_path / "store")
+    cfg = PipelineConfig(out_root=out, run_id="r1")
+    run_pipeline(corpus, cfg)
+    man = Manifest(out)
+    parts = sorted(man.completed("raw"))
+    victim = parts[0]
+    src = victim.split("/")[0].split("=")[1]
+    day = victim.split("day=")[1]
+    day_us = int(np.datetime64(day, "us").astype(np.int64))
+
+    before = rd.read_parquet(man.partition_dir("raw", victim)).count()
+    other = next(p for p in parts if p.split("day=")[1] != day)  # different day
+    other_dir = man.partition_dir("raw", other)
+    other_files = {f: os.path.getmtime(os.path.join(other_dir, f))
+                   for f in os.listdir(other_dir)}
+
+    # late rows: 50 docs from a brand-new source whose derived ts (epoch +
+    # idx*interval) lands inside the victim day
+    from tsdat_ray.schema import EPOCH_US, NOMINAL_INTERVAL_S
+
+    iv_us = NOMINAL_INTERVAL_S * US
+    base_idx = (day_us - EPOCH_US) // iv_us + 10
+    ids = [f"w9-{base_idx + j:08d}" for j in range(50)]
+    late = pa.table(
+        {
+            "doc_id": pa.array(ids),
+            "tokens": pa.array([[1, 2, 3]] * 50, pa.list_(pa.int32())),
+            "n_tok": pa.array([3] * 50, pa.int32()),
+            "source": pa.array(["w9"] * 50),
+        }
+    )
+    pqt.write_table(late, os.path.join(corpus, "late.parquet"))
+    stats = reprocess_range(corpus, cfg, day_us, day_us + 86400 * US)
+    assert stats["invalidated"]["raw"] >= 1
+    after = rd.read_parquet(man.partition_dir("raw", victim)).count()
+    # the recomputed partition exists and is committed again
+    assert victim in man.completed("raw")
+    assert after == before  # same inputs for the victim partition
+    # the late source materialized as a NEW partition in the victim's day
+    late_part = f"source=w9/day={day}"
+    assert late_part in man.completed("raw")
+    assert rd.read_parquet(man.partition_dir("raw", late_part)).count() == 50
+    # untouched partition files were not rewritten
+    for f, mt in other_files.items():
+        assert os.path.getmtime(os.path.join(other_dir, f)) == mt
+    # recomputed = the invalidated day's partitions + the brand-new w9 one
+    assert stats["raw"]["new_partitions"] == stats["invalidated"]["raw"] + 1

@@ -328,6 +328,34 @@ def encode_tier_store(tier: str, cfg: PipelineConfig) -> dict:
             "bytes_enc": benc, "compression_ratio": ratio, "wall_s": time.time() - t0}
 
 
+def reprocess_range(input_paths, cfg: PipelineConfig, start_us: int, end_us: int,
+                    sources: tuple[str, ...] | None = None) -> dict:
+    """Late-data handling: invalidate every (source, day) partition whose day
+    overlaps [start_us, end_us) across raw + all tiers (+ encoded stores),
+    then resume-run the pipeline — ONLY the invalidated partitions recompute,
+    everything else is skipped by the manifest (parity with the reference's
+    recovery story of re-running a date range,
+    transformation_pipeline.py:29-53, made partition-exact)."""
+    man = Manifest(cfg.out_root)
+    day_lo = (start_us // DAY_US) * DAY_US
+    day_hi = ((end_us - 1) // DAY_US) * DAY_US
+    tiers = ["raw"] + [f"t{t}" for t in cfg.tiers] + [
+        f"t{t}_enc" for t in cfg.encode_tiers if t in cfg.tiers]
+    invalidated: dict = {}
+    for tier in tiers:
+        hit = []
+        for part in man.list_partition_dirs(tier):
+            src, day = part.split("/")
+            d_us = int(np.datetime64(day.split("=", 1)[1], "us").astype(np.int64))
+            if day_lo <= d_us <= day_hi and (sources is None or src.split("=", 1)[1] in sources):
+                hit.append(part)
+        invalidated[tier] = man.invalidate(tier, hit)
+    cfg2 = PipelineConfig(**{**cfg.__dict__, "resume": True})
+    stats = run_pipeline(input_paths, cfg2)
+    stats["invalidated"] = invalidated
+    return stats
+
+
 def prune_retention(cfg: PipelineConfig, now_us: int) -> dict:
     """Delete day partitions older than each tier's retention horizon; every
     prune is recorded in the manifest (so `completed` drops the partition and

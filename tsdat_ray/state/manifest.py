@@ -173,6 +173,23 @@ class Manifest:
         return new
 
 
+    def invalidate(self, tier: str, partitions: list[str], reason: str = "reprocess") -> int:
+        """Mark partitions stale (action=pruned record) and wipe their dirs so
+        the next resume run recomputes exactly these — the engine's late-data
+        story (§2.11): the reference reprocesses a date range by re-running
+        it; here that becomes invalidate + resume, and every other partition
+        stays committed and untouched."""
+        done = self.completed(tier)
+        n = 0
+        for part in partitions:
+            if part not in done:
+                continue
+            self.append({"tier": tier, "partition": part, "action": "pruned",
+                         "reason": reason})
+            self.sfs.rmtree(self.partition_dir(tier, part))
+            n += 1
+        return n
+
     # ------------------------------------------------------- ancillary files
     def save_ancillary_file(self, src_path: str, rel_target: str) -> str:
         """Publish one local file into ``<root>/ancillary/<rel_target>`` (any
