@@ -46,6 +46,14 @@ def main(argv=None) -> int:
     manp.add_argument("--out", required=True)
     manp.add_argument("--tier", default=None)
 
+    rep = sub.add_parser("reprocess", help="late data: invalidate + recompute a day range")
+    rep.add_argument("--input", required=True, help="input Parquet path(s), comma-separated")
+    rep.add_argument("--out", required=True)
+    rep.add_argument("--start", required=True, help="range start, ISO date")
+    rep.add_argument("--end", required=True, help="range end (exclusive)")
+    rep.add_argument("--sources", default=None, help="comma-separated source filter")
+    rep.add_argument("--run-id", default="")
+
     vapp = sub.add_parser("vap", help="transformation pipeline: stored tiers → regridded product")
     vapp.add_argument("--out", required=True, help="store root (tiers + manifest)")
     vapp.add_argument("--start", required=True, help="range start, ISO date/datetime")
@@ -150,6 +158,21 @@ def main(argv=None) -> int:
                 )
             inputs = args.input.split(",")
             stats = run_pipeline(inputs if len(inputs) > 1 else inputs[0], cfg)
+            print(json.dumps(stats, default=str))
+        elif args.cmd == "reprocess":
+            import numpy as np
+
+            from tsdat_ray.pipelines.rollup_pipeline import reprocess_range
+
+            cfg = PipelineConfig(out_root=args.out, resume=True,
+                                 run_id=args.run_id or f"reproc-{int(time.time())}")
+            inputs = args.input.split(",")
+            stats = reprocess_range(
+                inputs if len(inputs) > 1 else inputs[0], cfg,
+                int(np.datetime64(args.start, "us").astype(np.int64)),
+                int(np.datetime64(args.end, "us").astype(np.int64)),
+                sources=tuple(args.sources.split(",")) if args.sources else None,
+            )
             print(json.dumps(stats, default=str))
         elif args.cmd == "vap":
             import numpy as np
