@@ -147,27 +147,31 @@ def partitioned_cumsum(ds, key: str, ts_col: str, value_col: str,
         out_cs[order] = cs
         out = {c: g[c] for c in g.column_names}
         out["_lcs"] = pa.array(out_cs)
+        # window total repeated on every row: robust to Ray splitting a huge
+        # group's output across blocks (a per-block "last cumsum" would not be)
+        total = cs[-1] if len(cs) else (np.int64(0) if value_scale else 0.0)
+        out["_wtotal"] = pa.array(np.repeat(total, len(x)))
         return pa.table(out)
 
     part = ds.map_batches(add_window, batch_format="pyarrow").groupby(
         [key, "_window"]
     ).map_groups(local_scan, batch_format="pyarrow").materialize()
 
-    # tiny per-(key, window) totals → exclusive prefix offsets (blocks from
-    # map_groups hold whole groups; batch_size=None keeps them intact so
-    # the per-block "last cumsum" IS the window total)
+    # tiny per-(key, window) totals → exclusive prefix offsets (each row
+    # carries its window's total, so ANY row of a group yields it — no
+    # assumption about block boundaries)
     totals: dict = {}
-    for b in part.select_columns([key, "_window", "_lcs"]).iter_batches(
+    for b in part.select_columns([key, "_window", "_wtotal"]).iter_batches(
         batch_format="pyarrow", batch_size=None
     ):
         k = b[key].to_numpy(zero_copy_only=False)
         w = b["_window"].combine_chunks().to_numpy(zero_copy_only=False)
-        cs = b["_lcs"].combine_chunks().to_numpy(zero_copy_only=False)
-        order = np.lexsort((cs, w, k))  # cs last so group-max = window total
-        ks, ws, css = k[order], w[order], cs[order]
-        last = np.r_[(ks[1:] != ks[:-1]) | (ws[1:] != ws[:-1]), True] if len(ks) else np.zeros(0, bool)
-        for kk, ww, tot in zip(ks[last], ws[last], css[last]):
-            totals[(kk, int(ww))] = totals.get((kk, int(ww)), 0) + tot
+        wt = b["_wtotal"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((w, k))
+        ks, ws, wts = k[order], w[order], wt[order]
+        first = np.r_[True, (ks[1:] != ks[:-1]) | (ws[1:] != ws[:-1])] if len(ks) else np.zeros(0, bool)
+        for kk, ww, tot in zip(ks[first], ws[first], wts[first]):
+            totals[(kk, int(ww))] = tot
     offsets: dict = {}
     by_key: dict = {}
     for (kk, ww), tot in sorted(totals.items(), key=lambda it: (str(it[0][0]), it[0][1])):
@@ -184,7 +188,7 @@ def partitioned_cumsum(ds, key: str, ts_col: str, value_col: str,
         total = cs + off
         if value_scale:
             total = total / float(value_scale)
-        out = {c: b[c] for c in b.column_names if c not in ("_window", "_lcs")}
+        out = {c: b[c] for c in b.column_names if c not in ("_window", "_lcs", "_wtotal")}
         out[f"{value_col}_cumsum"] = pa.array(total.astype(np.float64))
         return pa.table(out)
 
