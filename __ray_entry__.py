@@ -902,7 +902,13 @@ def _q_zarr_roundtrip(sf_dir: str):
     from tsdat_ray.stages.rollup import floor_bucket_us
     from tsdat_ray.sources.zarr_store import read_zarr_partitioned, write_zarr_partitioned
 
+    import shutil
+
     root = os.path.join(_CACHE, f"zarr_events_{_sf_of(sf_dir)}")
+    # scratch roundtrip store: group names are deterministic per BLOCK
+    # layout, and the layout follows the session CPU count — wipe so groups
+    # from a differently-blocked earlier session can't linger
+    shutil.rmtree(root, ignore_errors=True)
 
     def add_parts(b: pa.Table) -> pa.Table:
         ts = b["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
