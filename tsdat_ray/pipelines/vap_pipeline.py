@@ -164,6 +164,12 @@ def run_vap(cfg: VapConfig) -> dict:
         return b.append_column("day", day)
 
     out = out.map_batches(add_day, batch_format="pyarrow")
+    # regenerate the product tier cleanly: part file names follow batch
+    # slicing, which follows the session's block layout — stale files from a
+    # differently-parallelized earlier run must not linger
+    man.invalidate(cfg.out_tier, sorted(man.completed(cfg.out_tier)),
+                   reason="vap-regenerate")
+    man.wipe_uncommitted(cfg.out_tier)
     rows = write_partitioned(out, man.tier_dir(cfg.out_tier), ts_col="bucket")
     recs = man.commit_partitions(cfg.out_tier, [man.tier_dir(cfg.source_tier)],
                                  cfg.run_id, time.time() - t0)
