@@ -421,3 +421,22 @@ def test_reprocess_range_late_data(ray_session, tmp_path):
         assert os.path.getmtime(os.path.join(other_dir, f)) == mt
     # recomputed = the invalidated day's partitions + the brand-new w9 one
     assert stats["raw"]["new_partitions"] == stats["invalidated"]["raw"] + 1
+
+
+def test_fresh_run_clears_existing_store(ray_session, corpus, tmp_path):
+    """resume=False over an existing store must not leave stale part files
+    from a previous run with different batch slicing."""
+    import ray.data as rd
+
+    out = str(tmp_path / "store")
+    run_pipeline(corpus, PipelineConfig(out_root=out, resume=False, run_id="f1",
+                                        parallelism=7))
+    man = Manifest(out)
+    n1 = rd.read_parquet(man.tier_dir("raw")).count()
+    # different parallelism → different part names; fresh run must clear first
+    run_pipeline(corpus, PipelineConfig(out_root=out, resume=False, run_id="f2",
+                                        parallelism=13))
+    n2 = rd.read_parquet(man.tier_dir("raw")).count()
+    assert n1 == n2  # no duplicated rows from stale files
+    # manifest restarted: only f2 records remain
+    assert {r.get("run_id") for r in man.records() if r.get("tier") == "raw"} == {"f2"}

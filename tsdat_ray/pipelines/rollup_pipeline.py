@@ -460,6 +460,17 @@ def run_pipeline(input_paths, cfg: PipelineConfig, now_us: Optional[int] = None)
         for tier in cfg.tiers:
             stats[tier] = rollup_tier(tier, cfg)
     else:
+        if man.records():
+            # fresh-run semantics over an existing store: clear it — part
+            # file names follow the session's block layout, so writing over
+            # a previous run at different parallelism would leave stale
+            # part files next to new ones
+            for tier in ["raw"] + [f"t{t}" for t in cfg.tiers] + [
+                f"t{t}_enc" for t in cfg.encode_tiers
+            ]:
+                man.sfs.rmtree(man.tier_dir(tier))
+            man.sfs.rmtree(man.sfs.join_root("quarantine"))
+            man.sfs.remove_file(man.path)
         stats = _run_chained(input_paths, cfg)
     for tier in cfg.encode_tiers:
         if tier in cfg.tiers:

@@ -119,6 +119,17 @@ class StorageFS:
 
         return self.fs.get_file_info(path).type != pafs.FileType.NotFound
 
+    def remove_file(self, path: str) -> None:
+        path = self._n(path)
+        if self.fs is None:
+            if os.path.exists(path):
+                os.remove(path)
+        else:
+            from pyarrow import fs as pafs
+
+            if self.fs.get_file_info(path).type != pafs.FileType.NotFound:
+                self.fs.delete_file(path)
+
     def getsize(self, path: str) -> int:
         path = self._n(path)
         if self.fs is None:
