@@ -324,12 +324,26 @@ def bin_average_grid_2d(
             else np.zeros(len(x), dtype=np.int32)
         )
         bad = ((qc & bad_bits) != 0) | np.isnan(x)
-        # restrict the t grid to this window (labels are globally aligned)
-        lo, hi = ts.min(), ts.max()
+        # restrict the t grid to this window (labels are globally aligned);
+        # a window with no grid labels contributes nothing (data outside the
+        # declared grid range) rather than echoing the full grid
+        lo = ts.min()
         lab = tgrid.labels
         sel = (lab >= (lo // win_us) * win_us) & (lab < (lo // win_us) * win_us + win_us)
+        if not sel.any():
+            empty: dict = {key: pa.array([], pa.string()),
+                           "bucket": pa.array([], pa.timestamp("us")),
+                           h_col: pa.array([], pa.float64())}
+            for suffix, typ in (("_mean", pa.float64()), ("_std", pa.float64()),
+                                ("_goodfraction", pa.float64())):
+                empty[f"{value_col}{suffix}"] = pa.array([], typ)
+            empty[f"qc_{value_col}"] = pa.array([], pa.int32())
+            empty[f"{value_col}_n"] = pa.array([], pa.int64())
+            empty[f"{value_col}_sum_w"] = pa.array([], pa.float64())
+            empty[f"{value_col}_sum_wx"] = pa.array([], pa.float64())
+            return pa.table(empty)
         sub = GridSpec(int(lab[sel][0]), int(lab[sel][-1] + tgrid.interval_us),
-                       tgrid.interval_us, tgrid.width_us, tgrid.alignment) if sel.any() else tgrid
+                       tgrid.interval_us, tgrid.width_us, tgrid.alignment)
         out = bin_average_2d_slice(ts, h, x, bad, sub, hgrid,
                                    input_width_us, input_width_h)
         kv = g[key][0].as_py() if key in g.column_names else ""
