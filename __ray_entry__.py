@@ -499,6 +499,15 @@ def _q_approx_distinct_users(sf_dir: str):
     return approx_distinct(ds, key="event_type", value="user_id", p=12)
 
 
+def _q_approx_quantiles(sf_dir: str):
+    """t-digest approximate per-key quantiles (arbitrary floats, constant
+    sketch state; rows-only — the exact quantized twin is oracled)."""
+    from tsdat_ray.stages.sketch import approx_quantiles
+
+    ds = _events(sf_dir, columns=["event_type", "value"])
+    return approx_quantiles(ds, key="event_type", value="value", qs=(0.5, 0.9))
+
+
 def _q_qc_range_events(sf_dir: str):
     """The QC subsystem end-to-end on events: fail_range checks record bits
     into qc_value (manager order = bit order) and null the failed values —
@@ -1064,6 +1073,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary_lineitem": _q_pricing_summary,
         "distinct_users_per_type": _q_distinct_users,
         "approx_distinct_users_per_type": _q_approx_distinct_users,
+        "approx_quantiles_per_type": _q_approx_quantiles,
         "merge_click_purchase": _q_merge_click_purchase,
         "encode_1m_events": _q_encode_1m,
         "qc_range_events": _q_qc_range_events,

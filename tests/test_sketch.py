@@ -47,3 +47,50 @@ def test_approx_distinct_vs_exact(ray_session):
     for k in ("x", "y", "z"):
         exact = df[df["k"] == k]["u"].nunique()
         assert out.loc[k, "n_distinct_approx"] == pytest.approx(exact, rel=0.05)
+
+
+def test_tdigest_accuracy_normal():
+    from tsdat_ray.stages.sketch import tdigest_build, tdigest_merge, tdigest_quantile
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(100.0, 15.0, 200_000)
+    m, w = tdigest_build(x)
+    assert len(m) < 400  # bounded state
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        est = tdigest_quantile(m, w, q)
+        exact = np.quantile(x, q)
+        # absolute error in quantile SPACE: |F(est) - q| small
+        q_of_est = (x <= est).mean()
+        assert abs(q_of_est - q) < 0.01, (q, est, exact)
+
+
+def test_tdigest_merge_matches_whole():
+    from tsdat_ray.stages.sketch import tdigest_build, tdigest_merge, tdigest_quantile
+
+    rng = np.random.default_rng(8)
+    parts = [rng.exponential(5.0, 30_000) for _ in range(6)]
+    whole = np.concatenate(parts)
+    merged = tdigest_merge([tdigest_build(p) for p in parts])
+    for q in (0.1, 0.5, 0.9, 0.99):
+        est = tdigest_quantile(*merged, q)
+        q_of_est = (whole <= est).mean()
+        assert abs(q_of_est - q) < 0.015, q
+
+
+def test_approx_quantiles_distributed(ray_session):
+    import ray.data as rd
+
+    from tsdat_ray.stages.sketch import approx_quantiles
+
+    rng = np.random.default_rng(9)
+    n = 80_000
+    k = rng.choice(["a", "b"], n)
+    v = np.where(k == "a", rng.normal(0, 1, n), rng.lognormal(1, 0.5, n))
+    t = pa.table({"k": pa.array(k), "v": pa.array(v)})
+    out = approx_quantiles(rd.from_arrow(t).repartition(8), key="k", value="v",
+                           qs=(0.5, 0.9)).to_pandas().set_index("k")
+    for kk in ("a", "b"):
+        vals = v[k == kk]
+        for q, col in ((0.5, "q50"), (0.9, "q90")):
+            est = out.loc[kk, col]
+            assert abs((vals <= est).mean() - q) < 0.02, (kk, q)

@@ -66,6 +66,125 @@ def hll_estimate(regs: np.ndarray) -> float:
     return float(est)
 
 
+def tdigest_build(values: np.ndarray, delta: int = 200) -> tuple[np.ndarray, np.ndarray]:
+    """Build a t-digest (Dunning & Ertl: 'Computing extremely accurate
+    quantiles using t-digests') from a value array: sorted centroids
+    (means, weights) compressed under the k1 scale function, which bounds
+    centroid weight near the median and keeps the tails exact-ish."""
+    v = np.sort(values[~np.isnan(values)])
+    w = np.ones(len(v))
+    return tdigest_compress(v, w, delta)
+
+
+def tdigest_compress(means: np.ndarray, weights: np.ndarray, delta: int = 200):
+    """Merge sorted centroids greedily while each stays under the k1 size
+    bound; input must be sorted by mean."""
+    n = len(means)
+    if n == 0:
+        return means, weights
+    total = weights.sum()
+    out_m, out_w = [], []
+    cur_m, cur_w = means[0], weights[0]
+    q0 = 0.0
+
+    def k1(q):  # scale function: fine near 0/1, coarse at the median
+        return delta / (2 * np.pi) * np.arcsin(2 * q - 1)
+
+    for i in range(1, n):
+        q2 = q0 + (cur_w + weights[i]) / total
+        if k1(min(q2, 1.0)) - k1(q0) <= 1.0:
+            cur_m = (cur_m * cur_w + means[i] * weights[i]) / (cur_w + weights[i])
+            cur_w += weights[i]
+        else:
+            out_m.append(cur_m)
+            out_w.append(cur_w)
+            q0 += cur_w / total
+            cur_m, cur_w = means[i], weights[i]
+    out_m.append(cur_m)
+    out_w.append(cur_w)
+    return np.array(out_m), np.array(out_w)
+
+
+def tdigest_merge(digests: list[tuple[np.ndarray, np.ndarray]], delta: int = 200):
+    """Merge digests: concatenate centroids, sort by mean, re-compress —
+    associative up to the approximation bound (the mergeable-sketch
+    property the tree reduction needs)."""
+    if not digests:
+        return np.zeros(0), np.zeros(0)
+    m = np.concatenate([d[0] for d in digests])
+    w = np.concatenate([d[1] for d in digests])
+    order = np.argsort(m, kind="stable")
+    return tdigest_compress(m[order], w[order], delta)
+
+
+def tdigest_quantile(means: np.ndarray, weights: np.ndarray, q: float) -> float:
+    """Estimate a quantile: linear interpolation between centroid means at
+    cumulative-weight midpoints (standard t-digest estimator)."""
+    if len(means) == 0:
+        return float("nan")
+    if len(means) == 1:
+        return float(means[0])
+    cum = np.cumsum(weights) - weights / 2.0
+    target = q * weights.sum()
+    return float(np.interp(target, cum, means))
+
+
+def approx_quantiles(ds, key: str, value: str, qs: tuple = (0.5,),
+                     delta: int = 200, fanin: int = 8):
+    """Approximate per-key quantiles of an ARBITRARY float column via
+    t-digests: per-batch digests per key, tree-merged (constant-size state —
+    ≤ ~delta centroids per key regardless of rows), estimated at the root.
+    Use ``exact_quantiles_quantized`` when the column is decimal-quantized
+    and exactness matters.  Output columns ``q<percent>``."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        k = b[key].to_numpy(zero_copy_only=False)
+        if "_tm" in b.column_names:  # merge partials
+            order = np.argsort(k, kind="stable")
+            ks = k[order]
+            tms = [np.asarray(x) for x in b["_tm"].to_pylist()]
+            tws = [np.asarray(x) for x in b["_tw"].to_pylist()]
+            chg = np.r_[True, ks[1:] != ks[:-1]] if len(ks) else np.zeros(0, bool)
+            st = np.flatnonzero(chg)
+            en = np.r_[st[1:], len(ks)]
+            out_k, out_m, out_w = [], [], []
+            for s, e in zip(st, en):
+                m, w = tdigest_merge([(tms[order[i]], tws[order[i]])
+                                      for i in range(s, e)], delta)
+                out_k.append(ks[s])
+                out_m.append(m.tolist())
+                out_w.append(w.tolist())
+        else:
+            v = b[value].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
+            order = np.argsort(k, kind="stable")
+            ks, vs = k[order], v[order]
+            chg = np.r_[True, ks[1:] != ks[:-1]] if len(ks) else np.zeros(0, bool)
+            st = np.flatnonzero(chg)
+            en = np.r_[st[1:], len(ks)]
+            out_k, out_m, out_w = [], [], []
+            for s, e in zip(st, en):
+                m, w = tdigest_build(vs[s:e], delta)
+                out_k.append(ks[s])
+                out_m.append(m.tolist())
+                out_w.append(w.tolist())
+        return pa.table({key: pa.array(out_k),
+                         "_tm": pa.array(out_m, pa.list_(pa.float64())),
+                         "_tw": pa.array(out_w, pa.list_(pa.float64()))})
+
+    agg = tree_reduce(ds.select_columns([key, value]), partial, fanin=fanin)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        out: dict = {key: b[key]}
+        names = [f"q{int(round(q * 100))}" for q in qs]
+        tms = [np.asarray(x) for x in b["_tm"].to_pylist()]
+        tws = [np.asarray(x) for x in b["_tw"].to_pylist()]
+        for nm, q in zip(names, qs):
+            out[nm] = pa.array([tdigest_quantile(m, w, q) for m, w in zip(tms, tws)])
+        return pa.table(out)
+
+    return agg.map_batches(finalize, batch_format="pyarrow", batch_size=None)
+
+
 def approx_distinct(ds, key: str, value: str, p: int = 12, fanin: int = 8):
     """Approximate count(DISTINCT value) per key via per-key HLL registers,
     tree-merged with element-wise max — constant-size state per key, no
