@@ -508,6 +508,25 @@ def _q_approx_quantiles(sf_dir: str):
     return approx_quantiles(ds, key="event_type", value="value", qs=(0.5, 0.9))
 
 
+def _q_heavy_words(sf_dir: str):
+    """Misra-Gries heavy hitters over the documents' word stream (unbounded
+    vocabulary; rows-only — counts are lower bounds with the MG guarantee)."""
+    from tsdat_ray.stages.sketch import heavy_hitters
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def words(b: pa.Table) -> pa.Table:
+        w = pc.split_pattern_regex(pc.utf8_lower(b["text"].combine_chunks()),
+                                   r"[^0-9A-Za-z]+")
+        if isinstance(w, pa.ChunkedArray):
+            w = w.combine_chunks()
+        flat = w.flatten()
+        return pa.table({"tok": flat.filter(pc.not_equal(flat, ""))})
+
+    return heavy_hitters(ds.map_batches(words, batch_format="pyarrow"),
+                         col="tok", k=50)
+
+
 def _q_qc_range_events(sf_dir: str):
     """The QC subsystem end-to-end on events: fail_range checks record bits
     into qc_value (manager order = bit order) and null the failed values —
@@ -1074,6 +1093,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_per_type": _q_distinct_users,
         "approx_distinct_users_per_type": _q_approx_distinct_users,
         "approx_quantiles_per_type": _q_approx_quantiles,
+        "heavy_hitter_words_docs": _q_heavy_words,
         "merge_click_purchase": _q_merge_click_purchase,
         "encode_1m_events": _q_encode_1m,
         "qc_range_events": _q_qc_range_events,

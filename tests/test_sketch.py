@@ -94,3 +94,41 @@ def test_approx_quantiles_distributed(ray_session):
         for q, col in ((0.5, "q50"), (0.9, "q90")):
             est = out.loc[kk, col]
             assert abs((vals <= est).mean() - q) < 0.02, (kk, q)
+
+
+def test_misra_gries_guarantee():
+    from tsdat_ray.stages.sketch import mg_summary
+
+    rng = np.random.default_rng(11)
+    # zipf-ish: a few heavy values among noise
+    heavy = np.repeat(np.array([1, 2, 3]), [5000, 3000, 1500])
+    noise = rng.integers(1000, 100000, 10000)
+    vals = np.r_[heavy, noise]
+    rng.shuffle(vals)
+    n, k = len(vals), 50
+    vv, cc = mg_summary(vals, k=k)
+    assert len(vv) <= k
+    got = dict(zip(vv.tolist(), cc.tolist()))
+    for h, true_c in ((1, 5000), (2, 3000), (3, 1500)):
+        assert h in got  # freq > n/k = 390 → must survive
+        assert true_c - n / k <= got[h] <= true_c  # undercount bound
+
+
+def test_heavy_hitters_distributed(ray_session):
+    import ray.data as rd
+
+    from tsdat_ray.stages.sketch import heavy_hitters
+
+    rng = np.random.default_rng(12)
+    heavy = np.repeat(np.array(["the", "of", "and"], dtype=object), [8000, 5000, 2500])
+    noise = np.array([f"w{i}" for i in rng.integers(0, 200000, 30000)], dtype=object)
+    vals = np.r_[heavy, noise]
+    rng.shuffle(vals)
+    t = pa.table({"tok": pa.array(vals.tolist())})
+    out = heavy_hitters(rd.from_arrow(t).repartition(8), col="tok", k=100).to_pandas()
+    top = out.head(3)["tok"].tolist()
+    assert set(top) == {"the", "of", "and"}
+    n = len(vals)
+    m = dict(zip(out["tok"], out["min_count"]))
+    # merged MG: undercount ≤ (levels)·n/k; allow 3 levels of slack
+    assert 8000 - 3 * n / 100 <= m["the"] <= 8000

@@ -185,6 +185,62 @@ def approx_quantiles(ds, key: str, value: str, qs: tuple = (0.5,),
     return agg.map_batches(finalize, batch_format="pyarrow", batch_size=None)
 
 
+def mg_summary(values: np.ndarray, counts: np.ndarray | None = None,
+               k: int = 100) -> tuple[np.ndarray, np.ndarray]:
+    """Misra-Gries heavy-hitter summary of size ≤ k: every item with true
+    frequency > n/k survives, and each reported count undercounts the truth
+    by at most n/k (Misra & Gries '82; merge rule per Agarwal et al.,
+    'Mergeable Summaries')."""
+    if counts is None:
+        values, counts = np.unique(values, return_counts=True)
+    else:
+        order = np.argsort(values, kind="stable")
+        v, c = values[order], counts[order]
+        chg = np.r_[True, v[1:] != v[:-1]] if len(v) else np.zeros(0, bool)
+        st = np.flatnonzero(chg)
+        values = v[st]
+        counts = np.add.reduceat(c, st) if len(st) else c[:0]
+    if len(values) <= k:
+        return values, counts
+    # keep the k largest, subtract the (k+1)-th count (the MG decrement,
+    # applied in one batch step — equivalent to repeated decrements)
+    order = np.argsort(-counts, kind="stable")
+    thresh = counts[order[k]]
+    keep = order[:k]
+    out_c = counts[keep] - thresh
+    pos = out_c > 0
+    return values[keep][pos], out_c[pos]
+
+
+def heavy_hitters(ds, col: str, k: int = 100, fanin: int = 8):
+    """Approximate top-k frequent values of an UNBOUNDED-domain column:
+    per-batch Misra-Gries summaries (≤k entries) merged by count addition +
+    re-summarization (mergeable-summary property) — constant state, no
+    shuffle.  Guarantees: any value with frequency > n/k appears; counts
+    undercount by ≤ n/k.  Use ``token_histogram`` when the domain is
+    bounded and exactness matters."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        if "_cnt" in b.column_names:
+            v = b[col].to_numpy(zero_copy_only=False)
+            c = b["_cnt"].combine_chunks().to_numpy(zero_copy_only=False)
+            vv, cc = mg_summary(v, c, k)
+        else:
+            vv, cc = mg_summary(b[col].to_numpy(zero_copy_only=False), None, k)
+        return pa.table({col: pa.array(vv), "_cnt": pa.array(cc.astype(np.int64))})
+
+    agg = tree_reduce(ds.select_columns([col]), partial, fanin=fanin)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        c = b["_cnt"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(-c, kind="stable")
+        take = pa.array(order, type=pa.int64())
+        return pa.table({col: b[col].take(take),
+                         "min_count": b["_cnt"].take(take)})
+
+    return agg.map_batches(finalize, batch_format="pyarrow", batch_size=None)
+
+
 def approx_distinct(ds, key: str, value: str, p: int = 12, fanin: int = 8):
     """Approximate count(DISTINCT value) per key via per-key HLL registers,
     tree-merged with element-wise max — constant-size state per key, no
