@@ -862,6 +862,23 @@ def _q_pivot_events(sf_dir: str):
                      col_domain=_EVENT_TYPES)
 
 
+def _q_rollup_levels(sf_dir: str):
+    """GROUP BY ROLLUP(event_type, day): counts + exact cent sums at every
+    prefix level, NULLs in the coarser rows (matching DuckDB ROLLUP)."""
+    from tsdat_ray.stages.reshape import rollup_levels
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts = b["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = pc.strftime(pa.array((ts // (86400 * US)) * (86400 * US)).cast(
+            pa.timestamp("us")), format="%Y-%m-%d")
+        return pa.table({"event_type": b["event_type"], "day": day, "value": b["value"]})
+
+    ds = _events(sf_dir, columns=["ts", "event_type", "value"]).map_batches(
+        prep, batch_format="pyarrow")
+    return rollup_levels(ds, keys=("event_type", "day"), value_col="value",
+                         value_scale=100)
+
+
 def _q_melt_lineitem(sf_dir: str):
     from tsdat_ray.stages.reshape import melt
 
@@ -1118,6 +1135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_per_type": _q_quantiles_events,
         "pivot_daily_counts": _q_pivot_events,
         "melt_lineitem": _q_melt_lineitem,
+        "rollup_levels_events": _q_rollup_levels,
         "sliding_window_events": _q_sliding_window,
         "session_window_events": _q_session_window,
         "stratified_sample_docs": _q_stratified_sample,
@@ -1355,6 +1373,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
                    CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error
             FROM events GROUP BY 1
+        """,
+        "rollup_levels_events": """
+            SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   count(*) AS n_rows, ROUND(sum(value), 2) AS value_sum
+            FROM events
+            GROUP BY ROLLUP(event_type, day)
         """,
         "melt_lineitem": """
             SELECT l_orderkey, l_linenumber, 'l_quantity' AS name,

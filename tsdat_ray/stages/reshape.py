@@ -76,6 +76,67 @@ def pivot_agg(ds, row_key_col: str, col_key_col: str, col_domain: tuple,
     return agg.map_batches(widen, batch_format="pyarrow", batch_size=None)
 
 
+def rollup_levels(ds, keys: tuple, value_col: str | None = None,
+                  value_scale: int = 100, fanin: int = 8):
+    """SQL ``GROUP BY ROLLUP(k1, k2, …)``: aggregates at every prefix level
+    (k1,k2), (k1), () — count + exact-decimal sum per group, NULL-filled
+    coarser levels.  One combiner-push-down tree reduction computes the
+    finest level; coarser levels re-aggregate the (tiny) result in the same
+    final task — no extra passes over the input."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        if "_n" in b.column_names:  # merge partials
+            cols = [b[k].to_numpy(zero_copy_only=False) for k in keys]
+            n = b["_n"].combine_chunks().to_numpy(zero_copy_only=False)
+            s = b["_s"].combine_chunks().to_numpy(zero_copy_only=False)
+        else:
+            cols = [b[k].to_numpy(zero_copy_only=False) for k in keys]
+            n = np.ones(b.num_rows, dtype=np.int64)
+            if value_col is None:
+                s = np.zeros(b.num_rows, dtype=np.int64)
+            else:
+                v = b[value_col].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
+                s = np.round(v * value_scale).astype(np.int64)
+        order = np.lexsort(tuple(reversed(cols)))
+        srt = [c[order] for c in cols]
+        ns, ss = n[order], s[order]
+        chg = np.zeros(len(ns), dtype=bool)
+        if len(ns):
+            chg[0] = True
+            for c in srt:
+                chg[1:] |= c[1:] != c[:-1]
+        st = np.flatnonzero(chg)
+        out = {k: pa.array(c[st] if len(st) else c[:0]) for k, c in zip(keys, srt)}
+        out["_n"] = pa.array(np.add.reduceat(ns, st) if len(st) else ns[:0])
+        out["_s"] = pa.array(np.add.reduceat(ss, st) if len(st) else ss[:0])
+        return pa.table(out)
+
+    agg = tree_reduce(ds, partial, fanin=fanin)
+
+    def levels(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = b.to_pandas()
+        frames = [df.copy()]
+        cur = df
+        for lvl in range(len(keys) - 1, -1, -1):
+            grp_keys = list(keys[:lvl])
+            if grp_keys:
+                g = cur.groupby(grp_keys, as_index=False)[["_n", "_s"]].sum()
+            else:
+                g = pd.DataFrame({"_n": [cur["_n"].sum()], "_s": [cur["_s"].sum()]})
+            for k in keys[lvl:]:
+                g[k] = None
+            frames.append(g[list(keys) + ["_n", "_s"]])
+            cur = g
+        out = pd.concat(frames, ignore_index=True)
+        out = out.rename(columns={"_n": "n_rows"})
+        out["value_sum"] = out.pop("_s") / float(value_scale)
+        return out
+
+    return agg.map_batches(levels, batch_format="pyarrow", batch_size=None)
+
+
 def melt(ds, id_cols: tuple, value_cols: tuple,
          name_col: str = "name", value_out: str = "val"):
     """Wide → long: one (id..., name, value) row per value column — pure map."""
