@@ -391,6 +391,20 @@ def _q_hashjoin_lineitem_orders(sf_dir: str):
     return out.select_columns(["l_orderkey", "l_linenumber", "l_extendedprice", "o_orderpriority"])
 
 
+def _q_composite_join(sf_dir: str):
+    """Composite-key hash join: lineitem joined back to its high-quantity
+    subset on (l_orderkey, l_linenumber)."""
+    from tsdat_ray.stages.joins import hash_join
+
+    left = _read(f"{sf_dir}/lineitem.parquet",
+                 columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
+    right = _read(f"{sf_dir}/lineitem.parquet",
+                  columns=["l_orderkey", "l_linenumber", "l_quantity"]).filter(
+        expr="l_quantity > 45")
+    out = hash_join(left, right, on=["l_orderkey", "l_linenumber"], num_buckets=32)
+    return out.select_columns(["l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"])
+
+
 def _q_pricing_summary(sf_dir: str):
     """TPC-H Q1-style aggregate with a DETERMINISTIC combiner: monetary sums
     accumulate as exact int64 cent counts (l_extendedprice is cent-quantized,
@@ -1106,6 +1120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_embeddings": _q_knn,
         "join_orders_customer": _q_join_orders_customer,
         "hashjoin_lineitem_orders": _q_hashjoin_lineitem_orders,
+        "composite_join_lineitem": _q_composite_join,
         "pricing_summary_lineitem": _q_pricing_summary,
         "distinct_users_per_type": _q_distinct_users,
         "approx_distinct_users_per_type": _q_approx_distinct_users,
@@ -1296,6 +1311,13 @@ def oracle_sql() -> dict[str, str]:
         "hashjoin_lineitem_orders": """
             SELECT l_orderkey, l_linenumber, l_extendedprice, o_orderpriority
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        """,
+        "composite_join_lineitem": """
+            SELECT a.l_orderkey, a.l_linenumber, a.l_extendedprice, b.l_quantity
+            FROM lineitem a
+            JOIN (SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+                  WHERE l_quantity > 45) b
+            USING (l_orderkey, l_linenumber)
         """,
         "pricing_summary_lineitem": """
             -- monetary sums rounded to their quantum (prices are cent-

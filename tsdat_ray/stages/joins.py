@@ -84,7 +84,7 @@ def asof_lookup(
 def hash_join(
     left,
     right,
-    on: str,
+    on: str | list | tuple,
     num_buckets: int = 64,
     how: str = "inner",
 ):
@@ -95,7 +95,8 @@ def hash_join(
     nulls and each side's columns are re-selected before the join, so an int32
     column never takes the pandas nullable-promotion trip to float64.  (Salt
     hot keys by raising num_buckets; the bucket count bounds per-task memory.)
-    """
+    ``on`` may be one column name or a composite-key list."""
+    on_keys = [on] if isinstance(on, str) else list(on)
     l_schema: pa.Schema = pa.schema(list(zip(left.schema().names, left.schema().types)))
     r_schema: pa.Schema = pa.schema(list(zip(right.schema().names, right.schema().types)))
     l_names, r_names = list(l_schema.names), list(r_schema.names)
@@ -107,14 +108,17 @@ def hash_join(
 
     def tag(side: int):
         def add(batch: pa.Table) -> pa.Table:
-            keys = batch[on].to_numpy(zero_copy_only=False)
-            h = pd.util.hash_array(np.asarray(keys)) % num_buckets
+            h = np.zeros(batch.num_rows, dtype=np.uint64)
+            for kc in on_keys:  # composite key: combine per-column hashes
+                keys = batch[kc].to_numpy(zero_copy_only=False)
+                h = h * np.uint64(1099511628211) + pd.util.hash_array(np.asarray(keys))
+            h = h % np.uint64(num_buckets)
             cols = {
                 c: (batch[c] if c in batch.column_names else pa.nulls(batch.num_rows, types[c]))
                 for c in all_cols
             }
             cols["_bucket"] = pa.array(h.astype(np.int64))
-            cols["_side"] = pa.array(np.full(len(keys), side, dtype=np.int8))
+            cols["_side"] = pa.array(np.full(batch.num_rows, side, dtype=np.int8))
             return pa.table(cols)
 
         return add
@@ -125,7 +129,7 @@ def hash_join(
 
     arrow_how = {"inner": "inner", "left": "left outer", "right": "right outer",
                  "outer": "full outer"}[how]
-    out_cols = l_names + [c for c in r_names if c != on]
+    out_cols = l_names + [c for c in r_names if c not in on_keys]
 
     def join_bucket(g: pa.Table) -> pa.Table:
         side = g["_side"].combine_chunks().to_numpy(zero_copy_only=False)
@@ -133,7 +137,7 @@ def hash_join(
         mask = pa.array(side == 0)
         ltab = g.filter(mask).select(l_names)
         rtab = g.filter(pc.invert(mask)).select(r_names)
-        joined = ltab.join(rtab, keys=on, join_type=arrow_how)
+        joined = ltab.join(rtab, keys=on_keys, join_type=arrow_how)
         return joined.select(out_cols)
 
     return both.groupby("_bucket").map_groups(join_bucket, batch_format="pyarrow")
