@@ -357,6 +357,22 @@ def _q_knn(sf_dir: str):
     return out.sort(["similarity", "vec_id"], descending=[True, False]).limit(10).select_columns(["vec_id"])
 
 
+def _q_knn_multi(sf_dir: str):
+    """Batch kNN: top-5 cosine neighbors for query vectors 0, 1, 2 at once
+    (one matmul per data batch against the broadcast query matrix)."""
+    import pyarrow.parquet as pq
+
+    from tsdat_ray.stages.similarity import _emb_matrix, knn_brute_force_multi
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qsel = emb.filter(pc.is_in(emb["vec_id"], pa.array([0, 1, 2])))
+    qm = _emb_matrix(qsel["embedding"])
+    qids = qsel["vec_id"].to_numpy(zero_copy_only=False)
+    ds = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = knn_brute_force_multi(ds, qm, qids, k=5)
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
 # ---- relational ops over the TPC-H-ish tables ------------------------------ #
 
 def _q_join_orders_customer(sf_dir: str):
@@ -1118,6 +1134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_docs": _q_token_count,
         "quality_score_docs": _q_quality,
         "knn_embeddings": _q_knn,
+        "knn_multi_embeddings": _q_knn_multi,
         "join_orders_customer": _q_join_orders_customer,
         "hashjoin_lineitem_orders": _q_hashjoin_lineitem_orders,
         "composite_join_lineitem": _q_composite_join,
@@ -1303,6 +1320,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.vec_id <> 0
             ORDER BY list_cosine_similarity(e.embedding, qq.q) DESC, e.vec_id
             LIMIT 10
+        """,
+        "knn_multi_embeddings": """
+            SELECT q.vec_id AS query_id, e.vec_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+                                e.vec_id) AS BIGINT) AS rank
+            FROM embeddings e, (SELECT vec_id, embedding FROM embeddings
+                                WHERE vec_id IN (0, 1, 2)) q
+            WHERE e.vec_id <> q.vec_id
+            QUALIFY rank <= 5
         """,
         "join_orders_customer": """
             SELECT o_orderkey, o_totalprice, c_name, c_mktsegment

@@ -4,8 +4,11 @@ The reference has no relational joins (SURVEY.md §2.5) — its closest ops are
 the outer coordinate merge (xr.merge) and the nearest/as-of grid lookup.
 These are the engine equivalents, built on the two scalable patterns:
 
-* broadcast small side (``ray.put`` once, numpy ``searchsorted`` per batch)
-* hash-bucketed both-large join via groupby + per-group pandas merge
+* broadcast small side (``ray.put`` once, numpy ``searchsorted`` per batch):
+  ``asof_lookup``, ``broadcast_lookup``, ``range_count_join``
+* hash-bucketed both-large join via one groupby + per-bucket Arrow
+  ``Table.join`` (typed-null padding keeps source dtypes exact):
+  ``hash_join`` — single or composite keys, inner/left/right/outer
 """
 
 from __future__ import annotations

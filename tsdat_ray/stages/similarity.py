@@ -66,6 +66,54 @@ def knn_brute_force(ds, query: np.ndarray, k: int = 10,
     return out
 
 
+def knn_brute_force_multi(ds, queries: np.ndarray, query_ids: np.ndarray,
+                          k: int = 10, emb_col: str = "embedding",
+                          id_col: str = "vec_id", exclude_self: bool = True):
+    """Exact cosine top-k for a BATCH of query vectors (the training-data
+    shape: many lookups at once).  The whole normalized query matrix is
+    broadcast once; each data batch does ONE (batch × queries) matmul and
+    emits its local top-k per query; one small groupby over (query, ≤k per
+    block) candidates finalizes.  Output: (query_id, vec_id, similarity,
+    rank) — k rows per query."""
+    import ray
+
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    qids = np.asarray(query_ids)
+    q_ref = ray.put((q, qids))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qm, qi = ray.get(q_ref)
+        m = _normalize(_emb_matrix(batch[emb_col]))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sims = m @ qm.T  # (rows, queries)
+        if exclude_self:
+            sims = np.where(ids[:, None] == qi[None, :], -np.inf, sims)
+        kk = min(k, sims.shape[0])
+        if kk == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             id_col: pa.array([], batch[id_col].type),
+                             "similarity": pa.array([], pa.float64())})
+        top = np.argpartition(-sims, kth=kk - 1, axis=0)[:kk]  # (k, queries)
+        rows = top.ravel(order="F")
+        qcol = np.repeat(qi, kk)
+        s = sims[top, np.arange(sims.shape[1])[None, :]].ravel(order="F")
+        keep = np.isfinite(s)
+        return pa.table({"query_id": pa.array(qcol[keep]),
+                         id_col: batch[id_col].take(pa.array(rows[keep], type=pa.int64())),
+                         "similarity": pa.array(s[keep])})
+
+    cand = ds.map_batches(local_topk, batch_format="pyarrow")
+
+    def finalize(g: pa.Table) -> pa.Table:
+        s = g["similarity"].combine_chunks().to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -s))[:k]
+        t = g.take(pa.array(order, type=pa.int64()))
+        return t.append_column("rank", pa.array(np.arange(1, len(order) + 1)))
+
+    return cand.groupby("query_id").map_groups(finalize, batch_format="pyarrow")
+
+
 class HyperplaneLSH:
     """Random-hyperplane signatures for cosine LSH (Charikar '02); planes are
     generated once per actor from a fixed seed so every worker agrees."""
