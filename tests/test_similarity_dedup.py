@@ -203,3 +203,19 @@ def test_ann_at_scale_recall_and_speed(ray_session, tmp_path):
                       q, k=10, n_planes=8, probe_hamming=2, exclude_ids=(7,)).to_pandas()["vec_id"])
     assert len(ivf & exact) >= 7, f"IVF recall too low: {len(ivf & exact)}/10"
     assert len(lsh & exact) >= 4, f"LSH recall too low: {len(lsh & exact)}/10"
+
+
+def test_exact_dedup_hash_only_mode(ray_session):
+    import ray.data as rd
+
+    from tsdat_ray.stages.dedup import exact_dedup
+
+    texts = [f"doc body {i % 40}" for i in range(400)]  # 40 distinct, 10x dup
+    tbl = pa.table({"doc_id": pa.array(np.arange(400, dtype=np.int64)),
+                    "text": pa.array(texts)})
+    full = exact_dedup(rd.from_arrow(tbl).repartition(4)).to_pandas()
+    ho = exact_dedup(rd.from_arrow(tbl).repartition(4), payload="hash").to_pandas()
+    assert "text" not in ho.columns  # payload stripped before the shuffle
+    a = full[["doc_id", "n_copies"]].sort_values("doc_id").reset_index(drop=True)
+    b = ho[["doc_id", "n_copies"]].sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)

@@ -32,7 +32,7 @@ def _hash_text(col: pa.ChunkedArray) -> np.ndarray:
 
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", keep_cols=None,
-                salt_mod: int = 256):
+                salt_mod: int = 256, payload: str = "full"):
     """Exact dedup on the content of ``text_col``: keep the row with the
     minimum ``id_col`` per distinct content (deterministic).
 
@@ -40,22 +40,36 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", keep_cols=No
     hot duplicate clusters spread across a bounded number of groups and each
     group dedups MANY hashes vectorized — one Python call per distinct text
     was the hot spot before), then per-partition segmentation by (hash,
-    text) with rare-collision resolution via exact text compare."""
+    text) with rare-collision resolution via exact text compare.
+
+    ``payload="hash"``: shuffle only (hash, id) — the 100 TB mode when the
+    text payload dominates the exchange.  Distinct contents are then keyed
+    by the 64-bit siphash alone (collision odds ~n²/2⁶⁵; the full mode's
+    exact text compare is the audit path), and the output carries no
+    ``text_col``."""
+    hash_only = payload == "hash"
 
     def add_hash(batch: pa.Table) -> pa.Table:
         h = _hash_text(batch[text_col])
+        if hash_only:
+            batch = batch.drop_columns([text_col])
         batch = batch.append_column("_h", pa.array(h))
         return batch.append_column("_salt", pa.array((h % np.uint64(salt_mod)).astype(np.int64)))
 
     def first_part(g: pa.Table) -> pa.Table:
         ids = g[id_col].to_numpy(zero_copy_only=False)
         h = g["_h"].combine_chunks().to_numpy(zero_copy_only=False)
-        texts = g[text_col].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, texts, h))
-        ts, hs = texts[order], h[order]
-        keep = np.r_[True, (hs[1:] != hs[:-1]) | (ts[1:] != ts[:-1])] if len(ts) else np.zeros(0, bool)
+        if hash_only:
+            order = np.lexsort((ids, h))
+            hs = h[order]
+            keep = np.r_[True, hs[1:] != hs[:-1]] if len(hs) else np.zeros(0, bool)
+        else:
+            texts = g[text_col].to_numpy(zero_copy_only=False)
+            order = np.lexsort((ids, texts, h))
+            ts, hs = texts[order], h[order]
+            keep = np.r_[True, (hs[1:] != hs[:-1]) | (ts[1:] != ts[:-1])] if len(ts) else np.zeros(0, bool)
         starts = np.flatnonzero(keep)
-        counts = np.diff(np.r_[starts, len(ts)])
+        counts = np.diff(np.r_[starts, len(hs)])
         t = g.take(pa.array(order[keep], type=pa.int64()))
         t = t.drop_columns(["_h", "_salt"])
         return t.append_column("n_copies", pa.array(counts.astype(np.int64)))
