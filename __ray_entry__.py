@@ -407,6 +407,26 @@ def _q_hashjoin_lineitem_orders(sf_dir: str):
     return out.select_columns(["l_orderkey", "l_linenumber", "l_extendedprice", "o_orderpriority"])
 
 
+def _q_intersect_users(sf_dir: str):
+    """INTERSECT: distinct user_ids appearing as both click and purchase."""
+    from tsdat_ray.stages.joins import set_op
+
+    c = _events(sf_dir, columns=["user_id", "event_type"]).filter(expr="event_type == 'click'")
+    p = _events(sf_dir, columns=["user_id", "event_type"]).filter(expr="event_type == 'purchase'")
+    return set_op(c, p, cols=("user_id",), mode="intersect")
+
+
+def _q_except_users(sf_dir: str):
+    """EXCEPT: distinct signup users with no high-value error events
+    (right side restricted so the result is non-empty at every sf)."""
+    from tsdat_ray.stages.joins import set_op
+
+    s_ = _events(sf_dir, columns=["user_id", "event_type"]).filter(expr="event_type == 'signup'")
+    e = _events(sf_dir, columns=["user_id", "event_type", "value"]).filter(
+        expr="event_type == 'error' and value > 100")
+    return set_op(s_, e, cols=("user_id",), mode="except")
+
+
 def _q_composite_join(sf_dir: str):
     """Composite-key hash join: lineitem joined back to its high-quantity
     subset on (l_orderkey, l_linenumber)."""
@@ -1137,6 +1157,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_multi_embeddings": _q_knn_multi,
         "join_orders_customer": _q_join_orders_customer,
         "hashjoin_lineitem_orders": _q_hashjoin_lineitem_orders,
+        "intersect_click_purchase_users": _q_intersect_users,
+        "except_signup_error_users": _q_except_users,
         "composite_join_lineitem": _q_composite_join,
         "pricing_summary_lineitem": _q_pricing_summary,
         "distinct_users_per_type": _q_distinct_users,
@@ -1339,6 +1361,16 @@ def oracle_sql() -> dict[str, str]:
         "hashjoin_lineitem_orders": """
             SELECT l_orderkey, l_linenumber, l_extendedprice, o_orderpriority
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        """,
+        "intersect_click_purchase_users": """
+            SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        """,
+        "except_signup_error_users": """
+            SELECT user_id FROM events WHERE event_type = 'signup'
+            EXCEPT
+            SELECT user_id FROM events WHERE event_type = 'error' AND value > 100
         """,
         "composite_join_lineitem": """
             SELECT a.l_orderkey, a.l_linenumber, a.l_extendedprice, b.l_quantity

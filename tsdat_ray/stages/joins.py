@@ -233,6 +233,48 @@ def range_count_join(ds, right, left_on: str, right_on: str,
     return ds.map_batches(count, batch_format="pyarrow")
 
 
+def set_op(left, right, cols: tuple, mode: str = "intersect",
+           salt_mod: int = 64):
+    """SQL set operators over DISTINCT rows: ``intersect`` (rows in both) or
+    ``except`` (left rows absent from right).
+
+    Scale shape: both sides pre-dedupe per batch on ``cols``, rows co-locate
+    by a salted row hash (one shuffle of DISTINCT rows only), and each
+    partition resolves membership with a vectorized indicator merge."""
+    assert mode in ("intersect", "except")
+    cols = list(cols)
+
+    def tag(side: int):
+        def f(b: pa.Table) -> pa.Table:
+            b = b.select(cols)
+            df = b.to_pandas().drop_duplicates(cols)
+            t = pa.Table.from_pandas(df, preserve_index=False)
+            h = np.zeros(t.num_rows, dtype=np.uint64)
+            for c in cols:
+                h = h * np.uint64(1099511628211) + pd.util.hash_array(
+                    np.asarray(t[c].to_numpy(zero_copy_only=False)))
+            t = t.append_column("_salt", pa.array((h % np.uint64(salt_mod)).astype(np.int64)))
+            return t.append_column("_side", pa.array(np.full(t.num_rows, side, dtype=np.int8)))
+
+        return f
+
+    u = left.map_batches(tag(0), batch_format="pyarrow").union(
+        right.map_batches(tag(1), batch_format="pyarrow"))
+
+    def resolve(g: pa.Table) -> pa.Table:
+        df = g.drop_columns(["_salt"]).to_pandas()
+        l = df[df["_side"] == 0][cols].drop_duplicates()
+        r = df[df["_side"] == 1][cols].drop_duplicates()
+        if mode == "intersect":
+            out = l.merge(r, on=cols, how="inner")
+        else:
+            m = l.merge(r, on=cols, how="left", indicator=True)
+            out = m[m["_merge"] == "left_only"][cols]
+        return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+    return u.groupby("_salt").map_groups(resolve, batch_format="pyarrow")
+
+
 def merge_sources(datasets, on: str = "ts", window_s: int = 86400):
     """Outer coordinate merge with first-match-wins priority — the engine's
     version of the reference's multi-input retrieval (xr.merge outer align,
