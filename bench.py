@@ -150,6 +150,17 @@ def run_bench() -> dict:
         "hash_split_docs",
         "zarr_roundtrip_events",
         "netcdf_roundtrip_events",
+        "composite_join_lineitem",
+        "rollup_levels_events",
+        "quantiles_per_type",
+        "approx_quantiles_per_type",
+        "approx_distinct_users_per_type",
+        "heavy_hitter_words_docs",
+        "intersect_click_purchase_users",
+        "except_signup_error_users",
+        "knn_multi_embeddings",
+        "pivot_daily_counts",
+        "melt_lineitem",
     ]
     qtimes = {}
     for name in bench_queries:
