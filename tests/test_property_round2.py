@@ -81,3 +81,64 @@ def test_exact_median_matches_numpy(ray_session, cents):
     out = exact_median_quantized(rd.from_arrow(t).repartition(2), key="k",
                                  value_col="v", scale=100).to_pandas()
     assert out["median_value"].iloc[0] == pytest.approx(np.median(vals), abs=1e-9)
+
+
+# ------------------------------------------------------- storage roundtrips ----
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),   # n records
+    st.integers(min_value=0, max_value=5),    # n heights (0 → 1-D only)
+    st.sampled_from([np.float64, np.float32, np.int32, np.int16]),
+    st.randoms(),
+)
+def test_netcdf3_roundtrip_random(n, nh, dtype, rnd):
+    from tsdat_ray.sources.netcdf3 import parse_netcdf3, write_netcdf3
+
+    rng = np.random.default_rng(rnd.randint(0, 2**32))
+    dims = {"time": n}
+    variables = {
+        "time": {"dims": ["time"],
+                 "data": np.sort(rng.integers(0, 10**15, n)).astype("datetime64[us]")},
+        "v": {"dims": ["time"],
+              "data": (rng.normal(0, 1e5, n).astype(dtype)
+                       if np.issubdtype(dtype, np.floating)
+                       else rng.integers(-30000, 30000, n).astype(dtype))},
+    }
+    if nh:
+        dims["h"] = nh
+        variables["grid"] = {"dims": ["time", "h"],
+                             "data": rng.normal(size=(n, nh)).astype(np.float32)}
+    buf = write_netcdf3(dims, variables, attrs={"t": "x"}, record_dim="time")
+    nc = parse_netcdf3(buf)
+    np.testing.assert_array_equal(nc["vars"]["v"]["data"], variables["v"]["data"])
+    if nh:
+        np.testing.assert_array_equal(nc["vars"]["grid"]["data"],
+                                      variables["grid"]["data"])
+    # CF time decode is exact at µs resolution
+    from tsdat_ray.sources.netcdf3 import _decode_time
+
+    t = _decode_time(nc["vars"]["time"])
+    np.testing.assert_array_equal(t, variables["time"]["data"])
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=200),
+    st.integers(min_value=1, max_value=64),
+    st.booleans(),
+    st.randoms(),
+)
+def test_zarr_array_roundtrip_random(n, chunks, compress, rnd):
+    import tempfile
+
+    from tsdat_ray.sources.zarr_store import read_array, write_array
+
+    rng = np.random.default_rng(rnd.randint(0, 2**32))
+    arr = rng.normal(size=n)
+    arr[rng.random(n) < 0.1] = np.nan
+    with tempfile.TemporaryDirectory() as d:
+        write_array(f"{d}/a.zarr", arr, chunks=chunks,
+                    compressor="zlib" if compress else "null")
+        back, _ = read_array(f"{d}/a.zarr")
+    np.testing.assert_array_equal(back, arr)  # bitwise incl. NaNs
