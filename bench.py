@@ -192,7 +192,7 @@ def run_scaling() -> dict:
     enough that per-core work dominates fixed job overhead, the identical
     64-block physical plan at both levels, and an untimed warm-up pipeline so
     worker spin-up isn't measured."""
-    scale_rows = int(os.environ.get("GRAFT_SCALE_ROWS", str(4_000_000)))
+    scale_rows = int(os.environ.get("GRAFT_SCALE_ROWS", str(8_000_000)))
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SCALE_ROWS=str(scale_rows))
