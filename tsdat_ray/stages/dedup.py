@@ -147,16 +147,38 @@ class MinHasher:
         )
 
 
+_PROCESS_HASHERS: dict = {}
+
+
+def _cached_minhasher(**kw) -> MinHasher:
+    """Per-worker-process MinHasher cache.  The hasher's state (256 ints from
+    a seeded Philox stream) costs microseconds to build, so an actor pool
+    buys nothing but pool-startup latency; a task-pool stage spreads over
+    every CPU and Ray's worker-process reuse makes this cache an effective
+    build-once."""
+    key = tuple(sorted(kw.items()))
+    h = _PROCESS_HASHERS.get(key)
+    if h is None:
+        h = _PROCESS_HASHERS[key] = MinHasher(**kw)
+    return h
+
+
 def minhash_lsh_candidates(ds, num_perm: int = 128, bands: int = 32,
                            text_col: str = "text", id_col: str = "doc_id",
                            concurrency: int = 2):
     """doc → minhash signature → (band, band-hash) rows → groupby band buckets.
 
     Returns a Dataset of candidate groups: one row per (band_key, doc list)
-    with >=2 docs — the classic LSH banding construction."""
+    with >=2 docs — the classic LSH banding construction.  ``concurrency``
+    is kept for API compatibility but the signature stage runs as a task
+    pool (see ``_cached_minhasher``) — full-width parallelism, no actor
+    spin-up."""
     rows_per_band = num_perm // bands
 
     hasher_kwargs = dict(num_perm=num_perm, text_col=text_col, id_col=id_col)
+
+    def sign(batch: pa.Table) -> pa.Table:
+        return _cached_minhasher(**hasher_kwargs)(batch)
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
@@ -209,8 +231,7 @@ def minhash_lsh_candidates(ds, num_perm: int = 128, bands: int = 32,
             }
         )
 
-    sigs = ds.map_batches(MinHasher, fn_constructor_kwargs=hasher_kwargs,
-                          batch_format="pyarrow", concurrency=concurrency)
+    sigs = ds.map_batches(sign, batch_format="pyarrow")
     exploded = sigs.map_batches(explode, batch_format="pyarrow").map_batches(
         add_salt, batch_format="pyarrow"
     )
@@ -312,23 +333,66 @@ def hamming_distance64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
 
 
+def _verify_jaccard(pk, tx_a, tx_b, shingle_k: int, threshold: float) -> pa.Table:
+    """Exact k-shingle Jaccard over aligned pair arrays; a None text means
+    the doc was missing from the corpus and the pair is dropped.  Shingle
+    sets are cached per doc id — each doc appears in many candidate pairs
+    (measured 4× on the 300k-candidate sf0.1 verify)."""
+    shingle_cache: dict[int, set] = {}
+
+    def shingles(doc_id: int, s: str) -> set:
+        got = shingle_cache.get(doc_id)
+        if got is None:
+            s = s or ""
+            got = {s[i: i + shingle_k] for i in range(max(1, len(s) - shingle_k + 1))}
+            shingle_cache[doc_id] = got
+        return got
+
+    out_pk, out_j = [], []
+    for p, a, b in zip(pk, tx_a, tx_b):
+        if a is None or b is None:
+            continue
+        sa = shingles(int(p) >> 32, a)
+        sb = shingles(int(p) & 0xFFFFFFFF, b)
+        union = len(sa | sb)
+        j = len(sa & sb) / union if union else 1.0
+        if j >= threshold:
+            out_pk.append(p)
+            out_j.append(j)
+    pko = np.array(out_pk, dtype=np.int64)
+    return pa.table(
+        {
+            "id_a": pa.array(pko >> np.int64(32)),
+            "id_b": pa.array(pko & np.int64(0xFFFFFFFF)),
+            "jaccard": pa.array(np.array(out_j, dtype=np.float64)),
+        }
+    )
+
+
 def minhash_neardup_pairs(ds, threshold: float = 0.5,
                           num_perm: int = 128, bands: int = 32, shingle_k: int = 5,
                           text_col: str = "text", id_col: str = "doc_id",
                           concurrency: int = 2, verify_salt: int = 64,
+                          max_broadcast_texts: int = 500_000,
                           max_broadcast_ids: int = 2_000_000):
     """MinHash+LSH near-duplicate detection end-to-end: signature → band
     buckets → candidate pairs → exact k-shingle Jaccard verification.
 
-    Verification never touches the full corpus on the driver: the deduped
-    candidate-pair set is bounded by true near-dups × bands, so its doc-id
-    SET broadcasts (``ray.put``, ints only) and the documents Dataset is
-    semi-join filtered in place — no corpus shuffle at all — then one salted
-    groupby co-locates each pair's two texts for the exact Jaccard.  If the
-    candidate set outgrows ``max_broadcast_ids``, verification falls back to
-    a full ``hash_join`` of pair-side rows against the documents Dataset
-    (corpus shuffled once, still no text broadcast).  Returns (id_a, id_b,
-    jaccard) with id_a < id_b and jaccard >= threshold."""
+    Verification never touches the full corpus on the driver — the deduped
+    candidate-pair set is bounded by true near-dups × bands — and picks the
+    cheapest scale-safe plan for its size:
+
+    * ≤ ``max_broadcast_texts`` candidate docs: semi-join filter the corpus
+      to just the candidate docs (map-only, no shuffle), broadcast their
+      texts via ``ray.put`` (bounded by near-dups, NOT corpus size), verify
+      the pair list in one shuffle-free ``map_batches`` pass.
+    * ≤ ``max_broadcast_ids``: broadcast only the candidate id SET (ints),
+      semi-join filter in place, then one doc-salt groupby attaches texts to
+      pair sides and one pair-salt groupby verifies.
+    * larger: full ``hash_join`` of pair-side rows against the documents
+      Dataset (corpus shuffled once, still no text broadcast).
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold."""
     from .joins import hash_join
 
     cand = minhash_lsh_candidates(
@@ -352,31 +416,14 @@ def minhash_neardup_pairs(ds, threshold: float = 0.5,
         pk = batch["_pk"].combine_chunks().to_numpy(zero_copy_only=False)
         return pa.table({"_pk": pa.array(np.unique(pk))})
 
-    # dedup candidate pairs by repartition tree-unique (pair count is bounded
-    # by true near-dups × bands, far below the corpus — same reduction shape
-    # as distinct_count; a keyed groupby costs a full sort round-trip).
-    # The materialize barrier matters: one lazy graph mixing the actor pool,
-    # the band groupby AND repartitions schedules pathologically in the
-    # streaming executor (measured 4× slower end-to-end); the candidate set
-    # is tiny, so the barrier is free.
+    # per-block pre-dedup, then final unique on the driver: the pair stream
+    # is bounded by true near-dups × bands, far below the corpus, so a
+    # driver-side np.unique replaces what used to be a whole extra Ray job
+    # (repartition(1) + tree-unique) — the pk list lands on the driver either
+    # way to size the verify tier.
     pairs = cand.map_batches(explode_pairs, batch_format="pyarrow").map_batches(
         uniq, batch_format="pyarrow"
-    ).materialize()
-    pairs = pairs.repartition(1).map_batches(
-        uniq, batch_format="pyarrow", batch_size=None
-    ).materialize()
-
-    def explode_sides(batch: pa.Table) -> pa.Table:
-        pk = batch["_pk"].combine_chunks().to_numpy(zero_copy_only=False)
-        ida = pk >> np.int64(32)
-        idb = pk & np.int64(0xFFFFFFFF)
-        return pa.table(
-            {
-                id_col: pa.array(np.r_[ida, idb]),
-                "_pk": pa.array(np.r_[pk, pk]),
-                "_pside": pa.array(np.r_[np.zeros(len(pk), np.int8), np.ones(len(pk), np.int8)]),
-            }
-        )
+    )
 
     def add_vsalt(batch: pa.Table) -> pa.Table:
         pk = batch["_pk"].combine_chunks().to_numpy(zero_copy_only=False)
@@ -426,15 +473,64 @@ def minhash_neardup_pairs(ds, threshold: float = 0.5,
     import ray
     import ray.data as rd
 
-    pk_all = np.concatenate(
+    # the uniq stage dedups per block only; cross-block duplicates remain, and
+    # the downstream verify treats a _pk group of the wrong size as a missing
+    # doc — the global unique here is REQUIRED, not just the final dedup step
+    pk_all = np.unique(np.concatenate(
         [b["_pk"].combine_chunks().to_numpy(zero_copy_only=False)
          for b in pairs.iter_batches(batch_format="pyarrow")] or [np.zeros(0, np.int64)]
-    )
+    ))
     if len(pk_all) == 0:
         return rd.from_arrow(pa.table({"id_a": pa.array([], pa.int64()),
                                        "id_b": pa.array([], pa.int64()),
                                        "jaccard": pa.array([], pa.float64())}))
     cand_ids = np.unique(np.r_[pk_all >> np.int64(32), pk_all & np.int64(0xFFFFFFFF)])
+
+    if len(cand_ids) <= max_broadcast_texts:
+        # tier 1: the candidate-doc set is small enough that its TEXTS (not
+        # the corpus's) fit in one broadcast object.  Semi-join filter the
+        # corpus map-only, pull just those (id, text) rows to the driver
+        # (bounded by near-dups × avg doc len), ray.put once, and verify the
+        # pair list in a single shuffle-free map_batches pass.
+        ids_ref = ray.put(cand_ids)  # sorted by construction
+
+        def filter_docs_slim(b: pa.Table) -> pa.Table:
+            ids = ray.get(ids_ref)
+            d = b[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(ids, d)
+            hit = (pos < len(ids)) & (ids[np.clip(pos, 0, len(ids) - 1)] == d)
+            return b.filter(pa.array(hit)).select([id_col, text_col])
+
+        tabs = list(ds.map_batches(filter_docs_slim, batch_format="pyarrow")
+                    .iter_batches(batch_format="pyarrow"))
+        cat = pa.concat_tables(tabs) if tabs else pa.table(
+            {id_col: pa.array([], pa.int64()), text_col: pa.array([], pa.string())})
+        did = cat[id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        dtx = cat[text_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(did, kind="stable")
+        tx_ref = ray.put((did[order], dtx[order]))
+
+        pair_ds = rd.from_arrow(pa.table({"_pk": pa.array(pk_all)}))
+        if len(pk_all) > 8192:
+            pair_ds = pair_ds.repartition(16)
+
+        def verify_fast(b: pa.Table) -> pa.Table:
+            dids, texts = ray.get(tx_ref)
+
+            def look(x: np.ndarray) -> list:
+                if len(dids) == 0:
+                    return [None] * len(x)
+                pos = np.clip(np.searchsorted(dids, x), 0, len(dids) - 1)
+                ok = dids[pos] == x
+                return [texts[p] if o else None for p, o in zip(pos, ok)]
+
+            pk = b["_pk"].combine_chunks().to_numpy(zero_copy_only=False)
+            return _verify_jaccard(
+                pk, look(pk >> np.int64(32)), look(pk & np.int64(0xFFFFFFFF)),
+                shingle_k, threshold,
+            )
+
+        return pair_ds.map_batches(verify_fast, batch_format="pyarrow")
 
     if len(cand_ids) <= max_broadcast_ids:
         # semi-join fast path: broadcast the candidate ID SET (ints, bounded
@@ -498,8 +594,19 @@ def minhash_neardup_pairs(ds, threshold: float = 0.5,
         )
     else:
         # huge candidate set: stream the corpus through ONE bucketed shuffle
-        # against the pair-side rows (no broadcast of anything corpus-sized)
-        sides = pairs.repartition(16).map_batches(explode_sides, batch_format="pyarrow")
+        # against the pair-side rows (no broadcast of anything corpus-sized).
+        # Sides come from the globally-deduped pk_all, NOT a re-execution of
+        # the per-block-deduped pair stream: a pair surviving in two blocks
+        # would join to a _pk group of size 4, which the verifier rejects.
+        side_tab = pa.table(
+            {
+                id_col: pa.array(np.r_[pk_all >> np.int64(32), pk_all & np.int64(0xFFFFFFFF)]),
+                "_pk": pa.array(np.r_[pk_all, pk_all]),
+                "_pside": pa.array(np.r_[np.zeros(len(pk_all), np.int8),
+                                         np.ones(len(pk_all), np.int8)]),
+            }
+        )
+        sides = rd.from_arrow(side_tab).repartition(16)
 
         def slim(batch: pa.Table) -> pa.Table:
             return batch.select([id_col, text_col])
