@@ -425,6 +425,53 @@ def minhash_neardup_pairs(ds, threshold: float = 0.5,
         uniq, batch_format="pyarrow"
     )
 
+    pk_all = collect_unique_pairs(pairs)
+    return verify_pairs_exact(
+        ds, pk_all, threshold=threshold, shingle_k=shingle_k, text_col=text_col,
+        id_col=id_col, verify_salt=verify_salt,
+        max_broadcast_texts=max_broadcast_texts, max_broadcast_ids=max_broadcast_ids,
+    )
+
+
+def collect_unique_pairs(pairs) -> np.ndarray:
+    """Drain a per-block-deduped ``_pk`` pair stream to the driver and
+    globally unique it.  The pair stream is bounded by true near-dups ×
+    bands — far below corpus size — so a driver-side np.unique replaces a
+    whole extra Ray job (repartition(1) + tree-unique), and the caller needs
+    the pk list on the driver anyway to size the verify tier.  The global
+    unique is REQUIRED, not just a final dedup step: the verifier treats a
+    ``_pk`` group of the wrong size as a missing doc."""
+    return np.unique(np.concatenate(
+        [b["_pk"].combine_chunks().to_numpy(zero_copy_only=False)
+         for b in pairs.iter_batches(batch_format="pyarrow")] or [np.zeros(0, np.int64)]
+    ))
+
+
+def verify_pairs_exact(ds, pk_all, *, threshold: float = 0.5, shingle_k: int = 5,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       verify_salt: int = 64, max_broadcast_texts: int = 500_000,
+                       max_broadcast_ids: int = 2_000_000):
+    """Exact k-shingle Jaccard verification of a candidate pair set (packed
+    ``(id_a << 32) | id_b`` int64 keys) against the documents Dataset,
+    picking the cheapest scale-safe plan for the candidate set's size —
+    verification never touches the full corpus on the driver:
+
+    * ≤ ``max_broadcast_texts`` candidate docs: semi-join filter the corpus
+      to just the candidate docs (map-only, no shuffle), broadcast their
+      texts via ``ray.put`` (bounded by near-dups, NOT corpus size), verify
+      the pair list in one shuffle-free ``map_batches`` pass.
+    * ≤ ``max_broadcast_ids``: broadcast only the candidate id SET (ints),
+      semi-join filter in place, then one doc-salt groupby attaches texts to
+      pair sides and one pair-salt groupby verifies.
+    * larger: full ``hash_join`` of pair-side rows against the documents
+      Dataset (corpus shuffled once, still no text broadcast).
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold."""
+    import ray
+    import ray.data as rd
+
+    from .joins import hash_join
+
     def add_vsalt(batch: pa.Table) -> pa.Table:
         pk = batch["_pk"].combine_chunks().to_numpy(zero_copy_only=False)
         return batch.append_column("_vsalt", pa.array(pk % np.int64(verify_salt)))
@@ -470,16 +517,6 @@ def minhash_neardup_pairs(ds, threshold: float = 0.5,
             }
         )
 
-    import ray
-    import ray.data as rd
-
-    # the uniq stage dedups per block only; cross-block duplicates remain, and
-    # the downstream verify treats a _pk group of the wrong size as a missing
-    # doc — the global unique here is REQUIRED, not just the final dedup step
-    pk_all = np.unique(np.concatenate(
-        [b["_pk"].combine_chunks().to_numpy(zero_copy_only=False)
-         for b in pairs.iter_batches(batch_format="pyarrow")] or [np.zeros(0, np.int64)]
-    ))
     if len(pk_all) == 0:
         return rd.from_arrow(pa.table({"id_a": pa.array([], pa.int64()),
                                        "id_b": pa.array([], pa.int64()),
