@@ -698,6 +698,13 @@ def _q_neardup_minhash_docs(sf_dir: str):
     return minhash_neardup_pairs(ds, threshold=0.5, concurrency=_conc())
 
 
+def _q_neardup_ngram_docs(sf_dir: str):
+    from tsdat_ray.stages.dedup import ngram_similarity_join
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ngram_similarity_join(ds, threshold=0.5, shingle_k=5)
+
+
 def _q_simhash_neardup(sf_dir: str):
     from tsdat_ray.stages.dedup import simhash_neardup_pairs
 
@@ -1174,6 +1181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh_embeddings": _q_knn_lsh,
         "knn_ivf_embeddings": _q_knn_ivf,
         "neardup_minhash_docs": _q_neardup_minhash_docs,
+        "neardup_ngram_docs": _q_neardup_ngram_docs,
         "simhash_docs": _q_simhash_docs,
         "neardup_simhash_docs": _q_simhash_neardup,
         "bpe_token_count_docs": _q_bpe_token_count,
@@ -1318,6 +1326,26 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_docs": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
             FROM documents GROUP BY text
+        """,
+        "neardup_ngram_docs": """
+            WITH sh AS (
+                SELECT DISTINCT doc_id, substr(text, i, 5) AS g
+                FROM (SELECT doc_id, text,
+                             unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
+                      FROM documents)
+            ),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+                FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT i.id_a, i.id_b,
+                   i.c * 1.0 / (na.n + nb.n - i.c) AS jaccard
+            FROM inter i
+            JOIN sz na ON na.doc_id = i.id_a
+            JOIN sz nb ON nb.doc_id = i.id_b
+            WHERE i.c * 1.0 / (na.n + nb.n - i.c) >= 0.5
         """,
         "token_count_docs": """
             SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens

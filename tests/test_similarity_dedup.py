@@ -219,3 +219,49 @@ def test_exact_dedup_hash_only_mode(ray_session):
     a = full[["doc_id", "n_copies"]].sort_values("doc_id").reset_index(drop=True)
     b = ho[["doc_id", "n_copies"]].sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def _brute_jaccard_pairs(ids, texts, k, t):
+    sets = {i: {s[j: j + k] for j in range(max(1, len(s) - k + 1))}
+            for i, s in zip(ids, texts)}
+    out = []
+    for a in ids:
+        for b in ids:
+            if a >= b:
+                continue
+            u = len(sets[a] | sets[b])
+            j = len(sets[a] & sets[b]) / u if u else 1.0
+            if j >= t:
+                out.append((a, b, j))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("threshold", [0.5, 0.7, 0.9])
+def test_ngram_similarity_join_exact_vs_brute_force(ray_session, threshold):
+    """The prefix-filtered join is EXACT — identical pair set and jaccard
+    values to all-pairs brute force, at any threshold, including boundary
+    thresholds, duplicate texts, short strings, and unicode."""
+    import ray.data as rd
+
+    from tsdat_ray.stages.dedup import ngram_similarity_join
+
+    rng = np.random.Generator(np.random.Philox(key=np.array([5, 0], dtype=np.uint64)))
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "théta"]
+    ids, texts = [], []
+    for i in range(60):
+        ids.append(i)
+        texts.append(" ".join(rng.choice(words, 12)))
+    # planted near-dups, exact dups, and degenerate docs
+    for i in range(10):
+        ids.append(100 + i)
+        texts.append(texts[i] + (" tail" if i % 2 else ""))
+    ids += [200, 201, 202, 203]
+    texts += ["ab", "ab", "", "é"]
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    got = (
+        ngram_similarity_join(rd.from_arrow(tbl), threshold=threshold, shingle_k=5)
+        .to_pandas().sort_values(["id_a", "id_b"]).to_numpy().tolist()
+    )
+    want = [[a, b, j] for a, b, j in _brute_jaccard_pairs(ids, texts, 5, threshold)]
+    assert [(int(a), int(b)) for a, b, _ in got] == [(a, b) for a, b, _ in want]
+    np.testing.assert_array_equal([j for *_, j in got], [j for *_, j in want])

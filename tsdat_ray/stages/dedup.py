@@ -655,6 +655,183 @@ def verify_pairs_exact(ds, pk_all, *, threshold: float = 0.5, shingle_k: int = 5
     )
 
 
+# --------------------------------------------------------------------------- #
+# Exact n-gram Jaccard similarity join (prefix filtering)
+# --------------------------------------------------------------------------- #
+
+
+def _char_shingle_hashes(s: str, k: int) -> np.ndarray:
+    """Unique 64-bit rolling hashes of the k-CHARACTER shingles of ``s`` —
+    codepoint-based (utf-32) so the shingle COUNT matches Python string
+    slicing / SQL ``substr`` exactly (byte-based shingling diverges on
+    non-ASCII).  A string shorter than k contributes its single whole-string
+    shingle, mirroring ``{s[i:i+k] for i in range(max(1, len(s)-k+1))}``."""
+    cp = np.frombuffer((s or "").encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    base = np.uint64(1099511628211)
+    if len(cp) == 0:
+        return np.array([np.uint64(0x9E3779B97F4A7C15)], dtype=np.uint64)
+    kk = min(k, len(cp))
+    h = np.zeros(len(cp) - kk + 1, dtype=np.uint64)
+    for j in range(kk):
+        h = h * base + cp[j: len(cp) - kk + 1 + j]
+    return np.unique(h)
+
+
+def ngram_similarity_join(ds, threshold: float = 0.5, shingle_k: int = 5,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          n_hot: int = 1 << 16, hot_sample_mod: int = 4,
+                          salt_mod: int = 64, **verify_kw):
+    """EXACT k-shingle Jaccard self-join: every pair with similarity >=
+    ``threshold``, via prefix filtering (AllPairs/PPJoin, Bayardo et al.
+    WWW'07) — no LSH false negatives.
+
+    Shape (all stages stream):
+
+    1. *Frequency pass*: approximate shingle document-frequencies on a
+       ``doc_id % hot_sample_mod == 0`` sample; the ``n_hot`` hottest shingle
+       hashes + ranks are broadcast once (``ray.put``).  Prefix filtering is
+       correct under ANY consistent global token order — frequency ordering
+       (rare first) only shrinks the candidate buckets, so the approximation
+       cannot cost exactness, only pruning power.
+    2. *Prefix emit*: per doc, unique shingle hashes sorted (rare first,
+       hash tiebreak); the first ``n - ceil(t*n) + 1`` land in the inverted
+       index as (shingle, doc, set_size) rows.  Two sets with J >= t MUST
+       share a prefix token (standard prefix-filter lemma), so recall is 1
+       up to 64-bit shingle-hash collisions (~m^2/2^65 per doc).
+    3. *Bucket pair-gen*: salted groupby on shingle hash; within a bucket,
+       docs sorted by set size and paired only where ``min >= t * max``
+       (length filter) — contiguous ranges via searchsorted, no triu blowup.
+    4. Exact verification via :func:`verify_pairs_exact` (tiered: text
+       broadcast bounded by candidates, never by the corpus).
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold."""
+    import ray
+    import ray.data as rd
+
+    t = float(threshold)
+
+    # ---- pass 1: sampled shingle document frequencies ---------------------- #
+    def sample_df(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        sel = (ids % hot_sample_mod) == 0
+        texts = batch[text_col].to_numpy(zero_copy_only=False)[sel]
+        if len(texts) == 0:
+            return pa.table({"h": pa.array([], pa.uint64()), "c": pa.array([], pa.int64())})
+        allh = np.concatenate([_char_shingle_hashes(s, shingle_k) for s in texts])
+        u, c = np.unique(allh, return_counts=True)
+        # keep only shingles seen in >1 sampled doc — singletons can't be hot
+        hot = c > 1
+        return pa.table({"h": pa.array(u[hot]), "c": pa.array(c[hot].astype(np.int64))})
+
+    parts = list(ds.map_batches(sample_df, batch_format="pyarrow")
+                 .iter_batches(batch_format="pyarrow"))
+    if parts:
+        cat = pa.concat_tables(parts)
+        hs = cat["h"].combine_chunks().to_numpy(zero_copy_only=False)
+        cs = cat["c"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(hs, kind="stable")
+        hs, cs = hs[order], cs[order]
+        bounds = np.flatnonzero(np.r_[True, hs[1:] != hs[:-1]])
+        tot = np.add.reduceat(cs, bounds) if len(bounds) else np.zeros(0, np.int64)
+        uh = hs[bounds]
+        if len(uh) > n_hot:
+            keep = np.argsort(tot, kind="stable")[-n_hot:]
+            keep.sort()
+            uh, tot = uh[keep], tot[keep]
+    else:
+        uh, tot = np.zeros(0, np.uint64), np.zeros(0, np.int64)
+    hot_ref = ray.put((uh, tot.astype(np.int64)))  # sorted by hash
+
+    # ---- pass 2: prefix rows ---------------------------------------------- #
+    def prefix_rows(batch: pa.Table) -> pa.Table:
+        hot_h, hot_c = ray.get(hot_ref)
+        ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch[text_col].to_numpy(zero_copy_only=False)
+        sh_list = [_char_shingle_hashes(s, shingle_k) for s in texts]
+        lens = np.array([len(x) for x in sh_list], dtype=np.int64)
+        if lens.sum() == 0:
+            return pa.table({"h": pa.array([], pa.uint64()),
+                             id_col: pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        concat = np.concatenate(sh_list)
+        df = np.zeros(len(concat), dtype=np.int64)
+        if len(hot_h):
+            pos = np.clip(np.searchsorted(hot_h, concat), 0, len(hot_h) - 1)
+            hit = hot_h[pos] == concat
+            df[hit] = hot_c[pos[hit]]
+        seg = np.repeat(np.arange(len(lens)), lens)
+        order = np.lexsort((concat, df, seg))  # per-doc, rare first
+        # prefix length p = n - ceil(t*n) + 1 per doc; the 1e-9 slack makes
+        # float rounding err toward a LONGER prefix (extra candidates are
+        # free — the verifier is exact; a shorter one would miss pairs)
+        p = lens - np.ceil(t * lens - 1e-9).astype(np.int64) + 1
+        starts = np.r_[0, np.cumsum(lens)[:-1]]
+        take = np.repeat(starts, p) + (np.arange(int(p.sum()))
+                                       - np.repeat(np.cumsum(p) - p, p))
+        sel = order[take]
+        return pa.table(
+            {
+                "h": pa.array(concat[sel]),
+                id_col: pa.array(np.repeat(ids, p)),
+                "n": pa.array(np.repeat(lens, p)),
+            }
+        )
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        h = batch["h"].combine_chunks().to_numpy(zero_copy_only=False)
+        return batch.append_column("_salt", pa.array((h % np.uint64(salt_mod)).astype(np.int64)))
+
+    # ---- pass 3: bucket pair generation with length filter ----------------- #
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        h = g["h"].combine_chunks().to_numpy(zero_copy_only=False)
+        ids = g[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, n, h))  # per shingle, ascending set size
+        h_s, id_s, n_s = h[order], ids[order], n[order]
+        change = np.r_[True, h_s[1:] != h_s[:-1]] if len(h_s) else np.zeros(0, bool)
+        starts = np.flatnonzero(change)
+        ends = np.r_[starts[1:], len(h_s)]
+        out = []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            nn, ii = n_s[s:e], id_s[s:e]
+            # for sorted sizes, i pairs with j>i while n_i >= t * n_j; sizes
+            # are ints, so +0.25 slack admits the exact rational boundary
+            # that n/t float rounding could otherwise exclude (false
+            # positives only — the verifier is exact)
+            hi = np.searchsorted(nn, nn / t + 0.25, side="right")
+            cnt = np.maximum(hi - np.arange(1, m + 1), 0)
+            if cnt.sum() == 0:
+                continue
+            left = np.repeat(np.arange(m), cnt)
+            right = (np.arange(int(cnt.sum()))
+                     - np.repeat(np.cumsum(cnt) - cnt, cnt)) + left + 1
+            a, b = ii[left], ii[right]
+            out.append((np.minimum(a, b) << np.int64(32)) | np.maximum(a, b))
+        if not out:
+            return pa.table({"_pk": pa.array([], pa.int64())})
+        pk = np.unique(np.concatenate(out))
+        return pa.table({"_pk": pa.array(pk)})
+
+    def uniq(batch: pa.Table) -> pa.Table:
+        pk = batch["_pk"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({"_pk": pa.array(np.unique(pk))})
+
+    pairs = (
+        ds.map_batches(prefix_rows, batch_format="pyarrow")
+        .map_batches(add_salt, batch_format="pyarrow")
+        .groupby("_salt").map_groups(bucket_pairs, batch_format="pyarrow")
+        .map_batches(uniq, batch_format="pyarrow")
+    )
+    pk_all = collect_unique_pairs(pairs)
+    return verify_pairs_exact(
+        ds, pk_all, threshold=t, shingle_k=shingle_k,
+        text_col=text_col, id_col=id_col, **verify_kw,
+    )
+
+
 def distinct_count(ds, key: str, value: str, fanin: int = 8):
     """Exact count(DISTINCT value) per key: per-batch vectorized dedup of
     (key, value) pairs → repartition tree-dedup (set union is associative)
