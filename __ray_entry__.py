@@ -558,6 +558,13 @@ def _q_approx_quantiles(sf_dir: str):
     return approx_quantiles(ds, key="event_type", value="value", qs=(0.5, 0.9))
 
 
+def _q_topk_words(sf_dir: str):
+    from tsdat_ray.stages.text import topk_words
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["text"])
+    return topk_words(ds, k=50)
+
+
 def _q_heavy_words(sf_dir: str):
     """Misra-Gries heavy hitters over the documents' word stream (unbounded
     vocabulary; rows-only — counts are lower bounds with the MG guarantee)."""
@@ -1172,6 +1179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users_per_type": _q_approx_distinct_users,
         "approx_quantiles_per_type": _q_approx_quantiles,
         "heavy_hitter_words_docs": _q_heavy_words,
+        "topk_words_docs": _q_topk_words,
         "merge_click_purchase": _q_merge_click_purchase,
         "encode_1m_events": _q_encode_1m,
         "qc_range_events": _q_qc_range_events,
@@ -1326,6 +1334,14 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_docs": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
             FROM documents GROUP BY text
+        """,
+        "topk_words_docs": """
+            WITH w AS (
+                SELECT unnest(regexp_split_to_array(lower(text), '[^0-9a-z]+')) AS word
+                FROM documents
+            )
+            SELECT word, count(*) AS n FROM w WHERE word <> ''
+            GROUP BY word ORDER BY n DESC, word LIMIT 50
         """,
         "neardup_ngram_docs": """
             WITH sh AS (

@@ -211,3 +211,21 @@ def test_approx_global_shuffle(ray_session, seqs):
     assert sorted(out1) == sorted(orig)          # permutation, nothing lost
     assert out1 == out2                          # deterministic per seed
     assert out1 != out3 and out1 != orig         # actually shuffles
+
+
+def test_topk_words_exact(ray_session):
+    import collections
+    import re
+
+    import ray.data as rd
+
+    from tsdat_ray.stages.text import topk_words
+
+    texts = [f"apple banana cherry word{i % 7} APPLE-banana!!x" for i in range(40)]
+    tbl = pa.table({"text": pa.array(texts)})
+    got = topk_words(rd.from_arrow(tbl), k=5).to_pandas()
+    cnt = collections.Counter(
+        w for t in texts for w in re.split(r"[^0-9a-z]+", t.lower()) if w
+    )
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert list(map(tuple, got[["word", "n"]].to_numpy())) == want

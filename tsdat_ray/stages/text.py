@@ -141,3 +141,59 @@ class Fingerprinter:
             [self.fingerprint(s) for s in batch[self.text_col].to_pylist()], dtype=np.uint64
         )
         return pa.table({self.id_col: batch[self.id_col], "fingerprint": pa.array(vals)})
+
+
+def topk_words(ds, k: int = 50, text_col: str = "text", salt_mod: int = 64):
+    """EXACT global top-k words by count (ties broken by word ascending —
+    a total order, so the result is deterministic and SQL-matchable).
+
+    Scale shape: per-block PARTIAL counts first (Arrow C split + dictionary
+    encode; the shuffle then carries one row per (block, distinct word), not
+    per token), one word-hash-salted groupby sums partials — each word lives
+    wholly in one partition, so a per-partition top-k is globally sufficient
+    — and only ``salt_mod * k`` candidate rows reach the final merge."""
+    import pyarrow.compute as pc
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        w = pc.split_pattern_regex(
+            pc.utf8_lower(pc.coalesce(batch[text_col].combine_chunks(), "")),
+            r"[^0-9a-z]+",
+        )
+        if isinstance(w, pa.ChunkedArray):
+            w = w.combine_chunks()
+        flat = w.flatten()
+        d = flat.dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = np.bincount(codes, minlength=len(d.dictionary))
+        words = d.dictionary.to_pandas().to_numpy()
+        keep = words != ""  # boundary-split artifacts
+        words, cnt = words[keep], cnt[keep]
+        import pandas as pd
+
+        salts = (pd.util.hash_array(words.astype(object)) % np.uint64(salt_mod)).astype(np.int64)
+        return pa.table({"word": pa.array(words, pa.string()),
+                         "n": pa.array(cnt.astype(np.int64)),
+                         "_salt": pa.array(salts)})
+
+    def part_topk(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = g.to_pandas().groupby("word", as_index=False)["n"].sum()
+        df = df.sort_values(["n", "word"], ascending=[False, True], kind="stable").head(k)
+        return pa.Table.from_pandas(df[["word", "n"]], preserve_index=False)
+
+    cand = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("_salt").map_groups(part_topk, batch_format="pyarrow")
+    )
+    tabs = list(cand.iter_batches(batch_format="pyarrow"))
+    cat = pa.concat_tables(tabs) if tabs else pa.table(
+        {"word": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+    import pandas as pd
+
+    df = cat.to_pandas().sort_values(["n", "word"], ascending=[False, True],
+                                     kind="stable").head(k)
+    import ray.data as rd
+
+    return rd.from_arrow(pa.Table.from_pandas(df.reset_index(drop=True),
+                                              preserve_index=False))
