@@ -407,6 +407,145 @@ def _q_hashjoin_lineitem_orders(sf_dir: str):
     return out.select_columns(["l_orderkey", "l_linenumber", "l_extendedprice", "o_orderpriority"])
 
 
+def _q_tpch_q6(sf_dir: str):
+    """TPC-H Q6 forecasting-revenue: pruned-column scan, per-block partial
+    sums of exact 1e-4-quantized integer revenue (associative — bit-identical
+    under any block order), tiny driver fold.  No shuffle at all."""
+    import ray.data as rd
+
+    lo = np.datetime64("1996-01-01", "us")
+    hi = np.datetime64("1997-01-01", "us")
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(pc.greater_equal(b["l_shipdate"], pa.scalar(lo)),
+                    pc.less(b["l_shipdate"], pa.scalar(hi))),
+            pc.and_(
+                pc.and_(pc.greater_equal(b["l_discount"], pa.scalar(0.05)),
+                        pc.less_equal(b["l_discount"], pa.scalar(0.07))),
+                pc.less(b["l_quantity"], pa.scalar(24.0)),
+            ),
+        )
+        b = b.filter(m)
+        price = b["l_extendedprice"].combine_chunks().to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)
+        e4 = np.round(price * disc * 1e4).astype(np.int64)
+        return pa.table({"rev_e4": pa.array([int(e4.sum())], pa.int64())})
+
+    ds = _read(f"{sf_dir}/lineitem.parquet",
+               columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+    total = sum(
+        b["rev_e4"].combine_chunks().to_numpy(zero_copy_only=False).sum()
+        for b in ds.map_batches(partial, batch_format="pyarrow")
+                   .iter_batches(batch_format="pyarrow")
+    )
+    return rd.from_arrow(pa.table({"revenue": pa.array([total / 1e4], pa.float64())}))
+
+
+def _q_tpch_q3(sf_dir: str):
+    """TPC-H Q3 shipping-priority top-10: broadcast customer-segment
+    semi-filter (one segment's custkeys via ray.put — the smallest table;
+    swap to hash_join when the dimension outgrows a broadcast), per-orderkey
+    exact-e4 revenue pre-aggregated with combiner push-down (partials per
+    block, one salted-key groupby), bucketed hash join against date-filtered
+    orders, then per-block top-10 + driver merge (each orderkey appears once
+    post-join, so local top-k is globally sufficient under any block split)."""
+    import pyarrow.parquet as pq
+
+    import ray
+    import ray.data as rd
+
+    from tsdat_ray.stages.joins import hash_join
+
+    cutoff = np.datetime64("1998-03-15", "us")
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    keys = np.sort(
+        cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"]
+        .combine_chunks().to_numpy(zero_copy_only=False)
+    )
+    keys_ref = ray.put(keys)
+
+    def filt_orders(b: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        b = b.filter(pc.less(b["o_orderdate"], pa.scalar(cutoff)))
+        ck = b["o_custkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        if len(ks):
+            pos = np.clip(np.searchsorted(ks, ck), 0, len(ks) - 1)
+            hit = ks[pos] == ck
+        else:
+            hit = np.zeros(len(ck), bool)
+        return b.filter(pa.array(hit)).select(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    orders = _read(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(filt_orders, batch_format="pyarrow")
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b["l_shipdate"], pa.scalar(cutoff)))
+        k = b["l_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        price = b["l_extendedprice"].combine_chunks().to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)
+        e4 = np.round(price * (1.0 - disc) * 1e4).astype(np.int64)
+        order = np.argsort(k, kind="stable")
+        ks = k[order]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]]) if len(ks) else np.zeros(0, np.int64)
+        sums = np.add.reduceat(e4[order], starts) if len(starts) else e4[:0]
+        t = pa.table({"o_orderkey": pa.array(ks[starts] if len(starts) else ks[:0]),
+                      "rev_e4": pa.array(sums)})
+        return t.append_column("_salt", pa.array(
+            (t["o_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+             % np.int64(64))))
+
+    def key_total(g: pa.Table) -> pa.Table:
+        k = g["o_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = g["rev_e4"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        ks, vs = k[order], v[order]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]]) if len(ks) else np.zeros(0, np.int64)
+        return pa.table({
+            "o_orderkey": pa.array(ks[starts] if len(starts) else ks[:0]),
+            "rev_e4": pa.array(np.add.reduceat(vs, starts) if len(starts) else vs[:0]),
+        })
+
+    li = _read(f"{sf_dir}/lineitem.parquet",
+               columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"])
+    rev = (li.map_batches(li_partial, batch_format="pyarrow")
+           .groupby("_salt").map_groups(key_total, batch_format="pyarrow"))
+
+    j = hash_join(rev, orders, on="o_orderkey", num_buckets=32)
+
+    def local_top(b: pa.Table) -> pa.Table:
+        rev_e4 = b["rev_e4"].combine_chunks().to_numpy(zero_copy_only=False)
+        k = b["o_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, -rev_e4))[:10]
+        return b.take(pa.array(order, type=pa.int64()))
+
+    tabs = list(j.map_batches(local_top, batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow"))
+    cat = (pa.concat_tables(tabs).combine_chunks() if tabs else
+           pa.table({"o_orderkey": pa.array([], pa.int64()),
+                     "rev_e4": pa.array([], pa.int64()),
+                     "o_orderdate": pa.array([], pa.timestamp("us")),
+                     "o_orderpriority": pa.array([], pa.string())}))
+    rev_e4 = cat["rev_e4"].combine_chunks().to_numpy(zero_copy_only=False) \
+        if cat.num_rows else np.zeros(0, np.int64)
+    k = cat["o_orderkey"].combine_chunks().to_numpy(zero_copy_only=False) \
+        if cat.num_rows else np.zeros(0, np.int64)
+    order = np.lexsort((k, -rev_e4))[:10]
+    top = cat.take(pa.array(order, type=pa.int64()))
+    return rd.from_arrow(pa.table({
+        "l_orderkey": top["o_orderkey"],
+        "revenue": pa.array(
+            top["rev_e4"].combine_chunks().to_numpy(zero_copy_only=False) / 1e4),
+        "o_orderdate": top["o_orderdate"],
+        "o_orderpriority": top["o_orderpriority"],
+    }))
+
+
 def _q_intersect_users(sf_dir: str):
     """INTERSECT: distinct user_ids appearing as both click and purchase."""
     from tsdat_ray.stages.joins import set_op
@@ -1175,6 +1314,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "except_signup_error_users": _q_except_users,
         "composite_join_lineitem": _q_composite_join,
         "pricing_summary_lineitem": _q_pricing_summary,
+        "tpch_q6_revenue": _q_tpch_q6,
+        "tpch_q3_shipping_priority": _q_tpch_q3,
         "distinct_users_per_type": _q_distinct_users,
         "approx_distinct_users_per_type": _q_approx_distinct_users,
         "approx_quantiles_per_type": _q_approx_quantiles,
@@ -1441,6 +1582,27 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_per_type": """
             SELECT event_type, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1
+        """,
+        "tpch_q6_revenue": """
+            SELECT ROUND(sum(l_extendedprice * l_discount), 4) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "tpch_q3_shipping_priority": """
+            SELECT l_orderkey,
+                   ROUND(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                   o_orderdate, o_orderpriority
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1998-03-15'
+              AND l_shipdate > TIMESTAMP '1998-03-15'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
         """,
         "lag_events": """
             SELECT event_id,
