@@ -407,6 +407,15 @@ def _q_hashjoin_lineitem_orders(sf_dir: str):
     return out.select_columns(["l_orderkey", "l_linenumber", "l_extendedprice", "o_orderpriority"])
 
 
+def _q_corr_value_user(sf_dir: str):
+    """Exact grouped Pearson correlation (integer sufficient statistics;
+    bit-deterministic under any block order — see stages/stats.py)."""
+    from tsdat_ray.stages.stats import grouped_corr
+
+    ds = _events(sf_dir, columns=["event_type", "value", "user_id"])
+    return grouped_corr(ds, "event_type", "value", "user_id", x_scale=100, y_scale=1)
+
+
 def _q_tpch_q6(sf_dir: str):
     """TPC-H Q6 forecasting-revenue: pruned-column scan, per-block partial
     sums of exact 1e-4-quantized integer revenue (associative — bit-identical
@@ -1315,6 +1324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "composite_join_lineitem": _q_composite_join,
         "pricing_summary_lineitem": _q_pricing_summary,
         "tpch_q6_revenue": _q_tpch_q6,
+        "corr_value_user_per_type": _q_corr_value_user,
         "tpch_q3_shipping_priority": _q_tpch_q3,
         "distinct_users_per_type": _q_distinct_users,
         "approx_distinct_users_per_type": _q_approx_distinct_users,
@@ -1582,6 +1592,24 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_per_type": """
             SELECT event_type, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1
+        """,
+        "corr_value_user_per_type": """
+            WITH q AS (
+                SELECT event_type,
+                       CAST(ROUND(value * 100) AS BIGINT) AS x,
+                       user_id AS y
+                FROM events
+            ),
+            s AS (
+                SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                       sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+                FROM q GROUP BY 1
+            )
+            SELECT event_type,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                   / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                      * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_xy
+            FROM s
         """,
         "tpch_q6_revenue": """
             SELECT ROUND(sum(l_extendedprice * l_discount), 4) AS revenue

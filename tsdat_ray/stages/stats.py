@@ -1,0 +1,102 @@
+"""Exact grouped statistics over quantized columns.
+
+The reference computes per-bin mean/std inside its transform kernels
+(/root/reference/tsdat/transform_v2/bin_average/calculate_bin_average.py:75-109,
+_weighted_std.py:4) but has no cross-column statistics; these are
+engine-native additions for corpus analytics.
+
+Determinism contract: inputs are decimal-quantized, so sufficient statistics
+(n, Σx, Σy, Σx², Σy², Σxy) accumulate as EXACT integers — per block in
+int64 (safe while block_rows × max(x_int·y_int)² < 2⁶³), merged on the
+driver in Python arbitrary-precision ints.  Integer addition is associative,
+so the result is bit-identical under any block/combine order; the final
+float expression is spelled identically on the engine and SQL sides
+(``num / (sqrt(denx) * sqrt(deny))`` — sqrt and divide are correctly-rounded
+IEEE ops, so both sides produce the same double).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+
+def grouped_corr(ds, group_col: str, x_col: str, y_col: str,
+                 x_scale: int = 100, y_scale: int = 1):
+    """Exact Pearson correlation of (x, y) per group.
+
+    ``x_scale``/``y_scale``: decimal quantum reciprocals (value·scale must be
+    integral, e.g. 100 for cent-quantized columns).  One pass, no shuffle:
+    per-block partial sufficient statistics (vectorized segment sums) drain
+    to the driver — one row per (block, group), bounded by groups × blocks —
+    and fold exactly in Python ints.
+
+    SQL twin::
+
+        WITH q AS (SELECT g, CAST(ROUND(x*xs) AS BIGINT) x,
+                          CAST(ROUND(y*ys) AS BIGINT) y FROM t)
+        SELECT g, CAST(n*sxy - sx*sy AS DOUBLE)
+                  / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                     * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) ...
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b[group_col].combine_chunks()
+        d = g.dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        x = np.round(
+            b[x_col].combine_chunks().to_numpy(zero_copy_only=False) * x_scale
+        ).astype(np.int64)
+        y = np.round(
+            b[y_col].combine_chunks().to_numpy(zero_copy_only=False) * y_scale
+        ).astype(np.int64)
+        order = np.argsort(codes, kind="stable")
+        cs = codes[order]
+        starts = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]]) if len(cs) else np.zeros(0, np.int64)
+        xs, ys = x[order], y[order]
+
+        def seg(v):
+            return np.add.reduceat(v, starts) if len(starts) else v[:0]
+
+        return pa.table(
+            {
+                group_col: d.dictionary.take(pa.array(cs[starts] if len(starts) else [],
+                                                      type=pa.int64())),
+                "n": pa.array(np.diff(np.r_[starts, len(cs)]).astype(np.int64)
+                              if len(starts) else np.zeros(0, np.int64)),
+                "sx": pa.array(seg(xs)),
+                "sy": pa.array(seg(ys)),
+                "sxx": pa.array(seg(xs * xs)),
+                "syy": pa.array(seg(ys * ys)),
+                "sxy": pa.array(seg(xs * ys)),
+            }
+        )
+
+    acc: dict = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        keys = b[group_col].to_pylist()
+        cols = {c: b[c].to_pylist() for c in ("n", "sx", "sy", "sxx", "syy", "sxy")}
+        for i, k in enumerate(keys):
+            row = acc.setdefault(k, [0, 0, 0, 0, 0, 0])
+            for j, c in enumerate(("n", "sx", "sy", "sxx", "syy", "sxy")):
+                row[j] += int(cols[c][i])  # Python ints: exact at any scale
+
+    out_g, out_c = [], []
+    for k in sorted(acc):
+        n, sx, sy, sxx, syy, sxy = acc[k]
+        num = n * sxy - sx * sy
+        denx = n * sxx - sx * sx
+        deny = n * syy - sy * sy
+        den = math.sqrt(float(denx)) * math.sqrt(float(deny))
+        out_g.append(k)
+        out_c.append(float(num) / den if den > 0 else None)
+
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table({group_col: pa.array(out_g), "corr_xy": pa.array(out_c, pa.float64())})
+    )
