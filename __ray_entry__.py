@@ -982,6 +982,30 @@ def _q_cumsum_events(sf_dir: str):
     return out.select_columns(["event_id", "value_cumsum"])
 
 
+def _q_rolling_sum_events(sf_dir: str):
+    """SUM/COUNT over a sliding 8-row frame per event_type — skew-safe
+    two-phase (time-window shuffle + tiny tail-carry broadcast), exact-cent
+    integer accumulation (stages/window_funcs.py:partitioned_rolling_sum)."""
+    from tsdat_ray.stages.window_funcs import partitioned_rolling_sum
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "event_type", "value"])
+    out = partitioned_rolling_sum(ds, key="event_type", ts_col="ts",
+                                  value_col="value", id_col="event_id",
+                                  frame_n=8, value_scale=100)
+    return out.select_columns(["event_id", "value_rsum", "value_rcnt"])
+
+
+def _q_first_value_events(sf_dir: str):
+    """FIRST_VALUE per event_type (ORDER BY ts, event_id) repeated on every
+    row — tree-reduced min-(ts,id) row per key, broadcast once."""
+    from tsdat_ray.stages.window_funcs import partitioned_first_value
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "event_type", "value"])
+    out = partitioned_first_value(ds, key="event_type", ts_col="ts",
+                                  value_col="value", id_col="event_id")
+    return out.select_columns(["event_id", "value_first"])
+
+
 def _q_rank_events(sf_dir: str):
     from tsdat_ray.stages.window_funcs import grouped_rank
 
@@ -1348,6 +1372,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_docs": _q_fingerprint_docs,
         "lag_events": _q_lag_events,
         "cumsum_events": _q_cumsum_events,
+        "rolling_sum_events": _q_rolling_sum_events,
+        "first_value_events": _q_first_value_events,
         "rank_events": _q_rank_events,
         "top3_per_type_events": _q_top3_events,
         "semi_join_click_purchase": _q_semi_join_events,
@@ -1643,6 +1669,20 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(sum(value) OVER (PARTITION BY event_type
                                           ORDER BY ts, event_id
                                           ROWS UNBOUNDED PRECEDING), 2) AS value_cumsum
+            FROM events
+        """,
+        "rolling_sum_events": """
+            SELECT event_id,
+                   ROUND(sum(value) OVER w, 2) AS value_rsum,
+                   count(*) OVER w AS value_rcnt
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                         ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+        """,
+        "first_value_events": """
+            SELECT event_id,
+                   first_value(value) OVER (PARTITION BY event_type
+                                            ORDER BY ts, event_id) AS value_first
             FROM events
         """,
         "rank_events": """

@@ -145,3 +145,47 @@ def test_exact_median_odd_even(ray_session):
     m = dict(zip(out["k"], out["median_value"]))
     assert m["a"] == 2.25          # odd count: middle
     assert m["b"] == 2.5           # even count: avg of 2, 3
+
+
+def test_rolling_sum_matches_sequential(log):
+    from tsdat_ray.stages.window_funcs import partitioned_rolling_sum
+
+    n_frame = 6
+    out = (
+        partitioned_rolling_sum(rd.from_arrow(log).repartition(7), key="k",
+                                ts_col="ts", value_col="v", id_col="eid",
+                                frame_n=n_frame, window_s=3600,
+                                value_scale=100)
+        .to_pandas().set_index("eid")
+    )
+    k = log["k"].to_numpy(zero_copy_only=False)
+    ts = log["ts"].to_numpy()
+    v = np.round(log["v"].to_numpy() * 100).astype(np.int64)
+    eid = log["eid"].to_numpy()
+    for kk in ("hot", "cold"):
+        m = k == kk
+        order = np.lexsort((eid[m], ts[m].astype("int64")))
+        vs, es = v[m][order], eid[m][order]
+        for j in range(len(vs)):
+            lo = max(0, j - n_frame + 1)
+            exp_sum = vs[lo: j + 1].sum() / 100.0
+            assert out.loc[es[j], "v_rsum"] == exp_sum  # bitwise: int cents
+            assert out.loc[es[j], "v_rcnt"] == j + 1 - lo
+
+
+def test_first_value_per_key(log):
+    from tsdat_ray.stages.window_funcs import partitioned_first_value
+
+    out = (
+        partitioned_first_value(rd.from_arrow(log).repartition(7), key="k",
+                                ts_col="ts", value_col="v", id_col="eid")
+        .to_pandas()
+    )
+    k = log["k"].to_numpy(zero_copy_only=False)
+    ts = log["ts"].to_numpy().astype("int64")
+    v = log["v"].to_numpy()
+    eid = log["eid"].to_numpy()
+    for kk in ("hot", "cold"):
+        m = k == kk
+        first = v[m][np.lexsort((eid[m], ts[m]))[0]]
+        assert (out[out["k"] == kk]["v_first"] == first).all()

@@ -195,6 +195,150 @@ def partitioned_cumsum(ds, key: str, ts_col: str, value_col: str,
     return part.map_batches(add_offset, batch_format="pyarrow")
 
 
+def partitioned_rolling_sum(ds, key: str, ts_col: str, value_col: str,
+                            id_col: str, frame_n: int = 8,
+                            window_s: int = 6 * 3600,
+                            value_scale: int | None = 100):
+    """SUM(value) / COUNT(*) OVER (PARTITION BY key ORDER BY ts, id ROWS
+    BETWEEN frame_n-1 PRECEDING AND CURRENT ROW) — the sliding ROWS frame,
+    skew-safe like :func:`partitioned_cumsum`:
+
+    Phase 1 (one (key, time-window) shuffle): per-window sort + local frame
+    sums; each row also records its in-window position, and every row of a
+    window repeats the window's TAIL (its last ≤ frame_n-1 values, in order)
+    as a small list column — per-group constants go on EVERY row so Ray block
+    splitting cannot lose them.
+    Phase 2 (driver, tiny — keys × windows × frame_n values): walk each key's
+    windows in time order keeping a deque of the last frame_n-1 values; its
+    snapshot before each window is that window's cross-window carry.
+    Phase 3 (map): rows whose position < frame_n-1 add the missing head of
+    their frame from the broadcast carry.
+
+    With ``value_scale`` the accumulation is int64 (associative), so results
+    are bit-deterministic and, for 1/scale-quantized inputs, exactly the
+    decimal the SQL window frame sums to."""
+    import ray
+
+    win_us = window_s * US
+    n = int(frame_n)
+
+    def add_window(b: pa.Table) -> pa.Table:
+        ts = b[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return b.append_column("_window", pa.array((ts // win_us) * win_us))
+
+    def local_frame(g: pa.Table) -> pa.Table:
+        ts = g[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        x = g[value_col].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
+        if value_scale:
+            x = np.round(x * value_scale).astype(np.int64)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts))
+        xs = x[order]
+        cs = np.cumsum(xs)
+        rs_sorted = cs - np.r_[np.zeros(min(n, len(cs)), dtype=cs.dtype), cs[:-n]]
+        rs = np.empty(len(x), dtype=cs.dtype)
+        rs[order] = rs_sorted
+        pos = np.empty(len(x), dtype=np.int64)
+        pos[order] = np.arange(len(x))
+        tail = xs[-(n - 1):] if n > 1 else xs[:0]
+        out = {c: g[c] for c in g.column_names}
+        out["_rs"] = pa.array(rs)
+        out["_pos"] = pa.array(pos)
+        out["_tail"] = pa.array([tail.tolist()] * len(x),
+                                type=pa.list_(pa.int64() if value_scale else pa.float64()))
+        return pa.table(out)
+
+    part = ds.map_batches(add_window, batch_format="pyarrow").groupby(
+        [key, "_window"]
+    ).map_groups(local_frame, batch_format="pyarrow").materialize()
+
+    # tiny (key, window) → tail; carry = last n-1 values BEFORE the window
+    tails: dict = {}
+    for b in part.select_columns([key, "_window", "_tail"]).iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        k = b[key].to_numpy(zero_copy_only=False)
+        w = b["_window"].combine_chunks().to_numpy(zero_copy_only=False)
+        tl = b["_tail"].combine_chunks()
+        order = np.lexsort((w, k))
+        ks, ws = k[order], w[order]
+        chg = np.r_[True, (ks[1:] != ks[:-1]) | (ws[1:] != ws[:-1])] if len(ks) else np.zeros(0, bool)
+        for i in np.flatnonzero(chg):
+            j = int(order[i])
+            tails[(ks[i], int(ws[i]))] = np.asarray(tl[j].as_py(), dtype=np.int64 if value_scale else np.float64)
+    carry: dict = {}
+    prev_key, buf = None, None
+    for (kk, ww) in sorted(tails, key=lambda t: (str(t[0]), t[1])):
+        if kk != prev_key:
+            prev_key = kk
+            buf = np.zeros(0, dtype=np.int64 if value_scale else np.float64)
+        carry[(kk, ww)] = buf
+        buf = np.r_[buf, tails[(kk, ww)]][-(n - 1):] if n > 1 else buf[:0]
+    cref = ray.put(carry)
+
+    def fill(b: pa.Table) -> pa.Table:
+        cm = ray.get(cref)
+        pos = b["_pos"].combine_chunks().to_numpy(zero_copy_only=False)
+        k = b[key].to_numpy(zero_copy_only=False)
+        w = b["_window"].combine_chunks().to_numpy(zero_copy_only=False)
+        rs = b["_rs"].combine_chunks().to_numpy(zero_copy_only=False).copy()
+        cnt = np.minimum(pos + 1, n)
+        for i in np.flatnonzero(pos < n - 1):
+            c = cm.get((k[i], int(w[i])))
+            if c is None or not len(c):
+                continue
+            missing = int(n - 1 - pos[i])
+            take = c[-missing:]
+            rs[i] = rs[i] + take.sum()
+            cnt[i] += len(take)
+        total = rs / float(value_scale) if value_scale else rs.astype(np.float64)
+        out = {c: b[c] for c in b.column_names
+               if c not in ("_window", "_rs", "_pos", "_tail")}
+        out[f"{value_col}_rsum"] = pa.array(total)
+        out[f"{value_col}_rcnt"] = pa.array(cnt.astype(np.int64))
+        return pa.table(out)
+
+    return part.map_batches(fill, batch_format="pyarrow")
+
+
+def partitioned_first_value(ds, key: str, ts_col: str, value_col: str,
+                            id_col: str):
+    """FIRST_VALUE(value) OVER (PARTITION BY key ORDER BY ts, id) — the
+    per-key global first value, repeated on every row.  A tree reduction
+    keeps only each block's min-(ts, id) row per key (bounded by distinct
+    keys), so the broadcast table is tiny regardless of corpus size."""
+    import ray
+
+    from .reduce import tree_reduce
+
+    def local_first(b: pa.Table) -> pa.Table:
+        k = b[key].to_numpy(zero_copy_only=False)
+        ts = b[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ids = b[id_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts, k))
+        ks = k[order]
+        st = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]]) if len(ks) else np.zeros(0, np.int64)
+        take = pa.array(order[st] if len(st) else [], type=pa.int64())
+        return b.select([key, ts_col, id_col, value_col]).take(take)
+
+    firsts_ds = tree_reduce(ds.select_columns([key, ts_col, id_col, value_col]),
+                            local_first)
+    fmap: dict = {}
+    for b in firsts_ds.iter_batches(batch_format="pyarrow"):
+        for kk, vv in zip(b[key].to_numpy(zero_copy_only=False),
+                          b[value_col].to_numpy(zero_copy_only=False)):
+            fmap[kk] = vv
+    fref = ray.put(fmap)
+
+    def attach(b: pa.Table) -> pa.Table:
+        fm = ray.get(fref)
+        k = b[key].to_numpy(zero_copy_only=False)
+        fv = np.array([fm.get(kk, np.nan) for kk in k], dtype=np.float64)
+        return b.append_column(f"{value_col}_first", pa.array(fv))
+
+    return ds.map_batches(attach, batch_format="pyarrow")
+
+
 def grouped_rank(ds, key: str, value_col: str, id_col: str,
                  descending: bool = True, n_buckets: int = 64):
     """ROW_NUMBER() OVER (PARTITION BY key ORDER BY value [DESC], id) —
