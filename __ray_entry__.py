@@ -555,6 +555,130 @@ def _q_tpch_q3(sf_dir: str):
     }))
 
 
+def _q_tpch_q4(sf_dir: str):
+    """TPC-H Q4-style order-priority check (EXISTS re-expressed with this
+    dataset's columns: a lineitem shipped AFTER the order date).  Lineitem's
+    per-orderkey max shipdate is pre-aggregated with combiner push-down
+    (per-block partials, one salted groupby — never the raw rows), joined to
+    the quarter's orders with the bucketed hash join, then per-block priority
+    counts fold into one tiny table (priorities are bounded)."""
+    import ray.data as rd
+
+    from tsdat_ray.stages.joins import hash_join
+
+    lo = np.datetime64("1996-07-01", "us")
+    hi = np.datetime64("1996-10-01", "us")
+
+    def li_maxship(b: pa.Table) -> pa.Table:
+        k = b["l_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        sd = b["l_shipdate"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((sd, k))
+        ks, sds = k[order], sd[order]
+        st = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]]) if len(ks) else np.zeros(0, np.int64)
+        en = np.r_[st[1:], len(ks)] if len(st) else st
+        t = pa.table({"l_orderkey": pa.array(ks[st] if len(st) else ks[:0]),
+                      "_maxship": pa.array(sds[en - 1] if len(st) else sds[:0])})
+        return t.append_column("_salt", pa.array(
+            t["l_orderkey"].combine_chunks().to_numpy(zero_copy_only=False) % np.int64(64)))
+
+    def key_max(g: pa.Table) -> pa.Table:
+        k = g["l_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = g["_maxship"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, k))
+        ks, vs = k[order], v[order]
+        st = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]]) if len(ks) else np.zeros(0, np.int64)
+        en = np.r_[st[1:], len(ks)] if len(st) else st
+        return pa.table({"l_orderkey": pa.array(ks[st] if len(st) else ks[:0]),
+                         "_maxship": pa.array(vs[en - 1] if len(st) else vs[:0])})
+
+    maxship = (_read(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"])
+               .map_batches(li_maxship, batch_format="pyarrow")
+               .groupby("_salt").map_groups(key_max, batch_format="pyarrow"))
+
+    def filt_orders(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b["o_orderdate"], pa.scalar(lo)),
+                    pc.less(b["o_orderdate"], pa.scalar(hi)))
+        return b.filter(m).rename_columns(["l_orderkey", "o_orderdate", "o_orderpriority"])
+
+    orders = _read(f"{sf_dir}/orders.parquet",
+                   columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+                   ).map_batches(filt_orders, batch_format="pyarrow")
+
+    j = hash_join(orders, maxship, on="l_orderkey", num_buckets=32)
+
+    def prio_counts(b: pa.Table) -> pa.Table:
+        late = pc.greater(b["_maxship"],
+                          b["o_orderdate"].combine_chunks().cast(pa.int64()))
+        b = b.filter(late)
+        pr = b["o_orderpriority"].combine_chunks()
+        enc = pr.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        cnt = np.bincount(codes, minlength=len(enc.dictionary))
+        return pa.table({"o_orderpriority": enc.dictionary,
+                         "order_count": pa.array(cnt.astype(np.int64))})
+
+    parts = list(j.map_batches(prio_counts, batch_format="pyarrow")
+                 .iter_batches(batch_format="pyarrow"))
+    agg: dict = {}
+    for t in parts:
+        for p, c in zip(t["o_orderpriority"].to_pylist(), t["order_count"].to_pylist()):
+            agg[p] = agg.get(p, 0) + c
+    out = pa.table({"o_orderpriority": pa.array(sorted(agg)),
+                    "order_count": pa.array([agg[p] for p in sorted(agg)], pa.int64())})
+    return rd.from_arrow(out)
+
+
+def _q_tpch_q14(sf_dir: str):
+    """TPC-H Q14 promo-revenue: the part dimension's (partkey, is-promo) pair
+    is broadcast once (``ray.put`` of two sorted arrays — the classic
+    small-side broadcast join), each lineitem block folds exact 1e-4-quantized
+    integer revenue partials (associative — bit-identical under any block
+    order), one tiny driver fold.  No shuffle at all."""
+    import pyarrow.parquet as pq
+
+    import ray
+    import ray.data as rd
+
+    lo = np.datetime64("1996-09-01", "us")
+    hi = np.datetime64("1996-10-01", "us")
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    pk = part["p_partkey"].combine_chunks().to_numpy(zero_copy_only=False)
+    promo = np.asarray(pc.starts_with(part["p_type"].combine_chunks(), "PROMO"))
+    order = np.argsort(pk, kind="stable")
+    pref = ray.put((pk[order], promo[order]))
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys, is_promo = ray.get(pref)
+        m = pc.and_(pc.greater_equal(b["l_shipdate"], pa.scalar(lo)),
+                    pc.less(b["l_shipdate"], pa.scalar(hi)))
+        b = b.filter(m)
+        lpk = b["l_partkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        price = b["l_extendedprice"].combine_chunks().to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(keys, lpk), 0, max(len(keys) - 1, 0))
+        hit = keys[pos] == lpk if len(keys) else np.zeros(len(lpk), bool)
+        e4 = np.round(price * (1.0 - disc) * 1e4).astype(np.int64)
+        tot = int(e4[hit].sum())
+        pro = int(e4[hit & is_promo[pos]].sum()) if len(keys) else 0
+        return pa.table({"promo_e4": pa.array([pro], pa.int64()),
+                         "total_e4": pa.array([tot], pa.int64())})
+
+    ds = _read(f"{sf_dir}/lineitem.parquet",
+               columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"])
+    promo_e4 = total_e4 = 0
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        promo_e4 += int(b["promo_e4"].combine_chunks().to_numpy().sum())
+        total_e4 += int(b["total_e4"].combine_chunks().to_numpy().sum())
+    pct = round(100.0 * promo_e4 / total_e4, 6) if total_e4 else float("nan")
+    return rd.from_arrow(pa.table({
+        "promo_revenue": pa.array([promo_e4 / 1e4], pa.float64()),
+        "total_revenue": pa.array([total_e4 / 1e4], pa.float64()),
+        "promo_pct": pa.array([pct], pa.float64()),
+    }))
+
+
 def _q_intersect_users(sf_dir: str):
     """INTERSECT: distinct user_ids appearing as both click and purchase."""
     from tsdat_ray.stages.joins import set_op
@@ -1350,6 +1474,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q6_revenue": _q_tpch_q6,
         "corr_value_user_per_type": _q_corr_value_user,
         "tpch_q3_shipping_priority": _q_tpch_q3,
+        "tpch_q4_order_priority": _q_tpch_q4,
+        "tpch_q14_promo_revenue": _q_tpch_q14,
         "distinct_users_per_type": _q_distinct_users,
         "approx_distinct_users_per_type": _q_approx_distinct_users,
         "approx_quantiles_per_type": _q_approx_quantiles,
@@ -1657,6 +1783,30 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate > TIMESTAMP '1998-03-15'
             GROUP BY l_orderkey, o_orderdate, o_orderpriority
             ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "tpch_q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+              AND o_orderdate < TIMESTAMP '1996-10-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > o_orderdate)
+            GROUP BY o_orderpriority
+        """,
+        "tpch_q14_promo_revenue": """
+            WITH j AS (
+                SELECT l_extendedprice * (1 - l_discount) AS rev, p_type
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+                  AND l_shipdate < TIMESTAMP '1996-10-01'
+            )
+            SELECT ROUND(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN rev ELSE 0 END), 4)
+                       AS promo_revenue,
+                   ROUND(SUM(rev), 4) AS total_revenue,
+                   ROUND(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%' THEN rev ELSE 0 END)
+                         / SUM(rev), 6) AS promo_pct
+            FROM j
         """,
         "lag_events": """
             SELECT event_id,
