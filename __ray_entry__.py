@@ -984,6 +984,17 @@ def _q_neardup_ngram_docs(sf_dir: str):
     return ngram_similarity_join(ds, threshold=0.5, shingle_k=5)
 
 
+def _q_dup_span_docs(sf_dir: str):
+    """Exact duplicated-span coverage: per doc, how many 20-char shingle
+    positions also occur in another doc (stages/dedup.py:
+    duplicated_span_coverage — bucketed 128-bit shingle shuffle, no
+    broadcast, no suffix array)."""
+    from tsdat_ray.stages.dedup import duplicated_span_coverage
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return duplicated_span_coverage(ds, id_col="doc_id", text_col="text", k=20)
+
+
 def _q_simhash_neardup(sf_dir: str):
     from tsdat_ray.stages.dedup import simhash_neardup_pairs
 
@@ -1491,6 +1502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_embeddings": _q_knn_ivf,
         "neardup_minhash_docs": _q_neardup_minhash_docs,
         "neardup_ngram_docs": _q_neardup_ngram_docs,
+        "dup_span_docs": _q_dup_span_docs,
         "simhash_docs": _q_simhash_docs,
         "neardup_simhash_docs": _q_simhash_neardup,
         "bpe_token_count_docs": _q_bpe_token_count,
@@ -1665,6 +1677,21 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz na ON na.doc_id = i.id_a
             JOIN sz nb ON nb.doc_id = i.id_b
             WHERE i.c * 1.0 / (na.n + nb.n - i.c) >= 0.5
+        """,
+        "dup_span_docs": """
+            WITH sh AS (
+                SELECT doc_id, substr(text, i, 20) AS g
+                FROM (SELECT doc_id, text,
+                             unnest(generate_series(1, greatest(length(text) - 19, 1))) AS i
+                      FROM documents)
+            ),
+            nd AS (SELECT g, count(DISTINCT doc_id) AS ndocs FROM sh GROUP BY g)
+            SELECT sh.doc_id,
+                   count(*) AS n_grams,
+                   CAST(coalesce(sum(CASE WHEN nd.ndocs >= 2 THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS n_dup_grams
+            FROM sh JOIN nd USING (g)
+            GROUP BY sh.doc_id
         """,
         "token_count_docs": """
             SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens

@@ -265,3 +265,36 @@ def test_ngram_similarity_join_exact_vs_brute_force(ray_session, threshold):
     want = [[a, b, j] for a, b, j in _brute_jaccard_pairs(ids, texts, 5, threshold)]
     assert [(int(a), int(b)) for a, b, _ in got] == [(a, b) for a, b, _ in want]
     np.testing.assert_array_equal([j for *_, j in got], [j for *_, j in want])
+
+
+def test_duplicated_span_coverage(ray_session):
+    import ray.data as rd
+    from tsdat_ray.stages.dedup import duplicated_span_coverage
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "unique prefix one " + shared,          # shares `shared` with doc 1
+            shared + " unique suffix two",
+            "completely different text with no overlap whatsoever here",
+            "tiny",                                  # shorter than k -> 1 gram
+        ]),
+    })
+    out = (duplicated_span_coverage(rd.from_arrow(docs).repartition(3),
+                                    id_col="doc_id", text_col="text", k=20)
+           .to_pandas().set_index("doc_id").sort_index())
+    k = 20
+    texts = docs["text"].to_pylist()
+    # sequential reference: positions whose 20-gram occurs in another doc
+    grams = [{t[i:i + k] if len(t) >= k else t for i in range(max(len(t) - k + 1, 1))}
+             for t in texts]
+    for d, t in enumerate(texts):
+        n = max(len(t) - k + 1, 1)
+        assert out.loc[d, "n_grams"] == n
+        others = set().union(*(g for j, g in enumerate(grams) if j != d))
+        exp_dup = sum((t[i:i + k] if len(t) >= k else t) in others
+                      for i in range(n))
+        assert out.loc[d, "n_dup_grams"] == exp_dup
+    assert out.loc[0, "n_dup_grams"] > 0
+    assert out.loc[2, "n_dup_grams"] == 0

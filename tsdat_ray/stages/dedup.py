@@ -966,3 +966,132 @@ def simhash_neardup_pairs(ds, max_hamming: int = 3, n_tables: int = 4,
     pairs = pairs.repartition(4).map_batches(uniq, batch_format="pyarrow", batch_size=None)
     pairs = pairs.repartition(1).map_batches(uniq, batch_format="pyarrow", batch_size=None)
     return pairs.map_batches(unkey, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------- #
+# Duplicated-span coverage (exact cross-document duplicated n-gram detection)
+# --------------------------------------------------------------------------- #
+
+
+def _char_shingle_hash_counts(s: str, k: int):
+    """(h1, h2, count) over the DISTINCT k-character shingles of ``s`` —
+    two independent 64-bit rolling hashes per shingle (128 bits total, so a
+    cross-shingle collision is ~m^2/2^129 — effectively exact), plus the
+    number of positions each distinct shingle occupies.  Mirrors SQL
+    ``substr(text, i, k)`` semantics (codepoint-based; a string shorter than
+    k yields its single whole-string shingle; '' yields the '' shingle)."""
+    cp = np.frombuffer((s or "").encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    if len(cp) == 0:
+        return (np.array([0x9E3779B97F4A7C15], dtype=np.uint64),
+                np.array([0xC2B2AE3D27D4EB4F], dtype=np.uint64),
+                np.array([1], dtype=np.int64))
+    kk = min(k, len(cp))
+    n = len(cp) - kk + 1
+    h1 = np.zeros(n, dtype=np.uint64)
+    h2 = np.zeros(n, dtype=np.uint64)
+    b1, b2 = np.uint64(1099511628211), np.uint64(0x100000001B3 ^ 0x9E37)
+    for j in range(kk):
+        h1 = h1 * b1 + cp[j: n + j]
+        h2 = h2 * b2 + cp[j: n + j] + np.uint64(j + 1)
+    order = np.lexsort((h2, h1))
+    a, b = h1[order], h2[order]
+    chg = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+    st = np.flatnonzero(chg)
+    cnt = np.diff(np.r_[st, n]).astype(np.int64)
+    return a[st], b[st], cnt
+
+
+def duplicated_span_coverage(ds, id_col: str = "doc_id", text_col: str = "text",
+                             k: int = 20, salt_mod: int = 256):
+    """Per-document duplicated-span coverage: how many k-character shingle
+    positions of each doc also occur in at least one OTHER doc (the signal
+    behind exact-substring dedup of training corpora, cf. Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" — re-expressed
+    as a shuffle of bounded (hash128, doc, count) rows instead of a suffix
+    array).
+
+    Shape (every stage streams; nothing is broadcast):
+
+    1. per-doc distinct shingles → (h1, h2, doc_id, positions) rows, salted
+       by ``h1 % salt_mod``;
+    2. one salted groupby: within a salt partition, shingles with >= 2
+       distinct docs mark each member doc's positions as duplicated
+       (vectorized run-length over the lexsorted (h1, h2) rows);
+    3. per-doc duplicated counts + per-doc totals (computed directly from
+       text length — no second scan of shingles) meet in one tiny
+       (doc-salted) groupby sum.
+
+    Payload note: step 2 shuffles ~one 26-byte row per character of corpus;
+    at the 100 TB scale use a winnowing stride (emit only minimizer
+    positions) or a larger k to cut the constant — the shape stays the same.
+
+    Returns (id_col, n_grams, n_dup_grams) for EVERY input doc."""
+
+    def shingle_rows(b: pa.Table) -> pa.Table:
+        ids = b[id_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        texts = b[text_col].to_numpy(zero_copy_only=False)
+        hs1, hs2, cnts, lens = [], [], [], []
+        for s in texts:
+            a, bb, c = _char_shingle_hash_counts(s, k)
+            hs1.append(a); hs2.append(bb); cnts.append(c); lens.append(len(a))
+        lens = np.array(lens, dtype=np.int64)
+        h1 = np.concatenate(hs1) if hs1 else np.zeros(0, np.uint64)
+        return pa.table({
+            "_h1": pa.array(h1),
+            "_h2": pa.array(np.concatenate(hs2) if hs2 else np.zeros(0, np.uint64)),
+            id_col: pa.array(np.repeat(ids, lens)),
+            "_cnt": pa.array(np.concatenate(cnts) if cnts else np.zeros(0, np.int64)),
+            "_salt": pa.array((h1 % np.uint64(salt_mod)).astype(np.int64)),
+        })
+
+    def dup_rows(g: pa.Table) -> pa.Table:
+        h1 = g["_h1"].combine_chunks().to_numpy(zero_copy_only=False)
+        h2 = g["_h2"].combine_chunks().to_numpy(zero_copy_only=False)
+        ids = g[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        cnt = g["_cnt"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((h2, h1))
+        a, b2 = h1[order], h2[order]
+        chg = np.r_[True, (a[1:] != a[:-1]) | (b2[1:] != b2[:-1])] if len(a) else np.zeros(0, bool)
+        st = np.flatnonzero(chg)
+        runlen = np.diff(np.r_[st, len(a)])
+        dup = np.repeat(runlen >= 2, runlen)  # each row is a distinct doc
+        keep = order[dup]
+        return pa.table({id_col: pa.array(ids[keep]),
+                         "_dup": pa.array(cnt[keep])})
+
+    dups = (ds.map_batches(shingle_rows, batch_format="pyarrow")
+            .groupby("_salt").map_groups(dup_rows, batch_format="pyarrow"))
+
+    def total_rows(b: pa.Table) -> pa.Table:
+        ids = b[id_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        nch = pc.utf8_length(b[text_col].combine_chunks()).to_numpy(zero_copy_only=False)
+        tot = np.maximum(nch.astype(np.int64) - k + 1, 1)
+        return pa.table({id_col: pa.array(ids), "_tot": pa.array(tot),
+                         "_dup": pa.array(np.zeros(len(ids), np.int64))})
+
+    def pad_dup(b: pa.Table) -> pa.Table:
+        return pa.table({id_col: b[id_col],
+                         "_tot": pa.array(np.zeros(b.num_rows, np.int64)),
+                         "_dup": b["_dup"]})
+
+    def add_dsalt(b: pa.Table) -> pa.Table:
+        ids = b[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        return b.append_column("_dsalt", pa.array(ids % np.int64(salt_mod)))
+
+    def fold(g: pa.Table) -> pa.Table:
+        ids = g[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        tot = g["_tot"].combine_chunks().to_numpy(zero_copy_only=False)
+        dup = g["_dup"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids, tot, dup = ids[order], tot[order], dup[order]
+        st = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]]) if len(ids) else np.zeros(0, np.int64)
+        return pa.table({
+            id_col: pa.array(ids[st] if len(st) else ids[:0]),
+            "n_grams": pa.array(np.add.reduceat(tot, st) if len(st) else tot[:0]),
+            "n_dup_grams": pa.array(np.add.reduceat(dup, st) if len(st) else dup[:0]),
+        })
+
+    totals = ds.map_batches(total_rows, batch_format="pyarrow")
+    both = totals.union(dups.map_batches(pad_dup, batch_format="pyarrow"))
+    return (both.map_batches(add_dsalt, batch_format="pyarrow")
+            .groupby("_dsalt").map_groups(fold, batch_format="pyarrow"))
