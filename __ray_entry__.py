@@ -1117,6 +1117,34 @@ def _q_cumsum_events(sf_dir: str):
     return out.select_columns(["event_id", "value_cumsum"])
 
 
+def _q_lead_events(sf_dir: str):
+    from tsdat_ray.stages.window_funcs import partitioned_lead
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "event_type", "value"])
+    out = partitioned_lead(ds, key="event_type", ts_col="ts", value_col="value",
+                           id_col="event_id")
+    return out.select_columns(["event_id", "value_lead"])
+
+
+def _q_percent_rank_events(sf_dir: str):
+    from tsdat_ray.stages.window_funcs import grouped_percent_rank
+
+    ds = _events(sf_dir, columns=["event_id", "event_type", "value"])
+    out = grouped_percent_rank(ds, key="event_type", value_col="value",
+                               id_col="event_id")
+    return out.select_columns(["event_id", "pct_rank"])
+
+
+def _q_covar_slope_events(sf_dir: str):
+    """Exact grouped covariance + OLS slope from integer sufficient
+    statistics (stages/stats.py:grouped_covar_slope)."""
+    from tsdat_ray.stages.stats import grouped_covar_slope
+
+    ds = _events(sf_dir, columns=["event_type", "value", "user_id"])
+    return grouped_covar_slope(ds, "event_type", "value", "user_id",
+                               x_scale=100, y_scale=1)
+
+
 def _q_rolling_sum_events(sf_dir: str):
     """SUM/COUNT over a sliding 8-row frame per event_type — skew-safe
     two-phase (time-window shuffle + tiny tail-carry broadcast), exact-cent
@@ -1511,6 +1539,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lag_events": _q_lag_events,
         "cumsum_events": _q_cumsum_events,
         "rolling_sum_events": _q_rolling_sum_events,
+        "lead_events": _q_lead_events,
+        "percent_rank_events": _q_percent_rank_events,
+        "covar_slope_per_type": _q_covar_slope_events,
         "first_value_events": _q_first_value_events,
         "rank_events": _q_rank_events,
         "top3_per_type_events": _q_top3_events,
@@ -1847,6 +1878,37 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY ts, event_id
                                           ROWS UNBOUNDED PRECEDING), 2) AS value_cumsum
             FROM events
+        """,
+        "lead_events": """
+            SELECT event_id,
+                   lead(value) OVER (PARTITION BY event_type
+                                     ORDER BY ts, event_id) AS value_lead
+            FROM events
+        """,
+        "percent_rank_events": """
+            SELECT event_id,
+                   percent_rank() OVER (PARTITION BY event_type
+                                        ORDER BY value DESC, event_id) AS pct_rank
+            FROM events
+        """,
+        "covar_slope_per_type": """
+            WITH q AS (
+                SELECT event_type,
+                       CAST(ROUND(value * 100) AS BIGINT) AS x,
+                       user_id AS y
+                FROM events
+            ),
+            s AS (
+                SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                       sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+                FROM q GROUP BY 1
+            )
+            SELECT event_type,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * n * 100 AS DOUBLE) AS covar_xy,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE) * 100.0 AS slope_yx
+            FROM s
         """,
         "rolling_sum_events": """
             SELECT event_id,

@@ -189,3 +189,45 @@ def test_first_value_per_key(log):
         m = k == kk
         first = v[m][np.lexsort((eid[m], ts[m]))[0]]
         assert (out[out["k"] == kk]["v_first"] == first).all()
+
+
+def test_lead_matches_sequential(log):
+    from tsdat_ray.stages.window_funcs import partitioned_lead
+
+    out = (
+        partitioned_lead(rd.from_arrow(log).repartition(7), key="k",
+                         ts_col="ts", value_col="v", id_col="eid",
+                         window_s=3600)
+        .to_pandas().set_index("eid")
+    )
+    k = log["k"].to_numpy(zero_copy_only=False)
+    ts = log["ts"].to_numpy().astype("int64")
+    v = log["v"].to_numpy()
+    eid = log["eid"].to_numpy()
+    for kk in ("hot", "cold"):
+        m = k == kk
+        order = np.lexsort((eid[m], ts[m]))
+        vs, es = v[m][order], eid[m][order]
+        for j in range(len(vs)):
+            exp = vs[j + 1] if j + 1 < len(vs) else np.nan
+            got = out.loc[es[j], "v_lead"]
+            assert (np.isnan(got) and np.isnan(exp)) or got == exp
+
+
+def test_percent_rank(log):
+    from tsdat_ray.stages.window_funcs import grouped_percent_rank
+
+    out = (
+        grouped_percent_rank(rd.from_arrow(log).repartition(5), key="k",
+                             value_col="v", id_col="eid", n_buckets=16)
+        .to_pandas().set_index("eid")
+    )
+    k = log["k"].to_numpy(zero_copy_only=False)
+    v = log["v"].to_numpy()
+    eid = log["eid"].to_numpy()
+    for kk in ("hot", "cold"):
+        m = k == kk
+        n = int(m.sum())
+        order = np.lexsort((eid[m], -v[m]))
+        for r, e in enumerate(eid[m][order], start=1):
+            assert out.loc[e, "pct_rank"] == (r - 1) / (n - 1)

@@ -23,24 +23,10 @@ import numpy as np
 import pyarrow as pa
 
 
-def grouped_corr(ds, group_col: str, x_col: str, y_col: str,
-                 x_scale: int = 100, y_scale: int = 1):
-    """Exact Pearson correlation of (x, y) per group.
-
-    ``x_scale``/``y_scale``: decimal quantum reciprocals (value·scale must be
-    integral, e.g. 100 for cent-quantized columns).  One pass, no shuffle:
-    per-block partial sufficient statistics (vectorized segment sums) drain
-    to the driver — one row per (block, group), bounded by groups × blocks —
-    and fold exactly in Python ints.
-
-    SQL twin::
-
-        WITH q AS (SELECT g, CAST(ROUND(x*xs) AS BIGINT) x,
-                          CAST(ROUND(y*ys) AS BIGINT) y FROM t)
-        SELECT g, CAST(n*sxy - sx*sy AS DOUBLE)
-                  / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
-                     * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) ...
-    """
+def _suffstats_partial(group_col: str, x_col: str, y_col: str,
+                       x_scale: int, y_scale: int):
+    """Per-block partial sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy)
+    over integer-quantized (x, y), one output row per (block, group)."""
 
     def partial(b: pa.Table) -> pa.Table:
         g = b[group_col].combine_chunks()
@@ -74,6 +60,46 @@ def grouped_corr(ds, group_col: str, x_col: str, y_col: str,
             }
         )
 
+    return partial
+
+
+def grouped_covar_slope(ds, group_col: str, x_col: str, y_col: str,
+                        x_scale: int = 100, y_scale: int = 1):
+    """Exact grouped population covariance + OLS slope (y on x) from the
+    same integer sufficient statistics as :func:`grouped_corr`.
+
+    Both outputs are spelled as the identical float expression on the SQL
+    side, so results are bit-equal::
+
+        covar_xy = CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*n*xs*ys AS DOUBLE)
+        slope    = CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+                   * (xs / ys)
+    """
+    partial = _suffstats_partial(group_col, x_col, y_col, x_scale, y_scale)
+    acc = _fold_suffstats(ds, partial, group_col)
+
+    out_g, out_cov, out_slope = [], [], []
+    for k in sorted(acc):
+        n, sx, sy, sxx, syy, sxy = acc[k]
+        num = n * sxy - sx * sy
+        denx = n * sxx - sx * sx
+        out_g.append(k)
+        out_cov.append(float(num) / float(n * n * x_scale * y_scale) if n else None)
+        out_slope.append(float(num) / float(denx) * (x_scale / y_scale)
+                         if denx > 0 else None)
+
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        group_col: pa.array(out_g),
+        "covar_xy": pa.array(out_cov, pa.float64()),
+        "slope_yx": pa.array(out_slope, pa.float64()),
+    }))
+
+
+def _fold_suffstats(ds, partial, group_col: str) -> dict:
+    """Drain per-(block, group) partial sufficient statistics and fold them
+    in Python arbitrary-precision ints (exact at any scale)."""
     acc: dict = {}
     for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
         batch_format="pyarrow"
@@ -83,7 +109,31 @@ def grouped_corr(ds, group_col: str, x_col: str, y_col: str,
         for i, k in enumerate(keys):
             row = acc.setdefault(k, [0, 0, 0, 0, 0, 0])
             for j, c in enumerate(("n", "sx", "sy", "sxx", "syy", "sxy")):
-                row[j] += int(cols[c][i])  # Python ints: exact at any scale
+                row[j] += int(cols[c][i])
+    return acc
+
+
+def grouped_corr(ds, group_col: str, x_col: str, y_col: str,
+                 x_scale: int = 100, y_scale: int = 1):
+    """Exact Pearson correlation of (x, y) per group.
+
+    ``x_scale``/``y_scale``: decimal quantum reciprocals (value·scale must be
+    integral, e.g. 100 for cent-quantized columns).  One pass, no shuffle:
+    per-block partial sufficient statistics (vectorized segment sums) drain
+    to the driver — one row per (block, group), bounded by groups × blocks —
+    and fold exactly in Python ints.
+
+    SQL twin::
+
+        WITH q AS (SELECT g, CAST(ROUND(x*xs) AS BIGINT) x,
+                          CAST(ROUND(y*ys) AS BIGINT) y FROM t)
+        SELECT g, CAST(n*sxy - sx*sy AS DOUBLE)
+                  / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                     * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) ...
+    """
+
+    partial = _suffstats_partial(group_col, x_col, y_col, x_scale, y_scale)
+    acc = _fold_suffstats(ds, partial, group_col)
 
     out_g, out_c = [], []
     for k in sorted(acc):

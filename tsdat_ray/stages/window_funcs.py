@@ -195,6 +195,119 @@ def partitioned_cumsum(ds, key: str, ts_col: str, value_col: str,
     return part.map_batches(add_offset, batch_format="pyarrow")
 
 
+def partitioned_lead(ds, key: str, ts_col: str, value_col: str,
+                     id_col: str | None = None, window_s: int = 6 * 3600):
+    """LEAD(value, 1) over (key ORDER BY ts, id) — the mirror of
+    :func:`partitioned_lag`: in-window leads from one (key, window) shuffle,
+    then each window's FIRST value (tiny table) gives the carry for the
+    nearest earlier window's last row, walking windows newest→oldest."""
+    import ray
+
+    win_us = window_s * US
+
+    def add_window(b: pa.Table) -> pa.Table:
+        ts = b[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return b.append_column("_window", pa.array((ts // win_us) * win_us))
+
+    def per_window(g: pa.Table) -> pa.Table:
+        ts = g[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        x = g[value_col].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
+        if id_col is not None:
+            ids = g[id_col].to_numpy(zero_copy_only=False)
+            order = np.lexsort((ids, ts))
+        else:
+            order = np.argsort(ts, kind="stable")
+        lead = np.full(len(ts), np.nan)
+        if len(order) > 1:
+            lead[order[:-1]] = x[order[1:]]
+        last = np.zeros(len(ts), dtype=bool)
+        if len(order):
+            last[order[-1]] = True
+        out = {c: g[c] for c in g.column_names}
+        out[f"{value_col}_lead"] = pa.array(lead)
+        out["_last"] = pa.array(last)
+        out["_first_val"] = pa.array(np.repeat(x[order[0]] if len(order) else np.nan, len(ts)))
+        return pa.table(out)
+
+    part = ds.map_batches(add_window, batch_format="pyarrow").groupby(
+        [key, "_window"]
+    ).map_groups(per_window, batch_format="pyarrow").materialize()
+
+    firsts: dict = {}
+    for b in part.select_columns([key, "_window", "_first_val"]).iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        k = b[key].to_numpy(zero_copy_only=False)
+        w = b["_window"].combine_chunks().to_numpy(zero_copy_only=False)
+        fv = b["_first_val"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((w, k))
+        ks, ws, fvs = k[order], w[order], fv[order]
+        chg = np.r_[True, (ks[1:] != ks[:-1]) | (ws[1:] != ws[:-1])] if len(ks) else np.zeros(0, bool)
+        for i in np.flatnonzero(chg):
+            firsts[(ks[i], int(ws[i]))] = fvs[i]
+    carry: dict = {}
+    prev_key, prev_val = None, np.nan
+    for (kk, ww) in sorted(firsts, key=lambda t: (str(t[0]), -t[1])):
+        if kk != prev_key:
+            prev_key, prev_val = kk, np.nan
+        carry[(kk, ww)] = prev_val
+        prev_val = firsts[(kk, ww)]
+    cref = ray.put(carry)
+
+    def fill(b: pa.Table) -> pa.Table:
+        cm = ray.get(cref)
+        last = b["_last"].combine_chunks().to_numpy(zero_copy_only=False)
+        k = b[key].to_numpy(zero_copy_only=False)
+        w = b["_window"].combine_chunks().to_numpy(zero_copy_only=False)
+        lead = b[f"{value_col}_lead"].combine_chunks().to_numpy(zero_copy_only=False).copy()
+        for i in np.flatnonzero(last):
+            lead[i] = cm.get((k[i], int(w[i])), np.nan)
+        out = {c: b[c] for c in b.column_names
+               if c not in ("_window", "_last", "_first_val", f"{value_col}_lead")}
+        out[f"{value_col}_lead"] = pa.array(lead)
+        return pa.table(out)
+
+    return part.map_batches(fill, batch_format="pyarrow")
+
+
+def grouped_percent_rank(ds, key: str, value_col: str, id_col: str,
+                         descending: bool = True, n_buckets: int = 64):
+    """PERCENT_RANK() OVER (PARTITION BY key ORDER BY value [DESC], id) =
+    (rank - 1) / (n_key - 1): ranks from the skew-safe :func:`grouped_rank`,
+    per-key counts from per-block partials folded driver-side (tiny) and
+    broadcast.  With a unique id tiebreak the ORDER BY is total, so
+    rank == row_number and the division is the identical IEEE op on both
+    engine and SQL sides."""
+    import ray
+
+    counts: dict = {}
+
+    def local_counts(b: pa.Table) -> pa.Table:
+        d = b[key].combine_chunks().dictionary_encode()
+        c = np.bincount(d.indices.to_numpy(zero_copy_only=False),
+                        minlength=len(d.dictionary))
+        return pa.table({key: d.dictionary, "_n": pa.array(c.astype(np.int64))})
+
+    for b in ds.select_columns([key]).map_batches(
+            local_counts, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        for kk, nn in zip(b[key].to_pylist(), b["_n"].to_pylist()):
+            counts[kk] = counts.get(kk, 0) + nn
+    nref = ray.put(counts)
+
+    ranked = grouped_rank(ds, key=key, value_col=value_col, id_col=id_col,
+                          descending=descending, n_buckets=n_buckets)
+
+    def pct(b: pa.Table) -> pa.Table:
+        nm = ray.get(nref)
+        k = b[key].to_numpy(zero_copy_only=False)
+        r = b["rnk"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = np.array([nm.get(kk, 1) for kk in k], dtype=np.float64)
+        p = np.where(n > 1, (r - 1) / (n - 1), 0.0)
+        return b.append_column("pct_rank", pa.array(p))
+
+    return ranked.map_batches(pct, batch_format="pyarrow")
+
+
 def partitioned_rolling_sum(ds, key: str, ts_col: str, value_col: str,
                             id_col: str, frame_n: int = 8,
                             window_s: int = 6 * 3600,
