@@ -161,6 +161,19 @@ def run_bench() -> dict:
         "knn_multi_embeddings",
         "pivot_daily_counts",
         "melt_lineitem",
+        "neardup_ngram_docs",
+        "topk_words_docs",
+        "corr_value_user_per_type",
+        "covar_slope_per_type",
+        "tpch_q3_shipping_priority",
+        "tpch_q4_order_priority",
+        "tpch_q6_revenue",
+        "tpch_q14_promo_revenue",
+        "rolling_sum_events",
+        "lead_events",
+        "first_value_events",
+        "percent_rank_events",
+        "dup_span_docs",
     ]
     qtimes = {}
     for name in bench_queries:
