@@ -688,6 +688,15 @@ def _q_intersect_users(sf_dir: str):
     return set_op(c, p, cols=("user_id",), mode="intersect")
 
 
+def _q_union_users(sf_dir: str):
+    """UNION (distinct): user_ids that clicked or purchased."""
+    from tsdat_ray.stages.joins import set_op
+
+    c = _events(sf_dir, columns=["user_id", "event_type"]).filter(expr="event_type == 'click'")
+    p = _events(sf_dir, columns=["user_id", "event_type"]).filter(expr="event_type == 'purchase'")
+    return set_op(c, p, cols=("user_id",), mode="union")
+
+
 def _q_except_users(sf_dir: str):
     """EXCEPT: distinct signup users with no high-value error events
     (right side restricted so the result is non-empty at every sf)."""
@@ -1126,6 +1135,15 @@ def _q_lead_events(sf_dir: str):
     return out.select_columns(["event_id", "value_lead"])
 
 
+def _q_ntile_events(sf_dir: str):
+    from tsdat_ray.stages.window_funcs import grouped_ntile
+
+    ds = _events(sf_dir, columns=["event_id", "event_type", "value"])
+    out = grouped_ntile(ds, key="event_type", value_col="value",
+                        id_col="event_id", n_tiles=7)
+    return out.select_columns(["event_id", "ntile"])
+
+
 def _q_percent_rank_events(sf_dir: str):
     from tsdat_ray.stages.window_funcs import grouped_percent_rank
 
@@ -1507,6 +1525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_orders_customer": _q_join_orders_customer,
         "hashjoin_lineitem_orders": _q_hashjoin_lineitem_orders,
         "intersect_click_purchase_users": _q_intersect_users,
+        "union_click_purchase_users": _q_union_users,
         "except_signup_error_users": _q_except_users,
         "composite_join_lineitem": _q_composite_join,
         "pricing_summary_lineitem": _q_pricing_summary,
@@ -1541,6 +1560,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_sum_events": _q_rolling_sum_events,
         "lead_events": _q_lead_events,
         "percent_rank_events": _q_percent_rank_events,
+        "ntile_events": _q_ntile_events,
         "covar_slope_per_type": _q_covar_slope_events,
         "first_value_events": _q_first_value_events,
         "rank_events": _q_rank_events,
@@ -1772,6 +1792,11 @@ def oracle_sql() -> dict[str, str]:
             INTERSECT
             SELECT user_id FROM events WHERE event_type = 'purchase'
         """,
+        "union_click_purchase_users": """
+            SELECT user_id FROM events WHERE event_type = 'click'
+            UNION
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        """,
         "except_signup_error_users": """
             SELECT user_id FROM events WHERE event_type = 'signup'
             EXCEPT
@@ -1889,6 +1914,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    percent_rank() OVER (PARTITION BY event_type
                                         ORDER BY value DESC, event_id) AS pct_rank
+            FROM events
+        """,
+        "ntile_events": """
+            SELECT event_id,
+                   ntile(7) OVER (PARTITION BY event_type
+                                  ORDER BY value DESC, event_id) AS ntile
             FROM events
         """,
         "covar_slope_per_type": """

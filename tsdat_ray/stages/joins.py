@@ -235,13 +235,14 @@ def range_count_join(ds, right, left_on: str, right_on: str,
 
 def set_op(left, right, cols: tuple, mode: str = "intersect",
            salt_mod: int = 64):
-    """SQL set operators over DISTINCT rows: ``intersect`` (rows in both) or
-    ``except`` (left rows absent from right).
+    """SQL set operators over DISTINCT rows: ``intersect`` (rows in both),
+    ``except`` (left rows absent from right) or ``union`` (distinct rows of
+    either side).
 
     Scale shape: both sides pre-dedupe per batch on ``cols``, rows co-locate
     by a salted row hash (one shuffle of DISTINCT rows only), and each
     partition resolves membership with a vectorized indicator merge."""
-    assert mode in ("intersect", "except")
+    assert mode in ("intersect", "except", "union")
     cols = list(cols)
 
     def tag(side: int):
@@ -263,6 +264,10 @@ def set_op(left, right, cols: tuple, mode: str = "intersect",
 
     def resolve(g: pa.Table) -> pa.Table:
         df = g.drop_columns(["_salt"]).to_pandas()
+        if mode == "union":
+            out = df[cols].drop_duplicates()
+            return pa.Table.from_pandas(out.reset_index(drop=True),
+                                        preserve_index=False)
         l = df[df["_side"] == 0][cols].drop_duplicates()
         r = df[df["_side"] == 1][cols].drop_duplicates()
         if mode == "intersect":

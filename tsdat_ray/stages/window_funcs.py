@@ -270,6 +270,51 @@ def partitioned_lead(ds, key: str, ts_col: str, value_col: str,
     return part.map_batches(fill, batch_format="pyarrow")
 
 
+def _key_counts(ds, key: str) -> dict:
+    """Per-key row counts: per-block bincount partials folded driver-side
+    (tiny — bounded by distinct keys)."""
+
+    def local_counts(b: pa.Table) -> pa.Table:
+        d = b[key].combine_chunks().dictionary_encode()
+        c = np.bincount(d.indices.to_numpy(zero_copy_only=False),
+                        minlength=len(d.dictionary))
+        return pa.table({key: d.dictionary, "_n": pa.array(c.astype(np.int64))})
+
+    counts: dict = {}
+    for b in ds.select_columns([key]).map_batches(
+            local_counts, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        for kk, nn in zip(b[key].to_pylist(), b["_n"].to_pylist()):
+            counts[kk] = counts.get(kk, 0) + nn
+    return counts
+
+
+def grouped_ntile(ds, key: str, value_col: str, id_col: str, n_tiles: int,
+                  descending: bool = True, n_buckets: int = 64):
+    """NTILE(n_tiles) OVER (PARTITION BY key ORDER BY value [DESC], id) —
+    SQL semantics: the first ``n mod t`` tiles get ``n // t + 1`` rows, the
+    rest ``n // t``.  Pure integer arithmetic on the skew-safe rank plus the
+    broadcast per-key counts — bit-deterministic."""
+    import ray
+
+    t = int(n_tiles)
+    nref = ray.put(_key_counts(ds, key))
+    ranked = grouped_rank(ds, key=key, value_col=value_col, id_col=id_col,
+                          descending=descending, n_buckets=n_buckets)
+
+    def tile(b: pa.Table) -> pa.Table:
+        nm = ray.get(nref)
+        k = b[key].to_numpy(zero_copy_only=False)
+        r = b["rnk"].combine_chunks().to_numpy(zero_copy_only=False) - 1
+        n = np.array([nm.get(kk, 1) for kk in k], dtype=np.int64)
+        q, rem = n // t, n % t
+        big = (q + 1) * rem  # rows covered by the larger tiles
+        nt = np.where(r < big, r // np.maximum(q + 1, 1) + 1,
+                      rem + (r - big) // np.maximum(q, 1) + 1)
+        return b.append_column("ntile", pa.array(nt.astype(np.int64)))
+
+    return ranked.map_batches(tile, batch_format="pyarrow")
+
+
 def grouped_percent_rank(ds, key: str, value_col: str, id_col: str,
                          descending: bool = True, n_buckets: int = 64):
     """PERCENT_RANK() OVER (PARTITION BY key ORDER BY value [DESC], id) =
@@ -280,20 +325,7 @@ def grouped_percent_rank(ds, key: str, value_col: str, id_col: str,
     engine and SQL sides."""
     import ray
 
-    counts: dict = {}
-
-    def local_counts(b: pa.Table) -> pa.Table:
-        d = b[key].combine_chunks().dictionary_encode()
-        c = np.bincount(d.indices.to_numpy(zero_copy_only=False),
-                        minlength=len(d.dictionary))
-        return pa.table({key: d.dictionary, "_n": pa.array(c.astype(np.int64))})
-
-    for b in ds.select_columns([key]).map_batches(
-            local_counts, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
-        for kk, nn in zip(b[key].to_pylist(), b["_n"].to_pylist()):
-            counts[kk] = counts.get(kk, 0) + nn
-    nref = ray.put(counts)
-
+    nref = ray.put(_key_counts(ds, key))
     ranked = grouped_rank(ds, key=key, value_col=value_col, id_col=id_col,
                           descending=descending, n_buckets=n_buckets)
 
