@@ -407,6 +407,26 @@ def _q_hashjoin_lineitem_orders(sf_dir: str):
     return out.select_columns(["l_orderkey", "l_linenumber", "l_extendedprice", "o_orderpriority"])
 
 
+def _q_leftjoin_lineitem_urgent(sf_dir: str):
+    """LEFT OUTER hash join: every lineitem row, urgent-order columns padded
+    with typed nulls where unmatched (stages/joins.py:hash_join how='left')."""
+    from tsdat_ray.stages.joins import hash_join
+
+    li = _read(f"{sf_dir}/lineitem.parquet",
+               columns=["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def filt(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["o_orderpriority"], "1-URGENT"))
+        return b.rename_columns(["l_orderkey", "o_totalprice", "o_orderpriority"])
+
+    orders = _read(f"{sf_dir}/orders.parquet",
+                   columns=["o_orderkey", "o_totalprice", "o_orderpriority"]
+                   ).map_batches(filt, batch_format="pyarrow")
+    out = hash_join(li, orders, on="l_orderkey", num_buckets=32, how="left")
+    return out.select_columns(["l_orderkey", "l_linenumber", "l_quantity",
+                               "o_totalprice", "o_orderpriority"])
+
+
 def _q_corr_value_user(sf_dir: str):
     """Exact grouped Pearson correlation (integer sufficient statistics;
     bit-deterministic under any block order — see stages/stats.py)."""
@@ -1528,6 +1548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_click_purchase_users": _q_union_users,
         "except_signup_error_users": _q_except_users,
         "composite_join_lineitem": _q_composite_join,
+        "leftjoin_lineitem_urgent": _q_leftjoin_lineitem_urgent,
         "pricing_summary_lineitem": _q_pricing_summary,
         "tpch_q6_revenue": _q_tpch_q6,
         "corr_value_user_per_type": _q_corr_value_user,
@@ -1801,6 +1822,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id FROM events WHERE event_type = 'signup'
             EXCEPT
             SELECT user_id FROM events WHERE event_type = 'error' AND value > 100
+        """,
+        "leftjoin_lineitem_urgent": """
+            SELECT l_orderkey, l_linenumber, l_quantity,
+                   o_totalprice, o_orderpriority
+            FROM lineitem
+            LEFT JOIN (SELECT o_orderkey, o_totalprice, o_orderpriority
+                       FROM orders WHERE o_orderpriority = '1-URGENT') o
+              ON l_orderkey = o_orderkey
         """,
         "composite_join_lineitem": """
             SELECT a.l_orderkey, a.l_linenumber, a.l_extendedprice, b.l_quantity
