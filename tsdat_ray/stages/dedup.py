@@ -443,7 +443,8 @@ def collect_unique_pairs(pairs) -> np.ndarray:
     ``_pk`` group of the wrong size as a missing doc."""
     return np.unique(np.concatenate(
         [b["_pk"].combine_chunks().to_numpy(zero_copy_only=False)
-         for b in pairs.iter_batches(batch_format="pyarrow")] or [np.zeros(0, np.int64)]
+         for b in pairs.iter_batches(batch_format="pyarrow", batch_size=None)]
+        or [np.zeros(0, np.int64)]
     ))
 
 
@@ -752,7 +753,8 @@ def ngram_similarity_join(ds, threshold: float = 0.5, shingle_k: int = 5,
         if lens.sum() == 0:
             return pa.table({"h": pa.array([], pa.uint64()),
                              id_col: pa.array([], pa.int64()),
-                             "n": pa.array([], pa.int64())})
+                             "n": pa.array([], pa.int64()),
+                             "p": pa.array([], pa.int64())})
         concat = np.concatenate(sh_list)
         df = np.zeros(len(concat), dtype=np.int64)
         if len(hot_h):
@@ -766,14 +768,17 @@ def ngram_similarity_join(ds, threshold: float = 0.5, shingle_k: int = 5,
         # free — the verifier is exact; a shorter one would miss pairs)
         p = lens - np.ceil(t * lens - 1e-9).astype(np.int64) + 1
         starts = np.r_[0, np.cumsum(lens)[:-1]]
-        take = np.repeat(starts, p) + (np.arange(int(p.sum()))
-                                       - np.repeat(np.cumsum(p) - p, p))
+        within = (np.arange(int(p.sum())) - np.repeat(np.cumsum(p) - p, p))
+        take = np.repeat(starts, p) + within
         sel = order[take]
         return pa.table(
             {
                 "h": pa.array(concat[sel]),
                 id_col: pa.array(np.repeat(ids, p)),
                 "n": pa.array(np.repeat(lens, p)),
+                # rank of the token in the doc's (df, hash)-sorted shingle
+                # list — drives the PPJoin positional filter downstream
+                "p": pa.array(within),
             }
         )
 
@@ -786,21 +791,41 @@ def ngram_similarity_join(ds, threshold: float = 0.5, shingle_k: int = 5,
         h = g["h"].combine_chunks().to_numpy(zero_copy_only=False)
         ids = g[id_col].combine_chunks().to_numpy(zero_copy_only=False)
         n = g["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        pp = g["p"].combine_chunks().to_numpy(zero_copy_only=False)
         order = np.lexsort((ids, n, h))  # per shingle, ascending set size
-        h_s, id_s, n_s = h[order], ids[order], n[order]
+        h_s, id_s, n_s, p_s = h[order], ids[order], n[order], pp[order]
         change = np.r_[True, h_s[1:] != h_s[:-1]] if len(h_s) else np.zeros(0, bool)
         starts = np.flatnonzero(change)
-        ends = np.r_[starts[1:], len(h_s)]
+        sizes = np.diff(np.r_[starts, len(h_s)])
         out = []
-        for s, e in zip(starts, ends):
-            m = e - s
-            if m < 2:
-                continue
-            nn, ii = n_s[s:e], id_s[s:e]
-            # for sorted sizes, i pairs with j>i while n_i >= t * n_j; sizes
-            # are ints, so +0.25 slack admits the exact rational boundary
-            # that n/t float rounding could otherwise exclude (false
-            # positives only — the verifier is exact)
+
+        # PPJoin positional filter (Xiao et al. WWW'08): at a shared token
+        # with 0-based ranks (pa, pb), overlap <= 1 + min(na-pa-1, nb-pb-1);
+        # J >= t needs overlap >= t(na+nb)/(1+t).  Token order is global
+        # (df, hash), so a qualifying pair's FIRST shared prefix token — the
+        # one with minimal ranks on both sides, hence the loosest bound —
+        # always survives: OR-ing the check across buckets is exact.
+        def pos_keep(na, pa_, nb, pb_):
+            ub = 1 + np.minimum(na - pa_ - 1, nb - pb_ - 1)
+            alpha = t * (na + nb) / (1.0 + t) - 1e-9
+            return ub >= alpha
+
+        # the distinct-shingle segment count is millions per partition and the
+        # overwhelming share of multi-doc buckets has exactly 2 docs — handle
+        # those fully vectorized; only m >= 3 buckets take the Python loop.
+        # pair condition for ascending sizes, i < j: n_j <= n_i / t + 0.25
+        # (+0.25 slack admits the exact rational boundary that float rounding
+        # could exclude — false positives only, the verifier is exact)
+        s2 = starts[sizes == 2]
+        if len(s2):
+            ok = (n_s[s2 + 1] <= n_s[s2] / t + 0.25) & pos_keep(
+                n_s[s2], p_s[s2], n_s[s2 + 1], p_s[s2 + 1])
+            a, b = id_s[s2[ok]], id_s[s2[ok] + 1]
+            if len(a):
+                out.append((np.minimum(a, b) << np.int64(32)) | np.maximum(a, b))
+        for s, m in zip(starts[sizes >= 3], sizes[sizes >= 3]):
+            e = s + m
+            nn, ii, qq = n_s[s:e], id_s[s:e], p_s[s:e]
             hi = np.searchsorted(nn, nn / t + 0.25, side="right")
             cnt = np.maximum(hi - np.arange(1, m + 1), 0)
             if cnt.sum() == 0:
@@ -808,8 +833,10 @@ def ngram_similarity_join(ds, threshold: float = 0.5, shingle_k: int = 5,
             left = np.repeat(np.arange(m), cnt)
             right = (np.arange(int(cnt.sum()))
                      - np.repeat(np.cumsum(cnt) - cnt, cnt)) + left + 1
-            a, b = ii[left], ii[right]
-            out.append((np.minimum(a, b) << np.int64(32)) | np.maximum(a, b))
+            ok = pos_keep(nn[left], qq[left], nn[right], qq[right])
+            a, b = ii[left[ok]], ii[right[ok]]
+            if len(a):
+                out.append((np.minimum(a, b) << np.int64(32)) | np.maximum(a, b))
         if not out:
             return pa.table({"_pk": pa.array([], pa.int64())})
         pk = np.unique(np.concatenate(out))
