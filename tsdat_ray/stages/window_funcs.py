@@ -282,7 +282,8 @@ def _key_counts(ds, key: str) -> dict:
 
     counts: dict = {}
     for b in ds.select_columns([key]).map_batches(
-            local_counts, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+            local_counts, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None):
         for kk, nn in zip(b[key].to_pylist(), b["_n"].to_pylist()):
             counts[kk] = counts.get(kk, 0) + nn
     return counts
@@ -469,7 +470,7 @@ def partitioned_first_value(ds, key: str, ts_col: str, value_col: str,
     firsts_ds = tree_reduce(ds.select_columns([key, ts_col, id_col, value_col]),
                             local_first)
     fmap: dict = {}
-    for b in firsts_ds.iter_batches(batch_format="pyarrow"):
+    for b in firsts_ds.iter_batches(batch_format="pyarrow", batch_size=None):
         for kk, vv in zip(b[key].to_numpy(zero_copy_only=False),
                           b[value_col].to_numpy(zero_copy_only=False)):
             fmap[kk] = vv
@@ -506,7 +507,8 @@ def grouped_rank(ds, key: str, value_col: str, id_col: str,
 
     # tiny (key, bucket) counts → offset = rows in BETTER buckets
     counts: dict = {}
-    for b in withb.select_columns([key, "_vb"]).iter_batches(batch_format="pyarrow"):
+    for b in withb.select_columns([key, "_vb"]).iter_batches(
+            batch_format="pyarrow", batch_size=None):
         k = b[key].to_numpy(zero_copy_only=False)
         vb = b["_vb"].combine_chunks().to_numpy(zero_copy_only=False)
         # vectorized small-dict accumulation
@@ -586,7 +588,8 @@ def semi_anti_join(ds, key_col: str, right, right_key: str, anti: bool = False,
     keys_ds = tree_reduce(right.select_columns([right_key]), uniq, fanin=fanin)
     keys = np.concatenate(
         [b[right_key].combine_chunks().to_numpy(zero_copy_only=False)
-         for b in keys_ds.iter_batches(batch_format="pyarrow")] or [np.zeros(0)]
+         for b in keys_ds.iter_batches(batch_format="pyarrow", batch_size=None)]
+        or [np.zeros(0)]
     )
     keys = np.sort(keys)
     kref = ray.put(keys)
