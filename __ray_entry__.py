@@ -1155,6 +1155,17 @@ def _q_lead_events(sf_dir: str):
     return out.select_columns(["event_id", "value_lead"])
 
 
+def _q_twa_events(sf_dir: str):
+    """Time-weighted average (step interpolation) per (event_type, day) —
+    exact integer µs×cents accumulation, cross-window step closure via a
+    tiny first-ts broadcast (stages/window_funcs.py:time_weighted_avg)."""
+    from tsdat_ray.stages.window_funcs import time_weighted_avg
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "event_type", "value"])
+    return time_weighted_avg(ds, key="event_type", ts_col="ts",
+                             value_col="value", id_col="event_id")
+
+
 def _q_ntile_events(sf_dir: str):
     from tsdat_ray.stages.window_funcs import grouped_ntile
 
@@ -1582,6 +1593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lead_events": _q_lead_events,
         "percent_rank_events": _q_percent_rank_events,
         "ntile_events": _q_ntile_events,
+        "twa_events": _q_twa_events,
         "covar_slope_per_type": _q_covar_slope_events,
         "first_value_events": _q_first_value_events,
         "rank_events": _q_rank_events,
@@ -1950,6 +1962,27 @@ def oracle_sql() -> dict[str, str]:
                    ntile(7) OVER (PARTITION BY event_type
                                   ORDER BY value DESC, event_id) AS ntile
             FROM events
+        """,
+        "twa_events": """
+            WITH w AS (
+                SELECT event_type, ts,
+                       CAST(ROUND(value * 100) AS BIGINT) AS vq,
+                       lead(ts) OVER (PARTITION BY event_type
+                                      ORDER BY ts, event_id) AS nts
+                FROM events
+            ),
+            s AS (
+                SELECT event_type,
+                       CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_ts,
+                       sum(vq * (epoch_us(nts) - epoch_us(ts))) AS swdt,
+                       sum(epoch_us(nts) - epoch_us(ts)) AS sdt
+                FROM w WHERE nts IS NOT NULL
+                GROUP BY 1, 2
+            )
+            SELECT event_type, bucket_ts,
+                   CAST(swdt AS DOUBLE) / (100.0 * CAST(sdt AS DOUBLE)) AS twa,
+                   CAST(sdt AS BIGINT) AS dur_us
+            FROM s
         """,
         "covar_slope_per_type": """
             WITH q AS (

@@ -231,3 +231,34 @@ def test_percent_rank(log):
         order = np.lexsort((eid[m], -v[m]))
         for r, e in enumerate(eid[m][order], start=1):
             assert out.loc[e, "pct_rank"] == (r - 1) / (n - 1)
+
+
+def test_time_weighted_avg_matches_sequential(log):
+    from tsdat_ray.stages.window_funcs import time_weighted_avg
+
+    out = (
+        time_weighted_avg(rd.from_arrow(log).repartition(7), key="k",
+                          ts_col="ts", value_col="v", id_col="eid",
+                          window_s=3600)
+        .to_pandas()
+    )
+    k = log["k"].to_numpy(zero_copy_only=False)
+    ts = log["ts"].to_numpy().astype("int64")
+    v = np.round(log["v"].to_numpy() * 100).astype(np.int64)
+    eid = log["eid"].to_numpy()
+    day_us = 86400 * US
+    acc = {}
+    for kk in ("hot", "cold"):
+        m = k == kk
+        order = np.lexsort((eid[m], ts[m]))
+        tss, vs = ts[m][order], v[m][order]
+        for j in range(len(tss) - 1):
+            dt = int(tss[j + 1] - tss[j])
+            day = (int(tss[j]) // day_us) * day_us
+            sw, sd = acc.get((kk, day), (0, 0))
+            acc[(kk, day)] = (sw + int(vs[j]) * dt, sd + dt)
+    assert len(out) == len(acc)
+    for _, row in out.iterrows():
+        sw, sd = acc[(row["k"], int(np.datetime64(row["bucket_ts"], "us").astype("int64")))]
+        assert row["dur_us"] == sd
+        assert row["twa"] == float(sw) / (100.0 * float(sd))  # identical IEEE expr

@@ -715,3 +715,132 @@ def exact_median_quantized(ds, key: str, value_col: str, scale: int = 100,
         return pa.table({key: pa.array(out_k), "median_value": pa.array(out_m)})
 
     return agg.map_batches(finalize, batch_format="pyarrow", batch_size=None)
+
+
+def time_weighted_avg(ds, key: str, ts_col: str, value_col: str,
+                      id_col: str, bucket: str = "day",
+                      value_scale: int = 100, window_s: int = 6 * 3600):
+    """Time-weighted average for irregularly sampled series (step / sample-
+    and-hold interpolation): per (key, calendar bucket of the step's START),
+    twa = Σ value·Δt / Σ Δt where Δt runs to the key's NEXT event — the
+    quantity bin-average engines approximate with dense sampling, computed
+    exactly on the raw irregular points.
+
+    Two-phase like :func:`partitioned_lead`: one (key, time-window) shuffle
+    computes in-window Δt; each window's first timestamp (tiny int table —
+    exact, never through float64) closes the previous window's last step.
+    Weighted sums accumulate as int64 ``round(value·scale)·Δt_us`` —
+    associative, so bit-deterministic — and the final division is the
+    identical IEEE expression the SQL twin spells.  A key's last event has
+    no next step and contributes nothing (SQL: ``WHERE next_ts IS NOT NULL``).
+
+    Returns one row per (key, bucket): (key, bucket_ts, twa, dur_us)."""
+    import ray
+
+    win_us = window_s * US
+    day_us = 86400 * US
+    assert bucket == "day"
+
+    def add_window(b: pa.Table) -> pa.Table:
+        ts = b[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return b.append_column("_window", pa.array((ts // win_us) * win_us))
+
+    def per_window(g: pa.Table) -> pa.Table:
+        ts = g[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = g[value_col].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts))
+        tss = ts[order]
+        nxt = np.full(len(ts), -1, dtype=np.int64)
+        if len(order) > 1:
+            nxt[order[:-1]] = tss[1:]
+        last = np.zeros(len(ts), dtype=bool)
+        if len(order):
+            last[order[-1]] = True
+        out = {key: g[key], "_ts": pa.array(ts),
+               "_vq": pa.array(np.round(v * value_scale).astype(np.int64)),
+               "_nxt": pa.array(nxt), "_last": pa.array(last),
+               "_window": g["_window"],
+               "_first_ts": pa.array(np.repeat(tss[0] if len(tss) else -1, len(ts)))}
+        return pa.table(out)
+
+    part = ds.map_batches(add_window, batch_format="pyarrow").groupby(
+        [key, "_window"]
+    ).map_groups(per_window, batch_format="pyarrow").materialize()
+
+    # tiny (key, window) → window-first ts; carry (for a window's LAST row)
+    # = first ts of the nearest LATER non-empty window, walked newest→oldest
+    firsts: dict = {}
+    for b in part.select_columns([key, "_window", "_first_ts"]).iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        k = b[key].to_numpy(zero_copy_only=False)
+        w = b["_window"].combine_chunks().to_numpy(zero_copy_only=False)
+        ft = b["_first_ts"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((w, k))
+        ks, ws, fts = k[order], w[order], ft[order]
+        chg = np.r_[True, (ks[1:] != ks[:-1]) | (ws[1:] != ws[:-1])] if len(ks) else np.zeros(0, bool)
+        for i in np.flatnonzero(chg):
+            firsts[(ks[i], int(ws[i]))] = int(fts[i])
+    carry: dict = {}
+    prev_key, prev_ts = None, -1
+    for (kk, ww) in sorted(firsts, key=lambda t: (str(t[0]), -t[1])):
+        if kk != prev_key:
+            prev_key, prev_ts = kk, -1
+        carry[(kk, ww)] = prev_ts
+        prev_ts = firsts[(kk, ww)]
+    cref = ray.put(carry)
+
+    def partial_sums(b: pa.Table) -> pa.Table:
+        cm = ray.get(cref)
+        k = b[key].to_numpy(zero_copy_only=False)
+        ts = b["_ts"].combine_chunks().to_numpy(zero_copy_only=False)
+        vq = b["_vq"].combine_chunks().to_numpy(zero_copy_only=False)
+        nxt = b["_nxt"].combine_chunks().to_numpy(zero_copy_only=False).copy()
+        last = b["_last"].combine_chunks().to_numpy(zero_copy_only=False)
+        w = b["_window"].combine_chunks().to_numpy(zero_copy_only=False)
+        for i in np.flatnonzero(last):
+            nxt[i] = cm.get((k[i], int(w[i])), -1)
+        keep = nxt >= 0
+        k, ts, vq, nxt = k[keep], ts[keep], vq[keep], nxt[keep]
+        dt = nxt - ts
+        day = (ts // day_us) * day_us
+        order = np.lexsort((day, k))
+        ks, ds_, wv, dts = k[order], day[order], (vq * dt)[order], dt[order]
+        st = np.flatnonzero(np.r_[True, (ks[1:] != ks[:-1]) | (ds_[1:] != ds_[:-1])]) \
+            if len(ks) else np.zeros(0, np.int64)
+        return pa.table({
+            key: pa.array(ks[st] if len(st) else ks[:0]),
+            "_day": pa.array(ds_[st] if len(st) else ds_[:0]),
+            "_swdt": pa.array(np.add.reduceat(wv, st) if len(st) else wv[:0]),
+            "_sdt": pa.array(np.add.reduceat(dts, st) if len(st) else dts[:0]),
+        })
+
+    def fold(g: pa.Table) -> pa.Table:
+        k = g[key].to_numpy(zero_copy_only=False)
+        d = g["_day"].combine_chunks().to_numpy(zero_copy_only=False)
+        sw = g["_swdt"].combine_chunks().to_numpy(zero_copy_only=False)
+        sd = g["_sdt"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, k))
+        ks, dd, sws, sds = k[order], d[order], sw[order], sd[order]
+        st = np.flatnonzero(np.r_[True, (ks[1:] != ks[:-1]) | (dd[1:] != dd[:-1])]) \
+            if len(ks) else np.zeros(0, np.int64)
+        swdt = np.add.reduceat(sws, st) if len(st) else sws[:0]
+        sdt = np.add.reduceat(sds, st) if len(st) else sds[:0]
+        twa = swdt.astype(np.float64) / (float(value_scale) * sdt.astype(np.float64))
+        return pa.table({
+            key: pa.array(ks[st] if len(st) else ks[:0]),
+            "bucket_ts": pa.array((dd[st] if len(st) else dd[:0]).astype("datetime64[us]")),
+            "twa": pa.array(twa),
+            "dur_us": pa.array(sdt),
+        })
+
+    def add_gsalt(b: pa.Table) -> pa.Table:
+        d = b["_day"].combine_chunks().to_numpy(zero_copy_only=False)
+        return b.append_column("_gsalt", pa.array(d % np.int64(64)))
+
+    return (part.map_batches(partial_sums, batch_format="pyarrow")
+            .map_batches(add_gsalt, batch_format="pyarrow")
+            .groupby("_gsalt").map_groups(
+                lambda g: fold(g.drop_columns(["_gsalt"])),
+                batch_format="pyarrow"))
