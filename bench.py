@@ -174,6 +174,10 @@ def run_bench() -> dict:
         "first_value_events",
         "percent_rank_events",
         "dup_span_docs",
+        "ntile_events",
+        "twa_events",
+        "union_click_purchase_users",
+        "leftjoin_lineitem_urgent",
     ]
     qtimes = {}
     for name in bench_queries:

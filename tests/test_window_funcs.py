@@ -262,3 +262,43 @@ def test_time_weighted_avg_matches_sequential(log):
         sw, sd = acc[(row["k"], int(np.datetime64(row["bucket_ts"], "us").astype("int64")))]
         assert row["dur_us"] == sd
         assert row["twa"] == float(sw) / (100.0 * float(sd))  # identical IEEE expr
+
+
+def test_window_ops_empty_and_single_row(ray_session):
+    """Degenerate inputs (empty table, one row) flow through every window
+    operator without error and with the sequential semantics."""
+    from tsdat_ray.stages.window_funcs import (
+        partitioned_lead,
+        partitioned_rolling_sum,
+        time_weighted_avg,
+    )
+
+    empty = pa.table({
+        "k": pa.array([], pa.string()),
+        "eid": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "v": pa.array([], pa.float64()),
+    })
+    one = pa.table({
+        "k": pa.array(["a"]),
+        "eid": pa.array([7], pa.int64()),
+        "ts": pa.array([1_000_000], pa.int64()).cast(pa.timestamp("us")),
+        "v": pa.array([3.25]),
+    })
+    for t in (empty, one):
+        ds = rd.from_arrow(t)
+        lead = partitioned_lead(ds, key="k", ts_col="ts", value_col="v",
+                                id_col="eid").to_pandas()
+        assert len(lead) == t.num_rows
+        if t.num_rows:
+            assert np.isnan(lead["v_lead"]).all()
+        roll = partitioned_rolling_sum(ds, key="k", ts_col="ts", value_col="v",
+                                       id_col="eid", frame_n=4,
+                                       value_scale=100).to_pandas()
+        assert len(roll) == t.num_rows
+        if t.num_rows:
+            assert roll["v_rsum"].iloc[0] == 3.25
+            assert roll["v_rcnt"].iloc[0] == 1
+        twa = time_weighted_avg(ds, key="k", ts_col="ts", value_col="v",
+                                id_col="eid").to_pandas()
+        assert len(twa) == 0  # no next step anywhere
