@@ -1024,6 +1024,24 @@ def _q_dup_span_docs(sf_dir: str):
     return duplicated_span_coverage(ds, id_col="doc_id", text_col="text", k=20)
 
 
+def _q_regex_extract_docs(sf_dir: str):
+    """Vectorized string kernels over documents: regex first-word extraction
+    (pyarrow.compute.extract_regex) + literal substring counting — all Arrow
+    compute, no Python per row."""
+    import ray.data as rd
+
+    def f(b: pa.Table) -> pa.Table:
+        txt = b["text"].combine_chunks()
+        ext = pc.extract_regex(txt, r"^(?P<w>[a-z]+)")
+        first = pc.fill_null(pc.struct_field(ext, "w"), "")
+        n_spark = pc.count_substring(txt, "spark").cast(pa.int64())
+        return pa.table({"doc_id": b["doc_id"], "first_word": first,
+                         "n_spark": n_spark})
+
+    return _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+                 ).map_batches(f, batch_format="pyarrow")
+
+
 def _q_simhash_neardup(sf_dir: str):
     from tsdat_ray.stages.dedup import simhash_neardup_pairs
 
@@ -1153,6 +1171,18 @@ def _q_lead_events(sf_dir: str):
     out = partitioned_lead(ds, key="event_type", ts_col="ts", value_col="value",
                            id_col="event_id")
     return out.select_columns(["event_id", "value_lead"])
+
+
+def _q_ewma_events(sf_dir: str):
+    """Distributed EWMA per event_type (pandas ewm(adjust=False) semantics);
+    no SQL twin — EWMA needs recursion SQL lacks (rows-only check; the
+    sequential-reference pytest pins the semantics)."""
+    from tsdat_ray.stages.window_funcs import partitioned_ewma
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "event_type", "value"])
+    out = partitioned_ewma(ds, key="event_type", ts_col="ts",
+                           value_col="value", id_col="event_id", alpha=0.1)
+    return out.select_columns(["event_id", "value_ewma"])
 
 
 def _q_twa_events(sf_dir: str):
@@ -1582,6 +1612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_minhash_docs": _q_neardup_minhash_docs,
         "neardup_ngram_docs": _q_neardup_ngram_docs,
         "dup_span_docs": _q_dup_span_docs,
+        "regex_extract_docs": _q_regex_extract_docs,
         "simhash_docs": _q_simhash_docs,
         "neardup_simhash_docs": _q_simhash_neardup,
         "bpe_token_count_docs": _q_bpe_token_count,
@@ -1594,6 +1625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percent_rank_events": _q_percent_rank_events,
         "ntile_events": _q_ntile_events,
         "twa_events": _q_twa_events,
+        "ewma_events": _q_ewma_events,
         "covar_slope_per_type": _q_covar_slope_events,
         "first_value_events": _q_first_value_events,
         "rank_events": _q_rank_events,
@@ -1776,6 +1808,13 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_dup_grams
             FROM sh JOIN nd USING (g)
             GROUP BY sh.doc_id
+        """,
+        "regex_extract_docs": """
+            SELECT doc_id,
+                   regexp_extract(text, '^([a-z]+)', 1) AS first_word,
+                   CAST((length(text) - length(replace(text, 'spark', ''))) / 5
+                        AS BIGINT) AS n_spark
+            FROM documents
         """,
         "token_count_docs": """
             SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens

@@ -298,3 +298,29 @@ def test_duplicated_span_coverage(ray_session):
         assert out.loc[d, "n_dup_grams"] == exp_dup
     assert out.loc[0, "n_dup_grams"] > 0
     assert out.loc[2, "n_dup_grams"] == 0
+
+
+def test_duplicated_span_winnowing(ray_session):
+    import ray.data as rd
+    from tsdat_ray.stages.dedup import duplicated_span_coverage
+
+    shared = "x" * 0 + "the quick brown fox jumps over the lazy dog again and again and more"
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "unique prefix one " + shared,
+            shared + " unique suffix two",
+            "completely different text with no overlap whatsoever here ok",
+        ]),
+    })
+    out = (duplicated_span_coverage(rd.from_arrow(docs).repartition(2),
+                                    id_col="doc_id", text_col="text", k=20,
+                                    winnow_w=4)
+           .to_pandas().set_index("doc_id").sort_index())
+    # long shared span (> w + k - 1) must still be detected via shared
+    # minimizers; the unrelated doc stays clean; totals shrink ~1/w
+    assert out.loc[0, "n_dup_grams"] > 0
+    assert out.loc[1, "n_dup_grams"] > 0
+    assert out.loc[2, "n_dup_grams"] == 0
+    n_all = len(docs["text"][0].as_py()) - 20 + 1
+    assert out.loc[0, "n_grams"] < n_all / 2

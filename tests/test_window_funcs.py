@@ -302,3 +302,30 @@ def test_window_ops_empty_and_single_row(ray_session):
         twa = time_weighted_avg(ds, key="k", ts_col="ts", value_col="v",
                                 id_col="eid").to_pandas()
         assert len(twa) == 0  # no next step anywhere
+
+
+def test_ewma_matches_sequential(log):
+    from tsdat_ray.stages.window_funcs import partitioned_ewma
+
+    a = 0.15
+    out = (
+        partitioned_ewma(rd.from_arrow(log).repartition(7), key="k",
+                         ts_col="ts", value_col="v", id_col="eid",
+                         alpha=a, window_s=3600, chunk=64)
+        .to_pandas().set_index("eid")
+    )
+    k = log["k"].to_numpy(zero_copy_only=False)
+    ts = log["ts"].to_numpy().astype("int64")
+    v = log["v"].to_numpy()
+    eid = log["eid"].to_numpy()
+    for kk in ("hot", "cold"):
+        m = k == kk
+        order = np.lexsort((eid[m], ts[m]))
+        vs, es = v[m][order], eid[m][order]
+        e = vs[0]
+        got0 = out.loc[es[0], "v_ewma"]
+        assert abs(got0 - e) <= 1e-9 * abs(e)
+        for j in range(1, len(vs)):
+            e = (1 - a) * e + a * vs[j]
+            got = out.loc[es[j], "v_ewma"]
+            assert abs(got - e) <= 1e-9 * max(abs(e), 1.0), (kk, j)

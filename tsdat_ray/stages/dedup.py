@@ -1000,13 +1000,20 @@ def simhash_neardup_pairs(ds, max_hamming: int = 3, n_tables: int = 4,
 # --------------------------------------------------------------------------- #
 
 
-def _char_shingle_hash_counts(s: str, k: int):
+def _char_shingle_hash_counts(s: str, k: int, winnow_w: int = 1):
     """(h1, h2, count) over the DISTINCT k-character shingles of ``s`` —
     two independent 64-bit rolling hashes per shingle (128 bits total, so a
     cross-shingle collision is ~m^2/2^129 — effectively exact), plus the
     number of positions each distinct shingle occupies.  Mirrors SQL
     ``substr(text, i, k)`` semantics (codepoint-based; a string shorter than
-    k yields its single whole-string shingle; '' yields the '' shingle)."""
+    k yields its single whole-string shingle; '' yields the '' shingle).
+
+    ``winnow_w`` > 1 keeps only winnowing minimizer positions (Schleimer et
+    al. SIGMOD'03): per window of ``winnow_w`` consecutive positions, the
+    position of the minimal h1.  Any shared span of >= winnow_w + k - 1
+    characters still selects at least one common minimizer in both docs, so
+    matching survives with ~1/winnow_w of the rows — the documented scale
+    knob (w = 1 is exact/oracled)."""
     cp = np.frombuffer((s or "").encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
     if len(cp) == 0:
         return (np.array([0x9E3779B97F4A7C15], dtype=np.uint64),
@@ -1020,6 +1027,12 @@ def _char_shingle_hash_counts(s: str, k: int):
     for j in range(kk):
         h1 = h1 * b1 + cp[j: n + j]
         h2 = h2 * b2 + cp[j: n + j] + np.uint64(j + 1)
+    if winnow_w > 1 and n > 1:
+        w = min(winnow_w, n)
+        win = np.lib.stride_tricks.sliding_window_view(h1, w)
+        sel = np.unique(win.argmin(axis=1) + np.arange(n - w + 1))
+        h1, h2 = h1[sel], h2[sel]
+        n = len(sel)
     order = np.lexsort((h2, h1))
     a, b = h1[order], h2[order]
     chg = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
@@ -1029,7 +1042,8 @@ def _char_shingle_hash_counts(s: str, k: int):
 
 
 def duplicated_span_coverage(ds, id_col: str = "doc_id", text_col: str = "text",
-                             k: int = 20, salt_mod: int = 256):
+                             k: int = 20, salt_mod: int = 256,
+                             winnow_w: int = 1):
     """Per-document duplicated-span coverage: how many k-character shingle
     positions of each doc also occur in at least one OTHER doc (the signal
     behind exact-substring dedup of training corpora, cf. Lee et al. 2022
@@ -1059,7 +1073,7 @@ def duplicated_span_coverage(ds, id_col: str = "doc_id", text_col: str = "text",
         texts = b[text_col].to_numpy(zero_copy_only=False)
         hs1, hs2, cnts, lens = [], [], [], []
         for s in texts:
-            a, bb, c = _char_shingle_hash_counts(s, k)
+            a, bb, c = _char_shingle_hash_counts(s, k, winnow_w)
             hs1.append(a); hs2.append(bb); cnts.append(c); lens.append(len(a))
         lens = np.array(lens, dtype=np.int64)
         h1 = np.concatenate(hs1) if hs1 else np.zeros(0, np.uint64)
@@ -1091,8 +1105,15 @@ def duplicated_span_coverage(ds, id_col: str = "doc_id", text_col: str = "text",
 
     def total_rows(b: pa.Table) -> pa.Table:
         ids = b[id_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
-        nch = pc.utf8_length(b[text_col].combine_chunks()).to_numpy(zero_copy_only=False)
-        tot = np.maximum(nch.astype(np.int64) - k + 1, 1)
+        if winnow_w > 1:
+            # totals = selected minimizer positions (recomputed; cheap vs the
+            # shuffle it avoids)
+            tot = np.array([int(_char_shingle_hash_counts(s, k, winnow_w)[2].sum())
+                            for s in b[text_col].to_numpy(zero_copy_only=False)],
+                           dtype=np.int64)
+        else:
+            nch = pc.utf8_length(b[text_col].combine_chunks()).to_numpy(zero_copy_only=False)
+            tot = np.maximum(nch.astype(np.int64) - k + 1, 1)
         return pa.table({id_col: pa.array(ids), "_tot": pa.array(tot),
                          "_dup": pa.array(np.zeros(len(ids), np.int64))})
 

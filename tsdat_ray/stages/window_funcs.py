@@ -844,3 +844,109 @@ def time_weighted_avg(ds, key: str, ts_col: str, value_col: str,
             .groupby("_gsalt").map_groups(
                 lambda g: fold(g.drop_columns(["_gsalt"])),
                 batch_format="pyarrow"))
+
+
+def partitioned_ewma(ds, key: str, ts_col: str, value_col: str,
+                     id_col: str, alpha: float = 0.1,
+                     window_s: int = 6 * 3600, chunk: int = 512):
+    """Exponentially weighted moving average per key over (ts, id) order —
+    pandas ``ewm(alpha, adjust=False)`` semantics (e_0 = v_0,
+    e_j = (1-α)·e_{j-1} + α·v_j), distributed with the same two-phase shape
+    as :func:`partitioned_cumsum`:
+
+    * phase 1: per (key, time-window) sort + zero-carry local EWMA
+      ``l_j = Σ_{i<=j} α(1-α)^{j-i} v_i`` (scaled-cumsum in bounded chunks so
+      ``(1-α)^-i`` never overflows), plus tiny per-window summaries
+      (row count, window-end local value, window-first value) repeated on
+      every row;
+    * phase 2 (driver, tiny): per key, carry(w₁) = first value (which makes
+      e_0 = v_0 exactly), carry(w_{k+1}) = (1-α)^{m_k}·carry(w_k) +
+      local_end(w_k);
+    * phase 3 (map): e_j = (1-α)^{j+1}·carry + l_j.
+
+    Grouping is fixed by window_s — independent of block layout — so results
+    are deterministic; they match the sequential recurrence to float
+    round-off (~1e-12 relative), not bit-for-bit (the closed form reassociates
+    the products).  No SQL twin: EWMA needs recursion SQL lacks."""
+    import ray
+
+    win_us = window_s * US
+    a = float(alpha)
+    q = 1.0 - a
+
+    def local_ewma_sorted(v: np.ndarray) -> np.ndarray:
+        """l_j with zero incoming carry, chunked scaled cumsum."""
+        out = np.empty(len(v), dtype=np.float64)
+        carry = 0.0
+        for s in range(0, len(v), chunk):
+            vv = v[s: s + chunk]
+            j = np.arange(len(vv), dtype=np.float64)
+            scaled = np.cumsum(vv * (a / np.power(q, j)))
+            out[s: s + len(vv)] = np.power(q, j) * scaled + np.power(q, j + 1) * carry
+            carry = out[s + len(vv) - 1] if len(vv) else carry
+        return out
+
+    def add_window(b: pa.Table) -> pa.Table:
+        ts = b[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return b.append_column("_window", pa.array((ts // win_us) * win_us))
+
+    def per_window(g: pa.Table) -> pa.Table:
+        ts = g[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        x = g[value_col].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts))
+        xs = x[order]
+        loc_sorted = local_ewma_sorted(xs)
+        loc = np.empty(len(x)); loc[order] = loc_sorted
+        pos = np.empty(len(x), dtype=np.int64); pos[order] = np.arange(len(x))
+        out = {c: g[c] for c in g.column_names}
+        out["_l"] = pa.array(loc)
+        out["_pos"] = pa.array(pos)
+        out["_m"] = pa.array(np.repeat(np.int64(len(x)), len(x)))
+        out["_lend"] = pa.array(np.repeat(loc_sorted[-1] if len(x) else 0.0, len(x)))
+        out["_vfirst"] = pa.array(np.repeat(xs[0] if len(x) else 0.0, len(x)))
+        return pa.table(out)
+
+    part = ds.map_batches(add_window, batch_format="pyarrow").groupby(
+        [key, "_window"]
+    ).map_groups(per_window, batch_format="pyarrow").materialize()
+
+    summ: dict = {}
+    for b in part.select_columns([key, "_window", "_m", "_lend", "_vfirst"]).iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        k = b[key].to_numpy(zero_copy_only=False)
+        w = b["_window"].combine_chunks().to_numpy(zero_copy_only=False)
+        m = b["_m"].combine_chunks().to_numpy(zero_copy_only=False)
+        le = b["_lend"].combine_chunks().to_numpy(zero_copy_only=False)
+        vf = b["_vfirst"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((w, k))
+        ks, ws = k[order], w[order]
+        chg = np.r_[True, (ks[1:] != ks[:-1]) | (ws[1:] != ws[:-1])] if len(ks) else np.zeros(0, bool)
+        for i in np.flatnonzero(chg):
+            j = int(order[i])
+            summ[(ks[i], int(ws[i]))] = (int(m[j]), float(le[j]), float(vf[j]))
+    carry: dict = {}
+    prev_key, prev_carry = None, None
+    for (kk, ww) in sorted(summ, key=lambda t: (str(t[0]), t[1])):
+        m, lend, vfirst = summ[(kk, ww)]
+        if kk != prev_key:
+            prev_key, prev_carry = kk, vfirst  # makes e_0 = v_0 exactly
+        carry[(kk, ww)] = prev_carry
+        prev_carry = (q ** m) * prev_carry + lend
+    cref = ray.put(carry)
+
+    def fill(b: pa.Table) -> pa.Table:
+        cm = ray.get(cref)
+        k = b[key].to_numpy(zero_copy_only=False)
+        w = b["_window"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = b["_pos"].combine_chunks().to_numpy(zero_copy_only=False)
+        loc = b["_l"].combine_chunks().to_numpy(zero_copy_only=False)
+        cv = np.array([cm[(kk, int(ww))] for kk, ww in zip(k, w)])
+        e = np.power(q, pos + 1.0) * cv + loc
+        out = {c: b[c] for c in b.column_names
+               if c not in ("_window", "_l", "_pos", "_m", "_lend", "_vfirst")}
+        out[f"{value_col}_ewma"] = pa.array(e)
+        return pa.table(out)
+
+    return part.map_batches(fill, batch_format="pyarrow")
