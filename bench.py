@@ -178,6 +178,8 @@ def run_bench() -> dict:
         "twa_events",
         "union_click_purchase_users",
         "leftjoin_lineitem_urgent",
+        "ewma_events",
+        "regex_extract_docs",
     ]
     qtimes = {}
     for name in bench_queries:
