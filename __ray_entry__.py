@@ -699,6 +699,546 @@ def _q_tpch_q14(sf_dir: str):
     }))
 
 
+def _rev_e4(b: pa.Table) -> np.ndarray:
+    """Exact 1e-4-quantized revenue l_extendedprice*(1-l_discount) per row
+    (prices are cent-quantized, discounts 2-decimal, so the 4-decimal product
+    is exact; the oracle spells the identical double expression)."""
+    price = b["l_extendedprice"].combine_chunks().to_numpy(zero_copy_only=False)
+    disc = b["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)
+    return np.round(price * (1.0 - disc) * 1e4).astype(np.int64)
+
+
+def _seg_int_sums(keys: np.ndarray, vals: dict[str, np.ndarray],
+                  key_name: str) -> pa.Table:
+    """Per-block exact integer segment sums keyed on ``keys`` (associative —
+    bit-identical under any downstream combine order)."""
+    order = np.argsort(keys, kind="stable")
+    ks = keys[order]
+    st = (np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+          if len(ks) else np.zeros(0, np.int64))
+    out = {key_name: pa.array(ks[st] if len(st) else ks[:0])}
+    for name, v in vals.items():
+        vv = v[order]
+        out[name] = pa.array(np.add.reduceat(vv, st) if len(st) else vv[:0])
+    return pa.table(out)
+
+
+def _q_tpch_q5(sf_dir: str):
+    """TPC-H Q5 local-supplier volume (region ASIA, 1996).  Nation/region/
+    supplier are broadcast dimensions (``ray.put`` of sorted key arrays —
+    the guide's small-side pattern; supplier is the smallest base table at
+    every TPC-H scale).  Lineitem folds exact-e4 revenue partials per
+    (orderkey, supplier-nation) per block; orders⋈customer is the one
+    bucketed hash join of two large sides; the final per-nation fold is a
+    bounded dict (≤25 nations) drained driver-side."""
+    import pyarrow.parquet as pq
+
+    import ray
+    import ray.data as rd
+
+    from tsdat_ray.stages.joins import hash_join
+
+    lo = np.datetime64("1996-01-01", "us")
+    hi = np.datetime64("1997-01-01", "us")
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    asia_rk = region.filter(pc.equal(region["r_name"], "ASIA"))["r_regionkey"]
+    asia_rk = set(asia_rk.to_pylist())
+    nk = nation["n_nationkey"].to_pylist()
+    nrk = nation["n_regionkey"].to_pylist()
+    nname = nation["n_name"].to_pylist()
+    asia_nations = {k for k, r in zip(nk, nrk) if r in asia_rk}
+    name_of = dict(zip(nk, nname))
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    sk = supp["s_suppkey"].combine_chunks().to_numpy(zero_copy_only=False)
+    snat = supp["s_nationkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = np.isin(snat, np.array(sorted(asia_nations), np.int64))
+    order = np.argsort(sk[keep], kind="stable")
+    sref = ray.put((sk[keep][order], snat[keep][order]))
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        ks, natk = ray.get(sref)
+        lsk = b["l_suppkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(ks, lsk), 0, max(len(ks) - 1, 0))
+        hit = ks[pos] == lsk if len(ks) else np.zeros(len(lsk), bool)
+        b = b.filter(pa.array(hit))
+        if not b.num_rows:
+            return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                             "_snat": pa.array([], pa.int64()),
+                             "rev_e4": pa.array([], pa.int64())})
+        nat = natk[pos[hit]]
+        okey = b["l_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        packed = okey * np.int64(32) + nat  # nationkey < 25 < 32
+        t = _seg_int_sums(packed, {"rev_e4": _rev_e4(b)}, "_packed")
+        pk = t["_packed"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({"o_orderkey": pa.array(pk // np.int64(32)),
+                         "_snat": pa.array(pk % np.int64(32)),
+                         "rev_e4": t["rev_e4"]})
+
+    li = _read(f"{sf_dir}/lineitem.parquet",
+               columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+               ).map_batches(li_partial, batch_format="pyarrow")
+
+    def filt_orders(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b["o_orderdate"], pa.scalar(lo)),
+                    pc.less(b["o_orderdate"], pa.scalar(hi)))
+        return b.filter(m).select(["o_orderkey", "o_custkey"])
+
+    orders = _read(f"{sf_dir}/orders.parquet",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"]
+                   ).map_batches(filt_orders, batch_format="pyarrow")
+    cust = _read(f"{sf_dir}/customer.parquet",
+                 columns=["c_custkey", "c_nationkey"]
+                 ).map_batches(
+        lambda b: b.rename_columns(["o_custkey", "c_nationkey"]),
+        batch_format="pyarrow")
+    ordcust = hash_join(orders, cust, on="o_custkey", num_buckets=32)
+
+    j = hash_join(li, ordcust.select_columns(["o_orderkey", "c_nationkey"]),
+                  on="o_orderkey", num_buckets=32)
+
+    def nat_fold(b: pa.Table) -> pa.Table:
+        snat = b["_snat"].combine_chunks().to_numpy(zero_copy_only=False)
+        cnat = b["c_nationkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        rev = b["rev_e4"].combine_chunks().to_numpy(zero_copy_only=False)
+        same = snat == cnat
+        sums = np.zeros(32, np.int64)  # exact int adds (float bincount is lossy)
+        np.add.at(sums, snat[same], rev[same])
+        nz = np.flatnonzero(sums != 0)
+        return pa.table({"_snat": pa.array(nz.astype(np.int64)),
+                         "rev_e4": pa.array(sums[nz])})
+
+    acc: dict[int, int] = {}
+    for t in j.map_batches(nat_fold, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        for k, v in zip(t["_snat"].to_pylist(), t["rev_e4"].to_pylist()):
+            acc[k] = acc.get(k, 0) + v
+    rows = sorted(((acc[k] / 1e4, name_of[k]) for k in acc),
+                  key=lambda r: (-r[0], r[1]))
+    return rd.from_arrow(pa.table({
+        "n_name": pa.array([r[1] for r in rows], pa.string()),
+        "revenue": pa.array([r[0] for r in rows], pa.float64()),
+    }))
+
+
+def _q_tpch_q10(sf_dir: str):
+    """TPC-H Q10 returned-item reporting (top 20 customers by Q4-1996
+    returned revenue).  Lineitem pre-aggregates exact-e4 revenue per
+    orderkey per block (no fold needed before the join — integer partials
+    re-aggregate exactly after it), bucketed hash joins against the
+    quarter's orders then customers, salted exact per-custkey fold
+    (stats.grouped_int_sums), broadcast nation name lookup, distributed
+    top-20 (reduce.topk_merge: post-aggregation custkeys are unique, so
+    block-local top-k is globally sufficient)."""
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from tsdat_ray.stages.joins import broadcast_lookup, hash_join
+    from tsdat_ray.stages.reduce import topk_merge
+    from tsdat_ray.stages.stats import grouped_int_sums
+
+    lo = np.datetime64("1996-10-01", "us")
+    hi = np.datetime64("1997-01-01", "us")
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["l_returnflag"], "R"))
+        k = b["l_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        return _seg_int_sums(k, {"rev_e4": _rev_e4(b)}, "o_orderkey")
+
+    li = _read(f"{sf_dir}/lineitem.parquet",
+               columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                        "l_discount"]).map_batches(li_partial, batch_format="pyarrow")
+
+    def filt_orders(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b["o_orderdate"], pa.scalar(lo)),
+                    pc.less(b["o_orderdate"], pa.scalar(hi)))
+        return b.filter(m).select(["o_orderkey", "o_custkey"])
+
+    orders = _read(f"{sf_dir}/orders.parquet",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"]
+                   ).map_batches(filt_orders, batch_format="pyarrow")
+
+    j = hash_join(li, orders, on="o_orderkey", num_buckets=32)
+    per_cust = grouped_int_sums(
+        j.map_batches(lambda b: b.select(["o_custkey", "rev_e4"])
+          .rename_columns(["c_custkey", "rev_e4"]), batch_format="pyarrow"),
+        "c_custkey", ["rev_e4"])
+
+    cust = _read(f"{sf_dir}/customer.parquet",
+                 columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
+    jc = hash_join(per_cust, cust, on="c_custkey", num_buckets=32)
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    nation = nation.rename_columns(["c_nationkey", "n_name"])
+    jc = broadcast_lookup(jc, nation, on="c_nationkey", value_cols=("n_name",))
+
+    def finish(b: pa.Table) -> pa.Table:
+        rev = b["rev_e4"].combine_chunks().to_numpy(zero_copy_only=False) / 1e4
+        return pa.table({
+            "c_custkey": b["c_custkey"], "c_name": b["c_name"],
+            "revenue": pa.array(rev, pa.float64()),
+            "c_acctbal": b["c_acctbal"], "n_name": b["n_name"],
+        })
+
+    out = topk_merge(jc.map_batches(finish, batch_format="pyarrow"),
+                     by=["revenue", "c_custkey"], ascending=[False, True], k=20)
+    return rd.from_arrow(out)
+
+
+def _q_tpch_q13(sf_dir: str):
+    """TPC-H Q13 customer order-count distribution (excluding URGENT
+    orders).  Per-custkey counts via salted exact integer fold; the
+    count-of-counts histogram is a bounded per-block dict drained to the
+    driver; zero-order customers come from ``customer.count()`` minus the
+    keys seen — the LEFT JOIN never ships customer rows at all."""
+    import ray.data as rd
+
+    from tsdat_ray.stages.stats import grouped_int_sums
+
+    def o_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.not_equal(b["o_orderpriority"], "1-URGENT"))
+        k = b["o_custkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        return _seg_int_sums(k, {"c_count": np.ones(len(k), np.int64)},
+                             "o_custkey")
+
+    counts = grouped_int_sums(
+        _read(f"{sf_dir}/orders.parquet",
+              columns=["o_custkey", "o_orderpriority"]
+              ).map_batches(o_partial, batch_format="pyarrow"),
+        "o_custkey", ["c_count"])
+
+    def hist(b: pa.Table) -> pa.Table:
+        c = b["c_count"].combine_chunks().to_numpy(zero_copy_only=False)
+        cnt = np.bincount(c)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"c_count": pa.array(nz.astype(np.int64)),
+                         "custdist": pa.array(cnt[nz].astype(np.int64))})
+
+    acc: dict[int, int] = {}
+    for t in counts.map_batches(hist, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        for k, v in zip(t["c_count"].to_pylist(), t["custdist"].to_pylist()):
+            acc[k] = acc.get(k, 0) + v
+    total = _read(f"{sf_dir}/customer.parquet", columns=["c_custkey"]).count()
+    zero = total - sum(acc.values())
+    if zero:
+        acc[0] = acc.get(0, 0) + zero
+    rows = sorted(acc.items(), key=lambda kv: (-kv[1], -kv[0]))
+    return rd.from_arrow(pa.table({
+        "c_count": pa.array([r[0] for r in rows], pa.int64()),
+        "custdist": pa.array([r[1] for r in rows], pa.int64()),
+    }))
+
+
+def _q_tpch_q15(sf_dir: str):
+    """TPC-H Q15 top supplier (Q1-1996).  Exact-e4 per-suppkey revenue via
+    salted integer fold; the folded view is bounded by supplier cardinality
+    (the smallest base table), so the argmax scan drains driver-side;
+    winners (ties included, exact integer compare) look up s_name from the
+    broadcast-scale supplier table."""
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from tsdat_ray.stages.stats import grouped_int_sums
+
+    lo = np.datetime64("1996-01-01", "us")
+    hi = np.datetime64("1996-04-01", "us")
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b["l_shipdate"], pa.scalar(lo)),
+                    pc.less(b["l_shipdate"], pa.scalar(hi)))
+        b = b.filter(m)
+        k = b["l_suppkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        return _seg_int_sums(k, {"rev_e4": _rev_e4(b)}, "s_suppkey")
+
+    rev = grouped_int_sums(
+        _read(f"{sf_dir}/lineitem.parquet",
+              columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"]
+              ).map_batches(li_partial, batch_format="pyarrow"),
+        "s_suppkey", ["rev_e4"])
+
+    ks, vs = [], []
+    for t in rev.iter_batches(batch_format="pyarrow", batch_size=None):
+        ks.append(t["s_suppkey"].combine_chunks().to_numpy(zero_copy_only=False))
+        vs.append(t["rev_e4"].combine_chunks().to_numpy(zero_copy_only=False))
+    k = np.concatenate(ks) if ks else np.zeros(0, np.int64)
+    v = np.concatenate(vs) if vs else np.zeros(0, np.int64)
+    if len(v):
+        best = v.max()
+        sel = np.flatnonzero(v == best)
+        win_k, win_v = k[sel], v[sel]
+    else:
+        win_k, win_v = k, v
+    order = np.argsort(win_k, kind="stable")
+    win_k, win_v = win_k[order], win_v[order]
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_name"])
+    sk = supp["s_suppkey"].combine_chunks().to_numpy(zero_copy_only=False)
+    sn = supp["s_name"].to_pylist()
+    name_of = dict(zip(sk.tolist(), sn))
+    return rd.from_arrow(pa.table({
+        "s_suppkey": pa.array(win_k),
+        "s_name": pa.array([name_of[x] for x in win_k.tolist()], pa.string()),
+        "total_revenue": pa.array(win_v / 1e4, pa.float64()),
+    }))
+
+
+def _q_tpch_q17(sf_dir: str):
+    """TPC-H Q17 small-quantity-order revenue (brand-restricted).  Two
+    passes over lineitem: (1) broadcast the brand's partkey set, fold exact
+    per-partkey (Σqty, count) with the salted integer fold — bounded by the
+    brand's share of the part table; (2) broadcast that tiny aggregate and
+    fold the e2-exact price sum of rows with qty < 0.2·avg, expressed as the
+    EXACT integer cross-multiplication 5·qty·cnt < Σqty on both engine and
+    oracle sides (quantities are integral — no float division anywhere)."""
+    import pyarrow.parquet as pq
+
+    import ray
+    import ray.data as rd
+
+    from tsdat_ray.stages.stats import grouped_int_sums
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    pk = part.filter(pc.equal(part["p_brand"], "Brand#13"))["p_partkey"]
+    pk = np.sort(pk.combine_chunks().to_numpy(zero_copy_only=False))
+    pk_ref = ray.put(pk)
+
+    def qty_partial(b: pa.Table) -> pa.Table:
+        ks = ray.get(pk_ref)
+        lpk = b["l_partkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(ks, lpk), 0, max(len(ks) - 1, 0))
+        hit = ks[pos] == lpk if len(ks) else np.zeros(len(lpk), bool)
+        b = b.filter(pa.array(hit))
+        k = b["l_partkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        q = np.round(b["l_quantity"].combine_chunks().to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        return _seg_int_sums(k, {"sum_q": q, "cnt": np.ones(len(k), np.int64)},
+                             "l_partkey")
+
+    agg = grouped_int_sums(
+        _read(f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_quantity"]
+              ).map_batches(qty_partial, batch_format="pyarrow"),
+        "l_partkey", ["sum_q", "cnt"])
+
+    aks, asq, acn = [], [], []
+    for t in agg.iter_batches(batch_format="pyarrow", batch_size=None):
+        aks.append(t["l_partkey"].combine_chunks().to_numpy(zero_copy_only=False))
+        asq.append(t["sum_q"].combine_chunks().to_numpy(zero_copy_only=False))
+        acn.append(t["cnt"].combine_chunks().to_numpy(zero_copy_only=False))
+    ak = np.concatenate(aks) if aks else np.zeros(0, np.int64)
+    order = np.argsort(ak, kind="stable")
+    ak = ak[order]
+    sq = (np.concatenate(asq) if asq else np.zeros(0, np.int64))[order]
+    cn = (np.concatenate(acn) if acn else np.zeros(0, np.int64))[order]
+    agg_ref = ray.put((ak, sq, cn))
+
+    def price_partial(b: pa.Table) -> pa.Table:
+        ks, sums, cnts = ray.get(agg_ref)
+        lpk = b["l_partkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(ks, lpk), 0, max(len(ks) - 1, 0))
+        hit = ks[pos] == lpk if len(ks) else np.zeros(len(lpk), bool)
+        q = np.round(b["l_quantity"].combine_chunks().to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        small = hit & (q * 5 * cnts[pos] < sums[pos]) if len(ks) else hit
+        price = b["l_extendedprice"].combine_chunks().to_numpy(zero_copy_only=False)
+        e2 = np.round(price * 100.0).astype(np.int64)
+        tot = int(e2[small].sum())
+        n = int(small.sum())
+        return pa.table({"tot_e2": pa.array([tot], pa.int64()),
+                         "n": pa.array([n], pa.int64())})
+
+    tot_e2 = n = 0
+    for t in _read(f"{sf_dir}/lineitem.parquet",
+                   columns=["l_partkey", "l_quantity", "l_extendedprice"]
+                   ).map_batches(price_partial, batch_format="pyarrow"
+                                 ).iter_batches(batch_format="pyarrow"):
+        tot_e2 += int(t["tot_e2"].combine_chunks().to_numpy().sum())
+        n += int(t["n"].combine_chunks().to_numpy().sum())
+    avg = (tot_e2 / 1e2) / 7.0 if n else None
+    return rd.from_arrow(pa.table({"avg_yearly": pa.array([avg], pa.float64())}))
+
+
+def _q_tpch_q18(sf_dir: str):
+    """TPC-H Q18 large-volume customers (Σqty > 250 per order, top 100 by
+    order value).  Exact per-orderkey integer quantity fold (salted), the
+    HAVING filter runs distributed on the folded rows, two bucketed hash
+    joins attach order and customer attributes, and the top-100 is a
+    block-local + driver merge (orderkeys unique post-fold)."""
+    import ray.data as rd
+
+    from tsdat_ray.stages.joins import hash_join
+    from tsdat_ray.stages.reduce import topk_merge
+    from tsdat_ray.stages.stats import grouped_int_sums
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        k = b["l_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        q = np.round(b["l_quantity"].combine_chunks().to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        return _seg_int_sums(k, {"sum_q": q}, "o_orderkey")
+
+    per_order = grouped_int_sums(
+        _read(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+              ).map_batches(li_partial, batch_format="pyarrow"),
+        "o_orderkey", ["sum_q"]).filter(expr="sum_q > 250")
+
+    orders = _read(f"{sf_dir}/orders.parquet",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    j = hash_join(per_order, orders, on="o_orderkey", num_buckets=32)
+    j = j.map_batches(
+        lambda b: b.select(["o_orderkey", "sum_q", "o_orderdate",
+                            "o_totalprice", "o_custkey"])
+        .rename_columns(["o_orderkey", "sum_q", "o_orderdate",
+                         "o_totalprice", "c_custkey"]),
+        batch_format="pyarrow")
+    cust = _read(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    jc = hash_join(j, cust, on="c_custkey", num_buckets=32)
+
+    def finish(b: pa.Table) -> pa.Table:
+        sq = b["sum_q"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({
+            "c_name": b["c_name"], "c_custkey": b["c_custkey"],
+            "o_orderkey": b["o_orderkey"], "o_orderdate": b["o_orderdate"],
+            "o_totalprice": b["o_totalprice"],
+            "sum_qty": pa.array(sq.astype(np.float64)),
+        })
+
+    out = topk_merge(jc.map_batches(finish, batch_format="pyarrow"),
+                     by=["o_totalprice", "o_orderdate", "o_orderkey"],
+                     ascending=[False, True, True], k=100)
+    return rd.from_arrow(out)
+
+
+def _q_tpch_q19(sf_dir: str):
+    """TPC-H Q19 discounted revenue (three OR'd brand/size/quantity
+    disjuncts, adapted to this schema's columns).  The part dimension
+    broadcasts once as sorted arrays (partkey, brand-code, size); each
+    lineitem block evaluates the disjuncts vectorized and folds an exact-e4
+    revenue partial — no shuffle at all."""
+    import pyarrow.parquet as pq
+
+    import ray
+    import ray.data as rd
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_size"])
+    pk = part["p_partkey"].combine_chunks().to_numpy(zero_copy_only=False)
+    brand = part["p_brand"].combine_chunks()
+    code = np.zeros(len(pk), np.int8)
+    for i, bname in enumerate(("Brand#12", "Brand#23", "Brand#5"), start=1):
+        code[np.asarray(pc.equal(brand, bname))] = i
+    size = part["p_size"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(pk, kind="stable")
+    pref = ray.put((pk[order], code[order], size[order]))
+
+    def partial(b: pa.Table) -> pa.Table:
+        ks, codes, sizes = ray.get(pref)
+        lpk = b["l_partkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        q = b["l_quantity"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(ks, lpk), 0, max(len(ks) - 1, 0))
+        hit = ks[pos] == lpk if len(ks) else np.zeros(len(lpk), bool)
+        c, s = codes[pos], sizes[pos]
+        m = hit & (
+            ((c == 1) & (s >= 1) & (s <= 5) & (q >= 1) & (q <= 11))
+            | ((c == 2) & (s >= 1) & (s <= 10) & (q >= 10) & (q <= 20))
+            | ((c == 3) & (s >= 1) & (s <= 15) & (q >= 20) & (q <= 30)))
+        e4 = _rev_e4(b)
+        return pa.table({"rev_e4": pa.array([int(e4[m].sum())], pa.int64()),
+                         "n": pa.array([int(m.sum())], pa.int64())})
+
+    tot = n = 0
+    for t in _read(f"{sf_dir}/lineitem.parquet",
+                   columns=["l_partkey", "l_quantity", "l_extendedprice",
+                            "l_discount"]
+                   ).map_batches(partial, batch_format="pyarrow"
+                                 ).iter_batches(batch_format="pyarrow"):
+        tot += int(t["rev_e4"].combine_chunks().to_numpy().sum())
+        n += int(t["n"].combine_chunks().to_numpy().sum())
+    return rd.from_arrow(pa.table({
+        "revenue": pa.array([tot / 1e4 if n else None], pa.float64())}))
+
+
+def _q_tpch_q22(sf_dir: str):
+    """TPC-H Q22 idle-customer opportunity, adapted: segments stand in for
+    country codes and "no orders" becomes "no URGENT orders" (every customer
+    here has some order).  The positive-balance average is an exact integer
+    (Σe2, n) driver fold; the above-average test is the integer
+    cross-multiplication bal_e2·n > Σe2 on both sides (no float division);
+    the NOT EXISTS is the broadcast semi/anti join (distinct urgent
+    custkeys via tree reduction); the final per-segment fold is a bounded
+    dict."""
+    import ray.data as rd
+
+    from tsdat_ray.stages.window_funcs import semi_anti_join
+
+    segs = ("AUTOMOBILE", "HOUSEHOLD", "MACHINERY")
+
+    cust = _read(f"{sf_dir}/customer.parquet",
+                 columns=["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def bal_partial(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_in(b["c_mktsegment"], value_set=pa.array(segs)),
+                    pc.greater(b["c_acctbal"], pa.scalar(0.0)))
+        b = b.filter(m)
+        e2 = np.round(b["c_acctbal"].combine_chunks().to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        return pa.table({"sum_e2": pa.array([int(e2.sum())], pa.int64()),
+                         "n": pa.array([int(len(e2))], pa.int64())})
+
+    sum_e2 = n = 0
+    for t in cust.map_batches(bal_partial, batch_format="pyarrow"
+                              ).iter_batches(batch_format="pyarrow"):
+        sum_e2 += int(t["sum_e2"].combine_chunks().to_numpy().sum())
+        n += int(t["n"].combine_chunks().to_numpy().sum())
+
+    def eligible(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b["c_mktsegment"], value_set=pa.array(segs))
+        b = b.filter(m)
+        e2 = np.round(b["c_acctbal"].combine_chunks().to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        return b.filter(pa.array(e2 * n > sum_e2))
+
+    elig = cust.map_batches(eligible, batch_format="pyarrow")
+    urgent = _read(f"{sf_dir}/orders.parquet",
+                   columns=["o_custkey", "o_orderpriority"]
+                   ).filter(expr="o_orderpriority == '1-URGENT'")
+    idle = semi_anti_join(elig, "c_custkey", urgent, "o_custkey", anti=True)
+
+    def seg_fold(b: pa.Table) -> pa.Table:
+        seg = b["c_mktsegment"].combine_chunks()
+        enc = seg.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        e2 = np.round(b["c_acctbal"].combine_chunks().to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        cnt = np.bincount(codes, minlength=len(enc.dictionary)).astype(np.int64)
+        tot = np.zeros(len(enc.dictionary), np.int64)
+        np.add.at(tot, codes, e2)
+        return pa.table({"c_mktsegment": enc.dictionary,
+                         "numcust": pa.array(cnt),
+                         "tot_e2": pa.array(tot)})
+
+    acc: dict[str, list[int]] = {}
+    for t in idle.map_batches(seg_fold, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        for s, c, v in zip(t["c_mktsegment"].to_pylist(),
+                           t["numcust"].to_pylist(), t["tot_e2"].to_pylist()):
+            row = acc.setdefault(s, [0, 0])
+            row[0] += c
+            row[1] += v
+    rows = sorted(acc.items())
+    return rd.from_arrow(pa.table({
+        "c_mktsegment": pa.array([r[0] for r in rows], pa.string()),
+        "numcust": pa.array([r[1][0] for r in rows], pa.int64()),
+        "totacctbal": pa.array([r[1][1] / 1e2 for r in rows], pa.float64()),
+    }))
+
+
 def _q_intersect_users(sf_dir: str):
     """INTERSECT: distinct user_ids appearing as both click and purchase."""
     from tsdat_ray.stages.joins import set_op
@@ -1596,6 +2136,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q3_shipping_priority": _q_tpch_q3,
         "tpch_q4_order_priority": _q_tpch_q4,
         "tpch_q14_promo_revenue": _q_tpch_q14,
+        "tpch_q5_local_supplier_volume": _q_tpch_q5,
+        "tpch_q10_returned_items": _q_tpch_q10,
+        "tpch_q13_order_count_dist": _q_tpch_q13,
+        "tpch_q15_top_supplier": _q_tpch_q15,
+        "tpch_q17_small_qty_revenue": _q_tpch_q17,
+        "tpch_q18_large_volume_cust": _q_tpch_q18,
+        "tpch_q19_discounted_revenue": _q_tpch_q19,
+        "tpch_q22_idle_customers": _q_tpch_q22,
         "distinct_users_per_type": _q_distinct_users,
         "approx_distinct_users_per_type": _q_approx_distinct_users,
         "approx_quantiles_per_type": _q_approx_quantiles,
@@ -1970,6 +2518,104 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%' THEN rev ELSE 0 END)
                          / SUM(rev), 6) AS promo_pct
             FROM j
+        """,
+        "tpch_q5_local_supplier_volume": """
+            SELECT n_name,
+                   ROUND(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+            GROUP BY n_name ORDER BY revenue DESC, n_name
+        """,
+        "tpch_q10_returned_items": """
+            SELECT c_custkey, c_name,
+                   ROUND(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                   c_acctbal, n_name
+            FROM customer, orders, lineitem, nation
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND o_orderdate >= TIMESTAMP '1996-10-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+              AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey LIMIT 20
+        """,
+        "tpch_q13_order_count_dist": """
+            SELECT c_count, count(*) AS custdist FROM (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer LEFT OUTER JOIN orders
+                  ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+                GROUP BY c_custkey) c_orders
+            GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+        """,
+        "tpch_q15_top_supplier": """
+            WITH revenue AS (
+                SELECT l_suppkey AS supplier_no,
+                       sum(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                                AS BIGINT)) AS rev_e4
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate <  TIMESTAMP '1996-04-01'
+                GROUP BY 1)
+            SELECT s_suppkey, s_name, rev_e4 / 10000.0 AS total_revenue
+            FROM supplier, revenue
+            WHERE s_suppkey = supplier_no
+              AND rev_e4 = (SELECT max(rev_e4) FROM revenue)
+            ORDER BY s_suppkey
+        """,
+        "tpch_q17_small_qty_revenue": """
+            WITH agg AS (
+                SELECT l_partkey, sum(CAST(l_quantity AS BIGINT)) AS sum_q,
+                       count(*) AS cnt
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_brand = 'Brand#13'
+                GROUP BY 1)
+            SELECT ROUND(sum(l_extendedprice), 2) / 7.0 AS avg_yearly
+            FROM lineitem JOIN agg USING (l_partkey)
+            WHERE CAST(l_quantity AS BIGINT) * 5 * cnt < sum_q
+        """,
+        "tpch_q18_large_volume_cust": """
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                   sum(l_quantity) AS sum_qty
+            FROM customer, orders, lineitem
+            WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                                 GROUP BY l_orderkey
+                                 HAVING sum(l_quantity) > 250)
+              AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+            GROUP BY 1, 2, 3, 4, 5
+            ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100
+        """,
+        "tpch_q19_discounted_revenue": """
+            SELECT ROUND(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "tpch_q22_idle_customers": """
+            WITH s AS (
+                SELECT sum(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS sum_e2,
+                       count(*) AS cnt
+                FROM customer
+                WHERE c_acctbal > 0
+                  AND c_mktsegment IN ('AUTOMOBILE', 'HOUSEHOLD', 'MACHINERY')),
+            eligible AS (
+                SELECT c_custkey, c_mktsegment, c_acctbal
+                FROM customer, s
+                WHERE c_mktsegment IN ('AUTOMOBILE', 'HOUSEHOLD', 'MACHINERY')
+                  AND CAST(ROUND(c_acctbal * 100) AS BIGINT) * cnt > sum_e2
+                  AND NOT EXISTS (SELECT 1 FROM orders
+                                  WHERE o_custkey = c_custkey
+                                    AND o_orderpriority = '1-URGENT'))
+            SELECT c_mktsegment, count(*) AS numcust,
+                   ROUND(sum(c_acctbal), 2) AS totacctbal
+            FROM eligible GROUP BY 1 ORDER BY 1
         """,
         "lag_events": """
             SELECT event_id,

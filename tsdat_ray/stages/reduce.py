@@ -14,6 +14,37 @@ groupby instead.
 from __future__ import annotations
 
 
+def topk_merge(ds, by, ascending, k: int):
+    """Distributed top-k: each block keeps its local top-k (valid whenever
+    rows are globally unique on the sort identity, e.g. post-aggregation or
+    post-join keyed rows), the driver merges the ≤ k·blocks survivors and
+    re-sorts once.  Returns a pyarrow Table with the INPUT schema exactly
+    (rows are re-materialized via ``Table.take`` — no pandas dtype drift).
+
+    ``by``/``ascending``: pandas-style sort spec; ties must be fully broken
+    by the trailing columns for a deterministic result."""
+    import pyarrow as pa
+
+    by, ascending = list(by), list(ascending)
+
+    def _sel(t: pa.Table) -> "pa.Array":
+        df = t.select(by).to_pandas()
+        idx = df.sort_values(by, ascending=ascending, kind="stable").index[:k]
+        return pa.array(idx.to_numpy(), type=pa.int64())
+
+    def local(t: pa.Table) -> pa.Table:
+        return t.take(_sel(t))
+
+    tabs = list(ds.map_batches(local, batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow", batch_size=None))
+    tabs = [t for t in tabs if t.num_rows]
+    if not tabs:
+        sch = ds.schema()
+        return pa.schema(list(zip(sch.names, sch.types))).empty_table()
+    cat = pa.concat_tables(tabs).combine_chunks()
+    return cat.take(_sel(cat))
+
+
 def tree_reduce(ds, combine_fn, fanin: int = 8, levels: int = 2):
     """``combine_fn(pa.Table) -> pa.Table`` must be associative and
     idempotent on its own output (combine(combine(x)) == combine(x)).

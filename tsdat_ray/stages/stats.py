@@ -113,6 +113,48 @@ def _fold_suffstats(ds, partial, group_col: str) -> dict:
     return acc
 
 
+def grouped_int_sums(ds, key: str, vals: list[str] | tuple[str, ...],
+                     salt_mod: int = 64):
+    """Exact grouped integer sums: per-block partials (argsort + segment
+    reduceat), one salted-key groupby fold.  ``key`` and every column in
+    ``vals`` must already be int64 (quantize decimals upstream with
+    round(v*scale)).  Integer addition is associative, so the result is
+    bit-identical under any block/combine order — the engine's standard
+    exact-decimal aggregation shape (see rollup.py and CLAUDE.md recipes).
+
+    Scale: the shuffle moves only per-(block, key) partials, the salt bounds
+    per-task group size, and per-task memory is bounded by distinct keys in
+    a salt slice.  Output: one row per key with summed ``vals``."""
+    vals = list(vals)
+
+    def _segsum(t: pa.Table, with_salt: bool) -> pa.Table:
+        k = t[key].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        ks = k[order]
+        st = (np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+              if len(ks) else np.zeros(0, np.int64))
+        out = {key: pa.array(ks[st] if len(st) else ks[:0])}
+        for v in vals:
+            x = t[v].combine_chunks().to_numpy(zero_copy_only=False)[order]
+            out[v] = pa.array(np.add.reduceat(x, st) if len(st) else x[:0])
+        res = pa.table(out)
+        if with_salt:
+            kk = ks[st] if len(st) else ks[:0]
+            res = res.append_column(
+                "_salt", pa.array((kk.astype(np.uint64) % np.uint64(salt_mod))
+                                  .astype(np.int64)))
+        return res
+
+    def partial(b: pa.Table) -> pa.Table:
+        return _segsum(b, with_salt=True)
+
+    def fold(g: pa.Table) -> pa.Table:
+        return _segsum(g.drop_columns(["_salt"]), with_salt=False)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("_salt").map_groups(fold, batch_format="pyarrow"))
+
+
 def grouped_corr(ds, group_col: str, x_col: str, y_col: str,
                  x_scale: int = 100, y_scale: int = 1):
     """Exact Pearson correlation of (x, y) per group.
