@@ -1239,6 +1239,380 @@ def _q_tpch_q22(sf_dir: str):
     }))
 
 
+def _q_tpch_q7(sf_dir: str):
+    """TPC-H Q7 volume shipping between two nations (NATION_1 ⇄ NATION_2,
+    ship years 1996-1997).  Supplier+nation broadcast once as sorted arrays;
+    lineitem folds exact-e4 revenue per (orderkey, supp-nation, year) per
+    block; the nation-filtered customers join orders in the one bucketed
+    hash join; the final (supp, cust, year) fold is a bounded dict (2×2×2
+    cells) drained driver-side."""
+    import pyarrow.parquet as pq
+
+    import ray
+    import ray.data as rd
+
+    from tsdat_ray.stages.joins import hash_join
+
+    lo = np.datetime64("1996-01-01", "us")
+    hi = np.datetime64("1998-01-01", "us")
+    pair = {3, 12}  # NATION_3, NATION_12 (suppliers exist at every SF)
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    name_of = dict(zip(nation["n_nationkey"].to_pylist(),
+                       nation["n_name"].to_pylist()))
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    sk = supp["s_suppkey"].combine_chunks().to_numpy(zero_copy_only=False)
+    snat = supp["s_nationkey"].combine_chunks().to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    keep = np.isin(snat, np.array(sorted(pair), np.int64))
+    order = np.argsort(sk[keep], kind="stable")
+    sref = ray.put((sk[keep][order], snat[keep][order]))
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b["l_shipdate"], pa.scalar(lo)),
+                    pc.less(b["l_shipdate"], pa.scalar(hi)))
+        b = b.filter(m)
+        ks, natk = ray.get(sref)
+        lsk = b["l_suppkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(ks, lsk), 0, max(len(ks) - 1, 0))
+        hit = ks[pos] == lsk if len(ks) else np.zeros(len(lsk), bool)
+        b = b.filter(pa.array(hit))
+        if not b.num_rows:
+            return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                             "_snat": pa.array([], pa.int64()),
+                             "l_year": pa.array([], pa.int64()),
+                             "rev_e4": pa.array([], pa.int64())})
+        nat = natk[pos[hit]]
+        yr = (b["l_shipdate"].combine_chunks().to_numpy(zero_copy_only=False)
+              .astype("datetime64[Y]").astype(np.int64) + 1970)
+        okey = b["l_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        packed = (okey * np.int64(32) + nat) * np.int64(4) + (yr - 1996)
+        t = _seg_int_sums(packed, {"rev_e4": _rev_e4(b)}, "_packed")
+        pk = t["_packed"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({"o_orderkey": pa.array(pk // np.int64(128)),
+                         "_snat": pa.array((pk // np.int64(4)) % np.int64(32)),
+                         "l_year": pa.array(pk % np.int64(4) + 1996),
+                         "rev_e4": t["rev_e4"]})
+
+    li = _read(f"{sf_dir}/lineitem.parquet",
+               columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                        "l_extendedprice", "l_discount"]
+               ).map_batches(li_partial, batch_format="pyarrow")
+
+    pair_arr = pa.array(sorted(pair), pa.int32())
+
+    def filt_cust(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(pc.cast(b["c_nationkey"], pa.int32()),
+                              value_set=pair_arr))
+        return pa.table({"o_custkey": b["c_custkey"],
+                         "c_nationkey": pc.cast(b["c_nationkey"], pa.int64())})
+
+    cust = _read(f"{sf_dir}/customer.parquet",
+                 columns=["c_custkey", "c_nationkey"]
+                 ).map_batches(filt_cust, batch_format="pyarrow")
+    orders = _read(f"{sf_dir}/orders.parquet",
+                   columns=["o_orderkey", "o_custkey"])
+    ordcust = hash_join(orders, cust, on="o_custkey", num_buckets=32)
+
+    j = hash_join(li, ordcust.select_columns(["o_orderkey", "c_nationkey"]),
+                  on="o_orderkey", num_buckets=32)
+
+    def fold(b: pa.Table) -> pa.Table:
+        snat_ = b["_snat"].combine_chunks().to_numpy(zero_copy_only=False)
+        cnat = b["c_nationkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        yr = b["l_year"].combine_chunks().to_numpy(zero_copy_only=False)
+        rev = b["rev_e4"].combine_chunks().to_numpy(zero_copy_only=False)
+        m = ((snat_ == 3) & (cnat == 12)) | ((snat_ == 12) & (cnat == 3))
+        cell = (snat_[m] == 12) * 2 + (yr[m] - 1996)  # snat∈{3,12}, yr∈{1996,1997}
+        sums = np.zeros(4, np.int64)
+        np.add.at(sums, cell, rev[m])
+        nz = np.flatnonzero(sums != 0)
+        return pa.table({"_cell": pa.array(nz.astype(np.int64)),
+                         "rev_e4": pa.array(sums[nz])})
+
+    acc: dict[int, int] = {}
+    for t in j.map_batches(fold, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        for k, v in zip(t["_cell"].to_pylist(), t["rev_e4"].to_pylist()):
+            acc[k] = acc.get(k, 0) + v
+    rows = []
+    for cell in sorted(acc):
+        s = 12 if cell // 2 else 3
+        rows.append((name_of[s], name_of[15 - s], 1996 + cell % 2,
+                     acc[cell] / 1e4))
+    rows.sort()
+    return rd.from_arrow(pa.table({
+        "supp_nation": pa.array([r[0] for r in rows], pa.string()),
+        "cust_nation": pa.array([r[1] for r in rows], pa.string()),
+        "l_year": pa.array([r[2] for r in rows], pa.int64()),
+        "revenue": pa.array([r[3] for r in rows], pa.float64()),
+    }))
+
+
+def _q_tpch_q8(sf_dir: str):
+    """TPC-H Q8 national market share (PROMO parts sold to AMERICA-region
+    customers, 1996-1997; share of supplier nation NATION_6 per order
+    year).  Part-keys and supplier nations broadcast as sorted arrays;
+    lineitem folds exact-e4 (target, total) revenue partials per orderkey;
+    AMERICA customers ⋈ orders is the bucketed join carrying o_year; the
+    per-year share divides two exact integers driver-side — the oracle
+    spells the identical e4-integer ratio so both land on one double."""
+    import pyarrow.parquet as pq
+
+    import ray
+    import ray.data as rd
+
+    from tsdat_ray.stages.joins import hash_join
+
+    lo = np.datetime64("1996-01-01", "us")
+    hi = np.datetime64("1998-01-01", "us")
+    target_nat = 21  # NATION_21 (AMERICA region; suppliers at every SF)
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    pk = part.filter(pc.equal(part["p_type"], "PROMO"))["p_partkey"]
+    pk = np.sort(pk.combine_chunks().to_numpy(zero_copy_only=False))
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    sk = supp["s_suppkey"].combine_chunks().to_numpy(zero_copy_only=False)
+    snat = supp["s_nationkey"].combine_chunks().to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    order = np.argsort(sk, kind="stable")
+    bref = ray.put((pk, sk[order], snat[order]))
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        pks, sks, nats = ray.get(bref)
+        lpk = b["l_partkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(pks, lpk), 0, max(len(pks) - 1, 0))
+        hit = pks[pos] == lpk if len(pks) else np.zeros(len(lpk), bool)
+        b = b.filter(pa.array(hit))
+        if not b.num_rows:
+            return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                             "tgt_e4": pa.array([], pa.int64()),
+                             "rev_e4": pa.array([], pa.int64())})
+        lsk = b["l_suppkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        spos = np.clip(np.searchsorted(sks, lsk), 0, max(len(sks) - 1, 0))
+        is_tgt = nats[spos] == target_nat
+        okey = b["l_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        e4 = _rev_e4(b)
+        return _seg_int_sums(okey, {"tgt_e4": np.where(is_tgt, e4, 0),
+                                    "rev_e4": e4}, "o_orderkey")
+
+    li = _read(f"{sf_dir}/lineitem.parquet",
+               columns=["l_orderkey", "l_partkey", "l_suppkey",
+                        "l_extendedprice", "l_discount"]
+               ).map_batches(li_partial, batch_format="pyarrow")
+
+    america = pa.array([1, 6, 11, 16, 21], pa.int32())  # r_regionkey = 1
+
+    def filt_cust(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(pc.cast(b["c_nationkey"], pa.int32()),
+                              value_set=america))
+        return pa.table({"o_custkey": b["c_custkey"]})
+
+    cust = _read(f"{sf_dir}/customer.parquet",
+                 columns=["c_custkey", "c_nationkey"]
+                 ).map_batches(filt_cust, batch_format="pyarrow")
+
+    def filt_orders(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b["o_orderdate"], pa.scalar(lo)),
+                    pc.less(b["o_orderdate"], pa.scalar(hi)))
+        b = b.filter(m)
+        yr = (b["o_orderdate"].combine_chunks().to_numpy(zero_copy_only=False)
+              .astype("datetime64[Y]").astype(np.int64) + 1970)
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "o_custkey": b["o_custkey"],
+                         "o_year": pa.array(yr)})
+
+    orders = _read(f"{sf_dir}/orders.parquet",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"]
+                   ).map_batches(filt_orders, batch_format="pyarrow")
+    ordcust = hash_join(orders, cust, on="o_custkey", num_buckets=32)
+
+    j = hash_join(li, ordcust.select_columns(["o_orderkey", "o_year"]),
+                  on="o_orderkey", num_buckets=32)
+
+    def fold(b: pa.Table) -> pa.Table:
+        yr = b["o_year"].combine_chunks().to_numpy(zero_copy_only=False)
+        tgt = b["tgt_e4"].combine_chunks().to_numpy(zero_copy_only=False)
+        rev = b["rev_e4"].combine_chunks().to_numpy(zero_copy_only=False)
+        i = yr - 1996
+        num = np.zeros(2, np.int64)
+        den = np.zeros(2, np.int64)
+        np.add.at(num, i, tgt)
+        np.add.at(den, i, rev)
+        nz = np.flatnonzero(den != 0)
+        return pa.table({"o_year": pa.array(nz + 1996),
+                         "num_e4": pa.array(num[nz]),
+                         "den_e4": pa.array(den[nz])})
+
+    acc: dict[int, list[int]] = {}
+    for t in j.map_batches(fold, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        for y, n_, d in zip(t["o_year"].to_pylist(), t["num_e4"].to_pylist(),
+                            t["den_e4"].to_pylist()):
+            row = acc.setdefault(y, [0, 0])
+            row[0] += n_
+            row[1] += d
+    years = sorted(acc)
+    return rd.from_arrow(pa.table({
+        "o_year": pa.array(years, pa.int64()),
+        "mkt_share": pa.array(
+            [float(np.round(acc[y][0] / acc[y][1], 6)) for y in years],
+            pa.float64()),
+    }))
+
+
+def _q_tpch_q12(sf_dir: str):
+    """TPC-H Q12 shipping-mode priority counts, adapted to this schema
+    (no l_shipmode/commit/receipt dates): group by l_linestatus over 1996
+    shipments, counting high- vs low-priority orders' lines.  Lineitem
+    pre-folds exact line counts per (orderkey, status); one bucketed join
+    attaches the order's priority class; the final 2×2 fold is a bounded
+    dict."""
+    import ray.data as rd
+
+    from tsdat_ray.stages.joins import hash_join
+
+    lo = np.datetime64("1996-01-01", "us")
+    hi = np.datetime64("1997-01-01", "us")
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b["l_shipdate"], pa.scalar(lo)),
+                    pc.less(b["l_shipdate"], pa.scalar(hi)))
+        b = b.filter(m)
+        okey = b["l_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_o = np.asarray(pc.equal(b["l_linestatus"].combine_chunks(), "O"))
+        packed = okey * np.int64(2) + is_o
+        t = _seg_int_sums(packed, {"cnt": np.ones(len(packed), np.int64)},
+                          "_packed")
+        pk = t["_packed"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({"o_orderkey": pa.array(pk // np.int64(2)),
+                         "_st": pa.array(pk % np.int64(2)),
+                         "cnt": t["cnt"]})
+
+    li = _read(f"{sf_dir}/lineitem.parquet",
+               columns=["l_orderkey", "l_linestatus", "l_shipdate"]
+               ).map_batches(li_partial, batch_format="pyarrow")
+
+    def o_prio(b: pa.Table) -> pa.Table:
+        high = pc.is_in(b["o_orderpriority"],
+                        value_set=pa.array(["1-URGENT", "2-HIGH"]))
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "_high": pc.cast(high, pa.int64())})
+
+    orders = _read(f"{sf_dir}/orders.parquet",
+                   columns=["o_orderkey", "o_orderpriority"]
+                   ).map_batches(o_prio, batch_format="pyarrow")
+
+    j = hash_join(li, orders, on="o_orderkey", num_buckets=32)
+
+    def fold(b: pa.Table) -> pa.Table:
+        st = b["_st"].combine_chunks().to_numpy(zero_copy_only=False)
+        hi_ = b["_high"].combine_chunks().to_numpy(zero_copy_only=False)
+        cnt = b["cnt"].combine_chunks().to_numpy(zero_copy_only=False)
+        cell = st * 2 + hi_
+        sums = np.zeros(4, np.int64)
+        np.add.at(sums, cell, cnt)
+        nz = np.flatnonzero(sums != 0)
+        return pa.table({"_cell": pa.array(nz.astype(np.int64)),
+                         "cnt": pa.array(sums[nz])})
+
+    acc = np.zeros(4, np.int64)
+    for t in j.map_batches(fold, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        for k, v in zip(t["_cell"].to_pylist(), t["cnt"].to_pylist()):
+            acc[k] += v
+    statuses = ["F", "O"]
+    return rd.from_arrow(pa.table({
+        "l_linestatus": pa.array(statuses, pa.string()),
+        "high_line_count": pa.array([int(acc[1]), int(acc[3])], pa.int64()),
+        "low_line_count": pa.array([int(acc[0]), int(acc[2])], pa.int64()),
+    }))
+
+
+def _q_tpch_q21(sf_dir: str):
+    """TPC-H Q21 suppliers who kept orders waiting, adapted to this schema
+    ("late" = shipped >60 days after the order date; waits counted as
+    DISTINCT orders per supplier).  A supplier waits on an F-status order
+    when it shipped late, the order used ≥2 distinct suppliers, and no
+    OTHER supplier shipped late.  Everything reduces to exact integer
+    folds: per-(orderkey, suppkey) late-row counts, then per-orderkey
+    (n_supp, n_late, Σ late·suppkey) — when n_late == 1 that sum IS the
+    lone late supplier's key.  The shuffle moves only per-block integer
+    partials; nothing is ever grouped on the 10-row supplier key.
+    Packing assumes suppkey < 2^20 (TPC-H sf100 has 1M suppliers → raise
+    the shift for larger catalogs)."""
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from tsdat_ray.stages.joins import hash_join
+    from tsdat_ray.stages.stats import grouped_int_sums
+
+    SHIFT = np.int64(1) << np.int64(20)
+    late_us = np.int64(60 * 86400) * np.int64(1_000_000)
+
+    orders = _read(f"{sf_dir}/orders.parquet",
+                   columns=["o_orderkey", "o_orderstatus", "o_orderdate"]
+                   ).filter(expr="o_orderstatus == 'F'"
+                            ).select_columns(["o_orderkey", "o_orderdate"])
+    li = _read(f"{sf_dir}/lineitem.parquet",
+               columns=["l_orderkey", "l_suppkey", "l_shipdate"]
+               ).map_batches(
+        lambda b: b.rename_columns(["o_orderkey", "l_suppkey", "l_shipdate"]),
+        batch_format="pyarrow")
+    j = hash_join(li, orders, on="o_orderkey", num_buckets=32)
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        okey = b["o_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        sup = b["l_suppkey"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ship = b["l_shipdate"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        odate = b["o_orderdate"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        late = (ship > odate + late_us).astype(np.int64)
+        return _seg_int_sums(okey * SHIFT + sup, {"late_cnt": late}, "_ks")
+
+    pairs = grouped_int_sums(
+        j.map_batches(pair_partial, batch_format="pyarrow"), "_ks", ["late_cnt"])
+
+    def order_partial(b: pa.Table) -> pa.Table:
+        ks = b["_ks"].combine_chunks().to_numpy(zero_copy_only=False)
+        okey, sup = ks // SHIFT, ks % SHIFT
+        late = (b["late_cnt"].combine_chunks().to_numpy(zero_copy_only=False)
+                > 0).astype(np.int64)
+        return _seg_int_sums(okey, {"n_supp": np.ones(len(ks), np.int64),
+                                    "n_late": late,
+                                    "lone": late * sup}, "o_orderkey")
+
+    per_order = grouped_int_sums(
+        pairs.map_batches(order_partial, batch_format="pyarrow"),
+        "o_orderkey", ["n_supp", "n_late", "lone"]
+        ).filter(expr="n_supp >= 2 and n_late == 1")
+
+    acc: dict[int, int] = {}
+    for t in per_order.iter_batches(batch_format="pyarrow", batch_size=None):
+        for s in t["lone"].to_pylist():
+            acc[s] = acc.get(s, 0) + 1
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_name"])
+    name_of = dict(zip(supp["s_suppkey"].to_pylist(),
+                       supp["s_name"].to_pylist()))
+    rows = sorted(((name_of[s], n) for s, n in acc.items()),
+                  key=lambda r: (-r[1], r[0]))
+    return rd.from_arrow(pa.table({
+        "s_name": pa.array([r[0] for r in rows], pa.string()),
+        "numwait": pa.array([r[1] for r in rows], pa.int64()),
+    }))
+
+
 def _q_intersect_users(sf_dir: str):
     """INTERSECT: distinct user_ids appearing as both click and purchase."""
     from tsdat_ray.stages.joins import set_op
@@ -2144,6 +2518,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q18_large_volume_cust": _q_tpch_q18,
         "tpch_q19_discounted_revenue": _q_tpch_q19,
         "tpch_q22_idle_customers": _q_tpch_q22,
+        "tpch_q7_volume_shipping": _q_tpch_q7,
+        "tpch_q8_market_share": _q_tpch_q8,
+        "tpch_q12_priority_lines": _q_tpch_q12,
+        "tpch_q21_waiting_suppliers": _q_tpch_q21,
         "distinct_users_per_type": _q_distinct_users,
         "approx_distinct_users_per_type": _q_approx_distinct_users,
         "approx_quantiles_per_type": _q_approx_quantiles,
@@ -2616,6 +2994,65 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_mktsegment, count(*) AS numcust,
                    ROUND(sum(c_acctbal), 2) AS totacctbal
             FROM eligible GROUP BY 1 ORDER BY 1
+        """,
+        "tpch_q7_volume_shipping": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   EXTRACT(year FROM l_shipdate) AS l_year,
+                   ROUND(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM supplier, lineitem, orders, customer, nation n1, nation n2
+            WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+              AND c_custkey = o_custkey
+              AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+              AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_12')
+                   OR (n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_3'))
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "tpch_q8_market_share": """
+            WITH v AS (
+                SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+                       CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                            AS BIGINT) AS rev_e4,
+                       s_nationkey
+                FROM part, supplier, lineitem, orders, customer, nation, region
+                WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+                  AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+                  AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+                  AND r_name = 'AMERICA' AND p_type = 'PROMO'
+                  AND o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o_orderdate <  TIMESTAMP '1998-01-01')
+            SELECT o_year,
+                   ROUND(sum(CASE WHEN s_nationkey = 21 THEN rev_e4 ELSE 0 END)
+                         * 1.0 / sum(rev_e4), 6) AS mkt_share
+            FROM v GROUP BY 1 ORDER BY 1
+        """,
+        "tpch_q12_priority_lines": """
+            SELECT l_linestatus,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+            FROM orders, lineitem
+            WHERE o_orderkey = l_orderkey
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+            GROUP BY 1 ORDER BY 1
+        """,
+        "tpch_q21_waiting_suppliers": """
+            SELECT s_name, CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+            FROM supplier, lineitem l1, orders
+            WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+              AND o_orderstatus = 'F'
+              AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+              AND EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+            GROUP BY s_name ORDER BY numwait DESC, s_name
         """,
         "lag_events": """
             SELECT event_id,

@@ -180,6 +180,18 @@ def run_bench() -> dict:
         "leftjoin_lineitem_urgent",
         "ewma_events",
         "regex_extract_docs",
+        "tpch_q5_local_supplier_volume",
+        "tpch_q10_returned_items",
+        "tpch_q13_order_count_dist",
+        "tpch_q15_top_supplier",
+        "tpch_q17_small_qty_revenue",
+        "tpch_q18_large_volume_cust",
+        "tpch_q19_discounted_revenue",
+        "tpch_q22_idle_customers",
+        "tpch_q7_volume_shipping",
+        "tpch_q8_market_share",
+        "tpch_q12_priority_lines",
+        "tpch_q21_waiting_suppliers",
     ]
     qtimes = {}
     for name in bench_queries:
