@@ -1613,6 +1613,56 @@ def _q_tpch_q21(sf_dir: str):
     }))
 
 
+def _q_repetition_docs(sf_dir: str):
+    """Gopher-style duplicate word-trigram fraction per document (pure map,
+    no shuffle; the dup_frac double is the identical IEEE expression on both
+    sides — no rounding contract needed)."""
+    from tsdat_ray.stages.text import repetition_batch
+
+    return _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+                 ).map_batches(repetition_batch, batch_format="pyarrow")
+
+
+def _q_contamination_docs(sf_dir: str):
+    """Benchmark decontamination: word 8-gram overlap of each corpus doc
+    (doc_id % 97 != 0) against the deterministic benchmark subset
+    (doc_id % 97 == 0).  Both sides stream as Datasets — the benchmark is
+    never broadcast or read driver-side."""
+    from tsdat_ray.stages.dedup import ngram_contamination
+
+    def part(is_bench: bool):
+        def f(b: pa.Table) -> pa.Table:
+            in_bench = pc.equal(pc.cast(b["doc_id"], pa.int64()).combine_chunks()
+                                .to_numpy(zero_copy_only=False) % 97, 0)
+            m = in_bench if is_bench else pc.invert(in_bench)
+            return b.filter(m)
+        return f
+
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    corpus = docs.map_batches(part(False), batch_format="pyarrow")
+    bench = docs.map_batches(part(True), batch_format="pyarrow")
+    return ngram_contamination(corpus, bench, n=8)
+
+
+def _q_redact_terms(sf_dir: str):
+    """Regex scrubbing (the PII-redaction shape: compiled RE2 pattern, pure
+    Arrow kernels, zero shuffle): count + replace term matches per doc.
+    Both engine and oracle run the same RE2 pattern, so outputs are
+    bit-identical strings."""
+    _PAT = r"\b(key|hash|join)\b"
+
+    def scrub(b: pa.Table) -> pa.Table:
+        t = b["text"].combine_chunks()
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_hits": pc.cast(pc.count_substring_regex(t, _PAT), pa.int64()),
+            "scrubbed": pc.replace_substring_regex(t, _PAT, "[REDACTED]"),
+        })
+
+    return _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+                 ).map_batches(scrub, batch_format="pyarrow")
+
+
 def _q_intersect_users(sf_dir: str):
     """INTERSECT: distinct user_ids appearing as both click and purchase."""
     from tsdat_ray.stages.joins import set_op
@@ -2522,6 +2572,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q8_market_share": _q_tpch_q8,
         "tpch_q12_priority_lines": _q_tpch_q12,
         "tpch_q21_waiting_suppliers": _q_tpch_q21,
+        "repetition_docs": _q_repetition_docs,
+        "contamination_ngram_docs": _q_contamination_docs,
+        "redact_terms_docs": _q_redact_terms,
         "distinct_users_per_type": _q_distinct_users,
         "approx_distinct_users_per_type": _q_approx_distinct_users,
         "approx_quantiles_per_type": _q_approx_quantiles,
@@ -3053,6 +3106,47 @@ def oracle_sql() -> dict[str, str]:
                                 AND l3.l_suppkey <> l1.l_suppkey
                                 AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
             GROUP BY s_name ORDER BY numwait DESC, s_name
+        """,
+        "repetition_docs": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            ix AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
+                   FROM d WHERE len(ws) >= 3),
+            g AS (SELECT doc_id,
+                         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS tri
+                  FROM ix)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(count(DISTINCT tri) AS BIGINT) AS n_distinct,
+                   1.0 - count(DISTINCT tri) * 1.0 / count(*) AS dup_frac
+            FROM g GROUP BY doc_id ORDER BY doc_id
+        """,
+        "contamination_ngram_docs": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            ix AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS i
+                   FROM d WHERE len(ws) >= 8),
+            g AS (SELECT doc_id,
+                         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                         ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' ||
+                         ws[i+6] || ' ' || ws[i+7] AS gram
+                  FROM ix),
+            bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+            corpus AS (SELECT DISTINCT doc_id, gram FROM g
+                       WHERE doc_id % 97 <> 0)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN gram IN (SELECT gram FROM bench)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_contam
+            FROM corpus GROUP BY doc_id ORDER BY doc_id
+        """,
+        "redact_terms_docs": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\\b(key|hash|join)\\b'))
+                        AS BIGINT) AS n_hits,
+                   regexp_replace(text, '\\b(key|hash|join)\\b',
+                                  '[REDACTED]', 'g') AS scrubbed
+            FROM documents
         """,
         "lag_events": """
             SELECT event_id,

@@ -192,6 +192,9 @@ def run_bench() -> dict:
         "tpch_q8_market_share",
         "tpch_q12_priority_lines",
         "tpch_q21_waiting_suppliers",
+        "repetition_docs",
+        "contamination_ngram_docs",
+        "redact_terms_docs",
     ]
     qtimes = {}
     for name in bench_queries:

@@ -324,3 +324,52 @@ def test_duplicated_span_winnowing(ray_session):
     assert out.loc[2, "n_dup_grams"] == 0
     n_all = len(docs["text"][0].as_py()) - 20 + 1
     assert out.loc[0, "n_grams"] < n_all / 2
+
+
+def test_repetition_batch_degenerate_and_counts():
+    import pyarrow as pa
+
+    from tsdat_ray.stages.text import repetition_batch
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "a b a b a b",          # trigrams: aba bab aba bab → 2 distinct of 4
+            "x y",                   # < 3 words: no row
+            "",                      # single empty word: no row
+            "p q r",                 # exactly one trigram
+        ]),
+    })
+    out = repetition_batch(docs).to_pandas().set_index("doc_id").sort_index()
+    assert list(out.index) == [0, 3]
+    assert out.loc[0, "n_grams"] == 4 and out.loc[0, "n_distinct"] == 2
+    assert out.loc[0, "dup_frac"] == 0.5
+    assert out.loc[3, "n_grams"] == 1 and out.loc[3, "dup_frac"] == 0.0
+
+
+def test_ngram_contamination_cross_set(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tsdat_ray.stages.dedup import ngram_contamination
+
+    bench_text = "one two three four five six seven eight nine ten"
+    corpus = pa.table({
+        "doc_id": pa.array([10, 11, 12], pa.int64()),
+        "text": pa.array([
+            bench_text + " extra tail words here",  # shares bench 8-grams
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+            "short doc",                              # < 8 words: no row
+        ]),
+    })
+    bench = pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array([bench_text]),
+    })
+    out = (ngram_contamination(rd.from_arrow(corpus).repartition(2),
+                               rd.from_arrow(bench), n=8)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert list(out.index) == [10, 11]
+    # doc 10 has 7 grams, of which the 3 lying inside bench_text match
+    assert out.loc[10, "n_grams"] == 7 and out.loc[10, "n_contam"] == 3
+    assert out.loc[11, "n_contam"] == 0 and out.loc[11, "n_grams"] == 3

@@ -1143,3 +1143,94 @@ def duplicated_span_coverage(ds, id_col: str = "doc_id", text_col: str = "text",
     both = totals.union(dups.map_batches(pad_dup, batch_format="pyarrow"))
     return (both.map_batches(add_dsalt, batch_format="pyarrow")
             .groupby("_dsalt").map_groups(fold, batch_format="pyarrow"))
+
+
+def _distinct_doc_grams(b: pa.Table, id_col: str, text_col: str, n: int):
+    """Distinct (gram_hash, doc) pairs of a batch plus per-doc distinct
+    totals.  A doc lives entirely in one row, so per-batch distinctness IS
+    per-doc distinctness."""
+    from .text import word_gram_hashes
+
+    grams, gdoc = word_gram_hashes(b, n, text_col)
+    ids = b[id_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+    if not len(grams):
+        z64 = np.zeros(0, np.uint64)
+        zi = np.zeros(0, np.int64)
+        return z64, zi, zi, zi
+    order = np.lexsort((grams, gdoc))
+    gs, dx = grams[order], gdoc[order]
+    first = np.r_[True, (dx[1:] != dx[:-1]) | (gs[1:] != gs[:-1])]
+    gs, dx = gs[first], dx[first]
+    tot = np.bincount(dx, minlength=len(ids)).astype(np.int64)
+    nz = np.flatnonzero(tot > 0)
+    return gs, ids[dx], ids[nz], tot[nz]
+
+
+def ngram_contamination(corpus, bench, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 8,
+                        salt_mod: int = 256):
+    """Benchmark-decontamination signal (cross-set word n-gram overlap —
+    the GPT-3 appendix-C / n-gram decon recipe): for every corpus doc, how
+    many of its DISTINCT word n-grams also occur in ANY benchmark doc.
+    Filter/drop on ``n_contam`` downstream to decontaminate.
+
+    Shape (streams end-to-end; the benchmark side is a Dataset too, so a
+    large eval suite never has to fit on the driver or be broadcast):
+
+    1. both sides emit distinct (gram_hash, doc) rows — bench rows carry
+       doc = -1 — salted by ``gram_hash % salt_mod``;
+    2. one salted groupby marks corpus rows whose hash shares a run with a
+       bench row (lexsort + run-length scan, all vectorized);
+    3. per-doc contaminated counts meet per-doc distinct totals in a salted
+       exact integer fold.
+
+    Gram equality is 64-bit-hash equality (process-independent siphash —
+    see ``text.word_gram_hashes``); collision odds are ~m²/2⁶⁵ per salt
+    slice, effectively exact vs the SQL string-join twin.
+
+    Returns (id_col, n_grams, n_contam) for every corpus doc with ≥ n
+    words."""
+
+    def corpus_rows(b: pa.Table) -> pa.Table:
+        gs, gdocs, _, _ = _distinct_doc_grams(b, id_col, text_col, n)
+        return pa.table({
+            "_h": pa.array(gs), id_col: pa.array(gdocs),
+            "_salt": pa.array((gs % np.uint64(salt_mod)).astype(np.int64)),
+        })
+
+    def bench_rows(b: pa.Table) -> pa.Table:
+        gs, _, _, _ = _distinct_doc_grams(b, id_col, text_col, n)
+        gs = np.unique(gs)
+        return pa.table({
+            "_h": pa.array(gs),
+            id_col: pa.array(np.full(len(gs), -1, np.int64)),
+            "_salt": pa.array((gs % np.uint64(salt_mod)).astype(np.int64)),
+        })
+
+    def mark(g: pa.Table) -> pa.Table:
+        h = g["_h"].combine_chunks().to_numpy(zero_copy_only=False)
+        ids = g[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        hs, ds_ = h[order], ids[order]
+        st = np.flatnonzero(np.r_[True, hs[1:] != hs[:-1]]) if len(hs) else np.zeros(0, np.int64)
+        runlen = np.diff(np.r_[st, len(hs)])
+        has_bench = np.add.reduceat(ds_ == -1, st) > 0 if len(st) else np.zeros(0, bool)
+        hit = np.repeat(has_bench, runlen) & (ds_ != -1)
+        docs = ds_[hit]
+        return pa.table({id_col: pa.array(docs),
+                         "n_grams": pa.array(np.zeros(len(docs), np.int64)),
+                         "n_contam": pa.array(np.ones(len(docs), np.int64))})
+
+    def total_rows(b: pa.Table) -> pa.Table:
+        _, _, tids, tots = _distinct_doc_grams(b, id_col, text_col, n)
+        return pa.table({id_col: pa.array(tids), "n_grams": pa.array(tots),
+                         "n_contam": pa.array(np.zeros(len(tids), np.int64))})
+
+    from .stats import grouped_int_sums
+
+    marked = (corpus.map_batches(corpus_rows, batch_format="pyarrow")
+              .union(bench.map_batches(bench_rows, batch_format="pyarrow"))
+              .groupby("_salt").map_groups(mark, batch_format="pyarrow"))
+    totals = corpus.map_batches(total_rows, batch_format="pyarrow")
+    return grouped_int_sums(totals.union(marked), id_col,
+                            ["n_grams", "n_contam"], salt_mod=salt_mod)

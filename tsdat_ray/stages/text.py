@@ -143,6 +143,69 @@ class Fingerprinter:
         return pa.table({self.id_col: batch[self.id_col], "fingerprint": pa.array(vals)})
 
 
+def word_gram_hashes(batch: pa.Table, n: int, text_col: str = "text"):
+    """64-bit hashes of every word n-gram in the batch, one hash pass.
+
+    Splits on single spaces (``string_split(text, ' ')`` semantics), siphashes
+    the batch's flattened word array ONCE (``pd.util.hash_array`` — process-
+    independent, so hashes agree across workers), then rolls an n-term
+    polynomial combine so equal n-grams hash equal and a cross-gram collision
+    is ~m²/2⁶⁵ per corpus slice — effectively exact.
+
+    Returns ``(gram_hash uint64[], doc_index int64[])`` where ``doc_index``
+    is the row index within the batch; docs with fewer than n words
+    contribute no grams (mirrors the SQL lateral-range twin)."""
+    import pandas as pd
+
+    words = pc.split_pattern(batch[text_col].combine_chunks(), " ")
+    words = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+    lens = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = np.asarray(words.flatten().to_pandas(), dtype=object)
+    h = pd.util.hash_array(flat).astype(np.uint64)
+    docix = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    m = len(h) - n + 1
+    if m <= 0:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+    combo = np.zeros(m, dtype=np.uint64)
+    mult = np.uint64(0x9E3779B97F4A7C15)
+    for j in range(n):
+        combo = combo * mult + h[j: m + j]
+    same_doc = docix[:m] == docix[n - 1:]
+    return combo[same_doc], docix[:m][same_doc]
+
+
+def repetition_batch(batch: pa.Table, text_col: str = "text",
+                     id_col: str = "doc_id", n: int = 3) -> pa.Table:
+    """Gopher-style within-document repetition signal (Rae et al. 2021,
+    "duplicate n-gram fraction" family): per doc, total word n-gram
+    positions, distinct n-grams, and the duplicate fraction
+    ``1.0 - distinct/total`` (spelled identically in the SQL oracle so both
+    sides compute the same IEEE double — no rounding contract needed).
+
+    Fully vectorized: one hash pass over the batch's words
+    (``word_gram_hashes``), one lexsort over (doc, gram).  Docs with fewer
+    than n words emit no row (their SQL GROUP BY has no gram rows)."""
+    grams, gdoc = word_gram_hashes(batch, n, text_col)
+    ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+    if not len(grams):
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "n_grams": pa.array([], pa.int64()),
+                         "n_distinct": pa.array([], pa.int64()),
+                         "dup_frac": pa.array([], pa.float64())})
+    order = np.lexsort((grams, gdoc))
+    gs, ds_ = grams[order], gdoc[order]
+    first = np.r_[True, (ds_[1:] != ds_[:-1]) | (gs[1:] != gs[:-1])]
+    tot = np.bincount(gdoc, minlength=len(ids)).astype(np.int64)
+    uniq = np.bincount(ds_[first], minlength=len(ids)).astype(np.int64)
+    nz = np.flatnonzero(tot > 0)
+    return pa.table({
+        id_col: pa.array(ids[nz]),
+        "n_grams": pa.array(tot[nz]),
+        "n_distinct": pa.array(uniq[nz]),
+        "dup_frac": pa.array(1.0 - uniq[nz] / tot[nz], pa.float64()),
+    })
+
+
 def topk_words(ds, k: int = 50, text_col: str = "text", salt_mod: int = 64):
     """EXACT global top-k words by count (ties broken by word ascending —
     a total order, so the result is deterministic and SQL-matchable).
