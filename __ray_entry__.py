@@ -1977,6 +1977,20 @@ def _q_neardup_ngram_docs(sf_dir: str):
     return ngram_similarity_join(ds, threshold=0.5, shingle_k=5)
 
 
+def _q_cluster_dedup_docs(sf_dir: str):
+    """Near-dup CLUSTER labels: n-gram Jaccard pair list -> distributed
+    connected components (stages/graph.py: two-level contraction — local
+    union-find per hash partition, residual representative graph solved in
+    one reduce task).  Returns (node, component) where component is the min
+    doc_id in the cluster — the canonical survivor for cluster dedup."""
+    from tsdat_ray.stages.dedup import ngram_similarity_join
+    from tsdat_ray.stages.graph import connected_components
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = ngram_similarity_join(ds, threshold=0.5, shingle_k=5)
+    return connected_components(pairs, a_col="id_a", b_col="id_b").sort("node")
+
+
 def _q_dup_span_docs(sf_dir: str):
     """Exact duplicated-span coverage: per doc, how many 20-char shingle
     positions also occur in another doc (stages/dedup.py:
@@ -2590,6 +2604,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_embeddings": _q_knn_ivf,
         "neardup_minhash_docs": _q_neardup_minhash_docs,
         "neardup_ngram_docs": _q_neardup_ngram_docs,
+        "cluster_dedup_docs": _q_cluster_dedup_docs,
         "dup_span_docs": _q_dup_span_docs,
         "regex_extract_docs": _q_regex_extract_docs,
         "simhash_docs": _q_simhash_docs,
@@ -2772,6 +2787,36 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz na ON na.doc_id = i.id_a
             JOIN sz nb ON nb.doc_id = i.id_b
             WHERE i.c * 1.0 / (na.n + nb.n - i.c) >= 0.5
+        """,
+        "cluster_dedup_docs": """
+            WITH RECURSIVE sh AS (
+                SELECT DISTINCT doc_id, substr(text, i, 5) AS g
+                FROM (SELECT doc_id, text,
+                             unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
+                      FROM documents)
+            ),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+                FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            prs AS (
+                SELECT i.id_a, i.id_b
+                FROM inter i
+                JOIN sz na ON na.doc_id = i.id_a
+                JOIN sz nb ON nb.doc_id = i.id_b
+                WHERE i.c * 1.0 / (na.n + nb.n - i.c) >= 0.5
+            ),
+            e AS (SELECT id_a AS a, id_b AS b FROM prs
+                  UNION SELECT id_b, id_a FROM prs),
+            reach(n, m) AS (
+                SELECT a, b FROM e
+                UNION
+                SELECT r.n, e.b FROM reach r JOIN e ON e.a = r.m
+            )
+            SELECT n AS node, least(n, min(m)) AS component
+            FROM reach GROUP BY n ORDER BY node
         """,
         "dup_span_docs": """
             WITH sh AS (

@@ -162,6 +162,7 @@ def run_bench() -> dict:
         "pivot_daily_counts",
         "melt_lineitem",
         "neardup_ngram_docs",
+        "cluster_dedup_docs",
         "topk_words_docs",
         "corr_value_user_per_type",
         "covar_slope_per_type",

@@ -1,0 +1,75 @@
+"""Connected components (stages/graph.py) vs a union-find reference."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from tsdat_ray.stages.graph import cc_numpy, connected_components
+
+
+def _uf_reference(edges):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = sorted({x for e in edges for x in e})
+    comp = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(comp[find(n)]) for n in nodes}
+
+
+def _mixed_edges(seed=7):
+    rng = np.random.default_rng(seed)
+    edges = []
+    for i in range(100, 106):          # clique
+        for j in range(i + 1, 106):
+            edges.append((i, j))
+    for k in range(201, 220):          # star
+        edges.append((200, k))
+    for k in range(300, 400):          # long chain (diameter 100)
+        edges.append((k, k + 1))
+    for _ in range(400):               # random pairs
+        a, b = rng.integers(1000, 2000, 2)
+        edges.append((int(a), int(b)))
+    return edges
+
+
+def test_cc_numpy_matches_union_find():
+    edges = _mixed_edges()
+    a = np.array([e[0] for e in edges], dtype=np.int64)
+    b = np.array([e[1] for e in edges], dtype=np.int64)
+    nodes, lab = cc_numpy(a, b)
+    ref = _uf_reference(edges)
+    assert dict(zip(nodes.tolist(), lab.tolist())) == ref
+
+
+@pytest.mark.parametrize("salt_mod,final_max", [(8, 2_000_000), (4, 1)])
+def test_connected_components_distributed(ray_session, salt_mod, final_max):
+    # final_max=1 forces the recursion branch on the residual rep graph
+    edges = _mixed_edges(seed=salt_mod)
+    pairs = rd.from_arrow(pa.table({
+        "id_a": pa.array([e[0] for e in edges], pa.int64()),
+        "id_b": pa.array([e[1] for e in edges], pa.int64()),
+    }))
+    out = connected_components(pairs, salt_mod=salt_mod,
+                               final_max_edges=final_max).to_pandas()
+    got = dict(zip(out["node"].tolist(), out["component"].tolist()))
+    assert got == _uf_reference(edges)
+    # exactly one row per node
+    assert out["node"].is_unique
+
+
+def test_connected_components_empty(ray_session):
+    pairs = rd.from_arrow(pa.table({"id_a": pa.array([], pa.int64()),
+                                    "id_b": pa.array([], pa.int64())}))
+    assert connected_components(pairs).count() == 0
