@@ -1991,6 +1991,21 @@ def _q_cluster_dedup_docs(sf_dir: str):
     return connected_components(pairs, a_col="id_a", b_col="id_b").sort("node")
 
 
+def _q_cluster_survivors_docs(sf_dir: str):
+    """Cluster dedup DROP decision: keep exactly one canonical doc (min
+    doc_id) per near-dup cluster plus every unpaired doc (stages/dedup.py:
+    cluster_dedup — pair list -> connected components -> bounded dropped-set
+    broadcast anti-join; the corpus streams, never shuffles)."""
+    from tsdat_ray.stages.dedup import cluster_dedup, ngram_similarity_join
+
+    ds = _read(f"{sf_dir}/documents.parquet",
+               columns=["doc_id", "text", "source", "n_chars"])
+    pairs = ngram_similarity_join(ds, threshold=0.5, shingle_k=5)
+    return (cluster_dedup(ds, pairs)
+            .select_columns(["doc_id", "source", "n_chars"])
+            .sort("doc_id"))
+
+
 def _q_dup_span_docs(sf_dir: str):
     """Exact duplicated-span coverage: per doc, how many 20-char shingle
     positions also occur in another doc (stages/dedup.py:
@@ -2172,6 +2187,17 @@ def _q_twa_events(sf_dir: str):
     ds = _events(sf_dir, columns=["event_id", "ts", "event_type", "value"])
     return time_weighted_avg(ds, key="event_type", ts_col="ts",
                              value_col="value", id_col="event_id")
+
+
+def _q_counter_increase_events(sf_dir: str):
+    """PromQL-style reset-aware counter increase per (event_type, day) —
+    two-phase (key, time-window) shuffle + tiny boundary-value broadcast,
+    exact int-cent accumulation (stages/window_funcs.py:counter_increase)."""
+    from tsdat_ray.stages.window_funcs import counter_increase
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "event_type", "value"])
+    return counter_increase(ds, key="event_type", ts_col="ts",
+                            value_col="value", id_col="event_id")
 
 
 def _q_ntile_events(sf_dir: str):
@@ -2605,6 +2631,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_minhash_docs": _q_neardup_minhash_docs,
         "neardup_ngram_docs": _q_neardup_ngram_docs,
         "cluster_dedup_docs": _q_cluster_dedup_docs,
+        "cluster_survivors_docs": _q_cluster_survivors_docs,
         "dup_span_docs": _q_dup_span_docs,
         "regex_extract_docs": _q_regex_extract_docs,
         "simhash_docs": _q_simhash_docs,
@@ -2619,6 +2646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percent_rank_events": _q_percent_rank_events,
         "ntile_events": _q_ntile_events,
         "twa_events": _q_twa_events,
+        "counter_increase_events": _q_counter_increase_events,
         "ewma_events": _q_ewma_events,
         "covar_slope_per_type": _q_covar_slope_events,
         "first_value_events": _q_first_value_events,
@@ -2817,6 +2845,42 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT n AS node, least(n, min(m)) AS component
             FROM reach GROUP BY n ORDER BY node
+        """,
+        "cluster_survivors_docs": """
+            WITH RECURSIVE sh AS (
+                SELECT DISTINCT doc_id, substr(text, i, 5) AS g
+                FROM (SELECT doc_id, text,
+                             unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
+                      FROM documents)
+            ),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+                FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            prs AS (
+                SELECT i.id_a, i.id_b
+                FROM inter i
+                JOIN sz na ON na.doc_id = i.id_a
+                JOIN sz nb ON nb.doc_id = i.id_b
+                WHERE i.c * 1.0 / (na.n + nb.n - i.c) >= 0.5
+            ),
+            e AS (SELECT id_a AS a, id_b AS b FROM prs
+                  UNION SELECT id_b, id_a FROM prs),
+            reach(n, m) AS (
+                SELECT a, b FROM e
+                UNION
+                SELECT r.n, e.b FROM reach r JOIN e ON e.a = r.m
+            ),
+            dropped AS (
+                SELECT n AS node FROM reach
+                GROUP BY n HAVING least(n, min(m)) != n
+            )
+            SELECT d.doc_id, d.source, d.n_chars
+            FROM documents d
+            WHERE d.doc_id NOT IN (SELECT node FROM dropped)
+            ORDER BY d.doc_id
         """,
         "dup_span_docs": """
             WITH sh AS (
@@ -3244,6 +3308,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(swdt AS DOUBLE) / (100.0 * CAST(sdt AS DOUBLE)) AS twa,
                    CAST(sdt AS BIGINT) AS dur_us
             FROM s
+        """,
+        "counter_increase_events": """
+            WITH w AS (
+                SELECT event_type, ts,
+                       CAST(ROUND(value * 100) AS BIGINT) AS vq,
+                       lag(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+                           PARTITION BY event_type ORDER BY ts, event_id) AS pv
+                FROM events
+            )
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_ts,
+                   CAST(SUM(CASE WHEN pv IS NULL THEN 0
+                                 WHEN vq >= pv THEN vq - pv
+                                 ELSE vq END) AS DOUBLE) / 100.0 AS increase
+            FROM w GROUP BY 1, 2
         """,
         "covar_slope_per_type": """
             WITH q AS (

@@ -163,6 +163,7 @@ def run_bench() -> dict:
         "melt_lineitem",
         "neardup_ngram_docs",
         "cluster_dedup_docs",
+        "cluster_survivors_docs",
         "topk_words_docs",
         "corr_value_user_per_type",
         "covar_slope_per_type",
@@ -180,6 +181,7 @@ def run_bench() -> dict:
         "union_click_purchase_users",
         "leftjoin_lineitem_urgent",
         "ewma_events",
+        "counter_increase_events",
         "regex_extract_docs",
         "tpch_q5_local_supplier_volume",
         "tpch_q10_returned_items",

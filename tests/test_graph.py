@@ -73,3 +73,32 @@ def test_connected_components_empty(ray_session):
     pairs = rd.from_arrow(pa.table({"id_a": pa.array([], pa.int64()),
                                     "id_b": pa.array([], pa.int64())}))
     assert connected_components(pairs).count() == 0
+
+
+def test_cluster_dedup_survivors(ray_session):
+    from tsdat_ray.stages.dedup import cluster_dedup
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(1, 11)), pa.int64()),
+        "text": pa.array([f"t{i}" for i in range(1, 11)]),
+    }))
+    # clusters {1,2,3} (chain), {5,7}; 4,6,8,9,10 unpaired
+    pairs = rd.from_arrow(pa.table({
+        "id_a": pa.array([1, 2, 5], pa.int64()),
+        "id_b": pa.array([2, 3, 7], pa.int64()),
+    }))
+    out = cluster_dedup(docs, pairs).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == [1, 4, 5, 6, 8, 9, 10]
+
+
+def test_cluster_dedup_no_pairs(ray_session):
+    from tsdat_ray.stages.dedup import cluster_dedup
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["a", "b"]),
+    }))
+    pairs = rd.from_arrow(pa.table({"id_a": pa.array([], pa.int64()),
+                                    "id_b": pa.array([], pa.int64())}))
+    out = cluster_dedup(docs, pairs).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == [1, 2]

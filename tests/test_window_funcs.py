@@ -329,3 +329,47 @@ def test_ewma_matches_sequential(log):
             e = (1 - a) * e + a * vs[j]
             got = out.loc[es[j], "v_ewma"]
             assert abs(got - e) <= 1e-9 * max(abs(e), 1.0), (kk, j)
+
+
+def test_counter_increase_matches_sequential(log):
+    from tsdat_ray.stages.window_funcs import counter_increase
+
+    out = (
+        counter_increase(rd.from_arrow(log).repartition(5), key="k",
+                         ts_col="ts", value_col="v", id_col="eid",
+                         window_s=6 * 3600)
+        .to_pandas()
+    )
+    # sequential reference in int cents
+    order = _seq_order(log)
+    k = log["k"].to_numpy(zero_copy_only=False)[order]
+    ts = log["ts"].cast(pa.int64()).to_numpy()[order]
+    vq = np.round(log["v"].to_numpy() * 100).astype(np.int64)[order]
+    exp: dict = {}
+    prev_k, prev_v = None, None
+    for i in range(len(k)):
+        day = (ts[i] // (86400 * US)) * 86400 * US
+        if k[i] != prev_k:
+            inc = 0
+        elif vq[i] >= prev_v:
+            inc = int(vq[i] - prev_v)
+        else:
+            inc = int(vq[i])
+        exp[(k[i], day)] = exp.get((k[i], day), 0) + inc
+        prev_k, prev_v = k[i], vq[i]
+    got = {(r["k"], int(r["bucket_ts"].value // 1000)): r["increase"]
+           for _, r in out.iterrows()}  # Timestamp.value is ns -> us
+    assert len(got) == len(exp)
+    for (kk, dd), cents in exp.items():
+        assert got[(kk, dd)] == float(cents) / 100.0
+
+
+def test_counter_increase_single_row(ray_session):
+    from tsdat_ray.stages.window_funcs import counter_increase
+
+    t = pa.table({"k": pa.array(["a"]), "eid": pa.array([1], pa.int64()),
+                  "ts": pa.array([123 * US], pa.int64()).cast(pa.timestamp("us")),
+                  "v": pa.array([5.25])})
+    out = counter_increase(rd.from_arrow(t), key="k", ts_col="ts",
+                           value_col="v", id_col="eid").to_pandas()
+    assert len(out) == 1 and out["increase"][0] == 0.0

@@ -1234,3 +1234,33 @@ def ngram_contamination(corpus, bench, id_col: str = "doc_id",
     totals = corpus.map_batches(total_rows, batch_format="pyarrow")
     return grouped_int_sums(totals.union(marked), id_col,
                             ["n_grams", "n_contam"], salt_mod=salt_mod)
+
+
+def cluster_dedup(ds, pairs, id_col: str = "doc_id", a_col: str = "id_a",
+                  b_col: str = "id_b"):
+    """Cluster dedup: given a corpus Dataset and a near-duplicate PAIR list
+    (from ``ngram_similarity_join`` / ``minhash_neardup_pairs`` /
+    ``simhash_neardup_pairs``), keep exactly ONE canonical row per connected
+    near-dup cluster — the row with the minimum id — and every row that is in
+    no pair.  This is the drop decision the reference leaves to the user
+    after its dedup signal stages; the standard corpus-curation form (e.g.
+    Lee et al. 2022 "Deduplicating Training Data Makes LMs Better").
+
+    Scale shape: pair list -> ``connected_components`` (two bounded
+    shuffles); the DROPPED node set (cluster members minus survivors) is
+    bounded by the duplicate count, so membership is a broadcast anti-join
+    (``semi_anti_join``) — the corpus itself streams through one vectorized
+    filter, never shuffles."""
+    import pyarrow.compute as pc
+
+    from .graph import connected_components
+    from .window_funcs import semi_anti_join
+
+    cc = connected_components(pairs, a_col=a_col, b_col=b_col)
+
+    def dropped(b: pa.Table) -> pa.Table:
+        keep = pc.not_equal(b["node"], b["component"])
+        return b.filter(keep).select(["node"])
+
+    drop_ds = cc.map_batches(dropped, batch_format="pyarrow")
+    return semi_anti_join(ds, id_col, drop_ds, "node", anti=True)

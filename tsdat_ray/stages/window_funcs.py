@@ -950,3 +950,128 @@ def partitioned_ewma(ds, key: str, ts_col: str, value_col: str,
         return pa.table(out)
 
     return part.map_batches(fill, batch_format="pyarrow")
+
+
+def counter_increase(ds, key: str, ts_col: str, value_col: str,
+                     id_col: str, value_scale: int = 100,
+                     window_s: int = 6 * 3600, salt_mod: int = 64):
+    """Reset-aware counter increase per (key, calendar day) — the PromQL
+    ``increase()`` semantics on raw samples: each sample contributes
+    ``v - prev`` when the counter advanced, or ``v`` when it reset
+    (``v < prev`` means the counter restarted from 0); a key's first sample
+    ever contributes nothing (no earlier point).
+
+    Scale shape: identical two-phase carry as :func:`partitioned_lag` — one
+    (key, time-window) shuffle computes in-window deltas over (ts, id) order,
+    and the tiny per-(key, window) boundary-value table (values kept as int
+    ``round(v·scale)`` — exact) closes each window's first delta.
+    Contributions accumulate as int64 scaled units (associative ⇒
+    bit-deterministic); ``increase = cents / scale`` is the identical nearest
+    double a SQL ``ROUND(SUM(...), 2)`` twin lands on.
+
+    Returns one row per (key, day): (key, bucket_ts, increase)."""
+    import ray
+
+    win_us = window_s * US
+    day_us = 86400 * US
+
+    def add_window(b: pa.Table) -> pa.Table:
+        ts = b[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return b.append_column("_window", pa.array((ts // win_us) * win_us))
+
+    def per_window(g: pa.Table) -> pa.Table:
+        ts = g[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = g[value_col].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts))
+        vq = np.round(v * value_scale).astype(np.int64)
+        vqs = vq[order]
+        prev = np.full(len(ts), np.iinfo(np.int64).min, dtype=np.int64)
+        if len(order) > 1:
+            prev[order[1:]] = vqs[:-1]
+        first = np.zeros(len(ts), dtype=bool)
+        if len(order):
+            first[order[0]] = True
+        return pa.table({
+            key: g[key], "_ts": pa.array(ts), "_vq": pa.array(vq),
+            "_prev": pa.array(prev), "_first": pa.array(first),
+            "_window": g["_window"],
+            "_last_vq": pa.array(np.repeat(
+                vqs[-1] if len(vqs) else np.int64(0), len(ts))),
+        })
+
+    part = ds.map_batches(add_window, batch_format="pyarrow").groupby(
+        [key, "_window"]
+    ).map_groups(per_window, batch_format="pyarrow").materialize()
+
+    NOPREV = np.iinfo(np.int64).min
+    lasts: dict = {}
+    for b in part.select_columns([key, "_window", "_last_vq"]).iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        k = b[key].to_numpy(zero_copy_only=False)
+        w = b["_window"].combine_chunks().to_numpy(zero_copy_only=False)
+        lv = b["_last_vq"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((w, k))
+        ks, ws, lvs = k[order], w[order], lv[order]
+        chg = np.r_[True, (ks[1:] != ks[:-1]) | (ws[1:] != ws[:-1])] if len(ks) else np.zeros(0, bool)
+        for i in np.flatnonzero(chg):
+            lasts[(ks[i], int(ws[i]))] = int(lvs[i])
+    carry: dict = {}
+    prev_key, prev_val = None, NOPREV
+    for (kk, ww) in sorted(lasts, key=lambda t: (str(t[0]), t[1])):
+        if kk != prev_key:
+            prev_key, prev_val = kk, NOPREV
+        carry[(kk, ww)] = prev_val
+        prev_val = lasts[(kk, ww)]
+    cref = ray.put(carry)
+
+    def partial_sums(b: pa.Table) -> pa.Table:
+        cm = ray.get(cref)
+        k = b[key].to_numpy(zero_copy_only=False)
+        ts = b["_ts"].combine_chunks().to_numpy(zero_copy_only=False)
+        vq = b["_vq"].combine_chunks().to_numpy(zero_copy_only=False)
+        prev = b["_prev"].combine_chunks().to_numpy(zero_copy_only=False).copy()
+        first = b["_first"].combine_chunks().to_numpy(zero_copy_only=False)
+        w = b["_window"].combine_chunks().to_numpy(zero_copy_only=False)
+        for i in np.flatnonzero(first):
+            prev[i] = cm.get((k[i], int(w[i])), NOPREV)
+        has_prev = prev != NOPREV
+        inc = np.where(has_prev,
+                       np.where(vq >= prev, vq - prev, vq),
+                       np.int64(0))
+        day = (ts // day_us) * day_us
+        order = np.lexsort((day, k))
+        ks, dd, incs = k[order], day[order], inc[order]
+        st = np.flatnonzero(np.r_[True, (ks[1:] != ks[:-1]) | (dd[1:] != dd[:-1])]) \
+            if len(ks) else np.zeros(0, np.int64)
+        return pa.table({
+            key: pa.array(ks[st] if len(st) else ks[:0]),
+            "_day": pa.array(dd[st] if len(st) else dd[:0]),
+            "_inc": pa.array(np.add.reduceat(incs, st) if len(st) else incs[:0]),
+        })
+
+    def fold(g: pa.Table) -> pa.Table:
+        k = g[key].to_numpy(zero_copy_only=False)
+        d = g["_day"].combine_chunks().to_numpy(zero_copy_only=False)
+        s = g["_inc"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, k))
+        ks, dd, ss = k[order], d[order], s[order]
+        st = np.flatnonzero(np.r_[True, (ks[1:] != ks[:-1]) | (dd[1:] != dd[:-1])]) \
+            if len(ks) else np.zeros(0, np.int64)
+        tot = np.add.reduceat(ss, st) if len(st) else ss[:0]
+        return pa.table({
+            key: pa.array(ks[st] if len(st) else ks[:0]),
+            "bucket_ts": pa.array((dd[st] if len(st) else dd[:0]).astype("datetime64[us]")),
+            "increase": pa.array(tot.astype(np.float64) / float(value_scale)),
+        })
+
+    def add_gsalt(b: pa.Table) -> pa.Table:
+        d = b["_day"].combine_chunks().to_numpy(zero_copy_only=False)
+        return b.append_column("_gsalt", pa.array(d % np.int64(salt_mod)))
+
+    return (part.map_batches(partial_sums, batch_format="pyarrow")
+            .map_batches(add_gsalt, batch_format="pyarrow")
+            .groupby("_gsalt").map_groups(
+                lambda g: fold(g.drop_columns(["_gsalt"])),
+                batch_format="pyarrow"))
