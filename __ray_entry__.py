@@ -2200,6 +2200,32 @@ def _q_counter_increase_events(sf_dir: str):
                             value_col="value", id_col="event_id")
 
 
+def _q_rolling_zscore_events(sf_dir: str):
+    """Trailing-frame anomaly score: z vs the 8 rows strictly before each
+    event per event_type — exact int sufficient statistics, identical double
+    expression tree as the SQL twin
+    (stages/window_funcs.py:partitioned_rolling_zscore)."""
+    from tsdat_ray.stages.window_funcs import partitioned_rolling_zscore
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "event_type", "value"])
+    out = partitioned_rolling_zscore(ds, key="event_type", ts_col="ts",
+                                     value_col="value", id_col="event_id",
+                                     frame_n=8)
+    return out.select_columns(["event_id", "value_zscore"])
+
+
+def _q_interval_union_events(sf_dir: str):
+    """Islands-and-gaps: total UNION length per event_type of the intervals
+    [ts, ts + value seconds) — distributed sweep with exclusive prefix max,
+    two-phase running-max carry, exact int64-µs arithmetic
+    (stages/window_funcs.py:interval_union)."""
+    from tsdat_ray.stages.window_funcs import interval_union
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "event_type", "value"])
+    return interval_union(ds, key="event_type", ts_col="ts",
+                          dur_col="value", id_col="event_id")
+
+
 def _q_ntile_events(sf_dir: str):
     from tsdat_ray.stages.window_funcs import grouped_ntile
 
@@ -2647,6 +2673,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntile_events": _q_ntile_events,
         "twa_events": _q_twa_events,
         "counter_increase_events": _q_counter_increase_events,
+        "rolling_zscore_events": _q_rolling_zscore_events,
+        "interval_union_events": _q_interval_union_events,
         "ewma_events": _q_ewma_events,
         "covar_slope_per_type": _q_covar_slope_events,
         "first_value_events": _q_first_value_events,
@@ -3308,6 +3336,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(swdt AS DOUBLE) / (100.0 * CAST(sdt AS DOUBLE)) AS twa,
                    CAST(sdt AS BIGINT) AS dur_us
             FROM s
+        """,
+        "interval_union_events": """
+            WITH iv AS (
+                SELECT event_type, event_id, epoch_us(ts) AS s,
+                       epoch_us(ts)
+                       + (CAST(ROUND(value * 100) AS BIGINT) * 1000000) // 100
+                         AS e
+                FROM events
+            ),
+            w AS (
+                SELECT event_type, s, e,
+                       MAX(e) OVER (PARTITION BY event_type
+                                    ORDER BY s, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS m
+                FROM iv
+            )
+            SELECT event_type,
+                   CAST(SUM(CASE WHEN m IS NULL OR s > m THEN e - s
+                                 WHEN e > m THEN e - m ELSE 0 END)
+                        AS BIGINT) AS covered_us
+            FROM w GROUP BY 1
+        """,
+        "rolling_zscore_events": """
+            WITH w AS (
+                SELECT event_id,
+                       CAST(ROUND(value * 100) AS BIGINT) AS vq,
+                       SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER fr AS s1,
+                       SUM(CAST(ROUND(value * 100) AS BIGINT)
+                           * CAST(ROUND(value * 100) AS BIGINT)) OVER fr AS s2,
+                       COUNT(*) OVER fr AS m
+                FROM events
+                WINDOW fr AS (PARTITION BY event_type ORDER BY ts, event_id
+                              ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT event_id,
+                   CASE WHEN m >= 2 AND (s2 - (s1 * s1) / m) / (m - 1) > 0
+                        THEN (vq - s1 / m)
+                             / sqrt((s2 - (s1 * s1) / m) / (m - 1))
+                   END AS value_zscore
+            FROM w
         """,
         "counter_increase_events": """
             WITH w AS (

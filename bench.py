@@ -182,6 +182,8 @@ def run_bench() -> dict:
         "leftjoin_lineitem_urgent",
         "ewma_events",
         "counter_increase_events",
+        "rolling_zscore_events",
+        "interval_union_events",
         "regex_extract_docs",
         "tpch_q5_local_supplier_volume",
         "tpch_q10_returned_items",

@@ -373,3 +373,93 @@ def test_counter_increase_single_row(ray_session):
     out = counter_increase(rd.from_arrow(t), key="k", ts_col="ts",
                            value_col="v", id_col="eid").to_pandas()
     assert len(out) == 1 and out["increase"][0] == 0.0
+
+
+def test_rolling_zscore_matches_sequential(log):
+    from tsdat_ray.stages.window_funcs import partitioned_rolling_zscore
+
+    n = 8
+    out = (
+        partitioned_rolling_zscore(rd.from_arrow(log).repartition(5), key="k",
+                                   ts_col="ts", value_col="v", id_col="eid",
+                                   frame_n=n, window_s=6 * 3600)
+        .to_pandas().set_index("eid")
+    )
+    order = _seq_order(log)
+    k = log["k"].to_numpy(zero_copy_only=False)[order]
+    vq = np.round(log["v"].to_numpy() * 100).astype(np.int64)[order]
+    es = log["eid"].to_numpy()[order]
+    hist: dict = {}
+    for j in range(len(k)):
+        prev = hist.setdefault(k[j], [])
+        frame = np.asarray(prev[-n:], dtype=np.int64)
+        m = len(frame)
+        got = out.loc[es[j], "v_zscore"]
+        if m >= 2:
+            s1, s2 = frame.sum(), (frame * frame).sum()
+            var = (s2 - (s1 * s1) / m) / (m - 1)
+            if var > 0:
+                exp = (vq[j] - s1 / m) / np.sqrt(var)
+                assert got == exp, (k[j], j)
+            else:
+                assert np.isnan(got), (k[j], j)
+        else:
+            assert np.isnan(got), (k[j], j)
+        prev.append(vq[j])
+
+
+def test_rolling_zscore_tiny_groups(ray_session):
+    from tsdat_ray.stages.window_funcs import partitioned_rolling_zscore
+
+    t = pa.table({"k": pa.array(["a", "a", "a", "b"]),
+                  "eid": pa.array([1, 2, 3, 4], pa.int64()),
+                  "ts": pa.array([i * US for i in (1, 2, 3, 1)],
+                                 pa.int64()).cast(pa.timestamp("us")),
+                  "v": pa.array([1.0, 2.0, 4.0, 9.0])})
+    out = (partitioned_rolling_zscore(rd.from_arrow(t), key="k", ts_col="ts",
+                                      value_col="v", id_col="eid")
+           .to_pandas().set_index("eid"))
+    assert np.isnan(out.loc[1, "v_zscore"])   # no preceding rows
+    assert np.isnan(out.loc[2, "v_zscore"])   # one preceding row
+    s1, s2 = 100 + 200, 100**2 + 200**2
+    var = (s2 - s1 * s1 / 2) / 1
+    assert out.loc[3, "v_zscore"] == (400 - s1 / 2) / np.sqrt(var)
+    assert np.isnan(out.loc[4, "v_zscore"])   # lone row of its key
+
+
+def test_interval_union_matches_sequential(log):
+    from tsdat_ray.stages.window_funcs import interval_union
+
+    out = (interval_union(rd.from_arrow(log).repartition(5), key="k",
+                          ts_col="ts", dur_col="v", id_col="eid",
+                          window_s=3600)  # small windows force many carries
+           .to_pandas().set_index("k"))
+    ts = log["ts"].cast(pa.int64()).to_numpy()
+    dq = np.round(log["v"].to_numpy() * 100).astype(np.int64)
+    end = ts + dq * 10_000
+    k = log["k"].to_numpy(zero_copy_only=False)
+    for kk in np.unique(k):
+        mask = k == kk
+        ivs = sorted(zip(ts[mask].tolist(), end[mask].tolist()))
+        total, m = 0, None
+        for s, e in ivs:
+            lo = s if m is None else max(s, m)
+            if e > lo:
+                total += e - lo
+            m = e if m is None else max(m, e)
+        assert out.loc[kk, "covered_us"] == total, kk
+
+
+def test_interval_union_spanning_windows(ray_session):
+    from tsdat_ray.stages.window_funcs import interval_union
+
+    # one giant interval covering everything + contained intervals in later
+    # windows: the carry must suppress their contributions entirely
+    t = pa.table({"k": pa.array(["a"] * 3),
+                  "eid": pa.array([1, 2, 3], pa.int64()),
+                  "ts": pa.array([0, 7200 * US, 14400 * US],
+                                 pa.int64()).cast(pa.timestamp("us")),
+                  "v": pa.array([20000.0, 10.0, 10.0])})  # 20000s covers all
+    out = interval_union(rd.from_arrow(t), key="k", ts_col="ts",
+                         dur_col="v", id_col="eid", window_s=3600).to_pandas()
+    assert out["covered_us"].tolist() == [20000 * US]

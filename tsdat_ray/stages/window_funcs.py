@@ -447,6 +447,119 @@ def partitioned_rolling_sum(ds, key: str, ts_col: str, value_col: str,
     return part.map_batches(fill, batch_format="pyarrow")
 
 
+def partitioned_rolling_zscore(ds, key: str, ts_col: str, value_col: str,
+                               id_col: str, frame_n: int = 8,
+                               window_s: int = 6 * 3600,
+                               value_scale: int = 100):
+    """Trailing-frame anomaly score: z = (v - mean(prev)) / stddev_samp(prev)
+    over the ``frame_n`` rows strictly BEFORE the current row in (ts, id)
+    order per key — SQL ``ROWS BETWEEN frame_n PRECEDING AND 1 PRECEDING``.
+    NULL when fewer than 2 preceding rows or when the trailing variance is
+    not positive.
+
+    Same skew-safe shape as :func:`partitioned_rolling_sum` (one (key,
+    time-window) shuffle + tiny per-(key, window) tail carry), but carrying
+    BOTH sufficient statistics: Σvq and Σvq² accumulate as int64 of
+    ``round(v·scale)`` (exact, associative), and the final z is computed
+    with the identical double expression tree a SQL twin uses —
+    ``(vq - s1/m) / sqrt((s2 - s1*s1/m) / (m-1))`` — so results are
+    bit-deterministic and hash-equal to the oracle (the quantization scale
+    cancels out of z)."""
+    import ray
+
+    win_us = window_s * US
+    n = int(frame_n)
+
+    def add_window(b: pa.Table) -> pa.Table:
+        ts = b[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return b.append_column("_window", pa.array((ts // win_us) * win_us))
+
+    def local_frame(g: pa.Table) -> pa.Table:
+        ts = g[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        x = g[value_col].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
+        vq = np.round(x * value_scale).astype(np.int64)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts))
+        xs = vq[order]
+        # prefix sums; frame of sorted pos p = positions max(0, p-n) .. p-1
+        cs1 = np.r_[np.int64(0), np.cumsum(xs)]
+        cs2 = np.r_[np.int64(0), np.cumsum(xs * xs)]
+        p = np.arange(len(xs))
+        lo = np.maximum(p - n, 0)
+        s1_sorted = cs1[p] - cs1[lo]
+        s2_sorted = cs2[p] - cs2[lo]
+        s1 = np.empty(len(xs), dtype=np.int64)
+        s2 = np.empty(len(xs), dtype=np.int64)
+        s1[order], s2[order] = s1_sorted, s2_sorted
+        pos = np.empty(len(xs), dtype=np.int64)
+        pos[order] = p
+        tail = xs[-n:]  # last ≤n in-window values, repeated on every row
+        out = {c: g[c] for c in g.column_names}
+        out["_vq"] = pa.array(vq)
+        out["_s1"], out["_s2"] = pa.array(s1), pa.array(s2)
+        out["_pos"] = pa.array(pos)
+        out["_tail"] = pa.array([tail.tolist()] * len(xs),
+                                type=pa.list_(pa.int64()))
+        return pa.table(out)
+
+    part = ds.map_batches(add_window, batch_format="pyarrow").groupby(
+        [key, "_window"]
+    ).map_groups(local_frame, batch_format="pyarrow").materialize()
+
+    tails: dict = {}
+    for b in part.select_columns([key, "_window", "_tail"]).iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        k = b[key].to_numpy(zero_copy_only=False)
+        w = b["_window"].combine_chunks().to_numpy(zero_copy_only=False)
+        tl = b["_tail"].combine_chunks()
+        order = np.lexsort((w, k))
+        ks, ws = k[order], w[order]
+        chg = np.r_[True, (ks[1:] != ks[:-1]) | (ws[1:] != ws[:-1])] if len(ks) else np.zeros(0, bool)
+        for i in np.flatnonzero(chg):
+            j = int(order[i])
+            tails[(ks[i], int(ws[i]))] = np.asarray(tl[j].as_py(), dtype=np.int64)
+    carry: dict = {}
+    prev_key, buf = None, None
+    for (kk, ww) in sorted(tails, key=lambda t: (str(t[0]), t[1])):
+        if kk != prev_key:
+            prev_key = kk
+            buf = np.zeros(0, dtype=np.int64)
+        carry[(kk, ww)] = buf
+        buf = np.r_[buf, tails[(kk, ww)]][-n:]
+    cref = ray.put(carry)
+
+    def fill(b: pa.Table) -> pa.Table:
+        cm = ray.get(cref)
+        pos = b["_pos"].combine_chunks().to_numpy(zero_copy_only=False)
+        k = b[key].to_numpy(zero_copy_only=False)
+        w = b["_window"].combine_chunks().to_numpy(zero_copy_only=False)
+        vq = b["_vq"].combine_chunks().to_numpy(zero_copy_only=False)
+        s1 = b["_s1"].combine_chunks().to_numpy(zero_copy_only=False).copy()
+        s2 = b["_s2"].combine_chunks().to_numpy(zero_copy_only=False).copy()
+        m = np.minimum(pos, n).astype(np.int64)
+        for i in np.flatnonzero(pos < n):
+            c = cm.get((k[i], int(w[i])))
+            if c is None or not len(c):
+                continue
+            missing = int(n - pos[i])
+            take = c[-missing:]
+            s1[i] += take.sum()
+            s2[i] += (take * take).sum()
+            m[i] += len(take)
+        # identical double expression tree as the SQL twin (scale cancels)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            var = (s2 - (s1 * s1) / m) / (m - 1)
+            z = (vq - s1 / m) / np.sqrt(var)
+        z = np.where((m >= 2) & (var > 0), z, np.nan)
+        out = {c: b[c] for c in b.column_names
+               if c not in ("_window", "_vq", "_s1", "_s2", "_pos", "_tail")}
+        out[f"{value_col}_zscore"] = pa.array(z)
+        return pa.table(out)
+
+    return part.map_batches(fill, batch_format="pyarrow")
+
+
 def partitioned_first_value(ds, key: str, ts_col: str, value_col: str,
                             id_col: str):
     """FIRST_VALUE(value) OVER (PARTITION BY key ORDER BY ts, id) — the
@@ -950,6 +1063,111 @@ def partitioned_ewma(ds, key: str, ts_col: str, value_col: str,
         return pa.table(out)
 
     return part.map_batches(fill, batch_format="pyarrow")
+
+
+def interval_union(ds, key: str, ts_col: str, dur_col: str, id_col: str,
+                   dur_scale: int = 100, dur_unit_us: int = US,
+                   window_s: int = 6 * 3600):
+    """Total UNION length per key of the intervals
+    ``[ts, ts + round(dur·scale)·unit/scale)`` — the islands-and-gaps
+    measure (e.g. total active seconds when sessions overlap).
+
+    Sweep formula: with intervals sorted by (start, id) per key and
+    ``M_{i-1}`` = max end among all earlier intervals, interval *i* newly
+    covers ``max(0, end_i - max(start_i, M_{i-1}))``; the sum of increments
+    is exactly the union measure (order of start-ties is irrelevant to the
+    total).  Prefix max is associative, so this distributes with the
+    engine's standard two-phase carry: one (key, time-window) shuffle
+    computes each row's IN-WINDOW exclusive prefix max, a tiny per-(key,
+    window) running-max table carries across windows, and increments +
+    per-key sums are all int64 microseconds — bit-deterministic and
+    hash-equal to a SQL ``MAX() OVER (... ROWS BETWEEN UNBOUNDED PRECEDING
+    AND 1 PRECEDING)`` twin.
+
+    Returns one row per key: (key, covered_us)."""
+    import ray
+
+    win_us = window_s * US
+    NOMAX = np.iinfo(np.int64).min
+
+    def add_window(b: pa.Table) -> pa.Table:
+        ts = b[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return b.append_column("_window", pa.array((ts // win_us) * win_us))
+
+    def per_window(g: pa.Table) -> pa.Table:
+        ts = g[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        d = g[dur_col].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        dq = np.round(d * dur_scale).astype(np.int64)
+        end = ts + (dq * dur_unit_us) // dur_scale
+        order = np.lexsort((ids, ts))
+        ends = end[order]
+        run = np.maximum.accumulate(ends)
+        lprev = np.empty(len(ts), dtype=np.int64)
+        lprev_sorted = np.r_[NOMAX, run[:-1]] if len(run) else run
+        lprev[order] = lprev_sorted
+        return pa.table({
+            key: g[key], "_start": pa.array(ts), "_end": pa.array(end),
+            "_lprev": pa.array(lprev), "_window": g["_window"],
+            "_wmax": pa.array(np.repeat(run[-1] if len(run) else NOMAX,
+                                        len(ts))),
+        })
+
+    part = ds.map_batches(add_window, batch_format="pyarrow").groupby(
+        [key, "_window"]
+    ).map_groups(per_window, batch_format="pyarrow").materialize()
+
+    # tiny (key, window) → max end INSIDE window; carry = running max BEFORE
+    wmax: dict = {}
+    for b in part.select_columns([key, "_window", "_wmax"]).iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        k = b[key].to_numpy(zero_copy_only=False)
+        w = b["_window"].combine_chunks().to_numpy(zero_copy_only=False)
+        mx = b["_wmax"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((w, k))
+        ks, ws, ms = k[order], w[order], mx[order]
+        chg = np.r_[True, (ks[1:] != ks[:-1]) | (ws[1:] != ws[:-1])] if len(ks) else np.zeros(0, bool)
+        for i in np.flatnonzero(chg):
+            wmax[(ks[i], int(ws[i]))] = int(ms[i])
+    carry: dict = {}
+    prev_key, run = None, NOMAX
+    for (kk, ww) in sorted(wmax, key=lambda t: (str(t[0]), t[1])):
+        if kk != prev_key:
+            prev_key, run = kk, NOMAX
+        carry[(kk, ww)] = run
+        run = max(run, wmax[(kk, ww)])
+    cref = ray.put(carry)
+
+    def partial_sums(b: pa.Table) -> pa.Table:
+        cm = ray.get(cref)
+        k = b[key].to_numpy(zero_copy_only=False)
+        s = b["_start"].combine_chunks().to_numpy(zero_copy_only=False)
+        e = b["_end"].combine_chunks().to_numpy(zero_copy_only=False)
+        lp = b["_lprev"].combine_chunks().to_numpy(zero_copy_only=False).copy()
+        w = b["_window"].combine_chunks().to_numpy(zero_copy_only=False)
+        if len(k):
+            mc = np.array([cm.get((k[i], int(w[i])), NOMAX)
+                           for i in range(len(k))], dtype=np.int64)
+            lp = np.maximum(lp, mc)
+        inc = np.maximum(e - np.maximum(s, lp), 0)
+        order = np.argsort(k, kind="stable")
+        ks, incs = k[order], inc[order]
+        st = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]]) \
+            if len(ks) else np.zeros(0, np.int64)
+        return pa.table({
+            key: pa.array(ks[st] if len(st) else ks[:0]),
+            "_cov": pa.array(np.add.reduceat(incs, st) if len(st) else incs[:0]),
+        })
+
+    def fold(g: pa.Table) -> pa.Table:
+        cov = g["_cov"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({key: g[key].slice(0, 1),
+                         "covered_us": pa.array([int(cov.sum())],
+                                                type=pa.int64())})
+
+    return (part.map_batches(partial_sums, batch_format="pyarrow")
+            .groupby(key).map_groups(fold, batch_format="pyarrow"))
 
 
 def counter_increase(ds, key: str, ts_col: str, value_col: str,
