@@ -1830,6 +1830,16 @@ def _q_topk_words(sf_dir: str):
     return topk_words(ds, k=50)
 
 
+def _q_topk_bigrams(sf_dir: str):
+    """Exact global top-50 adjacent word pairs (BPE-merge-style pair counts /
+    collocations) — partial counts + bigram-hash-salted top-k merge
+    (stages/text.py:topk_bigrams)."""
+    from tsdat_ray.stages.text import topk_bigrams
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["text"])
+    return topk_bigrams(ds, k=50)
+
+
 def _q_heavy_words(sf_dir: str):
     """Misra-Gries heavy hitters over the documents' word stream (unbounded
     vocabulary; rows-only — counts are lower bounds with the MG guarantee)."""
@@ -2305,6 +2315,22 @@ def _q_semi_join_events(sf_dir: str):
     return out.select_columns(["event_id", "user_id"])
 
 
+def _q_bloom_semi_join_events(sf_dir: str):
+    """Same EXISTS semantics as semi_join_click_purchase, via the scale path:
+    a tree-OR'd Bloom filter of the left keys prefilters the right side, so
+    the broadcast distinct-key set is bounded by matches + FP — never by the
+    right side's raw size (stages/joins.py:bloom_semi_join)."""
+    from tsdat_ray.stages.joins import bloom_semi_join
+
+    clicks = _events(sf_dir, columns=["event_id", "user_id", "event_type"]).filter(
+        expr="event_type == 'click'")
+    purchases = _events(sf_dir, columns=["user_id", "event_type"]).filter(
+        expr="event_type == 'purchase'")
+    out = bloom_semi_join(clicks, "user_id", purchases, "user_id",
+                          bits_log2=20)
+    return out.select_columns(["event_id", "user_id"])
+
+
 def _q_anti_join_events(sf_dir: str):
     from tsdat_ray.stages.window_funcs import semi_anti_join
 
@@ -2646,6 +2672,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_quantiles_per_type": _q_approx_quantiles,
         "heavy_hitter_words_docs": _q_heavy_words,
         "topk_words_docs": _q_topk_words,
+        "topk_bigrams_docs": _q_topk_bigrams,
         "merge_click_purchase": _q_merge_click_purchase,
         "encode_1m_events": _q_encode_1m,
         "qc_range_events": _q_qc_range_events,
@@ -2681,6 +2708,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_events": _q_rank_events,
         "top3_per_type_events": _q_top3_events,
         "semi_join_click_purchase": _q_semi_join_events,
+        "bloom_semi_click_purchase": _q_bloom_semi_join_events,
         "anti_join_click_purchase": _q_anti_join_events,
         "median_value_per_type": _q_median_events,
         "quantiles_per_type": _q_quantiles_events,
@@ -2815,6 +2843,20 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_docs": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
             FROM documents GROUP BY text
+        """,
+        "topk_bigrams_docs": """
+            WITH t AS (
+                SELECT list_filter(
+                           regexp_split_to_array(lower(text), '[^0-9a-z]+'),
+                           x -> x <> '') AS ws
+                FROM documents
+            ),
+            p AS (
+                SELECT ws[i] || ' ' || ws[i + 1] AS bigram
+                FROM t, unnest(generate_series(1, len(ws) - 1)) AS u(i)
+            )
+            SELECT bigram, count(*) AS n FROM p
+            GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50
         """,
         "topk_words_docs": """
             WITH w AS (
@@ -3438,6 +3480,13 @@ def oracle_sql() -> dict[str, str]:
                                        ORDER BY value DESC, event_id) <= 3
         """,
         "semi_join_click_purchase": """
+            SELECT event_id, user_id FROM events e
+            WHERE event_type = 'click'
+              AND EXISTS (SELECT 1 FROM events p
+                          WHERE p.event_type = 'purchase'
+                            AND p.user_id = e.user_id)
+        """,
+        "bloom_semi_click_purchase": """
             SELECT event_id, user_id FROM events e
             WHERE event_type = 'click'
               AND EXISTS (SELECT 1 FROM events p

@@ -49,3 +49,47 @@ def test_left_join_nulls_keep_types(sides):
     assert out.schema.field("rn").type == pa.int16()  # null-padded, still int16
     m = {k: v for k, v in zip(out["k"].to_pylist(), out["prio"].to_pylist())}
     assert m[3] is None and m[5] is None and m[1] == "a"
+
+
+def test_bloom_semi_join_matches_exact(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tsdat_ray.stages.joins import bloom_semi_join
+    from tsdat_ray.stages.window_funcs import semi_anti_join
+
+    rng = np.random.default_rng(7)
+    lk = rng.integers(0, 5000, 20_000).astype(np.int64)
+    rk = rng.integers(2500, 7500, 8_000).astype(np.int64)
+    left = rd.from_arrow(pa.table({"k": pa.array(lk),
+                                   "rid": pa.array(np.arange(20_000,
+                                                             dtype=np.int64))}
+                                  )).repartition(7)
+    right = rd.from_arrow(pa.table({"k2": pa.array(rk)})).repartition(5)
+    for anti in (False, True):
+        # bits_log2=10 on 5000 distinct keys forces a high FP rate — the
+        # exact verify must still produce identical rows
+        got = sorted(bloom_semi_join(left, "k", right, "k2", anti=anti,
+                                     bits_log2=10).to_pandas()["rid"])
+        exp = sorted(semi_anti_join(left, "k", right, "k2",
+                                    anti=anti).to_pandas()["rid"])
+        assert got == exp, f"anti={anti}"
+
+
+def test_bloom_semi_join_string_keys_and_empty(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tsdat_ray.stages.joins import bloom_semi_join
+
+    left = rd.from_arrow(pa.table({"k": pa.array(["a", "b", "c", "d"]),
+                                   "rid": pa.array([1, 2, 3, 4],
+                                                   pa.int64())}))
+    right = rd.from_arrow(pa.table({"k": pa.array(["b", "d", "zz"])}))
+    got = sorted(bloom_semi_join(left, "k", right, "k").to_pandas()["rid"])
+    assert got == [2, 4]
+    empty = rd.from_arrow(pa.table({"k": pa.array([], pa.string())}))
+    assert bloom_semi_join(left, "k", empty, "k").count() == 0
+    assert sorted(bloom_semi_join(left, "k", empty, "k",
+                                  anti=True).to_pandas()["rid"]) == [1, 2, 3, 4]

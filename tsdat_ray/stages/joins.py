@@ -351,3 +351,100 @@ def merge_sources(datasets, on: str = "ts", window_s: int = 86400):
         return pa.table(out)
 
     return u.groupby("_window").map_groups(merge_window, batch_format="pyarrow")
+
+
+def _bloom_hashes(keys: np.ndarray, n_hashes: int, mask: np.uint64):
+    """Double-hashing index streams g_i = (h1 + i·h2) & mask — the standard
+    Kirsch-Mitzenmacher construction (two base hashes simulate k)."""
+    h1 = pd.util.hash_array(np.asarray(keys))
+    h2 = pd.util.hash_array(np.asarray(keys), hash_key="fedcba9876543210")
+    for i in range(n_hashes):
+        yield (h1 + np.uint64(i) * h2) & mask
+
+
+def bloom_filter_bits(ds, key_col: str, bits_log2: int = 23,
+                      n_hashes: int = 4, fanin: int = 8) -> bytes:
+    """Distributed Bloom filter of a Dataset's key column: per-block bitmaps
+    OR-combined through a tree reduction (OR is associative + idempotent).
+    The result is a fixed ``2**bits_log2 / 8``-byte blob (1 MiB at the
+    default) regardless of key count — the broadcastable summary of an
+    arbitrarily large key set.  No false negatives; false-positive rate
+    ≈ (1 - e^(-k·n/m))^k, tune with ``bits_log2``."""
+    from .reduce import tree_reduce
+
+    m = 1 << bits_log2
+    mask = np.uint64(m - 1)
+
+    def to_bits(b: pa.Table) -> pa.Table:
+        bits = np.zeros(m, dtype=bool)
+        kk = b[key_col].to_numpy(zero_copy_only=False)
+        if len(kk):
+            for g in _bloom_hashes(kk, n_hashes, mask):
+                bits[g.astype(np.int64)] = True
+        # little bitorder so bit g lives at arr[g >> 3] & (1 << (g & 7))
+        return pa.table({"bloom": pa.array(
+            [np.packbits(bits, bitorder="little").tobytes()], pa.binary())})
+
+    def orr(t: pa.Table) -> pa.Table:
+        acc = np.zeros(m >> 3, dtype=np.uint8)
+        for buf in t["bloom"].to_pylist():
+            np.bitwise_or(acc, np.frombuffer(buf, np.uint8), out=acc)
+        return pa.table({"bloom": pa.array([acc.tobytes()], pa.binary())})
+
+    out = tree_reduce(ds.select_columns([key_col]).map_batches(
+        to_bits, batch_format="pyarrow"), orr, fanin=fanin)
+    blobs = [b["bloom"][0].as_py()
+             for b in out.iter_batches(batch_format="pyarrow",
+                                       batch_size=None)]
+    return blobs[0] if blobs else bytes(m >> 3)
+
+
+def bloom_prefilter(ds, key_col: str, bloom: bytes, bits_log2: int = 23,
+                    n_hashes: int = 4, invert: bool = False):
+    """Filter a Dataset to rows whose key MAY be in the Bloom set (or, with
+    ``invert``, whose key is DEFINITELY not).  Pure vectorized map — one
+    ``ray.put`` of the blob, bit-tests per batch, no shuffle."""
+    import ray
+
+    mask = np.uint64((1 << bits_log2) - 1)
+    bref = ray.put(bloom)
+
+    def member(b: pa.Table) -> pa.Table:
+        arr = np.frombuffer(ray.get(bref), np.uint8)
+        kk = b[key_col].to_numpy(zero_copy_only=False)
+        hit = np.ones(len(kk), dtype=bool)
+        if len(kk):
+            for g in _bloom_hashes(kk, n_hashes, mask):
+                gi = g.astype(np.int64)
+                hit &= (arr[gi >> 3] >> (gi & 7).astype(np.uint8)) & 1 == 1
+        return b.filter(pa.array(~hit if invert else hit))
+
+    return ds.map_batches(member, batch_format="pyarrow")
+
+
+def bloom_semi_join(left, left_key: str, right, right_key: str,
+                    anti: bool = False, bits_log2: int = 23,
+                    n_hashes: int = 4, fanin: int = 8):
+    """EXACT semi/anti join where BOTH sides may be huge — the 100 TB
+    replacement for broadcasting the right side's full distinct-key set.
+
+    A Bloom filter of the LEFT keys (fixed-size blob, tree-OR'd) prefilters
+    the right side: keys of ``right`` that no left row can match are dropped
+    before the distinct-key reduction, so the broadcast set shrinks to
+    ≈ |matched keys| + FP·|right|, independent of the right side's raw size.
+    Correctness: Bloom filters have no false negatives, so every right key
+    that occurs in ``left`` survives the prefilter — membership of any left
+    row against the surviving key set equals membership against all of
+    ``right``, for BOTH semi and anti semantics.  The final membership test
+    is the exact sorted-array filter of :func:`semi_anti_join` (false
+    positives only cost broadcast bytes, never wrong rows)."""
+    from .window_funcs import semi_anti_join
+
+    bloom = bloom_filter_bits(left.select_columns([left_key]), left_key,
+                              bits_log2=bits_log2, n_hashes=n_hashes,
+                              fanin=fanin)
+    right_live = bloom_prefilter(right.select_columns([right_key]), right_key,
+                                 bloom, bits_log2=bits_log2,
+                                 n_hashes=n_hashes)
+    return semi_anti_join(left, left_key, right_live, right_key, anti=anti,
+                          fanin=fanin)

@@ -206,6 +206,69 @@ def repetition_batch(batch: pa.Table, text_col: str = "text",
     })
 
 
+def topk_bigrams(ds, k: int = 50, text_col: str = "text", salt_mod: int = 64):
+    """EXACT global top-k adjacent word PAIRS by count (the first step of
+    BPE-style tokenizer training / collocation mining).  Pairs never cross
+    document boundaries; empty split artifacts are dropped before pairing so
+    "a. b" and "a b" yield the same bigram.  Ties break by bigram ascending.
+
+    Same scale shape as :func:`topk_words`: per-block partial counts (the
+    shuffle carries one row per (block, distinct bigram), not per token),
+    bigram-hash-salted groupby sums partials, per-partition top-k is
+    globally sufficient, ``salt_mod * k`` candidates reach the merge."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        w = pc.split_pattern_regex(
+            pc.utf8_lower(pc.coalesce(batch[text_col].combine_chunks(), "")),
+            r"[^0-9a-z]+",
+        )
+        if isinstance(w, pa.ChunkedArray):
+            w = w.combine_chunks()
+        flat = w.flatten()
+        offs = w.offsets.to_numpy()
+        ne = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        docid = np.repeat(np.arange(len(offs) - 1), np.diff(offs))
+        idx = np.flatnonzero(ne)
+        keepdoc = docid[idx]
+        adj = keepdoc[1:] == keepdoc[:-1] if len(idx) else np.zeros(0, bool)
+        li = idx[:-1][adj] if len(idx) else idx[:0]
+        ri = idx[1:][adj] if len(idx) else idx[:0]
+        pair = pc.binary_join_element_wise(
+            flat.take(pa.array(li, pa.int64())),
+            flat.take(pa.array(ri, pa.int64())), " ")
+        d = pair.dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = np.bincount(codes, minlength=len(d.dictionary))
+        grams = d.dictionary.to_pandas().to_numpy()
+        salts = (pd.util.hash_array(grams.astype(object))
+                 % np.uint64(salt_mod)).astype(np.int64)
+        return pa.table({"bigram": pa.array(grams, pa.string()),
+                         "n": pa.array(cnt.astype(np.int64)),
+                         "_salt": pa.array(salts)})
+
+    def part_topk(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().groupby("bigram", as_index=False)["n"].sum()
+        df = df.sort_values(["n", "bigram"], ascending=[False, True],
+                            kind="stable").head(k)
+        return pa.Table.from_pandas(df[["bigram", "n"]], preserve_index=False)
+
+    cand = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("_salt").map_groups(part_topk, batch_format="pyarrow")
+    )
+    tabs = list(cand.iter_batches(batch_format="pyarrow"))
+    cat = pa.concat_tables(tabs) if tabs else pa.table(
+        {"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+    df = cat.to_pandas().sort_values(["n", "bigram"], ascending=[False, True],
+                                     kind="stable").head(k)
+    import ray.data as rd
+
+    return rd.from_arrow(pa.Table.from_pandas(df.reset_index(drop=True),
+                                              preserve_index=False))
+
+
 def topk_words(ds, k: int = 50, text_col: str = "text", salt_mod: int = 64):
     """EXACT global top-k words by count (ties broken by word ascending —
     a total order, so the result is deterministic and SQL-matchable).
