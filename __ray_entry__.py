@@ -2254,6 +2254,17 @@ def _q_percent_rank_events(sf_dir: str):
     return out.select_columns(["event_id", "pct_rank"])
 
 
+def _q_cume_dist_events(sf_dir: str):
+    """Empirical CDF with SQL peer semantics per event_type — skew-safe
+    (key, value-bucket) shuffle + tiny offset broadcast
+    (stages/window_funcs.py:grouped_cume_dist)."""
+    from tsdat_ray.stages.window_funcs import grouped_cume_dist
+
+    ds = _events(sf_dir, columns=["event_id", "event_type", "value"])
+    out = grouped_cume_dist(ds, key="event_type", value_col="value")
+    return out.select_columns(["event_id", "cume_dist"])
+
+
 def _q_covar_slope_events(sf_dir: str):
     """Exact grouped covariance + OLS slope from integer sufficient
     statistics (stages/stats.py:grouped_covar_slope)."""
@@ -2697,6 +2708,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_sum_events": _q_rolling_sum_events,
         "lead_events": _q_lead_events,
         "percent_rank_events": _q_percent_rank_events,
+        "cume_dist_events": _q_cume_dist_events,
         "ntile_events": _q_ntile_events,
         "twa_events": _q_twa_events,
         "counter_increase_events": _q_counter_increase_events,
@@ -3350,6 +3362,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    percent_rank() OVER (PARTITION BY event_type
                                         ORDER BY value DESC, event_id) AS pct_rank
+            FROM events
+        """,
+        "cume_dist_events": """
+            SELECT event_id,
+                   cume_dist() OVER (PARTITION BY event_type
+                                     ORDER BY value) AS cume_dist
             FROM events
         """,
         "ntile_events": """

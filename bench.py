@@ -185,6 +185,7 @@ def run_bench() -> dict:
         "ewma_events",
         "counter_increase_events",
         "rolling_zscore_events",
+        "cume_dist_events",
         "interval_union_events",
         "regex_extract_docs",
         "tpch_q5_local_supplier_volume",

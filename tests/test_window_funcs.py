@@ -463,3 +463,24 @@ def test_interval_union_spanning_windows(ray_session):
     out = interval_union(rd.from_arrow(t), key="k", ts_col="ts",
                          dur_col="v", id_col="eid", window_s=3600).to_pandas()
     assert out["covered_us"].tolist() == [20000 * US]
+
+
+def test_cume_dist_matches_sequential_with_ties(ray_session):
+    from tsdat_ray.stages.window_funcs import grouped_cume_dist
+
+    rng = np.random.default_rng(5)
+    n = 2000
+    k = np.where(rng.random(n) < 0.8, "x", "y")
+    v = rng.integers(0, 50, n).astype(np.float64)  # heavy ties
+    t = pa.table({"k": pa.array(k), "eid": pa.array(np.arange(n, dtype=np.int64)),
+                  "v": pa.array(v)})
+    out = (grouped_cume_dist(rd.from_arrow(t).repartition(6), key="k",
+                             value_col="v", n_buckets=8)
+           .to_pandas().set_index("eid"))
+    for kk in ("x", "y"):
+        mask = k == kk
+        vs = np.sort(v[mask])
+        nn = mask.sum()
+        for eid in np.flatnonzero(mask)[:200]:
+            exp = np.searchsorted(vs, v[eid], side="right") / nn
+            assert out.loc[eid, "cume_dist"] == exp, (kk, eid)

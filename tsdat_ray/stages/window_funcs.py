@@ -341,6 +341,66 @@ def grouped_percent_rank(ds, key: str, value_col: str, id_col: str,
     return ranked.map_batches(pct, batch_format="pyarrow")
 
 
+def grouped_cume_dist(ds, key: str, value_col: str, n_buckets: int = 64):
+    """CUME_DIST() OVER (PARTITION BY key ORDER BY value) — the empirical
+    CDF with SQL peer semantics: rows tied on ``value`` share the count of
+    the LAST peer.  Skew-safe like :func:`grouped_rank`: rows shuffle by
+    (key, value-quantile bucket) so ties always co-locate; the global
+    position of a row = rows in strictly lower buckets (tiny broadcast
+    table) + last-peer position within its bucket; cume_dist = position / n
+    — one int division per row, the identical IEEE op SQL performs."""
+    import ray
+
+    sample = ds.limit(100_000).select_columns([value_col]).take_all()
+    vs = np.array([r[value_col] for r in sample], dtype=np.float64)
+    qs = np.quantile(vs, np.linspace(0, 1, n_buckets + 1)[1:-1]) if len(vs) else []
+    edges = np.unique(qs)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        v = b[value_col].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
+        bkt = np.searchsorted(edges, v, side="left").astype(np.int64)
+        return b.append_column("_vb", pa.array(bkt))
+
+    withb = ds.map_batches(add_bucket, batch_format="pyarrow").materialize()
+
+    counts: dict = {}
+    for b in withb.select_columns([key, "_vb"]).iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        k = b[key].to_numpy(zero_copy_only=False)
+        vb = b["_vb"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((vb, k))
+        ks, vbs = k[order], vb[order]
+        chg = np.r_[True, (ks[1:] != ks[:-1]) | (vbs[1:] != vbs[:-1])] if len(ks) else np.zeros(0, bool)
+        st = np.flatnonzero(chg)
+        cnt = np.diff(np.r_[st, len(ks)])
+        for kk, bb, cc in zip(ks[st], vbs[st], cnt):
+            counts[(kk, int(bb))] = counts.get((kk, int(bb)), 0) + int(cc)
+    offsets: dict = {}   # rows in strictly LOWER buckets
+    totals: dict = {}    # n per key
+    for kk in sorted({k2 for k2, _ in counts}, key=str):
+        run = 0
+        for bb in sorted(bb for k2, bb in counts if k2 == kk):
+            offsets[(kk, bb)] = run
+            run += counts[(kk, bb)]
+        totals[kk] = run
+    oref = ray.put((offsets, totals))
+
+    def cd_group(g: pa.Table) -> pa.Table:
+        offs, tot = ray.get(oref)
+        v = g[value_col].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
+        k0 = g[key][0].as_py()
+        vb0 = int(g["_vb"][0].as_py())
+        vs_sorted = np.sort(v)
+        lastpeer = np.searchsorted(vs_sorted, v, side="right")
+        pos = offs.get((k0, vb0), 0) + lastpeer
+        cd = pos / np.float64(tot.get(k0, 1))
+        out = {c: g[c] for c in g.column_names if c != "_vb"}
+        out["cume_dist"] = pa.array(cd)
+        return pa.table(out)
+
+    return withb.groupby([key, "_vb"]).map_groups(cd_group, batch_format="pyarrow")
+
+
 def partitioned_rolling_sum(ds, key: str, ts_col: str, value_col: str,
                             id_col: str, frame_n: int = 8,
                             window_s: int = 6 * 3600,
