@@ -2254,6 +2254,19 @@ def _q_percent_rank_events(sf_dir: str):
     return out.select_columns(["event_id", "pct_rank"])
 
 
+def _q_time_range_rolling_events(sf_dir: str):
+    """SUM/COUNT over the trailing 1 hour (time-RANGE frame, peer-inclusive)
+    per event_type — boundary-replication shuffle, zero driver state, exact
+    int-cent sums (stages/window_funcs.py:time_range_rolling_sum)."""
+    from tsdat_ray.stages.window_funcs import time_range_rolling_sum
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "event_type", "value"])
+    out = time_range_rolling_sum(ds, key="event_type", ts_col="ts",
+                                 value_col="value", id_col="event_id",
+                                 range_s=3600)
+    return out.select_columns(["event_id", "value_trsum", "value_trcnt"])
+
+
 def _q_cume_dist_events(sf_dir: str):
     """Empirical CDF with SQL peer semantics per event_type — skew-safe
     (key, value-bucket) shuffle + tiny offset broadcast
@@ -2263,6 +2276,17 @@ def _q_cume_dist_events(sf_dir: str):
     ds = _events(sf_dir, columns=["event_id", "event_type", "value"])
     out = grouped_cume_dist(ds, key="event_type", value_col="value")
     return out.select_columns(["event_id", "cume_dist"])
+
+
+def _q_ohlc_events(sf_dir: str):
+    """Hourly OHLC candles per event_type — associative open/close/min/max
+    combiner push-down, exact cents (stages/stats.py:grouped_ohlc)."""
+    from tsdat_ray.stages.stats import grouped_ohlc
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "event_type", "value"])
+    return grouped_ohlc(ds, key="event_type", ts_col="ts",
+                        value_col="value", id_col="event_id",
+                        interval_s=3600)
 
 
 def _q_covar_slope_events(sf_dir: str):
@@ -2422,6 +2446,24 @@ def _q_rollup_levels(sf_dir: str):
         prep, batch_format="pyarrow")
     return rollup_levels(ds, keys=("event_type", "day"), value_col="value",
                          value_scale=100)
+
+
+def _q_cube_events(sf_dir: str):
+    """GROUP BY CUBE(event_type, day): counts + exact cent sums at every
+    grouping subset incl. the (NULL, day) slice ROLLUP lacks
+    (stages/reshape.py:cube_levels)."""
+    from tsdat_ray.stages.reshape import cube_levels
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts = b["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = pc.strftime(pa.array((ts // (86400 * US)) * (86400 * US)).cast(
+            pa.timestamp("us")), format="%Y-%m-%d")
+        return pa.table({"event_type": b["event_type"], "day": day, "value": b["value"]})
+
+    ds = _events(sf_dir, columns=["ts", "event_type", "value"]).map_batches(
+        prep, batch_format="pyarrow")
+    return cube_levels(ds, keys=("event_type", "day"), value_col="value",
+                       value_scale=100)
 
 
 def _q_melt_lineitem(sf_dir: str):
@@ -2709,6 +2751,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lead_events": _q_lead_events,
         "percent_rank_events": _q_percent_rank_events,
         "cume_dist_events": _q_cume_dist_events,
+        "time_range_rolling_events": _q_time_range_rolling_events,
+        "ohlc_events": _q_ohlc_events,
         "ntile_events": _q_ntile_events,
         "twa_events": _q_twa_events,
         "counter_increase_events": _q_counter_increase_events,
@@ -2727,6 +2771,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_daily_counts": _q_pivot_events,
         "melt_lineitem": _q_melt_lineitem,
         "rollup_levels_events": _q_rollup_levels,
+        "cube_events": _q_cube_events,
         "sliding_window_events": _q_sliding_window,
         "session_window_events": _q_session_window,
         "stratified_sample_docs": _q_stratified_sample,
@@ -3370,6 +3415,41 @@ def oracle_sql() -> dict[str, str]:
                                      ORDER BY value) AS cume_dist
             FROM events
         """,
+        "ohlc_events": """
+            WITH w AS (
+                SELECT event_type,
+                       CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_ts,
+                       CAST(ROUND(value * 100) AS BIGINT) AS vq,
+                       first_value(CAST(ROUND(value * 100) AS BIGINT))
+                           OVER fr AS o,
+                       last_value(CAST(ROUND(value * 100) AS BIGINT))
+                           OVER (PARTITION BY event_type,
+                                              date_trunc('hour', ts)
+                                 ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND UNBOUNDED FOLLOWING) AS c
+                FROM events
+                WINDOW fr AS (PARTITION BY event_type, date_trunc('hour', ts)
+                              ORDER BY ts, event_id)
+            )
+            SELECT event_type, bucket_ts,
+                   CAST(min(o) AS DOUBLE) / 100.0 AS open,
+                   CAST(max(vq) AS DOUBLE) / 100.0 AS high,
+                   CAST(min(vq) AS DOUBLE) / 100.0 AS low,
+                   CAST(min(c) AS DOUBLE) / 100.0 AS close,
+                   count(*) AS n
+            FROM w GROUP BY 1, 2
+        """,
+        "time_range_rolling_events": """
+            SELECT event_id,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER fr
+                        AS DOUBLE) / 100.0 AS value_trsum,
+                   COUNT(*) OVER fr AS value_trcnt
+            FROM events
+            WINDOW fr AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+                          RANGE BETWEEN 3600000000 PRECEDING
+                          AND CURRENT ROW)
+        """,
         "ntile_events": """
             SELECT event_id,
                    ntile(7) OVER (PARTITION BY event_type
@@ -3543,6 +3623,12 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_rows, ROUND(sum(value), 2) AS value_sum
             FROM events
             GROUP BY ROLLUP(event_type, day)
+        """,
+        "cube_events": """
+            SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   count(*) AS n_rows, ROUND(sum(value), 2) AS value_sum
+            FROM events
+            GROUP BY CUBE(event_type, day)
         """,
         "melt_lineitem": """
             SELECT l_orderkey, l_linenumber, 'l_quantity' AS name,

@@ -186,6 +186,9 @@ def run_bench() -> dict:
         "counter_increase_events",
         "rolling_zscore_events",
         "cume_dist_events",
+        "time_range_rolling_events",
+        "ohlc_events",
+        "cube_events",
         "interval_union_events",
         "regex_extract_docs",
         "tpch_q5_local_supplier_volume",

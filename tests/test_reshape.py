@@ -68,3 +68,30 @@ def test_range_count_join_brute_force(ray_session):
         lo, hi = lts[idx] - 60 * US, lts[idx] + 30 * US
         exp = int(((rts >= lo) & (rts <= hi)).sum())
         assert out.loc[idx, "n_in_range"] == exp
+
+
+def test_cube_levels_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tsdat_ray.stages.reshape import cube_levels
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    t = pa.table({
+        "a": pa.array(rng.choice(["x", "y", "z"], n)),
+        "b": pa.array(rng.choice(["p", "q"], n)),
+        "value": pa.array(rng.integers(0, 1000, n) / 100.0),
+    })
+    got = (cube_levels(rd.from_arrow(t).repartition(5), keys=("a", "b"),
+                       value_col="value").to_pandas()
+           .fillna("~").sort_values(["a", "b"]).reset_index(drop=True))
+    exp = (duckdb.sql("""
+        SELECT a, b, count(*) AS n_rows, ROUND(sum(value), 2) AS value_sum
+        FROM t GROUP BY CUBE(a, b)""").df()
+           .fillna("~").sort_values(["a", "b"]).reset_index(drop=True))
+    assert len(got) == len(exp)
+    for c in ("a", "b", "n_rows", "value_sum"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c

@@ -39,3 +39,37 @@ def test_grouped_corr_zero_variance(ray_session):
                     "y": pa.array([1.0, 2.0, 3.0, 4.0])})
     out = grouped_corr(rd.from_arrow(tbl), "g", "x", "y").to_pandas()
     assert out["corr_xy"].isna().all()
+
+
+def test_grouped_ohlc_merge_across_blocks(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tsdat_ray.stages.stats import grouped_ohlc
+
+    US = 1_000_000
+    rng = np.random.default_rng(3)
+    n = 4000
+    ts = rng.integers(0, 5 * 3600, n).astype(np.int64) * US
+    k = np.where(rng.random(n) < 0.7, "a", "b")
+    v = rng.integers(0, 10000, n) / 100.0
+    eid = np.arange(n, dtype=np.int64)
+    t = pa.table({"k": pa.array(k), "eid": pa.array(eid),
+                  "ts": pa.array(ts).cast(pa.timestamp("us")),
+                  "v": pa.array(v)})
+    out = (grouped_ohlc(rd.from_arrow(t).repartition(9), key="k",
+                        ts_col="ts", value_col="v", id_col="eid",
+                        interval_s=3600)
+           .to_pandas().set_index(["k", "bucket_ts"]).sort_index())
+    hr = (ts // (3600 * US)) * 3600 * US
+    import pandas as pd
+    for (kk, bb) in out.index:
+        b_us = bb.value // 1000
+        m = (k == kk) & (hr == b_us)
+        order = np.lexsort((eid[m], ts[m]))
+        vs = v[m][order]
+        row = out.loc[(kk, bb)]
+        assert row["open"] == vs[0] and row["close"] == vs[-1]
+        assert row["low"] == vs.min() and row["high"] == vs.max()
+        assert row["n"] == m.sum()

@@ -484,3 +484,34 @@ def test_cume_dist_matches_sequential_with_ties(ray_session):
         for eid in np.flatnonzero(mask)[:200]:
             exp = np.searchsorted(vs, v[eid], side="right") / nn
             assert out.loc[eid, "cume_dist"] == exp, (kk, eid)
+
+
+def test_time_range_rolling_matches_sequential(log):
+    from tsdat_ray.stages.window_funcs import time_range_rolling_sum
+
+    rng_us = 1800 * US
+    out = (
+        time_range_rolling_sum(rd.from_arrow(log).repartition(5), key="k",
+                               ts_col="ts", value_col="v", id_col="eid",
+                               range_s=1800, window_s=3600)
+        .to_pandas().set_index("eid")
+    )
+    assert len(out) == log.num_rows  # helpers never leak into output
+    ts = log["ts"].cast(pa.int64()).to_numpy()
+    vq = np.round(log["v"].to_numpy() * 100).astype(np.int64)
+    k = log["k"].to_numpy(zero_copy_only=False)
+    eid = log["eid"].to_numpy()
+    for i in range(0, len(ts), 7):
+        mask = (k == k[i]) & (ts >= ts[i] - rng_us) & (ts <= ts[i])
+        assert out.loc[eid[i], "v_trsum"] == vq[mask].sum() / 100.0, i
+        assert out.loc[eid[i], "v_trcnt"] == int(mask.sum()), i
+
+
+def test_time_range_rolling_rejects_bad_range(ray_session):
+    import pytest as _pytest
+
+    from tsdat_ray.stages.window_funcs import time_range_rolling_sum
+
+    with _pytest.raises(ValueError):
+        time_range_rolling_sum(None, key="k", ts_col="ts", value_col="v",
+                               id_col="eid", range_s=7200, window_s=3600)

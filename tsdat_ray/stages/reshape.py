@@ -76,13 +76,9 @@ def pivot_agg(ds, row_key_col: str, col_key_col: str, col_domain: tuple,
     return agg.map_batches(widen, batch_format="pyarrow", batch_size=None)
 
 
-def rollup_levels(ds, keys: tuple, value_col: str | None = None,
-                  value_scale: int = 100, fanin: int = 8):
-    """SQL ``GROUP BY ROLLUP(k1, k2, …)``: aggregates at every prefix level
-    (k1,k2), (k1), () — count + exact-decimal sum per group, NULL-filled
-    coarser levels.  One combiner-push-down tree reduction computes the
-    finest level; coarser levels re-aggregate the (tiny) result in the same
-    final task — no extra passes over the input."""
+def _count_sum_partial(keys: tuple, value_col: str | None, value_scale: int):
+    """Associative per-block (count, exact int sum) partial over ``keys`` —
+    the shared combiner for ROLLUP / CUBE grouping-set aggregates."""
 
     def partial(b: pa.Table) -> pa.Table:
         if "_n" in b.column_names:  # merge partials
@@ -111,6 +107,17 @@ def rollup_levels(ds, keys: tuple, value_col: str | None = None,
         out["_s"] = pa.array(np.add.reduceat(ss, st) if len(st) else ss[:0])
         return pa.table(out)
 
+    return partial
+
+
+def rollup_levels(ds, keys: tuple, value_col: str | None = None,
+                  value_scale: int = 100, fanin: int = 8):
+    """SQL ``GROUP BY ROLLUP(k1, k2, …)``: aggregates at every prefix level
+    (k1,k2), (k1), () — count + exact-decimal sum per group, NULL-filled
+    coarser levels.  One combiner-push-down tree reduction computes the
+    finest level; coarser levels re-aggregate the (tiny) result in the same
+    final task — no extra passes over the input."""
+    partial = _count_sum_partial(keys, value_col, value_scale)
     agg = tree_reduce(ds, partial, fanin=fanin)
 
     def levels(b: pa.Table) -> pa.Table:
@@ -129,6 +136,44 @@ def rollup_levels(ds, keys: tuple, value_col: str | None = None,
                 g[k] = None
             frames.append(g[list(keys) + ["_n", "_s"]])
             cur = g
+        out = pd.concat(frames, ignore_index=True)
+        out = out.rename(columns={"_n": "n_rows"})
+        out["value_sum"] = out.pop("_s") / float(value_scale)
+        return out
+
+    return agg.map_batches(levels, batch_format="pyarrow", batch_size=None)
+
+
+def cube_levels(ds, keys: tuple, value_col: str | None = None,
+                value_scale: int = 100, fanin: int = 8):
+    """SQL ``GROUP BY CUBE(k1, k2, …)``: aggregates at every SUBSET of the
+    keys (2^k grouping sets) — count + exact-decimal sum, NULL-filled
+    rolled-up dims.  Same shape as :func:`rollup_levels`: one combiner
+    push-down tree reduction computes the finest level, and every coarser
+    grouping set re-aggregates that tiny result in the final task."""
+    from itertools import combinations
+
+    partial = _count_sum_partial(keys, value_col, value_scale)
+    agg = tree_reduce(ds, partial, fanin=fanin)
+
+    def levels(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = b.to_pandas()
+        frames = []
+        for r in range(len(keys), -1, -1):
+            for kept in combinations(keys, r):
+                if len(kept) == len(keys):
+                    g = df.copy()
+                elif kept:
+                    g = df.groupby(list(kept), as_index=False)[["_n", "_s"]].sum()
+                else:
+                    g = pd.DataFrame({"_n": [df["_n"].sum()],
+                                      "_s": [df["_s"].sum()]})
+                for k in keys:
+                    if k not in kept:
+                        g[k] = None
+                frames.append(g[list(keys) + ["_n", "_s"]])
         out = pd.concat(frames, ignore_index=True)
         out = out.rename(columns={"_n": "n_rows"})
         out["value_sum"] = out.pop("_s") / float(value_scale)

@@ -192,3 +192,89 @@ def grouped_corr(ds, group_col: str, x_col: str, y_col: str,
     return rd.from_arrow(
         pa.table({group_col: pa.array(out_g), "corr_xy": pa.array(out_c, pa.float64())})
     )
+
+
+def grouped_ohlc(ds, key: str, ts_col: str, value_col: str, id_col: str,
+                 interval_s: int = 3600, value_scale: int = 100,
+                 salt_mod: int = 64):
+    """OHLC candles per (key, time bucket): open = value at the earliest
+    (ts, id), close = value at the latest (ts, id), low/high = min/max —
+    the classic financial downsample the tier rollup's mean/min/max lacks.
+
+    Combiner push-down: per-block partials carry, per (key, bucket),
+    (open ts/id/vq, close ts/id/vq, lo, hi, n); the merge — pick the partial
+    with the lexicographically smallest (ts, id) for open, largest for
+    close, min/max/sum the rest — is associative with a (ts, id) total
+    order, so the result is bit-deterministic under any block layout.  One
+    bucket-salted groupby of partial rows finalizes; values are exact
+    ``round(v·scale)`` ints until the final division."""
+    US = 1_000_000
+    iv_us = interval_s * US
+
+    def partial(b: pa.Table) -> pa.Table:
+        kd = b[key].combine_chunks().dictionary_encode()
+        codes = kd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = b[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = b[value_col].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        vq = np.round(v * value_scale).astype(np.int64)
+        bkt = (ts // iv_us) * iv_us
+        order = np.lexsort((ids, ts, bkt, codes))
+        cs, bs = codes[order], bkt[order]
+        tss, idss, vqs = ts[order], ids[order], vq[order]
+        st = np.flatnonzero(np.r_[True, (cs[1:] != cs[:-1]) | (bs[1:] != bs[:-1])]) \
+            if len(cs) else np.zeros(0, np.int64)
+        en = np.r_[st[1:], len(cs)] - 1 if len(st) else st
+        return pa.table({
+            key: kd.dictionary.take(pa.array(cs[st], type=pa.int64())),
+            "_bucket": pa.array(bs[st] if len(st) else bs[:0]),
+            "_ots": pa.array(tss[st] if len(st) else tss[:0]),
+            "_oid": pa.array(idss[st] if len(st) else idss[:0]),
+            "_ovq": pa.array(vqs[st] if len(st) else vqs[:0]),
+            "_cts": pa.array(tss[en] if len(st) else tss[:0]),
+            "_cid": pa.array(idss[en] if len(st) else idss[:0]),
+            "_cvq": pa.array(vqs[en] if len(st) else vqs[:0]),
+            "_lo": pa.array(np.minimum.reduceat(vqs, st) if len(st) else vqs[:0]),
+            "_hi": pa.array(np.maximum.reduceat(vqs, st) if len(st) else vqs[:0]),
+            "_n": pa.array(np.diff(np.r_[st, len(cs)]).astype(np.int64)
+                           if len(st) else np.zeros(0, np.int64)),
+            "_gsalt": pa.array((bs[st] // iv_us) % np.int64(salt_mod)
+                               if len(st) else bs[:0]),
+        })
+
+    def fold(g: pa.Table) -> pa.Table:
+        k = g[key].to_numpy(zero_copy_only=False)
+        bkt = g["_bucket"].combine_chunks().to_numpy(zero_copy_only=False)
+        cols = {c: g[c].combine_chunks().to_numpy(zero_copy_only=False)
+                for c in ("_ots", "_oid", "_ovq", "_cts", "_cid", "_cvq",
+                          "_lo", "_hi", "_n")}
+        # open: first partial by (ots, oid) per (key, bucket)
+        oo = np.lexsort((cols["_oid"], cols["_ots"], bkt, k))
+        ks, bs = k[oo], bkt[oo]
+        st = np.flatnonzero(np.r_[True, (ks[1:] != ks[:-1]) | (bs[1:] != bs[:-1])]) \
+            if len(ks) else np.zeros(0, np.int64)
+        open_vq = cols["_ovq"][oo][st]
+        # close: last partial by (cts, cid) per (key, bucket) — same segment
+        # boundaries hold for any within-(key,bucket) permutation
+        co = np.lexsort((cols["_cid"], cols["_cts"], bkt, k))
+        en = np.r_[st[1:], len(ks)] - 1 if len(st) else st
+        close_vq = cols["_cvq"][co][en]
+        lo = np.minimum.reduceat(cols["_lo"][oo], st) if len(st) else st
+        hi = np.maximum.reduceat(cols["_hi"][oo], st) if len(st) else st
+        n = np.add.reduceat(cols["_n"][oo], st) if len(st) else st
+        sc = float(value_scale)
+        return pa.table({
+            key: pa.array(ks[st] if len(st) else ks[:0]),
+            "bucket_ts": pa.array((bs[st] if len(st) else bs[:0])
+                                  .astype("datetime64[us]")),
+            "open": pa.array(open_vq.astype(np.float64) / sc),
+            "high": pa.array(np.asarray(hi, np.int64).astype(np.float64) / sc),
+            "low": pa.array(np.asarray(lo, np.int64).astype(np.float64) / sc),
+            "close": pa.array(close_vq.astype(np.float64) / sc),
+            "n": pa.array(np.asarray(n, np.int64)),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("_gsalt").map_groups(
+                lambda g: fold(g.drop_columns(["_gsalt"])),
+                batch_format="pyarrow"))

@@ -341,6 +341,70 @@ def grouped_percent_rank(ds, key: str, value_col: str, id_col: str,
     return ranked.map_batches(pct, batch_format="pyarrow")
 
 
+def time_range_rolling_sum(ds, key: str, ts_col: str, value_col: str,
+                           id_col: str, range_s: int = 3600,
+                           window_s: int = 6 * 3600,
+                           value_scale: int = 100):
+    """SUM / COUNT over the trailing TIME range — SQL ``RANGE BETWEEN
+    range_s PRECEDING AND CURRENT ROW`` over ``ORDER BY ts`` per key
+    (peers with equal ts are always included, per RANGE semantics).
+
+    Scale shape — boundary REPLICATION instead of a driver carry: each row
+    belongs to its home (key, time-window) group, and rows in the last
+    ``range_s`` of a window are ALSO emitted into the next window as
+    helper rows (flagged, never producing output).  Every group then has
+    all rows its outputs can reach, so one (key, window) shuffle + a local
+    prefix-sum/searchsorted computes every frame — no driver-side state at
+    all, and the duplication factor is bounded by range_s/window_s.
+    Accumulation is int64 ``round(v·scale)`` — exact and hash-equal to the
+    SQL twin.  Requires ``range_s <= window_s``."""
+    if range_s > window_s:
+        raise ValueError("range_s must be <= window_s (one-window lookback)")
+
+    win_us = window_s * US
+    rng_us = range_s * US
+
+    def replicate(b: pa.Table) -> pa.Table:
+        ts = b[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        w = (ts // win_us) * win_us
+        home = b.append_column("_window", pa.array(w)).append_column(
+            "_helper", pa.array(np.zeros(len(ts), dtype=np.int8)))
+        near_end = ts >= (w + win_us - rng_us)
+        if near_end.any():
+            mask = pa.array(near_end)
+            extra = b.filter(mask).append_column(
+                "_window", pa.array(w[near_end] + win_us)).append_column(
+                "_helper", pa.array(np.ones(int(near_end.sum()), dtype=np.int8)))
+            return pa.concat_tables([home, extra])
+        return home
+
+    def per_window(g: pa.Table) -> pa.Table:
+        ts = g[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = g[value_col].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        helper = g["_helper"].combine_chunks().to_numpy(zero_copy_only=False)
+        vq = np.round(v * value_scale).astype(np.int64)
+        order = np.lexsort((ids, ts))
+        ts_s, vq_s = ts[order], vq[order]
+        cs = np.r_[np.int64(0), np.cumsum(vq_s)]
+        keep = np.flatnonzero(helper == 0)
+        tk = ts[keep]
+        lo = np.searchsorted(ts_s, tk - rng_us, side="left")
+        hi = np.searchsorted(ts_s, tk, side="right")
+        s = cs[hi] - cs[lo]
+        cnt = hi - lo
+        out = {c: g[c].take(pa.array(keep, type=pa.int64()))
+               for c in g.column_names if c not in ("_window", "_helper")}
+        out[f"{value_col}_trsum"] = pa.array(s.astype(np.float64)
+                                             / float(value_scale))
+        out[f"{value_col}_trcnt"] = pa.array(cnt.astype(np.int64))
+        return pa.table(out)
+
+    return (ds.map_batches(replicate, batch_format="pyarrow")
+            .groupby([key, "_window"])
+            .map_groups(per_window, batch_format="pyarrow"))
+
+
 def grouped_cume_dist(ds, key: str, value_col: str, n_buckets: int = 64):
     """CUME_DIST() OVER (PARTITION BY key ORDER BY value) — the empirical
     CDF with SQL peer semantics: rows tied on ``value`` share the count of
