@@ -206,3 +206,49 @@ def test_template_substitute_extract():
         t.substitute({"date": "20240101"})
     with pytest.raises(TemplateError):
         t.extract("does-not-match")
+
+
+def test_read_jsonl_declared_nested(ray_session, tmp_path):
+    import json
+
+    from tsdat_ray.sources.declared import DeclaredSchema, DeclaredVar
+    from tsdat_ray.sources.jsonl_source import read_jsonl_declared
+
+    p = tmp_path / "docs.jsonl"
+    rows = [
+        {"Timestamp": "2024-01-01T00:00:00", "meta": {"Temp_C": 1.5, "site": "sgp"},
+         "RH": 50},
+        {"Timestamp": "2024-01-01T00:01:00", "meta": {"Temp_C": 2.5, "site": "sgp"},
+         "RH": 51},
+    ]
+    p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    schema = DeclaredSchema(variables=(
+        DeclaredVar("time", "timestamp[us]", retrieve_from=("Timestamp",)),
+        DeclaredVar("temp", "float64", retrieve_from=("meta.Temp_C",)),
+        DeclaredVar("rh", "float64", retrieve_from=("RH",)),
+        DeclaredVar("site", "string", retrieve_from=("meta.site",)),
+    ))
+    out = read_jsonl_declared(str(p), schema, flatten=True).to_pandas()
+    assert list(out.columns) == ["time", "temp", "rh", "site"]
+    assert out["temp"].tolist() == [1.5, 2.5]
+    assert out["site"].tolist() == ["sgp", "sgp"]
+    assert str(out["time"].dtype).startswith("datetime64")
+
+
+def test_read_jsonl_declared_missing_column_filled(ray_session, tmp_path):
+    import json
+
+    from tsdat_ray.sources.declared import DeclaredSchema, DeclaredVar
+    from tsdat_ray.sources.jsonl_source import read_jsonl_declared
+
+    p = tmp_path / "d.jsonl"
+    p.write_text(json.dumps({"a": 1}) + "\n")
+    schema = DeclaredSchema(variables=(
+        DeclaredVar("a", "int64"),
+        DeclaredVar("b", "float64"),
+        DeclaredVar("c", "int32"),
+    ))
+    out = read_jsonl_declared(str(p), schema).to_pandas()
+    assert out["a"].tolist() == [1]
+    assert np.isnan(out["b"][0])
+    assert out["c"].tolist() == [-9999]
