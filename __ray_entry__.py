@@ -427,6 +427,30 @@ def _q_leftjoin_lineitem_urgent(sf_dir: str):
                                "o_totalprice", "o_orderpriority"])
 
 
+def _q_fulljoin_click_purchase(sf_dir: str):
+    """FULL OUTER hash join of per-user click counts vs purchase counts —
+    both sides aggregated with the exact salted integer fold, then the
+    bucketed typed-null Arrow join (stages/joins.py:hash_join how='outer')."""
+    from tsdat_ray.stages.joins import hash_join
+    from tsdat_ray.stages.stats import grouped_int_sums
+
+    def ones(name):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({"user_id": b["user_id"],
+                             name: pa.array(np.ones(b.num_rows, np.int64))})
+        return f
+
+    clicks = _events(sf_dir, columns=["user_id", "event_type"]).filter(
+        expr="event_type == 'click'").map_batches(
+        ones("n_clicks"), batch_format="pyarrow")
+    purch = _events(sf_dir, columns=["user_id", "event_type"]).filter(
+        expr="event_type == 'purchase'").map_batches(
+        ones("n_purch"), batch_format="pyarrow")
+    lc = grouped_int_sums(clicks, "user_id", ["n_clicks"])
+    rp = grouped_int_sums(purch, "user_id", ["n_purch"])
+    return hash_join(lc, rp, on="user_id", num_buckets=32, how="outer")
+
+
 def _q_corr_value_user(sf_dir: str):
     """Exact grouped Pearson correlation (integer sufficient statistics;
     bit-deterministic under any block order — see stages/stats.py)."""
@@ -1830,6 +1854,37 @@ def _q_topk_words(sf_dir: str):
     return topk_words(ds, k=50)
 
 
+def _q_kmeans_embeddings(sf_dir: str):
+    """Distributed Lloyd's k-means (5 full-data iterations, bit-deterministic
+    sorted partial fold) + assignment pass; per-cluster counts and mean
+    distance (stages/similarity.py:kmeans_fit/kmeans_assign).  No SQL twin —
+    iterative algorithm; pinned instead by pytest goldens (inertia monotone,
+    rerun determinism, numpy assignment parity)."""
+    from tsdat_ray.stages.similarity import kmeans_assign, kmeans_fit
+    from tsdat_ray.stages.stats import grouped_int_sums
+
+    ds = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cent, _ = kmeans_fit(ds, k=8, n_iter=5, seed=0)
+    asg = kmeans_assign(ds, cent)
+
+    def prep(b: pa.Table) -> pa.Table:
+        d = b["dist"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({"cluster": b["cluster"],
+                         "n": pa.array(np.ones(b.num_rows, np.int64)),
+                         "dist_e6": pa.array(np.round(d * 1e6).astype(np.int64))})
+
+    agg = grouped_int_sums(asg.map_batches(prep, batch_format="pyarrow"),
+                           "cluster", ["n", "dist_e6"])
+
+    def final(b: pa.Table) -> pa.Table:
+        n = b["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        s = b["dist_e6"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({"cluster": b["cluster"], "n": b["n"],
+                         "mean_dist": pa.array(s / n / 1e6)})
+
+    return agg.map_batches(final, batch_format="pyarrow").sort("cluster")
+
+
 def _q_topk_bigrams(sf_dir: str):
     """Exact global top-50 adjacent word pairs (BPE-merge-style pair counts /
     collocations) — partial counts + bigram-hash-salted top-k merge
@@ -2699,6 +2754,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "except_signup_error_users": _q_except_users,
         "composite_join_lineitem": _q_composite_join,
         "leftjoin_lineitem_urgent": _q_leftjoin_lineitem_urgent,
+        "fulljoin_click_purchase": _q_fulljoin_click_purchase,
         "pricing_summary_lineitem": _q_pricing_summary,
         "tpch_q6_revenue": _q_tpch_q6,
         "corr_value_user_per_type": _q_corr_value_user,
@@ -2734,6 +2790,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_embeddings_lsh": _q_neardup_embeddings_lsh,
         "knn_lsh_embeddings": _q_knn_lsh,
         "knn_ivf_embeddings": _q_knn_ivf,
+        "kmeans_embeddings": _q_kmeans_embeddings,
         "neardup_minhash_docs": _q_neardup_minhash_docs,
         "neardup_ngram_docs": _q_neardup_ngram_docs,
         "cluster_dedup_docs": _q_cluster_dedup_docs,
@@ -3088,6 +3145,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id FROM events WHERE event_type = 'signup'
             EXCEPT
             SELECT user_id FROM events WHERE event_type = 'error' AND value > 100
+        """,
+        "fulljoin_click_purchase": """
+            WITH c AS (SELECT user_id, count(*) AS n_clicks FROM events
+                       WHERE event_type = 'click' GROUP BY 1),
+                 p AS (SELECT user_id, count(*) AS n_purch FROM events
+                       WHERE event_type = 'purchase' GROUP BY 1)
+            SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+                   c.n_clicks, p.n_purch
+            FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
         """,
         "leftjoin_lineitem_urgent": """
             SELECT l_orderkey, l_linenumber, l_quantity,

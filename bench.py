@@ -182,6 +182,8 @@ def run_bench() -> dict:
         "twa_events",
         "union_click_purchase_users",
         "leftjoin_lineitem_urgent",
+        "fulljoin_click_purchase",
+        "kmeans_embeddings",
         "ewma_events",
         "counter_increase_events",
         "rolling_zscore_events",

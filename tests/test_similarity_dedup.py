@@ -373,3 +373,33 @@ def test_ngram_contamination_cross_set(ray_session):
     # doc 10 has 7 grams, of which the 3 lying inside bench_text match
     assert out.loc[10, "n_grams"] == 7 and out.loc[10, "n_contam"] == 3
     assert out.loc[11, "n_contam"] == 0 and out.loc[11, "n_grams"] == 3
+
+
+def test_kmeans_deterministic_and_monotone(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tsdat_ray.stages.similarity import kmeans_assign, kmeans_fit
+
+    rng = np.random.default_rng(42)
+    # 3 well-separated blobs
+    blobs = np.concatenate([rng.normal(c, 0.1, size=(200, 8))
+                            for c in (0.0, 5.0, 10.0)])
+    ids = np.arange(len(blobs), dtype=np.int64)
+    t = pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array(list(blobs.astype(np.float32)),
+                                        type=pa.list_(pa.float32()))})
+    c1, h1 = kmeans_fit(rd.from_arrow(t).repartition(4), k=3, n_iter=6, seed=1)
+    c2, h2 = kmeans_fit(rd.from_arrow(t).repartition(9), k=3, n_iter=6, seed=1)
+    assert (c1 == c2).all(), "centroids must not depend on block layout"
+    assert all(h1[i + 1] <= h1[i] + 1e-9 for i in range(len(h1) - 1))
+
+    asg = kmeans_assign(rd.from_arrow(t), c1).to_pandas().set_index("vec_id")
+    m = blobs.astype(np.float32).astype(np.float64)
+    d2 = ((m[:, None, :] - c1[None, :, :]) ** 2).sum(-1)
+    exp = d2.argmin(1)
+    got = asg.loc[ids, "cluster"].to_numpy()
+    assert (got == exp).all()
+    # blob structure recovered: 3 clusters of 200
+    assert sorted(np.bincount(got, minlength=3).tolist()) == [200, 200, 200]

@@ -304,3 +304,98 @@ def knn_ivf(ds, query: np.ndarray, centroids: np.ndarray, k: int = 10, n_probe: 
     return ds.map_batches(local, batch_format="pyarrow").sort(
         "similarity", descending=True
     ).limit(k)
+
+
+def kmeans_fit(ds, k: int = 8, n_iter: int = 10, seed: int = 0,
+               emb_col: str = "embedding", id_col: str = "vec_id",
+               init_sample: int = 20_000):
+    """Distributed Lloyd's k-means over an embedding column — full-data
+    iterations, not the driver-sample shortcut ``build_ivf_centroids`` uses.
+
+    Per iteration: broadcast the k×d centroid matrix (``ray.put`` once),
+    each batch assigns rows to the nearest centroid (one matmul) and emits
+    per-cluster partial (Σvec, count) — a k×d table per block, NOT the
+    data — and the driver folds partials SORTED BY block-min id before
+    summing, so centroid updates are bit-deterministic under any block
+    arrival order.  Empty clusters keep their previous centroid.  Returns
+    (centroids ndarray [k, d], inertia history list — non-increasing).
+
+    At 100 TB each iteration is one streaming pass with a k×d×blocks
+    shuffle-free drain; k-means|| style sharded init can replace the
+    driver sample if k×d itself outgrows the driver."""
+    import ray
+
+    # deterministic init: first `init_sample` rows by id, k spread picks
+    head = ds.limit(init_sample).take_all()
+    ids0 = np.array([r[id_col] for r in head])
+    m0 = np.array([r[emb_col] for r in head], dtype=np.float64)
+    m0 = m0[np.argsort(ids0, kind="stable")]
+    rng = np.random.default_rng(seed)
+    cent = m0[rng.choice(len(m0), size=k, replace=False)].copy()
+
+    inertia_hist = []
+    for _ in range(n_iter):
+        cref = ray.put(cent)
+
+        def partial(b: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            m = _emb_matrix(b[emb_col])
+            ids = b[id_col].to_numpy(zero_copy_only=False)
+            d2 = (m * m).sum(1)[:, None] - 2.0 * (m @ c.T) + (c * c).sum(1)[None, :]
+            a = np.argmin(d2, axis=1)
+            sums = np.zeros((k, c.shape[1]))
+            np.add.at(sums, a, m)
+            cnt = np.bincount(a, minlength=k).astype(np.int64)
+            sse = float(d2[np.arange(len(a)), a].sum())
+            return pa.table({
+                "_minid": pa.array(np.repeat(ids.min() if len(ids) else 0, k)),
+                "_cluster": pa.array(np.arange(k, dtype=np.int64)),
+                "_sum": pa.array(list(sums), type=pa.list_(pa.float64())),
+                "_cnt": pa.array(cnt),
+                "_sse": pa.array(np.repeat(sse, k)),
+            })
+
+        parts = []
+        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None):
+            parts.append(b)
+        cat = pa.concat_tables(parts)
+        minid = cat["_minid"].to_numpy(zero_copy_only=False)
+        order = np.argsort(minid, kind="stable")
+        cl = cat["_cluster"].to_numpy(zero_copy_only=False)[order]
+        cnt = cat["_cnt"].to_numpy(zero_copy_only=False)[order]
+        sums = np.stack(cat["_sum"].to_pandas().to_numpy()[order])
+        new = cent.copy()
+        tot = np.zeros(k, dtype=np.int64)
+        acc = np.zeros_like(cent)
+        for j in range(len(cl)):  # tiny: blocks × k rows
+            acc[cl[j]] += sums[j]
+            tot[cl[j]] += cnt[j]
+        nz = tot > 0
+        new[nz] = acc[nz] / tot[nz, None]
+        # one _sse per block, repeated k times
+        inertia_hist.append(float(cat["_sse"].to_numpy(zero_copy_only=False)[order][::k].sum()))
+        cent = new
+    return cent, inertia_hist
+
+
+def kmeans_assign(ds, centroids: np.ndarray, emb_col: str = "embedding",
+                  id_col: str = "vec_id"):
+    """Assign every row to its nearest centroid — pure map, one matmul per
+    batch against the broadcast k×d matrix.  Output: (id, cluster, dist)."""
+    import ray
+
+    cref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def assign(b: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        m = _emb_matrix(b[emb_col])
+        d2 = (m * m).sum(1)[:, None] - 2.0 * (m @ c.T) + (c * c).sum(1)[None, :]
+        a = np.argmin(d2, axis=1)
+        return pa.table({
+            id_col: b[id_col],
+            "cluster": pa.array(a.astype(np.int64)),
+            "dist": pa.array(np.sqrt(np.maximum(d2[np.arange(len(a)), a], 0.0))),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow")
