@@ -2405,6 +2405,22 @@ def _q_semi_join_events(sf_dir: str):
     return out.select_columns(["event_id", "user_id"])
 
 
+def _q_funnel_click_purchase(sf_dir: str):
+    """Funnel conversion: purchases by the same user within 1h after each
+    click — forward boundary replication, zero driver state, exact counts
+    (stages/window_funcs.py:lookahead_count)."""
+    from tsdat_ray.stages.window_funcs import lookahead_count
+
+    clicks = _events(sf_dir, columns=["event_id", "ts", "user_id",
+                                      "event_type"]).filter(
+        expr="event_type == 'click'")
+    purch = _events(sf_dir, columns=["ts", "user_id", "event_type"]).filter(
+        expr="event_type == 'purchase'")
+    out = lookahead_count(clicks, purch, key="user_id", ts_col="ts",
+                          id_col="event_id", range_s=3600)
+    return out.select_columns(["event_id", "user_id", "n_ahead"])
+
+
 def _q_bloom_semi_join_events(sf_dir: str):
     """Same EXISTS semantics as semi_join_click_purchase, via the scale path:
     a tree-OR'd Bloom filter of the left keys prefilters the right side, so
@@ -2822,6 +2838,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top3_per_type_events": _q_top3_events,
         "semi_join_click_purchase": _q_semi_join_events,
         "bloom_semi_click_purchase": _q_bloom_semi_join_events,
+        "funnel_click_purchase": _q_funnel_click_purchase,
         "anti_join_click_purchase": _q_anti_join_events,
         "median_value_per_type": _q_median_events,
         "quantiles_per_type": _q_quantiles_events,
@@ -3649,6 +3666,16 @@ def oracle_sql() -> dict[str, str]:
               AND EXISTS (SELECT 1 FROM events p
                           WHERE p.event_type = 'purchase'
                             AND p.user_id = e.user_id)
+        """,
+        "funnel_click_purchase": """
+            SELECT c.event_id, c.user_id,
+                   (SELECT count(*) FROM events p
+                    WHERE p.event_type = 'purchase'
+                      AND p.user_id = c.user_id
+                      AND p.ts > c.ts
+                      AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
+                   ) AS n_ahead
+            FROM events c WHERE c.event_type = 'click'
         """,
         "bloom_semi_click_purchase": """
             SELECT event_id, user_id FROM events e

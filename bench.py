@@ -167,6 +167,7 @@ def run_bench() -> dict:
         "topk_words_docs",
         "topk_bigrams_docs",
         "bloom_semi_click_purchase",
+        "funnel_click_purchase",
         "corr_value_user_per_type",
         "covar_slope_per_type",
         "tpch_q3_shipping_priority",

@@ -515,3 +515,28 @@ def test_time_range_rolling_rejects_bad_range(ray_session):
     with _pytest.raises(ValueError):
         time_range_rolling_sum(None, key="k", ts_col="ts", value_col="v",
                                id_col="eid", range_s=7200, window_s=3600)
+
+
+def test_lookahead_count_matches_sequential(ray_session):
+    from tsdat_ray.stages.window_funcs import lookahead_count
+
+    rng = np.random.default_rng(23)
+    nl, nr = 1500, 1500
+    lk = rng.integers(0, 40, nl).astype(np.int64)
+    lts = rng.integers(0, 20 * 3600, nl).astype(np.int64) * US
+    rk = rng.integers(0, 40, nr).astype(np.int64)
+    rts = rng.integers(0, 20 * 3600, nr).astype(np.int64) * US
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(lk), "eid": pa.array(np.arange(nl, dtype=np.int64)),
+        "ts": pa.array(lts).cast(pa.timestamp("us"))})).repartition(5)
+    right = rd.from_arrow(pa.table({
+        "k": pa.array(rk),
+        "ts": pa.array(rts).cast(pa.timestamp("us"))})).repartition(4)
+    rng_us = 1800 * US
+    out = (lookahead_count(left, right, key="k", ts_col="ts", id_col="eid",
+                           range_s=1800, window_s=3600)
+           .to_pandas().set_index("eid"))
+    assert len(out) == nl
+    for i in range(0, nl, 11):
+        exp = int(((rk == lk[i]) & (rts > lts[i]) & (rts <= lts[i] + rng_us)).sum())
+        assert out.loc[i, "n_ahead"] == exp, i

@@ -405,6 +405,70 @@ def time_range_rolling_sum(ds, key: str, ts_col: str, value_col: str,
             .map_groups(per_window, batch_format="pyarrow"))
 
 
+def lookahead_count(left, right, key: str, ts_col: str, id_col: str,
+                    range_s: int = 3600, window_s: int = 6 * 3600):
+    """Funnel / conversion counting: for every LEFT row, the number of RIGHT
+    rows with the same key whose ts lies in the strict-future window
+    ``(ts, ts + range_s]`` — e.g. purchases following each click.
+
+    Same boundary-replication shape as :func:`time_range_rolling_sum`, but
+    across two event streams and looking FORWARD: both sides shuffle by
+    (key, time-window); right rows in the first ``range_s`` of a window are
+    also emitted into the PREVIOUS window, so every left row sees all right
+    rows it can reach.  One sorted searchsorted pair per group — no driver
+    state, exact integer counts.  Requires ``range_s <= window_s``.
+
+    Returns the left rows + ``n_ahead``."""
+    if range_s > window_s:
+        raise ValueError("range_s must be <= window_s (one-window lookahead)")
+
+    win_us = window_s * US
+    rng_us = range_s * US
+
+    def tag(side: int):
+        def f(b: pa.Table) -> pa.Table:
+            ts = b[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+            w = (ts // win_us) * win_us
+            t = pa.table({
+                key: b[key], "_ts": pa.array(ts),
+                id_col: (b[id_col] if side == 0
+                         else pa.array(np.zeros(len(ts), dtype=np.int64))),
+                "_side": pa.array(np.full(len(ts), side, dtype=np.int8)),
+                "_window": pa.array(w),
+            })
+            if side == 1:
+                near_start = (ts - w) < rng_us
+                if near_start.any():
+                    extra = t.filter(pa.array(near_start))
+                    idx = extra.schema.get_field_index("_window")
+                    extra = extra.set_column(idx, "_window",
+                                             pa.array(w[near_start] - win_us))
+                    return pa.concat_tables([t, extra])
+            return t
+        return f
+
+    both = left.map_batches(tag(0), batch_format="pyarrow").union(
+        right.map_batches(tag(1), batch_format="pyarrow"))
+
+    def per_window(g: pa.Table) -> pa.Table:
+        side = g["_side"].combine_chunks().to_numpy(zero_copy_only=False)
+        ts = g["_ts"].combine_chunks().to_numpy(zero_copy_only=False)
+        lmask = side == 0
+        lts = ts[lmask]
+        rts = np.sort(ts[~lmask])
+        lo = np.searchsorted(rts, lts, side="right")
+        hi = np.searchsorted(rts, lts + rng_us, side="right")
+        keep = np.flatnonzero(lmask)
+        return pa.table({
+            key: g[key].take(pa.array(keep, type=pa.int64())),
+            id_col: g[id_col].take(pa.array(keep, type=pa.int64())),
+            "n_ahead": pa.array((hi - lo).astype(np.int64)),
+        })
+
+    return both.groupby([key, "_window"]).map_groups(
+        per_window, batch_format="pyarrow")
+
+
 def grouped_cume_dist(ds, key: str, value_col: str, n_buckets: int = 64):
     """CUME_DIST() OVER (PARTITION BY key ORDER BY value) — the empirical
     CDF with SQL peer semantics: rows tied on ``value`` share the count of
