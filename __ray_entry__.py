@@ -2333,6 +2333,16 @@ def _q_cume_dist_events(sf_dir: str):
     return out.select_columns(["event_id", "cume_dist"])
 
 
+def _q_mode_events(sf_dir: str):
+    """Exact MODE per event_type (ties → smallest value) — per-block
+    partial counts bounded by the value domain, per-key argmax
+    (stages/stats.py:grouped_mode)."""
+    from tsdat_ray.stages.stats import grouped_mode
+
+    ds = _events(sf_dir, columns=["event_type", "value"])
+    return grouped_mode(ds, key="event_type", value_col="value")
+
+
 def _q_ohlc_events(sf_dir: str):
     """Hourly OHLC candles per event_type — associative open/close/min/max
     combiner push-down, exact cents (stages/stats.py:grouped_ohlc)."""
@@ -2826,6 +2836,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cume_dist_events": _q_cume_dist_events,
         "time_range_rolling_events": _q_time_range_rolling_events,
         "ohlc_events": _q_ohlc_events,
+        "mode_value_per_type": _q_mode_events,
         "ntile_events": _q_ntile_events,
         "twa_events": _q_twa_events,
         "counter_increase_events": _q_counter_increase_events,
@@ -3497,6 +3508,22 @@ def oracle_sql() -> dict[str, str]:
                    cume_dist() OVER (PARTITION BY event_type
                                      ORDER BY value) AS cume_dist
             FROM events
+        """,
+        "mode_value_per_type": """
+            WITH c AS (
+                SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS vq,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            r AS (
+                SELECT event_type, vq, n,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY n DESC, vq) AS rn
+                FROM c
+            )
+            SELECT event_type, CAST(vq AS DOUBLE) / 100.0 AS mode_value,
+                   n AS n_mode
+            FROM r WHERE rn = 1
         """,
         "ohlc_events": """
             WITH w AS (

@@ -191,6 +191,7 @@ def run_bench() -> dict:
         "cume_dist_events",
         "time_range_rolling_events",
         "ohlc_events",
+        "mode_value_per_type",
         "cube_events",
         "interval_union_events",
         "regex_extract_docs",

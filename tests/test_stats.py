@@ -73,3 +73,19 @@ def test_grouped_ohlc_merge_across_blocks(ray_session):
         assert row["open"] == vs[0] and row["close"] == vs[-1]
         assert row["low"] == vs.min() and row["high"] == vs.max()
         assert row["n"] == m.sum()
+
+
+def test_grouped_mode_tie_breaks_to_smallest(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tsdat_ray.stages.stats import grouped_mode
+
+    # key "a": 3.0 ×3 and 1.0 ×3 tie -> 1.0 wins; "b": single value
+    t = pa.table({"k": pa.array(["a"] * 6 + ["b"]),
+                  "v": pa.array([3.0, 1.0, 3.0, 1.0, 3.0, 1.0, 7.25])})
+    out = (grouped_mode(rd.from_arrow(t).repartition(4), key="k",
+                        value_col="v").to_pandas().set_index("k"))
+    assert out.loc["a", "mode_value"] == 1.0 and out.loc["a", "n_mode"] == 3
+    assert out.loc["b", "mode_value"] == 7.25 and out.loc["b", "n_mode"] == 1

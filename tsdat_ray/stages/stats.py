@@ -278,3 +278,52 @@ def grouped_ohlc(ds, key: str, ts_col: str, value_col: str, id_col: str,
             .groupby("_gsalt").map_groups(
                 lambda g: fold(g.drop_columns(["_gsalt"])),
                 batch_format="pyarrow"))
+
+
+def grouped_mode(ds, key: str, value_col: str, value_scale: int = 100,
+                 salt_mod: int = 64):
+    """Exact MODE per key over a 1/scale-quantized column — most frequent
+    value, ties broken by smallest value (a total order, so the result is
+    deterministic and SQL-matchable).
+
+    Combiner push-down: per-block partial counts per (key, vq) — the
+    shuffle moves one row per (block, key, distinct value), bounded by the
+    value domain, never by row count — then a per-key argmax over the
+    summed partials."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        kd = b[key].combine_chunks().dictionary_encode()
+        codes = kd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b[value_col].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
+        vq = np.round(v * value_scale).astype(np.int64)
+        n = (b["_n"].combine_chunks().to_numpy(zero_copy_only=False)
+             if "_n" in b.column_names else np.ones(len(vq), dtype=np.int64))
+        order = np.lexsort((vq, codes))
+        cs, vs, ns = codes[order], vq[order], n[order]
+        st = np.flatnonzero(np.r_[True, (cs[1:] != cs[:-1]) | (vs[1:] != vs[:-1])]) \
+            if len(cs) else np.zeros(0, np.int64)
+        return pa.table({
+            key: kd.dictionary.take(pa.array(cs[st], type=pa.int64())),
+            value_col: pa.array((vs[st] if len(st) else vs[:0])
+                                .astype(np.float64) / float(value_scale)),
+            "_n": pa.array(np.add.reduceat(ns, st) if len(st) else ns[:0]),
+        })
+
+    def argmax(g: pa.Table) -> pa.Table:
+        v = g[value_col].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
+        vq = np.round(v * value_scale).astype(np.int64)
+        n = g["_n"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(vq, kind="stable")
+        vs, ns = vq[order], n[order]
+        st = np.flatnonzero(np.r_[True, vs[1:] != vs[:-1]]) \
+            if len(vs) else np.zeros(0, np.int64)
+        tot = np.add.reduceat(ns, st)
+        best = int(np.argmax(tot))  # first max = smallest value (sorted)
+        return pa.table({
+            key: g[key].slice(0, 1),
+            "mode_value": pa.array([float(vs[st][best]) / value_scale]),
+            "n_mode": pa.array([int(tot[best])], type=pa.int64()),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(key).map_groups(argmax, batch_format="pyarrow"))
