@@ -2333,6 +2333,17 @@ def _q_cume_dist_events(sf_dir: str):
     return out.select_columns(["event_id", "cume_dist"])
 
 
+def _q_string_agg_events(sf_dir: str):
+    """Ordered string_agg of event ids per (event_type, day) — one (key,
+    window) shuffle, Arrow binary_join, output bounded per day
+    (stages/window_funcs.py:grouped_string_agg)."""
+    from tsdat_ray.stages.window_funcs import grouped_string_agg
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "event_type"])
+    return grouped_string_agg(ds, key="event_type", ts_col="ts",
+                              id_col="event_id")
+
+
 def _q_mode_events(sf_dir: str):
     """Exact MODE per event_type (ties → smallest value) — per-block
     partial counts bounded by the value domain, per-key argmax
@@ -2837,6 +2848,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_range_rolling_events": _q_time_range_rolling_events,
         "ohlc_events": _q_ohlc_events,
         "mode_value_per_type": _q_mode_events,
+        "string_agg_events": _q_string_agg_events,
         "ntile_events": _q_ntile_events,
         "twa_events": _q_twa_events,
         "counter_increase_events": _q_counter_increase_events,
@@ -3508,6 +3520,14 @@ def oracle_sql() -> dict[str, str]:
                    cume_dist() OVER (PARTITION BY event_type
                                      ORDER BY value) AS cume_dist
             FROM events
+        """,
+        "string_agg_events": """
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_ts,
+                   string_agg(CAST(event_id AS VARCHAR), ','
+                              ORDER BY ts, event_id) AS agg,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
         """,
         "mode_value_per_type": """
             WITH c AS (

@@ -192,6 +192,7 @@ def run_bench() -> dict:
         "time_range_rolling_events",
         "ohlc_events",
         "mode_value_per_type",
+        "string_agg_events",
         "cube_events",
         "interval_union_events",
         "regex_extract_docs",

@@ -405,6 +405,50 @@ def time_range_rolling_sum(ds, key: str, ts_col: str, value_col: str,
             .map_groups(per_window, batch_format="pyarrow"))
 
 
+def grouped_string_agg(ds, key: str, ts_col: str, id_col: str,
+                       val_col: str | None = None, sep: str = ",",
+                       window_s: int = 86400):
+    """SQL ``string_agg(val, sep ORDER BY ts, id)`` per (key, time window)
+    — ordered concatenation, e.g. the per-day event-id trail per key.
+
+    One (key, window) shuffle; each group sorts by (ts, id) and joins with
+    Arrow's ``binary_join`` (no Python string loop).  Output is one row per
+    (key, window) — windowing keeps each aggregate bounded by a day's
+    volume, the only scale-sane contract for an unbounded-output aggregate
+    (a per-key global concat would funnel whole keys into single strings).
+
+    Returns (key, bucket_ts, agg, n)."""
+    import pyarrow.compute as pc
+
+    win_us = window_s * US
+    vcol = val_col or id_col
+
+    def add_window(b: pa.Table) -> pa.Table:
+        ts = b[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return b.append_column("_window", pa.array((ts // win_us) * win_us))
+
+    def agg(g: pa.Table) -> pa.Table:
+        ts = g[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts))
+        vals = g[vcol].take(pa.array(order, type=pa.int64())).combine_chunks()
+        if not pa.types.is_string(vals.type):
+            vals = vals.cast(pa.string())
+        lst = pa.ListArray.from_arrays(
+            pa.array([0, len(vals)], type=pa.int32()), vals)
+        joined = pc.binary_join(lst, sep)
+        return pa.table({
+            key: g[key].slice(0, 1),
+            "bucket_ts": pa.array(
+                np.array([g["_window"][0].as_py()]).astype("datetime64[us]")),
+            "agg": joined,
+            "n": pa.array([g.num_rows], type=pa.int64()),
+        })
+
+    return (ds.map_batches(add_window, batch_format="pyarrow")
+            .groupby([key, "_window"]).map_groups(agg, batch_format="pyarrow"))
+
+
 def lookahead_count(left, right, key: str, ts_col: str, id_col: str,
                     range_s: int = 3600, window_s: int = 6 * 3600):
     """Funnel / conversion counting: for every LEFT row, the number of RIGHT
