@@ -2766,6 +2766,139 @@ def _q_seq_tier(tier: str):
     return run
 
 
+def _q_dense_rank(sf_dir: str):
+    """DENSE_RANK per event_type by value DESC — value-quantile-bucket
+    salting, distinct-count offset table (stages/window_funcs.py:
+    grouped_dense_rank)."""
+    from tsdat_ray.stages.window_funcs import grouped_dense_rank
+
+    ds = _events(sf_dir, columns=["event_id", "event_type", "value"])
+    out = grouped_dense_rank(ds, key="event_type", value_col="value")
+    return out.select_columns(["event_id", "drnk"])
+
+
+def _q_max_gap(sf_dir: str):
+    """Largest inter-event gap per type — two-phase (window summaries +
+    tiny boundary merge), the monitoring query behind gap-fill sizing."""
+    from tsdat_ray.stages.window_funcs import grouped_max_gap
+
+    ds = _events(sf_dir, columns=["ts", "event_type"])
+    return grouped_max_gap(ds, key="event_type", ts_col="ts")
+
+
+def _q_md5_split(sf_dir: str):
+    """Portable content-hash split (md5 hex thresholds) — reproducible by
+    any engine with an md5, unlike the siphash fast path of hash_split."""
+    from tsdat_ray.stages.sampling import md5_split
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return md5_split(ds, id_col="doc_id")
+
+
+def _q_calendar_rollup(unit: str):
+    def run(sf_dir: str):
+        from tsdat_ray.stages.rollup import calendar_rollup
+
+        ds = _events(sf_dir, columns=["ts", "event_type", "value"])
+        return calendar_rollup(ds, key="event_type", ts_col="ts",
+                               value_col="value", unit=unit)
+
+    return run
+
+
+def _q_above_mean(sf_dir: str):
+    """Correlated-subquery decorrelation: rows above their type's mean.
+    Pass 1 reduces to exact per-type (n, cent-sum) — tiny table, combine
+    order irrelevant for integer sums; the derived mean (rounded-sum / n)
+    broadcasts into a vectorized pass-2 filter + count."""
+    import ray
+
+    ds = _events(sf_dir, columns=["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        k = b["event_type"].to_numpy(zero_copy_only=False)
+        v = b["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        cents = np.round(v * 100).astype(np.int64)
+        order = np.argsort(k, kind="stable")
+        ks = k[order]
+        st = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]]) if len(ks) else np.zeros(0, np.int64)
+        return pa.table({
+            "event_type": pa.array(ks[st] if len(st) else ks[:0]),
+            "_n": pa.array(np.diff(np.r_[st, len(ks)]).astype(np.int64)),
+            "_c": pa.array(np.add.reduceat(cents[order], st) if len(st) else cents[:0]),
+        })
+
+    n_tot: dict = {}
+    c_tot: dict = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        for kk, nn, cc in zip(b["event_type"].to_pylist(), b["_n"].to_pylist(),
+                              b["_c"].to_pylist()):
+            n_tot[kk] = n_tot.get(kk, 0) + nn
+            c_tot[kk] = c_tot.get(kk, 0) + cc
+    means = {k: (c_tot[k] / 100.0) / n_tot[k] for k in n_tot}
+    mref = ray.put(means)
+
+    def count_above(b: pa.Table) -> pa.Table:
+        m = ray.get(mref)
+        enc = b["event_type"].combine_chunks().dictionary_encode()
+        vals = enc.dictionary.to_pylist()
+        thr = np.array([m[x] for x in vals])[
+            enc.indices.to_numpy(zero_copy_only=False)] if len(vals) else np.zeros(0)
+        v = b["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        mask = v > thr
+        k = b["event_type"].to_numpy(zero_copy_only=False)[mask]
+        order = np.argsort(k, kind="stable")
+        ks = k[order]
+        st = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]]) if len(ks) else np.zeros(0, np.int64)
+        return pa.table({
+            "event_type": pa.array(ks[st] if len(st) else ks[:0]),
+            "_n": pa.array(np.diff(np.r_[st, len(ks)]).astype(np.int64)),
+        })
+
+    def combine(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": g["event_type"].slice(0, 1),
+            "n_above": pa.array([int(np.sum(
+                g["_n"].combine_chunks().to_numpy(zero_copy_only=False)))], pa.int64()),
+        })
+
+    return (ds.map_batches(count_above, batch_format="pyarrow")
+            .groupby("event_type").map_groups(combine, batch_format="pyarrow"))
+
+
+def _q_value_hist(sf_dir: str):
+    """Equi-width value histogram per type (width 5.0) — combiner push-down:
+    per-batch (type, bin) counts, one tiny groupby sum; integer counts make
+    the combine order-free."""
+    ds = _events(sf_dir, columns=["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        k = b["event_type"].to_numpy(zero_copy_only=False)
+        v = b["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        bins = np.floor(v / 5.0).astype(np.int64)
+        order = np.lexsort((bins, k))
+        ks, bs = k[order], bins[order]
+        st = np.flatnonzero(np.r_[True, (ks[1:] != ks[:-1]) | (bs[1:] != bs[:-1])]) \
+            if len(ks) else np.zeros(0, np.int64)
+        return pa.table({
+            "event_type": pa.array(ks[st] if len(st) else ks[:0]),
+            "bin": pa.array(bs[st] if len(st) else bs[:0]),
+            "_n": pa.array(np.diff(np.r_[st, len(ks)]).astype(np.int64)),
+        })
+
+    def combine(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": g["event_type"].slice(0, 1),
+            "bin": g["bin"].slice(0, 1),
+            "n_rows": pa.array([int(np.sum(
+                g["_n"].combine_chunks().to_numpy(zero_copy_only=False)))], pa.int64()),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "bin"]).map_groups(combine, batch_format="pyarrow"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rollup_1m_events": lambda d: _events_rollup(d, "1m"),
@@ -2885,6 +3018,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_rollup_1m": _q_seq_tier("1m"),
         "seq_rollup_1h": _q_seq_tier("1h"),
         "seq_rollup_1d": _q_seq_tier("1d"),
+        "dense_rank_events": _q_dense_rank,
+        "max_gap_events": _q_max_gap,
+        "md5_split_docs": _q_md5_split,
+        "rollup_month_events": _q_calendar_rollup("month"),
+        "rollup_week_events": _q_calendar_rollup("week"),
+        "above_mean_events": _q_above_mean,
+        "value_hist_events": _q_value_hist,
     }
 
 
@@ -3856,5 +3996,46 @@ def oracle_sql() -> dict[str, str]:
                         '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'
                    )) AS BIGINT) AS n_bpe_tokens
             FROM documents
+        """,
+        "dense_rank_events": """
+            SELECT event_id,
+                   DENSE_RANK() OVER (PARTITION BY event_type
+                                      ORDER BY value DESC) AS drnk
+            FROM events
+        """,
+        "max_gap_events": """
+            SELECT event_type,
+                   max(date_diff('microsecond', prev_ts, ts)) AS max_gap_us
+            FROM (SELECT event_type, ts,
+                         lag(ts) OVER (PARTITION BY event_type
+                                       ORDER BY ts) AS prev_ts
+                  FROM events)
+            GROUP BY event_type
+        """,
+        "md5_split_docs": """
+            SELECT doc_id,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                             < 'e6666666' THEN 'train'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                             < 'f3333333' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "rollup_month_events": _events_rollup_sql("month"),
+        "rollup_week_events": _events_rollup_sql("week"),
+        "above_mean_events": """
+            WITH m AS (
+                SELECT event_type, ROUND(sum(value), 2) / count(*) AS mean_v
+                FROM events GROUP BY 1
+            )
+            SELECT e.event_type, count(*) AS n_above
+            FROM events e JOIN m USING (event_type)
+            WHERE e.value > m.mean_v
+            GROUP BY e.event_type
+        """,
+        "value_hist_events": """
+            SELECT event_type, CAST(floor(value / 5.0) AS BIGINT) AS bin,
+                   count(*) AS n_rows
+            FROM events GROUP BY 1, 2
         """,
     }

@@ -211,6 +211,13 @@ def run_bench() -> dict:
         "repetition_docs",
         "contamination_ngram_docs",
         "redact_terms_docs",
+        "dense_rank_events",
+        "max_gap_events",
+        "md5_split_docs",
+        "rollup_month_events",
+        "rollup_week_events",
+        "above_mean_events",
+        "value_hist_events",
     ]
     qtimes = {}
     for name in bench_queries:

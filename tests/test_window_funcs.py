@@ -540,3 +540,53 @@ def test_lookahead_count_matches_sequential(ray_session):
     for i in range(0, nl, 11):
         exp = int(((rk == lk[i]) & (rts > lts[i]) & (rts <= lts[i] + rng_us)).sum())
         assert out.loc[i, "n_ahead"] == exp, i
+
+
+def test_dense_rank_matches_sequential_with_ties(ray_session):
+    from tsdat_ray.stages.window_funcs import grouped_dense_rank
+
+    rng = np.random.default_rng(5)
+    n = 2000
+    key = np.where(rng.random(n) < 0.8, "a", "b")
+    # heavy ties: values drawn from a small quantized domain
+    val = np.round(rng.integers(0, 50, n) * 0.5, 2)
+    ds = rd.from_arrow(pa.table({
+        "id": pa.array(np.arange(n)), "k": pa.array(key), "v": pa.array(val)}))
+    out = grouped_dense_rank(ds, key="k", value_col="v").take_all()
+    got = {r["id"]: r["drnk"] for r in out}
+    for kk in ("a", "b"):
+        sel = key == kk
+        uniq = np.unique(val[sel])[::-1]  # descending distinct values
+        rank_of = {v: i + 1 for i, v in enumerate(uniq)}
+        for i in np.flatnonzero(sel):
+            assert got[i] == rank_of[val[i]]
+
+
+def test_max_gap_two_phase_matches_sequential(ray_session):
+    from tsdat_ray.stages.window_funcs import grouped_max_gap
+
+    rng = np.random.default_rng(6)
+    n = 1500
+    ts = np.sort(rng.integers(0, 90 * 3600, n)).astype(np.int64) * US
+    key = np.where(rng.random(n) < 0.9, "hot", "cold")
+    ds = rd.from_arrow(pa.table({
+        "ts": pa.array(ts).cast(pa.timestamp("us")), "k": pa.array(key)}))
+    # small window forces many cross-window boundary gaps
+    out = {r["k"]: r["max_gap_us"]
+           for r in grouped_max_gap(ds, key="k", ts_col="ts", window_s=3600).take_all()}
+    for kk in ("hot", "cold"):
+        expect = int(np.diff(np.sort(ts[key == kk])).max())
+        assert out[kk] == expect
+
+
+def test_max_gap_single_event_key_is_null(ray_session):
+    from tsdat_ray.stages.window_funcs import grouped_max_gap
+
+    ds = rd.from_arrow(pa.table({
+        "ts": pa.array(np.array([0, US, 5 * US, 7 * US], np.int64)).cast(pa.timestamp("us")),
+        "k": pa.array(["a", "a", "a", "lone"]),
+    }))
+    out = {r["k"]: r["max_gap_us"]
+           for r in grouped_max_gap(ds, key="k", ts_col="ts", window_s=2).take_all()}
+    assert out["lone"] is None
+    assert out["a"] == 4 * US

@@ -402,3 +402,64 @@ def rollup_fast(ds, cfg: RollupConfig, from_tier: bool = False):
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
     partials = _add_window(partials, "bucket", cfg.window_s, from_tier=True)
     return partials.groupby([cfg.key, "_window"]).map_groups(combine, batch_format="pyarrow")
+
+
+def calendar_rollup(ds, key: str, ts_col: str, value_col: str,
+                    unit: str = "month", value_scale: int = 100):
+    """Calendar-aware rollup: buckets are true calendar units (month, week,
+    quarter, year — NON-uniform widths), which ``floor_bucket_us``'s
+    fixed-seconds arithmetic cannot express.  Bucketing uses Arrow's
+    ``floor_temporal`` (week starts Monday, matching SQL date_trunc).
+
+    Combiner push-down: each batch pre-aggregates per (key, bucket) with the
+    exact-decimal recipe — sums accumulate as int64 of round(v*scale), so
+    the per-(key, bucket) combine is associative integer addition and the
+    emitted ``value_sum`` bit-equals ``ROUND(sum(v), log10(scale))`` under
+    ANY block layout; ``value_mean`` is defined as rounded-sum / n on both
+    sides.  The final shuffle moves one row per (key, bucket) per block."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        bucket = pc.floor_temporal(b[ts_col].combine_chunks(), unit=unit)
+        bus = bucket.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        codes, key_arr = _key_codes(b[key])
+        v = b[value_col].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
+        cents = np.round(v * value_scale).astype(np.int64)
+        order = np.lexsort((bus, codes))
+        cs, bs = codes[order], bus[order]
+        vs, cc = v[order], cents[order]
+        st = _segment_starts(np.r_[True, (cs[1:] != cs[:-1]) | (bs[1:] != bs[:-1])]) \
+            if len(cs) else np.zeros(0, np.int64)
+        n = np.diff(np.r_[st, len(cs)])
+        return pa.table({
+            key: key_arr.take(pa.array(order[st], type=pa.int64())),
+            "bucket": pa.array(bs[st].astype("datetime64[us]")),
+            "n_rows": pa.array(n.astype(np.int64)),
+            "_sum_i": pa.array(np.add.reduceat(cc, st) if len(st) else cc[:0]),
+            "_min": pa.array(np.minimum.reduceat(vs, st) if len(st) else vs[:0]),
+            "_max": pa.array(np.maximum.reduceat(vs, st) if len(st) else vs[:0]),
+        })
+
+    def combine(g: pa.Table) -> pa.Table:
+        bus = g["bucket"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = g["n_rows"].combine_chunks().to_numpy(zero_copy_only=False)
+        si = g["_sum_i"].combine_chunks().to_numpy(zero_copy_only=False)
+        mn = g["_min"].combine_chunks().to_numpy(zero_copy_only=False)
+        mx = g["_max"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(bus, kind="stable")
+        bs = bus[order]
+        st = _segment_starts(np.r_[True, bs[1:] != bs[:-1]]) if len(bs) else np.zeros(0, np.int64)
+        ns = np.add.reduceat(n[order], st) if len(st) else n[:0]
+        ss = np.add.reduceat(si[order], st) if len(st) else si[:0]
+        sums = ss.astype(np.float64) / float(value_scale)
+        return pa.table({
+            key: g[key].take(pa.array(order[st] if len(st) else [], type=pa.int64())),
+            "bucket": pa.array((bs[st] if len(st) else bs[:0]).astype("datetime64[us]")),
+            "n_rows": pa.array(ns.astype(np.int64)),
+            "value_sum": pa.array(sums),
+            "value_mean": pa.array(sums / ns if len(st) else sums),
+            "value_min": pa.array(np.minimum.reduceat(mn[order], st) if len(st) else mn[:0]),
+            "value_max": pa.array(np.maximum.reduceat(mx[order], st) if len(st) else mx[:0]),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby([key, "bucket"]).map_groups(combine, batch_format="pyarrow"))

@@ -181,3 +181,33 @@ def approx_global_shuffle(ds, seed: int = 42):
     return ds.randomize_block_order(seed=seed).map_batches(
         perm, batch_format="pyarrow", batch_size=None
     )
+
+
+def md5_split(ds, id_col: str = "doc_id",
+              fractions: dict[str, float] | None = None):
+    """Content-hash split with a PORTABLE hash: bucket by the first 8 hex
+    chars of ``md5(str(id))`` compared lexicographically against cumulative
+    hex thresholds (lowercase hex compare == numeric compare, so any system
+    with an md5 — SQL, Spark, a shell — reproduces the assignment exactly;
+    cf. ``hash_split`` which is faster but siphash-specific).  Pure map, no
+    shuffle; md5 over short ids runs at C speed per call and this path is
+    for portability, not the hot path."""
+    import hashlib
+
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    names = list(fractions)
+    cum = np.cumsum([fractions[n] for n in names])
+    # threshold hex strings: first 8 md5 nibbles < hex(f * 16^8) => split i
+    thresholds = [format(min(int(f * (1 << 32)), (1 << 32) - 1), "08x")
+                  for f in cum[:-1]]
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        prefixes = [hashlib.md5(str(i).encode()).hexdigest()[:8] for i in ids]
+        pref = np.array(prefixes, dtype="U8")
+        idx = np.searchsorted(np.array(thresholds, dtype="U8"), pref,
+                              side="right").clip(0, len(names) - 1)
+        split = np.array(names, dtype=object)[idx]
+        return batch.append_column("split", pa.array(split.tolist(), pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")

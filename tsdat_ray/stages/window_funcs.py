@@ -1525,3 +1525,130 @@ def counter_increase(ds, key: str, ts_col: str, value_col: str,
             .groupby("_gsalt").map_groups(
                 lambda g: fold(g.drop_columns(["_gsalt"])),
                 batch_format="pyarrow"))
+
+
+def grouped_dense_rank(ds, key: str, value_col: str,
+                       descending: bool = True, n_buckets: int = 64):
+    """DENSE_RANK() OVER (PARTITION BY key ORDER BY value [DESC]) — rank of
+    the row's DISTINCT value, gap-free.
+
+    Skew-safe shape (same value-quantile salting as :func:`grouped_rank`):
+    rows shuffle by (key, value-bucket), where the bucket map sends EQUAL
+    values to the SAME bucket (``searchsorted`` on unique sample quantiles),
+    so each (key, bucket) task sees every occurrence of its values.  The
+    global offset — the number of distinct values in strictly-better buckets
+    — comes from a second, tiny shuffle of per-batch-deduplicated
+    (key, bucket, value) triples (bounded by distinct values, never rows)
+    reduced to distinct counts and broadcast.  Ties need no id tiebreak:
+    equal values share one rank by definition."""
+    import ray
+
+    sample = ds.limit(100_000).select_columns([value_col]).take_all()
+    vs = np.array([r[value_col] for r in sample], dtype=np.float64)
+    qs = np.quantile(vs, np.linspace(0, 1, n_buckets + 1)[1:-1]) if len(vs) else []
+    edges = np.unique(qs)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        v = b[value_col].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
+        bkt = np.searchsorted(edges, v, side="left").astype(np.int64)
+        return b.append_column("_vb", pa.array(bkt))
+
+    withb = ds.map_batches(add_bucket, batch_format="pyarrow").materialize()
+
+    # distinct |values| per (key, bucket): batch-local dedupe -> one tiny
+    # groupby -> driver-side offset table (rows bounded by distinct values)
+    def local_distinct(b: pa.Table) -> pa.Table:
+        k = b[key].to_numpy(zero_copy_only=False)
+        vb = b["_vb"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = b[value_col].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, vb, k))
+        ks, vbs, vss = k[order], vb[order], v[order]
+        keep = np.r_[True, (ks[1:] != ks[:-1]) | (vbs[1:] != vbs[:-1]) | (vss[1:] != vss[:-1])] \
+            if len(ks) else np.zeros(0, bool)
+        return pa.table({key: pa.array(ks[keep]), "_vb": pa.array(vbs[keep]),
+                         value_col: pa.array(vss[keep])})
+
+    def count_distinct(g: pa.Table) -> pa.Table:
+        v = g[value_col].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({key: g[key].slice(0, 1), "_vb": g["_vb"].slice(0, 1),
+                         "_nd": pa.array([len(np.unique(v))], pa.int64())})
+
+    nd_tab = (withb.select_columns([key, "_vb", value_col])
+              .map_batches(local_distinct, batch_format="pyarrow")
+              .groupby([key, "_vb"]).map_groups(count_distinct, batch_format="pyarrow"))
+    counts: dict = {}
+    for b in nd_tab.iter_batches(batch_format="pyarrow", batch_size=None):
+        for kk, bb, nn in zip(b[key].to_pylist(), b["_vb"].to_pylist(), b["_nd"].to_pylist()):
+            counts[(kk, bb)] = nn
+    offsets: dict = {}
+    for kk in sorted({k0 for k0, _ in counts}, key=str):
+        buckets = sorted((bb for k2, bb in counts if k2 == kk), reverse=descending)
+        run = 0
+        for bb in buckets:
+            offsets[(kk, bb)] = run
+            run += counts[(kk, bb)]
+    off_ref = ray.put(offsets)
+
+    def rank_group(g: pa.Table) -> pa.Table:
+        offs = ray.get(off_ref)
+        v = g[value_col].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
+        k0 = g[key][0].as_py()
+        vb0 = int(g["_vb"][0].as_py())
+        uniq = np.unique(v)  # ascending distinct values of this bucket
+        pos = np.searchsorted(uniq, v)  # dense index within bucket, ascending
+        local = (len(uniq) - 1 - pos) if descending else pos
+        rank = offs.get((k0, vb0), 0) + local + 1
+        out = {c: g[c] for c in g.column_names if c != "_vb"}
+        out["drnk"] = pa.array(rank.astype(np.int64))
+        return pa.table(out)
+
+    return withb.groupby([key, "_vb"]).map_groups(rank_group, batch_format="pyarrow")
+
+
+def grouped_max_gap(ds, key: str, ts_col: str, window_s: int = 24 * 3600):
+    """MAX inter-event gap per key: max(ts - lag(ts) OVER (PARTITION BY key
+    ORDER BY ts)), in microseconds.
+
+    Two-phase skew-safe: per (key, time-window) tasks emit (min_ts, max_ts,
+    max in-window gap) — windows partition time, so every adjacent pair is
+    either inside one window or spans a boundary; a tiny per-key merge of
+    the ordered window summaries adds the boundary gaps (next.min - prev.max).
+    The per-key reduce sees one row per WINDOW, never per event.  Keys with
+    a single event yield NULL (SQL: max over an empty lag set)."""
+    win_us = window_s * US
+
+    def add_window(b: pa.Table) -> pa.Table:
+        ts = b[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return b.append_column("_window", pa.array((ts // win_us) * win_us))
+
+    def per_window(g: pa.Table) -> pa.Table:
+        ts = np.sort(g[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False))
+        gap = int(np.diff(ts).max()) if len(ts) > 1 else -1
+        return pa.table({
+            key: g[key].slice(0, 1),
+            "_min_ts": pa.array([int(ts[0])], pa.int64()),
+            "_max_ts": pa.array([int(ts[-1])], pa.int64()),
+            "_gap": pa.array([gap], pa.int64()),
+            "_n": pa.array([len(ts)], pa.int64()),
+        })
+
+    part = (ds.map_batches(add_window, batch_format="pyarrow")
+            .groupby([key, "_window"]).map_groups(per_window, batch_format="pyarrow"))
+
+    def merge(g: pa.Table) -> pa.Table:
+        mn = g["_min_ts"].combine_chunks().to_numpy(zero_copy_only=False)
+        mx = g["_max_ts"].combine_chunks().to_numpy(zero_copy_only=False)
+        gp = g["_gap"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["_n"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(mn, kind="stable")
+        mn, mx, gp = mn[order], mx[order], gp[order]
+        best = int(gp.max())
+        if len(mn) > 1:
+            best = max(best, int((mn[1:] - mx[:-1]).max()))
+        total = int(n.sum())
+        return pa.table({
+            key: g[key].slice(0, 1),
+            "max_gap_us": pa.array([best if (total > 1 and best >= 0) else None], pa.int64()),
+        })
+
+    return part.groupby(key).map_groups(merge, batch_format="pyarrow")
