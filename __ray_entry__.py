@@ -2899,6 +2899,117 @@ def _q_value_hist(sf_dir: str):
             .groupby(["event_type", "bin"]).map_groups(combine, batch_format="pyarrow"))
 
 
+def _q_active_days(sf_dir: str):
+    """COUNT(DISTINCT day) per user — high-cardinality-key distinct count
+    (the inverse shuffle shape of distinct_users_per_type): batch-local
+    (user, day) dedupe bounds the shuffle by distinct pairs, one groupby
+    finalizes.  user_id spreads naturally — no salt needed."""
+    ds = _events(sf_dir, columns=["ts", "user_id"])
+
+    def local_dedupe(b: pa.Table) -> pa.Table:
+        ts = b["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = (ts // (86400 * 1_000_000)).astype(np.int64)
+        u = b["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((day, u))
+        us, ds_ = u[order], day[order]
+        keep = np.r_[True, (us[1:] != us[:-1]) | (ds_[1:] != ds_[:-1])] \
+            if len(us) else np.zeros(0, bool)
+        return pa.table({"user_id": pa.array(us[keep]), "_day": pa.array(ds_[keep])})
+
+    def finalize(g: pa.Table) -> pa.Table:
+        d = g["_day"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": g["user_id"].slice(0, 1),
+            "n_days": pa.array([len(np.unique(d))], pa.int64()),
+        })
+
+    return (ds.map_batches(local_dedupe, batch_format="pyarrow")
+            .groupby("user_id").map_groups(finalize, batch_format="pyarrow"))
+
+
+def _q_retention_cohort(sf_dir: str):
+    """7-day retention by first-touch cohort: per-user first_ts (combiner
+    push-down min), bucketed hash_join back onto the event stream (both
+    sides large — the user dimension grows with the corpus, so no
+    broadcast), window filter, then distinct-user count per cohort day."""
+    from tsdat_ray.stages.joins import hash_join
+
+    DAY_US = 86400 * 1_000_000
+    ds = _events(sf_dir, columns=["ts", "user_id"])
+
+    def local_min(b: pa.Table) -> pa.Table:
+        u = b["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        ts = b["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, u))
+        us, tss = u[order], ts[order]
+        keep = np.r_[True, us[1:] != us[:-1]] if len(us) else np.zeros(0, bool)
+        return pa.table({"user_id": pa.array(us[keep]), "_first": pa.array(tss[keep])})
+
+    def combine_min(g: pa.Table) -> pa.Table:
+        f = g["_first"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": g["user_id"].slice(0, 1),
+                         "first_ts": pa.array([int(f.min())], pa.int64())})
+
+    first = (ds.map_batches(local_min, batch_format="pyarrow")
+             .groupby("user_id").map_groups(combine_min, batch_format="pyarrow"))
+
+    def to_us(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "ts_us": b["ts"].combine_chunks().cast(pa.int64()),
+        })
+
+    joined = hash_join(ds.map_batches(to_us, batch_format="pyarrow"), first,
+                       on="user_id", how="inner")
+
+    def in_window(b: pa.Table) -> pa.Table:
+        ts = b["ts_us"].combine_chunks().to_numpy(zero_copy_only=False)
+        f = b["first_ts"].combine_chunks().to_numpy(zero_copy_only=False)
+        m = (ts > f + DAY_US) & (ts <= f + 7 * DAY_US)
+        u = b["user_id"].combine_chunks().to_numpy(zero_copy_only=False)[m]
+        cohort = ((f[m] // DAY_US) * DAY_US).astype(np.int64)
+        order = np.lexsort((u, cohort))
+        cs, us = cohort[order], u[order]
+        keep = np.r_[True, (cs[1:] != cs[:-1]) | (us[1:] != us[:-1])] \
+            if len(cs) else np.zeros(0, bool)
+        return pa.table({"_cohort": pa.array(cs[keep]), "user_id": pa.array(us[keep])})
+
+    def count_users(g: pa.Table) -> pa.Table:
+        u = g["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        c = g["_cohort"][0].as_py()
+        return pa.table({
+            "cohort": pa.array(np.array([c], np.int64).astype("datetime64[us]")),
+            "retained": pa.array([len(np.unique(u))], pa.int64()),
+        })
+
+    return (joined.map_batches(in_window, batch_format="pyarrow")
+            .groupby("_cohort").map_groups(count_users, batch_format="pyarrow"))
+
+
+def _q_embedding_stats(sf_dir: str):
+    """Per-vector list-column reductions (dim / min / max) — zero-copy
+    Arrow list offsets + numpy reduceat, no per-row Python; min/max are
+    associative so the contract is exact regardless of evaluation order
+    (sums are not — DuckDB's list_sum order differs from in-order numpy,
+    measured, so no float-sum contract here)."""
+    ds = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def stats(b: pa.Table) -> pa.Table:
+        emb = b["embedding"].combine_chunks()
+        vals = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        offs = emb.offsets.to_numpy().astype(np.int64)
+        st = offs[:-1] - offs[0]
+        v = vals[offs[0]:offs[-1]] if len(offs) else vals[:0]
+        return pa.table({
+            "vec_id": b["vec_id"],
+            "dim": pa.array(np.diff(offs).astype(np.int64)),
+            "vmin": pa.array(np.minimum.reduceat(v, st) if len(st) else v[:0]),
+            "vmax": pa.array(np.maximum.reduceat(v, st) if len(st) else v[:0]),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rollup_1m_events": lambda d: _events_rollup(d, "1m"),
@@ -3025,6 +3136,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_week_events": _q_calendar_rollup("week"),
         "above_mean_events": _q_above_mean,
         "value_hist_events": _q_value_hist,
+        "active_days_per_user": _q_active_days,
+        "retention_7d_cohort": _q_retention_cohort,
+        "embedding_stats": _q_embedding_stats,
     }
 
 
@@ -4037,5 +4151,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, CAST(floor(value / 5.0) AS BIGINT) AS bin,
                    count(*) AS n_rows
             FROM events GROUP BY 1, 2
+        """,
+        "active_days_per_user": """
+            SELECT user_id, count(DISTINCT date_trunc('day', ts)) AS n_days
+            FROM events GROUP BY user_id
+        """,
+        "retention_7d_cohort": """
+            WITH f AS (
+                SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1
+            )
+            SELECT date_trunc('day', f.first_ts) AS cohort,
+                   count(DISTINCT e.user_id) AS retained
+            FROM events e JOIN f USING (user_id)
+            WHERE e.ts > f.first_ts + INTERVAL 1 DAY
+              AND e.ts <= f.first_ts + INTERVAL 7 DAY
+            GROUP BY 1
+        """,
+        "embedding_stats": """
+            SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+                   CAST(list_min(embedding) AS DOUBLE) AS vmin,
+                   CAST(list_max(embedding) AS DOUBLE) AS vmax
+            FROM embeddings
         """,
     }

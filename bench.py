@@ -218,6 +218,9 @@ def run_bench() -> dict:
         "rollup_week_events",
         "above_mean_events",
         "value_hist_events",
+        "active_days_per_user",
+        "retention_7d_cohort",
+        "embedding_stats",
     ]
     qtimes = {}
     for name in bench_queries:
