@@ -3010,6 +3010,62 @@ def _q_embedding_stats(sf_dir: str):
     return ds.map_batches(stats, batch_format="pyarrow")
 
 
+def _q_asof_by_user(sf_dir: str):
+    """Keyed as-of join (the ``by=`` path): latest prior purchase PER USER
+    for each click.  Right side reduces in Ray to distinct (user, ts) with
+    max event_id (tree reduction, bounded by distinct pairs), broadcast
+    once; per batch the lookup is a per-user searchsorted."""
+    from tsdat_ray.stages.joins import asof_lookup
+    from tsdat_ray.stages.reduce import tree_reduce
+
+    def max_per_user_ts(b: pa.Table) -> pa.Table:
+        if "event_type" in b.column_names:
+            b = b.filter(pc.equal(b["event_type"], "purchase"))
+        idc = "event_id" if "event_id" in b.column_names else "event_id_p"
+        u = b["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        ts = b["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = b[idc].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((-eid, ts, u))
+        us, ts_s, eid_s = u[order], ts[order], eid[order]
+        keep = np.r_[True, (us[1:] != us[:-1]) | (ts_s[1:] != ts_s[:-1])] \
+            if len(us) else np.zeros(0, bool)
+        return pa.table({"user_id": pa.array(us[keep]),
+                         "ts": pa.array(ts_s[keep]).cast(pa.timestamp("us")),
+                         "event_id_p": pa.array(eid_s[keep])})
+
+    pur = _events(sf_dir, columns=["event_id", "ts", "user_id", "event_type"])
+    p = pa.concat_tables(
+        tree_reduce(pur, max_per_user_ts).iter_batches(batch_format="pyarrow"))
+    clicks = _events(sf_dir, columns=["event_id", "ts", "user_id", "event_type"]).filter(
+        expr="event_type == 'click'")
+    out = asof_lookup(clicks, p, left_on="ts", right_on="ts",
+                      value_cols=("event_id_p",), by="user_id")
+    return out.select_columns(["event_id", "event_id_p"])
+
+
+def _q_last_value(sf_dir: str):
+    """LAST_VALUE over the full partition frame — the max-(ts, id) row per
+    key, tree-reduced and broadcast (window_funcs.partitioned_first_value
+    with last=True)."""
+    from tsdat_ray.stages.window_funcs import partitioned_first_value
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "event_type", "value"])
+    out = partitioned_first_value(ds, key="event_type", ts_col="ts",
+                                  value_col="value", id_col="event_id", last=True)
+    return out.select_columns(["event_id", "value_last"])
+
+
+def _q_lttb(sf_dir: str):
+    """LTTB visual downsample, 48 points per (event_type, day) — rows-only
+    (point selection is not SQL-expressible); pinned against a sequential
+    reference in tests/test_transforms.py."""
+    from tsdat_ray.stages.transforms import lttb_downsample
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "event_type", "value"])
+    return lttb_downsample(ds, key="event_type", ts_col="ts",
+                           value_col="value", n_out=48, window_s=86400)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rollup_1m_events": lambda d: _events_rollup(d, "1m"),
@@ -3139,6 +3195,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "active_days_per_user": _q_active_days,
         "retention_7d_cohort": _q_retention_cohort,
         "embedding_stats": _q_embedding_stats,
+        "asof_by_user_click_purchase": _q_asof_by_user,
+        "last_value_events": _q_last_value,
+        "lttb_events": _q_lttb,
     }
 
 
@@ -4172,5 +4231,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_min(embedding) AS DOUBLE) AS vmin,
                    CAST(list_max(embedding) AS DOUBLE) AS vmax
             FROM embeddings
+        """,
+        "asof_by_user_click_purchase": """
+            WITH p AS (
+                SELECT user_id, ts, max(event_id) AS event_id_p FROM events
+                WHERE event_type = 'purchase' GROUP BY 1, 2
+            )
+            SELECT c.event_id, p.event_id_p
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "last_value_events": """
+            SELECT event_id,
+                   LAST_VALUE(value) OVER (
+                       PARTITION BY event_type ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND UNBOUNDED FOLLOWING) AS value_last
+            FROM events
         """,
     }

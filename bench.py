@@ -221,6 +221,9 @@ def run_bench() -> dict:
         "active_days_per_user",
         "retention_7d_cohort",
         "embedding_stats",
+        "asof_by_user_click_purchase",
+        "last_value_events",
+        "lttb_events",
     ]
     qtimes = {}
     for name in bench_queries:

@@ -241,3 +241,48 @@ def test_auto_grid_forced_modes(ray_session):
                         mode=mode).to_pandas()
         assert set(out["mode"]) == {mode}
         assert len(out) == 10
+
+
+def test_lttb_sequential_reference_and_invariants(ray_session):
+    import ray.data as rd
+
+    from tsdat_ray.stages.transforms import lttb_downsample, lttb_indices
+
+    US = 1_000_000
+    rng = np.random.default_rng(11)
+    n = 5000
+    ts = np.sort(rng.integers(0, 86400, n)).astype(np.int64) * US
+    v = np.cumsum(rng.normal(size=n))
+    tbl = pa.table({
+        "k": pa.array(["a"] * n),
+        "ts": pa.array(ts).cast(pa.timestamp("us")),
+        "v": pa.array(v),
+    })
+    out = lttb_downsample(rd.from_arrow(tbl).repartition(4), key="k",
+                          ts_col="ts", value_col="v", n_out=100,
+                          window_s=7 * 86400).to_pandas()
+    # one window => distributed result == sequential reference selection
+    order = np.lexsort((v, ts))
+    sel = lttb_indices(ts[order], v[order], 100)
+    expect = np.sort(ts[order][sel])
+    got = np.sort(out["ts"].values.astype("datetime64[us]").astype(np.int64))
+    assert len(out) == 100
+    assert np.array_equal(got, expect)
+    # endpoints always kept
+    assert got[0] == ts.min() and got[-1] == ts.max()
+
+
+def test_lttb_small_group_passthrough(ray_session):
+    import ray.data as rd
+
+    from tsdat_ray.stages.transforms import lttb_downsample
+
+    US = 1_000_000
+    tbl = pa.table({
+        "k": pa.array(["a"] * 5),
+        "ts": pa.array(np.arange(5, dtype=np.int64) * US).cast(pa.timestamp("us")),
+        "v": pa.array(np.arange(5.0)),
+    })
+    out = lttb_downsample(rd.from_arrow(tbl), key="k", ts_col="ts",
+                          value_col="v", n_out=100).to_pandas()
+    assert len(out) == 5

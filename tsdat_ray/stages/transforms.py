@@ -612,3 +612,58 @@ def auto_grid(
 
     dsw = ds.map_batches(add_window, batch_format="pyarrow")
     return dsw.groupby([key, "_window"]).map_groups(run_region, batch_format="pyarrow")
+
+
+def lttb_indices(ts: np.ndarray, v: np.ndarray, n_out: int) -> np.ndarray:
+    """Largest-Triangle-Three-Buckets point selection (Steinarsson 2013) over
+    one ALREADY-SORTED series; returns the sorted indices of the kept points.
+    First and last points are always kept; each of the ``n_out - 2`` middle
+    buckets keeps the point maximizing the triangle area with the previously
+    selected point and the next bucket's centroid.  The loop is over OUTPUT
+    points (n_out iterations of vectorized slice math), not input rows."""
+    n = len(ts)
+    if n <= n_out or n_out < 3:
+        return np.arange(n)
+    edges = np.linspace(1, n - 1, n_out - 1).astype(np.int64)
+    keep = np.empty(n_out, dtype=np.int64)
+    keep[0], keep[-1] = 0, n - 1
+    a = 0
+    tsf = ts.astype(np.float64)
+    for i in range(n_out - 2):
+        lo, hi = edges[i], edges[i + 1]
+        nlo, nhi = edges[i + 1], (edges[i + 2] if i + 2 < len(edges) else n)
+        cx, cy = tsf[nlo:nhi].mean(), v[nlo:nhi].mean()
+        ax, ay = tsf[a], v[a]
+        # 2x triangle area of (a, candidate, next-bucket centroid)
+        area = np.abs((ax - cx) * (v[lo:hi] - ay) - (ax - tsf[lo:hi]) * (cy - ay))
+        a = lo + int(np.argmax(area))  # argmax: first max -> deterministic
+        keep[i + 1] = a
+    return np.unique(keep)
+
+
+def lttb_downsample(ds, key: str, ts_col: str, value_col: str,
+                    n_out: int = 100, window_s: int = 86400):
+    """Distributed LTTB visual downsample: per (key, time-window) groups each
+    keep ``n_out`` LTTB-selected rows.  Windowing makes it scale-safe (no
+    whole-key history in one task) at the cost of the standard streaming
+    approximation: selection is exact WITHIN each window, and window edges
+    always emit their boundary points (LTTB keeps first/last), so the joined
+    polyline is continuous across windows.  Deterministic: groups sort by
+    (ts, value) and argmax takes the first maximum."""
+    US_ = 1_000_000
+    win_us = window_s * US_
+
+    def add_window(b: pa.Table) -> pa.Table:
+        ts = b[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return b.append_column("_window", pa.array((ts // win_us) * win_us))
+
+    def per_window(g: pa.Table) -> pa.Table:
+        ts = g[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = g[value_col].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, ts))
+        sel = lttb_indices(ts[order], v[order], n_out)
+        take = pa.array(np.sort(order[sel]), type=pa.int64())
+        return g.drop_columns(["_window"]).take(take)
+
+    return (ds.map_batches(add_window, batch_format="pyarrow")
+            .groupby([key, "_window"]).map_groups(per_window, batch_format="pyarrow"))

@@ -793,11 +793,14 @@ def partitioned_rolling_zscore(ds, key: str, ts_col: str, value_col: str,
 
 
 def partitioned_first_value(ds, key: str, ts_col: str, value_col: str,
-                            id_col: str):
+                            id_col: str, last: bool = False):
     """FIRST_VALUE(value) OVER (PARTITION BY key ORDER BY ts, id) — the
-    per-key global first value, repeated on every row.  A tree reduction
-    keeps only each block's min-(ts, id) row per key (bounded by distinct
-    keys), so the broadcast table is tiny regardless of corpus size."""
+    per-key global first value, repeated on every row (``last=True`` gives
+    LAST_VALUE over the full-partition frame: the max-(ts, id) row).  A tree
+    reduction keeps only each block's extreme row per key (bounded by
+    distinct keys), so the broadcast table is tiny regardless of corpus
+    size; the per-batch attach is a dictionary-encode + array gather (no
+    per-row Python)."""
     import ray
 
     from .reduce import tree_reduce
@@ -806,6 +809,8 @@ def partitioned_first_value(ds, key: str, ts_col: str, value_col: str,
         k = b[key].to_numpy(zero_copy_only=False)
         ts = b[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
         ids = b[id_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if last:
+            ts, ids = -ts, -ids
         order = np.lexsort((ids, ts, k))
         ks = k[order]
         st = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]]) if len(ks) else np.zeros(0, np.int64)
@@ -820,12 +825,16 @@ def partitioned_first_value(ds, key: str, ts_col: str, value_col: str,
                           b[value_col].to_numpy(zero_copy_only=False)):
             fmap[kk] = vv
     fref = ray.put(fmap)
+    out_col = f"{value_col}_last" if last else f"{value_col}_first"
 
     def attach(b: pa.Table) -> pa.Table:
         fm = ray.get(fref)
-        k = b[key].to_numpy(zero_copy_only=False)
-        fv = np.array([fm.get(kk, np.nan) for kk in k], dtype=np.float64)
-        return b.append_column(f"{value_col}_first", pa.array(fv))
+        enc = b[key].combine_chunks().dictionary_encode()
+        dvals = enc.dictionary.to_pylist()
+        lut = np.array([fm.get(kk, np.nan) for kk in dvals], dtype=np.float64)
+        fv = lut[enc.indices.to_numpy(zero_copy_only=False)] if len(dvals) \
+            else np.zeros(0, np.float64)
+        return b.append_column(out_col, pa.array(fv))
 
     return ds.map_batches(attach, batch_format="pyarrow")
 
