@@ -3066,6 +3066,50 @@ def _q_lttb(sf_dir: str):
                            value_col="value", n_out=48, window_s=86400)
 
 
+def _q_grouping_sets_events(sf_dir: str):
+    """GROUP BY GROUPING SETS ((event_type, day), (day), ()) — arbitrary
+    set list (not a ROLLUP prefix chain, not a full CUBE), one tree-reduced
+    finest-level partial re-aggregated per set
+    (stages/reshape.py:grouping_sets)."""
+    from tsdat_ray.stages.reshape import grouping_sets
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts = b["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = pc.strftime(pa.array((ts // (86400 * US)) * (86400 * US)).cast(
+            pa.timestamp("us")), format="%Y-%m-%d")
+        return pa.table({"event_type": b["event_type"], "day": day, "value": b["value"]})
+
+    ds = _events(sf_dir, columns=["ts", "event_type", "value"]).map_batches(
+        prep, batch_format="pyarrow")
+    return grouping_sets(ds, sets=(("event_type", "day"), ("day",), ()),
+                         value_col="value", value_scale=100)
+
+
+def _q_interval_overlap(sf_dir: str):
+    """Interval-overlap join: for each click 'session' [ts, ts+10m), the
+    number of purchase intervals [ts, ts+5m) overlapping it — right side
+    reduced to broadcast start/end count multisets, two searchsorteds per
+    batch (stages/joins.py:interval_overlap_count)."""
+    from tsdat_ray.stages.joins import interval_overlap_count
+
+    def mk_iv(dur_s: int):
+        def f(b: pa.Table) -> pa.Table:
+            ts = b["ts"].combine_chunks().cast(pa.int64())
+            out = {"iv_start": ts, "iv_end": pc.add(ts, dur_s * US)}
+            if "event_id" in b.column_names:
+                out = {"event_id": b["event_id"], **out}
+            return pa.table(out)
+        return f
+
+    clicks = _events(sf_dir, columns=["event_id", "ts", "event_type"]).filter(
+        expr="event_type == 'click'").map_batches(mk_iv(600), batch_format="pyarrow")
+    purchases = _events(sf_dir, columns=["ts", "event_type"]).filter(
+        expr="event_type == 'purchase'").map_batches(mk_iv(300), batch_format="pyarrow")
+    out = interval_overlap_count(clicks, purchases, "iv_start", "iv_end",
+                                 "iv_start", "iv_end")
+    return out.select_columns(["event_id", "n_overlap"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rollup_1m_events": lambda d: _events_rollup(d, "1m"),
@@ -3198,6 +3242,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_by_user_click_purchase": _q_asof_by_user,
         "last_value_events": _q_last_value,
         "lttb_events": _q_lttb,
+        "grouping_sets_events": _q_grouping_sets_events,
+        "interval_overlap_click_purchase": _q_interval_overlap,
     }
 
 
@@ -4248,5 +4294,19 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING
                                 AND UNBOUNDED FOLLOWING) AS value_last
             FROM events
+        """,
+        "grouping_sets_events": """
+            SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   count(*) AS n_rows, ROUND(sum(value), 2) AS value_sum
+            FROM events
+            GROUP BY GROUPING SETS ((event_type, day), (day), ())
+        """,
+        "interval_overlap_click_purchase": """
+            SELECT c.event_id,
+                   (SELECT count(*) FROM events p
+                    WHERE p.event_type = 'purchase'
+                      AND p.ts <= c.ts + INTERVAL 600 SECOND
+                      AND p.ts + INTERVAL 300 SECOND >= c.ts) AS n_overlap
+            FROM events c WHERE c.event_type = 'click'
         """,
     }

@@ -224,6 +224,8 @@ def run_bench() -> dict:
         "asof_by_user_click_purchase",
         "last_value_events",
         "lttb_events",
+        "grouping_sets_events",
+        "interval_overlap_click_purchase",
     ]
     qtimes = {}
     for name in bench_queries:

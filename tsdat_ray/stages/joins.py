@@ -448,3 +448,67 @@ def bloom_semi_join(left, left_key: str, right, right_key: str,
                                  n_hashes=n_hashes)
     return semi_anti_join(left, left_key, right_live, right_key, anti=anti,
                           fanin=fanin)
+
+
+def interval_overlap_count(left, right, left_start: str, left_end: str,
+                           right_start: str, right_end: str,
+                           out_col: str = "n_overlap", fanin: int = 8):
+    """Interval-overlap join (count form): for each left interval
+    [start, end], the number of right intervals [s, e] overlapping it
+    (s <= left_end AND e >= left_start).
+
+    Identity: overlaps = #(s <= left_end) − #(e < left_start) — every right
+    interval ending before the left start also started before it, so the
+    subtraction removes exactly the disjoint-to-the-left set.  The right
+    side reduces (tree reduction) to TWO distinct-value count multisets —
+    its starts and its ends — broadcast once; each left batch answers with
+    two vectorized searchsorteds.  The non-equi interval analog of
+    :func:`range_count_join`; partition both sides by coarse time range if
+    the right multisets outgrow a broadcast."""
+    import ray
+
+    from .reduce import tree_reduce
+
+    def both_counts(b: pa.Table) -> pa.Table:
+        if "_which" in b.column_names:  # re-merge of partials
+            w = b["_which"].combine_chunks().to_numpy(zero_copy_only=False)
+            vv = b["_v"].combine_chunks().to_numpy(zero_copy_only=False)
+            cc = b["_cnt"].combine_chunks().to_numpy(zero_copy_only=False)
+        else:
+            s = b[right_start].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+            e = b[right_end].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+            vv = np.r_[s, e]
+            w = np.r_[np.zeros(len(s), np.int8), np.ones(len(e), np.int8)]
+            cc = np.ones(len(vv), dtype=np.int64)
+        order = np.lexsort((vv, w))
+        ws, vs, cs = w[order], vv[order], cc[order]
+        chg = np.r_[True, (ws[1:] != ws[:-1]) | (vs[1:] != vs[:-1])] if len(ws) else np.zeros(0, bool)
+        st = np.flatnonzero(chg)
+        csum = np.add.reduceat(cs, st) if len(st) else cs[:0]
+        return pa.table({"_which": pa.array(ws[st] if len(st) else ws[:0]),
+                         "_v": pa.array(vs[st] if len(st) else vs[:0]),
+                         "_cnt": pa.array(csum)})
+
+    agg = tree_reduce(right, both_counts, fanin=fanin)
+    sv, sc, ev, ec = [], [], [], []
+    for b in agg.iter_batches(batch_format="pyarrow", batch_size=None):
+        w = b["_which"].combine_chunks().to_numpy(zero_copy_only=False)
+        vv = b["_v"].combine_chunks().to_numpy(zero_copy_only=False)
+        cc = b["_cnt"].combine_chunks().to_numpy(zero_copy_only=False)
+        sv.append(vv[w == 0]); sc.append(cc[w == 0])
+        ev.append(vv[w == 1]); ec.append(cc[w == 1])
+    starts = np.concatenate(sv) if sv else np.zeros(0, np.int64)
+    s_cum = np.r_[0, np.cumsum(np.concatenate(sc) if sc else np.zeros(0, np.int64))]
+    ends = np.concatenate(ev) if ev else np.zeros(0, np.int64)
+    e_cum = np.r_[0, np.cumsum(np.concatenate(ec) if ec else np.zeros(0, np.int64))]
+    ref = ray.put((starts, s_cum, ends, e_cum))
+
+    def count(b: pa.Table) -> pa.Table:
+        st_arr, s_c, en_arr, e_c = ray.get(ref)
+        ls = b[left_start].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        le = b[left_end].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n_started = s_c[np.searchsorted(st_arr, le, side="right")]
+        n_ended_before = e_c[np.searchsorted(en_arr, ls, side="left")]
+        return b.append_column(out_col, pa.array((n_started - n_ended_before).astype(np.int64)))
+
+    return left.map_batches(count, batch_format="pyarrow")

@@ -197,3 +197,41 @@ def melt(ds, id_cols: tuple, value_cols: tuple,
         return pa.concat_tables(parts)
 
     return ds.map_batches(unpivot, batch_format="pyarrow")
+
+
+def grouping_sets(ds, sets: tuple, value_col: str | None = None,
+                  value_scale: int = 100, fanin: int = 8):
+    """SQL ``GROUP BY GROUPING SETS ((a, b), (a), (b), ())`` — arbitrary
+    grouping sets, generalizing :func:`rollup_levels` (prefixes) and
+    :func:`cube_levels` (all subsets).  ``sets`` is a tuple of key-column
+    tuples.  One combiner push-down tree reduction at the FINEST granularity
+    (the union of all referenced keys); each requested set re-aggregates the
+    tiny reduced result, with NULL-filled rolled-up dims."""
+    keys = tuple(dict.fromkeys(k for s in sets for k in s))  # ordered union
+
+    partial = _count_sum_partial(keys, value_col, value_scale)
+    agg = tree_reduce(ds, partial, fanin=fanin)
+
+    def levels(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = b.to_pandas()
+        frames = []
+        for kept in sets:
+            kept = tuple(kept)
+            if set(kept) == set(keys):
+                g = df.copy()
+            elif kept:
+                g = df.groupby(list(kept), as_index=False)[["_n", "_s"]].sum()
+            else:
+                g = pd.DataFrame({"_n": [df["_n"].sum()], "_s": [df["_s"].sum()]})
+            for k in keys:
+                if k not in kept:
+                    g[k] = None
+            frames.append(g[list(keys) + ["_n", "_s"]])
+        out = pd.concat(frames, ignore_index=True)
+        out = out.rename(columns={"_n": "n_rows"})
+        out["value_sum"] = out.pop("_s") / float(value_scale)
+        return out
+
+    return agg.map_batches(levels, batch_format="pyarrow", batch_size=None)
