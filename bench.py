@@ -226,6 +226,8 @@ def run_bench() -> dict:
         "lttb_events",
         "grouping_sets_events",
         "interval_overlap_click_purchase",
+        "length_buckets_sequences",
+        "mask_repeats_sequences",
     ]
     qtimes = {}
     for name in bench_queries:

@@ -229,3 +229,52 @@ def test_topk_words_exact(ray_session):
     )
     want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
     assert list(map(tuple, got[["word", "n"]].to_numpy())) == want
+
+
+def test_mask_repeated_ngrams_sequential_reference(ray_session):
+    import ray.data as rd
+
+    from tsdat_ray.stages.sampling import mask_repeated_ngrams
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(40):
+        n = int(rng.integers(0, 60))
+        toks = rng.integers(0, 5, n).astype(np.int32)  # tiny vocab => repeats
+        rows.append({"doc_id": f"d{i}", "tokens": toks.tolist()})
+    tbl = pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows]),
+        "tokens": pa.array([r["tokens"] for r in rows], pa.list_(pa.int32())),
+    })
+    N = 4
+    out = {r["doc_id"]: (r["n_tok"], r["n_masked"])
+           for r in mask_repeated_ngrams(rd.from_arrow(tbl).repartition(3), n=N)
+           .take_all()}
+
+    for r in rows:
+        t = r["tokens"]
+        seen, covered = set(), np.zeros(len(t), dtype=bool)
+        for s in range(len(t) - N + 1):
+            g = tuple(t[s:s + N])
+            if g in seen:
+                covered[s:s + N] = True
+            seen.add(g)
+        assert out[r["doc_id"]] == (len(t), int(covered.sum())), r["doc_id"]
+
+
+def test_length_bucket_stats(ray_session):
+    import ray.data as rd
+
+    from tsdat_ray.stages.sampling import length_bucket_stats
+
+    tbl = pa.table({
+        "source": pa.array(["a", "a", "b", "a"]),
+        "n_tok": pa.array([10, 64, 65, 5000], pa.int32()),
+    })
+    out = {(r["source"], r["bucket"]): (r["n_seqs"], r["n_tokens"])
+           for r in length_bucket_stats(rd.from_arrow(tbl)).take_all()}
+    # edges (64,128,...,2048), side=right: bucket b holds edges[b-1] <= n < edges[b]
+    assert out[("a", 0)] == (1, 10)
+    assert out[("a", 1)] == (1, 64)
+    assert out[("b", 1)] == (1, 65)
+    assert out[("a", 6)] == (1, 5000)

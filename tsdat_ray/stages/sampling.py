@@ -211,3 +211,99 @@ def md5_split(ds, id_col: str = "doc_id",
         return batch.append_column("split", pa.array(split.tolist(), pa.string()))
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def length_bucket_stats(ds, tokens_col: str = "n_tok", key: str = "source",
+                        edges: tuple = (64, 128, 256, 512, 1024, 2048)):
+    """Sequence-length bucketing for batch scheduling: per (key, length
+    bucket) counts and token totals.  Combiner push-down — each batch emits
+    one row per (key, bucket), the groupby moves ≤ |keys|·|buckets| rows per
+    block.  Integer sums ⇒ order-free exact combine."""
+    edges_arr = np.asarray(edges, dtype=np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        k = b[key].to_numpy(zero_copy_only=False)
+        n = b[tokens_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        bkt = np.searchsorted(edges_arr, n, side="right").astype(np.int64)
+        order = np.lexsort((bkt, k))
+        ks, bs, ns = k[order], bkt[order], n[order]
+        st = np.flatnonzero(np.r_[True, (ks[1:] != ks[:-1]) | (bs[1:] != bs[:-1])]) \
+            if len(ks) else np.zeros(0, np.int64)
+        return pa.table({
+            key: pa.array(ks[st] if len(st) else ks[:0]),
+            "bucket": pa.array(bs[st] if len(st) else bs[:0]),
+            "n_seqs": pa.array(np.diff(np.r_[st, len(ks)]).astype(np.int64)),
+            "n_tokens": pa.array(np.add.reduceat(ns, st) if len(st) else ns[:0]),
+        })
+
+    def combine(g: pa.Table) -> pa.Table:
+        return pa.table({
+            key: g[key].slice(0, 1),
+            "bucket": g["bucket"].slice(0, 1),
+            "n_seqs": pa.array([int(np.sum(g["n_seqs"].combine_chunks()
+                                           .to_numpy(zero_copy_only=False)))], pa.int64()),
+            "n_tokens": pa.array([int(np.sum(g["n_tokens"].combine_chunks()
+                                             .to_numpy(zero_copy_only=False)))], pa.int64()),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby([key, "bucket"]).map_groups(combine, batch_format="pyarrow"))
+
+
+def mask_repeated_ngrams(ds, tokens_col: str = "tokens", id_col: str = "doc_id",
+                         n: int = 8):
+    """Intra-sequence repeated-n-gram statistics (the within-document half of
+    Lee et al. 2022 dedup): per sequence, the number of token positions
+    covered by an n-gram window whose hash already occurred EARLIER in the
+    same sequence.  Pure map, no shuffle; the whole batch is processed as
+    ONE flattened numpy pass — windows hash via a uint64 polynomial dot
+    (wraparound multiply), boundary-crossing windows are excluded by offset
+    masking, duplicate windows are found with a (seq, hash, pos) lexsort,
+    and covered positions accumulate through a ±1 diff/cumsum sweep.  Hash
+    collisions can overcount masked positions with probability ~ w²/2⁶⁴ per
+    sequence (w = windows) — negligible for a curation statistic."""
+    B = np.uint64(1099511628211)
+    powers = B ** np.arange(n, dtype=np.uint64)
+
+    def stats(b: pa.Table) -> pa.Table:
+        toks = b[tokens_col].combine_chunks()
+        vals = toks.values.to_numpy(zero_copy_only=False).astype(np.uint64)
+        offs = toks.offsets.to_numpy().astype(np.int64)
+        base = offs[0]
+        offs = offs - base
+        total = int(offs[-1]) if len(offs) else 0
+        n_rows = b.num_rows
+        lens = np.diff(offs)
+        n_masked = np.zeros(n_rows, dtype=np.int64)
+        if total >= n:
+            win = np.lib.stride_tricks.sliding_window_view(vals[:total], n)
+            h = win @ powers  # uint64 wraparound polynomial hash per window
+            # sequence id per window start; exclude windows crossing a boundary
+            seq_of = np.repeat(np.arange(n_rows), lens)
+            starts = np.arange(total - n + 1)
+            ok = seq_of[starts] == seq_of[starts + n - 1]
+            s, hh = starts[ok], h[ok]
+            sid = seq_of[s]
+            order = np.lexsort((s, hh, sid))
+            sid_o, h_o, s_o = sid[order], hh[order], s[order]
+            dup = np.r_[False, (sid_o[1:] == sid_o[:-1]) & (h_o[1:] == h_o[:-1])] \
+                if len(sid_o) else np.zeros(0, bool)
+            ds_, de = s_o[dup], s_o[dup] + n
+            # coverage per token position: +1 at window start, -1 past end
+            diff = np.zeros(total + 1, dtype=np.int64)
+            np.add.at(diff, ds_, 1)
+            np.add.at(diff, de, -1)
+            covered = np.cumsum(diff[:total]) > 0
+            # reduceat needs indices < len: clip trailing-empty-sequence
+            # starts; rows with lens == 0 are zeroed below anyway
+            idx = np.minimum(offs[:-1], total - 1)
+            n_masked = np.add.reduceat(covered.astype(np.int64), idx) \
+                if n_rows else n_masked
+            n_masked = np.where(lens > 0, n_masked, 0)
+        return pa.table({
+            id_col: b[id_col],
+            "n_tok": pa.array(lens.astype(np.int64)),
+            "n_masked": pa.array(n_masked),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow")
