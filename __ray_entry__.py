@@ -3144,6 +3144,43 @@ def _q_mask_repeats(sf_dir: str):
     return mask_repeated_ngrams(ds)
 
 
+def _q_transitions(sf_dir: str):
+    """Markov transition matrix of event types per user session stream —
+    categorical LAG aggregate (two-phase per-(user, day) counts + ordered
+    boundary merge, stages/window_funcs.py:transition_counts), folded to the
+    global (prev, cur) matrix with one tiny groupby."""
+    from tsdat_ray.stages.window_funcs import transition_counts
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "user_id", "event_type"])
+    per_user = transition_counts(ds, key="user_id", ts_col="ts",
+                                 cat_col="event_type", id_col="event_id")
+
+    def partial(b: pa.Table) -> pa.Table:
+        pv = b["prev_cat"].to_numpy(zero_copy_only=False)
+        cu = b["cur_cat"].to_numpy(zero_copy_only=False)
+        n = b["n_transitions"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((cu, pv))
+        ps, cs, ns = pv[order], cu[order], n[order]
+        st = np.flatnonzero(np.r_[True, (ps[1:] != ps[:-1]) | (cs[1:] != cs[:-1])]) \
+            if len(ps) else np.zeros(0, np.int64)
+        return pa.table({
+            "prev_cat": pa.array(ps[st] if len(st) else ps[:0]),
+            "cur_cat": pa.array(cs[st] if len(st) else cs[:0]),
+            "_n": pa.array(np.add.reduceat(ns, st) if len(st) else ns[:0]),
+        })
+
+    def combine(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "prev_cat": g["prev_cat"].slice(0, 1),
+            "cur_cat": g["cur_cat"].slice(0, 1),
+            "n_transitions": pa.array([int(np.sum(
+                g["_n"].combine_chunks().to_numpy(zero_copy_only=False)))], pa.int64()),
+        })
+
+    return (per_user.map_batches(partial, batch_format="pyarrow")
+            .groupby(["prev_cat", "cur_cat"]).map_groups(combine, batch_format="pyarrow"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rollup_1m_events": lambda d: _events_rollup(d, "1m"),
@@ -3280,6 +3317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_overlap_click_purchase": _q_interval_overlap,
         "length_buckets_sequences": _q_length_buckets,
         "mask_repeats_sequences": _q_mask_repeats,
+        "transition_matrix_events": _q_transitions,
     }
 
 
@@ -4344,5 +4382,14 @@ def oracle_sql() -> dict[str, str]:
                       AND p.ts <= c.ts + INTERVAL 600 SECOND
                       AND p.ts + INTERVAL 300 SECOND >= c.ts) AS n_overlap
             FROM events c WHERE c.event_type = 'click'
+        """,
+        "transition_matrix_events": """
+            SELECT prev_cat, cur_cat, count(*) AS n_transitions
+            FROM (SELECT lag(event_type) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_cat,
+                         event_type AS cur_cat
+                  FROM events)
+            WHERE prev_cat IS NOT NULL
+            GROUP BY 1, 2
         """,
     }

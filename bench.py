@@ -228,6 +228,7 @@ def run_bench() -> dict:
         "interval_overlap_click_purchase",
         "length_buckets_sequences",
         "mask_repeats_sequences",
+        "transition_matrix_events",
     ]
     qtimes = {}
     for name in bench_queries:

@@ -590,3 +590,29 @@ def test_max_gap_single_event_key_is_null(ray_session):
            for r in grouped_max_gap(ds, key="k", ts_col="ts", window_s=2).take_all()}
     assert out["lone"] is None
     assert out["a"] == 4 * US
+
+
+def test_transition_counts_tiny_windows_match_sequential(ray_session):
+    from tsdat_ray.stages.window_funcs import transition_counts
+
+    rng = np.random.default_rng(9)
+    n = 1200
+    ts = np.sort(rng.integers(0, 6 * 3600, n)).astype(np.int64) * US
+    key = rng.choice(["u1", "u2", "u3"], n)
+    cat = rng.choice(["a", "b", "c"], n)
+    ids = np.arange(n)
+    ds = rd.from_arrow(pa.table({
+        "ts": pa.array(ts).cast(pa.timestamp("us")), "k": pa.array(key),
+        "c": pa.array(cat), "id": pa.array(ids)}))
+    # 10-minute windows force many cross-window boundary transitions
+    out = transition_counts(ds.repartition(5), key="k", ts_col="ts",
+                            cat_col="c", id_col="id", window_s=600).take_all()
+    got = {(r["k"], r["prev_cat"], r["cur_cat"]): r["n_transitions"] for r in out}
+    expect: dict = {}
+    for kk in np.unique(key):
+        sel = key == kk
+        order = np.lexsort((ids[sel], ts[sel]))
+        cs = cat[sel][order]
+        for p, c in zip(cs[:-1], cs[1:]):
+            expect[(kk, p, c)] = expect.get((kk, p, c), 0) + 1
+    assert got == expect

@@ -1661,3 +1661,88 @@ def grouped_max_gap(ds, key: str, ts_col: str, window_s: int = 24 * 3600):
         })
 
     return part.groupby(key).map_groups(merge, batch_format="pyarrow")
+
+
+def transition_counts(ds, key: str, ts_col: str, cat_col: str,
+                      id_col: str | None = None, window_s: int = 24 * 3600):
+    """Markov transition matrix over a categorical column: counts of
+    (prev, cur) pairs where prev = LAG(cat) OVER (PARTITION BY key ORDER BY
+    ts, id) — the categorical-lag aggregate (numeric lag is
+    :func:`partitioned_lag`).
+
+    Two-phase skew-safe shape: per (key, time-window) tasks count in-window
+    transitions and emit them PRE-AGGREGATED (≤ |cats|² rows per task) plus
+    one (window, first_cat, last_cat) summary row; a tiny per-key merge of
+    the ordered window summaries adds the cross-window transitions (last of
+    window i → first of window i+1 — LAG crosses any time gap).  The final
+    groupby moves only (prev, cur) partials, never events."""
+    win_us = window_s * US
+
+    def add_window(b: pa.Table) -> pa.Table:
+        ts = b[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return b.append_column("_window", pa.array((ts // win_us) * win_us))
+
+    def per_window(g: pa.Table) -> pa.Table:
+        ts = g[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cat = g[cat_col].to_numpy(zero_copy_only=False)
+        if id_col is not None:
+            ids = g[id_col].to_numpy(zero_copy_only=False)
+            order = np.lexsort((ids, ts))
+        else:
+            order = np.argsort(ts, kind="stable")
+        c = cat[order]
+        prev, cur = c[:-1], c[1:]
+        if len(c) > 1:
+            o2 = np.lexsort((cur, prev))
+            ps, cs = prev[o2], cur[o2]
+            st = np.flatnonzero(np.r_[True, (ps[1:] != ps[:-1]) | (cs[1:] != cs[:-1])])
+            n = np.diff(np.r_[st, len(ps)])
+            prev_o, cur_o, n_o = ps[st], cs[st], n
+        else:
+            prev_o = cur_o = c[:0]
+            n_o = np.zeros(0, np.int64)
+        k0 = g[key][0].as_py()
+        w0 = int(g["_window"][0].as_py())
+        m = len(prev_o)
+        return pa.table({
+            key: pa.array([k0] * (m + 1)),
+            "_window": pa.array(np.r_[np.full(m, w0, np.int64), w0]),
+            "_prev": pa.array(np.r_[prev_o, [c[0]]] if len(c) else prev_o),
+            "_cur": pa.array(np.r_[cur_o, [c[-1]]] if len(c) else cur_o),
+            "_n": pa.array(np.r_[n_o, [0]].astype(np.int64) if len(c) else n_o),
+            # _kind 0 = in-window counts; 1 = (first, last) window summary
+            "_kind": pa.array(np.r_[np.zeros(m, np.int8), np.int8(1)] if len(c)
+                              else np.zeros(0, np.int8)),
+        })
+
+    part = (ds.map_batches(add_window, batch_format="pyarrow")
+            .groupby([key, "_window"]).map_groups(per_window, batch_format="pyarrow"))
+
+    def merge_key(g: pa.Table) -> pa.Table:
+        kind = g["_kind"].combine_chunks().to_numpy(zero_copy_only=False)
+        w = g["_window"].combine_chunks().to_numpy(zero_copy_only=False)
+        pv = g["_prev"].to_numpy(zero_copy_only=False)
+        cu = g["_cur"].to_numpy(zero_copy_only=False)
+        n = g["_n"].combine_chunks().to_numpy(zero_copy_only=False)
+        summ = kind == 1
+        order = np.argsort(w[summ], kind="stable")
+        # summary rows store _prev=first_cat, _cur=last_cat of their window
+        firsts, lasts = pv[summ][order], cu[summ][order]
+        bp, bc = lasts[:-1], firsts[1:]  # boundary transitions
+        all_prev = np.r_[pv[~summ], bp]
+        all_cur = np.r_[cu[~summ], bc]
+        all_n = np.r_[n[~summ], np.ones(len(bp), np.int64)]
+        o2 = np.lexsort((all_cur, all_prev))
+        ps, cs, ns = all_prev[o2], all_cur[o2], all_n[o2]
+        st = np.flatnonzero(np.r_[True, (ps[1:] != ps[:-1]) | (cs[1:] != cs[:-1])]) \
+            if len(ps) else np.zeros(0, np.int64)
+        tot = np.add.reduceat(ns, st) if len(st) else ns[:0]
+        m = len(st)
+        return pa.table({
+            key: pa.array([g[key][0].as_py()] * m),
+            "prev_cat": pa.array(ps[st] if m else ps[:0]),
+            "cur_cat": pa.array(cs[st] if m else cs[:0]),
+            "n_transitions": pa.array(tot.astype(np.int64)),
+        })
+
+    return part.groupby(key).map_groups(merge_key, batch_format="pyarrow")
