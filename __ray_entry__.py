@@ -3181,6 +3181,55 @@ def _q_transitions(sf_dir: str):
             .groupby(["prev_cat", "cur_cat"]).map_groups(combine, batch_format="pyarrow"))
 
 
+def _q_set_all(mode: str):
+    def run(sf_dir: str):
+        from tsdat_ray.stages.joins import set_op_all
+
+        clicks = _events(sf_dir, columns=["user_id", "event_type"]).filter(
+            expr="event_type == 'click'").select_columns(["user_id"])
+        purchases = _events(sf_dir, columns=["user_id", "event_type"]).filter(
+            expr="event_type == 'purchase'").select_columns(["user_id"])
+        return set_op_all(clicks, purchases, cols=("user_id",), mode=mode)
+
+    return run
+
+
+def _q_csv_roundtrip(sf_dir: str):
+    """events → partitioned CSV store (distributed write) → declared-schema
+    CSV read-back; identity roundtrip so the oracle is a plain SELECT —
+    exercises the CSV writer + reader pair end-to-end."""
+    import shutil
+
+    from tsdat_ray.sources.csv_source import read_csv_declared
+    from tsdat_ray.sources.declared import DeclaredSchema, DeclaredVar
+    from tsdat_ray.stages.rollup import floor_bucket_us
+    from tsdat_ray.stages.writers import write_csv
+
+    root = os.path.join(_CACHE, f"csv_events_{_sf_of(sf_dir)}")
+    shutil.rmtree(root, ignore_errors=True)  # part names follow block layout
+
+    def add_parts(b: pa.Table) -> pa.Table:
+        ts = b["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = pc.strftime(pa.array(floor_bucket_us(ts, 86400)).cast(pa.timestamp("us")),
+                          format="%Y-%m-%d")
+        b = b.append_column("source", b["event_type"])
+        return b.append_column("day", day)
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "event_type", "value"]).map_batches(
+        add_parts, batch_format="pyarrow")
+    write_csv(ds, root, ts_col="ts")
+    import glob as _glob
+
+    files = sorted(_glob.glob(os.path.join(root, "**", "*.csv"), recursive=True))
+    schema = DeclaredSchema(variables=(
+        DeclaredVar("event_id", "int64"),
+        DeclaredVar("ts", "timestamp[us]"),
+        DeclaredVar("value", "float64"),
+    ))
+    back = read_csv_declared(files, schema)
+    return back.select_columns(["event_id", "ts", "value"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rollup_1m_events": lambda d: _events_rollup(d, "1m"),
@@ -3318,6 +3367,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_buckets_sequences": _q_length_buckets,
         "mask_repeats_sequences": _q_mask_repeats,
         "transition_matrix_events": _q_transitions,
+        "intersect_all_click_purchase": _q_set_all("intersect_all"),
+        "except_all_click_purchase": _q_set_all("except_all"),
+        "csv_roundtrip_events": _q_csv_roundtrip,
     }
 
 
@@ -4391,5 +4443,18 @@ def oracle_sql() -> dict[str, str]:
                   FROM events)
             WHERE prev_cat IS NOT NULL
             GROUP BY 1, 2
+        """,
+        "intersect_all_click_purchase": """
+            SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT ALL
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        """,
+        "except_all_click_purchase": """
+            SELECT user_id FROM events WHERE event_type = 'click'
+            EXCEPT ALL
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        """,
+        "csv_roundtrip_events": """
+            SELECT event_id, ts, value FROM events
         """,
     }

@@ -229,6 +229,9 @@ def run_bench() -> dict:
         "length_buckets_sequences",
         "mask_repeats_sequences",
         "transition_matrix_events",
+        "intersect_all_click_purchase",
+        "except_all_click_purchase",
+        "csv_roundtrip_events",
     ]
     qtimes = {}
     for name in bench_queries:

@@ -512,3 +512,49 @@ def interval_overlap_count(left, right, left_start: str, left_end: str,
         return b.append_column(out_col, pa.array((n_started - n_ended_before).astype(np.int64)))
 
     return left.map_batches(count, batch_format="pyarrow")
+
+
+def set_op_all(left, right, cols: tuple, mode: str = "intersect_all",
+               salt_mod: int = 64):
+    """Bag-semantics SQL set operators: ``intersect_all`` (each row repeated
+    min(l_count, r_count) times) or ``except_all`` (repeated
+    max(l_count − r_count, 0) times) — the multiplicity-preserving
+    complement of :func:`set_op`'s DISTINCT semantics.
+
+    Scale shape: each batch pre-aggregates to (row, count) partials (bounded
+    by distinct rows per batch), rows co-locate by a salted row hash, and
+    each partition resolves multiplicities with vectorized count folds +
+    ``np.repeat`` — the full bags never ship, only distinct-row counts."""
+    assert mode in ("intersect_all", "except_all")
+    cols = list(cols)
+
+    def tag(side: int):
+        def f(b: pa.Table) -> pa.Table:
+            df = b.select(cols).to_pandas()
+            g = df.groupby(cols, sort=False, as_index=False).size()
+            t = pa.Table.from_pandas(g.rename(columns={"size": "_cnt"}),
+                                     preserve_index=False)
+            h = np.zeros(t.num_rows, dtype=np.uint64)
+            for c in cols:
+                h = h * np.uint64(1099511628211) + pd.util.hash_array(
+                    np.asarray(t[c].to_numpy(zero_copy_only=False)))
+            t = t.append_column("_salt", pa.array((h % np.uint64(salt_mod)).astype(np.int64)))
+            return t.append_column("_side", pa.array(np.full(t.num_rows, side, dtype=np.int8)))
+
+        return f
+
+    u = left.map_batches(tag(0), batch_format="pyarrow").union(
+        right.map_batches(tag(1), batch_format="pyarrow"))
+
+    def resolve(g: pa.Table) -> pa.Table:
+        df = g.drop_columns(["_salt"]).to_pandas()
+        w = df.pivot_table(index=cols, columns="_side", values="_cnt",
+                           aggfunc="sum", fill_value=0).reset_index()
+        lc = w[0].to_numpy() if 0 in w.columns else np.zeros(len(w), np.int64)
+        rc = w[1].to_numpy() if 1 in w.columns else np.zeros(len(w), np.int64)
+        n = np.minimum(lc, rc) if mode == "intersect_all" else np.maximum(lc - rc, 0)
+        keep = n > 0
+        out = w.loc[keep, cols].loc[w.index[keep].repeat(n[keep])]
+        return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+    return u.groupby("_salt").map_groups(resolve, batch_format="pyarrow")
