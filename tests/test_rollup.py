@@ -174,3 +174,28 @@ def test_rollup_empty_input(ray_session):
     ds = rd.from_arrow(tbl).map_batches(standardize_batch, batch_format="pyarrow")
     out = rollup(ds, RollupConfig(interval_s=60, window_s=3600)).to_pandas()
     assert len(out) == 0
+
+
+def test_calendar_rollup_bit_deterministic_across_layouts(ray_session):
+    import ray.data as rd
+
+    from tsdat_ray.stages.rollup import calendar_rollup
+
+    US = 1_000_000
+    rng = np.random.default_rng(21)
+    n = 4000
+    ts = (np.sort(rng.integers(0, 90 * 86400, n)).astype(np.int64) * US
+          + np.datetime64("2024-01-01").astype("datetime64[us]").astype(np.int64))
+    tbl = pa.table({
+        "ts": pa.array(ts).cast(pa.timestamp("us")),
+        "k": pa.array(rng.choice(["a", "b"], n)),
+        "v": pa.array(np.round(rng.uniform(0, 500, n), 2)),
+    })
+    outs = []
+    for parts in (1, 7):
+        out = calendar_rollup(rd.from_arrow(tbl).repartition(parts), key="k",
+                              ts_col="ts", value_col="v", unit="month")
+        outs.append(out.to_pandas().sort_values(["k", "bucket"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # 90 days from Jan 1 = Jan/Feb/Mar (+ a few Apr rows) per key
+    assert outs[0]["bucket"].dt.day.eq(1).all()
