@@ -3230,6 +3230,40 @@ def _q_csv_roundtrip(sf_dir: str):
     return back.select_columns(["event_id", "ts", "value"])
 
 
+def _q_encode_roundtrip(sf_dir: str):
+    """Gorilla/DoD codec oracled END-TO-END: 1m tier → per-(key, day) DoD
+    timestamp + XOR value blobs → decode back to points.  Both codecs are
+    lossless (bit-exact doubles), so the decoded stream must value-hash-match
+    the plain SQL 1m rollup — the compression path itself is under the
+    DuckDB contract, not just a rows-only count."""
+    from tsdat_ray.stages.encode import EncodeConfig, decode_tier_row, encode_tier
+
+    tier = _events_rollup(sf_dir, "1m")
+    enc = encode_tier(tier, EncodeConfig(key="event_type", values=("value_mean",)))
+
+    def dec(b: pa.Table) -> pa.Table:
+        keys: list = []
+        ts_parts: list = []
+        v_parts: list = []
+        for i in range(b.num_rows):  # one iteration per BLOB (day), not per point
+            out = decode_tier_row(
+                {"ts_blob": b["ts_blob"][i].as_py(),
+                 "value_mean_blob": b["value_mean_blob"][i].as_py()},
+                ("value_mean",))
+            keys.extend([b["event_type"][i].as_py()] * len(out["ts"]))
+            ts_parts.append(out["ts"])
+            v_parts.append(out["value_mean"])
+        ts_c = np.concatenate(ts_parts) if ts_parts else np.zeros(0, np.int64)
+        v_c = np.concatenate(v_parts) if v_parts else np.zeros(0, np.float64)
+        return pa.table({
+            "event_type": pa.array(keys, pa.string()),
+            "bucket": pa.array(ts_c.astype(np.int64)).cast(pa.timestamp("us")),
+            "value_mean": pa.array(v_c.astype(np.float64)),
+        })
+
+    return enc.map_batches(dec, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rollup_1m_events": lambda d: _events_rollup(d, "1m"),
@@ -3370,6 +3404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "intersect_all_click_purchase": _q_set_all("intersect_all"),
         "except_all_click_purchase": _q_set_all("except_all"),
         "csv_roundtrip_events": _q_csv_roundtrip,
+        "encode_roundtrip_1m_events": _q_encode_roundtrip,
     }
 
 
@@ -4456,5 +4491,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "csv_roundtrip_events": """
             SELECT event_id, ts, value FROM events
+        """,
+        "encode_roundtrip_1m_events": """
+            SELECT event_type, date_trunc('minute', ts) AS bucket,
+                   ROUND(sum(value), 2) / count(*) AS value_mean
+            FROM events GROUP BY 1, 2
         """,
     }

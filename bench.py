@@ -232,6 +232,7 @@ def run_bench() -> dict:
         "intersect_all_click_purchase",
         "except_all_click_purchase",
         "csv_roundtrip_events",
+        "encode_roundtrip_1m_events",
     ]
     qtimes = {}
     for name in bench_queries:
