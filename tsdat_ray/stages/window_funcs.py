@@ -534,19 +534,7 @@ def grouped_cume_dist(ds, key: str, value_col: str, n_buckets: int = 64):
         return b.append_column("_vb", pa.array(bkt))
 
     withb = ds.map_batches(add_bucket, batch_format="pyarrow").materialize()
-
-    counts: dict = {}
-    for b in withb.select_columns([key, "_vb"]).iter_batches(
-            batch_format="pyarrow", batch_size=None):
-        k = b[key].to_numpy(zero_copy_only=False)
-        vb = b["_vb"].combine_chunks().to_numpy(zero_copy_only=False)
-        order = np.lexsort((vb, k))
-        ks, vbs = k[order], vb[order]
-        chg = np.r_[True, (ks[1:] != ks[:-1]) | (vbs[1:] != vbs[:-1])] if len(ks) else np.zeros(0, bool)
-        st = np.flatnonzero(chg)
-        cnt = np.diff(np.r_[st, len(ks)])
-        for kk, bb, cc in zip(ks[st], vbs[st], cnt):
-            counts[(kk, int(bb))] = counts.get((kk, int(bb)), 0) + int(cc)
+    counts = _tiny_bucket_counts(withb, key)
     offsets: dict = {}   # rows in strictly LOWER buckets
     totals: dict = {}    # n per key
     for kk in sorted({k2 for k2, _ in counts}, key=str):
@@ -839,6 +827,41 @@ def partitioned_first_value(ds, key: str, ts_col: str, value_col: str,
     return ds.map_batches(attach, batch_format="pyarrow")
 
 
+def _tiny_bucket_counts(withb, key: str) -> dict:
+    """(key, value-bucket) → row count for the bucket-salted rank family.
+    Counts are PRE-AGGREGATED per batch and folded through one tiny groupby,
+    so the driver collects ≤ |keys|·|buckets| rows — never a per-row column
+    drain (the round-1 version streamed the full (key, bucket) columns
+    through the driver)."""
+
+    def local_counts(b: pa.Table) -> pa.Table:
+        k = b[key].to_numpy(zero_copy_only=False)
+        vb = b["_vb"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((vb, k))
+        ks, vbs = k[order], vb[order]
+        st = np.flatnonzero(np.r_[True, (ks[1:] != ks[:-1]) | (vbs[1:] != vbs[:-1])]) \
+            if len(ks) else np.zeros(0, np.int64)
+        return pa.table({key: pa.array(ks[st] if len(st) else ks[:0]),
+                         "_vb": pa.array(vbs[st] if len(st) else vbs[:0]),
+                         "_c": pa.array(np.diff(np.r_[st, len(ks)]).astype(np.int64))})
+
+    def fold_counts(g: pa.Table) -> pa.Table:
+        return pa.table({key: g[key].slice(0, 1), "_vb": g["_vb"].slice(0, 1),
+                         "_c": pa.array([int(np.sum(g["_c"].combine_chunks()
+                                                    .to_numpy(zero_copy_only=False)))],
+                                        pa.int64())})
+
+    counts: dict = {}
+    cnt_tab = (withb.select_columns([key, "_vb"])
+               .map_batches(local_counts, batch_format="pyarrow")
+               .groupby([key, "_vb"]).map_groups(fold_counts, batch_format="pyarrow"))
+    for b in cnt_tab.iter_batches(batch_format="pyarrow", batch_size=None):
+        for kk, bb, cc in zip(b[key].to_pylist(), b["_vb"].to_pylist(),
+                              b["_c"].to_pylist()):
+            counts[(kk, int(bb))] = cc
+    return counts
+
+
 def grouped_rank(ds, key: str, value_col: str, id_col: str,
                  descending: bool = True, n_buckets: int = 64):
     """ROW_NUMBER() OVER (PARTITION BY key ORDER BY value [DESC], id) —
@@ -858,21 +881,7 @@ def grouped_rank(ds, key: str, value_col: str, id_col: str,
         return b.append_column("_vb", pa.array(bkt))
 
     withb = ds.map_batches(add_bucket, batch_format="pyarrow").materialize()
-
-    # tiny (key, bucket) counts → offset = rows in BETTER buckets
-    counts: dict = {}
-    for b in withb.select_columns([key, "_vb"]).iter_batches(
-            batch_format="pyarrow", batch_size=None):
-        k = b[key].to_numpy(zero_copy_only=False)
-        vb = b["_vb"].combine_chunks().to_numpy(zero_copy_only=False)
-        # vectorized small-dict accumulation
-        order = np.lexsort((vb, k))
-        ks, vbs = k[order], vb[order]
-        chg = np.r_[True, (ks[1:] != ks[:-1]) | (vbs[1:] != vbs[:-1])] if len(ks) else np.zeros(0, bool)
-        st = np.flatnonzero(chg)
-        cnt = np.diff(np.r_[st, len(ks)])
-        for kk, bb, cc in zip(ks[st], vbs[st], cnt):
-            counts[(kk, int(bb))] = counts.get((kk, int(bb)), 0) + int(cc)
+    counts = _tiny_bucket_counts(withb, key)
     offsets: dict = {}
     keys_seen = sorted({kk for kk, _ in counts}, key=str)
     for kk in keys_seen:
