@@ -3264,6 +3264,19 @@ def _q_encode_roundtrip(sf_dir: str):
     return enc.map_batches(dec, batch_format="pyarrow")
 
 
+def _q_rolling_minmax(sf_dir: str):
+    """Sliding 8-row frame extrema per event_type — idempotent-combinable
+    min/max two-phase (stages/window_funcs.py:partitioned_rolling_minmax);
+    exact float contract, no quantization needed."""
+    from tsdat_ray.stages.window_funcs import partitioned_rolling_minmax
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "event_type", "value"])
+    out = partitioned_rolling_minmax(ds, key="event_type", ts_col="ts",
+                                     value_col="value", id_col="event_id",
+                                     frame_n=8)
+    return out.select_columns(["event_id", "value_rmin", "value_rmax"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rollup_1m_events": lambda d: _events_rollup(d, "1m"),
@@ -3405,6 +3418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "except_all_click_purchase": _q_set_all("except_all"),
         "csv_roundtrip_events": _q_csv_roundtrip,
         "encode_roundtrip_1m_events": _q_encode_roundtrip,
+        "rolling_minmax_events": _q_rolling_minmax,
     }
 
 
@@ -4496,5 +4510,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('minute', ts) AS bucket,
                    ROUND(sum(value), 2) / count(*) AS value_mean
             FROM events GROUP BY 1, 2
+        """,
+        "rolling_minmax_events": """
+            SELECT event_id,
+                   min(value) OVER w AS value_rmin,
+                   max(value) OVER w AS value_rmax
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                         ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
         """,
     }

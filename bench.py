@@ -233,6 +233,7 @@ def run_bench() -> dict:
         "except_all_click_purchase",
         "csv_roundtrip_events",
         "encode_roundtrip_1m_events",
+        "rolling_minmax_events",
     ]
     qtimes = {}
     for name in bench_queries:

@@ -1755,3 +1755,96 @@ def transition_counts(ds, key: str, ts_col: str, cat_col: str,
         })
 
     return part.groupby(key).map_groups(merge_key, batch_format="pyarrow")
+
+
+def partitioned_rolling_minmax(ds, key: str, ts_col: str, value_col: str,
+                               id_col: str, frame_n: int = 8,
+                               window_s: int = 6 * 3600):
+    """MIN(value) and MAX(value) OVER (PARTITION BY key ORDER BY ts, id
+    ROWS BETWEEN frame_n-1 PRECEDING AND CURRENT ROW) — sliding-frame
+    extrema.  Same skew-safe two-phase shape as
+    :func:`partitioned_rolling_sum`, but the cross-window fix-up exploits
+    that min/max are idempotent-combinable: the full frame's extremum =
+    extremum(in-window truncated frame, last ``missing`` carry values), so
+    no inverse operation (and no quantization) is needed — float min/max
+    are exact under any combine order."""
+    import ray
+
+    win_us = window_s * US
+    n = int(frame_n)
+
+    def add_window(b: pa.Table) -> pa.Table:
+        ts = b[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return b.append_column("_window", pa.array((ts // win_us) * win_us))
+
+    def local_frame(g: pa.Table) -> pa.Table:
+        ts = g[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        x = g[value_col].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts))
+        xs = x[order]
+        ext_min = np.r_[np.full(n - 1, np.inf), xs]
+        ext_max = np.r_[np.full(n - 1, -np.inf), xs]
+        sw_min = np.lib.stride_tricks.sliding_window_view(ext_min, n).min(axis=1)
+        sw_max = np.lib.stride_tricks.sliding_window_view(ext_max, n).max(axis=1)
+        rmin = np.empty(len(xs))
+        rmax = np.empty(len(xs))
+        rmin[order], rmax[order] = sw_min, sw_max
+        pos = np.empty(len(xs), dtype=np.int64)
+        pos[order] = np.arange(len(xs))
+        tail = xs[-(n - 1):] if n > 1 else xs[:0]
+        out = {c: g[c] for c in g.column_names}
+        out["_rmin"], out["_rmax"] = pa.array(rmin), pa.array(rmax)
+        out["_pos"] = pa.array(pos)
+        out["_tail"] = pa.array([tail.tolist()] * len(xs), type=pa.list_(pa.float64()))
+        return pa.table(out)
+
+    part = ds.map_batches(add_window, batch_format="pyarrow").groupby(
+        [key, "_window"]
+    ).map_groups(local_frame, batch_format="pyarrow").materialize()
+
+    # tiny (key, window) → tail values; carry = last n-1 values BEFORE window
+    tails: dict = {}
+    for b in part.select_columns([key, "_window", "_tail"]).iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        k = b[key].to_numpy(zero_copy_only=False)
+        w = b["_window"].combine_chunks().to_numpy(zero_copy_only=False)
+        tl = b["_tail"].combine_chunks()
+        order = np.lexsort((w, k))
+        ks, ws = k[order], w[order]
+        chg = np.r_[True, (ks[1:] != ks[:-1]) | (ws[1:] != ws[:-1])] if len(ks) else np.zeros(0, bool)
+        for i in np.flatnonzero(chg):
+            j = int(order[i])
+            tails[(ks[i], int(ws[i]))] = np.asarray(tl[j].as_py(), dtype=np.float64)
+    carry: dict = {}
+    prev_key, buf = None, None
+    for (kk, ww) in sorted(tails, key=lambda t: (str(t[0]), t[1])):
+        if kk != prev_key:
+            prev_key = kk
+            buf = np.zeros(0, dtype=np.float64)
+        carry[(kk, ww)] = buf
+        buf = np.r_[buf, tails[(kk, ww)]][-(n - 1):] if n > 1 else buf[:0]
+    cref = ray.put(carry)
+
+    def fill(b: pa.Table) -> pa.Table:
+        cm = ray.get(cref)
+        pos = b["_pos"].combine_chunks().to_numpy(zero_copy_only=False)
+        k = b[key].to_numpy(zero_copy_only=False)
+        w = b["_window"].combine_chunks().to_numpy(zero_copy_only=False)
+        rmin = b["_rmin"].combine_chunks().to_numpy(zero_copy_only=False).copy()
+        rmax = b["_rmax"].combine_chunks().to_numpy(zero_copy_only=False).copy()
+        for i in np.flatnonzero(pos < n - 1):
+            c = cm.get((k[i], int(w[i])))
+            if c is None or not len(c):
+                continue
+            missing = int(n - 1 - pos[i])
+            take = c[-missing:]
+            rmin[i] = min(rmin[i], float(take.min()))
+            rmax[i] = max(rmax[i], float(take.max()))
+        out = {c: b[c] for c in b.column_names
+               if c not in ("_window", "_rmin", "_rmax", "_pos", "_tail")}
+        out[f"{value_col}_rmin"] = pa.array(rmin)
+        out[f"{value_col}_rmax"] = pa.array(rmax)
+        return pa.table(out)
+
+    return part.map_batches(fill, batch_format="pyarrow")
