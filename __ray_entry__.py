@@ -3277,6 +3277,81 @@ def _q_rolling_minmax(sf_dir: str):
     return out.select_columns(["event_id", "value_rmin", "value_rmax"])
 
 
+def _q_quantiles_disc(sf_dir: str):
+    """PERCENTILE_DISC quartiles per type — exact elements from bounded
+    tree-reduced histograms (stages/window_funcs.py:exact_quantiles_disc)."""
+    from tsdat_ray.stages.window_funcs import exact_quantiles_disc
+
+    ds = _events(sf_dir, columns=["event_type", "value"])
+    return exact_quantiles_disc(ds, key="event_type", value_col="value")
+
+
+def _q_emb_minmax_per_label(sf_dir: str):
+    """Grouped element-wise tensor aggregate: per (label, dim) min/max over
+    the embedding column — per-batch partial extrema vectors (k×d rows per
+    block, never the data), one tiny groupby fold; min/max exact under any
+    combine order."""
+    ds = _read(f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        emb = b["embedding"].combine_chunks()
+        vals = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        offs = emb.offsets.to_numpy().astype(np.int64)
+        d = int(offs[1] - offs[0]) if len(offs) > 1 else 0
+        lab = b["label"].combine_chunks().to_numpy(zero_copy_only=False)
+        if not d:
+            return pa.table({"label": pa.array([], pa.int32()),
+                             "pos": pa.array([], pa.int64()),
+                             "vmin": pa.array([], pa.float64()),
+                             "vmax": pa.array([], pa.float64())})
+        mat = vals[offs[0]:offs[-1]].reshape(len(lab), d)
+        order = np.argsort(lab, kind="stable")
+        ls = lab[order]
+        st = np.flatnonzero(np.r_[True, ls[1:] != ls[:-1]])
+        labs, mins, maxs = [], [], []
+        for i, s in enumerate(st):
+            e = st[i + 1] if i + 1 < len(st) else len(ls)
+            sub = mat[order[s:e]]
+            labs.append(ls[s])
+            mins.append(sub.min(axis=0))
+            maxs.append(sub.max(axis=0))
+        m = len(labs)
+        return pa.table({
+            "label": pa.array(np.repeat(np.array(labs), d).astype(np.int32)),
+            "pos": pa.array(np.tile(np.arange(1, d + 1), m).astype(np.int64)),
+            "vmin": pa.array(np.concatenate(mins)),
+            "vmax": pa.array(np.concatenate(maxs)),
+        })
+
+    def fold(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "label": g["label"].slice(0, 1),
+            "pos": g["pos"].slice(0, 1),
+            "vmin": pa.array([float(np.min(g["vmin"].combine_chunks()
+                                           .to_numpy(zero_copy_only=False)))]),
+            "vmax": pa.array([float(np.max(g["vmax"].combine_chunks()
+                                           .to_numpy(zero_copy_only=False)))]),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["label", "pos"]).map_groups(fold, batch_format="pyarrow"))
+
+
+def _q_normalize_text(sf_dir: str):
+    """Text normalization for curation (lowercase, collapse whitespace,
+    trim) — all-Arrow RE2 kernels, zero shuffle; DuckDB runs the identical
+    pattern so the normalized strings are bit-identical."""
+
+    def f(b: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(b["text"].combine_chunks())
+        t = pc.replace_substring_regex(t, r"\s+", " ")
+        t = pc.utf8_trim_whitespace(t)
+        return pa.table({"doc_id": b["doc_id"], "norm_text": t})
+
+    return _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rollup_1m_events": lambda d: _events_rollup(d, "1m"),
@@ -3419,6 +3494,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_roundtrip_events": _q_csv_roundtrip,
         "encode_roundtrip_1m_events": _q_encode_roundtrip,
         "rolling_minmax_events": _q_rolling_minmax,
+        "quantiles_disc_per_type": _q_quantiles_disc,
+        "emb_minmax_per_label": _q_emb_minmax_per_label,
+        "normalize_text_docs": _q_normalize_text,
     }
 
 
@@ -4518,5 +4596,24 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
                          ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+        """,
+        "quantiles_disc_per_type": """
+            SELECT event_type,
+                   quantile_disc(value, 0.25) AS qd25,
+                   quantile_disc(value, 0.50) AS qd50,
+                   quantile_disc(value, 0.75) AS qd75
+            FROM events GROUP BY event_type
+        """,
+        "emb_minmax_per_label": """
+            SELECT label, i AS pos,
+                   CAST(min(embedding[i]) AS DOUBLE) AS vmin,
+                   CAST(max(embedding[i]) AS DOUBLE) AS vmax
+            FROM embeddings, generate_series(1, 64) AS t(i)
+            GROUP BY 1, 2
+        """,
+        "normalize_text_docs": """
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text
+            FROM documents
         """,
     }

@@ -234,6 +234,9 @@ def run_bench() -> dict:
         "csv_roundtrip_events",
         "encode_roundtrip_1m_events",
         "rolling_minmax_events",
+        "quantiles_disc_per_type",
+        "emb_minmax_per_label",
+        "normalize_text_docs",
     ]
     qtimes = {}
     for name in bench_queries:

@@ -1848,3 +1848,60 @@ def partitioned_rolling_minmax(ds, key: str, ts_col: str, value_col: str,
         return pa.table(out)
 
     return part.map_batches(fill, batch_format="pyarrow")
+
+
+def exact_quantiles_disc(ds, key: str, value_col: str,
+                         qs: tuple = (0.25, 0.5, 0.75), scale: int = 100,
+                         fanin: int = 8):
+    """PERCENTILE_DISC / quantile_disc semantics: the smallest element whose
+    cumulative fraction ≥ q — sorted index ceil(n·q)−1 (DuckDB/Postgres
+    convention, probed across n=2..11) — no interpolation, so the output is
+    always a real data value.  Same bounded tree-reduced histogram shape as
+    :func:`exact_quantiles_quantized`; output columns ``qd<percent>``."""
+    from .reduce import tree_reduce
+
+    def hist(b: pa.Table) -> pa.Table:
+        if "_cnt" in b.column_names:
+            k = b[key].to_numpy(zero_copy_only=False)
+            q = b["_q"].combine_chunks().to_numpy(zero_copy_only=False)
+            c = b["_cnt"].combine_chunks().to_numpy(zero_copy_only=False)
+        else:
+            k = b[key].to_numpy(zero_copy_only=False)
+            v = b[value_col].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
+            q = np.round(v * scale).astype(np.int64)
+            c = np.ones(len(k), dtype=np.int64)
+        order = np.lexsort((q, k))
+        ks, qv, cs = k[order], q[order], c[order]
+        chg = np.r_[True, (ks[1:] != ks[:-1]) | (qv[1:] != qv[:-1])] if len(ks) else np.zeros(0, bool)
+        st = np.flatnonzero(chg)
+        csum = np.add.reduceat(cs, st) if len(st) else cs[:0]
+        take = pa.array(order[st] if len(st) else [], type=pa.int64())
+        return pa.table({key: b[key].take(take),
+                         "_q": pa.array(qv[st] if len(st) else qv[:0]),
+                         "_cnt": pa.array(csum)})
+
+    agg = tree_reduce(ds.select_columns([key, value_col]), hist, fanin=fanin)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        k = b[key].to_numpy(zero_copy_only=False)
+        qv = b["_q"].combine_chunks().to_numpy(zero_copy_only=False)
+        c = b["_cnt"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((qv, k))
+        ks, qs_v, cs = k[order], qv[order], c[order]
+        chg = np.r_[True, ks[1:] != ks[:-1]] if len(ks) else np.zeros(0, bool)
+        st = np.flatnonzero(chg)
+        en = np.r_[st[1:], len(ks)]
+        names = [f"qd{int(round(qq * 100))}" for qq in qs]
+        out: dict = {key: [], **{nm: [] for nm in names}}
+        for s, e in zip(st, en):
+            vals, cnt = qs_v[s:e], cs[s:e]
+            n = int(cnt.sum())
+            cum = np.cumsum(cnt)
+            out[key].append(ks[s])
+            for nm, qq in zip(names, qs):
+                idx = max(0, int(np.ceil(n * qq)) - 1)
+                lo = int(np.searchsorted(cum, idx + 1))
+                out[nm].append(vals[lo] / scale)
+        return pa.table({k2: pa.array(v) for k2, v in out.items()})
+
+    return agg.map_batches(finalize, batch_format="pyarrow", batch_size=None)
