@@ -3352,6 +3352,18 @@ def _q_normalize_text(sf_dir: str):
         f, batch_format="pyarrow")
 
 
+def _q_session_ids(sf_dir: str):
+    """Per-event session ids (gaps-and-islands, 30-min gap per user) —
+    composed from partitioned_lag + indicator + partitioned_cumsum
+    (stages/window_funcs.py:session_ids)."""
+    from tsdat_ray.stages.window_funcs import session_ids
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "user_id"])
+    out = session_ids(ds, key="user_id", ts_col="ts", id_col="event_id",
+                      gap_s=1800)
+    return out.select_columns(["event_id", "session_id"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rollup_1m_events": lambda d: _events_rollup(d, "1m"),
@@ -3497,6 +3509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_disc_per_type": _q_quantiles_disc,
         "emb_minmax_per_label": _q_emb_minmax_per_label,
         "normalize_text_docs": _q_normalize_text,
+        "session_ids_events": _q_session_ids,
     }
 
 
@@ -4596,6 +4609,18 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
                          ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+        """,
+        "session_ids_events": """
+            SELECT event_id,
+                   SUM(CASE WHEN prev_ts IS NULL
+                            OR date_diff('microsecond', prev_ts, ts)
+                               > 1800000000 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM (SELECT event_id, user_id, ts,
+                         lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_ts
+                  FROM events)
         """,
         "quantiles_disc_per_type": """
             SELECT event_type,

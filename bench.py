@@ -237,6 +237,7 @@ def run_bench() -> dict:
         "quantiles_disc_per_type",
         "emb_minmax_per_label",
         "normalize_text_docs",
+        "session_ids_events",
     ]
     qtimes = {}
     for name in bench_queries:

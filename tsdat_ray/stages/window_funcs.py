@@ -1905,3 +1905,46 @@ def exact_quantiles_disc(ds, key: str, value_col: str,
         return pa.table({k2: pa.array(v) for k2, v in out.items()})
 
     return agg.map_batches(finalize, batch_format="pyarrow", batch_size=None)
+
+
+def session_ids(ds, key: str, ts_col: str, id_col: str, gap_s: int,
+                window_s: int = 6 * 3600):
+    """Per-ROW gaps-and-islands session ids (1-based per key): a new session
+    starts where ts − lag(ts) > gap (or at the key's first row) — the
+    row-level complement of :func:`~tsdat_ray.stages.window.session_window_agg`'s
+    per-session aggregates.
+
+    Built by COMPOSING the library's two-phase primitives: ``partitioned_lag``
+    over the timestamp itself (µs fit doubles exactly below 2⁵³), a pure-map
+    new-session indicator, then ``partitioned_cumsum`` of the indicator
+    (exact integer scan) — SQL's SUM(CASE…) OVER (ROWS UNBOUNDED PRECEDING)
+    decorrelated into two skew-safe shuffles and two tiny broadcasts."""
+    import pyarrow.compute as pc_
+
+    gap_us = gap_s * US
+
+    def to_f(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_tsf", b[ts_col].combine_chunks().cast(pa.int64()).cast(pa.float64()))
+
+    lagged = partitioned_lag(ds.map_batches(to_f, batch_format="pyarrow"),
+                             key=key, ts_col=ts_col, value_col="_tsf",
+                             id_col=id_col, window_s=window_s)
+
+    def indicator(b: pa.Table) -> pa.Table:
+        ts = b[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        lg = b["_tsf_lag"].combine_chunks().to_numpy(zero_copy_only=False)
+        new = np.isnan(lg) | ((ts - lg) > gap_us)
+        b = b.drop_columns(["_tsf", "_tsf_lag"])
+        return b.append_column("_new", pa.array(new.astype(np.float64)))
+
+    ind = lagged.map_batches(indicator, batch_format="pyarrow")
+    out = partitioned_cumsum(ind, key=key, ts_col=ts_col, value_col="_new",
+                             id_col=id_col, window_s=window_s, value_scale=1)
+
+    def finish(b: pa.Table) -> pa.Table:
+        sid = b["_new_cumsum"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = b.drop_columns(["_new", "_new_cumsum"])
+        return b.append_column("session_id", pa.array(sid.astype(np.int64)))
+
+    return out.map_batches(finish, batch_format="pyarrow")
