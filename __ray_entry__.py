@@ -3364,6 +3364,17 @@ def _q_session_ids(sf_dir: str):
     return out.select_columns(["event_id", "session_id"])
 
 
+def _q_argmax(sf_dir: str):
+    """ARG_MAX row per key (deterministic tie-break: smallest event_id) —
+    grouped_topk k=1 combiner push-down; the QUALIFY row_number()=1 shape."""
+    from tsdat_ray.stages.window_funcs import grouped_topk
+
+    ds = _events(sf_dir, columns=["event_id", "event_type", "value"])
+    out = grouped_topk(ds, key="event_type", value_col="value",
+                       id_col="event_id", k=1)
+    return out.select_columns(["event_type", "event_id", "value"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rollup_1m_events": lambda d: _events_rollup(d, "1m"),
@@ -3510,6 +3521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_minmax_per_label": _q_emb_minmax_per_label,
         "normalize_text_docs": _q_normalize_text,
         "session_ids_events": _q_session_ids,
+        "argmax_events": _q_argmax,
     }
 
 
@@ -4609,6 +4621,11 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
                          ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+        """,
+        "argmax_events": """
+            SELECT event_type, event_id, value FROM events
+            QUALIFY row_number() OVER (PARTITION BY event_type
+                                       ORDER BY value DESC, event_id) = 1
         """,
         "session_ids_events": """
             SELECT event_id,

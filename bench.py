@@ -238,6 +238,7 @@ def run_bench() -> dict:
         "emb_minmax_per_label",
         "normalize_text_docs",
         "session_ids_events",
+        "argmax_events",
     ]
     qtimes = {}
     for name in bench_queries:
