@@ -3375,6 +3375,16 @@ def _q_argmax(sf_dir: str):
     return out.select_columns(["event_type", "event_id", "value"])
 
 
+def _q_chunk_docs(sf_dir: str):
+    """Overlapping RAG chunking (512-char windows, stride 400) — pure
+    flat-map row expansion, vectorized per-offset-group Arrow slicing
+    (stages/text.py:chunk_documents)."""
+    from tsdat_ray.stages.text import chunk_documents
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return chunk_documents(ds, chunk_len=512, stride=400)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rollup_1m_events": lambda d: _events_rollup(d, "1m"),
@@ -3522,6 +3532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text_docs": _q_normalize_text,
         "session_ids_events": _q_session_ids,
         "argmax_events": _q_argmax,
+        "chunk_docs": _q_chunk_docs,
     }
 
 
@@ -4626,6 +4637,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, event_id, value FROM events
             QUALIFY row_number() OVER (PARTITION BY event_type
                                        ORDER BY value DESC, event_id) = 1
+        """,
+        "chunk_docs": """
+            SELECT doc_id, i AS chunk_idx, i * 400 AS chunk_start,
+                   substr(text, i * 400 + 1, 512) AS chunk_text
+            FROM documents, (SELECT unnest(range(0, 16)) AS i) t
+            WHERE i = 0 OR i * 400 < length(text)
         """,
         "session_ids_events": """
             SELECT event_id,

@@ -239,6 +239,7 @@ def run_bench() -> dict:
         "normalize_text_docs",
         "session_ids_events",
         "argmax_events",
+        "chunk_docs",
     ]
     qtimes = {}
     for name in bench_queries:

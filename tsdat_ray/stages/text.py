@@ -323,3 +323,56 @@ def topk_words(ds, k: int = 50, text_col: str = "text", salt_mod: int = 64):
 
     return rd.from_arrow(pa.Table.from_pandas(df.reset_index(drop=True),
                                               preserve_index=False))
+
+
+def chunk_documents(ds, id_col: str = "doc_id", text_col: str = "text",
+                    chunk_len: int = 512, stride: int = 400):
+    """Overlapping character-window chunking (the RAG / context-window prep
+    op): one output row per (doc, chunk) with ``chunk_idx``, the chunk text
+    and its start offset.  Chunks start at 0, stride, 2·stride … while the
+    start is inside the document (every doc yields ≥1 chunk, so empty docs
+    survive as one empty chunk — the SQL twin's semantics).  Pure flat-map
+    expansion (the Dataset-native row multiplier): zero shuffle, output
+    rows ≈ rows · len/stride, each batch expands with vectorized Arrow
+    ``utf8_slice_codeunits`` — no per-row Python on the text itself."""
+
+    def expand(b: pa.Table) -> pa.Table:
+        txt = b[text_col].combine_chunks()
+        nchars = pc.utf8_length(txt).to_numpy(zero_copy_only=False).astype(np.int64)
+        # a chunk starts at k*stride only while k*stride < len (or k == 0)
+        n_chunks = np.where(nchars > 0, (nchars - 1) // stride + 1, 1)
+        rows = np.repeat(np.arange(len(nchars)), n_chunks)
+        idx = np.arange(len(rows)) - np.repeat(
+            np.cumsum(n_chunks) - n_chunks, n_chunks)
+        starts = idx * stride
+        taken = txt.take(pa.array(rows, type=pa.int64()))
+        if isinstance(taken, pa.ChunkedArray):
+            taken = taken.combine_chunks()
+        # utf8_slice_codeunits takes scalar start/stop — slice one distinct
+        # offset group at a time (≤ max chunks per doc groups), then scatter
+        # back with one inverse-permutation take
+        parts, order_parts = [], []
+        for off in np.unique(starts):
+            sel = np.flatnonzero(starts == off)
+            sub = taken.take(pa.array(sel, type=pa.int64()))
+            if isinstance(sub, pa.ChunkedArray):
+                sub = sub.combine_chunks()
+            part = pc.utf8_slice_codeunits(
+                sub, start=int(off), stop=int(off) + chunk_len)
+            parts.append(part)
+            order_parts.append(sel)
+        if parts:
+            order_all = np.concatenate(order_parts)
+            inv = np.empty(len(order_all), dtype=np.int64)
+            inv[order_all] = np.arange(len(order_all))
+            chunk_arr = pa.concat_arrays(parts).take(pa.array(inv))
+        else:
+            chunk_arr = pa.array([], pa.string())
+        return pa.table({
+            id_col: b[id_col].take(pa.array(rows, type=pa.int64())),
+            "chunk_idx": pa.array(idx.astype(np.int64)),
+            "chunk_start": pa.array(starts.astype(np.int64)),
+            "chunk_text": chunk_arr,
+        })
+
+    return ds.map_batches(expand, batch_format="pyarrow")
