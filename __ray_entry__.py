@@ -3385,6 +3385,21 @@ def _q_chunk_docs(sf_dir: str):
     return chunk_documents(ds, chunk_len=512, stride=400)
 
 
+def _q_lm_score(sf_dir: str):
+    """Perplexity-filter shape: fit corpus bigram counts (tree-reduced,
+    broadcast once), score every doc's average bigram log-likelihood —
+    the KenLM-style quality gate re-expressed Ray-Data-first
+    (stages/text.py:fit_bigram_lm/score_bigram_lm); sequential-reference
+    pytest, rows-only (log floats are not a stable SQL hash contract)."""
+    import ray
+
+    from tsdat_ray.stages.text import fit_bigram_lm, score_bigram_lm
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    model = ray.put(fit_bigram_lm(ds))
+    return score_bigram_lm(ds, model)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rollup_1m_events": lambda d: _events_rollup(d, "1m"),
@@ -3533,6 +3548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_ids_events": _q_session_ids,
         "argmax_events": _q_argmax,
         "chunk_docs": _q_chunk_docs,
+        "lm_score_docs": _q_lm_score,
     }
 
 

@@ -240,6 +240,7 @@ def run_bench() -> dict:
         "session_ids_events",
         "argmax_events",
         "chunk_docs",
+        "lm_score_docs",
     ]
     qtimes = {}
     for name in bench_queries:

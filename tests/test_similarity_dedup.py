@@ -403,3 +403,40 @@ def test_kmeans_deterministic_and_monotone(ray_session):
     assert (got == exp).all()
     # blob structure recovered: 3 clusters of 200
     assert sorted(np.bincount(got, minlength=3).tolist()) == [200, 200, 200]
+
+
+def test_bigram_lm_matches_sequential_reference(ray_session):
+    import math
+
+    import ray
+    import ray.data as rd
+
+    from tsdat_ray.stages.text import fit_bigram_lm, score_bigram_lm
+
+    docs = ["the cat sat", "the cat ran", "a dog sat", "cat", ""]
+    tbl = pa.table({"doc_id": pa.array(list(range(len(docs)))),
+                    "text": pa.array(docs)})
+    ds = rd.from_arrow(tbl).repartition(2)
+    model = ray.put(fit_bigram_lm(ds))
+    got = {r["doc_id"]: (r["avg_logp"], r["n_bigrams"])
+           for r in score_bigram_lm(ds, model).take_all()}
+
+    # sequential reference with real string keys (hash collisions ~0)
+    uni, bi = {}, {}
+    for d in docs:
+        ws = d.split(" ")
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for p, w in zip(ws[:-1], ws[1:]):
+            bi[(p, w)] = bi.get((p, w), 0) + 1
+    V, k = len(uni), 0.5
+    for i, d in enumerate(docs):
+        ws = d.split(" ")
+        pairs = list(zip(ws[:-1], ws[1:]))
+        if not pairs:
+            assert math.isnan(got[i][0]) and got[i][1] == 0
+            continue
+        ref = sum(math.log((bi.get(pr, 0) + k) / (uni[pr[0]] + k * V))
+                  for pr in pairs) / len(pairs)
+        assert abs(got[i][0] - ref) < 1e-12, (i, got[i][0], ref)
+        assert got[i][1] == len(pairs)

@@ -376,3 +376,114 @@ def chunk_documents(ds, id_col: str = "doc_id", text_col: str = "text",
         })
 
     return ds.map_batches(expand, batch_format="pyarrow")
+
+
+def fit_bigram_lm(ds, text_col: str = "text", fanin: int = 8):
+    """Corpus-level bigram language model counts (the perplexity-filter
+    shape: fit cheap n-gram stats, score every doc, drop the tail).
+
+    Returns ``(uni_h, uni_c, bi_h, bi_c, vocab_size)``: sorted uint64 word /
+    bigram hash arrays with counts, built from per-batch partial counts
+    folded through a tree reduction (shuffle rows bounded by distinct
+    hashes per block, never corpus words).  Hash-keyed counts make lookup a
+    searchsorted — a cross-word collision (~V²/2⁶⁴) only perturbs smoothing
+    noise.  At 100 TB, cap the table with heavy-hitters (Misra-Gries in
+    stages/sketch.py) and treat the tail as OOV — the smoothing term
+    already handles unseen mass."""
+    import pandas as pd
+
+    from .reduce import tree_reduce
+
+    def partial(b: pa.Table) -> pa.Table:
+        if "_h" in b.column_names:  # fold of partials
+            h = b["_h"].combine_chunks().to_numpy(zero_copy_only=False)
+            c = b["_c"].combine_chunks().to_numpy(zero_copy_only=False)
+            w = b["_kind"].combine_chunks().to_numpy(zero_copy_only=False)
+        else:
+            words = pc.split_pattern(b[text_col].combine_chunks(), " ")
+            words = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+            lens = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = np.asarray(words.flatten().to_pandas(), dtype=object)
+            uh = pd.util.hash_array(flat).astype(np.uint64)
+            docix = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+            m = len(uh) - 1
+            mult = np.uint64(0x9E3779B97F4A7C15)
+            if m > 0:
+                bh = uh[:m] * mult + uh[1:]
+                bh = bh[docix[:m] == docix[1:]]
+            else:
+                bh = np.zeros(0, np.uint64)
+            h = np.r_[uh, bh]
+            w = np.r_[np.zeros(len(uh), np.int8), np.ones(len(bh), np.int8)]
+            c = np.ones(len(h), dtype=np.int64)
+        order = np.lexsort((h, w))
+        ws, hs, cs = w[order], h[order], c[order]
+        chg = np.r_[True, (ws[1:] != ws[:-1]) | (hs[1:] != hs[:-1])] if len(ws) else np.zeros(0, bool)
+        st = np.flatnonzero(chg)
+        return pa.table({"_kind": pa.array(ws[st] if len(st) else ws[:0]),
+                         "_h": pa.array(hs[st] if len(st) else hs[:0]),
+                         "_c": pa.array(np.add.reduceat(cs, st) if len(st) else cs[:0])})
+
+    agg = tree_reduce(ds.select_columns([text_col]), partial, fanin=fanin)
+    hs, cs, ws = [], [], []
+    for b in agg.iter_batches(batch_format="pyarrow", batch_size=None):
+        hs.append(b["_h"].combine_chunks().to_numpy(zero_copy_only=False))
+        cs.append(b["_c"].combine_chunks().to_numpy(zero_copy_only=False))
+        ws.append(b["_kind"].combine_chunks().to_numpy(zero_copy_only=False))
+    h = np.concatenate(hs) if hs else np.zeros(0, np.uint64)
+    c = np.concatenate(cs) if cs else np.zeros(0, np.int64)
+    w = np.concatenate(ws) if ws else np.zeros(0, np.int8)
+    uni_h, uni_c = h[w == 0], c[w == 0]
+    bi_h, bi_c = h[w == 1], c[w == 1]
+    uo, bo = np.argsort(uni_h), np.argsort(bi_h)
+    return (uni_h[uo], uni_c[uo], bi_h[bo], bi_c[bo], int(len(uni_h)))
+
+
+def score_bigram_lm(ds, model, k: float = 0.5, text_col: str = "text",
+                    id_col: str = "doc_id"):
+    """Per-doc average bigram log-likelihood under add-k smoothing:
+    mean over bigrams of log((c(p,w)+k) / (c(p)+k·V)).  ``model`` is a
+    ``ray.put`` handle of :func:`fit_bigram_lm`'s tuple — broadcast once,
+    two searchsorteds per batch.  Docs with <2 words score NULL."""
+    import pandas as pd
+    import ray
+
+    def score(b: pa.Table) -> pa.Table:
+        uni_h, uni_c, bi_h, bi_c, V = ray.get(model)
+        words = pc.split_pattern(b[text_col].combine_chunks(), " ")
+        words = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = np.asarray(words.flatten().to_pandas(), dtype=object)
+        uh = pd.util.hash_array(flat).astype(np.uint64)
+        docix = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        m = max(len(uh) - 1, 0)
+        mult = np.uint64(0x9E3779B97F4A7C15)
+        if m > 0:
+            bh_all = uh[:m] * mult + uh[1:]
+            same = docix[:m] == docix[1:]
+            bh, ph, bdoc = bh_all[same], uh[:m][same], docix[:m][same]
+        else:
+            bh = ph = np.zeros(0, np.uint64)
+            bdoc = np.zeros(0, np.int64)
+
+        def lookup(sh, sc, q):
+            pos = np.searchsorted(sh, q)
+            pos_c = np.clip(pos, 0, max(len(sh) - 1, 0))
+            hit = (sh[pos_c] == q) if len(sh) else np.zeros(len(q), bool)
+            return np.where(hit, sc[pos_c] if len(sh) else 0, 0).astype(np.float64)
+
+        cb = lookup(bi_h, bi_c, bh)
+        cp = lookup(uni_h, uni_c, ph)
+        logp = np.log(cb + k) - np.log(cp + k * V)
+        sums = np.zeros(len(lens))
+        cnts = np.zeros(len(lens), dtype=np.int64)
+        np.add.at(sums, bdoc, logp)
+        np.add.at(cnts, bdoc, 1)
+        avg = np.where(cnts > 0, sums / np.maximum(cnts, 1), np.nan)
+        return pa.table({
+            id_col: b[id_col],
+            "avg_logp": pa.array(avg),
+            "n_bigrams": pa.array(cnts),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
