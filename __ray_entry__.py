@@ -3400,6 +3400,20 @@ def _q_lm_score(sf_dir: str):
     return score_bigram_lm(ds, model)
 
 
+def _q_cusum(sf_dir: str):
+    """Page's CUSUM change detection per event_type — non-linear recurrence
+    parallelized via max-plus window composition (stages/window_funcs.py:
+    partitioned_cusum); bit-equal to the sequential scan (pytest-pinned),
+    rows-only (needs recursion in SQL)."""
+    from tsdat_ray.stages.window_funcs import partitioned_cusum
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "event_type", "value"])
+    out = partitioned_cusum(ds, key="event_type", ts_col="ts",
+                            value_col="value", id_col="event_id",
+                            drift=80.0, threshold=500.0)
+    return out.select_columns(["event_id", "cusum", "alarm"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rollup_1m_events": lambda d: _events_rollup(d, "1m"),
@@ -3549,6 +3563,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "argmax_events": _q_argmax,
         "chunk_docs": _q_chunk_docs,
         "lm_score_docs": _q_lm_score,
+        "cusum_events": _q_cusum,
     }
 
 

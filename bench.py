@@ -241,6 +241,7 @@ def run_bench() -> dict:
         "argmax_events",
         "chunk_docs",
         "lm_score_docs",
+        "cusum_events",
     ]
     qtimes = {}
     for name in bench_queries:

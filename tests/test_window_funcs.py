@@ -616,3 +616,31 @@ def test_transition_counts_tiny_windows_match_sequential(ray_session):
         for p, c in zip(cs[:-1], cs[1:]):
             expect[(kk, p, c)] = expect.get((kk, p, c), 0) + 1
     assert got == expect
+
+
+def test_cusum_matches_sequential_scan(ray_session):
+    from tsdat_ray.stages.window_funcs import partitioned_cusum
+
+    rng = np.random.default_rng(17)
+    n = 2500
+    ts = np.sort(rng.integers(0, 48 * 3600, n)).astype(np.int64) * US
+    key = rng.choice(["a", "b"], n)
+    val = np.round(rng.normal(10, 3, n), 2)
+    ids = np.arange(n)
+    ds = rd.from_arrow(pa.table({
+        "ts": pa.array(ts).cast(pa.timestamp("us")), "k": pa.array(key),
+        "v": pa.array(val), "id": pa.array(ids)}))
+    # 1h windows force many cross-window carries
+    out = partitioned_cusum(ds.repartition(4), key="k", ts_col="ts",
+                            value_col="v", id_col="id", drift=10.5,
+                            threshold=20.0, window_s=3600)
+    got = {r["id"]: (r["cusum"], r["alarm"]) for r in out.take_all()}
+    for kk in ("a", "b"):
+        sel = np.flatnonzero(key == kk)
+        order = sel[np.lexsort((ids[sel], ts[sel]))]
+        s = 0
+        for i in order:
+            y = int(round(val[i] * 100)) - 1050
+            s = max(0, s + y)
+            assert abs(got[ids[i]][0] - s / 100.0) < 1e-12, ids[i]
+            assert got[ids[i]][1] == (s > 2000)

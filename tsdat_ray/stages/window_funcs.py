@@ -1948,3 +1948,101 @@ def session_ids(ds, key: str, ts_col: str, id_col: str, gap_s: int,
         return b.append_column("session_id", pa.array(sid.astype(np.int64)))
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def partitioned_cusum(ds, key: str, ts_col: str, value_col: str,
+                      id_col: str, drift: float, threshold: float,
+                      window_s: int = 6 * 3600, value_scale: int = 100):
+    """One-sided CUSUM change detection per key: S_t = max(0, S_{t-1} +
+    (x_t − drift)), alarm where S_t > threshold — the classic Page (1954)
+    statistic, a NON-linear recurrence that still parallelizes because its
+    window composition lives in the max-plus semiring:
+
+        with c_j = Σ_{i≤j} y_i inside a window,
+        S_j     = max(S_in + c_j, c_j − min_{1≤k≤j} c_k)
+        S_out   = max(S_in + C, C − min_k c_k)   (C = window total)
+
+    so phase 1 emits per-(key, window) just (C, min-prefix) plus the
+    in-window prefix arrays, the driver folds the tiny ordered (C, minc)
+    table into per-window S_in carries (exact int arithmetic via
+    ``value_scale``), and a final map evaluates every row vectorized.
+    Deterministic and bit-equal to the sequential scan."""
+    import ray
+
+    win_us = window_s * US
+    drift_q = int(round(drift * value_scale))
+
+    def add_window(b: pa.Table) -> pa.Table:
+        ts = b[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return b.append_column("_window", pa.array((ts // win_us) * win_us))
+
+    def local_scan(g: pa.Table) -> pa.Table:
+        ts = g[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        x = g[value_col].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        y = np.round(x * value_scale).astype(np.int64) - drift_q
+        order = np.lexsort((ids, ts))
+        c = np.cumsum(y[order])
+        runmin = np.minimum.accumulate(c)
+        cs = np.empty(len(c), dtype=np.int64)
+        rm = np.empty(len(c), dtype=np.int64)
+        cs[order], rm[order] = c, runmin
+        out = {col: g[col] for col in g.column_names}
+        out["_c"] = pa.array(cs)
+        out["_rm"] = pa.array(rm)
+        out["_wtot"] = pa.array(np.full(len(c), c[-1] if len(c) else 0, np.int64))
+        out["_wmin"] = pa.array(np.full(len(c), runmin[-1] if len(c) else 0, np.int64))
+        return pa.table(out)
+
+    part = ds.map_batches(add_window, batch_format="pyarrow").groupby(
+        [key, "_window"]).map_groups(local_scan, batch_format="pyarrow").materialize()
+
+    # tiny (key, window) → (total, min-prefix); fold carries in time order
+    summ: dict = {}
+    for b in part.select_columns([key, "_window", "_wtot", "_wmin"]).iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        k = b[key].to_numpy(zero_copy_only=False)
+        w = b["_window"].combine_chunks().to_numpy(zero_copy_only=False)
+        tt = b["_wtot"].combine_chunks().to_numpy(zero_copy_only=False)
+        mm = b["_wmin"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((w, k))
+        ks, ws = k[order], w[order]
+        chg = np.r_[True, (ks[1:] != ks[:-1]) | (ws[1:] != ws[:-1])] if len(ks) else np.zeros(0, bool)
+        for i in np.flatnonzero(chg):
+            j = int(order[i])
+            summ[(ks[i], int(ws[i]))] = (int(tt[j]), int(mm[j]))
+    s_in: dict = {}
+    prev_key, s = None, 0
+    for (kk, ww) in sorted(summ, key=lambda t: (str(t[0]), t[1])):
+        if kk != prev_key:
+            prev_key, s = kk, 0
+        s_in[(kk, ww)] = s
+        tot, mn = summ[(kk, ww)]
+        s = max(s + tot, tot - mn)
+    sref = ray.put(s_in)
+    thr_q = threshold * value_scale
+
+    def fill(b: pa.Table) -> pa.Table:
+        sm = ray.get(sref)
+        k = b[key].to_numpy(zero_copy_only=False)
+        w = b["_window"].combine_chunks().to_numpy(zero_copy_only=False)
+        c = b["_c"].combine_chunks().to_numpy(zero_copy_only=False)
+        rm = b["_rm"].combine_chunks().to_numpy(zero_copy_only=False)
+        # per-row S = max(S_in + c_j, c_j - runmin_j); the S_in lookup runs
+        # once per (key, window) SEGMENT of the batch, then repeats
+        order = np.lexsort((w, k))
+        ks, ws = k[order], w[order]
+        st = np.flatnonzero(np.r_[True, (ks[1:] != ks[:-1]) | (ws[1:] != ws[:-1])]) \
+            if len(ks) else np.zeros(0, np.int64)
+        seg_sin = np.array([sm.get((ks[s], int(ws[s])), 0) for s in st], dtype=np.int64)
+        sin = np.empty(len(k), dtype=np.int64)
+        sin[order] = np.repeat(seg_sin, np.diff(np.r_[st, len(ks)])) if len(st) \
+            else np.zeros(0, np.int64)
+        S = np.maximum(sin + c, c - rm)
+        out = {col: b[col] for col in b.column_names
+               if col not in ("_window", "_c", "_rm", "_wtot", "_wmin")}
+        out["cusum"] = pa.array(S.astype(np.float64) / value_scale)
+        out["alarm"] = pa.array(S > thr_q)
+        return pa.table(out)
+
+    return part.map_batches(fill, batch_format="pyarrow")
