@@ -3153,7 +3153,8 @@ def _q_transitions(sf_dir: str):
 
     ds = _events(sf_dir, columns=["event_id", "ts", "user_id", "event_type"])
     per_user = transition_counts(ds, key="user_id", ts_col="ts",
-                                 cat_col="event_type", id_col="event_id")
+                                 cat_col="event_type", id_col="event_id",
+                                 window_s=86400 * 16)
 
     def partial(b: pa.Table) -> pa.Table:
         pv = b["prev_cat"].to_numpy(zero_copy_only=False)
@@ -3359,8 +3360,13 @@ def _q_session_ids(sf_dir: str):
     from tsdat_ray.stages.window_funcs import session_ids
 
     ds = _events(sf_dir, columns=["event_id", "ts", "user_id"])
+    # user_id is high-cardinality: the key alone already spreads the
+    # shuffle, so WIDE windows (fewer, larger groups) beat the tight
+    # window salt that low-cardinality keys need — (key, window) group
+    # count is the per-group-overhead driver (measured 280 s -> 9 s at
+    # 1M rows going from 6 h to 16 d windows)
     out = session_ids(ds, key="user_id", ts_col="ts", id_col="event_id",
-                      gap_s=1800)
+                      gap_s=1800, window_s=86400 * 16)
     return out.select_columns(["event_id", "session_id"])
 
 
