@@ -2451,8 +2451,11 @@ def _q_funnel_click_purchase(sf_dir: str):
         expr="event_type == 'click'")
     purch = _events(sf_dir, columns=["ts", "user_id", "event_type"]).filter(
         expr="event_type == 'purchase'")
+    # user_id is high-cardinality: wide windows keep the (key, window)
+    # group count near |users| (duplication stays range/window, tiny)
     out = lookahead_count(clicks, purch, key="user_id", ts_col="ts",
-                          id_col="event_id", range_s=3600)
+                          id_col="event_id", range_s=3600,
+                          window_s=86400 * 16)
     return out.select_columns(["event_id", "user_id", "n_ahead"])
 
 
