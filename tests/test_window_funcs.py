@@ -644,3 +644,23 @@ def test_cusum_matches_sequential_scan(ray_session):
             s = max(0, s + y)
             assert abs(got[ids[i]][0] - s / 100.0) < 1e-12, ids[i]
             assert got[ids[i]][1] == (s > 2000)
+
+
+def test_suggest_window_scales_with_key_cardinality(ray_session):
+    from tsdat_ray.stages.window_funcs import suggest_window_s
+
+    rng = np.random.default_rng(23)
+    n = 20000
+    ts = np.sort(rng.integers(0, 30 * 86400, n)).astype(np.int64) * US
+    base = pa.table({"ts": pa.array(ts).cast(pa.timestamp("us"))})
+    # low-cardinality: 2 keys → dense per-key stream → small windows
+    lo = rd.from_arrow(base.append_column("k", pa.array(rng.choice(["a", "b"], n))))
+    # high-cardinality: ~5000 keys → sparse per-key stream → wide windows
+    hi = rd.from_arrow(base.append_column(
+        "k", pa.array([f"u{i}" for i in rng.integers(0, 5000, n)])))
+    w_lo = suggest_window_s(lo, key="k", ts_col="ts")
+    w_hi = suggest_window_s(hi, key="k", ts_col="ts")
+    # ~2500x cardinality gap → much wider windows (hi hits the clamp)
+    assert w_hi >= 8 * w_lo
+    assert w_hi == 64 * 86400
+    assert 3600 <= w_lo <= 7 * 86400

