@@ -3423,6 +3423,33 @@ def _q_cusum(sf_dir: str):
     return out.select_columns(["event_id", "cusum", "alarm"])
 
 
+def _q_orc_roundtrip(sf_dir: str):
+    """events → partitioned ORC store (distributed write, atomic publish) →
+    distributed ORC read-back; identity oracle — adds the Hive/Trino-side
+    columnar format next to the Parquet/Zarr/NetCDF/CSV stores."""
+    import shutil
+
+    from tsdat_ray.sources.orc_source import read_orc
+    from tsdat_ray.stages.rollup import floor_bucket_us
+    from tsdat_ray.stages.writers import write_orc
+
+    root = os.path.join(_CACHE, f"orc_events_{_sf_of(sf_dir)}")
+    shutil.rmtree(root, ignore_errors=True)  # part names follow block layout
+
+    def add_parts(b: pa.Table) -> pa.Table:
+        ts = b["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = pc.strftime(pa.array(floor_bucket_us(ts, 86400)).cast(pa.timestamp("us")),
+                          format="%Y-%m-%d")
+        b = b.append_column("source", b["event_type"])
+        return b.append_column("day", day)
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "event_type", "value"]).map_batches(
+        add_parts, batch_format="pyarrow")
+    write_orc(ds, root, ts_col="ts")
+    back = read_orc(root, columns=["event_id", "ts", "value"])
+    return back
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rollup_1m_events": lambda d: _events_rollup(d, "1m"),
@@ -3573,6 +3600,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": _q_chunk_docs,
         "lm_score_docs": _q_lm_score,
         "cusum_events": _q_cusum,
+        "orc_roundtrip_events": _q_orc_roundtrip,
     }
 
 
@@ -4658,6 +4686,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id FROM events WHERE event_type = 'purchase'
         """,
         "csv_roundtrip_events": """
+            SELECT event_id, ts, value FROM events
+        """,
+        "orc_roundtrip_events": """
             SELECT event_id, ts, value FROM events
         """,
         "encode_roundtrip_1m_events": """

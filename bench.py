@@ -242,6 +242,7 @@ def run_bench() -> dict:
         "chunk_docs",
         "lm_score_docs",
         "cusum_events",
+        "orc_roundtrip_events",
     ]
     qtimes = {}
     for name in bench_queries:
