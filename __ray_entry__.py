@@ -3450,6 +3450,15 @@ def _q_orc_roundtrip(sf_dir: str):
     return back
 
 
+def _q_pagerank(sf_dir: str):
+    """PageRank over the near-dup pair graph — iterative broadcast +
+    edge-partial groupby per round (stages/graph.py:pagerank); dense
+    power-iteration reference pytest, rows-only (iterative)."""
+    from tsdat_ray.stages.graph import pagerank
+
+    return pagerank(_ngram_pairs(sf_dir), iters=15)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rollup_1m_events": lambda d: _events_rollup(d, "1m"),
@@ -3601,6 +3610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_score_docs": _q_lm_score,
         "cusum_events": _q_cusum,
         "orc_roundtrip_events": _q_orc_roundtrip,
+        "pagerank_neardup_docs": _q_pagerank,
     }
 
 

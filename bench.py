@@ -243,6 +243,7 @@ def run_bench() -> dict:
         "lm_score_docs",
         "cusum_events",
         "orc_roundtrip_events",
+        "pagerank_neardup_docs",
     ]
     qtimes = {}
     for name in bench_queries:

@@ -102,3 +102,34 @@ def test_cluster_dedup_no_pairs(ray_session):
                                     "id_b": pa.array([], pa.int64())}))
     out = cluster_dedup(docs, pairs).to_pandas()
     assert sorted(out["doc_id"].tolist()) == [1, 2]
+
+
+def test_pagerank_matches_dense_power_iteration(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(29)
+    n_nodes, n_edges = 40, 120
+    a = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    b = (a + 1 + rng.integers(0, n_nodes - 1, n_edges)) % n_nodes  # no self-loops
+    pairs = rd.from_arrow(pa.table({"id_a": pa.array(a), "id_b": pa.array(b)}))
+
+    from tsdat_ray.stages.graph import pagerank
+    got = {r["node"]: r["rank"] for r in pagerank(pairs.repartition(3),
+                                                  iters=25).take_all()}
+
+    # dense reference over the same undirected multigraph
+    nodes = np.unique(np.r_[a, b])
+    idx = {n: i for i, n in enumerate(nodes)}
+    N = len(nodes)
+    M = np.zeros((N, N))
+    deg = np.zeros(N)
+    for x, y in zip(a, b):
+        M[idx[y], idx[x]] += 1
+        M[idx[x], idx[y]] += 1
+        deg[idx[x]] += 1
+        deg[idx[y]] += 1
+    r = np.full(N, 1.0 / N)
+    for _ in range(25):
+        r = 0.15 / N + 0.85 * (M @ (r / deg))
+    for n_, i in idx.items():
+        assert abs(got[n_] - r[i]) < 1e-12

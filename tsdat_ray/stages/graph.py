@@ -166,3 +166,74 @@ def connected_components(pairs, a_col: str = "id_a", b_col: str = "id_b",
 
     return (merged.filter(expr="_edge == 0")
             .map_batches(finish, batch_format="pyarrow"))
+
+
+def pagerank(pairs, a_col: str = "id_a", b_col: str = "id_b",
+             damping: float = 0.85, iters: int = 20):
+    """PageRank over an undirected pair list (iterative distributed
+    dataflow, like :func:`~tsdat_ray.stages.similarity.kmeans_fit`): each
+    iteration broadcasts the current rank vector, every edge batch emits
+    contribution partials r[u]/deg[u] per direction (pre-aggregated per
+    batch), and one small groupby folds them into the next vector.
+
+    The rank/degree tables are bounded by |V| (nodes appearing in pairs —
+    for the near-dup graph, FAR fewer than docs); at billions of nodes,
+    replace the broadcast with a rank-table hash_join per iteration — the
+    edge Dataset itself never moves either way.  Deterministic: fixed
+    iteration count, int-keyed numpy folds, sorted key order.  Returns
+    (node, rank) with Σrank = 1 over the pair-graph's nodes."""
+    import ray
+
+    edges = pairs.select_columns([a_col, b_col]).materialize()
+
+    # degree per node (undirected: both endpoints), driver-side tiny fold
+    def deg_partial(b: pa.Table) -> pa.Table:
+        x = np.r_[b[a_col].combine_chunks().to_numpy(zero_copy_only=False),
+                  b[b_col].combine_chunks().to_numpy(zero_copy_only=False)]
+        u, c = np.unique(x, return_counts=True)
+        return pa.table({"node": pa.array(u), "_c": pa.array(c.astype(np.int64))})
+
+    deg: dict = {}
+    for b in edges.map_batches(deg_partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        for n_, c_ in zip(b["node"].to_pylist(), b["_c"].to_pylist()):
+            deg[n_] = deg.get(n_, 0) + c_
+    nodes = np.array(sorted(deg), dtype=np.int64)
+    degs = np.array([deg[n_] for n_ in nodes], dtype=np.float64)
+    N = len(nodes)
+    if N == 0:
+        return pairs.select_columns([a_col]).limit(0).map_batches(
+            lambda b: pa.table({"node": pa.array([], pa.int64()),
+                                "rank": pa.array([], pa.float64())}),
+            batch_format="pyarrow")
+    ranks = np.full(N, 1.0 / N)
+
+    for _ in range(iters):
+        rref = ray.put((nodes, ranks / degs))
+
+        def contrib(b: pa.Table) -> pa.Table:
+            nd, share = ray.get(rref)
+            a = b[a_col].combine_chunks().to_numpy(zero_copy_only=False)
+            bb = b[b_col].combine_chunks().to_numpy(zero_copy_only=False)
+            # undirected: a receives from b and vice versa
+            dst = np.r_[a, bb]
+            src = np.r_[bb, a]
+            w = share[np.searchsorted(nd, src)]
+            order = np.argsort(dst, kind="stable")
+            ds_, ws = dst[order], w[order]
+            st = np.flatnonzero(np.r_[True, ds_[1:] != ds_[:-1]])
+            return pa.table({"node": pa.array(ds_[st]),
+                             "_w": pa.array(np.add.reduceat(ws, st))})
+
+        acc = np.zeros(N)
+        for b in edges.map_batches(contrib, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None):
+            idx = np.searchsorted(nodes, b["node"].combine_chunks()
+                                  .to_numpy(zero_copy_only=False))
+            np.add.at(acc, idx, b["_w"].combine_chunks().to_numpy(zero_copy_only=False))
+        ranks = (1.0 - damping) / N + damping * acc
+
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({"node": pa.array(nodes),
+                                   "rank": pa.array(ranks)}))
