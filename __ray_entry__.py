@@ -3459,6 +3459,21 @@ def _q_pagerank(sf_dir: str):
     return pagerank(_ngram_pairs(sf_dir), iters=15)
 
 
+def _q_session_ids_auto(sf_dir: str):
+    """Same gaps-and-islands session ids, but the window salt is chosen by
+    the engine from sampled key density (suggest_window_s — the measured
+    group-count law). The oracle is IDENTICAL to session_ids_events: every
+    window op is exact at any width, so adaptivity sits safely under the
+    value-hash contract."""
+    from tsdat_ray.stages.window_funcs import session_ids, suggest_window_s
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "user_id"])
+    win = suggest_window_s(ds, key="user_id", ts_col="ts")
+    out = session_ids(ds, key="user_id", ts_col="ts", id_col="event_id",
+                      gap_s=1800, window_s=win)
+    return out.select_columns(["event_id", "session_id"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rollup_1m_events": lambda d: _events_rollup(d, "1m"),
@@ -3611,6 +3626,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cusum_events": _q_cusum,
         "orc_roundtrip_events": _q_orc_roundtrip,
         "pagerank_neardup_docs": _q_pagerank,
+        "session_ids_auto_events": _q_session_ids_auto,
     }
 
 
@@ -4700,6 +4716,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "orc_roundtrip_events": """
             SELECT event_id, ts, value FROM events
+        """,
+        "session_ids_auto_events": """
+            SELECT event_id,
+                   SUM(CASE WHEN prev_ts IS NULL
+                            OR date_diff('microsecond', prev_ts, ts)
+                               > 1800000000 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM (SELECT event_id, user_id, ts,
+                         lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_ts
+                  FROM events)
         """,
         "encode_roundtrip_1m_events": """
             SELECT event_type, date_trunc('minute', ts) AS bucket,

@@ -244,6 +244,7 @@ def run_bench() -> dict:
         "cusum_events",
         "orc_roundtrip_events",
         "pagerank_neardup_docs",
+        "session_ids_auto_events",
     ]
     qtimes = {}
     for name in bench_queries:
