@@ -3474,6 +3474,17 @@ def _q_session_ids_auto(sf_dir: str):
     return out.select_columns(["event_id", "session_id"])
 
 
+def _q_lag3(sf_dir: str):
+    """LAG(value, 3) per event_type — k-deep tail carry generalizing the
+    k=1 lag (stages/window_funcs.py:partitioned_lag_k)."""
+    from tsdat_ray.stages.window_funcs import partitioned_lag_k
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "event_type", "value"])
+    out = partitioned_lag_k(ds, key="event_type", ts_col="ts",
+                            value_col="value", id_col="event_id", offset_k=3)
+    return out.select_columns(["event_id", "value_lag3"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rollup_1m_events": lambda d: _events_rollup(d, "1m"),
@@ -3627,6 +3638,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orc_roundtrip_events": _q_orc_roundtrip,
         "pagerank_neardup_docs": _q_pagerank,
         "session_ids_auto_events": _q_session_ids_auto,
+        "lag3_events": _q_lag3,
     }
 
 
@@ -4716,6 +4728,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "orc_roundtrip_events": """
             SELECT event_id, ts, value FROM events
+        """,
+        "lag3_events": """
+            SELECT event_id,
+                   lag(value, 3) OVER (PARTITION BY event_type
+                                       ORDER BY ts, event_id) AS value_lag3
+            FROM events
         """,
         "session_ids_auto_events": """
             SELECT event_id,

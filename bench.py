@@ -245,6 +245,7 @@ def run_bench() -> dict:
         "orc_roundtrip_events",
         "pagerank_neardup_docs",
         "session_ids_auto_events",
+        "lag3_events",
     ]
     qtimes = {}
     for name in bench_queries:

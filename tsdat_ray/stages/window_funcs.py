@@ -2083,3 +2083,87 @@ def suggest_window_s(ds, key: str, ts_col: str,
     win = target_rows_per_group / rows_per_key_per_s
     win = int(min(max(win, lo_s), hi_s))
     return ((win + 3599) // 3600) * 3600
+
+
+def partitioned_lag_k(ds, key: str, ts_col: str, value_col: str,
+                      id_col: str, offset_k: int = 3,
+                      window_s: int = 6 * 3600):
+    """LAG(value, k) OVER (PARTITION BY key ORDER BY ts, id) for any k ≥ 1 —
+    generalizes :func:`partitioned_lag` (k=1) with the rolling-frame tail
+    carry: each (key, window) emits its last ≤k values; the tiny ordered
+    driver fold keeps a k-deep running tail per key, and rows whose
+    in-window position < k read their lag from the carried tail.  NULL for
+    the first k rows of each key (SQL semantics)."""
+    import ray
+
+    win_us = window_s * US
+    k_ = int(offset_k)
+
+    def add_window(b: pa.Table) -> pa.Table:
+        ts = b[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return b.append_column("_window", pa.array((ts // win_us) * win_us))
+
+    def local_frame(g: pa.Table) -> pa.Table:
+        ts = g[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        x = g[value_col].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts))
+        xs = x[order]
+        lag_sorted = np.full(len(xs), np.nan)
+        if len(xs) > k_:
+            lag_sorted[k_:] = xs[:-k_]
+        lag = np.empty(len(xs))
+        lag[order] = lag_sorted
+        pos = np.empty(len(xs), dtype=np.int64)
+        pos[order] = np.arange(len(xs))
+        tail = xs[-k_:]
+        out = {c: g[c] for c in g.column_names}
+        out["_lagv"] = pa.array(lag)
+        out["_pos"] = pa.array(pos)
+        out["_tail"] = pa.array([tail.tolist()] * len(xs), type=pa.list_(pa.float64()))
+        return pa.table(out)
+
+    part = ds.map_batches(add_window, batch_format="pyarrow").groupby(
+        [key, "_window"]).map_groups(local_frame, batch_format="pyarrow").materialize()
+
+    tails: dict = {}
+    for b in part.select_columns([key, "_window", "_tail"]).iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        k = b[key].to_numpy(zero_copy_only=False)
+        w = b["_window"].combine_chunks().to_numpy(zero_copy_only=False)
+        tl = b["_tail"].combine_chunks()
+        order = np.lexsort((w, k))
+        ks, ws = k[order], w[order]
+        chg = np.r_[True, (ks[1:] != ks[:-1]) | (ws[1:] != ws[:-1])] if len(ks) else np.zeros(0, bool)
+        for i in np.flatnonzero(chg):
+            j = int(order[i])
+            tails[(ks[i], int(ws[i]))] = np.asarray(tl[j].as_py(), dtype=np.float64)
+    carry: dict = {}
+    prev_key, buf = None, None
+    for (kk, ww) in sorted(tails, key=lambda t: (str(t[0]), t[1])):
+        if kk != prev_key:
+            prev_key = kk
+            buf = np.zeros(0, dtype=np.float64)
+        carry[(kk, ww)] = buf
+        buf = np.r_[buf, tails[(kk, ww)]][-k_:]
+    cref = ray.put(carry)
+
+    def fill(b: pa.Table) -> pa.Table:
+        cm = ray.get(cref)
+        pos = b["_pos"].combine_chunks().to_numpy(zero_copy_only=False)
+        k = b[key].to_numpy(zero_copy_only=False)
+        w = b["_window"].combine_chunks().to_numpy(zero_copy_only=False)
+        lag = b["_lagv"].combine_chunks().to_numpy(zero_copy_only=False).copy()
+        for i in np.flatnonzero(pos < k_):
+            c = cm.get((k[i], int(w[i])))
+            if c is None:
+                continue
+            idx = len(c) - (k_ - int(pos[i]))
+            if idx >= 0:
+                lag[i] = c[idx]
+        out = {col: b[col] for col in b.column_names
+               if col not in ("_window", "_lagv", "_pos", "_tail")}
+        out[f"{value_col}_lag{k_}"] = pa.array(lag)
+        return pa.table(out)
+
+    return part.map_batches(fill, batch_format="pyarrow")
