@@ -3485,6 +3485,27 @@ def _q_lag3(sf_dir: str):
     return out.select_columns(["event_id", "value_lag3"])
 
 
+def _q_autojoin_lineitem_orders(sf_dir: str):
+    """Same join as hashjoin_lineitem_orders, through the size-aware planner
+    (stages/joins.py:auto_join): orders fits the broadcast budget, so the
+    shuffle disappears — identical SQL oracle proves planner choice is
+    invisible to the value-hash contract (typed gathers, 1:N expansion)."""
+    from tsdat_ray.stages.joins import auto_join
+
+    li = _read(f"{sf_dir}/lineitem.parquet",
+               columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["l_orderkey", "o_orderpriority"])
+
+    orders = _read(f"{sf_dir}/orders.parquet",
+                   columns=["o_orderkey", "o_orderpriority"]).map_batches(
+        rename, batch_format="pyarrow")
+    out = auto_join(li, orders, on="l_orderkey")
+    return out.select_columns(["l_orderkey", "l_linenumber", "l_extendedprice",
+                               "o_orderpriority"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rollup_1m_events": lambda d: _events_rollup(d, "1m"),
@@ -3639,6 +3660,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_neardup_docs": _q_pagerank,
         "session_ids_auto_events": _q_session_ids_auto,
         "lag3_events": _q_lag3,
+        "autojoin_lineitem_orders": _q_autojoin_lineitem_orders,
     }
 
 
@@ -4728,6 +4750,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "orc_roundtrip_events": """
             SELECT event_id, ts, value FROM events
+        """,
+        "autojoin_lineitem_orders": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice, o_orderpriority
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         """,
         "lag3_events": """
             SELECT event_id,

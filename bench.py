@@ -246,6 +246,7 @@ def run_bench() -> dict:
         "pagerank_neardup_docs",
         "session_ids_auto_events",
         "lag3_events",
+        "autojoin_lineitem_orders",
     ]
     qtimes = {}
     for name in bench_queries:

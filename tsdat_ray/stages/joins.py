@@ -558,3 +558,65 @@ def set_op_all(left, right, cols: tuple, mode: str = "intersect_all",
         return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
     return u.groupby("_salt").map_groups(resolve, batch_format="pyarrow")
+
+
+def auto_join(left, right, on: str, how: str = "inner",
+              broadcast_threshold_bytes: int = 256 << 20,
+              num_buckets: int = 64):
+    """Size-aware join planner: measure the right side, broadcast it when it
+    fits (``ray.put`` once + per-batch vectorized lookup — zero shuffle),
+    else fall back to the bucketed :func:`hash_join`.
+
+    The broadcast path preserves dtypes exactly: matched values gather from
+    TYPED Arrow columns via an index take (no pandas nullable-promotion
+    trip), unmatched rows get typed nulls — so planner choice is invisible
+    to the value-hash contract.  ``right.size_bytes()`` is free for
+    file-backed/materialized Datasets; for lazy pipelines it executes the
+    plan, which the broadcast would have done anyway.  The 256 MB default
+    is per-node object-store budget, not data size — a dimension table at
+    100 TB scale is exactly what this path is for."""
+    import ray
+
+    try:
+        rbytes = right.size_bytes()
+    except Exception:
+        rbytes = None
+    if how not in ("inner", "left") or rbytes is None or rbytes > broadcast_threshold_bytes:
+        return hash_join(left, right, on=on, how=how, num_buckets=num_buckets)
+
+    tabs = [ray.get(ref) for ref in right.to_arrow_refs()]
+    if not tabs:
+        return hash_join(left, right, on=on, how=how, num_buckets=num_buckets)
+    rtab = pa.concat_tables(tabs)
+    skeys = rtab[on].combine_chunks().to_numpy(zero_copy_only=False)
+    sorder = np.argsort(skeys, kind="stable")
+    rref = ray.put((skeys[sorder], rtab.take(pa.array(sorder, type=pa.int64()))))
+    value_cols = [c for c in rtab.column_names if c != on]
+
+    def lookup(b: pa.Table) -> pa.Table:
+        sk, rt = ray.get(rref)
+        lk = b[on].combine_chunks().to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(sk, lk, side="left")
+        hi = np.searchsorted(sk, lk, side="right")
+        cnt = hi - lo  # 1:N — every right match joins (no lookup dedupe)
+        total = int(cnt.sum())
+        rep_left = np.repeat(np.arange(len(lk)), cnt)
+        offs = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        ridx = np.repeat(lo, cnt) + offs
+        lt = b.take(pa.array(rep_left, type=pa.int64()))
+        out = {c: lt[c] for c in lt.column_names}
+        rtake = pa.array(ridx, type=pa.int64())
+        for vc in value_cols:
+            out[vc] = rt[vc].combine_chunks().take(rtake)
+        t = pa.table(out)
+        if how == "left":
+            miss = np.flatnonzero(cnt == 0)
+            if len(miss):
+                lm = b.take(pa.array(miss, type=pa.int64()))
+                pad = {c: lm[c] for c in lm.column_names}
+                for vc in value_cols:
+                    pad[vc] = pa.nulls(len(miss), rt.schema.field(vc).type)
+                t = pa.concat_tables([t, pa.table(pad)])
+        return t
+
+    return left.map_batches(lookup, batch_format="pyarrow")
