@@ -3506,6 +3506,27 @@ def _q_autojoin_lineitem_orders(sf_dir: str):
                                "o_orderpriority"])
 
 
+def _q_skewjoin_lineitem_orders(sf_dir: str):
+    """Same join again through the SKEW planner (stages/joins.py:skew_join):
+    sampled hot keys broadcast map-side, cold keys bucket-shuffle, union —
+    the hot-key mitigation a pure bucketed join lacks.  Identical SQL
+    oracle: the hot set is a performance hint, never a semantic one."""
+    from tsdat_ray.stages.joins import skew_join
+
+    li = _read(f"{sf_dir}/lineitem.parquet",
+               columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["l_orderkey", "o_orderpriority"])
+
+    orders = _read(f"{sf_dir}/orders.parquet",
+                   columns=["o_orderkey", "o_orderpriority"]).map_batches(
+        rename, batch_format="pyarrow")
+    out = skew_join(li, orders, on="l_orderkey", hot_keys=32)
+    return out.select_columns(["l_orderkey", "l_linenumber", "l_extendedprice",
+                               "o_orderpriority"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rollup_1m_events": lambda d: _events_rollup(d, "1m"),
@@ -3661,6 +3682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_ids_auto_events": _q_session_ids_auto,
         "lag3_events": _q_lag3,
         "autojoin_lineitem_orders": _q_autojoin_lineitem_orders,
+        "skewjoin_lineitem_orders": _q_skewjoin_lineitem_orders,
     }
 
 
@@ -4750,6 +4772,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "orc_roundtrip_events": """
             SELECT event_id, ts, value FROM events
+        """,
+        "skewjoin_lineitem_orders": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice, o_orderpriority
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         """,
         "autojoin_lineitem_orders": """
             SELECT l_orderkey, l_linenumber, l_extendedprice, o_orderpriority

@@ -247,6 +247,7 @@ def run_bench() -> dict:
         "session_ids_auto_events",
         "lag3_events",
         "autojoin_lineitem_orders",
+        "skewjoin_lineitem_orders",
     ]
     qtimes = {}
     for name in bench_queries:

@@ -620,3 +620,53 @@ def auto_join(left, right, on: str, how: str = "inner",
         return t
 
     return left.map_batches(lookup, batch_format="pyarrow")
+
+
+def skew_join(left, right, on: str, how: str = "inner",
+              hot_keys: int = 16, sample_rows: int = 100_000,
+              num_buckets: int = 64):
+    """Skew-aware hash join: a bucketed join co-locates each key in ONE
+    task, so a hot key (50% of the left side) serializes on one worker no
+    matter how many buckets.  This planner samples the left side's key
+    frequencies, takes the top ``hot_keys`` as the hot set, and splits:
+
+    * HOT rows join map-side against a broadcast of the right side's rows
+      for those few keys (bounded by hot_keys × right-rows-per-key — the
+      standard skew assumption: skew lives on the left, the right is a
+      dimension-like side with modest per-key multiplicity);
+    * COLD rows take the normal bucketed :func:`hash_join`;
+    * results union (inner/left only; the hot path replicates 1:N exactly
+      like :func:`auto_join`'s typed gather).
+
+    Correct for ANY actual distribution — the hot set is a performance
+    hint, never a semantic one — so the oracle twin is the same SQL as the
+    plain join."""
+    sample = left.select_columns([on]).limit(sample_rows).take_all()
+    vals, counts = np.unique(np.array([r[on] for r in sample]), return_counts=True)
+    hot = set(vals[np.argsort(-counts)][:hot_keys].tolist())
+    if not hot:
+        return hash_join(left, right, on=on, how=how, num_buckets=num_buckets)
+
+    def in_hot(b: pa.Table) -> pa.Table:
+        k = b[on].to_numpy(zero_copy_only=False)
+        mask = np.isin(k, np.array(sorted(hot)))
+        return b.filter(pa.array(mask))
+
+    def in_cold(b: pa.Table) -> pa.Table:
+        k = b[on].to_numpy(zero_copy_only=False)
+        mask = ~np.isin(k, np.array(sorted(hot)))
+        return b.filter(pa.array(mask))
+
+    left_hot = left.map_batches(in_hot, batch_format="pyarrow")
+    left_cold = left.map_batches(in_cold, batch_format="pyarrow")
+    right_hot = right.map_batches(in_hot, batch_format="pyarrow")
+
+    hot_joined = auto_join(left_hot, right_hot, on=on, how=how,
+                           broadcast_threshold_bytes=1 << 62)
+    cold_joined = hash_join(left_cold, right, on=on, how=how,
+                            num_buckets=num_buckets)
+    # align column orders before the union
+    cols = cold_joined.schema().names
+    hot_joined = hot_joined.map_batches(lambda b: b.select(cols),
+                                        batch_format="pyarrow")
+    return cold_joined.union(hot_joined)
