@@ -93,3 +93,30 @@ def test_bloom_semi_join_string_keys_and_empty(ray_session):
     assert bloom_semi_join(left, "k", empty, "k").count() == 0
     assert sorted(bloom_semi_join(left, "k", empty, "k",
                                   anti=True).to_pandas()["rid"]) == [1, 2, 3, 4]
+
+
+def test_skew_join_equals_hash_join_on_skewed_keys(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from tsdat_ray.stages.joins import hash_join, skew_join
+
+    rng = np.random.default_rng(31)
+    n = 8000
+    # 80% of left rows share ONE key; right has 1-3 rows per key
+    keys = np.where(rng.random(n) < 0.8, 7, rng.integers(0, 500, n)).astype(np.int64)
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(keys), "lv": pa.array(np.arange(n))}))
+    rk, rv = [], []
+    for kk in range(500):
+        for j in range(int(rng.integers(1, 4))):
+            rk.append(kk)
+            rv.append(kk * 10 + j)
+    right = rd.from_arrow(pa.table({"k": pa.array(np.array(rk, np.int64)),
+                                    "rv": pa.array(np.array(rv, np.int64))}))
+    a = skew_join(left.repartition(4), right.repartition(3), on="k",
+                  hot_keys=4).to_pandas()
+    b = hash_join(left, right, on="k").to_pandas()
+    a = a.sort_values(["k", "lv", "rv"]).reset_index(drop=True)[["k", "lv", "rv"]]
+    b = b.sort_values(["k", "lv", "rv"]).reset_index(drop=True)[["k", "lv", "rv"]]
+    pd.testing.assert_frame_equal(a, b)
