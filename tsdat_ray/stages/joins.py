@@ -640,7 +640,14 @@ def skew_join(left, right, on: str, how: str = "inner",
 
     Correct for ANY actual distribution — the hot set is a performance
     hint, never a semantic one — so the oracle twin is the same SQL as the
-    plain join."""
+    plain join.
+
+    When to use (measured): at 2M rows with a 50%-hot key the plain
+    bucketed join still WINS (2.2 s vs 3.8 s — a 1M-row Arrow join in one
+    task is cheap, and the skew path pays three extra filter passes).  The
+    crossover is when the hot bucket exceeds one task's memory/time budget
+    (billions of hot-key rows) — this is the out-of-core-hot-bucket escape
+    hatch, not a default."""
     sample = left.select_columns([on]).limit(sample_rows).take_all()
     vals, counts = np.unique(np.array([r[on] for r in sample]), return_counts=True)
     hot = set(vals[np.argsort(-counts)][:hot_keys].tolist())
