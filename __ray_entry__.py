@@ -3527,6 +3527,36 @@ def _q_skewjoin_lineitem_orders(sf_dir: str):
                                "o_orderpriority"])
 
 
+def _q_zorder(sf_dir: str):
+    """Z-order clustering keys (Morton interleave of minute-of-epoch ×
+    user_id) — the multi-dimensional layout key for pruning on either
+    dimension (stages/reshape.py:zorder_code); pure map, bit-exact SQL
+    twin."""
+    from tsdat_ray.stages.reshape import zorder_code
+
+    def f(b: pa.Table) -> pa.Table:
+        ts = b["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        mins = (ts // (60 * US)) & 0xFFFF
+        u = b["user_id"].combine_chunks().to_numpy(zero_copy_only=False) & 0xFFFF
+        return pa.table({"event_id": b["event_id"],
+                         "zkey": pa.array(zorder_code(mins, u))})
+
+    return _events(sf_dir, columns=["event_id", "ts", "user_id"]).map_batches(
+        f, batch_format="pyarrow")
+
+
+def _q_nth_value(sf_dir: str):
+    """NTH_VALUE(value, 2) per event_type over the full-partition frame —
+    n-smallest tree reduction + broadcast gather
+    (stages/window_funcs.py:partitioned_nth_value)."""
+    from tsdat_ray.stages.window_funcs import partitioned_nth_value
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "event_type", "value"])
+    out = partitioned_nth_value(ds, key="event_type", ts_col="ts",
+                                value_col="value", id_col="event_id", nth=2)
+    return out.select_columns(["event_id", "value_nth2"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rollup_1m_events": lambda d: _events_rollup(d, "1m"),
@@ -3683,6 +3713,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lag3_events": _q_lag3,
         "autojoin_lineitem_orders": _q_autojoin_lineitem_orders,
         "skewjoin_lineitem_orders": _q_skewjoin_lineitem_orders,
+        "zorder_events": _q_zorder,
+        "nth_value_events": _q_nth_value,
     }
 
 
@@ -4786,6 +4818,30 @@ def oracle_sql() -> dict[str, str]:
                    lag(value, 3) OVER (PARTITION BY event_type
                                        ORDER BY ts, event_id) AS value_lag3
             FROM events
+        """,
+        "nth_value_events": """
+            SELECT event_id,
+                   NTH_VALUE(value, 2) OVER (
+                       PARTITION BY event_type ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND UNBOUNDED FOLLOWING) AS value_nth2
+            FROM events
+        """,
+        "zorder_events": """
+            WITH base AS (
+                SELECT event_id,
+                       (CAST(epoch_us(ts) AS BIGINT) // 60000000) & 65535 AS a,
+                       user_id & 65535 AS b
+                FROM events),
+            s1 AS (SELECT event_id, ((a | (a << 8)) & 16711935) AS a,
+                          ((b | (b << 8)) & 16711935) AS b FROM base),
+            s2 AS (SELECT event_id, ((a | (a << 4)) & 252645135) AS a,
+                          ((b | (b << 4)) & 252645135) AS b FROM s1),
+            s3 AS (SELECT event_id, ((a | (a << 2)) & 858993459) AS a,
+                          ((b | (b << 2)) & 858993459) AS b FROM s2),
+            s4 AS (SELECT event_id, ((a | (a << 1)) & 1431655765) AS a,
+                          ((b | (b << 1)) & 1431655765) AS b FROM s3)
+            SELECT event_id, (a | (b << 1)) AS zkey FROM s4
         """,
         "session_ids_auto_events": """
             SELECT event_id,

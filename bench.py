@@ -248,6 +248,8 @@ def run_bench() -> dict:
         "lag3_events",
         "autojoin_lineitem_orders",
         "skewjoin_lineitem_orders",
+        "zorder_events",
+        "nth_value_events",
     ]
     qtimes = {}
     for name in bench_queries:

@@ -235,3 +235,23 @@ def grouping_sets(ds, sets: tuple, value_col: str | None = None,
         return out
 
     return agg.map_batches(levels, batch_format="pyarrow", batch_size=None)
+
+
+def zorder_code(a: "np.ndarray", b: "np.ndarray") -> "np.ndarray":
+    """Morton / Z-order interleave of two 16-bit keys → 32-bit code — the
+    lakehouse multi-dimensional clustering key (Delta/Iceberg Z-ORDER):
+    sorting or range-partitioning by the code co-locates rows close in BOTH
+    dimensions, so min/max pruning works for either predicate.  Classic
+    magic-number bit spreading, fully vectorized; the same four mask-shift
+    steps are expressible in ANSI SQL, so the code itself sits under the
+    value-hash oracle."""
+
+    def spread16(x: np.ndarray) -> np.ndarray:
+        x = (x & 0xFFFF).astype(np.int64)
+        x = (x | (x << 8)) & 0x00FF00FF
+        x = (x | (x << 4)) & 0x0F0F0F0F
+        x = (x | (x << 2)) & 0x33333333
+        x = (x | (x << 1)) & 0x55555555
+        return x
+
+    return spread16(np.asarray(a)) | (spread16(np.asarray(b)) << 1)

@@ -2167,3 +2167,56 @@ def partitioned_lag_k(ds, key: str, ts_col: str, value_col: str,
         return pa.table(out)
 
     return part.map_batches(fill, batch_format="pyarrow")
+
+
+def partitioned_nth_value(ds, key: str, ts_col: str, value_col: str,
+                          id_col: str, nth: int = 2):
+    """NTH_VALUE(value, n) OVER (PARTITION BY key ORDER BY ts, id ROWS
+    BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) — the n-th row's
+    value per key, repeated on every row (NULL for keys with < n rows).
+    A tree reduction keeps each block's n smallest (ts, id) rows per key
+    (bounded by keys × n), the driver picks the n-th, and a vectorized
+    dictionary-gather attaches it — the same shape as FIRST/LAST_VALUE."""
+    import ray
+
+    from .reduce import tree_reduce
+
+    def local_nsmallest(b: pa.Table) -> pa.Table:
+        k = b[key].to_numpy(zero_copy_only=False)
+        ts = b[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ids = b[id_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts, k))
+        ks = k[order]
+        st = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]]) if len(ks) else np.zeros(0, np.int64)
+        within = np.arange(len(ks)) - np.repeat(st, np.diff(np.r_[st, len(ks)]))
+        keep = order[within < nth]
+        return b.select([key, ts_col, id_col, value_col]).take(
+            pa.array(np.sort(keep), type=pa.int64()))
+
+    small = tree_reduce(ds.select_columns([key, ts_col, id_col, value_col]),
+                        local_nsmallest)
+    rows: dict = {}
+    for b in small.iter_batches(batch_format="pyarrow", batch_size=None):
+        k = b[key].to_numpy(zero_copy_only=False)
+        ts = b[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ids = b[id_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = b[value_col].combine_chunks().to_numpy(zero_copy_only=False)
+        for i in range(len(k)):
+            rows.setdefault(k[i], []).append((int(ts[i]), int(ids[i]), float(v[i])))
+    nth_map = {}
+    for kk, lst in rows.items():
+        lst.sort()
+        nth_map[kk] = lst[nth - 1][2] if len(lst) >= nth else np.nan
+    nref = ray.put(nth_map)
+    out_col = f"{value_col}_nth{nth}"
+
+    def attach(b: pa.Table) -> pa.Table:
+        nm = ray.get(nref)
+        enc = b[key].combine_chunks().dictionary_encode()
+        dvals = enc.dictionary.to_pylist()
+        lut = np.array([nm.get(kk, np.nan) for kk in dvals], dtype=np.float64)
+        fv = lut[enc.indices.to_numpy(zero_copy_only=False)] if len(dvals) \
+            else np.zeros(0, np.float64)
+        return b.append_column(out_col, pa.array(fv))
+
+    return ds.map_batches(attach, batch_format="pyarrow")
