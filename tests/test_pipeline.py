@@ -440,3 +440,55 @@ def test_fresh_run_clears_existing_store(ray_session, corpus, tmp_path):
     assert n1 == n2  # no duplicated rows from stale files
     # manifest restarted: only f2 records remain
     assert {r.get("run_id") for r in man.records() if r.get("tier") == "raw"} == {"f2"}
+
+
+def test_compact_tier_merges_parts_and_preserves_data(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from tsdat_ray.stages.writers import compact_tier, write_partitioned
+    from tsdat_ray.state.manifest import Manifest
+
+    root = str(tmp_path / "store")
+    US_ = 1_000_000
+    n = 600
+    rng = np.random.default_rng(7)
+    ts = np.sort(rng.integers(0, 3 * 86400, n)).astype(np.int64) * US_
+    tbl = pa.table({
+        "ts": pa.array(ts).cast(pa.timestamp("us")),
+        "source": pa.array(rng.choice(["a", "b"], n)),
+        "v": pa.array(rng.random(n)),
+    })
+
+    def add_day(b: pa.Table) -> pa.Table:
+        t = b["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = ((t // (86400 * US_)) * (86400 * US_)).astype("datetime64[us]")
+        import pyarrow.compute as pc_
+        return b.append_column("day", pc_.strftime(pa.array(day), format="%Y-%m-%d"))
+
+    # many blocks => many part files per partition
+    ds = rd.from_arrow(add_day(tbl)).repartition(8)
+    write_partitioned(ds, root + "/raw", ts_col="ts")
+    man = Manifest(root)
+    man.commit_partitions("raw", inputs=["synthetic"])
+
+    def total_rows():
+        import glob
+        files = glob.glob(root + "/raw/**/*.parquet", recursive=True)
+        return sum(pq.read_table(f).num_rows for f in files), len(files)
+
+    before_rows, before_files = total_rows()
+    res = compact_tier(root, "raw")
+    after_rows, after_files = total_rows()
+    assert res["compacted"] >= 1
+    assert after_rows == before_rows == n
+    assert after_files < before_files
+    # every partition has exactly one part and is committed again
+    for part in man.list_partition_dirs("raw"):
+        pdir = man.partition_dir("raw", part)
+        parts = [f for f in man.sfs.listdir(pdir) if f.endswith(".parquet")]
+        assert len(parts) == 1
+    assert man.completed("raw") == set(man.list_partition_dirs("raw"))
+    # idempotent: nothing left to compact
+    assert compact_tier(root, "raw")["compacted"] == 0

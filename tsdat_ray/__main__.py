@@ -46,6 +46,10 @@ def main(argv=None) -> int:
     manp.add_argument("--out", required=True)
     manp.add_argument("--tier", default=None)
 
+    compp = sub.add_parser("compact", help="merge small part files per partition (OPTIMIZE)")
+    compp.add_argument("--out", required=True)
+    compp.add_argument("--tier", default="raw")
+
     rep = sub.add_parser("reprocess", help="late data: invalidate + recompute a day range")
     rep.add_argument("--input", required=True, help="input Parquet path(s), comma-separated")
     rep.add_argument("--out", required=True)
@@ -195,6 +199,10 @@ def main(argv=None) -> int:
             cfg = PipelineConfig(out_root=args.out, run_id="prune")
             now_us = args.now_us if args.now_us is not None else int(time.time() * 1_000_000)
             print(json.dumps(prune_retention(cfg, now_us)))
+        elif args.cmd == "compact":
+            from tsdat_ray.stages.writers import compact_tier
+
+            print(json.dumps(compact_tier(args.out, args.tier)))
     finally:
         ray.shutdown()
     return 0

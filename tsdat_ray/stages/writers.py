@@ -270,3 +270,83 @@ def write_orc(ds, root: str, partition_cols: tuple[str, ...] = ("source", "day")
     for b in res.iter_batches(batch_format="pyarrow"):
         total += int(pc.sum(b["rows"]).as_py() or 0)
     return total
+
+
+def compact_tier(root: str, tier: str, run_id: str = "compact") -> dict:
+    """Small-file compaction for a tier store: every committed partition
+    with more than one part file is rewritten as ONE ts-sorted part — the
+    lakehouse OPTIMIZE/compact operation (each pipeline run adds a part per
+    block per partition; reads degrade as parts accumulate).
+
+    Crash-safe against the manifest's recovery invariant (committed
+    partitions are never half-rewritten): per partition, (1) the merged
+    sorted table is written under a non-``.parquet`` temp name (invisible
+    to store readers), (2) the partition's manifest record is pruned
+    (reason=compact), (3) old parts are deleted, (4) the temp renames to
+    ``part-<min_ts>.parquet`` atomically, (5) the partition re-commits.  A
+    crash at ANY point leaves either the fully-committed old state or an
+    uncommitted dir that ``wipe_uncommitted`` + resume recomputes — never
+    duplicated and never silently missing rows.  One Ray task per
+    partition (the file list is the Dataset)."""
+    import ray
+    import ray.data as rd
+
+    from ..state.manifest import Manifest
+
+    man = Manifest(root)
+    done = man.completed(tier)
+    todo = []
+    for part in man.list_partition_dirs(tier):
+        if part not in done:
+            continue
+        pdir = man.partition_dir(tier, part)
+        parts = [f for f in man.sfs.listdir(pdir) if f.endswith(".parquet")]
+        if len(parts) > 1:
+            todo.append({"part": part})
+    if not todo:
+        return {"tier": tier, "compacted": 0}
+
+    # step 2 first for ALL partitions (driver-side, manifest is driver-owned)
+    for t in todo:
+        man.append({"tier": tier, "partition": t["part"], "action": "pruned",
+                    "reason": "compact"})
+
+    root_ref = ray.put((root, tier))
+
+    def compact_one(b: pa.Table) -> pa.Table:
+        import io as _io
+
+        import pyarrow.parquet as pq
+
+        from ..state.manifest import Manifest as _M
+
+        root_, tier_ = ray.get(root_ref)
+        m = _M(root_)
+        outs = []
+        for part in b["part"].to_pylist():
+            pdir = m.partition_dir(tier_, part)
+            files = sorted(f for f in m.sfs.listdir(pdir) if f.endswith(".parquet"))
+            tabs = [pq.read_table(_io.BytesIO(m.sfs.read_bytes(f"{pdir}/{f}")))
+                    for f in files]
+            merged = pa.concat_tables(tabs)
+            if "ts" in merged.column_names:
+                merged = merged.sort_by("ts")
+                tmin = int(merged["ts"][0].cast(pa.int64()).as_py())
+            else:
+                tmin = 0
+            for f in files:                       # step 3: clear old parts
+                m.sfs.remove_file(f"{pdir}/{f}")
+            # step 4: atomic publish under the deterministic name
+            m.sfs.write_table_atomic(merged, f"{pdir}/part-{tmin}.parquet")
+            outs.append((part, len(files), merged.num_rows))
+        return pa.table({
+            "part": pa.array([o[0] for o in outs]),
+            "n_files_before": pa.array([o[1] for o in outs], pa.int64()),
+            "rows": pa.array([o[2] for o in outs], pa.int64()),
+        })
+
+    res = rd.from_items(todo, override_num_blocks=max(len(todo), 1)).map_batches(
+        compact_one, batch_format="pyarrow").materialize()
+    n = res.count()
+    man.commit_partitions(tier, inputs=["compact"], run_id=run_id)  # step 5
+    return {"tier": tier, "compacted": n}
