@@ -3557,6 +3557,39 @@ def _q_nth_value(sf_dir: str):
     return out.select_columns(["event_id", "value_nth2"])
 
 
+def _q_compact_roundtrip(sf_dir: str):
+    """events → partitioned store (many parts per partition) → manifest
+    commit → compact_tier (crash-safe OPTIMIZE) → read back; identity
+    oracle puts the compaction rewrite itself under the value-hash
+    contract (stages/writers.py:compact_tier)."""
+    import shutil
+
+    import ray.data as rd
+
+    from tsdat_ray.stages.rollup import floor_bucket_us
+    from tsdat_ray.stages.writers import compact_tier, write_partitioned
+    from tsdat_ray.state.manifest import Manifest
+
+    root = os.path.join(_CACHE, f"compact_events_{_sf_of(sf_dir)}")
+    shutil.rmtree(root, ignore_errors=True)
+
+    def add_parts(b: pa.Table) -> pa.Table:
+        ts = b["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = pc.strftime(pa.array(floor_bucket_us(ts, 86400)).cast(pa.timestamp("us")),
+                          format="%Y-%m-%d")
+        b = b.append_column("source", b["event_type"])
+        return b.append_column("day", day)
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "event_type", "value"]).map_batches(
+        add_parts, batch_format="pyarrow").repartition(8)
+    write_partitioned(ds, f"{root}/raw", ts_col="ts")
+    man = Manifest(root)
+    man.commit_partitions("raw", inputs=["compact_roundtrip"])
+    compact_tier(root, "raw")
+    back = rd.read_parquet(f"{root}/raw", columns=["event_id", "ts", "value"])
+    return back
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rollup_1m_events": lambda d: _events_rollup(d, "1m"),
@@ -3715,6 +3748,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skewjoin_lineitem_orders": _q_skewjoin_lineitem_orders,
         "zorder_events": _q_zorder,
         "nth_value_events": _q_nth_value,
+        "compact_roundtrip_events": _q_compact_roundtrip,
     }
 
 
@@ -4803,6 +4837,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, ts, value FROM events
         """,
         "orc_roundtrip_events": """
+            SELECT event_id, ts, value FROM events
+        """,
+        "compact_roundtrip_events": """
             SELECT event_id, ts, value FROM events
         """,
         "skewjoin_lineitem_orders": """

@@ -250,6 +250,7 @@ def run_bench() -> dict:
         "skewjoin_lineitem_orders",
         "zorder_events",
         "nth_value_events",
+        "compact_roundtrip_events",
     ]
     qtimes = {}
     for name in bench_queries:

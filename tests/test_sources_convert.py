@@ -252,3 +252,31 @@ def test_read_jsonl_declared_missing_column_filled(ray_session, tmp_path):
     assert out["a"].tolist() == [1]
     assert np.isnan(out["b"][0])
     assert out["c"].tolist() == [-9999]
+
+
+def test_schema_drift_reports_missing_unexpected_typechange(ray_session, tmp_path):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tsdat_ray.sources.declared import DeclaredSchema, DeclaredVar, schema_drift
+
+    good = pa.table({"ts": pa.array([], pa.timestamp("us")),
+                     "v": pa.array([], pa.float64())})
+    drifted = pa.table({"ts": pa.array([], pa.timestamp("us")),
+                        "v": pa.array([], pa.float32()),   # type change
+                        "extra": pa.array([], pa.string())})  # unexpected
+    missing = pa.table({"ts": pa.array([], pa.timestamp("us"))})  # v missing
+    pq.write_table(good, str(tmp_path / "good.parquet"))
+    pq.write_table(drifted, str(tmp_path / "drift.parquet"))
+    pq.write_table(missing, str(tmp_path / "miss.parquet"))
+
+    schema = DeclaredSchema(variables=(
+        DeclaredVar("ts", "timestamp[us]"), DeclaredVar("v", "double")))
+    rows = schema_drift(str(tmp_path), schema).take_all()
+    by = {(os.path.basename(r["path"]), r["column"]): r["issue"] for r in rows}
+    assert by[("drift.parquet", "v")] == "type_changed"
+    assert by[("drift.parquet", "extra")] == "unexpected"
+    assert by[("miss.parquet", "v")] == "missing"
+    assert ("good.parquet", "v") not in by and ("good.parquet", "ts") not in by

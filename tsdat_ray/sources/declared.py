@@ -87,3 +87,55 @@ def standardize_declared(batch: pa.Table, schema: DeclaredSchema) -> pa.Table:
             col = pc.cast(col, typ, safe=False)
         out[v.name] = col
     return pa.table(out)
+
+
+def schema_drift(paths, schema: "DeclaredSchema"):
+    """Schema-evolution / drift report over a parquet file set: one row per
+    (file, column, issue) where issue ∈ {missing, unexpected,
+    type_changed}.  The production pre-flight for declared-schema ingest
+    (the reference fails at retrieval time deep inside a run — reference
+    io/retrievers/storage_retriever.py:213 raises mid-pipeline; this
+    surfaces every divergence up front instead).
+
+    Metadata-only and distributed: the FILE LIST is the Dataset, each task
+    reads only parquet FOOTERS (`pq.read_schema`) — no row data moves."""
+    import ray.data as rd
+
+    declared = {}
+    for v in schema.variables:
+        cands = v.retrieve_from or (v.name,)
+        for c in cands:
+            declared[c] = v.dtype
+
+    def check(b: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        files, cols, issues, details = [], [], [], []
+        for p in b["path"].to_pylist():
+            s = pq.read_schema(p)
+            actual = {f.name: str(f.type) for f in s}
+            for name, want in declared.items():
+                if name not in actual:
+                    files.append(p); cols.append(name)
+                    issues.append("missing"); details.append(want)
+                elif actual[name] != want:
+                    files.append(p); cols.append(name)
+                    issues.append("type_changed")
+                    details.append(f"{want} -> {actual[name]}")
+            for name in actual:
+                if name not in declared:
+                    files.append(p); cols.append(name)
+                    issues.append("unexpected"); details.append(actual[name])
+        return pa.table({"path": pa.array(files, pa.string()),
+                         "column": pa.array(cols, pa.string()),
+                         "issue": pa.array(issues, pa.string()),
+                         "detail": pa.array(details, pa.string())})
+
+    if isinstance(paths, str):
+        import glob as _glob
+
+        paths = sorted(_glob.glob(f"{paths}/**/*.parquet", recursive=True)) \
+            if not paths.endswith(".parquet") else [paths]
+    items = [{"path": p} for p in paths]
+    return rd.from_items(items, override_num_blocks=max(len(items), 1)).map_batches(
+        check, batch_format="pyarrow")
