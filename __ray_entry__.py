@@ -3590,6 +3590,38 @@ def _q_compact_roundtrip(sf_dir: str):
     return back
 
 
+def _q_distinct_rollup(sf_dir: str):
+    """Continuous-aggregate distinct counts: unique users per (event_type,
+    hour) — batch-local (type, hour, user) dedupe bounds the shuffle by
+    distinct triples (combiner push-down), one groupby finalizes."""
+    ds = _events(sf_dir, columns=["ts", "event_type", "user_id"])
+    HOUR_US = 3600 * 1_000_000
+
+    def local_dedupe(b: pa.Table) -> pa.Table:
+        ts = b["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = (ts // HOUR_US) * HOUR_US
+        k = b["event_type"].to_numpy(zero_copy_only=False)
+        u = b["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((u, hour, k))
+        ks, hs, us = k[order], hour[order], u[order]
+        keep = np.r_[True, (ks[1:] != ks[:-1]) | (hs[1:] != hs[:-1]) | (us[1:] != us[:-1])]             if len(ks) else np.zeros(0, bool)
+        return pa.table({"event_type": pa.array(ks[keep]),
+                         "_hour": pa.array(hs[keep]),
+                         "user_id": pa.array(us[keep])})
+
+    def finalize(g: pa.Table) -> pa.Table:
+        u = g["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": g["event_type"].slice(0, 1),
+            "bucket": pa.array(np.array([g["_hour"][0].as_py()], np.int64)
+                               .astype("datetime64[us]")),
+            "n_users": pa.array([len(np.unique(u))], pa.int64()),
+        })
+
+    return (ds.map_batches(local_dedupe, batch_format="pyarrow")
+            .groupby(["event_type", "_hour"]).map_groups(finalize, batch_format="pyarrow"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rollup_1m_events": lambda d: _events_rollup(d, "1m"),
@@ -3749,6 +3781,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_events": _q_zorder,
         "nth_value_events": _q_nth_value,
         "compact_roundtrip_events": _q_compact_roundtrip,
+        "distinct_rollup_1h_events": _q_distinct_rollup,
     }
 
 
@@ -4841,6 +4874,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "compact_roundtrip_events": """
             SELECT event_id, ts, value FROM events
+        """,
+        "distinct_rollup_1h_events": """
+            SELECT event_type, date_trunc('hour', ts) AS bucket,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1, 2
         """,
         "skewjoin_lineitem_orders": """
             SELECT l_orderkey, l_linenumber, l_extendedprice, o_orderpriority

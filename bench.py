@@ -251,6 +251,7 @@ def run_bench() -> dict:
         "zorder_events",
         "nth_value_events",
         "compact_roundtrip_events",
+        "distinct_rollup_1h_events",
     ]
     qtimes = {}
     for name in bench_queries:

@@ -280,3 +280,22 @@ def test_schema_drift_reports_missing_unexpected_typechange(ray_session, tmp_pat
     assert by[("drift.parquet", "extra")] == "unexpected"
     assert by[("miss.parquet", "v")] == "missing"
     assert ("good.parquet", "v") not in by and ("good.parquet", "ts") not in by
+
+
+def test_prune_parquet_files_skips_nonoverlapping(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tsdat_ray.sources.declared import prune_parquet_files
+
+    US_ = 1_000_000
+    for day in range(4):
+        ts = (np.arange(100, dtype=np.int64) + day * 86400) * US_
+        pq.write_table(pa.table({"ts": pa.array(ts).cast(pa.timestamp("us")),
+                                 "v": pa.array(np.arange(100.0))}),
+                       str(tmp_path / f"d{day}.parquet"))
+    lo, hi = 1 * 86400 * US_, 3 * 86400 * US_  # days 1 and 2 only
+    kept = prune_parquet_files(str(tmp_path), "ts", lo, hi)
+    names = sorted(p.split("/")[-1] for p in kept)
+    assert names == ["d1.parquet", "d2.parquet"]

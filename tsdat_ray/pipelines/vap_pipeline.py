@@ -93,13 +93,23 @@ def fetch_tier(cfg: VapConfig):
 
     # read_parquet on explicit partition dirs loses the hive column; re-add
     # per file via include_paths-free approach: read each dir separately
+    from ..sources.declared import prune_parquet_files
+
     parts = []
     for p in paths:
-        sub = rd.read_parquet(p, columns=cols)
+        # second pruning level inside the day partition: parquet FOOTER
+        # min/max stats skip whole part files outside the padded range
+        # (matters when compaction/day layout leaves multi-range parts)
+        files = prune_parquet_files(p, cfg.ts_col, lo, hi)
+        if not files:
+            continue
+        sub = rd.read_parquet(files, columns=cols)
         src = srcs[p]
         parts.append(sub.map_batches(
             lambda b, src=src: b.append_column(cfg.key, pa.array(np.repeat(src, b.num_rows))),
             batch_format="pyarrow"))
+    if not parts:
+        return None
     out = parts[0]
     for p2 in parts[1:]:
         out = out.union(p2)

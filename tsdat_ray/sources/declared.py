@@ -139,3 +139,45 @@ def schema_drift(paths, schema: "DeclaredSchema"):
     items = [{"path": p} for p in paths]
     return rd.from_items(items, override_num_blocks=max(len(items), 1)).map_batches(
         check, batch_format="pyarrow")
+
+
+def prune_parquet_files(paths, ts_col: str, lo_us: int, hi_us: int) -> list[str]:
+    """File-level data skipping from parquet FOOTER statistics: keep only
+    files whose ``ts_col`` min/max row-group range overlaps [lo_us, hi_us).
+    Complements hive-partition pruning — inside a partition (or for
+    unpartitioned drops) the footers carry per-row-group min/max, so a
+    time-range fetch skips whole files without reading a row.  Files with
+    no statistics are conservatively kept (skipping is an optimization,
+    never a filter)."""
+    import glob as _glob
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    if isinstance(paths, str):
+        paths = sorted(_glob.glob(f"{paths}/**/*.parquet", recursive=True)) \
+            if not paths.endswith(".parquet") else [paths]
+    keep = []
+    for p in paths:
+        md = pq.read_metadata(p)
+        names = md.schema.to_arrow_schema().names
+        if ts_col not in names:
+            keep.append(p)
+            continue
+        ci = names.index(ts_col)
+        fmin, fmax = None, None
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            mn = np.datetime64(st.min, "us").astype(np.int64) \
+                if not isinstance(st.min, (int, float)) else int(st.min)
+            mx = np.datetime64(st.max, "us").astype(np.int64) \
+                if not isinstance(st.max, (int, float)) else int(st.max)
+            fmin = mn if fmin is None else min(fmin, mn)
+            fmax = mx if fmax is None else max(fmax, mx)
+        if not ok or fmin is None or (fmax >= lo_us and fmin < hi_us):
+            keep.append(p)
+    return keep
