@@ -3622,6 +3622,54 @@ def _q_distinct_rollup(sf_dir: str):
             .groupby(["event_type", "_hour"]).map_groups(finalize, batch_format="pyarrow"))
 
 
+def _q_month_from_1d(sf_dir: str):
+    """Calendar cascade: MONTH tier built from the DAILY tier's partials
+    (never re-reading raw) — day buckets nest exactly inside months, daily
+    value_sum is cent-exact, so integer re-accumulation reproduces the
+    direct month rollup bit-for-bit.  Same oracle as rollup_month_events:
+    cascade == direct under the value-hash contract."""
+    t1d = _events_rollup(sf_dir, "1d")
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = b["bucket"].combine_chunks()
+        month = pc.floor_temporal(day, unit="month").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        k = b["event_type"].to_numpy(zero_copy_only=False)
+        n = b["n_rows"].combine_chunks().to_numpy(zero_copy_only=False)
+        s = np.round(b["value_sum"].combine_chunks().to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        mn = b["value_min"].combine_chunks().to_numpy(zero_copy_only=False)
+        mx = b["value_max"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((month, k))
+        ks, ms = k[order], month[order]
+        st = np.flatnonzero(np.r_[True, (ks[1:] != ks[:-1]) | (ms[1:] != ms[:-1])])             if len(ks) else np.zeros(0, np.int64)
+        return pa.table({
+            "event_type": pa.array(ks[st] if len(st) else ks[:0]),
+            "bucket": pa.array((ms[st] if len(st) else ms[:0]).astype("datetime64[us]")),
+            "n_rows": pa.array(np.add.reduceat(n[order], st) if len(st) else n[:0]),
+            "_s": pa.array(np.add.reduceat(s[order], st) if len(st) else s[:0]),
+            "_mn": pa.array(np.minimum.reduceat(mn[order], st) if len(st) else mn[:0]),
+            "_mx": pa.array(np.maximum.reduceat(mx[order], st) if len(st) else mx[:0]),
+        })
+
+    def combine(g: pa.Table) -> pa.Table:
+        n = int(np.sum(g["n_rows"].combine_chunks().to_numpy(zero_copy_only=False)))
+        s = int(np.sum(g["_s"].combine_chunks().to_numpy(zero_copy_only=False)))
+        sums = s / 100.0
+        return pa.table({
+            "event_type": g["event_type"].slice(0, 1),
+            "bucket": g["bucket"].slice(0, 1),
+            "n_rows": pa.array([n], pa.int64()),
+            "value_sum": pa.array([sums]),
+            "value_mean": pa.array([sums / n]),
+            "value_min": pa.array([float(np.min(g["_mn"].combine_chunks()
+                                                .to_numpy(zero_copy_only=False)))]),
+            "value_max": pa.array([float(np.max(g["_mx"].combine_chunks()
+                                                .to_numpy(zero_copy_only=False)))]),
+        })
+
+    return (t1d.map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "bucket"]).map_groups(combine, batch_format="pyarrow"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rollup_1m_events": lambda d: _events_rollup(d, "1m"),
@@ -3782,6 +3830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nth_value_events": _q_nth_value,
         "compact_roundtrip_events": _q_compact_roundtrip,
         "distinct_rollup_1h_events": _q_distinct_rollup,
+        "rollup_month_from_1d_events": _q_month_from_1d,
     }
 
 
@@ -4779,6 +4828,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "rollup_month_events": _events_rollup_sql("month"),
+        "rollup_month_from_1d_events": _events_rollup_sql("month"),
         "rollup_week_events": _events_rollup_sql("week"),
         "above_mean_events": """
             WITH m AS (

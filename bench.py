@@ -252,6 +252,7 @@ def run_bench() -> dict:
         "nth_value_events",
         "compact_roundtrip_events",
         "distinct_rollup_1h_events",
+        "rollup_month_from_1d_events",
     ]
     qtimes = {}
     for name in bench_queries:
