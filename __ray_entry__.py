@@ -3670,6 +3670,22 @@ def _q_month_from_1d(sf_dir: str):
             .groupby(["event_type", "bucket"]).map_groups(combine, batch_format="pyarrow"))
 
 
+def _q_windowed_join(sf_dir: str):
+    """Stream-stream windowed join: every (click, purchase) pair of the
+    same user within ±5 min — halo-replicated (key, window) co-location,
+    pair expansion per group (stages/window_funcs.py:windowed_pair_join)."""
+    from tsdat_ray.stages.window_funcs import windowed_pair_join
+
+    clicks = _events(sf_dir, columns=["event_id", "ts", "user_id", "event_type"]).filter(
+        expr="event_type == 'click'")
+    purch = _events(sf_dir, columns=["event_id", "ts", "user_id", "event_type"]).filter(
+        expr="event_type == 'purchase'")
+    out = windowed_pair_join(clicks, purch, key="user_id", ts_col="ts",
+                             left_id="event_id", right_id="event_id",
+                             range_s=300, window_s=86400 * 16)
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rollup_1m_events": lambda d: _events_rollup(d, "1m"),
@@ -3831,6 +3847,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compact_roundtrip_events": _q_compact_roundtrip,
         "distinct_rollup_1h_events": _q_distinct_rollup,
         "rollup_month_from_1d_events": _q_month_from_1d,
+        "windowed_join_click_purchase": _q_windowed_join,
     }
 
 
@@ -4924,6 +4941,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "compact_roundtrip_events": """
             SELECT event_id, ts, value FROM events
+        """,
+        "windowed_join_click_purchase": """
+            SELECT c.event_id AS id_left, p.event_id AS id_right
+            FROM events c JOIN events p ON c.user_id = p.user_id
+            WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+              AND p.ts >= c.ts - INTERVAL 300 SECOND
+              AND p.ts <= c.ts + INTERVAL 300 SECOND
         """,
         "distinct_rollup_1h_events": """
             SELECT event_type, date_trunc('hour', ts) AS bucket,

@@ -2220,3 +2220,73 @@ def partitioned_nth_value(ds, key: str, ts_col: str, value_col: str,
         return b.append_column(out_col, pa.array(fv))
 
     return ds.map_batches(attach, batch_format="pyarrow")
+
+
+def windowed_pair_join(left, right, key: str, ts_col: str,
+                       left_id: str, right_id: str, range_s: int,
+                       window_s: int = 6 * 3600):
+    """Stream-stream windowed equi-join: emit every (left, right) pair with
+    the same key and |t_left − t_right| ≤ range_s — the two-sided row-
+    emitting sibling of :func:`lookahead_count` (which only counts, one-
+    sided).  Both sides shuffle by (key, time-window); right rows within
+    ``range_s`` of a window EDGE replicate into the neighboring window
+    (duplication ≤ 2·range/window), so each pair materializes exactly once
+    — in the window holding its LEFT row.  Per group: sort right once, two
+    searchsorteds per left row, vectorized np.repeat pair expansion.
+    Requires range_s ≤ window_s."""
+    if range_s > window_s:
+        raise ValueError("range_s must be <= window_s (one-window halo)")
+    win_us = window_s * US
+    rng_us = range_s * US
+
+    def tag(side: int):
+        def f(b: pa.Table) -> pa.Table:
+            ts = b[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+            ids = b[left_id if side == 0 else right_id].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            k = b[key].to_numpy(zero_copy_only=False)
+            w = (ts // win_us) * win_us
+            if side == 0:
+                return pa.table({key: pa.array(k), "_w": pa.array(w),
+                                 "_ts": pa.array(ts), "_id": pa.array(ids),
+                                 "_side": pa.array(np.zeros(len(k), np.int8))})
+            # halo: right rows near the leading/trailing edge also emit into
+            # the previous/next window
+            off = ts - w
+            prev = off < rng_us
+            nxt = off >= win_us - rng_us
+            ks = np.r_[k, k[prev], k[nxt]]
+            ws = np.r_[w, w[prev] - win_us, w[nxt] + win_us]
+            tss = np.r_[ts, ts[prev], ts[nxt]]
+            idd = np.r_[ids, ids[prev], ids[nxt]]
+            return pa.table({key: pa.array(ks), "_w": pa.array(ws),
+                             "_ts": pa.array(tss), "_id": pa.array(idd),
+                             "_side": pa.array(np.ones(len(ks), np.int8))})
+
+        return f
+
+    u = left.map_batches(tag(0), batch_format="pyarrow").union(
+        right.map_batches(tag(1), batch_format="pyarrow"))
+
+    def per_window(g: pa.Table) -> pa.Table:
+        side = g["_side"].combine_chunks().to_numpy(zero_copy_only=False)
+        ts = g["_ts"].combine_chunks().to_numpy(zero_copy_only=False)
+        ids = g["_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        lm = side == 0
+        lt, lid = ts[lm], ids[lm]
+        rt, rid = ts[~lm], ids[~lm]
+        order = np.argsort(rt, kind="stable")
+        rt, rid = rt[order], rid[order]
+        lo = np.searchsorted(rt, lt - rng_us, side="left")
+        hi = np.searchsorted(rt, lt + rng_us, side="right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        rep_l = np.repeat(np.arange(len(lt)), cnt)
+        offs = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        ridx = np.repeat(lo, cnt) + offs
+        return pa.table({
+            "id_left": pa.array(lid[rep_l]),
+            "id_right": pa.array(rid[ridx]),
+        })
+
+    return u.groupby([key, "_w"]).map_groups(per_window, batch_format="pyarrow")
