@@ -3622,17 +3622,25 @@ def _q_distinct_rollup(sf_dir: str):
             .groupby(["event_type", "_hour"]).map_groups(finalize, batch_format="pyarrow"))
 
 
-def _q_month_from_1d(sf_dir: str):
-    """Calendar cascade: MONTH tier built from the DAILY tier's partials
-    (never re-reading raw) — day buckets nest exactly inside months, daily
-    value_sum is cent-exact, so integer re-accumulation reproduces the
-    direct month rollup bit-for-bit.  Same oracle as rollup_month_events:
-    cascade == direct under the value-hash contract."""
+def _q_calendar_from_1d(unit: str):
+    def run(sf_dir: str):
+        return _calendar_cascade_1d(sf_dir, unit)
+
+    return run
+
+
+def _calendar_cascade_1d(sf_dir: str, unit: str):
+    """Calendar cascade: MONTH/WEEK tier built from the DAILY tier's
+    partials (never re-reading raw) — day buckets nest exactly inside both
+    calendar units (ISO weeks start on day boundaries), daily value_sum is
+    cent-exact, so integer re-accumulation reproduces the direct rollup
+    bit-for-bit.  Same oracle as the direct calendar rollup: cascade ==
+    direct under the value-hash contract."""
     t1d = _events_rollup(sf_dir, "1d")
 
     def partial(b: pa.Table) -> pa.Table:
         day = b["bucket"].combine_chunks()
-        month = pc.floor_temporal(day, unit="month").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        month = pc.floor_temporal(day, unit=unit).cast(pa.int64()).to_numpy(zero_copy_only=False)
         k = b["event_type"].to_numpy(zero_copy_only=False)
         n = b["n_rows"].combine_chunks().to_numpy(zero_copy_only=False)
         s = np.round(b["value_sum"].combine_chunks().to_numpy(zero_copy_only=False) * 100).astype(np.int64)
@@ -3846,7 +3854,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nth_value_events": _q_nth_value,
         "compact_roundtrip_events": _q_compact_roundtrip,
         "distinct_rollup_1h_events": _q_distinct_rollup,
-        "rollup_month_from_1d_events": _q_month_from_1d,
+        "rollup_month_from_1d_events": _q_calendar_from_1d("month"),
+        "rollup_week_from_1d_events": _q_calendar_from_1d("week"),
         "windowed_join_click_purchase": _q_windowed_join,
     }
 
@@ -4846,6 +4855,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rollup_month_events": _events_rollup_sql("month"),
         "rollup_month_from_1d_events": _events_rollup_sql("month"),
+        "rollup_week_from_1d_events": _events_rollup_sql("week"),
         "rollup_week_events": _events_rollup_sql("week"),
         "above_mean_events": """
             WITH m AS (

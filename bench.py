@@ -253,6 +253,7 @@ def run_bench() -> dict:
         "compact_roundtrip_events",
         "distinct_rollup_1h_events",
         "rollup_month_from_1d_events",
+        "rollup_week_from_1d_events",
         "windowed_join_click_purchase",
     ]
     qtimes = {}
