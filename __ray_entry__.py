@@ -3694,6 +3694,21 @@ def _q_windowed_join(sf_dir: str):
     return out
 
 
+def _q_cluster_survivors_quality(sf_dir: str):
+    """Cluster dedup keeping the HIGHEST-QUALITY doc per near-dup cluster
+    (max n_chars, tie -> min id) — the production survivor policy
+    (stages/dedup.py:cluster_dedup_priority); oracled via the recursive-CTE
+    components + a row_number window."""
+    from tsdat_ray.stages.dedup import cluster_dedup_priority
+
+    ds = _read(f"{sf_dir}/documents.parquet",
+               columns=["doc_id", "text", "source", "n_chars"])
+    pairs = _ngram_pairs(sf_dir)
+    return (cluster_dedup_priority(ds, pairs, priority_col="n_chars")
+            .select_columns(["doc_id", "source", "n_chars"])
+            .sort("doc_id"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rollup_1m_events": lambda d: _events_rollup(d, "1m"),
@@ -3856,6 +3871,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_rollup_1h_events": _q_distinct_rollup,
         "rollup_month_from_1d_events": _q_calendar_from_1d("month"),
         "rollup_week_from_1d_events": _q_calendar_from_1d("week"),
+        "cluster_survivors_quality_docs": _q_cluster_survivors_quality,
         "windowed_join_click_purchase": _q_windowed_join,
     }
 
@@ -4041,6 +4057,49 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT n AS node, least(n, min(m)) AS component
             FROM reach GROUP BY n ORDER BY node
+        """,
+        "cluster_survivors_quality_docs": """
+            WITH RECURSIVE sh AS (
+                SELECT DISTINCT doc_id, substr(text, i, 5) AS g
+                FROM (SELECT doc_id, text,
+                             unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
+                      FROM documents)
+            ),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+                FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            prs AS (
+                SELECT i.id_a, i.id_b
+                FROM inter i
+                JOIN sz na ON na.doc_id = i.id_a
+                JOIN sz nb ON nb.doc_id = i.id_b
+                WHERE i.c * 1.0 / (na.n + nb.n - i.c) >= 0.5
+            ),
+            e AS (SELECT id_a AS a, id_b AS b FROM prs
+                  UNION SELECT id_b, id_a FROM prs),
+            reach(n, m) AS (
+                SELECT a, b FROM e
+                UNION
+                SELECT r.n, e.b FROM reach r JOIN e ON e.a = r.m
+            ),
+            comp AS (
+                SELECT n AS node, least(n, min(m)) AS component
+                FROM reach GROUP BY n
+            ),
+            ranked AS (
+                SELECT c.node,
+                       row_number() OVER (PARTITION BY c.component
+                                          ORDER BY d.n_chars DESC, c.node) AS rn
+                FROM comp c JOIN documents d ON d.doc_id = c.node
+            ),
+            dropped AS (SELECT node FROM ranked WHERE rn > 1)
+            SELECT d.doc_id, d.source, d.n_chars
+            FROM documents d
+            WHERE d.doc_id NOT IN (SELECT node FROM dropped)
+            ORDER BY d.doc_id
         """,
         "cluster_survivors_docs": """
             WITH RECURSIVE sh AS (

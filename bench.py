@@ -254,6 +254,7 @@ def run_bench() -> dict:
         "distinct_rollup_1h_events",
         "rollup_month_from_1d_events",
         "rollup_week_from_1d_events",
+        "cluster_survivors_quality_docs",
         "windowed_join_click_purchase",
     ]
     qtimes = {}

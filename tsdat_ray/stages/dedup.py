@@ -1264,3 +1264,58 @@ def cluster_dedup(ds, pairs, id_col: str = "doc_id", a_col: str = "id_a",
 
     drop_ds = cc.map_batches(dropped, batch_format="pyarrow")
     return semi_anti_join(ds, id_col, drop_ds, "node", anti=True)
+
+
+def cluster_dedup_priority(ds, pairs, id_col: str = "doc_id",
+                           priority_col: str = "n_chars",
+                           descending: bool = True):
+    """Cluster dedup with a QUALITY-priority survivor: per near-dup
+    connected component keep the row with the best ``priority_col`` (ties →
+    smallest id) instead of :func:`cluster_dedup`'s min-id canonical — the
+    curation policy that keeps the longest/highest-quality duplicate
+    (Lee et al. 2022 discuss survivor choice; quality-priority is the
+    common production pick).
+
+    Scale shape: components and the paired rows' (id, priority) pairs are
+    both bounded by the DUPLICATE count, never the corpus — paired ids
+    broadcast once to filter the corpus's priority lookup, survivors argmax
+    driver-side on that bounded set, and the corpus itself streams through
+    one anti-join filter exactly like cluster_dedup."""
+    import ray
+
+    from .graph import connected_components
+    from .window_funcs import semi_anti_join
+
+    cc = connected_components(pairs, a_col="id_a", b_col="id_b")
+    comp: dict = {}
+    for b in cc.iter_batches(batch_format="pyarrow", batch_size=None):
+        for n_, c_ in zip(b["node"].to_pylist(), b["component"].to_pylist()):
+            comp[n_] = c_
+    if not comp:
+        return ds
+    paired = np.array(sorted(comp), dtype=np.int64)
+    pref = ray.put(paired)
+
+    def paired_rows(b: pa.Table) -> pa.Table:
+        pids = ray.get(pref)
+        ids = b[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(pids, ids)
+        pos_c = np.clip(pos, 0, len(pids) - 1)
+        hit = pids[pos_c] == ids
+        return b.select([id_col, priority_col]).filter(pa.array(hit))
+
+    best: dict = {}
+    for b in ds.map_batches(paired_rows, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        for i_, p_ in zip(b[id_col].to_pylist(), b[priority_col].to_pylist()):
+            c_ = comp[i_]
+            cur = best.get(c_)
+            cand = ((-p_ if descending else p_), i_)
+            if cur is None or cand < cur:
+                best[c_] = cand
+    survivors = {v[1] for v in best.values()}
+    drop = sorted(set(comp) - survivors)
+    drop_tab = pa.table({"node": pa.array(np.array(drop, np.int64))})
+    import ray.data as rd
+
+    return semi_anti_join(ds, id_col, rd.from_arrow(drop_tab), "node", anti=True)
