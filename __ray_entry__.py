@@ -5063,11 +5063,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "session_ids_auto_events": """
             SELECT event_id,
-                   SUM(CASE WHEN prev_ts IS NULL
+                   CAST(SUM(CASE WHEN prev_ts IS NULL
                             OR date_diff('microsecond', prev_ts, ts)
                                > 1800000000 THEN 1 ELSE 0 END)
                        OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
             FROM (SELECT event_id, user_id, ts,
                          lag(ts) OVER (PARTITION BY user_id
                                        ORDER BY ts, event_id) AS prev_ts
@@ -5099,11 +5099,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "session_ids_events": """
             SELECT event_id,
-                   SUM(CASE WHEN prev_ts IS NULL
+                   CAST(SUM(CASE WHEN prev_ts IS NULL
                             OR date_diff('microsecond', prev_ts, ts)
                                > 1800000000 THEN 1 ELSE 0 END)
                        OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
             FROM (SELECT event_id, user_id, ts,
                          lag(ts) OVER (PARTITION BY user_id
                                        ORDER BY ts, event_id) AS prev_ts
