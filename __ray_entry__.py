@@ -21,6 +21,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from tsdat_ray.synth import PARTSUPP_CTE as _PARTSUPP_CTE
+
 US = 1_000_000
 _CACHE = "/tmp/tsdat_ray_cache"
 
@@ -1634,6 +1636,345 @@ def _q_tpch_q21(sf_dir: str):
     return rd.from_arrow(pa.table({
         "s_name": pa.array([r[0] for r in rows], pa.string()),
         "numwait": pa.array([r[1] for r in rows], pa.int64()),
+    }))
+
+
+def _ps_dims(sf_dir: str):
+    """Broadcast-side dimension arrays for the synthetic-partsupp TPC-H
+    queries: supplier attributes indexed by dense suppkey, nation names /
+    region keys indexed by nationkey.  All four base tables are small at
+    every TPC-H scale (supplier is the smallest) — the guide's small-side
+    broadcast pattern."""
+    import pyarrow.parquet as pq
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet")
+    sk = supp["s_suppkey"].combine_chunks().to_numpy(zero_copy_only=False)
+    order = np.argsort(sk, kind="stable")
+    snat = supp["s_nationkey"].combine_chunks().to_numpy(
+        zero_copy_only=False).astype(np.int64)[order]
+    sacct = supp["s_acctbal"].combine_chunks().to_numpy(zero_copy_only=False)[order]
+    sname = np.asarray(supp["s_name"].to_pylist(), dtype=object)[order]
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    nk = nation["n_nationkey"].combine_chunks().to_numpy(zero_copy_only=False)
+    norder = np.argsort(nk, kind="stable")
+    nname = np.asarray(nation["n_name"].to_pylist(), dtype=object)[norder]
+    nregion = nation["n_regionkey"].combine_chunks().to_numpy(
+        zero_copy_only=False).astype(np.int64)[norder]
+    return snat, sacct, sname, nname, nregion
+
+
+def _q_tpch_q2(sf_dir: str):
+    """TPC-H Q2 minimum-cost supplier (region EUROPE, p_type LARGE; adapted —
+    the reduced schema has no p_mfgr/size filter and partsupp is the
+    deterministic derived table, reference `tsdat/io` has no SQL engine so the
+    shape follows TPC-H spec Q2).  partsupp generation is partition-aligned
+    with part: every supplier row of a part is emitted inside the block that
+    read the part, so the per-part min-cost winnow is a purely local segment
+    reduction over a (parts × 4) reshape — ZERO shuffle; supplier/nation/
+    region are one ``ray.put`` broadcast."""
+    import ray
+    import ray.data as rd
+
+    from tsdat_ray.synth import PARTSUPP_FANOUT, partsupp_arrays
+
+    snat, sacct, sname, nname, nregion = _ps_dims(sf_dir)
+    import pyarrow.parquet as pq
+
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    eu = region.filter(pc.equal(region["r_name"], "EUROPE"))["r_regionkey"][0].as_py()
+    eu_supp = nregion[snat] == eu  # bool by suppkey
+    ref = ray.put((snat, sacct, sname, nname, eu_supp))
+
+    def per_part(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["p_type"], "LARGE"))
+        snat, sacct, sname, nname, eu_supp = ray.get(ref)
+        if not b.num_rows:
+            return pa.table({"s_acctbal": pa.array([], pa.float64()),
+                             "s_name": pa.array([], pa.string()),
+                             "n_name": pa.array([], pa.string()),
+                             "p_partkey": pa.array([], pa.int64()),
+                             "p_name": pa.array([], pa.string()),
+                             "ps_supplycost": pa.array([], pa.float64())})
+        pk = b["p_partkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        ps = partsupp_arrays(pk, len(eu_supp))
+        keep = eu_supp[ps["ps_suppkey"]]
+        cents = ps["ps_supplycost_cents"]
+        big = np.int64(1) << np.int64(60)
+        mins = np.where(keep, cents, big).reshape(-1, PARTSUPP_FANOUT).min(axis=1)
+        sel = keep & (cents == np.repeat(mins, PARTSUPP_FANOUT))
+        idx = np.flatnonzero(sel)
+        ssk = ps["ps_suppkey"][idx]
+        names = np.asarray(b["p_name"].to_pylist(), dtype=object)
+        return pa.table({
+            "s_acctbal": pa.array(sacct[ssk], pa.float64()),
+            "s_name": pa.array(sname[ssk], pa.string()),
+            "n_name": pa.array(nname[snat[ssk]], pa.string()),
+            "p_partkey": pa.array(ps["ps_partkey"][idx], pa.int64()),
+            "p_name": pa.array(np.repeat(names, PARTSUPP_FANOUT)[idx], pa.string()),
+            "ps_supplycost": pa.array(cents[idx].astype(np.float64) / 100.0,
+                                      pa.float64()),
+        })
+
+    return _read(f"{sf_dir}/part.parquet",
+                 columns=["p_partkey", "p_name", "p_type"]
+                 ).map_batches(per_part, batch_format="pyarrow")
+
+
+def _q_tpch_q9(sf_dir: str):
+    """TPC-H Q9 product-type profit ('red' parts; adapted — no p_mfgr, color
+    is p_name's first word).  lineitem⋈partsupp needs NO join: membership and
+    supplycost are the synthetic-partsupp integer formulas evaluated inline
+    per batch (tsdat_ray.synth.partsupp_pair_mask/partsupp_cost_cents).
+    Exact-e4 profit partials fold per (orderkey, supplier-nation) packed key;
+    one bucketed hash join attaches the order year; the final (nation, year)
+    fold is a bounded dict (≤ 25×8 cells) drained driver-side."""
+    import pyarrow.parquet as pq
+
+    import ray
+    import ray.data as rd
+
+    from tsdat_ray.stages.joins import hash_join
+    from tsdat_ray.synth import partsupp_cost_cents, partsupp_pair_mask
+
+    snat, _, _, nname, _ = _ps_dims(sf_dir)
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"])
+    red = part.filter(pc.starts_with(part["p_name"], "red "))["p_partkey"]
+    red = np.sort(red.combine_chunks().to_numpy(zero_copy_only=False))
+    n_supp = len(snat)
+    ref = ray.put((red, snat))
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        red, snat = ray.get(ref)
+        lpk = b["l_partkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(red, lpk), 0, max(len(red) - 1, 0))
+        is_red = red[pos] == lpk if len(red) else np.zeros(len(lpk), bool)
+        lsk = b["l_suppkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        m = is_red & partsupp_pair_mask(lpk, lsk, n_supp)
+        b = b.filter(pa.array(m))
+        if not b.num_rows:
+            return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                             "_nat": pa.array([], pa.int64()),
+                             "amount_e4": pa.array([], pa.int64())})
+        pk = lpk[m]
+        sk = lsk[m]
+        qty = np.round(b["l_quantity"].combine_chunks().to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        amount = _rev_e4(b) - partsupp_cost_cents(pk, sk) * qty * 100
+        okey = b["l_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        packed = okey * np.int64(32) + snat[sk]  # nationkey < 25 < 32
+        t = _seg_int_sums(packed, {"amount_e4": amount}, "_packed")
+        pkd = t["_packed"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({"o_orderkey": pa.array(pkd // np.int64(32)),
+                         "_nat": pa.array(pkd % np.int64(32)),
+                         "amount_e4": t["amount_e4"]})
+
+    li = _read(f"{sf_dir}/lineitem.parquet",
+               columns=["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                        "l_extendedprice", "l_discount"]
+               ).map_batches(li_partial, batch_format="pyarrow")
+
+    def ord_year(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "o_year": pc.cast(pc.year(b["o_orderdate"]), pa.int64()),
+        })
+
+    orders = _read(f"{sf_dir}/orders.parquet",
+                   columns=["o_orderkey", "o_orderdate"]
+                   ).map_batches(ord_year, batch_format="pyarrow")
+    j = hash_join(li, orders, on="o_orderkey", num_buckets=32)
+
+    acc: dict[tuple[int, int], int] = {}
+    for t in j.iter_batches(batch_format="pyarrow", batch_size=None):
+        nat = t["_nat"].to_pylist()
+        yr = t["o_year"].to_pylist()
+        am = t["amount_e4"].to_pylist()
+        for k, y, a in zip(nat, yr, am):
+            acc[(k, y)] = acc.get((k, y), 0) + a
+    rows = sorted(acc.items(), key=lambda kv: (nname[kv[0][0]], -kv[0][1]))
+    return rd.from_arrow(pa.table({
+        "nation": pa.array([nname[k] for (k, _), _ in rows], pa.string()),
+        "o_year": pa.array([y for (_, y), _ in rows], pa.int64()),
+        "sum_profit": pa.array([v / 10000.0 for _, v in rows], pa.float64()),
+    }))
+
+
+def _q_tpch_q11(sf_dir: str):
+    """TPC-H Q11 important stock (suppliers of region EUROPE; adapted — a
+    single nation is empty at the smallest supplier counts, and the
+    fixed-fraction threshold is replaced by value > 1.25 × the average
+    per-part value so the output is scale-stable, and the compare is the
+    EXACT integer cross-multiplication value_cents·n_parts·100 >
+    125·total_cents on both sides).  Two passes over the derived partsupp
+    (each regenerated from the small part table — cheaper than
+    materializing): pass 1 folds two scalars (total, part count), pass 2
+    re-derives and filters with the broadcast threshold."""
+    import pyarrow.parquet as pq
+
+    import ray
+    import ray.data as rd
+
+    from tsdat_ray.synth import PARTSUPP_FANOUT, partsupp_arrays
+
+    snat, _, _, _, nregion = _ps_dims(sf_dir)
+    import pyarrow.parquet as pq
+
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    eu = region.filter(pc.equal(region["r_name"], "EUROPE"))["r_regionkey"][0].as_py()
+    good = nregion[snat] == eu  # bool by suppkey
+    ref = ray.put(good)
+
+    def part_values(b: pa.Table) -> pa.Table:
+        good = ray.get(ref)
+        pk = b["p_partkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        ps = partsupp_arrays(pk, len(good))
+        keep = good[ps["ps_suppkey"]]
+        v = np.where(keep, ps["ps_supplycost_cents"] * ps["ps_availqty"],
+                     np.int64(0)).reshape(-1, PARTSUPP_FANOUT)
+        vc = v.sum(axis=1)
+        has = keep.reshape(-1, PARTSUPP_FANOUT).any(axis=1)
+        return pa.table({"ps_partkey": pa.array(pk[has], pa.int64()),
+                         "value_cents": pa.array(vc[has], pa.int64())})
+
+    parts = lambda: _read(f"{sf_dir}/part.parquet", columns=["p_partkey"]  # noqa: E731
+                          ).map_batches(part_values, batch_format="pyarrow")
+
+    total = np.int64(0)
+    n_parts = np.int64(0)
+    for t in parts().iter_batches(batch_format="pyarrow", batch_size=None):
+        vc = t["value_cents"].combine_chunks().to_numpy(zero_copy_only=False)
+        total += vc.sum()
+        n_parts += len(vc)
+
+    thr_ref = ray.put((int(total), int(n_parts)))
+
+    def winnow(b: pa.Table) -> pa.Table:
+        total, n_parts = ray.get(thr_ref)
+        vc = b["value_cents"].combine_chunks().to_numpy(zero_copy_only=False)
+        m = vc * np.int64(n_parts) * np.int64(100) > np.int64(125) * np.int64(total)
+        return pa.table({
+            "ps_partkey": b["ps_partkey"].filter(pa.array(m)),
+            "value": pa.array(vc[m].astype(np.float64) / 100.0, pa.float64()),
+        })
+
+    return parts().map_batches(winnow, batch_format="pyarrow")
+
+
+def _q_tpch_q16(sf_dir: str):
+    """TPC-H Q16 part/supplier relationship (adapted — Brand#13 excluded and
+    the comment-based supplier blacklist becomes s_acctbal < 500).  The
+    (brand, type, size, suppkey) stream is generated partition-aligned from
+    part, pre-deduped per block, then counted with the engine's tree-dedup
+    distinct_count (bounded by |part|×4 — no keyed shuffle)."""
+    import ray
+    import ray.data as rd
+
+    from tsdat_ray.stages.dedup import distinct_count
+    from tsdat_ray.synth import partsupp_arrays
+
+    snat, sacct, _, _, _ = _ps_dims(sf_dir)
+    bad = sacct < 500.0
+    ref = ray.put(bad)
+
+    def pairs(b: pa.Table) -> pa.Table:
+        bad = ray.get(ref)
+        b = b.filter(pc.not_equal(b["p_brand"], "Brand#13"))
+        pk = b["p_partkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        ps = partsupp_arrays(pk, len(bad))
+        keep = ~bad[ps["ps_suppkey"]]
+        idx = np.flatnonzero(keep)
+        row = idx // 4
+        brand = np.asarray(b["p_brand"].to_pylist(), dtype=object)[row]
+        typ = np.asarray(b["p_type"].to_pylist(), dtype=object)[row]
+        size = b["p_size"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)[row]
+        grp = np.char.add(np.char.add(brand.astype(str), "|"),
+                          np.char.add(typ.astype(str), "|"))
+        grp = np.char.add(grp, size.astype(str))
+        return pa.table({"grp": pa.array(grp.tolist(), pa.string()),
+                         "sk": pa.array(ps["ps_suppkey"][idx], pa.int64())})
+
+    src = _read(f"{sf_dir}/part.parquet",
+                columns=["p_partkey", "p_brand", "p_type", "p_size"]
+                ).map_batches(pairs, batch_format="pyarrow")
+    counted = distinct_count(src, key="grp", value="sk")
+
+    def split(b: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(b["grp"], "|")
+        return pa.table({
+            "p_brand": pc.list_element(parts, 0),
+            "p_type": pc.list_element(parts, 1),
+            "p_size": pc.cast(pc.list_element(parts, 2), pa.int64()),
+            "supplier_cnt": b["n_distinct"],
+        })
+
+    return counted.map_batches(split, batch_format="pyarrow")
+
+
+def _q_tpch_q20(sf_dir: str):
+    """TPC-H Q20 potential part promotion (region EUROPE, 'red' parts,
+    shipped 1996; adapted to the derived partsupp — pair membership thins
+    with supplier count, so the spec's single-nation filter starves at the
+    test scales; a region keeps the funnel populated).  One pass over lineitem
+    folds exact integer Σqty per packed (partkey, suppkey) — bounded by the
+    red parts' pair count; availqty is the partsupp formula evaluated on the
+    surviving pairs, and the final supplier winnow is a tiny broadcast-side
+    masked distinct."""
+    import pyarrow.parquet as pq
+
+    import ray
+    import ray.data as rd
+
+    from tsdat_ray.stages.stats import grouped_int_sums
+    from tsdat_ray.synth import partsupp_pair_mask
+
+    snat, _, sname, _, nregion = _ps_dims(sf_dir)
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    eu = region.filter(pc.equal(region["r_name"], "EUROPE"))["r_regionkey"][0].as_py()
+    eu_supp = nregion[snat] == eu  # bool by suppkey
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"])
+    red = part.filter(pc.starts_with(part["p_name"], "red "))["p_partkey"]
+    red = np.sort(red.combine_chunks().to_numpy(zero_copy_only=False))
+    n_supp = len(snat)
+    lo = np.datetime64("1996-01-01", "us")
+    hi = np.datetime64("1997-01-01", "us")
+    ref = ray.put(red)
+
+    def qty_partial(b: pa.Table) -> pa.Table:
+        red = ray.get(ref)
+        m = pc.and_(pc.greater_equal(b["l_shipdate"], pa.scalar(lo)),
+                    pc.less(b["l_shipdate"], pa.scalar(hi)))
+        b = b.filter(m)
+        lpk = b["l_partkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(red, lpk), 0, max(len(red) - 1, 0))
+        is_red = red[pos] == lpk if len(red) else np.zeros(len(lpk), bool)
+        lsk = b["l_suppkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = is_red & partsupp_pair_mask(lpk, lsk, n_supp)
+        qty = np.round(b["l_quantity"].combine_chunks().to_numpy(
+            zero_copy_only=False)).astype(np.int64)[keep]
+        packed = lpk[keep] * np.int64(1 << 20) + lsk[keep]  # suppkey < 2^20
+        return _seg_int_sums(packed, {"qty": qty}, "_pair")
+
+    agg = grouped_int_sums(
+        _read(f"{sf_dir}/lineitem.parquet",
+              columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"]
+              ).map_batches(qty_partial, batch_format="pyarrow"),
+        "_pair", ["qty"])
+
+    winners: set[int] = set()
+    for t in agg.iter_batches(batch_format="pyarrow", batch_size=None):
+        pair = t["_pair"].combine_chunks().to_numpy(zero_copy_only=False)
+        qty = t["qty"].combine_chunks().to_numpy(zero_copy_only=False)
+        pk = pair // np.int64(1 << 20)
+        sk = pair % np.int64(1 << 20)
+        avail = 1 + (pk * 31 + sk * 17) % np.int64(9999)
+        ok = (avail * 2 > qty) & eu_supp[sk]
+        winners.update(sk[ok].tolist())
+
+    ks = sorted(winners)
+    return rd.from_arrow(pa.table({
+        "s_suppkey": pa.array(ks, pa.int64()),
+        "s_name": pa.array([sname[k] for k in ks], pa.string()),
     }))
 
 
@@ -3753,6 +4094,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q8_market_share": _q_tpch_q8,
         "tpch_q12_priority_lines": _q_tpch_q12,
         "tpch_q21_waiting_suppliers": _q_tpch_q21,
+        "tpch_q2_min_cost_supplier": _q_tpch_q2,
+        "tpch_q9_product_profit": _q_tpch_q9,
+        "tpch_q11_important_stock": _q_tpch_q11,
+        "tpch_q16_parts_supplier": _q_tpch_q16,
+        "tpch_q20_potential_promotion": _q_tpch_q20,
         "repetition_docs": _q_repetition_docs,
         "contamination_ngram_docs": _q_contamination_docs,
         "redact_terms_docs": _q_redact_terms,
@@ -4479,6 +4825,95 @@ def oracle_sql() -> dict[str, str]:
                                 AND l3.l_suppkey <> l1.l_suppkey
                                 AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
             GROUP BY s_name ORDER BY numwait DESC, s_name
+        """,
+        "tpch_q2_min_cost_supplier": f"""
+            WITH {_PARTSUPP_CTE}
+            SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name,
+                   ps.ps_supplycost
+            FROM partsupp ps
+            JOIN part p ON p.p_partkey = ps.ps_partkey
+            JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            WHERE p.p_type = 'LARGE' AND r.r_name = 'EUROPE'
+              AND ps.ps_supplycost = (
+                  SELECT min(ps2.ps_supplycost)
+                  FROM partsupp ps2
+                  JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+                  JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+                  JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+                  WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+        """,
+        "tpch_q9_product_profit": f"""
+            WITH {_PARTSUPP_CTE}
+            SELECT n.n_name AS nation,
+                   CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                  * 10000) AS BIGINT)
+                       - CAST(ROUND(ps.ps_supplycost * 100) AS BIGINT)
+                         * CAST(l.l_quantity AS BIGINT) * 100) / 10000.0
+                       AS sum_profit
+            FROM lineitem l
+            JOIN partsupp ps ON ps.ps_partkey = l.l_partkey
+                            AND ps.ps_suppkey = l.l_suppkey
+            JOIN part p ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE p.p_name LIKE 'red %'
+            GROUP BY 1, 2
+        """,
+        "tpch_q11_important_stock": f"""
+            WITH {_PARTSUPP_CTE},
+            filtered AS (
+                SELECT ps_partkey,
+                       CAST(ROUND(ps_supplycost * 100) AS BIGINT)
+                           * ps_availqty AS v
+                FROM partsupp
+                JOIN supplier ON s_suppkey = ps_suppkey
+                JOIN nation ON n_nationkey = s_nationkey
+                JOIN region ON r_regionkey = n_regionkey
+                WHERE r_name = 'EUROPE'),
+            per_part AS (
+                SELECT ps_partkey, CAST(SUM(v) AS BIGINT) AS vc
+                FROM filtered GROUP BY 1),
+            tot AS (
+                SELECT CAST(SUM(vc) AS BIGINT) AS t,
+                       CAST(COUNT(*) AS BIGINT) AS np FROM per_part)
+            SELECT ps_partkey, vc / 100.0 AS value
+            FROM per_part, tot
+            WHERE vc * np * 100 > 125 * t
+        """,
+        "tpch_q16_parts_supplier": f"""
+            WITH {_PARTSUPP_CTE}
+            SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+                   CAST(count(DISTINCT ps.ps_suppkey) AS BIGINT)
+                       AS supplier_cnt
+            FROM partsupp ps
+            JOIN part p ON p.p_partkey = ps.ps_partkey
+            JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+            WHERE p.p_brand <> 'Brand#13' AND s.s_acctbal >= 500
+            GROUP BY 1, 2, 3
+        """,
+        "tpch_q20_potential_promotion": f"""
+            WITH {_PARTSUPP_CTE},
+            shipped AS (
+                SELECT l_partkey, l_suppkey,
+                       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate <  TIMESTAMP '1997-01-01'
+                GROUP BY 1, 2)
+            SELECT DISTINCT s.s_suppkey, s.s_name
+            FROM partsupp ps
+            JOIN shipped sh ON sh.l_partkey = ps.ps_partkey
+                           AND sh.l_suppkey = ps.ps_suppkey
+            JOIN part p ON p.p_partkey = ps.ps_partkey
+            JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            WHERE p.p_name LIKE 'red %' AND r.r_name = 'EUROPE'
+              AND ps.ps_availqty * 2 > sh.qty
         """,
         "repetition_docs": """
             WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws

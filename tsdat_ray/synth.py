@@ -200,3 +200,72 @@ def generate_embeddings_parquet(
         )
         pq.write_table(tbl, os.path.join(out_dir, f"emb-{start}.parquet"))
     return out_dir
+
+
+# --------------------------------------------------------------------------- #
+# deterministic synthetic partsupp (TPC-H Q2/Q9/Q11/Q16/Q20 over the reduced
+# driver schema, which ships no partsupp table)
+# --------------------------------------------------------------------------- #
+
+PARTSUPP_FANOUT = 4
+_PS_OFFSETS = (0, 13, 26, 39)  # 13*i — pairwise-distinct mod 10/100/1000
+
+
+def partsupp_arrays(p_partkey: np.ndarray, n_supp: int) -> dict[str, np.ndarray]:
+    """Vectorized synthetic ``partsupp`` rows for a block of part keys.
+
+    Pure integer formula — identical on the Ray side (this function) and the
+    DuckDB oracle side (:func:`partsupp_cte`), so the derived table needs no
+    stored data and generation stays partition-aligned with ``part`` (every
+    supplier row of a part is emitted by the block that read the part — no
+    shuffle).  ``ps_suppkey = (p_partkey*7 + i*13) % n_supp`` for
+    ``i in 0..3``; offsets 13*i are pairwise distinct mod the supplier counts
+    used by the testdata (10/100/1000), so (partkey, suppkey) pairs are unique.
+    """
+    pk = np.repeat(p_partkey.astype(np.int64), PARTSUPP_FANOUT)
+    i = np.tile(np.arange(PARTSUPP_FANOUT, dtype=np.int64), len(p_partkey))
+    sk = (pk * 7 + i * 13) % np.int64(n_supp)
+    availqty = 1 + (pk * 31 + sk * 17) % np.int64(9999)
+    cost_cents = 100 + (pk * 37 + sk * 53) % np.int64(99901)
+    return {
+        "ps_partkey": pk,
+        "ps_suppkey": sk,
+        "ps_availqty": availqty,
+        "ps_supplycost_cents": cost_cents,  # exact int; /100.0 for dollars
+    }
+
+
+def partsupp_pair_mask(l_partkey: np.ndarray, l_suppkey: np.ndarray,
+                       n_supp: int) -> np.ndarray:
+    """True where (partkey, suppkey) is a row of the synthetic partsupp —
+    the membership test ``(suppkey - 7*partkey) mod n_supp in {13*i}`` —
+    so lineitem⋈partsupp needs no join at all, just this formula."""
+    r = (l_suppkey.astype(np.int64) - 7 * l_partkey.astype(np.int64)) % np.int64(n_supp)
+    mask = np.zeros(len(r), dtype=bool)
+    for off in _PS_OFFSETS:
+        mask |= r == (off % n_supp)
+    return mask
+
+
+def partsupp_cost_cents(l_partkey: np.ndarray, l_suppkey: np.ndarray) -> np.ndarray:
+    """ps_supplycost (integer cents) for known-member (partkey, suppkey)."""
+    pk = l_partkey.astype(np.int64)
+    sk = l_suppkey.astype(np.int64)
+    return 100 + (pk * 37 + sk * 53) % np.int64(99901)
+
+
+PARTSUPP_CTE = """
+    partsupp AS (
+        SELECT p.p_partkey AS ps_partkey,
+               (p.p_partkey * 7 + t.i * 13) % s.n AS ps_suppkey,
+               1 + (p.p_partkey * 31
+                    + ((p.p_partkey * 7 + t.i * 13) % s.n) * 17) % 9999
+                   AS ps_availqty,
+               (100 + (p.p_partkey * 37
+                       + ((p.p_partkey * 7 + t.i * 13) % s.n) * 53) % 99901)
+                   / 100.0 AS ps_supplycost
+        FROM part p
+        CROSS JOIN (SELECT unnest(range(0, 4)) AS i) t
+        CROSS JOIN (SELECT count(*) AS n FROM supplier) s
+    )
+"""
