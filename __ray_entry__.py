@@ -3144,6 +3144,109 @@ def _q_max_gap(sf_dir: str):
     return grouped_max_gap(ds, key="event_type", ts_col="ts")
 
 
+def _q_ratio_to_total(sf_dir: str):
+    """RATIO_TO_REPORT window: each row's share of its type's total.  Pass 1
+    folds exact per-type cent sums (bounded — one row per type per block);
+    pass 2 is one broadcast-lookup double division, identical on the SQL
+    side (BIGINT/BIGINT → double)."""
+    import ray
+
+    ds = _events(sf_dir, columns=["event_id", "event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        k = b["event_type"].to_numpy(zero_copy_only=False)
+        cents = np.round(b["value"].combine_chunks().to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        order = np.argsort(k, kind="stable")
+        ks = k[order]
+        st = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]]) \
+            if len(ks) else np.zeros(0, np.int64)
+        return pa.table({
+            "event_type": pa.array(ks[st] if len(st) else ks[:0]),
+            "_c": pa.array(np.add.reduceat(cents[order], st)
+                           if len(st) else cents[:0]),
+        })
+
+    tot: dict[str, int] = {}
+    for t in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        for k, c in zip(t["event_type"].to_pylist(), t["_c"].to_pylist()):
+            tot[k] = tot.get(k, 0) + c
+    ref = ray.put(tot)
+
+    def ratio(b: pa.Table) -> pa.Table:
+        tot = ray.get(ref)
+        cents = np.round(b["value"].combine_chunks().to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        denom = np.array([tot[k] for k in b["event_type"].to_pylist()],
+                         dtype=np.int64)
+        return pa.table({"event_id": b["event_id"],
+                         "event_type": b["event_type"],
+                         "ratio": pa.array(cents / denom, pa.float64())})
+
+    return ds.map_batches(ratio, batch_format="pyarrow")
+
+
+def _q_mix_domains(sf_dir: str):
+    """Domain-mixing sampler: equal per-source share of a half-corpus char
+    budget, kept rows chosen by the portable md5-prefix threshold (the
+    training-corpus mixture step; stages/sampling.py:mix_domains)."""
+    from tsdat_ray.stages.sampling import mix_domains
+
+    ds = _read(f"{sf_dir}/documents.parquet",
+               columns=["doc_id", "source", "n_chars"])
+    return mix_domains(ds, key="source", weight_col="n_chars")
+
+
+def _q_anomaly_mad(sf_dir: str):
+    """Median/MAD robust outliers per event_type (|v−med| > 3·MAD), every
+    comparison an integer on cent-quantized order statistics
+    (stages/stats.py:mad_outliers)."""
+    from tsdat_ray.stages.stats import mad_outliers
+
+    ds = _events(sf_dir, columns=["event_id", "event_type", "value"])
+    return mad_outliers(ds, key="event_type", value_col="value", k=3)
+
+
+def _q_tfidf_top_terms(sf_dir: str):
+    """Top-3 TF-IDF terms per document under an integer-exact (tf DESC,
+    df ASC, word ASC) ranking (stages/text.py:tfidf_top_terms)."""
+    from tsdat_ray.stages.text import tfidf_top_terms
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return tfidf_top_terms(ds, k=3)
+
+
+def _q_cluster_size_hist(sf_dir: str):
+    """Exact-duplicate cluster-size histogram (corpus duplication profile):
+    md5-prefix content groups folded with the salted integer aggregation,
+    then a bounded size→count fold driver-side."""
+    import hashlib
+
+    import ray.data as rd
+
+    from tsdat_ray.stages.stats import grouped_int_sums
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = np.array([int(hashlib.md5((t or "").encode()).hexdigest()[:15], 16)
+                      for t in b["text"].to_pylist()], dtype=np.int64)
+        return _seg_int_sums(h, {"n": np.ones(len(h), np.int64)}, "_h")
+
+    agg = grouped_int_sums(
+        _read(f"{sf_dir}/documents.parquet", columns=["text"]
+              ).map_batches(partial, batch_format="pyarrow"),
+        "_h", ["n"])
+    acc: dict[int, int] = {}
+    for t in agg.iter_batches(batch_format="pyarrow", batch_size=None):
+        for n in t["n"].to_pylist():
+            acc[n] = acc.get(n, 0) + 1
+    sizes = sorted(acc)
+    return rd.from_arrow(pa.table({
+        "size": pa.array(sizes, pa.int64()),
+        "n_clusters": pa.array([acc[s] for s in sizes], pa.int64()),
+    }))
+
+
 def _q_md5_split(sf_dir: str):
     """Portable content-hash split (md5 hex thresholds) — reproducible by
     any engine with an md5, unlike the siphash fast path of hash_split."""
@@ -4095,6 +4198,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q12_priority_lines": _q_tpch_q12,
         "tpch_q21_waiting_suppliers": _q_tpch_q21,
         "tpch_q2_min_cost_supplier": _q_tpch_q2,
+        "mix_domains_docs": _q_mix_domains,
+        "ratio_to_total_events": _q_ratio_to_total,
+        "anomaly_mad_events": _q_anomaly_mad,
+        "tfidf_top_terms_docs": _q_tfidf_top_terms,
+        "cluster_size_hist_docs": _q_cluster_size_hist,
         "tpch_q9_product_profit": _q_tpch_q9,
         "tpch_q11_important_stock": _q_tpch_q11,
         "tpch_q16_parts_supplier": _q_tpch_q16,
@@ -4825,6 +4933,72 @@ def oracle_sql() -> dict[str, str]:
                                 AND l3.l_suppkey <> l1.l_suppkey
                                 AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
             GROUP BY s_name ORDER BY numwait DESC, s_name
+        """,
+        "ratio_to_total_events": """
+            WITH t AS (
+                SELECT event_type,
+                       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                           AS tot
+                FROM events GROUP BY 1)
+            SELECT e.event_id, e.event_type,
+                   CAST(ROUND(e.value * 100) AS BIGINT) / t.tot AS ratio
+            FROM events e JOIN t USING (event_type)
+        """,
+        "mix_domains_docs": """
+            WITH tot AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS toks
+                         FROM documents GROUP BY 1),
+            g AS (SELECT CAST(SUM(toks) AS BIGINT) AS total,
+                         CAST(COUNT(*) AS BIGINT) AS k FROM tot),
+            thr AS (SELECT source,
+                           printf('%08x', CAST(LEAST(FLOOR(
+                               ((total * 1 // 2) // k) / toks * 4294967296.0),
+                               4294967295.0) AS BIGINT)) AS h
+                    FROM tot, g)
+            SELECT d.doc_id, d.source, d.n_chars
+            FROM documents d JOIN thr USING (source)
+            WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.h
+        """,
+        "anomaly_mad_events": """
+            WITH med AS (
+                SELECT event_type,
+                       quantile_disc(CAST(ROUND(value * 100) AS BIGINT), 0.5)
+                           AS m
+                FROM events GROUP BY 1),
+            dev AS (
+                SELECT e.event_id, e.event_type, e.value,
+                       ABS(CAST(ROUND(e.value * 100) AS BIGINT) - med.m) AS d
+                FROM events e JOIN med USING (event_type)),
+            mad AS (SELECT event_type, quantile_disc(d, 0.5) AS md
+                    FROM dev GROUP BY 1)
+            SELECT dev.event_id, dev.event_type, dev.value
+            FROM dev JOIN mad USING (event_type)
+            WHERE dev.d > 3 * mad.md
+        """,
+        "tfidf_top_terms_docs": """
+            WITH w AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                FROM documents),
+            tf AS (
+                SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+                FROM w WHERE word <> '' GROUP BY 1, 2),
+            df AS (
+                SELECT word, CAST(count(*) AS BIGINT) AS df
+                FROM tf GROUP BY 1)
+            SELECT doc_id, rnk, word, tf, df FROM (
+                SELECT tf.doc_id, tf.word, tf.tf, df.df,
+                       CAST(row_number() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY tf.tf DESC, df.df ASC, tf.word ASC)
+                           AS BIGINT) AS rnk
+                FROM tf JOIN df USING (word))
+            WHERE rnk <= 3
+        """,
+        "cluster_size_hist_docs": """
+            SELECT sz AS size, CAST(count(*) AS BIGINT) AS n_clusters
+            FROM (SELECT substr(md5(text), 1, 15) AS h,
+                         CAST(count(*) AS BIGINT) AS sz
+                  FROM documents GROUP BY 1)
+            GROUP BY 1
         """,
         "tpch_q2_min_cost_supplier": f"""
             WITH {_PARTSUPP_CTE}

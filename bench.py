@@ -256,6 +256,16 @@ def run_bench() -> dict:
         "rollup_week_from_1d_events",
         "cluster_survivors_quality_docs",
         "windowed_join_click_purchase",
+        "tpch_q2_min_cost_supplier",
+        "tpch_q9_product_profit",
+        "tpch_q11_important_stock",
+        "tpch_q16_parts_supplier",
+        "tpch_q20_potential_promotion",
+        "mix_domains_docs",
+        "anomaly_mad_events",
+        "tfidf_top_terms_docs",
+        "cluster_size_hist_docs",
+        "ratio_to_total_events",
     ]
     qtimes = {}
     for name in bench_queries:

@@ -307,3 +307,57 @@ def mask_repeated_ngrams(ds, tokens_col: str = "tokens", id_col: str = "doc_id",
         })
 
     return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def mix_domains(ds, key: str = "source", weight_col: str = "n_chars",
+                budget_frac_num: int = 1, budget_frac_den: int = 2):
+    """Deterministic domain-mixing sampler: downsample each ``key`` domain so
+    every domain contributes an equal share of a global weight budget
+    (``budget = total * num // den``, split evenly over the k domains) —
+    the data-mixture step of a training corpus build.
+
+    Pass 1 folds exact per-domain integer weight sums (bounded by the domain
+    count — drained driver-side, broadcast back).  Pass 2 keeps a row iff its
+    PORTABLE md5 content-hash prefix clears the domain's acceptance
+    threshold ``min(floor(budget_k/weight * 2^32), 2^32-1)`` — the md5-hex
+    lexicographic-compare recipe (see :func:`md5_split`), so any engine with
+    an md5 reproduces the exact sample.  All threshold arithmetic is integer
+    or a single IEEE double division, identical on the SQL side."""
+    import hashlib
+
+    import ray
+
+    def wsum(b: pa.Table) -> pa.Table:
+        k = b[key].to_numpy(zero_copy_only=False)
+        w = b[weight_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        ks = k[order]
+        st = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]]) if len(ks) else np.zeros(0, np.int64)
+        return pa.table({key: pa.array(ks[st] if len(st) else ks[:0]),
+                         "_w": pa.array(np.add.reduceat(w[order], st)
+                                        if len(st) else w[:0])})
+
+    toks: dict[str, int] = {}
+    for t in ds.select_columns([key, weight_col]).map_batches(
+            wsum, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        for s, w in zip(t[key].to_pylist(), t["_w"].to_pylist()):
+            toks[s] = toks.get(s, 0) + w
+
+    total = sum(toks.values())
+    k_dom = len(toks)
+    budget_k = (total * budget_frac_num // budget_frac_den) // max(k_dom, 1)
+    thr = {s: format(min(int(np.floor(budget_k / w * 4294967296.0)),
+                         4294967295), "08x")
+           for s, w in toks.items()}
+    thr_ref = ray.put(thr)
+
+    def keep(b: pa.Table, id_col: str = "doc_id") -> pa.Table:
+        thr = ray.get(thr_ref)
+        ids = b[id_col].to_pylist()
+        pref = np.array([hashlib.md5(str(i).encode()).hexdigest()[:8]
+                         for i in ids], dtype="U8")
+        lim = np.array([thr[s] for s in b[key].to_pylist()], dtype="U8")
+        return b.filter(pa.array(pref < lim))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

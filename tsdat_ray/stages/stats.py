@@ -327,3 +327,53 @@ def grouped_mode(ds, key: str, value_col: str, value_scale: int = 100,
 
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby(key).map_groups(argmax, batch_format="pyarrow"))
+
+
+def mad_outliers(ds, key: str, value_col: str, k: int = 3, scale: int = 100):
+    """Robust outlier flagging: rows where |v - median| > k*MAD within their
+    ``key`` group (median absolute deviation; the classic robust alternative
+    to z-scores for anomaly detection).  Both medians are PERCENTILE_DISC
+    order statistics over ``scale``-quantized integers, so every comparison
+    is integer-exact and reproducible by ``quantile_disc`` in SQL.  Three
+    column-pruned streaming passes: median fold (bounded histogram
+    tree-reduce), deviation-median fold, vectorized filter -- the broadcast
+    state is one integer pair per group."""
+    import ray
+
+    from .window_funcs import exact_quantiles_disc
+
+    def _disc_map(src, out_scale: int) -> dict:
+        out: dict = {}
+        for t in src.iter_batches(batch_format="pyarrow", batch_size=None):
+            for g, m in zip(t[key].to_pylist(), t["qd50"].to_pylist()):
+                out[g] = int(round(m * out_scale))
+        return out
+
+    med = _disc_map(exact_quantiles_disc(
+        ds.select_columns([key, value_col]), key=key, value_col=value_col,
+        qs=(0.5,), scale=scale), scale)
+    med_ref = ray.put(med)
+
+    def dev(b: pa.Table) -> pa.Table:
+        m = ray.get(med_ref)
+        v = b[value_col].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
+        cents = np.round(v * scale).astype(np.int64)
+        meds = np.array([m[g] for g in b[key].to_pylist()], dtype=np.int64)
+        return pa.table({key: b[key], "_dev": pa.array(np.abs(cents - meds))})
+
+    devs = ds.select_columns([key, value_col]).map_batches(
+        dev, batch_format="pyarrow")
+    mad = _disc_map(exact_quantiles_disc(devs, key=key, value_col="_dev",
+                                         qs=(0.5,), scale=1), 1)
+    med_mad_ref = ray.put((med, mad))
+
+    def flag(b: pa.Table) -> pa.Table:
+        m, md = ray.get(med_mad_ref)
+        v = b[value_col].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
+        cents = np.round(v * scale).astype(np.int64)
+        grp = b[key].to_pylist()
+        meds = np.array([m[g] for g in grp], dtype=np.int64)
+        mads = np.array([md[g] for g in grp], dtype=np.int64)
+        return b.filter(pa.array(np.abs(cents - meds) > k * mads))
+
+    return ds.map_batches(flag, batch_format="pyarrow")

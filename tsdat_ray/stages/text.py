@@ -487,3 +487,100 @@ def score_bigram_lm(ds, model, k: float = 0.5, text_col: str = "text",
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def tfidf_top_terms(ds, k: int = 3, text_col: str = "text",
+                    id_col: str = "doc_id", fanin: int = 8):
+    """Top-``k`` TF-IDF terms per document with a fully ORDER-EXACT contract:
+    ranking is (tf DESC, df ASC, word ASC) — integers and strings only, so
+    the idf float never enters a comparison and SQL reproduces the exact
+    ranking.  Corpus pass 1 folds document frequency (rows-containing-word;
+    vocab-bounded tree merge, broadcast once); pass 2 ranks per document
+    inside each block with one lexsort — documents never span rows, so the
+    ranking needs no shuffle at all.  Tokens are single-space splits with
+    empties dropped (``string_split(text, ' ')``, ``word <> ''``)."""
+    import pyarrow.compute as pc
+    import ray
+
+    from .reduce import tree_reduce
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        if "df" in b.column_names:  # merge level: re-fold partials
+            w = b["word"].to_numpy(zero_copy_only=False)
+            c = b["df"].combine_chunks().to_numpy(zero_copy_only=False)
+        else:
+            words = pc.split_pattern(pc.coalesce(
+                b[text_col].combine_chunks(), ""), " ")
+            offs = words.offsets.to_numpy(zero_copy_only=False)
+            flat = words.flatten().to_numpy(zero_copy_only=False)
+            rows = np.repeat(np.arange(len(b), dtype=np.int64),
+                             np.diff(offs))
+            keep = flat != ""
+            flat, rows = flat[keep], rows[keep]
+            order = np.lexsort((flat, rows))
+            fs, rs = flat[order], rows[order]
+            first = np.r_[True, (fs[1:] != fs[:-1]) | (rs[1:] != rs[:-1])] \
+                if len(fs) else np.zeros(0, bool)
+            w = fs[first]
+            order2 = np.argsort(w, kind="stable")
+            ws = w[order2]
+            st = np.flatnonzero(np.r_[True, ws[1:] != ws[:-1]]) \
+                if len(ws) else np.zeros(0, np.int64)
+            w = ws[st] if len(st) else ws[:0]
+            c = np.diff(np.r_[st, len(ws)]).astype(np.int64) \
+                if len(st) else np.zeros(0, np.int64)
+            return pa.table({"word": pa.array(w, pa.string()),
+                             "df": pa.array(c)})
+        order = np.argsort(w, kind="stable")
+        ws, cs = w[order], c[order]
+        st = np.flatnonzero(np.r_[True, ws[1:] != ws[:-1]]) \
+            if len(ws) else np.zeros(0, np.int64)
+        return pa.table({
+            "word": pa.array(ws[st] if len(st) else ws[:0], pa.string()),
+            "df": pa.array(np.add.reduceat(cs, st) if len(st) else cs[:0]),
+        })
+
+    dfmap: dict[str, int] = {}
+    for t in tree_reduce(ds.select_columns([text_col]), df_partial,
+                         fanin=fanin).iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        for w, c in zip(t["word"].to_pylist(), t["df"].to_pylist()):
+            dfmap[w] = dfmap.get(w, 0) + c
+    df_ref = ray.put(dfmap)
+
+    def rank(b: pa.Table) -> pa.Table:
+        dfmap = ray.get(df_ref)
+        words = pc.split_pattern(pc.coalesce(
+            b[text_col].combine_chunks(), ""), " ")
+        offs = words.offsets.to_numpy(zero_copy_only=False)
+        flat = words.flatten().to_numpy(zero_copy_only=False)
+        rows = np.repeat(np.arange(len(b), dtype=np.int64), np.diff(offs))
+        keep = flat != ""
+        flat, rows = flat[keep], rows[keep]
+        order = np.lexsort((flat, rows))
+        fs, rs = flat[order], rows[order]
+        st = np.flatnonzero(np.r_[True, (fs[1:] != fs[:-1]) | (rs[1:] != rs[:-1])]) \
+            if len(fs) else np.zeros(0, np.int64)
+        uw = fs[st] if len(st) else fs[:0]
+        ur = rs[st] if len(st) else rs[:0]
+        tf = np.diff(np.r_[st, len(fs)]).astype(np.int64) \
+            if len(st) else np.zeros(0, np.int64)
+        dfv = np.array([dfmap[w] for w in uw], dtype=np.int64)
+        # per row: order by tf DESC, df ASC, word ASC; take first k
+        o = np.lexsort((uw, dfv, -tf, ur))
+        ur_o = ur[o]
+        seg = np.flatnonzero(np.r_[True, ur_o[1:] != ur_o[:-1]]) \
+            if len(ur_o) else np.zeros(0, np.int64)
+        pos = np.arange(len(ur_o)) - np.repeat(seg, np.diff(np.r_[seg, len(ur_o)]))
+        sel = pos < k
+        ids = b[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(ids[ur_o[sel]]),
+            "rnk": pa.array((pos[sel] + 1).astype(np.int64)),
+            "word": pa.array(uw[o][sel], pa.string()),
+            "tf": pa.array(tf[o][sel]),
+            "df": pa.array(dfv[o][sel]),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        rank, batch_format="pyarrow")
