@@ -3144,6 +3144,177 @@ def _q_max_gap(sf_dir: str):
     return grouped_max_gap(ds, key="event_type", ts_col="ts")
 
 
+def _q_cooccurrence(sf_dir: str):
+    """Market-basket co-occurrence of event types within (user, hour)
+    baskets (stages/stats.py:cooccurrence_pairs) — distinct-pair partials,
+    one salted basket-hash shuffle, vectorized in-partition pair emission."""
+    from tsdat_ray.stages.stats import cooccurrence_pairs
+
+    ds = _events(sf_dir, columns=["ts", "user_id", "event_type"])
+
+    def add_hour(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "hour": pc.floor_temporal(b["ts"], unit="hour"),
+            "event_type": b["event_type"],
+        })
+
+    return cooccurrence_pairs(ds.map_batches(add_hour, batch_format="pyarrow"),
+                              key_cols=["user_id", "hour"],
+                              item_col="event_type")
+
+
+def _q_sample_k_per_type(sf_dir: str):
+    """Deterministic k-per-group sample: the 50 events per type with the
+    smallest md5(event_id) — a reproducible reservoir any md5-capable engine
+    replays exactly.  Per-block partial top-k per type (bounded k·|types|
+    rows per block), one driver fold of partials."""
+    import hashlib
+
+    import ray.data as rd
+
+    k = 50
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        typ = b["event_type"].to_numpy(zero_copy_only=False)
+        pref = np.array([hashlib.md5(str(i).encode()).hexdigest()
+                         for i in ids], dtype="U32")
+        order = np.lexsort((ids, pref, typ))
+        ts_, ids_, pref_ = typ[order], ids[order], pref[order]
+        st = np.flatnonzero(np.r_[True, ts_[1:] != ts_[:-1]]) \
+            if len(ts_) else np.zeros(0, np.int64)
+        pos = np.arange(len(ts_)) - np.repeat(st, np.diff(np.r_[st, len(ts_)]))
+        sel = pos < k
+        return pa.table({"event_type": pa.array(ts_[sel]),
+                         "event_id": pa.array(ids_[sel]),
+                         "_h": pa.array(pref_[sel], pa.string())})
+
+    best: dict[str, list] = {}
+    for t in _events(sf_dir, columns=["event_id", "event_type"]).map_batches(
+            partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        for ty, i, h in zip(t["event_type"].to_pylist(),
+                            t["event_id"].to_pylist(), t["_h"].to_pylist()):
+            best.setdefault(ty, []).append((h, i))
+    rows = []
+    for ty in sorted(best):
+        rows.extend((ty, i) for _, i in sorted(best[ty])[:k])
+    return rd.from_arrow(pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "event_id": pa.array([r[1] for r in rows], pa.int64()),
+    }))
+
+
+def _q_zscore_events(sf_dir: str):
+    """Exact z-score normalization per type: mean and SAMPLE std derived
+    from integer cent sums (Σc, Σc², n — associative, order-free), so both
+    sides compute the identical doubles; the classic feature-scaling pass."""
+    import ray
+
+    ds = _events(sf_dir, columns=["event_id", "event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        kk = b["event_type"].to_numpy(zero_copy_only=False)
+        c = np.round(b["value"].combine_chunks().to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        order = np.argsort(kk, kind="stable")
+        ks = kk[order]
+        st = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]]) \
+            if len(ks) else np.zeros(0, np.int64)
+        cs = c[order]
+        return pa.table({
+            "event_type": pa.array(ks[st] if len(st) else ks[:0]),
+            "_n": pa.array(np.diff(np.r_[st, len(ks)]).astype(np.int64)),
+            "_s": pa.array(np.add.reduceat(cs, st) if len(st) else cs[:0]),
+            "_s2": pa.array(np.add.reduceat(cs * cs, st)
+                            if len(st) else cs[:0]),
+        })
+
+    agg: dict[str, list] = {}
+    for t in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        for ty, n, s, s2 in zip(t["event_type"].to_pylist(),
+                                t["_n"].to_pylist(), t["_s"].to_pylist(),
+                                t["_s2"].to_pylist()):
+            cur = agg.setdefault(ty, [0, 0, 0])
+            cur[0] += n
+            cur[1] += s
+            cur[2] += s2
+    # DuckDB's int/int division converts both operands to double FIRST
+    # (probed: hugeint*hugeint/bigint == float(s*s)/n, NOT python's exact
+    # rational s*s/n) — mirror that double-first order op for op
+    stats = {ty: (n, s / 100.0 / n,
+                  ((s2 - float(s * s) / n) / (n - 1)) ** 0.5 / 100.0)
+             for ty, (n, s, s2) in agg.items()}
+    ref = ray.put(stats)
+
+    def z(b: pa.Table) -> pa.Table:
+        stats = ray.get(ref)
+        v = b["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        grp = b["event_type"].to_pylist()
+        mean = np.array([stats[g][1] for g in grp])
+        sd = np.array([stats[g][2] for g in grp])
+        return pa.table({"event_id": b["event_id"],
+                         "event_type": b["event_type"],
+                         "zscore": pa.array((v - mean) / sd, pa.float64())})
+
+    return ds.map_batches(z, batch_format="pyarrow")
+
+
+def _q_centroid_per_label(sf_dir: str):
+    """Exact per-(label, dim) embedding centroid: element-wise Σround(x·1e6)
+    int partials per block (k×d rows move, never vectors), one bounded fold,
+    mean = int_sum / 1e6 / n — identical doubles on the SQL side."""
+    import ray.data as rd
+
+    ds = _read(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        lab = b["label"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        emb = b["embedding"].combine_chunks()
+        vals = emb.values.to_numpy(zero_copy_only=False)
+        offs = emb.offsets.to_numpy()
+        d = int(offs[1] - offs[0]) if len(offs) > 1 else 0
+        m = vals[offs[0]:offs[-1]].reshape(len(lab), d)
+        y = m.astype(np.float64) * 1e6
+        # DuckDB ROUND is half-AWAY-from-zero; np.round is banker's —
+        # arbitrary embedding floats do land on exact .5 ties
+        q = np.copysign(np.floor(np.abs(y) + 0.5), y).astype(np.int64)
+        order = np.argsort(lab, kind="stable")
+        ls = lab[order]
+        st = np.flatnonzero(np.r_[True, ls[1:] != ls[:-1]]) \
+            if len(ls) else np.zeros(0, np.int64)
+        sums = np.add.reduceat(q[order], st, axis=0) \
+            if len(st) else np.zeros((0, d), np.int64)
+        cnts = np.diff(np.r_[st, len(ls)])
+        k = len(st)
+        return pa.table({
+            "label": pa.array(np.repeat(ls[st], d) if k else ls[:0]),
+            "pos": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), k)),
+            "_s": pa.array(sums.ravel() if k else np.zeros(0, np.int64)),
+            "_n": pa.array(np.repeat(cnts, d).astype(np.int64)
+                           if k else np.zeros(0, np.int64)),
+        })
+
+    acc: dict[tuple, list] = {}
+    for t in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        for l_, p, s, n in zip(t["label"].to_pylist(), t["pos"].to_pylist(),
+                               t["_s"].to_pylist(), t["_n"].to_pylist()):
+            cur = acc.setdefault((l_, p), [0, 0])
+            cur[0] += s
+            cur[1] += n
+    ks = sorted(acc)
+    return rd.from_arrow(pa.table({
+        "label": pa.array([k2[0] for k2 in ks], pa.int64()),
+        "pos": pa.array([k2[1] for k2 in ks], pa.int64()),
+        "centroid": pa.array([acc[k2][0] / 1e6 / acc[k2][1] for k2 in ks],
+                             pa.float64()),
+    }))
+
+
 def _q_ratio_to_total(sf_dir: str):
     """RATIO_TO_REPORT window: each row's share of its type's total.  Pass 1
     folds exact per-type cent sums (bounded — one row per type per block);
@@ -4200,6 +4371,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q2_min_cost_supplier": _q_tpch_q2,
         "mix_domains_docs": _q_mix_domains,
         "ratio_to_total_events": _q_ratio_to_total,
+        "cooccurrence_pairs_events": _q_cooccurrence,
+        "sample_k_per_type_events": _q_sample_k_per_type,
+        "zscore_events": _q_zscore_events,
+        "centroid_per_label": _q_centroid_per_label,
         "anomaly_mad_events": _q_anomaly_mad,
         "tfidf_top_terms_docs": _q_tfidf_top_terms,
         "cluster_size_hist_docs": _q_cluster_size_hist,
@@ -4933,6 +5108,48 @@ def oracle_sql() -> dict[str, str]:
                                 AND l3.l_suppkey <> l1.l_suppkey
                                 AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
             GROUP BY s_name ORDER BY numwait DESC, s_name
+        """,
+        "cooccurrence_pairs_events": """
+            WITH d AS (
+                SELECT DISTINCT user_id, date_trunc('hour', ts) AS h,
+                                event_type
+                FROM events)
+            SELECT a.event_type AS item_a, b.event_type AS item_b,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM d a JOIN d b
+              ON a.user_id = b.user_id AND a.h = b.h
+             AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        """,
+        "sample_k_per_type_events": """
+            SELECT event_type, event_id FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY event_type
+                ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) <= 50
+        """,
+        "zscore_events": """
+            WITH s AS (
+                SELECT event_type,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                            AS BIGINT) AS sc,
+                       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)
+                                * CAST(ROUND(value * 100) AS BIGINT))
+                            AS BIGINT) AS sc2
+                FROM events GROUP BY 1)
+            SELECT e.event_id, e.event_type,
+                   (e.value - sc / 100.0 / n)
+                   / (sqrt((sc2 - CAST(sc AS HUGEINT) * sc / n) / (n - 1))
+                      / 100.0) AS zscore
+            FROM events e JOIN s USING (event_type)
+        """,
+        "centroid_per_label": """
+            SELECT CAST(label AS BIGINT) AS label, i AS pos,
+                   CAST(SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE)
+                                       * 1000000.0) AS BIGINT))
+                        AS BIGINT) / 1000000.0 / count(*) AS centroid
+            FROM embeddings, generate_series(1, 64) AS t(i)
+            GROUP BY 1, 2
         """,
         "ratio_to_total_events": """
             WITH t AS (

@@ -266,6 +266,10 @@ def run_bench() -> dict:
         "tfidf_top_terms_docs",
         "cluster_size_hist_docs",
         "ratio_to_total_events",
+        "cooccurrence_pairs_events",
+        "sample_k_per_type_events",
+        "zscore_events",
+        "centroid_per_label",
     ]
     qtimes = {}
     for name in bench_queries:

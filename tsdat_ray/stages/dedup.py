@@ -596,6 +596,12 @@ def verify_pairs_exact(ds, pk_all, *, threshold: float = 0.5, shingle_k: int = 5
                 bs_ref = ray.put((did_s, bits, cnt))
 
                 def verify_bitset(b: pa.Table) -> pa.Table:
+                    # bounded allocation bursts (see mask_repeated_ngrams:
+                    # fresh-worker first-touch stalls): ≤ 100k pairs per call
+                    if b.num_rows > 100_000:
+                        return pa.concat_tables([
+                            verify_bitset(b.slice(i, 100_000))
+                            for i in range(0, b.num_rows, 100_000)])
                     dids, bits, cnt = ray.get(bs_ref)
                     pk = b["_pk"].combine_chunks().to_numpy(zero_copy_only=False)
                     a = pk >> np.int64(32)

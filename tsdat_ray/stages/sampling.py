@@ -271,12 +271,22 @@ def mask_repeated_ngrams(ds, tokens_col: str = "tokens", id_col: str = "doc_id",
     powers = B ** np.arange(n, dtype=np.uint64)
 
     def stats(b: pa.Table) -> pa.Table:
+        # bound the per-call working set: fresh Ray workers allocating
+        # hundreds of MB simultaneously hit first-touch/THP stalls (measured
+        # 19 s vs 1 s UDF time for identical input on a fresh 32-worker
+        # pool); ~256k-token chunks keep each allocation burst arena-sized
+        if b.num_rows > 2048:
+            parts = [stats(b.slice(i, 2048))
+                     for i in range(0, b.num_rows, 2048)]
+            return pa.concat_tables(parts)
         toks = b[tokens_col].combine_chunks()
-        vals = toks.values.to_numpy(zero_copy_only=False).astype(np.uint64)
         offs = toks.offsets.to_numpy().astype(np.int64)
         base = offs[0]
         offs = offs - base
         total = int(offs[-1]) if len(offs) else 0
+        # a sliced ListArray keeps the parent values buffer: rebase it
+        vals = toks.values.to_numpy(zero_copy_only=False)[
+            base: base + total].astype(np.uint64)
         n_rows = b.num_rows
         lens = np.diff(offs)
         n_masked = np.zeros(n_rows, dtype=np.int64)

@@ -377,3 +377,98 @@ def mad_outliers(ds, key: str, value_col: str, k: int = 3, scale: int = 100):
         return b.filter(pa.array(np.abs(cents - meds) > k * mads))
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def cooccurrence_pairs(ds, key_cols, item_col: str, salt_mod: int = 64):
+    """Market-basket co-occurrence: for every unordered pair of ``item_col``
+    values observed inside the same group (the composite ``key_cols``
+    basket), the number of baskets containing both.
+
+    Shape: per-block distinct (basket, item) partials (the shuffle moves
+    deduped pairs, not rows) → ONE salted groupby co-locating each basket
+    hash → fully VECTORIZED within-partition pair emission (segment
+    reshape/repeat arithmetic — no per-basket Python; baskets are bounded by
+    the item-domain size) → a bounded (item_a, item_b) count fold.  Returns
+    (item_a, item_b, n) with item_a < item_b."""
+    import pyarrow.compute as pc
+
+    def distinct_partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        key_parts = [b[c].to_numpy(zero_copy_only=False) for c in key_cols]
+        basket = pd.util.hash_array(key_parts[0].astype(object)).astype(np.int64)
+        for p in key_parts[1:]:
+            basket = basket * np.int64(1000003) + pd.util.hash_array(
+                p.astype(object)).astype(np.int64)
+        item = b[item_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((item, basket))
+        bk, it = basket[order], item[order]
+        keep = np.r_[True, (bk[1:] != bk[:-1]) | (it[1:] != it[:-1])] \
+            if len(bk) else np.zeros(0, bool)
+        return pa.table({
+            "_basket": pa.array(bk[keep]),
+            item_col: pa.array(it[keep]),
+            "_salt": pa.array((bk[keep] % salt_mod + salt_mod) % salt_mod),
+        })
+
+    def pairs_in_partition(g: pa.Table) -> pa.Table:
+        bk = g["_basket"].combine_chunks().to_numpy(zero_copy_only=False)
+        enc = g[item_col].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        order = np.lexsort((codes, bk))
+        bk_s, it_s = bk[order], codes[order]
+        keep = np.r_[True, (bk_s[1:] != bk_s[:-1]) | (it_s[1:] != it_s[:-1])] \
+            if len(bk_s) else np.zeros(0, bool)
+        bk_s, it_s = bk_s[keep], it_s[keep]
+        st = np.flatnonzero(np.r_[True, bk_s[1:] != bk_s[:-1]]) \
+            if len(bk_s) else np.zeros(0, np.int64)
+        sz = np.diff(np.r_[st, len(bk_s)])
+        # all (i < j) index pairs per segment, pure arithmetic
+        cnt = sz * (sz - 1) // 2
+        tot = int(cnt.sum())
+        if not tot:
+            return pa.table({"item_a": pa.array([], pa.string()),
+                             "item_b": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        seg = np.repeat(np.arange(len(sz)), cnt)
+        within = np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        # enumerate pairs (i, j) of 0..s-1 in lexicographic order:
+        # i = s-2-floor((sqrt(8*(cnt_s-1-w)+1)-1)/2) is fiddly — use the
+        # standard row-major expansion instead: i advances when the running
+        # triangle boundary passes
+        s_of = sz[seg]
+        w = within
+        i = (np.floor((2 * s_of - 1 - np.sqrt((2 * s_of - 1) ** 2 - 8 * w))
+                      / 2)).astype(np.int64)
+        j = (w - (i * (2 * s_of - i - 1)) // 2 + i + 1).astype(np.int64)
+        base = np.repeat(st, cnt)
+        a_, b_ = it_s[base + i], it_s[base + j]
+        lo, hi = np.minimum(a_, b_), np.maximum(a_, b_)
+        packed = lo * np.int64(len(vocab)) + hi
+        u, c = np.unique(packed, return_counts=True)
+        return pa.table({
+            "item_a": pa.array(vocab[(u // len(vocab))].tolist(), pa.string()),
+            "item_b": pa.array(vocab[(u % len(vocab))].tolist(), pa.string()),
+            "n": pa.array(c.astype(np.int64)),
+        })
+
+    part = ds.map_batches(distinct_partial, batch_format="pyarrow")
+    pairs = part.groupby("_salt").map_groups(pairs_in_partition,
+                                             batch_format="pyarrow")
+    acc: dict[tuple, int] = {}
+    for t in pairs.iter_batches(batch_format="pyarrow", batch_size=None):
+        for a, b2, n in zip(t["item_a"].to_pylist(), t["item_b"].to_pylist(),
+                            t["n"].to_pylist()):
+            # partition-local dictionary CODES ordered the pair; normalize
+            # to string order here so every partition lands on one key
+            k = (a, b2) if a <= b2 else (b2, a)
+            acc[k] = acc.get(k, 0) + n
+    import ray.data as rd
+
+    ks = sorted(acc)
+    return rd.from_arrow(pa.table({
+        "item_a": pa.array([k[0] for k in ks], pa.string()),
+        "item_b": pa.array([k[1] for k in ks], pa.string()),
+        "n": pa.array([acc[k] for k in ks], pa.int64()),
+    }))
