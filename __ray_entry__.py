@@ -3144,6 +3144,137 @@ def _q_max_gap(sf_dir: str):
     return grouped_max_gap(ds, key="event_type", ts_col="ts")
 
 
+def _q_equidepth_hist(sf_dir: str):
+    """Equi-depth (decile) histogram per type: exact PERCENTILE_DISC decile
+    boundaries (bounded histogram fold) broadcast into one vectorized
+    bucket-count pass; bucket id via searchsorted(side='right') == the
+    chained (c >= q_k) CASE sum in SQL."""
+    import ray
+
+    from tsdat_ray.stages.window_funcs import exact_quantiles_disc
+
+    ds = _events(sf_dir, columns=["event_type", "value"])
+    qs = tuple(k / 10 for k in range(1, 10))
+    bounds: dict[str, np.ndarray] = {}
+    for t in exact_quantiles_disc(ds, key="event_type", value_col="value",
+                                  qs=qs).iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        cols = [f"qd{int(round(q * 100))}" for q in qs]
+        for i, ty in enumerate(t["event_type"].to_pylist()):
+            bounds[ty] = np.array([int(round(t[c][i].as_py() * 100))
+                                   for c in cols], dtype=np.int64)
+    ref = ray.put(bounds)
+
+    def partial(b: pa.Table) -> pa.Table:
+        bounds = ray.get(ref)
+        cents = np.round(b["value"].combine_chunks().to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        typ = b["event_type"].to_numpy(zero_copy_only=False)
+        order = np.argsort(typ, kind="stable")
+        ts_, cs_ = typ[order], cents[order]
+        st = np.flatnonzero(np.r_[True, ts_[1:] != ts_[:-1]]) \
+            if len(ts_) else np.zeros(0, np.int64)
+        out_t, out_b, out_n = [], [], []
+        for s, e in zip(st, np.r_[st[1:], len(ts_)]):
+            ty = ts_[s]
+            bkt = np.searchsorted(bounds[ty], cs_[s:e], side="right")
+            cnt = np.bincount(bkt, minlength=10)
+            nz = np.flatnonzero(cnt)
+            out_t.extend([ty] * len(nz))
+            out_b.extend(nz.tolist())
+            out_n.extend(cnt[nz].tolist())
+        return pa.table({"event_type": pa.array(out_t, pa.string()),
+                         "bucket": pa.array(out_b, pa.int64()),
+                         "n": pa.array(out_n, pa.int64())})
+
+    acc: dict[tuple, int] = {}
+    for t in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        for ty, bk, n in zip(t["event_type"].to_pylist(),
+                             t["bucket"].to_pylist(), t["n"].to_pylist()):
+            acc[(ty, bk)] = acc.get((ty, bk), 0) + n
+    import ray.data as rd
+
+    ks = sorted(acc)
+    return rd.from_arrow(pa.table({
+        "event_type": pa.array([k[0] for k in ks], pa.string()),
+        "bucket": pa.array([k[1] for k in ks], pa.int64()),
+        "n": pa.array([acc[k] for k in ks], pa.int64()),
+    }))
+
+
+def _q_robust_scale(sf_dir: str):
+    """Robust scaling (v − median)/IQR per type from exact PERCENTILE_DISC
+    order statistics — integer cents end-to-end, one double-first division
+    mirroring DuckDB int/int semantics."""
+    import ray
+
+    from tsdat_ray.stages.window_funcs import exact_quantiles_disc
+
+    ds = _events(sf_dir, columns=["event_id", "event_type", "value"])
+    qmap: dict[str, tuple] = {}
+    for t in exact_quantiles_disc(ds, key="event_type", value_col="value",
+                                  qs=(0.25, 0.5, 0.75)).iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        for i, ty in enumerate(t["event_type"].to_pylist()):
+            qmap[ty] = (int(round(t["qd50"][i].as_py() * 100)),
+                        int(round(t["qd75"][i].as_py() * 100))
+                        - int(round(t["qd25"][i].as_py() * 100)))
+    ref = ray.put(qmap)
+
+    def scale(b: pa.Table) -> pa.Table:
+        qmap = ray.get(ref)
+        cents = np.round(b["value"].combine_chunks().to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        grp = b["event_type"].to_pylist()
+        med = np.array([qmap[g][0] for g in grp], dtype=np.int64)
+        iqr = np.array([qmap[g][1] for g in grp], dtype=np.int64)
+        ok = iqr > 0
+        return pa.table({
+            "event_id": b["event_id"].filter(pa.array(ok)),
+            "event_type": b["event_type"].filter(pa.array(ok)),
+            "rscaled": pa.array((cents[ok] - med[ok]) / iqr[ok], pa.float64()),
+        })
+
+    return ds.map_batches(scale, batch_format="pyarrow")
+
+
+def _q_rate_limit(sf_dir: str):
+    """Ingestion rate limiting: keep the first 5 events per (user, day) in
+    (ts, event_id) order — the high-cardinality window dedup of a log
+    pipeline.  One salted groupby co-locates each (user, day) basket;
+    row-numbering inside a partition is one vectorized lexsort over ALL its
+    baskets (no per-basket Python)."""
+    ds = _events(sf_dir, columns=["event_id", "ts", "user_id"])
+    k = 5
+
+    def add_key(b: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(b["ts"], unit="day"), pa.int64())
+        u = b["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        basket = u * np.int64(1 << 20) + (
+            day.to_numpy(zero_copy_only=False) // np.int64(86_400_000_000))
+        return pa.table({"event_id": b["event_id"], "ts": b["ts"],
+                         "user_id": b["user_id"],
+                         "_basket": pa.array(basket),
+                         "_salt": pa.array(basket % np.int64(64))})
+
+    def limit(g: pa.Table) -> pa.Table:
+        bk = g["_basket"].combine_chunks().to_numpy(zero_copy_only=False)
+        ts = g["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ids = g["event_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts, bk))
+        bk_s = bk[order]
+        st = np.flatnonzero(np.r_[True, bk_s[1:] != bk_s[:-1]]) \
+            if len(bk_s) else np.zeros(0, np.int64)
+        pos = np.arange(len(bk_s)) - np.repeat(st, np.diff(np.r_[st, len(bk_s)]))
+        sel = pa.array(order[pos < k], type=pa.int64())
+        return g.select(["event_id", "ts", "user_id"]).take(sel)
+
+    return (ds.map_batches(add_key, batch_format="pyarrow")
+            .groupby("_salt").map_groups(limit, batch_format="pyarrow"))
+
+
 def _q_cooccurrence(sf_dir: str):
     """Market-basket co-occurrence of event types within (user, hour)
     baskets (stages/stats.py:cooccurrence_pairs) — distinct-pair partials,
@@ -4372,6 +4503,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mix_domains_docs": _q_mix_domains,
         "ratio_to_total_events": _q_ratio_to_total,
         "cooccurrence_pairs_events": _q_cooccurrence,
+        "equidepth_hist_events": _q_equidepth_hist,
+        "robust_scale_events": _q_robust_scale,
+        "rate_limit_events": _q_rate_limit,
         "sample_k_per_type_events": _q_sample_k_per_type,
         "zscore_events": _q_zscore_events,
         "centroid_per_label": _q_centroid_per_label,
@@ -5108,6 +5242,49 @@ def oracle_sql() -> dict[str, str]:
                                 AND l3.l_suppkey <> l1.l_suppkey
                                 AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
             GROUP BY s_name ORDER BY numwait DESC, s_name
+        """,
+        "equidepth_hist_events": """
+            WITH q AS (
+                SELECT event_type,
+                       quantile_disc(c, 0.1) AS q1, quantile_disc(c, 0.2) AS q2,
+                       quantile_disc(c, 0.3) AS q3, quantile_disc(c, 0.4) AS q4,
+                       quantile_disc(c, 0.5) AS q5, quantile_disc(c, 0.6) AS q6,
+                       quantile_disc(c, 0.7) AS q7, quantile_disc(c, 0.8) AS q8,
+                       quantile_disc(c, 0.9) AS q9
+                FROM (SELECT event_type,
+                             CAST(ROUND(value * 100) AS BIGINT) AS c
+                      FROM events) GROUP BY 1)
+            SELECT e.event_type,
+                   CAST(CAST(c >= q1 AS INT) + CAST(c >= q2 AS INT)
+                        + CAST(c >= q3 AS INT) + CAST(c >= q4 AS INT)
+                        + CAST(c >= q5 AS INT) + CAST(c >= q6 AS INT)
+                        + CAST(c >= q7 AS INT) + CAST(c >= q8 AS INT)
+                        + CAST(c >= q9 AS INT) AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT event_type,
+                         CAST(ROUND(value * 100) AS BIGINT) AS c
+                  FROM events) e JOIN q USING (event_type)
+            GROUP BY 1, 2
+        """,
+        "robust_scale_events": """
+            WITH q AS (
+                SELECT event_type,
+                       quantile_disc(c, 0.5) AS med,
+                       quantile_disc(c, 0.75) - quantile_disc(c, 0.25) AS iqr
+                FROM (SELECT event_type,
+                             CAST(ROUND(value * 100) AS BIGINT) AS c
+                      FROM events) GROUP BY 1)
+            SELECT e.event_id, e.event_type,
+                   (CAST(ROUND(e.value * 100) AS BIGINT) - q.med) / q.iqr
+                       AS rscaled
+            FROM events e JOIN q USING (event_type)
+            WHERE q.iqr > 0
+        """,
+        "rate_limit_events": """
+            SELECT event_id, ts, user_id FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id, date_trunc('day', ts)
+                ORDER BY ts, event_id) <= 5
         """,
         "cooccurrence_pairs_events": """
             WITH d AS (

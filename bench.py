@@ -270,6 +270,9 @@ def run_bench() -> dict:
         "sample_k_per_type_events",
         "zscore_events",
         "centroid_per_label",
+        "equidepth_hist_events",
+        "robust_scale_events",
+        "rate_limit_events",
     ]
     qtimes = {}
     for name in bench_queries:
