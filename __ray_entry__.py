@@ -3144,6 +3144,101 @@ def _q_max_gap(sf_dir: str):
     return grouped_max_gap(ds, key="event_type", ts_col="ts")
 
 
+def _q_latest_per_user(sf_dir: str):
+    """Last-writer-wins upsert view: the latest event per user (ts DESC,
+    event_id DESC) over a HIGH-cardinality key — per-block top-1 partials,
+    then ONE salted shuffle whose partitions finalize every user they own in
+    a single vectorized lexsort (no per-user task, unlike a naive
+    groupby(user).map_groups)."""
+    ds = _events(sf_dir, columns=["user_id", "event_id", "ts"])
+
+    def local(b: pa.Table) -> pa.Table:
+        u = b["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        ts = b["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ids = b["event_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((-ids, -ts, u))
+        us = u[order]
+        st = np.flatnonzero(np.r_[True, us[1:] != us[:-1]]) \
+            if len(us) else np.zeros(0, np.int64)
+        return b.take(pa.array(np.sort(order[st]), type=pa.int64()))
+
+    def add_salt(b: pa.Table) -> pa.Table:
+        u = b["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        return b.append_column("_salt", pa.array((u % 64 + 64) % 64))
+
+    out = (ds.map_batches(local, batch_format="pyarrow")
+           .map_batches(add_salt, batch_format="pyarrow")
+           .groupby("_salt").map_groups(local, batch_format="pyarrow"))
+    return out.select_columns(["user_id", "event_id", "ts"])
+
+
+def _q_quantize_embeddings(sf_dir: str):
+    """Per-dimension int8 (0..255) embedding quantization — the ANN index
+    compression step: pass 1 folds exact per-dim min/max (order-free), pass
+    2 quantizes with half-up rounding; every double op is spelled once and
+    mirrored by the SQL twin."""
+    import ray
+    import ray.data as rd
+
+    ds = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def minmax(b: pa.Table) -> pa.Table:
+        emb = b["embedding"].combine_chunks()
+        vals = emb.values.to_numpy(zero_copy_only=False)
+        offs = emb.offsets.to_numpy()
+        d = int(offs[1] - offs[0]) if len(offs) > 1 else 0
+        m = vals[offs[0]:offs[-1]].reshape(-1, d).astype(np.float64)
+        return pa.table({
+            "pos": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+            "_mn": pa.array(m.min(axis=0)),
+            "_mx": pa.array(m.max(axis=0)),
+        })
+
+    mn: dict[int, float] = {}
+    mx: dict[int, float] = {}
+    for t in ds.map_batches(minmax, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        for p, a, b2 in zip(t["pos"].to_pylist(), t["_mn"].to_pylist(),
+                            t["_mx"].to_pylist()):
+            mn[p] = min(mn.get(p, a), a)
+            mx[p] = max(mx.get(p, b2), b2)
+    d = len(mn)
+    mn_v = np.array([mn[p] for p in range(1, d + 1)])
+    mx_v = np.array([mx[p] for p in range(1, d + 1)])
+    ref = ray.put((mn_v, mx_v))
+
+    def quant(b: pa.Table) -> pa.Table:
+        mn_v, mx_v = ray.get(ref)
+        emb = b["embedding"].combine_chunks()
+        vals = emb.values.to_numpy(zero_copy_only=False)
+        offs = emb.offsets.to_numpy()
+        dd = int(offs[1] - offs[0]) if len(offs) > 1 else 0
+        m = vals[offs[0]:offs[-1]].reshape(-1, dd).astype(np.float64)
+        ok = mx_v > mn_v
+        y = (m[:, ok] - mn_v[ok]) / (mx_v[ok] - mn_v[ok]) * 255 + 0.5
+        q = np.floor(y).astype(np.int64)
+        ids = b["vec_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.arange(1, dd + 1, dtype=np.int64)[ok]
+        k = int(ok.sum())
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, k)),
+            "pos": pa.array(np.tile(pos, len(ids))),
+            "q": pa.array(q.ravel()),
+        })
+
+    return ds.map_batches(quant, batch_format="pyarrow")
+
+
+def _q_wau_7d(sf_dir: str):
+    """Sliding 7-day DISTINCT active users per day — the non-mergeable
+    windowed COUNT(DISTINCT) solved with per-user interval-union coverage
+    (stages/window_funcs.py:windowed_active_users)."""
+    from tsdat_ray.stages.window_funcs import windowed_active_users
+
+    return windowed_active_users(_events(sf_dir, columns=["user_id", "ts"]))
+
+
 def _q_equidepth_hist(sf_dir: str):
     """Equi-depth (decile) histogram per type: exact PERCENTILE_DISC decile
     boundaries (bounded histogram fold) broadcast into one vectorized
@@ -4504,6 +4599,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ratio_to_total_events": _q_ratio_to_total,
         "cooccurrence_pairs_events": _q_cooccurrence,
         "equidepth_hist_events": _q_equidepth_hist,
+        "wau_7d_events": _q_wau_7d,
+        "quantize_embeddings": _q_quantize_embeddings,
+        "latest_per_user_events": _q_latest_per_user,
         "robust_scale_events": _q_robust_scale,
         "rate_limit_events": _q_rate_limit,
         "sample_k_per_type_events": _q_sample_k_per_type,
@@ -5242,6 +5340,35 @@ def oracle_sql() -> dict[str, str]:
                                 AND l3.l_suppkey <> l1.l_suppkey
                                 AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
             GROUP BY s_name ORDER BY numwait DESC, s_name
+        """,
+        "latest_per_user_events": """
+            SELECT user_id, event_id, ts FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "quantize_embeddings": """
+            WITH x AS (
+                SELECT vec_id, i AS pos,
+                       CAST(embedding[i] AS DOUBLE) AS v
+                FROM embeddings, generate_series(1, 64) AS t(i)),
+            mm AS (SELECT pos, min(v) AS mn, max(v) AS mx
+                   FROM x GROUP BY 1)
+            SELECT x.vec_id, x.pos,
+                   CAST(FLOOR((x.v - mm.mn) / (mm.mx - mm.mn) * 255 + 0.5)
+                        AS BIGINT) AS q
+            FROM x JOIN mm USING (pos)
+            WHERE mm.mx > mm.mn
+        """,
+        "wau_7d_events": """
+            WITH d AS (
+                SELECT DISTINCT user_id,
+                       CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+                FROM events),
+            b AS (SELECT min(day) AS lo, max(day) AS hi FROM d)
+            SELECT w AS day_num, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+            FROM (SELECT unnest(generate_series(lo, hi + 6)) AS w FROM b) t
+            JOIN d ON d.day BETWEEN w - 6 AND w
+            GROUP BY 1
         """,
         "equidepth_hist_events": """
             WITH q AS (

@@ -273,6 +273,9 @@ def run_bench() -> dict:
         "equidepth_hist_events",
         "robust_scale_events",
         "rate_limit_events",
+        "wau_7d_events",
+        "quantize_embeddings",
+        "latest_per_user_events",
     ]
     qtimes = {}
     for name in bench_queries:

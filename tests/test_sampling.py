@@ -278,3 +278,34 @@ def test_length_bucket_stats(ray_session):
     assert out[("a", 1)] == (1, 64)
     assert out[("b", 1)] == (1, 65)
     assert out[("a", 6)] == (1, 5000)
+
+
+def test_mask_repeated_ngrams_chunked_path(ray_session):
+    """> 2048 rows triggers the arena-sized chunking (and hence the
+    sliced-ListArray values rebase) inside the kernel — pin it against the
+    sequential reference on a corpus large enough to chunk twice."""
+    import ray.data as rd
+
+    from tsdat_ray.stages.sampling import mask_repeated_ngrams
+
+    rng = np.random.default_rng(7)
+    n_rows = 5000
+    lens = rng.integers(0, 30, n_rows)
+    toks = [rng.integers(0, 4, n).astype(np.int32).tolist() for n in lens]
+    tbl = pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(n_rows)]),
+        "tokens": pa.array(toks, pa.list_(pa.int32())),
+    })
+    N = 3
+    out = {r["doc_id"]: (r["n_tok"], r["n_masked"])
+           for r in mask_repeated_ngrams(rd.from_arrow(tbl), n=N).take_all()}
+    assert len(out) == n_rows
+    for i in rng.integers(0, n_rows, 300):
+        t = toks[i]
+        seen, covered = set(), np.zeros(len(t), dtype=bool)
+        for s in range(len(t) - N + 1):
+            g = tuple(t[s:s + N])
+            if g in seen:
+                covered[s:s + N] = True
+            seen.add(g)
+        assert out[f"d{i}"] == (len(t), int(covered.sum())), i

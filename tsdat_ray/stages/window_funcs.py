@@ -2290,3 +2290,88 @@ def windowed_pair_join(left, right, key: str, ts_col: str,
         })
 
     return u.groupby([key, "_w"]).map_groups(per_window, batch_format="pyarrow")
+
+
+def windowed_active_users(ds, user_col: str = "user_id", ts_col: str = "ts",
+                          window_days: int = 7, salt_mod: int = 64):
+    """Sliding-window DISTINCT count (weekly-active-users per day): for each
+    day w, the number of distinct users active in [w−6, w].
+
+    Windowed COUNT(DISTINCT) does not merge, so instead of re-deduping per
+    window the engine exploits the interval structure: one salted shuffle
+    co-locates each user's distinct (user, day) pairs; a vectorized pass
+    merges each user's activity into covered-window INTERVALS (a new run
+    starts when the gap exceeds the window), and each interval contributes
+    ±1 to a per-partition day-indexed diff array.  The global fold is one
+    bounded diff-vector sum + cumsum — per-window counts without ever
+    materializing (window, user) pairs.  Returns (day_num, wau), days with
+    zero active users omitted."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    w = np.int64(window_days - 1)
+
+    def partial(b: pa.Table) -> pa.Table:
+        u = b[user_col].combine_chunks().to_numpy(zero_copy_only=False)
+        day = (b[ts_col].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // np.int64(86_400_000_000))
+        order = np.lexsort((day, u))
+        us, ds_ = u[order], day[order]
+        keep = np.r_[True, (us[1:] != us[:-1]) | (ds_[1:] != ds_[:-1])] \
+            if len(us) else np.zeros(0, bool)
+        us, ds_ = us[keep], ds_[keep]
+        return pa.table({"_u": pa.array(us), "_d": pa.array(ds_),
+                         "_salt": pa.array((us % salt_mod + salt_mod)
+                                           % salt_mod)})
+
+    def intervals(g: pa.Table) -> pa.Table:
+        u = g["_u"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = g["_d"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, u))
+        us, ds_ = u[order], d[order]
+        keep = np.r_[True, (us[1:] != us[:-1]) | (ds_[1:] != ds_[:-1])] \
+            if len(us) else np.zeros(0, bool)
+        us, ds_ = us[keep], ds_[keep]
+        # a user's covered windows = union of [d, d+w]; runs merge while
+        # the next active day starts before the previous coverage ends
+        if not len(us):
+            return pa.table({"_day": pa.array([], pa.int64()),
+                             "_delta": pa.array([], pa.int64())})
+        brk = np.r_[True, (us[1:] != us[:-1]) | (ds_[1:] > ds_[:-1] + w)]
+        st = np.flatnonzero(brk)
+        en = np.r_[st[1:], len(us)] - 1
+        # fold the per-user interval endpoints into per-DAY ±1 deltas right
+        # here: the partition's output is bounded by the day range, never by
+        # its user count
+        pts = np.r_[ds_[st], ds_[en] + w + 1]
+        sgn = np.r_[np.ones(len(st), np.int64), -np.ones(len(en), np.int64)]
+        order = np.argsort(pts, kind="stable")
+        pts, sgn = pts[order], sgn[order]
+        bd = np.flatnonzero(np.r_[True, pts[1:] != pts[:-1]]) \
+            if len(pts) else np.zeros(0, np.int64)
+        return pa.table({
+            "_day": pa.array(pts[bd] if len(bd) else pts[:0]),
+            "_delta": pa.array(np.add.reduceat(sgn, bd)
+                               if len(bd) else sgn[:0]),
+        })
+
+    parts = (ds.select_columns([user_col, ts_col])
+             .map_batches(partial, batch_format="pyarrow")
+             .groupby("_salt").map_groups(intervals, batch_format="pyarrow"))
+    deltas: dict[int, int] = {}
+    for t in parts.iter_batches(batch_format="pyarrow", batch_size=None):
+        for dny, dl in zip(t["_day"].to_pylist(), t["_delta"].to_pylist()):
+            deltas[dny] = deltas.get(dny, 0) + dl
+    if not deltas:
+        return rd.from_arrow(pa.table({"day_num": pa.array([], pa.int64()),
+                                       "wau": pa.array([], pa.int64())}))
+    lo = min(deltas)
+    hi = max(deltas)
+    diff = np.zeros(hi - lo + 1, dtype=np.int64)
+    for k, v in deltas.items():
+        diff[k - lo] += v
+    counts = np.cumsum(diff)
+    days = np.arange(lo, hi + 1, dtype=np.int64)
+    nz = counts > 0
+    return rd.from_arrow(pa.table({"day_num": pa.array(days[nz]),
+                                   "wau": pa.array(counts[nz])}))
