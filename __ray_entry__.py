@@ -852,68 +852,79 @@ def _q_tpch_q5(sf_dir: str):
 
 def _q_tpch_q10(sf_dir: str):
     """TPC-H Q10 returned-item reporting (top 20 customers by Q4-1996
-    returned revenue).  Lineitem pre-aggregates exact-e4 revenue per
-    orderkey per block (no fold needed before the join — integer partials
-    re-aggregate exactly after it), bucketed hash joins against the
-    quarter's orders then customers, salted exact per-custkey fold
-    (stats.grouped_int_sums), broadcast nation name lookup, distributed
-    top-20 (reduce.topk_merge: post-aggregation custkeys are unique, so
-    block-local top-k is globally sufficient)."""
+    returned revenue).  ZERO hash joins: the quarter's (orderkey → custkey)
+    map is one quarter of orders — a broadcast dimension at every TPC-H
+    scale tier that fits one object (documented assumption; the bucketed
+    join remains the escape hatch) — so lineitem folds exact-e4 revenue
+    per CUSTKEY directly; one salted integer fold, a distributed top-20 on
+    the unique-custkey aggregate, and the 20 winners' customer attributes
+    are fetched with a driver-side filtered read (20 rows)."""
     import pyarrow.parquet as pq
 
+    import ray
     import ray.data as rd
 
-    from tsdat_ray.stages.joins import broadcast_lookup, hash_join
     from tsdat_ray.stages.reduce import topk_merge
     from tsdat_ray.stages.stats import grouped_int_sums
 
     lo = np.datetime64("1996-10-01", "us")
     hi = np.datetime64("1997-01-01", "us")
 
+    orders = pq.read_table(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    m = pc.and_(pc.greater_equal(orders["o_orderdate"], pa.scalar(lo)),
+                pc.less(orders["o_orderdate"], pa.scalar(hi)))
+    orders = orders.filter(m)
+    ok = orders["o_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+    ck = orders["o_custkey"].combine_chunks().to_numpy(zero_copy_only=False)
+    order_sort = np.argsort(ok, kind="stable")
+    omap_ref = ray.put((ok[order_sort], ck[order_sort]))
+
     def li_partial(b: pa.Table) -> pa.Table:
+        oks, cks = ray.get(omap_ref)
         b = b.filter(pc.equal(b["l_returnflag"], "R"))
         k = b["l_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
-        return _seg_int_sums(k, {"rev_e4": _rev_e4(b)}, "o_orderkey")
+        pos = np.clip(np.searchsorted(oks, k), 0, max(len(oks) - 1, 0))
+        hit = oks[pos] == k if len(oks) else np.zeros(len(k), bool)
+        return _seg_int_sums(cks[pos[hit]],
+                             {"rev_e4": _rev_e4(b)[hit]}, "c_custkey")
 
     li = _read(f"{sf_dir}/lineitem.parquet",
                columns=["l_orderkey", "l_returnflag", "l_extendedprice",
                         "l_discount"]).map_batches(li_partial, batch_format="pyarrow")
-
-    def filt_orders(b: pa.Table) -> pa.Table:
-        m = pc.and_(pc.greater_equal(b["o_orderdate"], pa.scalar(lo)),
-                    pc.less(b["o_orderdate"], pa.scalar(hi)))
-        return b.filter(m).select(["o_orderkey", "o_custkey"])
-
-    orders = _read(f"{sf_dir}/orders.parquet",
-                   columns=["o_orderkey", "o_custkey", "o_orderdate"]
-                   ).map_batches(filt_orders, batch_format="pyarrow")
-
-    j = hash_join(li, orders, on="o_orderkey", num_buckets=32)
-    per_cust = grouped_int_sums(
-        j.map_batches(lambda b: b.select(["o_custkey", "rev_e4"])
-          .rename_columns(["c_custkey", "rev_e4"]), batch_format="pyarrow"),
-        "c_custkey", ["rev_e4"])
-
-    cust = _read(f"{sf_dir}/customer.parquet",
-                 columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
-    jc = hash_join(per_cust, cust, on="c_custkey", num_buckets=32)
-
-    nation = pq.read_table(f"{sf_dir}/nation.parquet",
-                           columns=["n_nationkey", "n_name"])
-    nation = nation.rename_columns(["c_nationkey", "n_name"])
-    jc = broadcast_lookup(jc, nation, on="c_nationkey", value_cols=("n_name",))
+    per_cust = grouped_int_sums(li, "c_custkey", ["rev_e4"])
 
     def finish(b: pa.Table) -> pa.Table:
         rev = b["rev_e4"].combine_chunks().to_numpy(zero_copy_only=False) / 1e4
-        return pa.table({
-            "c_custkey": b["c_custkey"], "c_name": b["c_name"],
-            "revenue": pa.array(rev, pa.float64()),
-            "c_acctbal": b["c_acctbal"], "n_name": b["n_name"],
-        })
+        return pa.table({"c_custkey": b["c_custkey"],
+                         "revenue": pa.array(rev, pa.float64())})
 
-    out = topk_merge(jc.map_batches(finish, batch_format="pyarrow"),
+    top = topk_merge(per_cust.map_batches(finish, batch_format="pyarrow"),
                      by=["revenue", "c_custkey"], ascending=[False, True], k=20)
-    return rd.from_arrow(out)
+
+    win = set(top["c_custkey"].to_pylist())
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name", "c_acctbal",
+                                  "c_nationkey"])
+    cust = cust.filter(pa.array([c in win for c in
+                                 cust["c_custkey"].to_pylist()]))
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    nname = dict(zip(nation["n_nationkey"].to_pylist(),
+                     nation["n_name"].to_pylist()))
+    attr = {c: (nm, ab, nname[nk]) for c, nm, ab, nk in
+            zip(cust["c_custkey"].to_pylist(), cust["c_name"].to_pylist(),
+                cust["c_acctbal"].to_pylist(),
+                cust["c_nationkey"].to_pylist())}
+    cks_out = top["c_custkey"].to_pylist()
+    revs = top["revenue"].to_pylist()
+    return rd.from_arrow(pa.table({
+        "c_custkey": pa.array(cks_out, pa.int64()),
+        "c_name": pa.array([attr[c][0] for c in cks_out], pa.string()),
+        "revenue": pa.array(revs, pa.float64()),
+        "c_acctbal": pa.array([attr[c][1] for c in cks_out], pa.float64()),
+        "n_name": pa.array([attr[c][2] for c in cks_out], pa.string()),
+    }))
 
 
 def _q_tpch_q13(sf_dir: str):
@@ -1094,13 +1105,16 @@ def _q_tpch_q17(sf_dir: str):
 def _q_tpch_q18(sf_dir: str):
     """TPC-H Q18 large-volume customers (Σqty > 250 per order, top 100 by
     order value).  Exact per-orderkey integer quantity fold (salted), the
-    HAVING filter runs distributed on the folded rows, two bucketed hash
-    joins attach order and customer attributes, and the top-100 is a
-    block-local + driver merge (orderkeys unique post-fold)."""
+    HAVING filter runs distributed on the folded rows — and because Σqty >
+    250 is by construction HIGHLY selective (winners ≈ 0.4% of orders:
+    2,285 at sf0.1), the surviving keys drain to the driver and both joins
+    become filtered point reads of the orders/customer dimensions — ZERO
+    hash joins (the bucketed join remains the fallback if the predicate
+    were ever unselective)."""
+    import pyarrow.parquet as pq
+
     import ray.data as rd
 
-    from tsdat_ray.stages.joins import hash_join
-    from tsdat_ray.stages.reduce import topk_merge
     from tsdat_ray.stages.stats import grouped_int_sums
 
     def li_partial(b: pa.Table) -> pa.Table:
@@ -1114,31 +1128,47 @@ def _q_tpch_q18(sf_dir: str):
               ).map_batches(li_partial, batch_format="pyarrow"),
         "o_orderkey", ["sum_q"]).filter(expr="sum_q > 250")
 
-    orders = _read(f"{sf_dir}/orders.parquet",
-                   columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
-    j = hash_join(per_order, orders, on="o_orderkey", num_buckets=32)
-    j = j.map_batches(
-        lambda b: b.select(["o_orderkey", "sum_q", "o_orderdate",
-                            "o_totalprice", "o_custkey"])
-        .rename_columns(["o_orderkey", "sum_q", "o_orderdate",
-                         "o_totalprice", "c_custkey"]),
-        batch_format="pyarrow")
-    cust = _read(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
-    jc = hash_join(j, cust, on="c_custkey", num_buckets=32)
+    sumq: dict[int, int] = {}
+    for t in per_order.iter_batches(batch_format="pyarrow", batch_size=None):
+        for k, sq in zip(t["o_orderkey"].to_pylist(), t["sum_q"].to_pylist()):
+            sumq[k] = sq
+    okeys = np.array(sorted(sumq), dtype=np.int64)
 
-    def finish(b: pa.Table) -> pa.Table:
-        sq = b["sum_q"].combine_chunks().to_numpy(zero_copy_only=False)
-        return pa.table({
-            "c_name": b["c_name"], "c_custkey": b["c_custkey"],
-            "o_orderkey": b["o_orderkey"], "o_orderdate": b["o_orderdate"],
-            "o_totalprice": b["o_totalprice"],
-            "sum_qty": pa.array(sq.astype(np.float64)),
-        })
+    orders = pq.read_table(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey", "o_custkey", "o_orderdate",
+                                    "o_totalprice"])
+    ok = orders["o_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+    pos = np.clip(np.searchsorted(okeys, ok), 0, max(len(okeys) - 1, 0))
+    hit = okeys[pos] == ok if len(okeys) else np.zeros(len(ok), bool)
+    orders = orders.filter(pa.array(hit))
 
-    out = topk_merge(jc.map_batches(finish, batch_format="pyarrow"),
-                     by=["o_totalprice", "o_orderdate", "o_orderkey"],
-                     ascending=[False, True, True], k=100)
-    return rd.from_arrow(out)
+    win_cust = np.unique(orders["o_custkey"].combine_chunks().to_numpy(
+        zero_copy_only=False))
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name"])
+    cks = cust["c_custkey"].combine_chunks().to_numpy(zero_copy_only=False)
+    cpos = np.clip(np.searchsorted(win_cust, cks), 0,
+                   max(len(win_cust) - 1, 0))
+    cust = cust.filter(pa.array(win_cust[cpos] == cks if len(win_cust)
+                                else np.zeros(len(cks), bool)))
+    cname = dict(zip(cust["c_custkey"].to_pylist(),
+                     cust["c_name"].to_pylist()))
+
+    rows = sorted(
+        ((cname[c], c, k, od, tp, float(sumq[k]))
+         for k, c, od, tp in zip(orders["o_orderkey"].to_pylist(),
+                                 orders["o_custkey"].to_pylist(),
+                                 orders["o_orderdate"].to_pylist(),
+                                 orders["o_totalprice"].to_pylist())),
+        key=lambda r: (-r[4], r[3], r[2]))[:100]
+    return rd.from_arrow(pa.table({
+        "c_name": pa.array([r[0] for r in rows], pa.string()),
+        "c_custkey": pa.array([r[1] for r in rows], pa.int64()),
+        "o_orderkey": pa.array([r[2] for r in rows], pa.int64()),
+        "o_orderdate": pa.array([r[3] for r in rows], pa.timestamp("us")),
+        "o_totalprice": pa.array([r[4] for r in rows], pa.float64()),
+        "sum_qty": pa.array([r[5] for r in rows], pa.float64()),
+    }))
 
 
 def _q_tpch_q19(sf_dir: str):
