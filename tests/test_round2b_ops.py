@@ -1,0 +1,101 @@
+"""Edge cases for the round-2 continuation operators (domain mixing,
+co-occurrence, windowed distinct, MAD outliers)."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def test_mix_domains_single_source_half_budget(ray_session):
+    import ray.data as rd
+
+    from tsdat_ray.stages.sampling import mix_domains
+
+    t = pa.table({
+        "doc_id": pa.array(np.arange(400, dtype=np.int64)),
+        "source": pa.array(["only"] * 400),
+        "n_chars": pa.array(np.full(400, 10, dtype=np.int64)),
+    })
+    out = mix_domains(rd.from_arrow(t)).to_pandas()
+    # one source: rate = (total//2)//1 / total = ~0.5 => md5 keeps ~half
+    assert 120 <= len(out) <= 280
+    # determinism: same input -> same sample
+    out2 = mix_domains(rd.from_arrow(t)).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+
+
+def test_cooccurrence_single_item_baskets_empty(ray_session):
+    import ray.data as rd
+
+    from tsdat_ray.stages.stats import cooccurrence_pairs
+
+    t = pa.table({
+        "u": pa.array(np.arange(50, dtype=np.int64)),
+        "item": pa.array([f"i{j % 7}" for j in range(50)]),
+    })
+    out = cooccurrence_pairs(rd.from_arrow(t), key_cols=["u"],
+                             item_col="item").to_pandas()
+    assert len(out) == 0
+
+
+def test_cooccurrence_counts_brute_force(ray_session):
+    import itertools
+
+    import ray.data as rd
+
+    from tsdat_ray.stages.stats import cooccurrence_pairs
+
+    rng = np.random.default_rng(11)
+    n = 600
+    baskets = rng.integers(0, 40, n)
+    items = np.array([f"i{v}" for v in rng.integers(0, 6, n)], dtype=object)
+    t = pa.table({"b": pa.array(baskets.astype(np.int64)),
+                  "item": pa.array(items.tolist(), pa.string())})
+    out = cooccurrence_pairs(rd.from_arrow(t).repartition(5),
+                             key_cols=["b"], item_col="item").to_pandas()
+    got = {(r.item_a, r.item_b): r.n for r in out.itertuples()}
+    exp: dict = {}
+    for bk in np.unique(baskets):
+        its = sorted(set(items[baskets == bk].tolist()))
+        for a, b in itertools.combinations(its, 2):
+            exp[(a, b)] = exp.get((a, b), 0) + 1
+    assert got == exp
+
+
+def test_windowed_active_users_brute_force(ray_session):
+    import ray.data as rd
+
+    from tsdat_ray.stages.window_funcs import windowed_active_users
+
+    rng = np.random.default_rng(5)
+    n = 500
+    users = rng.integers(0, 12, n).astype(np.int64)
+    days = rng.integers(0, 40, n).astype(np.int64)
+    ts = pa.array(days * 86_400_000_000 + 1, pa.timestamp("us"))
+    t = pa.table({"user_id": pa.array(users), "ts": ts})
+    out = windowed_active_users(rd.from_arrow(t).repartition(4)).to_pandas()
+    got = dict(zip(out["day_num"], out["wau"]))
+    lo, hi = days.min(), days.max() + 6
+    for w in range(lo, hi + 1):
+        active = len({u for u, d in zip(users, days) if w - 6 <= d <= w})
+        if active:
+            assert got.get(w) == active, w
+        else:
+            assert w not in got
+    assert set(got) <= set(range(lo, hi + 1))
+
+
+def test_mad_outliers_constant_group_flags_nothing(ray_session):
+    import ray.data as rd
+
+    from tsdat_ray.stages.stats import mad_outliers
+
+    vals_b = [5.0] * 47 + [1000.0, 2000.0, 3000.0]  # heavy tail: 3 outliers
+    t = pa.table({
+        "k": pa.array(["a"] * 50 + ["b"] * 50),
+        "v": pa.array([3.0] * 50 + vals_b),
+    })
+    out = mad_outliers(rd.from_arrow(t), key="k", value_col="v").to_pandas()
+    # constant group a: dev == 0 == 3*MAD, nothing flagged; group b: MAD=0
+    # (median dev 0), so every nonzero deviation flags
+    assert (out["k"] == "b").all() and len(out) == 3
+    assert sorted(out["v"]) == [1000.0, 2000.0, 3000.0]
