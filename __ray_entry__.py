@@ -3174,6 +3174,54 @@ def _q_max_gap(sf_dir: str):
     return grouped_max_gap(ds, key="event_type", ts_col="ts")
 
 
+def _q_diversified_topk(sf_dir: str):
+    """Diversified top-k: the 20 highest-value events with AT MOST 5 per
+    event_type (retrieval-diversity quota) — grouped_topk(k=5) combiner
+    push-down feeds a tiny global top-20 merge; both stages move ≤ k·|types|
+    rows."""
+    import ray.data as rd
+
+    from tsdat_ray.stages.reduce import topk_merge
+    from tsdat_ray.stages.window_funcs import grouped_topk
+
+    ds = _events(sf_dir, columns=["event_id", "event_type", "value"])
+    per_type = grouped_topk(ds, key="event_type", value_col="value",
+                            id_col="event_id", k=5)
+    out = topk_merge(per_type, by=["value", "event_id"],
+                     ascending=[False, True], k=20)
+    return rd.from_arrow(out.select(["event_id", "event_type", "value"]))
+
+
+def _q_dod_change(sf_dir: str):
+    """Day-over-day event-count change: bounded per-day integer fold, then
+    the lag/ratio on the tiny aggregate driver-side (pct as the double
+    n/n_prev both sides)."""
+    import ray.data as rd
+
+    ds = _events(sf_dir, columns=["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = (b["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // np.int64(86_400_000_000))
+        u, c = np.unique(day, return_counts=True)
+        return pa.table({"day_num": pa.array(u), "_n": pa.array(c.astype(np.int64))})
+
+    acc: dict[int, int] = {}
+    for t in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        for d, n in zip(t["day_num"].to_pylist(), t["_n"].to_pylist()):
+            acc[d] = acc.get(d, 0) + n
+    days = sorted(acc)
+    prev = {d: acc.get(d - 1) for d in days}
+    keep = [d for d in days if prev[d]]
+    return rd.from_arrow(pa.table({
+        "day_num": pa.array(keep, pa.int64()),
+        "n": pa.array([acc[d] for d in keep], pa.int64()),
+        "n_prev": pa.array([prev[d] for d in keep], pa.int64()),
+        "ratio": pa.array([acc[d] / prev[d] for d in keep], pa.float64()),
+    }))
+
+
 def _q_latest_per_user(sf_dir: str):
     """Last-writer-wins upsert view: the latest event per user (ts DESC,
     event_id DESC) over a HIGH-cardinality key — per-block top-1 partials,
@@ -4632,6 +4680,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wau_7d_events": _q_wau_7d,
         "quantize_embeddings": _q_quantize_embeddings,
         "latest_per_user_events": _q_latest_per_user,
+        "diversified_topk_events": _q_diversified_topk,
+        "dod_change_events": _q_dod_change,
         "robust_scale_events": _q_robust_scale,
         "rate_limit_events": _q_rate_limit,
         "sample_k_per_type_events": _q_sample_k_per_type,
@@ -5370,6 +5420,22 @@ def oracle_sql() -> dict[str, str]:
                                 AND l3.l_suppkey <> l1.l_suppkey
                                 AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
             GROUP BY s_name ORDER BY numwait DESC, s_name
+        """,
+        "diversified_topk_events": """
+            SELECT event_id, event_type, value FROM (
+                SELECT event_id, event_type, value FROM events
+                QUALIFY row_number() OVER (
+                    PARTITION BY event_type
+                    ORDER BY value DESC, event_id) <= 5)
+            ORDER BY value DESC, event_id LIMIT 20
+        """,
+        "dod_change_events": """
+            WITH d AS (
+                SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_num,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1)
+            SELECT a.day_num, a.n, b.n AS n_prev, a.n / b.n AS ratio
+            FROM d a JOIN d b ON b.day_num = a.day_num - 1
         """,
         "latest_per_user_events": """
             SELECT user_id, event_id, ts FROM events

@@ -276,6 +276,8 @@ def run_bench() -> dict:
         "wau_7d_events",
         "quantize_embeddings",
         "latest_per_user_events",
+        "diversified_topk_events",
+        "dod_change_events",
     ]
     qtimes = {}
     for name in bench_queries:
