@@ -1847,8 +1847,6 @@ def _q_tpch_q11(sf_dir: str):
     from tsdat_ray.synth import PARTSUPP_FANOUT, partsupp_arrays
 
     snat, _, _, _, nregion = _ps_dims(sf_dir)
-    import pyarrow.parquet as pq
-
     region = pq.read_table(f"{sf_dir}/region.parquet")
     eu = region.filter(pc.equal(region["r_name"], "EUROPE"))["r_regionkey"][0].as_py()
     good = nregion[snat] == eu  # bool by suppkey
@@ -1900,7 +1898,7 @@ def _q_tpch_q16(sf_dir: str):
     import ray.data as rd
 
     from tsdat_ray.stages.dedup import distinct_count
-    from tsdat_ray.synth import partsupp_arrays
+    from tsdat_ray.synth import PARTSUPP_FANOUT, partsupp_arrays
 
     snat, sacct, _, _, _ = _ps_dims(sf_dir)
     bad = sacct < 500.0
@@ -1913,7 +1911,7 @@ def _q_tpch_q16(sf_dir: str):
         ps = partsupp_arrays(pk, len(bad))
         keep = ~bad[ps["ps_suppkey"]]
         idx = np.flatnonzero(keep)
-        row = idx // 4
+        row = idx // PARTSUPP_FANOUT
         brand = np.asarray(b["p_brand"].to_pylist(), dtype=object)[row]
         typ = np.asarray(b["p_type"].to_pylist(), dtype=object)[row]
         size = b["p_size"].combine_chunks().to_numpy(
@@ -1997,8 +1995,9 @@ def _q_tpch_q20(sf_dir: str):
         qty = t["qty"].combine_chunks().to_numpy(zero_copy_only=False)
         pk = pair // np.int64(1 << 20)
         sk = pair % np.int64(1 << 20)
-        avail = 1 + (pk * 31 + sk * 17) % np.int64(9999)
-        ok = (avail * 2 > qty) & eu_supp[sk]
+        from tsdat_ray.synth import partsupp_availqty
+
+        ok = (partsupp_availqty(pk, sk) * 2 > qty) & eu_supp[sk]
         winners.update(sk[ok].tolist())
 
     ks = sorted(winners)
@@ -3266,6 +3265,10 @@ def _q_quantize_embeddings(sf_dir: str):
         vals = emb.values.to_numpy(zero_copy_only=False)
         offs = emb.offsets.to_numpy()
         d = int(offs[1] - offs[0]) if len(offs) > 1 else 0
+        if not d:
+            return pa.table({"pos": pa.array([], pa.int64()),
+                             "_mn": pa.array([], pa.float64()),
+                             "_mx": pa.array([], pa.float64())})
         m = vals[offs[0]:offs[-1]].reshape(-1, d).astype(np.float64)
         return pa.table({
             "pos": pa.array(np.arange(1, d + 1, dtype=np.int64)),
@@ -3292,6 +3295,10 @@ def _q_quantize_embeddings(sf_dir: str):
         vals = emb.values.to_numpy(zero_copy_only=False)
         offs = emb.offsets.to_numpy()
         dd = int(offs[1] - offs[0]) if len(offs) > 1 else 0
+        if not dd:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64()),
+                             "q": pa.array([], pa.int64())})
         m = vals[offs[0]:offs[-1]].reshape(-1, dd).astype(np.float64)
         ok = mx_v > mn_v
         y = (m[:, ok] - mn_v[ok]) / (mx_v[ok] - mn_v[ok]) * 255 + 0.5

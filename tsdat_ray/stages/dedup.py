@@ -346,10 +346,12 @@ def _popcount(x: np.ndarray) -> np.ndarray:
         v = (v & 0x3333) + ((v >> 2) & 0x3333)
         v = (v + (v >> 4)) & 0x0F0F
         _POPCNT16 = ((v + (v >> 8)) & 0x1F).astype(np.uint16)
-    flat = x.reshape(-1, x.shape[-1]) if x.ndim > 1 else x.reshape(1, -1)
-    c = _POPCNT16[flat.view(np.uint16)].reshape(flat.shape[0], -1).sum(
+    if x.ndim == 1:  # per-ELEMENT popcounts (4 uint16 lanes per uint64)
+        return _POPCNT16[x.view(np.uint16)].reshape(len(x), 4).sum(
+            axis=-1, dtype=np.int64)
+    flat = x.reshape(-1, x.shape[-1])
+    return _POPCNT16[flat.view(np.uint16)].reshape(flat.shape[0], -1).sum(
         axis=-1, dtype=np.int64)
-    return c if x.ndim > 1 else c[:1]
 
 
 def _verify_jaccard(pk, tx_a, tx_b, shingle_k: int, threshold: float) -> pa.Table:
@@ -581,11 +583,30 @@ def verify_pairs_exact(ds, pk_all, *, threshold: float = 0.5, shingle_k: int = 5
         # (collision odds ~ m²/2⁶⁵ per doc).  Falls back to the text path
         # when the bitset matrix would not broadcast cheaply.
         if len(did_s) <= 50_000:
-            sh = [_char_shingle_hashes(s, shingle_k) for s in dtx_s]
-            vocab = (np.unique(np.concatenate(sh)) if sh
-                     else np.zeros(0, np.uint64))
+            # the text path drops pairs whose doc text is NULL — mirror that
+            # by excluding null-text docs from the bitset index (pairs that
+            # reference them then fail the membership test below)
+            nn = np.array([s is not None for s in dtx_s], dtype=bool)
+            did_b, dtx_b = did_s[nn], dtx_s[nn]
+            # incremental vocab union with EARLY ABORT at the matrix cap, so
+            # a big-vocabulary corpus doesn't pay the whole shingle pass
+            # before falling back to the text path
+            cap_bits = ((256 << 20) * 8) // max(len(did_b), 1)
+            sh = []
+            vocab = np.zeros(0, np.uint64)
+            fits = True
+            for i0 in range(0, len(dtx_b), 2048):
+                chunk = [_char_shingle_hashes(s, shingle_k)
+                         for s in dtx_b[i0:i0 + 2048]]
+                sh.extend(chunk)
+                if chunk:
+                    vocab = np.union1d(vocab, np.concatenate(chunk))
+                if len(vocab) > cap_bits:
+                    fits = False
+                    break
             w = max(1, (len(vocab) + 63) // 64)
-            if len(did_s) * w * 8 <= 256 << 20:
+            if fits and len(did_b) * w * 8 <= 256 << 20:
+                did_s = did_b  # noqa: F841 — bitset index covers non-null docs
                 bits = np.zeros((len(sh), w), dtype=np.uint64)
                 for i, arr in enumerate(sh):
                     idx = np.searchsorted(vocab, arr)

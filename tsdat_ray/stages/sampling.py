@@ -329,6 +329,7 @@ def mask_repeated_ngrams(ds, tokens_col: str = "tokens", id_col: str = "doc_id",
 
 
 def mix_domains(ds, key: str = "source", weight_col: str = "n_chars",
+                id_col: str = "doc_id",
                 budget_frac_num: int = 1, budget_frac_den: int = 2):
     """Deterministic domain-mixing sampler: downsample each ``key`` domain so
     every domain contributes an equal share of a global weight budget
@@ -366,12 +367,13 @@ def mix_domains(ds, key: str = "source", weight_col: str = "n_chars",
     total = sum(toks.values())
     k_dom = len(toks)
     budget_k = (total * budget_frac_num // budget_frac_den) // max(k_dom, 1)
-    thr = {s: format(min(int(np.floor(budget_k / w * 4294967296.0)),
-                         4294967295), "08x")
-           for s, w in toks.items()}
+    thr = {s: ("ffffffff" if w == 0 else
+               format(min(int(np.floor(budget_k / w * 4294967296.0)),
+                          4294967295), "08x"))
+           for s, w in toks.items()}  # zero-weight domain: keeping it is free
     thr_ref = ray.put(thr)
 
-    def keep(b: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    def keep(b: pa.Table) -> pa.Table:
         thr = ray.get(thr_ref)
         ids = b[id_col].to_pylist()
         pref = np.array([hashlib.md5(str(i).encode()).hexdigest()[:8]

@@ -225,7 +225,7 @@ def partsupp_arrays(p_partkey: np.ndarray, n_supp: int) -> dict[str, np.ndarray]
     pk = np.repeat(p_partkey.astype(np.int64), PARTSUPP_FANOUT)
     i = np.tile(np.arange(PARTSUPP_FANOUT, dtype=np.int64), len(p_partkey))
     sk = (pk * 7 + i * 13) % np.int64(n_supp)
-    availqty = 1 + (pk * 31 + sk * 17) % np.int64(9999)
+    availqty = partsupp_availqty(pk, sk)
     cost_cents = 100 + (pk * 37 + sk * 53) % np.int64(99901)
     return {
         "ps_partkey": pk,
@@ -233,6 +233,13 @@ def partsupp_arrays(p_partkey: np.ndarray, n_supp: int) -> dict[str, np.ndarray]
         "ps_availqty": availqty,
         "ps_supplycost_cents": cost_cents,  # exact int; /100.0 for dollars
     }
+
+
+def partsupp_availqty(pk: np.ndarray, sk: np.ndarray) -> np.ndarray:
+    """ps_availqty for known-member (partkey, suppkey) — the single source
+    of the formula (mirrored only in PARTSUPP_CTE)."""
+    return 1 + (pk.astype(np.int64) * 31
+                + sk.astype(np.int64) * 17) % np.int64(9999)
 
 
 def partsupp_pair_mask(l_partkey: np.ndarray, l_suppkey: np.ndarray,
