@@ -142,3 +142,41 @@ def test_zarr_array_roundtrip_random(n, chunks, compress, rnd):
                     compressor="zlib" if compress else "null")
         back, _ = read_array(f"{d}/a.zarr")
     np.testing.assert_array_equal(back, arr)  # bitwise incl. NaNs
+
+
+@given(
+    n_part=st.integers(min_value=1, max_value=300),
+    n_supp=st.sampled_from([10, 100, 1000]),
+)
+@settings(max_examples=20, deadline=None)
+def test_partsupp_formula_matches_cte(n_part, n_supp):
+    """The numpy partsupp derivation and the DuckDB CTE are the same table
+    for any part count and every supplier-count tier the testdata uses."""
+    import duckdb
+    import pandas as pd
+
+    from tsdat_ray.synth import PARTSUPP_CTE, partsupp_arrays
+
+    pk = np.arange(n_part, dtype=np.int64)
+    a = partsupp_arrays(pk, n_supp)
+    eng = pd.DataFrame(a)
+    eng["ps_supplycost"] = eng.pop("ps_supplycost_cents") / 100.0
+    eng = eng.sort_values(["ps_partkey", "ps_suppkey"]).reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW part AS SELECT unnest(range(0, {n_part})) AS p_partkey")
+    con.sql(f"CREATE VIEW supplier AS SELECT unnest(range(0, {n_supp})) AS s_suppkey")
+    sql = con.sql(f"WITH {PARTSUPP_CTE} SELECT * FROM partsupp "
+                  "ORDER BY ps_partkey, ps_suppkey").df()
+    pd.testing.assert_frame_equal(
+        eng.astype({"ps_partkey": "int64", "ps_suppkey": "int64",
+                    "ps_availqty": "int64"}),
+        sql.astype({"ps_partkey": "int64", "ps_suppkey": "int64",
+                    "ps_availqty": "int64"}),
+        check_dtype=False)
+    # pair membership/cost formulas agree with the generated rows
+    from tsdat_ray.synth import partsupp_cost_cents, partsupp_pair_mask
+
+    assert partsupp_pair_mask(a["ps_partkey"], a["ps_suppkey"], n_supp).all()
+    assert (partsupp_cost_cents(a["ps_partkey"], a["ps_suppkey"])
+            == a["ps_supplycost_cents"]).all()
