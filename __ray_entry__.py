@@ -3173,6 +3173,18 @@ def _q_max_gap(sf_dir: str):
     return grouped_max_gap(ds, key="event_type", ts_col="ts")
 
 
+def _q_fuzzy_name_pairs(sf_dir: str):
+    """Fuzzy entity resolution over part names: distinct-name pairs within
+    Levenshtein ≤ 4 under first-letter + length-band blocking
+    (stages/text.py:fuzzy_pairs — tree-deduped vocabulary, vectorized DP);
+    the synthetic names differ by whole words, so 4 is the closest-neighbor
+    band (measured: min pairwise distance 3)."""
+    from tsdat_ray.stages.text import fuzzy_pairs
+
+    ds = _read(f"{sf_dir}/part.parquet", columns=["p_name"])
+    return fuzzy_pairs(ds, text_col="p_name", max_dist=4, len_band=2)
+
+
 def _q_diversified_topk(sf_dir: str):
     """Diversified top-k: the 20 highest-value events with AT MOST 5 per
     event_type (retrieval-diversity quota) — grouped_topk(k=5) combiner
@@ -4688,6 +4700,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantize_embeddings": _q_quantize_embeddings,
         "latest_per_user_events": _q_latest_per_user,
         "diversified_topk_events": _q_diversified_topk,
+        "fuzzy_name_pairs_part": _q_fuzzy_name_pairs,
         "dod_change_events": _q_dod_change,
         "robust_scale_events": _q_robust_scale,
         "rate_limit_events": _q_rate_limit,
@@ -5427,6 +5440,16 @@ def oracle_sql() -> dict[str, str]:
                                 AND l3.l_suppkey <> l1.l_suppkey
                                 AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
             GROUP BY s_name ORDER BY numwait DESC, s_name
+        """,
+        "fuzzy_name_pairs_part": """
+            WITH n AS (SELECT DISTINCT p_name FROM part)
+            SELECT a.p_name AS name_a, b.p_name AS name_b,
+                   CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+            FROM n a JOIN n b
+              ON a.p_name < b.p_name
+             AND substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+             AND abs(length(a.p_name) - length(b.p_name)) <= 2
+            WHERE levenshtein(a.p_name, b.p_name) <= 4
         """,
         "diversified_topk_events": """
             SELECT event_id, event_type, value FROM (

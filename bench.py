@@ -278,6 +278,7 @@ def run_bench() -> dict:
         "latest_per_user_events",
         "diversified_topk_events",
         "dod_change_events",
+        "fuzzy_name_pairs_part",
     ]
     qtimes = {}
     for name in bench_queries:

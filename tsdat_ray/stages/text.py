@@ -584,3 +584,91 @@ def tfidf_top_terms(ds, k: int = 3, text_col: str = "text",
 
     return ds.select_columns([id_col, text_col]).map_batches(
         rank, batch_format="pyarrow")
+
+
+def fuzzy_pairs(ds, text_col: str, max_dist: int = 2, len_band: int = 2,
+                fanin: int = 8):
+    """Fuzzy-match pairs over the DISTINCT values of ``text_col``: pairs
+    (a < b) sharing a first character, within ``len_band`` of each other's
+    length, and with Levenshtein distance ≤ ``max_dist`` — the banded
+    entity-resolution / fuzzy-dedup primitive (the band is part of the
+    contract, mirrored in SQL; an edit at position 0 is out of scope by
+    design, as in standard first-letter blocking).
+
+    The distinct-value set folds with a tree reduction (bounded by the
+    value vocabulary — same assumption as token_histogram); pair blocks
+    then evaluate a fully VECTORIZED Levenshtein DP (row loop over
+    characters, every cell broadcast across the block's pairs)."""
+    import ray
+    import ray.data as rd
+
+    from .reduce import tree_reduce
+
+    def uniq(b: pa.Table) -> pa.Table:
+        col = b[text_col].to_numpy(zero_copy_only=False)
+        return pa.table({text_col: pa.array(np.unique(col.astype(str)))})
+
+    vals: set = set()
+    for t in tree_reduce(ds.select_columns([text_col]), uniq, fanin=fanin
+                         ).iter_batches(batch_format="pyarrow",
+                                        batch_size=None):
+        vals.update(t[text_col].to_pylist())
+    names = sorted(vals)
+    n = len(names)
+    if n < 2:
+        return rd.from_arrow(pa.table({
+            "name_a": pa.array([], pa.string()),
+            "name_b": pa.array([], pa.string()),
+            "dist": pa.array([], pa.int64())}))
+    lens = np.array([len(s) for s in names], dtype=np.int64)
+    first = np.array([s[:1] for s in names], dtype="U1")
+    names_ref = ray.put((names, lens, first))
+
+    def pairs_for(block: pa.Table) -> pa.Table:
+        names, lens, first = ray.get(names_ref)
+        idx = block["i"].combine_chunks().to_numpy(zero_copy_only=False)
+        out_a, out_b, out_d = [], [], []
+        all_j = np.arange(len(names))
+        for i in idx:
+            cand = all_j[(all_j > i) & (first[all_j] == first[i])
+                         & (np.abs(lens[all_j] - lens[i]) <= len_band)]
+            if not len(cand):
+                continue
+            a = names[i]
+            La = len(a)
+            a_arr = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32)
+            for b_len in np.unique(lens[cand]):
+                grp = cand[lens[cand] == b_len]
+                bm = np.zeros((len(grp), int(b_len)), dtype=np.uint32)
+                for r, j in enumerate(grp):
+                    bm[r] = np.frombuffer(names[j].encode("utf-32-le"),
+                                          dtype=np.uint32)
+                # DP: rows = chars of a (shared), cols vectorized over grp
+                prev = np.broadcast_to(
+                    np.arange(b_len + 1, dtype=np.int32),
+                    (len(grp), int(b_len) + 1)).copy()
+                for r in range(1, La + 1):
+                    cur = np.empty_like(prev)
+                    cur[:, 0] = r
+                    neq = (bm != a_arr[r - 1]).astype(np.int32)
+                    sub = prev[:, :-1] + neq
+                    np.minimum(prev[:, 1:] + 1, sub, out=sub)
+                    # left-to-right dependency: sequential min over columns
+                    run = cur[:, 0]
+                    for c in range(1, int(b_len) + 1):
+                        run = np.minimum(run + 1, sub[:, c - 1])
+                        cur[:, c] = run
+                    prev = cur
+                d = prev[:, -1]
+                ok = d <= max_dist
+                for j, dd in zip(grp[ok], d[ok]):
+                    out_a.append(a)
+                    out_b.append(names[j])
+                    out_d.append(int(dd))
+        return pa.table({"name_a": pa.array(out_a, pa.string()),
+                         "name_b": pa.array(out_b, pa.string()),
+                         "dist": pa.array(out_d, pa.int64())})
+
+    src = rd.from_arrow(pa.table({"i": pa.array(np.arange(n, dtype=np.int64))}))
+    nb = max(2, min(32, n // 8))
+    return src.repartition(nb).map_batches(pairs_for, batch_format="pyarrow")
