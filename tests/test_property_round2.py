@@ -180,3 +180,35 @@ def test_partsupp_formula_matches_cte(n_part, n_supp):
     assert partsupp_pair_mask(a["ps_partkey"], a["ps_suppkey"], n_supp).all()
     assert (partsupp_cost_cents(a["ps_partkey"], a["ps_suppkey"])
             == a["ps_supplycost_cents"]).all()
+
+
+@given(st.data())
+@settings(max_examples=15, deadline=None)
+def test_fuzzy_pairs_levenshtein_matches_reference(ray_session, data):
+    """The vectorized DP inside fuzzy_pairs equals a classic scalar
+    Levenshtein on random short strings (same alphabet shape as names)."""
+    import duckdb
+
+    rng = data.draw(st.randoms(use_true_random=False))
+    words = ["red", "blue", "bolt", "ring", "gear", "kit", "cog", "rig"]
+    names = sorted({
+        " ".join(rng.choice(words) for _ in range(rng.randint(1, 3)))
+        for _ in range(rng.randint(2, 12))
+    })
+    con = duckdb.connect()
+    exp = {}
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            if a[:1] == b[:1] and abs(len(a) - len(b)) <= 2:
+                d = con.sql(
+                    f"SELECT levenshtein('{a}', '{b}')").fetchone()[0]
+                if d <= 4:
+                    exp[(a, b)] = d
+    import ray.data as rd
+
+    from tsdat_ray.stages.text import fuzzy_pairs
+
+    ds = rd.from_arrow(pa.table({"nm": pa.array(names * 3, pa.string())}))
+    out = fuzzy_pairs(ds, text_col="nm", max_dist=4, len_band=2).to_pandas()
+    got = {(r.name_a, r.name_b): r.dist for r in out.itertuples()} if len(out) else {}
+    assert got == exp
