@@ -126,33 +126,54 @@ def gapfill_tier(ds, cfg: GapFillConfig):
 
     dsw = ds.map_batches(add_window, batch_format="pyarrow")
 
-    # ---- pass 1: summaries -> driver-side carry map (small metadata table)
-    summ = _summaries(dsw, cfg).to_pandas()
-    carry: dict = {}
-    for key_val, grp in summ.groupby(cfg.key, sort=True):
-        grp = grp.sort_values("_window")
-        rows = grp.to_dict("records")
-        for i, r in enumerate(rows):
-            prev_r = rows[i - 1] if i > 0 else None
-            next_r = rows[i + 1] if i + 1 < len(rows) else None
-            carry[(key_val, int(r["_window"]))] = {
-                "prev": None
-                if prev_r is None
-                else (int(prev_r["last_bucket"]), {v: prev_r[f"last_{v}"] for v in cfg.values}),
-                "next": None
-                if next_r is None
-                else (int(next_r["first_bucket"]), {v: next_r[f"first_{v}"] for v in cfg.values}),
-            }
-    carry_ref = ray.put(carry)
+    # ---- pass 1: summaries folded DISTRIBUTED (:mod:`.carry`): each
+    # window's carry = the previous window's (last bucket, last values) and
+    # the next window's (first bucket, first values) — segment shifts over
+    # the salted-key shuffle; attached budget-gated (no driver dict)
+    from .carry import (attach_carry, fold_carry, shift_back_within_segments,
+                        shift_within_segments)
+
+    summary_cols = (["first_bucket", "last_bucket"]
+                    + [f"first_{v}" for v in cfg.values]
+                    + [f"last_{v}" for v in cfg.values])
+
+    def fold(starts, windows, cols):
+        out = {
+            "_prev_b": shift_within_segments(
+                cols["last_bucket"].astype(np.int64), starts, np.int64(-1)),
+            "_next_b": shift_back_within_segments(
+                cols["first_bucket"].astype(np.int64), starts, np.int64(-1)),
+        }
+        for v in cfg.values:
+            out[f"_prev_{v}"] = shift_within_segments(
+                cols[f"last_{v}"].astype(np.float64), starts, np.nan)
+            out[f"_next_{v}"] = shift_back_within_segments(
+                cols[f"first_{v}"].astype(np.float64), starts, np.nan)
+        return out
+
+    carry_ds = fold_carry(_summaries(dsw, cfg), cfg.key, "_window",
+                          summary_cols, fold)
+    dsw = attach_carry(dsw, carry_ds, cfg.key, "_window")
+    carry_cols = (["_prev_b", "_next_b"]
+                  + [f"_prev_{v}" for v in cfg.values]
+                  + [f"_next_{v}" for v in cfg.values])
 
     schema_names = ds.schema().names
 
     def fill(g: pa.Table) -> pa.Table:
-        cmap = ray.get(carry_ref)
         key_val = g[cfg.key][0].as_py()
         window = int(g["_window"][0].as_py())
-        info = cmap.get((key_val, window), {"prev": None, "next": None})
-        g = g.drop_columns(["_window"])
+        prev_b = int(g["_prev_b"][0].as_py())
+        next_b = int(g["_next_b"][0].as_py())
+        info = {
+            "prev": None if prev_b < 0 else
+            (prev_b, {v: float(g[f"_prev_{v}"][0].as_py())
+                      for v in cfg.values}),
+            "next": None if next_b < 0 else
+            (next_b, {v: float(g[f"_next_{v}"][0].as_py())
+                      for v in cfg.values}),
+        }
+        g = g.drop_columns(["_window", *carry_cols])
 
         b = g["bucket"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
         order = np.argsort(b, kind="stable")

@@ -47,10 +47,11 @@ def partitioned_lag(ds, key: str, ts_col: str, value_col: str,
     """LAG(value, 1) over (key ORDER BY ts, id), exact across any window
     layout.  Phase 1: one (key, window) shuffle computes in-window lags and
     marks each window's first row.  Phase 2: the tiny per-(key, window)
-    last-value table (driver-side, bounded by keys × windows) yields each
-    window's carry = last value of the nearest earlier non-empty window,
-    broadcast for a final map fill."""
-    import ray
+    last-value summary folds DISTRIBUTED (:mod:`.carry` — salted key
+    shuffle, vectorized shift-per-segment, budget-gated attach): each
+    window's carry = last value of the nearest earlier non-empty window.
+    No driver-side per-key state at any key cardinality."""
+    from .carry import shift_within_segments, window_carry
 
     win_us = window_s * US
 
@@ -82,43 +83,25 @@ def partitioned_lag(ds, key: str, ts_col: str, value_col: str,
         [key, "_window"]
     ).map_groups(per_window, batch_format="pyarrow").materialize()
 
-    # tiny (key, window) → window-last value; carry = previous non-empty
-    # window's last
-    lasts: dict = {}
-    for b in part.select_columns([key, "_window", "_last_val"]).iter_batches(
-        batch_format="pyarrow", batch_size=None
-    ):
-        k = b[key].to_numpy(zero_copy_only=False)
-        w = b["_window"].combine_chunks().to_numpy(zero_copy_only=False)
-        lv = b["_last_val"].combine_chunks().to_numpy(zero_copy_only=False)
-        order = np.lexsort((w, k))
-        ks, ws, lvs = k[order], w[order], lv[order]
-        chg = np.r_[True, (ks[1:] != ks[:-1]) | (ws[1:] != ws[:-1])] if len(ks) else np.zeros(0, bool)
-        for i in np.flatnonzero(chg):
-            lasts[(ks[i], int(ws[i]))] = lvs[i]
-    carry: dict = {}
-    prev_key, prev_val = None, np.nan
-    for (kk, ww) in sorted(lasts, key=lambda t: (str(t[0]), t[1])):
-        if kk != prev_key:
-            prev_key, prev_val = kk, np.nan
-        carry[(kk, ww)] = prev_val
-        prev_val = lasts[(kk, ww)]
-    cref = ray.put(carry)
+    # distributed carry: previous non-empty window's last value per segment
+    def fold(starts, windows, cols):
+        return {"_carry": shift_within_segments(cols["_last_val"], starts,
+                                                np.nan)}
+
+    withc = window_carry(part, key, "_window", ["_last_val"], fold)
 
     def fill(b: pa.Table) -> pa.Table:
-        cm = ray.get(cref)
         first = b["_first"].combine_chunks().to_numpy(zero_copy_only=False)
-        k = b[key].to_numpy(zero_copy_only=False)
-        w = b["_window"].combine_chunks().to_numpy(zero_copy_only=False)
+        cv = b["_carry"].combine_chunks().to_numpy(zero_copy_only=False)
         lag = b[f"{value_col}_lag"].combine_chunks().to_numpy(zero_copy_only=False).copy()
-        idx = np.flatnonzero(first)
-        for i in idx:
-            lag[i] = cm.get((k[i], int(w[i])), np.nan)
-        out = {c: b[c] for c in b.column_names if c not in ("_window", "_first", "_last_val", f"{value_col}_lag")}
+        lag[first] = cv[first]
+        out = {c: b[c] for c in b.column_names
+               if c not in ("_window", "_first", "_last_val", "_carry",
+                            f"{value_col}_lag")}
         out[f"{value_col}_lag"] = pa.array(lag)
         return pa.table(out)
 
-    return part.map_batches(fill, batch_format="pyarrow")
+    return withc.map_batches(fill, batch_format="pyarrow")
 
 
 def partitioned_cumsum(ds, key: str, ts_col: str, value_col: str,
@@ -127,12 +110,13 @@ def partitioned_cumsum(ds, key: str, ts_col: str, value_col: str,
     """Running SUM over (key ORDER BY ts, id) — distributed prefix sum.
 
     Phase 1 (one shuffle): per (key, window) sort + local prefix sums,
-    materialized.  Phase 2 (driver, tiny): per-key window totals →
-    exclusive prefix offsets, broadcast.  Phase 3 (map): add offsets.
+    materialized.  Phase 2 (distributed, :mod:`.carry`): per-key window
+    totals → exclusive prefix offsets via a salted-key shuffle + vectorized
+    segment scan, attached budget-gated.  Phase 3 (map): add offsets.
     Total order of additions == global (ts, id) order, so with
     ``value_scale`` (exact int accumulation) the result is bit-equal to
     the sequential scan."""
-    import ray
+    from .carry import exclusive_prefix_within_segments, window_carry
 
     win_us = window_s * US
 
@@ -165,51 +149,36 @@ def partitioned_cumsum(ds, key: str, ts_col: str, value_col: str,
         [key, "_window"]
     ).map_groups(local_scan, batch_format="pyarrow").materialize()
 
-    # tiny per-(key, window) totals → exclusive prefix offsets (each row
-    # carries its window's total, so ANY row of a group yields it — no
-    # assumption about block boundaries)
-    totals: dict = {}
-    for b in part.select_columns([key, "_window", "_wtotal"]).iter_batches(
-        batch_format="pyarrow", batch_size=None
-    ):
-        k = b[key].to_numpy(zero_copy_only=False)
-        w = b["_window"].combine_chunks().to_numpy(zero_copy_only=False)
-        wt = b["_wtotal"].combine_chunks().to_numpy(zero_copy_only=False)
-        order = np.lexsort((w, k))
-        ks, ws, wts = k[order], w[order], wt[order]
-        first = np.r_[True, (ks[1:] != ks[:-1]) | (ws[1:] != ws[:-1])] if len(ks) else np.zeros(0, bool)
-        for kk, ww, tot in zip(ks[first], ws[first], wts[first]):
-            totals[(kk, int(ww))] = tot
-    offsets: dict = {}
-    by_key: dict = {}
-    for (kk, ww), tot in sorted(totals.items(), key=lambda it: (str(it[0][0]), it[0][1])):
-        offsets[(kk, ww)] = by_key.get(kk, 0)
-        by_key[kk] = by_key.get(kk, 0) + tot
-    off_ref = ray.put(offsets)
+    # distributed carry: exclusive prefix sum of window totals per key
+    # segment — window-order accumulation, so floats fold identically to
+    # the sequential scan and ints stay exact
+    def fold(starts, windows, cols):
+        return {"_off": exclusive_prefix_within_segments(cols["_wtotal"],
+                                                         starts)}
+
+    withc = window_carry(part, key, "_window", ["_wtotal"], fold)
 
     def add_offset(b: pa.Table) -> pa.Table:
-        offs = ray.get(off_ref)
-        k = b[key].to_numpy(zero_copy_only=False)
-        w = b["_window"].combine_chunks().to_numpy(zero_copy_only=False)
         cs = b["_lcs"].combine_chunks().to_numpy(zero_copy_only=False)
-        off = np.array([offs.get((kk, int(ww)), 0) for kk, ww in zip(k, w)])
+        off = b["_off"].combine_chunks().to_numpy(zero_copy_only=False)
         total = cs + off
         if value_scale:
             total = total / float(value_scale)
-        out = {c: b[c] for c in b.column_names if c not in ("_window", "_lcs", "_wtotal")}
+        out = {c: b[c] for c in b.column_names
+               if c not in ("_window", "_lcs", "_wtotal", "_off")}
         out[f"{value_col}_cumsum"] = pa.array(total.astype(np.float64))
         return pa.table(out)
 
-    return part.map_batches(add_offset, batch_format="pyarrow")
+    return withc.map_batches(add_offset, batch_format="pyarrow")
 
 
 def partitioned_lead(ds, key: str, ts_col: str, value_col: str,
                      id_col: str | None = None, window_s: int = 6 * 3600):
     """LEAD(value, 1) over (key ORDER BY ts, id) — the mirror of
-    :func:`partitioned_lag`: in-window leads from one (key, window) shuffle,
-    then each window's FIRST value (tiny table) gives the carry for the
-    nearest earlier window's last row, walking windows newest→oldest."""
-    import ray
+    :func:`partitioned_lag`: in-window leads from one (key, window) shuffle;
+    the carry for each window's last row = the NEXT non-empty window's first
+    value, folded distributed (:mod:`.carry`, reverse segment shift)."""
+    from .carry import shift_back_within_segments, window_carry
 
     win_us = window_s * US
 
@@ -241,46 +210,32 @@ def partitioned_lead(ds, key: str, ts_col: str, value_col: str,
         [key, "_window"]
     ).map_groups(per_window, batch_format="pyarrow").materialize()
 
-    firsts: dict = {}
-    for b in part.select_columns([key, "_window", "_first_val"]).iter_batches(
-        batch_format="pyarrow", batch_size=None
-    ):
-        k = b[key].to_numpy(zero_copy_only=False)
-        w = b["_window"].combine_chunks().to_numpy(zero_copy_only=False)
-        fv = b["_first_val"].combine_chunks().to_numpy(zero_copy_only=False)
-        order = np.lexsort((w, k))
-        ks, ws, fvs = k[order], w[order], fv[order]
-        chg = np.r_[True, (ks[1:] != ks[:-1]) | (ws[1:] != ws[:-1])] if len(ks) else np.zeros(0, bool)
-        for i in np.flatnonzero(chg):
-            firsts[(ks[i], int(ws[i]))] = fvs[i]
-    carry: dict = {}
-    prev_key, prev_val = None, np.nan
-    for (kk, ww) in sorted(firsts, key=lambda t: (str(t[0]), -t[1])):
-        if kk != prev_key:
-            prev_key, prev_val = kk, np.nan
-        carry[(kk, ww)] = prev_val
-        prev_val = firsts[(kk, ww)]
-    cref = ray.put(carry)
+    # distributed carry: next non-empty window's first value per segment
+    def fold(starts, windows, cols):
+        return {"_carry": shift_back_within_segments(cols["_first_val"],
+                                                     starts, np.nan)}
+
+    withc = window_carry(part, key, "_window", ["_first_val"], fold)
 
     def fill(b: pa.Table) -> pa.Table:
-        cm = ray.get(cref)
         last = b["_last"].combine_chunks().to_numpy(zero_copy_only=False)
-        k = b[key].to_numpy(zero_copy_only=False)
-        w = b["_window"].combine_chunks().to_numpy(zero_copy_only=False)
+        cv = b["_carry"].combine_chunks().to_numpy(zero_copy_only=False)
         lead = b[f"{value_col}_lead"].combine_chunks().to_numpy(zero_copy_only=False).copy()
-        for i in np.flatnonzero(last):
-            lead[i] = cm.get((k[i], int(w[i])), np.nan)
+        lead[last] = cv[last]
         out = {c: b[c] for c in b.column_names
-               if c not in ("_window", "_last", "_first_val", f"{value_col}_lead")}
+               if c not in ("_window", "_last", "_first_val", "_carry",
+                            f"{value_col}_lead")}
         out[f"{value_col}_lead"] = pa.array(lead)
         return pa.table(out)
 
-    return part.map_batches(fill, batch_format="pyarrow")
+    return withc.map_batches(fill, batch_format="pyarrow")
 
 
-def _key_counts(ds, key: str) -> dict:
-    """Per-key row counts: per-block bincount partials folded driver-side
-    (tiny — bounded by distinct keys)."""
+def _key_counts_ds(ds, key: str, salt_mod: int = 64):
+    """Per-key row counts as a DISTRIBUTED Dataset (key, _n): per-block
+    bincount partials, salted-key shuffle, vectorized segment sums — never
+    folded on the driver (bounded by distinct keys per task, not total)."""
+    import pandas as pd
 
     def local_counts(b: pa.Table) -> pa.Table:
         d = b[key].combine_chunks().dictionary_encode()
@@ -288,13 +243,28 @@ def _key_counts(ds, key: str) -> dict:
                         minlength=len(d.dictionary))
         return pa.table({key: d.dictionary, "_n": pa.array(c.astype(np.int64))})
 
-    counts: dict = {}
-    for b in ds.select_columns([key]).map_batches(
-            local_counts, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow", batch_size=None):
-        for kk, nn in zip(b[key].to_pylist(), b["_n"].to_pylist()):
-            counts[kk] = counts.get(kk, 0) + nn
-    return counts
+    def add_salt(b: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(np.asarray(b[key].to_numpy(zero_copy_only=False)))
+        return b.append_column("_ksalt", pa.array((h % np.uint64(salt_mod))
+                                                  .astype(np.int64)))
+
+    def fold_part(g: pa.Table) -> pa.Table:
+        k = g[key].to_numpy(zero_copy_only=False)
+        n = g["_n"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        ks, ns = k[order], n[order]
+        st = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]]) \
+            if len(ks) else np.zeros(0, np.int64)
+        return pa.table({key: pa.array(ks[st] if len(st) else ks[:0]),
+                         "_n": pa.array(np.add.reduceat(ns, st) if len(st)
+                                        else ns[:0])})
+
+    return (ds.select_columns([key])
+            .map_batches(local_counts, batch_format="pyarrow")
+            .map_batches(add_salt, batch_format="pyarrow")
+            .groupby("_ksalt").map_groups(
+                lambda g: fold_part(g.drop_columns(["_ksalt"])),
+                batch_format="pyarrow"))
 
 
 def grouped_ntile(ds, key: str, value_col: str, id_col: str, n_tiles: int,
@@ -302,51 +272,52 @@ def grouped_ntile(ds, key: str, value_col: str, id_col: str, n_tiles: int,
     """NTILE(n_tiles) OVER (PARTITION BY key ORDER BY value [DESC], id) —
     SQL semantics: the first ``n mod t`` tiles get ``n // t + 1`` rows, the
     rest ``n // t``.  Pure integer arithmetic on the skew-safe rank plus the
-    broadcast per-key counts — bit-deterministic."""
-    import ray
+    distributed per-key counts (:func:`_key_counts_ds`, attached
+    budget-gated) — bit-deterministic."""
+    from .carry import attach_carry
 
     t = int(n_tiles)
-    nref = ray.put(_key_counts(ds, key))
     ranked = grouped_rank(ds, key=key, value_col=value_col, id_col=id_col,
                           descending=descending, n_buckets=n_buckets)
+    withn = attach_carry(ranked, _key_counts_ds(ds, key), key, None)
 
     def tile(b: pa.Table) -> pa.Table:
-        nm = ray.get(nref)
-        k = b[key].to_numpy(zero_copy_only=False)
         r = b["rnk"].combine_chunks().to_numpy(zero_copy_only=False) - 1
-        n = np.array([nm.get(kk, 1) for kk in k], dtype=np.int64)
+        n = b["_n"].combine_chunks().to_numpy(zero_copy_only=False)
         q, rem = n // t, n % t
         big = (q + 1) * rem  # rows covered by the larger tiles
         nt = np.where(r < big, r // np.maximum(q + 1, 1) + 1,
                       rem + (r - big) // np.maximum(q, 1) + 1)
-        return b.append_column("ntile", pa.array(nt.astype(np.int64)))
+        out = {c: b[c] for c in b.column_names if c != "_n"}
+        out["ntile"] = pa.array(nt.astype(np.int64))
+        return pa.table(out)
 
-    return ranked.map_batches(tile, batch_format="pyarrow")
+    return withn.map_batches(tile, batch_format="pyarrow")
 
 
 def grouped_percent_rank(ds, key: str, value_col: str, id_col: str,
                          descending: bool = True, n_buckets: int = 64):
     """PERCENT_RANK() OVER (PARTITION BY key ORDER BY value [DESC], id) =
     (rank - 1) / (n_key - 1): ranks from the skew-safe :func:`grouped_rank`,
-    per-key counts from per-block partials folded driver-side (tiny) and
-    broadcast.  With a unique id tiebreak the ORDER BY is total, so
+    per-key counts from the distributed :func:`_key_counts_ds` (attached
+    budget-gated).  With a unique id tiebreak the ORDER BY is total, so
     rank == row_number and the division is the identical IEEE op on both
     engine and SQL sides."""
-    import ray
+    from .carry import attach_carry
 
-    nref = ray.put(_key_counts(ds, key))
     ranked = grouped_rank(ds, key=key, value_col=value_col, id_col=id_col,
                           descending=descending, n_buckets=n_buckets)
+    withn = attach_carry(ranked, _key_counts_ds(ds, key), key, None)
 
     def pct(b: pa.Table) -> pa.Table:
-        nm = ray.get(nref)
-        k = b[key].to_numpy(zero_copy_only=False)
         r = b["rnk"].combine_chunks().to_numpy(zero_copy_only=False)
-        n = np.array([nm.get(kk, 1) for kk in k], dtype=np.float64)
+        n = b["_n"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
         p = np.where(n > 1, (r - 1) / (n - 1), 0.0)
-        return b.append_column("pct_rank", pa.array(p))
+        out = {c: b[c] for c in b.column_names if c != "_n"}
+        out["pct_rank"] = pa.array(p)
+        return pa.table(out)
 
-    return ranked.map_batches(pct, batch_format="pyarrow")
+    return withn.map_batches(pct, batch_format="pyarrow")
 
 
 def time_range_rolling_sum(ds, key: str, ts_col: str, value_col: str,
@@ -526,10 +497,11 @@ def grouped_cume_dist(ds, key: str, value_col: str, n_buckets: int = 64):
     CDF with SQL peer semantics: rows tied on ``value`` share the count of
     the LAST peer.  Skew-safe like :func:`grouped_rank`: rows shuffle by
     (key, value-quantile bucket) so ties always co-locate; the global
-    position of a row = rows in strictly lower buckets (tiny broadcast
-    table) + last-peer position within its bucket; cume_dist = position / n
-    — one int division per row, the identical IEEE op SQL performs."""
-    import ray
+    position of a row = rows in strictly lower buckets (distributed segment
+    fold, :mod:`.carry`) + last-peer position within its bucket; cume_dist =
+    position / n — one int division per row, the identical IEEE op SQL
+    performs."""
+    from .carry import attach_carry, fold_carry
 
     sample = ds.limit(100_000).select_columns([value_col]).take_all()
     vs = np.array([r[value_col] for r in sample], dtype=np.float64)
@@ -542,31 +514,26 @@ def grouped_cume_dist(ds, key: str, value_col: str, n_buckets: int = 64):
         return b.append_column("_vb", pa.array(bkt))
 
     withb = ds.map_batches(add_bucket, batch_format="pyarrow").materialize()
-    counts = _tiny_bucket_counts(withb, key)
-    offsets: dict = {}   # rows in strictly LOWER buckets
-    totals: dict = {}    # n per key
-    for kk in sorted({k2 for k2, _ in counts}, key=str):
-        run = 0
-        for bb in sorted(bb for k2, bb in counts if k2 == kk):
-            offsets[(kk, bb)] = run
-            run += counts[(kk, bb)]
-        totals[kk] = run
-    oref = ray.put((offsets, totals))
+    cnt_ds = _bucket_counts_ds(withb, key)
+    offs_ds = fold_carry(cnt_ds, key, "_vb", ["_c"],
+                         _bucket_offsets_fold(descending=False,
+                                              with_totals=True))
+    witho = attach_carry(withb, offs_ds, key, "_vb")
 
     def cd_group(g: pa.Table) -> pa.Table:
-        offs, tot = ray.get(oref)
         v = g[value_col].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
-        k0 = g[key][0].as_py()
-        vb0 = int(g["_vb"][0].as_py())
+        base = int(g["_boff"][0].as_py())   # rows in strictly LOWER buckets
+        tot = int(g["_btot"][0].as_py())    # n per key
         vs_sorted = np.sort(v)
         lastpeer = np.searchsorted(vs_sorted, v, side="right")
-        pos = offs.get((k0, vb0), 0) + lastpeer
-        cd = pos / np.float64(tot.get(k0, 1))
-        out = {c: g[c] for c in g.column_names if c != "_vb"}
+        pos = base + lastpeer
+        cd = pos / np.float64(max(tot, 1))
+        out = {c: g[c] for c in g.column_names
+               if c not in ("_vb", "_boff", "_btot")}
         out["cume_dist"] = pa.array(cd)
         return pa.table(out)
 
-    return withb.groupby([key, "_vb"]).map_groups(cd_group, batch_format="pyarrow")
+    return witho.groupby([key, "_vb"]).map_groups(cd_group, batch_format="pyarrow")
 
 
 def partitioned_rolling_sum(ds, key: str, ts_col: str, value_col: str,
@@ -582,16 +549,16 @@ def partitioned_rolling_sum(ds, key: str, ts_col: str, value_col: str,
     window repeats the window's TAIL (its last ≤ frame_n-1 values, in order)
     as a small list column — per-group constants go on EVERY row so Ray block
     splitting cannot lose them.
-    Phase 2 (driver, tiny — keys × windows × frame_n values): walk each key's
-    windows in time order keeping a deque of the last frame_n-1 values; its
-    snapshot before each window is that window's cross-window carry.
+    Phase 2 (distributed, :mod:`.carry`): each key segment's windows fold in
+    time order keeping the last frame_n-1 values; the snapshot before each
+    window is that window's cross-window carry (a list column).
     Phase 3 (map): rows whose position < frame_n-1 add the missing head of
-    their frame from the broadcast carry.
+    their frame from the attached carry.
 
     With ``value_scale`` the accumulation is int64 (associative), so results
     are bit-deterministic and, for 1/scale-quantized inputs, exactly the
     decimal the SQL window frame sums to."""
-    import ray
+    from .carry import tail_buffer_within_segments, window_carry
 
     win_us = window_s * US
     n = int(frame_n)
@@ -626,53 +593,40 @@ def partitioned_rolling_sum(ds, key: str, ts_col: str, value_col: str,
         [key, "_window"]
     ).map_groups(local_frame, batch_format="pyarrow").materialize()
 
-    # tiny (key, window) → tail; carry = last n-1 values BEFORE the window
-    tails: dict = {}
-    for b in part.select_columns([key, "_window", "_tail"]).iter_batches(
-        batch_format="pyarrow", batch_size=None
-    ):
-        k = b[key].to_numpy(zero_copy_only=False)
-        w = b["_window"].combine_chunks().to_numpy(zero_copy_only=False)
-        tl = b["_tail"].combine_chunks()
-        order = np.lexsort((w, k))
-        ks, ws = k[order], w[order]
-        chg = np.r_[True, (ks[1:] != ks[:-1]) | (ws[1:] != ws[:-1])] if len(ks) else np.zeros(0, bool)
-        for i in np.flatnonzero(chg):
-            j = int(order[i])
-            tails[(ks[i], int(ws[i]))] = np.asarray(tl[j].as_py(), dtype=np.int64 if value_scale else np.float64)
-    carry: dict = {}
-    prev_key, buf = None, None
-    for (kk, ww) in sorted(tails, key=lambda t: (str(t[0]), t[1])):
-        if kk != prev_key:
-            prev_key = kk
-            buf = np.zeros(0, dtype=np.int64 if value_scale else np.float64)
-        carry[(kk, ww)] = buf
-        buf = np.r_[buf, tails[(kk, ww)]][-(n - 1):] if n > 1 else buf[:0]
-    cref = ray.put(carry)
+    # distributed carry: last n-1 values BEFORE each window, per key segment
+    np_dtype = np.int64 if value_scale else np.float64
+
+    def fold(starts, windows, cols):
+        return {"_carry": tail_buffer_within_segments(
+            cols["_tail"], starts, n - 1, np_dtype)}
+
+    withc = window_carry(part, key, "_window", ["_tail"], fold)
 
     def fill(b: pa.Table) -> pa.Table:
-        cm = ray.get(cref)
         pos = b["_pos"].combine_chunks().to_numpy(zero_copy_only=False)
-        k = b[key].to_numpy(zero_copy_only=False)
-        w = b["_window"].combine_chunks().to_numpy(zero_copy_only=False)
         rs = b["_rs"].combine_chunks().to_numpy(zero_copy_only=False).copy()
         cnt = np.minimum(pos + 1, n)
+        ca = b["_carry"].combine_chunks()
+        cvals = np.asarray(ca.values.to_numpy(zero_copy_only=False),
+                           dtype=np_dtype)
+        coffs = ca.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        # vectorized suffix sums of each row's carry: take = carry[-missing:]
         for i in np.flatnonzero(pos < n - 1):
-            c = cm.get((k[i], int(w[i])))
-            if c is None or not len(c):
+            s, e = coffs[i], coffs[i + 1]
+            if e == s:
                 continue
             missing = int(n - 1 - pos[i])
-            take = c[-missing:]
+            take = cvals[max(s, e - missing):e]
             rs[i] = rs[i] + take.sum()
             cnt[i] += len(take)
         total = rs / float(value_scale) if value_scale else rs.astype(np.float64)
         out = {c: b[c] for c in b.column_names
-               if c not in ("_window", "_rs", "_pos", "_tail")}
+               if c not in ("_window", "_rs", "_pos", "_tail", "_carry")}
         out[f"{value_col}_rsum"] = pa.array(total)
         out[f"{value_col}_rcnt"] = pa.array(cnt.astype(np.int64))
         return pa.table(out)
 
-    return part.map_batches(fill, batch_format="pyarrow")
+    return withc.map_batches(fill, batch_format="pyarrow")
 
 
 def partitioned_rolling_zscore(ds, key: str, ts_col: str, value_col: str,
@@ -693,7 +647,7 @@ def partitioned_rolling_zscore(ds, key: str, ts_col: str, value_col: str,
     ``(vq - s1/m) / sqrt((s2 - s1*s1/m) / (m-1))`` — so results are
     bit-deterministic and hash-equal to the oracle (the quantization scale
     cancels out of z)."""
-    import ray
+    from .carry import tail_buffer_within_segments, window_carry
 
     win_us = window_s * US
     n = int(frame_n)
@@ -734,44 +688,28 @@ def partitioned_rolling_zscore(ds, key: str, ts_col: str, value_col: str,
         [key, "_window"]
     ).map_groups(local_frame, batch_format="pyarrow").materialize()
 
-    tails: dict = {}
-    for b in part.select_columns([key, "_window", "_tail"]).iter_batches(
-        batch_format="pyarrow", batch_size=None
-    ):
-        k = b[key].to_numpy(zero_copy_only=False)
-        w = b["_window"].combine_chunks().to_numpy(zero_copy_only=False)
-        tl = b["_tail"].combine_chunks()
-        order = np.lexsort((w, k))
-        ks, ws = k[order], w[order]
-        chg = np.r_[True, (ks[1:] != ks[:-1]) | (ws[1:] != ws[:-1])] if len(ks) else np.zeros(0, bool)
-        for i in np.flatnonzero(chg):
-            j = int(order[i])
-            tails[(ks[i], int(ws[i]))] = np.asarray(tl[j].as_py(), dtype=np.int64)
-    carry: dict = {}
-    prev_key, buf = None, None
-    for (kk, ww) in sorted(tails, key=lambda t: (str(t[0]), t[1])):
-        if kk != prev_key:
-            prev_key = kk
-            buf = np.zeros(0, dtype=np.int64)
-        carry[(kk, ww)] = buf
-        buf = np.r_[buf, tails[(kk, ww)]][-n:]
-    cref = ray.put(carry)
+    # distributed carry: last n values BEFORE each window, per key segment
+    def fold(starts, windows, cols):
+        return {"_carry": tail_buffer_within_segments(
+            cols["_tail"], starts, n, np.int64)}
+
+    withc = window_carry(part, key, "_window", ["_tail"], fold)
 
     def fill(b: pa.Table) -> pa.Table:
-        cm = ray.get(cref)
         pos = b["_pos"].combine_chunks().to_numpy(zero_copy_only=False)
-        k = b[key].to_numpy(zero_copy_only=False)
-        w = b["_window"].combine_chunks().to_numpy(zero_copy_only=False)
         vq = b["_vq"].combine_chunks().to_numpy(zero_copy_only=False)
         s1 = b["_s1"].combine_chunks().to_numpy(zero_copy_only=False).copy()
         s2 = b["_s2"].combine_chunks().to_numpy(zero_copy_only=False).copy()
+        ca = b["_carry"].combine_chunks()
+        cvals = ca.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        coffs = ca.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         m = np.minimum(pos, n).astype(np.int64)
         for i in np.flatnonzero(pos < n):
-            c = cm.get((k[i], int(w[i])))
-            if c is None or not len(c):
+            s, e = coffs[i], coffs[i + 1]
+            if e == s:
                 continue
             missing = int(n - pos[i])
-            take = c[-missing:]
+            take = cvals[max(s, e - missing):e]
             s1[i] += take.sum()
             s2[i] += (take * take).sum()
             m[i] += len(take)
@@ -781,25 +719,25 @@ def partitioned_rolling_zscore(ds, key: str, ts_col: str, value_col: str,
             z = (vq - s1 / m) / np.sqrt(var)
         z = np.where((m >= 2) & (var > 0), z, np.nan)
         out = {c: b[c] for c in b.column_names
-               if c not in ("_window", "_vq", "_s1", "_s2", "_pos", "_tail")}
+               if c not in ("_window", "_vq", "_s1", "_s2", "_pos", "_tail",
+                            "_carry")}
         out[f"{value_col}_zscore"] = pa.array(z)
         return pa.table(out)
 
-    return part.map_batches(fill, batch_format="pyarrow")
+    return withc.map_batches(fill, batch_format="pyarrow")
 
 
 def partitioned_first_value(ds, key: str, ts_col: str, value_col: str,
                             id_col: str, last: bool = False):
     """FIRST_VALUE(value) OVER (PARTITION BY key ORDER BY ts, id) — the
     per-key global first value, repeated on every row (``last=True`` gives
-    LAST_VALUE over the full-partition frame: the max-(ts, id) row).  A tree
-    reduction keeps only each block's extreme row per key (bounded by
-    distinct keys), so the broadcast table is tiny regardless of corpus
-    size; the per-batch attach is a dictionary-encode + array gather (no
-    per-row Python)."""
-    import ray
+    LAST_VALUE over the full-partition frame: the max-(ts, id) row).
+    Per-batch combiners keep each block's extreme row per key; a salted-key
+    shuffle folds them to one row per key DISTRIBUTED (no driver map, no
+    single-task reduce), and the attach is budget-gated (:mod:`.carry`)."""
+    from .carry import attach_carry
 
-    from .reduce import tree_reduce
+    import pandas as pd
 
     def local_first(b: pa.Table) -> pa.Table:
         k = b[key].to_numpy(zero_copy_only=False)
@@ -813,34 +751,33 @@ def partitioned_first_value(ds, key: str, ts_col: str, value_col: str,
         take = pa.array(order[st] if len(st) else [], type=pa.int64())
         return b.select([key, ts_col, id_col, value_col]).take(take)
 
-    firsts_ds = tree_reduce(ds.select_columns([key, ts_col, id_col, value_col]),
-                            local_first)
-    fmap: dict = {}
-    for b in firsts_ds.iter_batches(batch_format="pyarrow", batch_size=None):
-        for kk, vv in zip(b[key].to_numpy(zero_copy_only=False),
-                          b[value_col].to_numpy(zero_copy_only=False)):
-            fmap[kk] = vv
-    fref = ray.put(fmap)
+    def add_salt(b: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(np.asarray(b[key].to_numpy(zero_copy_only=False)))
+        return b.append_column("_ksalt", pa.array((h % np.uint64(64))
+                                                  .astype(np.int64)))
+
     out_col = f"{value_col}_last" if last else f"{value_col}_first"
 
-    def attach(b: pa.Table) -> pa.Table:
-        fm = ray.get(fref)
-        enc = b[key].combine_chunks().dictionary_encode()
-        dvals = enc.dictionary.to_pylist()
-        lut = np.array([fm.get(kk, np.nan) for kk in dvals], dtype=np.float64)
-        fv = lut[enc.indices.to_numpy(zero_copy_only=False)] if len(dvals) \
-            else np.zeros(0, np.float64)
-        return b.append_column(out_col, pa.array(fv))
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({key: b[key],
+                         out_col: b[value_col].combine_chunks().cast(pa.float64())})
 
-    return ds.map_batches(attach, batch_format="pyarrow")
+    firsts = (ds.select_columns([key, ts_col, id_col, value_col])
+              .map_batches(local_first, batch_format="pyarrow")
+              .map_batches(add_salt, batch_format="pyarrow")
+              .groupby("_ksalt").map_groups(
+                  lambda g: local_first(g.drop_columns(["_ksalt"])),
+                  batch_format="pyarrow")
+              .map_batches(finish, batch_format="pyarrow"))
+
+    return attach_carry(ds, firsts, key, None)
 
 
-def _tiny_bucket_counts(withb, key: str) -> dict:
-    """(key, value-bucket) → row count for the bucket-salted rank family.
-    Counts are PRE-AGGREGATED per batch and folded through one tiny groupby,
-    so the driver collects ≤ |keys|·|buckets| rows — never a per-row column
-    drain (the round-1 version streamed the full (key, bucket) columns
-    through the driver)."""
+def _bucket_counts_ds(withb, key: str, count_col: str = "_c"):
+    """(key, value-bucket) → row count Dataset for the bucket-salted rank
+    family.  Counts are PRE-AGGREGATED per batch and folded through one
+    tiny groupby — the result never lands on the driver (round 3: the
+    offset fold is distributed too, see :mod:`.carry`)."""
 
     def local_counts(b: pa.Table) -> pa.Table:
         k = b[key].to_numpy(zero_copy_only=False)
@@ -851,31 +788,47 @@ def _tiny_bucket_counts(withb, key: str) -> dict:
             if len(ks) else np.zeros(0, np.int64)
         return pa.table({key: pa.array(ks[st] if len(st) else ks[:0]),
                          "_vb": pa.array(vbs[st] if len(st) else vbs[:0]),
-                         "_c": pa.array(np.diff(np.r_[st, len(ks)]).astype(np.int64))})
+                         count_col: pa.array(np.diff(np.r_[st, len(ks)]).astype(np.int64))})
 
     def fold_counts(g: pa.Table) -> pa.Table:
         return pa.table({key: g[key].slice(0, 1), "_vb": g["_vb"].slice(0, 1),
-                         "_c": pa.array([int(np.sum(g["_c"].combine_chunks()
-                                                    .to_numpy(zero_copy_only=False)))],
-                                        pa.int64())})
+                         count_col: pa.array([int(np.sum(g[count_col].combine_chunks()
+                                                         .to_numpy(zero_copy_only=False)))],
+                                             pa.int64())})
 
-    counts: dict = {}
-    cnt_tab = (withb.select_columns([key, "_vb"])
-               .map_batches(local_counts, batch_format="pyarrow")
-               .groupby([key, "_vb"]).map_groups(fold_counts, batch_format="pyarrow"))
-    for b in cnt_tab.iter_batches(batch_format="pyarrow", batch_size=None):
-        for kk, bb, cc in zip(b[key].to_pylist(), b["_vb"].to_pylist(),
-                              b["_c"].to_pylist()):
-            counts[(kk, int(bb))] = cc
-    return counts
+    return (withb.select_columns([key, "_vb"])
+            .map_batches(local_counts, batch_format="pyarrow")
+            .groupby([key, "_vb"]).map_groups(fold_counts, batch_format="pyarrow"))
+
+
+def _bucket_offsets_fold(descending: bool, count_col: str = "_c",
+                         with_totals: bool = False):
+    """Segment fold: rows-in-better-buckets offset per (key, bucket) —
+    exclusive prefix sum over buckets walked best-first (int-exact)."""
+    from .carry import (inclusive_prefix_within_segments, segment_totals)
+
+    def fold(starts, buckets, cols):
+        vals = cols[count_col].astype(np.int64)
+        incl = inclusive_prefix_within_segments(vals, starts)
+        if descending:
+            off = segment_totals(vals, starts) - incl
+        else:
+            off = incl - vals
+        out = {"_boff": off}
+        if with_totals:
+            out["_btot"] = segment_totals(vals, starts)
+        return out
+
+    return fold
 
 
 def grouped_rank(ds, key: str, value_col: str, id_col: str,
                  descending: bool = True, n_buckets: int = 64):
     """ROW_NUMBER() OVER (PARTITION BY key ORDER BY value [DESC], id) —
     skew-safe: rows shuffle by (key, value-quantile bucket); global rank =
-    local rank + count of rows in better buckets (tiny table, broadcast)."""
-    import ray
+    local rank + count of rows in better buckets, folded distributed
+    (:mod:`.carry`) and attached budget-gated."""
+    from .carry import attach_carry, fold_carry
 
     # bucket edges from a sample (any edges are CORRECT, only balance varies)
     sample = ds.limit(100_000).select_columns([value_col]).take_all()
@@ -889,37 +842,23 @@ def grouped_rank(ds, key: str, value_col: str, id_col: str,
         return b.append_column("_vb", pa.array(bkt))
 
     withb = ds.map_batches(add_bucket, batch_format="pyarrow").materialize()
-    counts = _tiny_bucket_counts(withb, key)
-    offsets: dict = {}
-    keys_seen = sorted({kk for kk, _ in counts}, key=str)
-    for kk in keys_seen:
-        buckets = sorted((bb for k2, bb in counts if k2 == kk), reverse=descending)
-        run = 0
-        for bb in buckets:
-            offsets[(kk, bb)] = run
-            run += counts[(kk, bb)]
-    off_ref = ray.put(offsets)
+    cnt_ds = _bucket_counts_ds(withb, key)
+    offs_ds = fold_carry(cnt_ds, key, "_vb", ["_c"],
+                         _bucket_offsets_fold(descending))
+    witho = attach_carry(withb, offs_ds, key, "_vb")
 
     def rank_group(g: pa.Table) -> pa.Table:
-        offs = ray.get(off_ref)
         v = g[value_col].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
         ids = g[id_col].to_numpy(zero_copy_only=False)
-        vb = g["_vb"].combine_chunks().to_numpy(zero_copy_only=False)
-        k0 = g[key][0].as_py()
+        base = int(g["_boff"][0].as_py())  # per-(key, bucket) constant
         order = np.lexsort((ids, -v if descending else v))
         rank = np.empty(len(v), dtype=np.int64)
-        # ranks within each bucket of this group + global bucket offset
-        vbo = vb[order]
-        chg = np.r_[True, vbo[1:] != vbo[:-1]] if len(vbo) else np.zeros(0, bool)
-        st = np.flatnonzero(chg)
-        within = np.arange(len(vbo)) - np.repeat(st, np.diff(np.r_[st, len(vbo)]))
-        base = np.array([offs.get((k0, int(bb)), 0) for bb in vbo])
-        rank[order] = base + within + 1
-        out = {c: g[c] for c in g.column_names if c != "_vb"}
+        rank[order] = base + np.arange(len(v)) + 1
+        out = {c: g[c] for c in g.column_names if c not in ("_vb", "_boff")}
         out["rnk"] = pa.array(rank)
         return pa.table(out)
 
-    return withb.groupby([key, "_vb"]).map_groups(rank_group, batch_format="pyarrow")
+    return witho.groupby([key, "_vb"]).map_groups(rank_group, batch_format="pyarrow")
 
 
 def grouped_topk(ds, key: str, value_col: str, id_col: str, k: int = 3,
@@ -1106,7 +1045,7 @@ def time_weighted_avg(ds, key: str, ts_col: str, value_col: str,
     no next step and contributes nothing (SQL: ``WHERE next_ts IS NOT NULL``).
 
     Returns one row per (key, bucket): (key, bucket_ts, twa, dur_us)."""
-    import ray
+    from .carry import shift_back_within_segments, window_carry
 
     win_us = window_s * US
     day_us = 86400 * US
@@ -1139,39 +1078,22 @@ def time_weighted_avg(ds, key: str, ts_col: str, value_col: str,
         [key, "_window"]
     ).map_groups(per_window, batch_format="pyarrow").materialize()
 
-    # tiny (key, window) → window-first ts; carry (for a window's LAST row)
-    # = first ts of the nearest LATER non-empty window, walked newest→oldest
-    firsts: dict = {}
-    for b in part.select_columns([key, "_window", "_first_ts"]).iter_batches(
-        batch_format="pyarrow", batch_size=None
-    ):
-        k = b[key].to_numpy(zero_copy_only=False)
-        w = b["_window"].combine_chunks().to_numpy(zero_copy_only=False)
-        ft = b["_first_ts"].combine_chunks().to_numpy(zero_copy_only=False)
-        order = np.lexsort((w, k))
-        ks, ws, fts = k[order], w[order], ft[order]
-        chg = np.r_[True, (ks[1:] != ks[:-1]) | (ws[1:] != ws[:-1])] if len(ks) else np.zeros(0, bool)
-        for i in np.flatnonzero(chg):
-            firsts[(ks[i], int(ws[i]))] = int(fts[i])
-    carry: dict = {}
-    prev_key, prev_ts = None, -1
-    for (kk, ww) in sorted(firsts, key=lambda t: (str(t[0]), -t[1])):
-        if kk != prev_key:
-            prev_key, prev_ts = kk, -1
-        carry[(kk, ww)] = prev_ts
-        prev_ts = firsts[(kk, ww)]
-    cref = ray.put(carry)
+    # distributed carry (for a window's LAST row): first ts of the nearest
+    # LATER non-empty window — reverse segment shift
+    def fold(starts, windows, cols):
+        return {"_carry": shift_back_within_segments(
+            cols["_first_ts"].astype(np.int64), starts, np.int64(-1))}
+
+    withc = window_carry(part, key, "_window", ["_first_ts"], fold)
 
     def partial_sums(b: pa.Table) -> pa.Table:
-        cm = ray.get(cref)
         k = b[key].to_numpy(zero_copy_only=False)
         ts = b["_ts"].combine_chunks().to_numpy(zero_copy_only=False)
         vq = b["_vq"].combine_chunks().to_numpy(zero_copy_only=False)
         nxt = b["_nxt"].combine_chunks().to_numpy(zero_copy_only=False).copy()
         last = b["_last"].combine_chunks().to_numpy(zero_copy_only=False)
-        w = b["_window"].combine_chunks().to_numpy(zero_copy_only=False)
-        for i in np.flatnonzero(last):
-            nxt[i] = cm.get((k[i], int(w[i])), -1)
+        cv = b["_carry"].combine_chunks().to_numpy(zero_copy_only=False)
+        nxt[last] = cv[last]
         keep = nxt >= 0
         k, ts, vq, nxt = k[keep], ts[keep], vq[keep], nxt[keep]
         dt = nxt - ts
@@ -1187,7 +1109,7 @@ def time_weighted_avg(ds, key: str, ts_col: str, value_col: str,
             "_sdt": pa.array(np.add.reduceat(dts, st) if len(st) else dts[:0]),
         })
 
-    def fold(g: pa.Table) -> pa.Table:
+    def day_fold(g: pa.Table) -> pa.Table:
         k = g[key].to_numpy(zero_copy_only=False)
         d = g["_day"].combine_chunks().to_numpy(zero_copy_only=False)
         sw = g["_swdt"].combine_chunks().to_numpy(zero_copy_only=False)
@@ -1210,10 +1132,10 @@ def time_weighted_avg(ds, key: str, ts_col: str, value_col: str,
         d = b["_day"].combine_chunks().to_numpy(zero_copy_only=False)
         return b.append_column("_gsalt", pa.array(d % np.int64(64)))
 
-    return (part.map_batches(partial_sums, batch_format="pyarrow")
+    return (withc.map_batches(partial_sums, batch_format="pyarrow")
             .map_batches(add_gsalt, batch_format="pyarrow")
             .groupby("_gsalt").map_groups(
-                lambda g: fold(g.drop_columns(["_gsalt"])),
+                lambda g: day_fold(g.drop_columns(["_gsalt"])),
                 batch_format="pyarrow"))
 
 
@@ -1230,16 +1152,18 @@ def partitioned_ewma(ds, key: str, ts_col: str, value_col: str,
       ``(1-α)^-i`` never overflows), plus tiny per-window summaries
       (row count, window-end local value, window-first value) repeated on
       every row;
-    * phase 2 (driver, tiny): per key, carry(w₁) = first value (which makes
-      e_0 = v_0 exactly), carry(w_{k+1}) = (1-α)^{m_k}·carry(w_k) +
-      local_end(w_k);
+    * phase 2 (distributed, :mod:`.carry`): per key segment,
+      carry(w₁) = first value (which makes e_0 = v_0 exactly),
+      carry(w_{k+1}) = (1-α)^{m_k}·carry(w_k) + local_end(w_k) — the same
+      sequential float order as the round-2 driver fold, now inside salted
+      fold tasks;
     * phase 3 (map): e_j = (1-α)^{j+1}·carry + l_j.
 
     Grouping is fixed by window_s — independent of block layout — so results
     are deterministic; they match the sequential recurrence to float
     round-off (~1e-12 relative), not bit-for-bit (the closed form reassociates
     the products).  No SQL twin: EWMA needs recursion SQL lacks."""
-    import ray
+    from .carry import window_carry
 
     win_us = window_s * US
     a = float(alpha)
@@ -1282,45 +1206,37 @@ def partitioned_ewma(ds, key: str, ts_col: str, value_col: str,
         [key, "_window"]
     ).map_groups(per_window, batch_format="pyarrow").materialize()
 
-    summ: dict = {}
-    for b in part.select_columns([key, "_window", "_m", "_lend", "_vfirst"]).iter_batches(
-        batch_format="pyarrow", batch_size=None
-    ):
-        k = b[key].to_numpy(zero_copy_only=False)
-        w = b["_window"].combine_chunks().to_numpy(zero_copy_only=False)
-        m = b["_m"].combine_chunks().to_numpy(zero_copy_only=False)
-        le = b["_lend"].combine_chunks().to_numpy(zero_copy_only=False)
-        vf = b["_vfirst"].combine_chunks().to_numpy(zero_copy_only=False)
-        order = np.lexsort((w, k))
-        ks, ws = k[order], w[order]
-        chg = np.r_[True, (ks[1:] != ks[:-1]) | (ws[1:] != ws[:-1])] if len(ks) else np.zeros(0, bool)
-        for i in np.flatnonzero(chg):
-            j = int(order[i])
-            summ[(ks[i], int(ws[i]))] = (int(m[j]), float(le[j]), float(vf[j]))
-    carry: dict = {}
-    prev_key, prev_carry = None, None
-    for (kk, ww) in sorted(summ, key=lambda t: (str(t[0]), t[1])):
-        m, lend, vfirst = summ[(kk, ww)]
-        if kk != prev_key:
-            prev_key, prev_carry = kk, vfirst  # makes e_0 = v_0 exactly
-        carry[(kk, ww)] = prev_carry
-        prev_carry = (q ** m) * prev_carry + lend
-    cref = ray.put(carry)
+    # distributed carry: the sequential recurrence per key segment (same
+    # float op order as the round-2 driver fold — results unchanged)
+    def fold(starts, windows, cols):
+        m = cols["_m"].astype(np.int64)
+        lend = cols["_lend"].astype(np.float64)
+        vf = cols["_vfirst"].astype(np.float64)
+        n_rows = len(windows)
+        carry = np.empty(n_rows, dtype=np.float64)
+        ends = np.r_[starts[1:], n_rows]
+        for s, e in zip(starts, ends):
+            prev = vf[s]  # makes e_0 = v_0 exactly
+            for i in range(s, e):
+                carry[i] = prev
+                prev = (q ** int(m[i])) * prev + lend[i]
+        return {"_carry": carry}
+
+    withc = window_carry(part, key, "_window", ["_m", "_lend", "_vfirst"],
+                         fold)
 
     def fill(b: pa.Table) -> pa.Table:
-        cm = ray.get(cref)
-        k = b[key].to_numpy(zero_copy_only=False)
-        w = b["_window"].combine_chunks().to_numpy(zero_copy_only=False)
         pos = b["_pos"].combine_chunks().to_numpy(zero_copy_only=False)
         loc = b["_l"].combine_chunks().to_numpy(zero_copy_only=False)
-        cv = np.array([cm[(kk, int(ww))] for kk, ww in zip(k, w)])
+        cv = b["_carry"].combine_chunks().to_numpy(zero_copy_only=False)
         e = np.power(q, pos + 1.0) * cv + loc
         out = {c: b[c] for c in b.column_names
-               if c not in ("_window", "_l", "_pos", "_m", "_lend", "_vfirst")}
+               if c not in ("_window", "_l", "_pos", "_m", "_lend",
+                            "_vfirst", "_carry")}
         out[f"{value_col}_ewma"] = pa.array(e)
         return pa.table(out)
 
-    return part.map_batches(fill, batch_format="pyarrow")
+    return withc.map_batches(fill, batch_format="pyarrow")
 
 
 def interval_union(ds, key: str, ts_col: str, dur_col: str, id_col: str,
@@ -1336,14 +1252,14 @@ def interval_union(ds, key: str, ts_col: str, dur_col: str, id_col: str,
     is exactly the union measure (order of start-ties is irrelevant to the
     total).  Prefix max is associative, so this distributes with the
     engine's standard two-phase carry: one (key, time-window) shuffle
-    computes each row's IN-WINDOW exclusive prefix max, a tiny per-(key,
-    window) running-max table carries across windows, and increments +
-    per-key sums are all int64 microseconds — bit-deterministic and
-    hash-equal to a SQL ``MAX() OVER (... ROWS BETWEEN UNBOUNDED PRECEDING
-    AND 1 PRECEDING)`` twin.
+    computes each row's IN-WINDOW exclusive prefix max, the per-(key,
+    window) running max folds distributed (:mod:`.carry`, segment prefix
+    max), and increments + per-key sums are all int64 microseconds —
+    bit-deterministic and hash-equal to a SQL ``MAX() OVER (... ROWS
+    BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)`` twin.
 
     Returns one row per key: (key, covered_us)."""
-    import ray
+    from .carry import running_max_before_within_segments, window_carry
 
     win_us = window_s * US
     NOMAX = np.iinfo(np.int64).min
@@ -1375,38 +1291,20 @@ def interval_union(ds, key: str, ts_col: str, dur_col: str, id_col: str,
         [key, "_window"]
     ).map_groups(per_window, batch_format="pyarrow").materialize()
 
-    # tiny (key, window) → max end INSIDE window; carry = running max BEFORE
-    wmax: dict = {}
-    for b in part.select_columns([key, "_window", "_wmax"]).iter_batches(
-        batch_format="pyarrow", batch_size=None
-    ):
-        k = b[key].to_numpy(zero_copy_only=False)
-        w = b["_window"].combine_chunks().to_numpy(zero_copy_only=False)
-        mx = b["_wmax"].combine_chunks().to_numpy(zero_copy_only=False)
-        order = np.lexsort((w, k))
-        ks, ws, ms = k[order], w[order], mx[order]
-        chg = np.r_[True, (ks[1:] != ks[:-1]) | (ws[1:] != ws[:-1])] if len(ks) else np.zeros(0, bool)
-        for i in np.flatnonzero(chg):
-            wmax[(ks[i], int(ws[i]))] = int(ms[i])
-    carry: dict = {}
-    prev_key, run = None, NOMAX
-    for (kk, ww) in sorted(wmax, key=lambda t: (str(t[0]), t[1])):
-        if kk != prev_key:
-            prev_key, run = kk, NOMAX
-        carry[(kk, ww)] = run
-        run = max(run, wmax[(kk, ww)])
-    cref = ray.put(carry)
+    # distributed carry: running max of window maxima BEFORE each window
+    def fold(starts, windows, cols):
+        return {"_carry": running_max_before_within_segments(
+            cols["_wmax"].astype(np.int64), starts, NOMAX)}
+
+    withc = window_carry(part, key, "_window", ["_wmax"], fold)
 
     def partial_sums(b: pa.Table) -> pa.Table:
-        cm = ray.get(cref)
         k = b[key].to_numpy(zero_copy_only=False)
         s = b["_start"].combine_chunks().to_numpy(zero_copy_only=False)
         e = b["_end"].combine_chunks().to_numpy(zero_copy_only=False)
         lp = b["_lprev"].combine_chunks().to_numpy(zero_copy_only=False).copy()
-        w = b["_window"].combine_chunks().to_numpy(zero_copy_only=False)
         if len(k):
-            mc = np.array([cm.get((k[i], int(w[i])), NOMAX)
-                           for i in range(len(k))], dtype=np.int64)
+            mc = b["_carry"].combine_chunks().to_numpy(zero_copy_only=False)
             lp = np.maximum(lp, mc)
         inc = np.maximum(e - np.maximum(s, lp), 0)
         order = np.argsort(k, kind="stable")
@@ -1418,14 +1316,14 @@ def interval_union(ds, key: str, ts_col: str, dur_col: str, id_col: str,
             "_cov": pa.array(np.add.reduceat(incs, st) if len(st) else incs[:0]),
         })
 
-    def fold(g: pa.Table) -> pa.Table:
+    def key_fold(g: pa.Table) -> pa.Table:
         cov = g["_cov"].combine_chunks().to_numpy(zero_copy_only=False)
         return pa.table({key: g[key].slice(0, 1),
                          "covered_us": pa.array([int(cov.sum())],
                                                 type=pa.int64())})
 
-    return (part.map_batches(partial_sums, batch_format="pyarrow")
-            .groupby(key).map_groups(fold, batch_format="pyarrow"))
+    return (withc.map_batches(partial_sums, batch_format="pyarrow")
+            .groupby(key).map_groups(key_fold, batch_format="pyarrow"))
 
 
 def counter_increase(ds, key: str, ts_col: str, value_col: str,
@@ -1439,14 +1337,14 @@ def counter_increase(ds, key: str, ts_col: str, value_col: str,
 
     Scale shape: identical two-phase carry as :func:`partitioned_lag` — one
     (key, time-window) shuffle computes in-window deltas over (ts, id) order,
-    and the tiny per-(key, window) boundary-value table (values kept as int
-    ``round(v·scale)`` — exact) closes each window's first delta.
-    Contributions accumulate as int64 scaled units (associative ⇒
-    bit-deterministic); ``increase = cents / scale`` is the identical nearest
-    double a SQL ``ROUND(SUM(...), 2)`` twin lands on.
+    and the per-(key, window) boundary values (kept as int ``round(v·scale)``
+    — exact) fold distributed (:mod:`.carry`, segment shift) to close each
+    window's first delta.  Contributions accumulate as int64 scaled units
+    (associative ⇒ bit-deterministic); ``increase = cents / scale`` is the
+    identical nearest double a SQL ``ROUND(SUM(...), 2)`` twin lands on.
 
     Returns one row per (key, day): (key, bucket_ts, increase)."""
-    import ray
+    from .carry import shift_within_segments, window_carry
 
     win_us = window_s * US
     day_us = 86400 * US
@@ -1481,37 +1379,22 @@ def counter_increase(ds, key: str, ts_col: str, value_col: str,
     ).map_groups(per_window, batch_format="pyarrow").materialize()
 
     NOPREV = np.iinfo(np.int64).min
-    lasts: dict = {}
-    for b in part.select_columns([key, "_window", "_last_vq"]).iter_batches(
-        batch_format="pyarrow", batch_size=None
-    ):
-        k = b[key].to_numpy(zero_copy_only=False)
-        w = b["_window"].combine_chunks().to_numpy(zero_copy_only=False)
-        lv = b["_last_vq"].combine_chunks().to_numpy(zero_copy_only=False)
-        order = np.lexsort((w, k))
-        ks, ws, lvs = k[order], w[order], lv[order]
-        chg = np.r_[True, (ks[1:] != ks[:-1]) | (ws[1:] != ws[:-1])] if len(ks) else np.zeros(0, bool)
-        for i in np.flatnonzero(chg):
-            lasts[(ks[i], int(ws[i]))] = int(lvs[i])
-    carry: dict = {}
-    prev_key, prev_val = None, NOPREV
-    for (kk, ww) in sorted(lasts, key=lambda t: (str(t[0]), t[1])):
-        if kk != prev_key:
-            prev_key, prev_val = kk, NOPREV
-        carry[(kk, ww)] = prev_val
-        prev_val = lasts[(kk, ww)]
-    cref = ray.put(carry)
+
+    # distributed carry: previous non-empty window's last scaled value
+    def fold(starts, windows, cols):
+        return {"_carry": shift_within_segments(
+            cols["_last_vq"].astype(np.int64), starts, NOPREV)}
+
+    withc = window_carry(part, key, "_window", ["_last_vq"], fold)
 
     def partial_sums(b: pa.Table) -> pa.Table:
-        cm = ray.get(cref)
         k = b[key].to_numpy(zero_copy_only=False)
         ts = b["_ts"].combine_chunks().to_numpy(zero_copy_only=False)
         vq = b["_vq"].combine_chunks().to_numpy(zero_copy_only=False)
         prev = b["_prev"].combine_chunks().to_numpy(zero_copy_only=False).copy()
         first = b["_first"].combine_chunks().to_numpy(zero_copy_only=False)
-        w = b["_window"].combine_chunks().to_numpy(zero_copy_only=False)
-        for i in np.flatnonzero(first):
-            prev[i] = cm.get((k[i], int(w[i])), NOPREV)
+        cv = b["_carry"].combine_chunks().to_numpy(zero_copy_only=False)
+        prev[first] = cv[first]
         has_prev = prev != NOPREV
         inc = np.where(has_prev,
                        np.where(vq >= prev, vq - prev, vq),
@@ -1527,7 +1410,7 @@ def counter_increase(ds, key: str, ts_col: str, value_col: str,
             "_inc": pa.array(np.add.reduceat(incs, st) if len(st) else incs[:0]),
         })
 
-    def fold(g: pa.Table) -> pa.Table:
+    def day_fold(g: pa.Table) -> pa.Table:
         k = g[key].to_numpy(zero_copy_only=False)
         d = g["_day"].combine_chunks().to_numpy(zero_copy_only=False)
         s = g["_inc"].combine_chunks().to_numpy(zero_copy_only=False)
@@ -1546,10 +1429,10 @@ def counter_increase(ds, key: str, ts_col: str, value_col: str,
         d = b["_day"].combine_chunks().to_numpy(zero_copy_only=False)
         return b.append_column("_gsalt", pa.array(d % np.int64(salt_mod)))
 
-    return (part.map_batches(partial_sums, batch_format="pyarrow")
+    return (withc.map_batches(partial_sums, batch_format="pyarrow")
             .map_batches(add_gsalt, batch_format="pyarrow")
             .groupby("_gsalt").map_groups(
-                lambda g: fold(g.drop_columns(["_gsalt"])),
+                lambda g: day_fold(g.drop_columns(["_gsalt"])),
                 batch_format="pyarrow"))
 
 
@@ -1565,9 +1448,10 @@ def grouped_dense_rank(ds, key: str, value_col: str,
     global offset — the number of distinct values in strictly-better buckets
     — comes from a second, tiny shuffle of per-batch-deduplicated
     (key, bucket, value) triples (bounded by distinct values, never rows)
-    reduced to distinct counts and broadcast.  Ties need no id tiebreak:
-    equal values share one rank by definition."""
-    import ray
+    reduced to distinct counts, folded distributed (:mod:`.carry`) and
+    attached budget-gated.  Ties need no id tiebreak: equal values share
+    one rank by definition."""
+    from .carry import attach_carry, fold_carry
 
     sample = ds.limit(100_000).select_columns([value_col]).take_all()
     vs = np.array([r[value_col] for r in sample], dtype=np.float64)
@@ -1602,33 +1486,22 @@ def grouped_dense_rank(ds, key: str, value_col: str,
     nd_tab = (withb.select_columns([key, "_vb", value_col])
               .map_batches(local_distinct, batch_format="pyarrow")
               .groupby([key, "_vb"]).map_groups(count_distinct, batch_format="pyarrow"))
-    counts: dict = {}
-    for b in nd_tab.iter_batches(batch_format="pyarrow", batch_size=None):
-        for kk, bb, nn in zip(b[key].to_pylist(), b["_vb"].to_pylist(), b["_nd"].to_pylist()):
-            counts[(kk, bb)] = nn
-    offsets: dict = {}
-    for kk in sorted({k0 for k0, _ in counts}, key=str):
-        buckets = sorted((bb for k2, bb in counts if k2 == kk), reverse=descending)
-        run = 0
-        for bb in buckets:
-            offsets[(kk, bb)] = run
-            run += counts[(kk, bb)]
-    off_ref = ray.put(offsets)
+    offs_ds = fold_carry(nd_tab, key, "_vb", ["_nd"],
+                         _bucket_offsets_fold(descending, count_col="_nd"))
+    witho = attach_carry(withb, offs_ds, key, "_vb")
 
     def rank_group(g: pa.Table) -> pa.Table:
-        offs = ray.get(off_ref)
         v = g[value_col].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
-        k0 = g[key][0].as_py()
-        vb0 = int(g["_vb"][0].as_py())
+        base = int(g["_boff"][0].as_py())
         uniq = np.unique(v)  # ascending distinct values of this bucket
         pos = np.searchsorted(uniq, v)  # dense index within bucket, ascending
         local = (len(uniq) - 1 - pos) if descending else pos
-        rank = offs.get((k0, vb0), 0) + local + 1
-        out = {c: g[c] for c in g.column_names if c != "_vb"}
+        rank = base + local + 1
+        out = {c: g[c] for c in g.column_names if c not in ("_vb", "_boff")}
         out["drnk"] = pa.array(rank.astype(np.int64))
         return pa.table(out)
 
-    return withb.groupby([key, "_vb"]).map_groups(rank_group, batch_format="pyarrow")
+    return witho.groupby([key, "_vb"]).map_groups(rank_group, batch_format="pyarrow")
 
 
 def grouped_max_gap(ds, key: str, ts_col: str, window_s: int = 24 * 3600):
@@ -1776,7 +1649,7 @@ def partitioned_rolling_minmax(ds, key: str, ts_col: str, value_col: str,
     extremum(in-window truncated frame, last ``missing`` carry values), so
     no inverse operation (and no quantization) is needed — float min/max
     are exact under any combine order."""
-    import ray
+    from .carry import tail_buffer_within_segments, window_carry
 
     win_us = window_s * US
     n = int(frame_n)
@@ -1811,51 +1684,36 @@ def partitioned_rolling_minmax(ds, key: str, ts_col: str, value_col: str,
         [key, "_window"]
     ).map_groups(local_frame, batch_format="pyarrow").materialize()
 
-    # tiny (key, window) → tail values; carry = last n-1 values BEFORE window
-    tails: dict = {}
-    for b in part.select_columns([key, "_window", "_tail"]).iter_batches(
-            batch_format="pyarrow", batch_size=None):
-        k = b[key].to_numpy(zero_copy_only=False)
-        w = b["_window"].combine_chunks().to_numpy(zero_copy_only=False)
-        tl = b["_tail"].combine_chunks()
-        order = np.lexsort((w, k))
-        ks, ws = k[order], w[order]
-        chg = np.r_[True, (ks[1:] != ks[:-1]) | (ws[1:] != ws[:-1])] if len(ks) else np.zeros(0, bool)
-        for i in np.flatnonzero(chg):
-            j = int(order[i])
-            tails[(ks[i], int(ws[i]))] = np.asarray(tl[j].as_py(), dtype=np.float64)
-    carry: dict = {}
-    prev_key, buf = None, None
-    for (kk, ww) in sorted(tails, key=lambda t: (str(t[0]), t[1])):
-        if kk != prev_key:
-            prev_key = kk
-            buf = np.zeros(0, dtype=np.float64)
-        carry[(kk, ww)] = buf
-        buf = np.r_[buf, tails[(kk, ww)]][-(n - 1):] if n > 1 else buf[:0]
-    cref = ray.put(carry)
+    # distributed carry: last n-1 values BEFORE each window, per key segment
+    def fold(starts, windows, cols):
+        return {"_carry": tail_buffer_within_segments(
+            cols["_tail"], starts, n - 1, np.float64)}
+
+    withc = window_carry(part, key, "_window", ["_tail"], fold)
 
     def fill(b: pa.Table) -> pa.Table:
-        cm = ray.get(cref)
         pos = b["_pos"].combine_chunks().to_numpy(zero_copy_only=False)
-        k = b[key].to_numpy(zero_copy_only=False)
-        w = b["_window"].combine_chunks().to_numpy(zero_copy_only=False)
         rmin = b["_rmin"].combine_chunks().to_numpy(zero_copy_only=False).copy()
         rmax = b["_rmax"].combine_chunks().to_numpy(zero_copy_only=False).copy()
+        ca = b["_carry"].combine_chunks()
+        cvals = ca.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        coffs = ca.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         for i in np.flatnonzero(pos < n - 1):
-            c = cm.get((k[i], int(w[i])))
-            if c is None or not len(c):
+            s, e = coffs[i], coffs[i + 1]
+            if e == s:
                 continue
             missing = int(n - 1 - pos[i])
-            take = c[-missing:]
+            take = cvals[max(s, e - missing):e]
             rmin[i] = min(rmin[i], float(take.min()))
             rmax[i] = max(rmax[i], float(take.max()))
         out = {c: b[c] for c in b.column_names
-               if c not in ("_window", "_rmin", "_rmax", "_pos", "_tail")}
+               if c not in ("_window", "_rmin", "_rmax", "_pos", "_tail",
+                            "_carry")}
         out[f"{value_col}_rmin"] = pa.array(rmin)
         out[f"{value_col}_rmax"] = pa.array(rmax)
         return pa.table(out)
 
-    return part.map_batches(fill, batch_format="pyarrow")
+    return withc.map_batches(fill, batch_format="pyarrow")
 
 
 def exact_quantiles_disc(ds, key: str, value_col: str,
@@ -1971,11 +1829,11 @@ def partitioned_cusum(ds, key: str, ts_col: str, value_col: str,
         S_out   = max(S_in + C, C − min_k c_k)   (C = window total)
 
     so phase 1 emits per-(key, window) just (C, min-prefix) plus the
-    in-window prefix arrays, the driver folds the tiny ordered (C, minc)
-    table into per-window S_in carries (exact int arithmetic via
+    in-window prefix arrays, the (C, minc) summaries fold distributed
+    (:mod:`.carry`) into per-window S_in carries (exact int arithmetic via
     ``value_scale``), and a final map evaluates every row vectorized.
     Deterministic and bit-equal to the sequential scan."""
-    import ray
+    from .carry import window_carry
 
     win_us = window_s * US
     drift_q = int(round(drift * value_scale))
@@ -2005,55 +1863,37 @@ def partitioned_cusum(ds, key: str, ts_col: str, value_col: str,
     part = ds.map_batches(add_window, batch_format="pyarrow").groupby(
         [key, "_window"]).map_groups(local_scan, batch_format="pyarrow").materialize()
 
-    # tiny (key, window) → (total, min-prefix); fold carries in time order
-    summ: dict = {}
-    for b in part.select_columns([key, "_window", "_wtot", "_wmin"]).iter_batches(
-            batch_format="pyarrow", batch_size=None):
-        k = b[key].to_numpy(zero_copy_only=False)
-        w = b["_window"].combine_chunks().to_numpy(zero_copy_only=False)
-        tt = b["_wtot"].combine_chunks().to_numpy(zero_copy_only=False)
-        mm = b["_wmin"].combine_chunks().to_numpy(zero_copy_only=False)
-        order = np.lexsort((w, k))
-        ks, ws = k[order], w[order]
-        chg = np.r_[True, (ks[1:] != ks[:-1]) | (ws[1:] != ws[:-1])] if len(ks) else np.zeros(0, bool)
-        for i in np.flatnonzero(chg):
-            j = int(order[i])
-            summ[(ks[i], int(ws[i]))] = (int(tt[j]), int(mm[j]))
-    s_in: dict = {}
-    prev_key, s = None, 0
-    for (kk, ww) in sorted(summ, key=lambda t: (str(t[0]), t[1])):
-        if kk != prev_key:
-            prev_key, s = kk, 0
-        s_in[(kk, ww)] = s
-        tot, mn = summ[(kk, ww)]
-        s = max(s + tot, tot - mn)
-    sref = ray.put(s_in)
+    # distributed carry: max-plus semiring fold of (total, min-prefix) —
+    # S_in(w_{i+1}) = max(S_in(w_i) + C_i, C_i − minc_i), 0 at segment heads
+    def fold(starts, windows, cols):
+        tot = cols["_wtot"].astype(np.int64)
+        mn = cols["_wmin"].astype(np.int64)
+        n_rows = len(windows)
+        s_in = np.empty(n_rows, dtype=np.int64)
+        ends = np.r_[starts[1:], n_rows]
+        for st, en in zip(starts, ends):
+            s = 0
+            for i in range(st, en):
+                s_in[i] = s
+                s = max(s + tot[i], tot[i] - mn[i])
+        return {"_sin": s_in}
+
+    withc = window_carry(part, key, "_window", ["_wtot", "_wmin"], fold)
     thr_q = threshold * value_scale
 
     def fill(b: pa.Table) -> pa.Table:
-        sm = ray.get(sref)
-        k = b[key].to_numpy(zero_copy_only=False)
-        w = b["_window"].combine_chunks().to_numpy(zero_copy_only=False)
         c = b["_c"].combine_chunks().to_numpy(zero_copy_only=False)
         rm = b["_rm"].combine_chunks().to_numpy(zero_copy_only=False)
-        # per-row S = max(S_in + c_j, c_j - runmin_j); the S_in lookup runs
-        # once per (key, window) SEGMENT of the batch, then repeats
-        order = np.lexsort((w, k))
-        ks, ws = k[order], w[order]
-        st = np.flatnonzero(np.r_[True, (ks[1:] != ks[:-1]) | (ws[1:] != ws[:-1])]) \
-            if len(ks) else np.zeros(0, np.int64)
-        seg_sin = np.array([sm.get((ks[s], int(ws[s])), 0) for s in st], dtype=np.int64)
-        sin = np.empty(len(k), dtype=np.int64)
-        sin[order] = np.repeat(seg_sin, np.diff(np.r_[st, len(ks)])) if len(st) \
-            else np.zeros(0, np.int64)
+        sin = b["_sin"].combine_chunks().to_numpy(zero_copy_only=False)
         S = np.maximum(sin + c, c - rm)
         out = {col: b[col] for col in b.column_names
-               if col not in ("_window", "_c", "_rm", "_wtot", "_wmin")}
+               if col not in ("_window", "_c", "_rm", "_wtot", "_wmin",
+                              "_sin")}
         out["cusum"] = pa.array(S.astype(np.float64) / value_scale)
         out["alarm"] = pa.array(S > thr_q)
         return pa.table(out)
 
-    return part.map_batches(fill, batch_format="pyarrow")
+    return withc.map_batches(fill, batch_format="pyarrow")
 
 
 def suggest_window_s(ds, key: str, ts_col: str,
@@ -2090,11 +1930,11 @@ def partitioned_lag_k(ds, key: str, ts_col: str, value_col: str,
                       window_s: int = 6 * 3600):
     """LAG(value, k) OVER (PARTITION BY key ORDER BY ts, id) for any k ≥ 1 —
     generalizes :func:`partitioned_lag` (k=1) with the rolling-frame tail
-    carry: each (key, window) emits its last ≤k values; the tiny ordered
-    driver fold keeps a k-deep running tail per key, and rows whose
-    in-window position < k read their lag from the carried tail.  NULL for
-    the first k rows of each key (SQL semantics)."""
-    import ray
+    carry: each (key, window) emits its last ≤k values; the distributed
+    segment fold (:mod:`.carry`) keeps a k-deep running tail per key, and
+    rows whose in-window position < k read their lag from the carried tail.
+    NULL for the first k rows of each key (SQL semantics)."""
+    from .carry import tail_buffer_within_segments, window_carry
 
     win_us = window_s * US
     k_ = int(offset_k)
@@ -2126,47 +1966,30 @@ def partitioned_lag_k(ds, key: str, ts_col: str, value_col: str,
     part = ds.map_batches(add_window, batch_format="pyarrow").groupby(
         [key, "_window"]).map_groups(local_frame, batch_format="pyarrow").materialize()
 
-    tails: dict = {}
-    for b in part.select_columns([key, "_window", "_tail"]).iter_batches(
-            batch_format="pyarrow", batch_size=None):
-        k = b[key].to_numpy(zero_copy_only=False)
-        w = b["_window"].combine_chunks().to_numpy(zero_copy_only=False)
-        tl = b["_tail"].combine_chunks()
-        order = np.lexsort((w, k))
-        ks, ws = k[order], w[order]
-        chg = np.r_[True, (ks[1:] != ks[:-1]) | (ws[1:] != ws[:-1])] if len(ks) else np.zeros(0, bool)
-        for i in np.flatnonzero(chg):
-            j = int(order[i])
-            tails[(ks[i], int(ws[i]))] = np.asarray(tl[j].as_py(), dtype=np.float64)
-    carry: dict = {}
-    prev_key, buf = None, None
-    for (kk, ww) in sorted(tails, key=lambda t: (str(t[0]), t[1])):
-        if kk != prev_key:
-            prev_key = kk
-            buf = np.zeros(0, dtype=np.float64)
-        carry[(kk, ww)] = buf
-        buf = np.r_[buf, tails[(kk, ww)]][-k_:]
-    cref = ray.put(carry)
+    # distributed carry: k-deep running tail BEFORE each window per segment
+    def fold(starts, windows, cols):
+        return {"_carry": tail_buffer_within_segments(
+            cols["_tail"], starts, k_, np.float64)}
+
+    withc = window_carry(part, key, "_window", ["_tail"], fold)
 
     def fill(b: pa.Table) -> pa.Table:
-        cm = ray.get(cref)
         pos = b["_pos"].combine_chunks().to_numpy(zero_copy_only=False)
-        k = b[key].to_numpy(zero_copy_only=False)
-        w = b["_window"].combine_chunks().to_numpy(zero_copy_only=False)
         lag = b["_lagv"].combine_chunks().to_numpy(zero_copy_only=False).copy()
+        ca = b["_carry"].combine_chunks()
+        cvals = ca.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        coffs = ca.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         for i in np.flatnonzero(pos < k_):
-            c = cm.get((k[i], int(w[i])))
-            if c is None:
-                continue
-            idx = len(c) - (k_ - int(pos[i]))
+            s, e = coffs[i], coffs[i + 1]
+            idx = (e - s) - (k_ - int(pos[i]))
             if idx >= 0:
-                lag[i] = c[idx]
+                lag[i] = cvals[s + idx]
         out = {col: b[col] for col in b.column_names
-               if col not in ("_window", "_lagv", "_pos", "_tail")}
+               if col not in ("_window", "_lagv", "_pos", "_tail", "_carry")}
         out[f"{value_col}_lag{k_}"] = pa.array(lag)
         return pa.table(out)
 
-    return part.map_batches(fill, batch_format="pyarrow")
+    return withc.map_batches(fill, batch_format="pyarrow")
 
 
 def partitioned_nth_value(ds, key: str, ts_col: str, value_col: str,
@@ -2174,12 +1997,12 @@ def partitioned_nth_value(ds, key: str, ts_col: str, value_col: str,
     """NTH_VALUE(value, n) OVER (PARTITION BY key ORDER BY ts, id ROWS
     BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) — the n-th row's
     value per key, repeated on every row (NULL for keys with < n rows).
-    A tree reduction keeps each block's n smallest (ts, id) rows per key
-    (bounded by keys × n), the driver picks the n-th, and a vectorized
-    dictionary-gather attaches it — the same shape as FIRST/LAST_VALUE."""
-    import ray
+    Per-batch combiners keep each block's n smallest (ts, id) rows per key;
+    a salted-key shuffle picks the n-th per key DISTRIBUTED (vectorized
+    segment select — no driver map), attached budget-gated."""
+    import pandas as pd
 
-    from .reduce import tree_reduce
+    from .carry import attach_carry
 
     def local_nsmallest(b: pa.Table) -> pa.Table:
         k = b[key].to_numpy(zero_copy_only=False)
@@ -2193,33 +2016,37 @@ def partitioned_nth_value(ds, key: str, ts_col: str, value_col: str,
         return b.select([key, ts_col, id_col, value_col]).take(
             pa.array(np.sort(keep), type=pa.int64()))
 
-    small = tree_reduce(ds.select_columns([key, ts_col, id_col, value_col]),
-                        local_nsmallest)
-    rows: dict = {}
-    for b in small.iter_batches(batch_format="pyarrow", batch_size=None):
-        k = b[key].to_numpy(zero_copy_only=False)
-        ts = b[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
-        ids = b[id_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
-        v = b[value_col].combine_chunks().to_numpy(zero_copy_only=False)
-        for i in range(len(k)):
-            rows.setdefault(k[i], []).append((int(ts[i]), int(ids[i]), float(v[i])))
-    nth_map = {}
-    for kk, lst in rows.items():
-        lst.sort()
-        nth_map[kk] = lst[nth - 1][2] if len(lst) >= nth else np.nan
-    nref = ray.put(nth_map)
+    def add_salt(b: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(np.asarray(b[key].to_numpy(zero_copy_only=False)))
+        return b.append_column("_ksalt", pa.array((h % np.uint64(64))
+                                                  .astype(np.int64)))
+
     out_col = f"{value_col}_nth{nth}"
 
-    def attach(b: pa.Table) -> pa.Table:
-        nm = ray.get(nref)
-        enc = b[key].combine_chunks().dictionary_encode()
-        dvals = enc.dictionary.to_pylist()
-        lut = np.array([nm.get(kk, np.nan) for kk in dvals], dtype=np.float64)
-        fv = lut[enc.indices.to_numpy(zero_copy_only=False)] if len(dvals) \
-            else np.zeros(0, np.float64)
-        return b.append_column(out_col, pa.array(fv))
+    def pick_nth(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_ksalt"])
+        k = g[key].to_numpy(zero_copy_only=False)
+        ts = g[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ids = g[id_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = g[value_col].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts, k))
+        ks = k[order]
+        st = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]]) if len(ks) else np.zeros(0, np.int64)
+        within = np.arange(len(ks)) - np.repeat(st, np.diff(np.r_[st, len(ks)]))
+        sel = within == nth - 1
+        seg_id = np.repeat(np.arange(len(st)), np.diff(np.r_[st, len(ks)])) \
+            if len(st) else np.zeros(0, np.int64)
+        res = np.full(len(st), np.nan)
+        res[seg_id[sel]] = v[order][sel]
+        return pa.table({key: pa.array(ks[st] if len(st) else ks[:0]),
+                         out_col: pa.array(res)})
 
-    return ds.map_batches(attach, batch_format="pyarrow")
+    nths = (ds.select_columns([key, ts_col, id_col, value_col])
+            .map_batches(local_nsmallest, batch_format="pyarrow")
+            .map_batches(add_salt, batch_format="pyarrow")
+            .groupby("_ksalt").map_groups(pick_nth, batch_format="pyarrow"))
+
+    return attach_carry(ds, nths, key, None)
 
 
 def windowed_pair_join(left, right, key: str, ts_col: str,

@@ -325,6 +325,11 @@ def compact_tier(root: str, tier: str, run_id: str = "compact") -> dict:
         outs = []
         for part in b["part"].to_pylist():
             pdir = m.partition_dir(tier_, part)
+            # recover a previous crash: a lingering .merged temp holds the
+            # full merge — finish its publish before (re)compacting
+            for f in m.sfs.listdir(pdir):
+                if f.endswith(".merged"):
+                    m.sfs.rename(f"{pdir}/{f}", f"{pdir}/{f[:-len('.merged')]}")
             files = sorted(f for f in m.sfs.listdir(pdir) if f.endswith(".parquet"))
             tabs = [pq.read_table(_io.BytesIO(m.sfs.read_bytes(f"{pdir}/{f}")))
                     for f in files]
@@ -334,10 +339,15 @@ def compact_tier(root: str, tier: str, run_id: str = "compact") -> dict:
                 tmin = int(merged["ts"][0].cast(pa.int64()).as_py())
             else:
                 tmin = 0
-            for f in files:                       # step 3: clear old parts
+            # step 3: write the full merge to a non-.parquet temp name FIRST
+            # so a crash at any later point leaves at least one complete copy
+            final = f"{pdir}/part-{tmin}.parquet"
+            tmp = f"{final}.merged"
+            m.sfs.write_table_atomic(merged, tmp)
+            for f in files:                       # step 4: clear old parts
                 m.sfs.remove_file(f"{pdir}/{f}")
-            # step 4: atomic publish under the deterministic name
-            m.sfs.write_table_atomic(merged, f"{pdir}/part-{tmin}.parquet")
+            # step 5: publish under the deterministic name
+            m.sfs.rename(tmp, final)
             outs.append((part, len(files), merged.num_rows))
         return pa.table({
             "part": pa.array([o[0] for o in outs]),

@@ -130,6 +130,14 @@ class StorageFS:
             if self.fs.get_file_info(path).type != pafs.FileType.NotFound:
                 self.fs.delete_file(path)
 
+    def rename(self, src: str, dst: str) -> None:
+        """Atomic-on-local rename (os.replace); remote FS uses move()."""
+        src, dst = self._n(src), self._n(dst)
+        if self.fs is None:
+            os.replace(src, dst)
+        else:
+            self.fs.move(src, dst)
+
     def getsize(self, path: str) -> int:
         path = self._n(path)
         if self.fs is None:
