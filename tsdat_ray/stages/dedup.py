@@ -291,8 +291,11 @@ def minhash_lsh_candidates(ds, num_perm: int = 128, bands: int = 32,
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        sigs = np.stack([np.asarray(x, dtype=np.uint64) for x in batch["sig"].to_pylist()])
         n = len(ids)
+        # fixed-width list column -> zero-copy (n, num_perm) view
+        sc = batch["sig"].combine_chunks()
+        sigs = sc.values.to_numpy(zero_copy_only=False).astype(
+            np.uint64, copy=False).reshape(n, num_perm)
         band_ids = np.repeat(np.arange(bands, dtype=np.int64), n)
         doc = np.tile(ids, bands)
         bh = np.empty(bands * n, dtype=np.uint64)
@@ -925,7 +928,7 @@ def ngram_similarity_join(ds, threshold: float = 0.5, shingle_k: int = 5,
         texts = batch[text_col].to_numpy(zero_copy_only=False)[sel]
         if len(texts) == 0:
             return pa.table({"h": pa.array([], pa.uint64()), "c": pa.array([], pa.int64())})
-        allh = np.concatenate([_char_shingle_hashes(s, shingle_k) for s in texts])
+        _, allh = _flat_char_shingles(texts, shingle_k)  # per-doc deduped
         u, c = np.unique(allh, return_counts=True)
         # keep only shingles seen in >1 sampled doc — singletons can't be hot
         hot = c > 1
@@ -955,14 +958,13 @@ def ngram_similarity_join(ds, threshold: float = 0.5, shingle_k: int = 5,
         hot_h, hot_c = ray.get(hot_ref)
         ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
         texts = batch[text_col].to_numpy(zero_copy_only=False)
-        sh_list = [_char_shingle_hashes(s, shingle_k) for s in texts]
-        lens = np.array([len(x) for x in sh_list], dtype=np.int64)
+        doc_ids, concat = _flat_char_shingles(texts, shingle_k)
+        lens = np.bincount(doc_ids, minlength=len(texts)).astype(np.int64)
         if lens.sum() == 0:
             return pa.table({"h": pa.array([], pa.uint64()),
                              id_col: pa.array([], pa.int64()),
                              "n": pa.array([], pa.int64()),
                              "p": pa.array([], pa.int64())})
-        concat = np.concatenate(sh_list)
         df = np.zeros(len(concat), dtype=np.int64)
         if len(hot_h):
             pos = np.clip(np.searchsorted(hot_h, concat), 0, len(hot_h) - 1)
