@@ -104,7 +104,175 @@ def test_long_table_1d_only():
 
 
 def test_netcdf4_magic_raises():
-    with pytest.raises(ValueError, match="NetCDF-4"):
+    # round 3: NetCDF-4/HDF5 dispatches to the pure-python sources/hdf5.py
+    # reader; a corrupt HDF5 buffer still raises instead of misreading
+    with pytest.raises((ValueError, AssertionError)):
         parse_netcdf3(b"\x89HDF\r\n\x1a\n" + b"\x00" * 100)
     with pytest.raises(ValueError, match="magic"):
         parse_netcdf3(b"NOPE" + b"\x00" * 100)
+
+
+REF_NC = "/root/reference/test/io/data/input.nc"
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(REF_NC),
+                    reason="reference fixture not present")
+def test_hdf5_reads_reference_fixture():
+    """The reference's OWN NetCDF-4 test fixture (HDF5, written by
+    netcdf=4.7.4 — tsdat/io/readers/netcdf_reader.py:8-18 reads it via
+    xarray) ingests through the pure-python HDF5 reader and matches its
+    CSV twin exactly."""
+    from tsdat_ray.sources.netcdf3 import read_netcdf3_file
+
+    nc = parse_netcdf3(open(REF_NC, "rb").read())
+    assert nc["dims"] == {"index": 3}
+    assert nc["vars"]["First Data Var"]["data"].tolist() == [71.4, 71.2, 71.1]
+    assert nc["vars"]["timestamp"]["data"].tolist() == [
+        "2022-03-24 21:43:00", "2022-03-24 21:44:00", "2022-03-24 21:45:00"]
+
+    t = read_netcdf3_file(REF_NC)
+    assert t.num_rows == 3
+    assert t["First Data Var"].to_pylist() == [71.4, 71.2, 71.1]
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(REF_NC),
+                    reason="reference fixture not present")
+def test_hdf5_reader_rejects_unsupported():
+    """Unsupported HDF5 features raise loudly (never a silent misread)."""
+    from tsdat_ray.sources.hdf5 import parse_hdf5
+
+    buf = bytearray(open(REF_NC, "rb").read())
+    buf[8] = 1  # superblock v1 is not emitted by netcdf-c; unsupported
+    with pytest.raises(ValueError, match="superblock"):
+        parse_hdf5(bytes(buf))
+
+
+def _build_chunked_hdf5(data, chunk, deflate=True, shuffle=True):
+    """Hand-assemble a minimal spec-conformant HDF5 file (superblock v0,
+    v1 object headers, old-style root group, one 1-D float64 CHUNKED
+    dataset with a shuffle+deflate pipeline) — pins the chunk b-tree and
+    filter decode paths that the contiguous reference fixture never
+    exercises."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    UNDEF = 0xFFFFFFFFFFFFFFFF
+    data = np.asarray(data, dtype="<f8")
+    n = len(data)
+    buf = bytearray()
+
+    def at():  # current end offset
+        return len(buf)
+
+    def put(b):
+        buf.extend(b)
+        return at() - len(b)
+
+    def pad_to(k):
+        while at() % k:
+            buf.append(0)
+
+    # ---- superblock v0 (root STE patched later)
+    put(b"\x89HDF\r\n\x1a\n")
+    put(bytes([0, 0, 0, 0, 0, 8, 8, 0]))
+    put(struct.pack("<HHI", 4, 16, 0))
+    put(struct.pack("<QQQQ", 0, UNDEF, 0, UNDEF))  # EOF patched later
+    root_ste = put(struct.pack("<QQII16s", 0, 0, 0, 0, b""))
+
+    # ---- chunks (shuffle then deflate, stored full-chunk with zero pad)
+    filters = []
+    if shuffle:
+        filters.append((2, [8]))
+    if deflate:
+        filters.append((1, [4]))
+    chunk_addrs = []
+    for c0 in range(0, n, chunk):
+        arr = np.zeros(chunk, dtype="<f8")
+        seg = data[c0:c0 + chunk]
+        arr[:len(seg)] = seg
+        raw = arr.tobytes()
+        if shuffle:
+            a = np.frombuffer(raw, np.uint8).reshape(chunk, 8)
+            raw = a.T.tobytes()
+        if deflate:
+            raw = zlib.compress(raw, 4)
+        chunk_addrs.append((c0, put(raw), len(raw)))
+        pad_to(8)
+
+    # ---- chunk b-tree v1 (type 1, level 0)
+    btree = at()
+    nent = len(chunk_addrs)
+    put(b"TREE" + bytes([1, 0]) + struct.pack("<H", nent)
+        + struct.pack("<QQ", UNDEF, UNDEF))
+    for c0, addr, csize in chunk_addrs:
+        put(struct.pack("<IIQQ", csize, 0, c0, 0))  # key: size, mask, offs
+        put(struct.pack("<Q", addr))
+    put(struct.pack("<IIQQ", 0, 0, n, 0))  # final key
+
+    # ---- dataset object header v1
+    def msg(mtype, body):
+        body = body + b"\x00" * ((8 - len(body) % 8) % 8)
+        return struct.pack("<HHB3s", mtype, len(body), 0, b"") + body
+
+    dspace = msg(0x0001, struct.pack("<BBB5sQ", 1, 1, 0, b"", n))
+    dtype_body = bytes([0x11, 0x00, 0x00, 0x00]) + struct.pack("<I", 8) \
+        + struct.pack("<HHBBBBI", 0, 64, 0, 11, 11, 52, 1023)
+    dtype_m = msg(0x0003, dtype_body)
+    fbody = struct.pack("<BB6s", 1, len(filters), b"")
+    for fid, vals in filters:
+        fbody += struct.pack("<HHHH", fid, 0, 0, len(vals))
+        for v in vals:
+            fbody += struct.pack("<I", v)
+        if len(vals) % 2 == 1:
+            fbody += b"\x00" * 4
+    filt_m = msg(0x000B, fbody) if filters else b""
+    layout = msg(0x0008, bytes([3, 2, 2]) + struct.pack("<Q", btree)
+                 + struct.pack("<II", chunk, 8))
+    msgs = dspace + dtype_m + filt_m + layout
+    nmsgs = 4 if filters else 3
+    pad_to(8)
+    ds_ohdr = put(struct.pack("<BBHII4s", 1, 0, nmsgs, 1, len(msgs), b"")
+                  + msgs)
+
+    # ---- local heap with the dataset name
+    pad_to(8)
+    name = b"x\x00"
+    heap_data = b"\x00" * 8 + name + b"\x00" * ((8 - len(name) % 8) % 8)
+    heap_data_addr = at() + 32
+    heap = put(b"HEAP" + bytes([0, 0, 0, 0])
+               + struct.pack("<QQQ", len(heap_data), 0, heap_data_addr)
+               + heap_data)
+
+    # ---- SNOD + group b-tree
+    pad_to(8)
+    snod = put(b"SNOD" + bytes([1, 0]) + struct.pack("<H", 1)
+               + struct.pack("<QQII16s", 8, ds_ohdr, 0, 0, b""))
+    pad_to(8)
+    gbt = put(b"TREE" + bytes([0, 0]) + struct.pack("<H", 1)
+              + struct.pack("<QQ", UNDEF, UNDEF)
+              + struct.pack("<QQQ", 0, snod, 8))
+
+    # ---- root group object header (symbol table message)
+    pad_to(8)
+    stab = msg(0x0011, struct.pack("<QQ", gbt, heap))
+    root = put(struct.pack("<BBHII4s", 1, 0, 1, 1, len(stab), b"") + stab)
+
+    # patch root STE + EOF
+    struct.pack_into("<QQ", buf, root_ste, 0, root)
+    struct.pack_into("<Q", buf, 24 + 16, len(buf))
+    return bytes(buf)
+
+
+@pytest.mark.parametrize("deflate,shuffle", [(True, True), (True, False),
+                                             (False, False)])
+def test_hdf5_chunked_filters(deflate, shuffle):
+    """Chunked layout + shuffle/deflate pipeline decode exactly (incl. a
+    partial trailing chunk)."""
+    from tsdat_ray.sources.hdf5 import parse_hdf5
+
+    data = [1.5, -2.25, 3.0, 4.125, 5.5, 6.75, 7.0, 8.5, 9.25, 10.0]
+    buf = _build_chunked_hdf5(data, chunk=4, deflate=deflate, shuffle=shuffle)
+    nc = parse_hdf5(buf)
+    assert nc["vars"]["x"]["data"].tolist() == data

@@ -96,10 +96,12 @@ def parse_netcdf3(buf: bytes) -> dict:
     """Parse a classic NetCDF byte buffer → {dims, attrs, vars} where each
     var is {dims, attrs, data (numpy, native endian)}."""
     if buf[:4] == b"\x89HDF":
-        raise ValueError(
-            "NetCDF-4 (HDF5) file: not parseable without h5py; convert to "
-            "classic format (nccopy -k classic) or parquet upstream"
-        )
+        # NetCDF-4/HDF5 (the reference's own test fixture is this format):
+        # the pure-python HDF5-subset reader returns the identical dict
+        # shape, so downstream (read_netcdf3_table, VAP ingest) is shared.
+        from .hdf5 import parse_hdf5
+
+        return parse_hdf5(buf)
     if buf[:3] != b"CDF" or buf[3] not in (1, 2):
         raise ValueError("not a NetCDF classic file (bad magic)")
     version = buf[3]
