@@ -54,12 +54,18 @@ def oracle_standardize(tbl: pa.Table) -> pd.DataFrame:
     df["qc_n_tok"] = missing * QC_BIT_MISSING + bad_rng * QC_BIT_RANGE
     df["qc_tok_mean"] = 0
     df.loc[missing | bad_rng, "n_tok"] = np.nan
+    # content tie-break for duplicate doc_ids (standardize.py
+    # list_column_tiebreak): len*2**32 + sum, exact in int64
+    df["_tb"] = [
+        np.int64(len(t)) * np.int64(2**32) + np.int64(sum(t)) for t in df["tokens"]
+    ]
     return df
 
 
 def oracle_clean(df: pd.DataFrame) -> pd.DataFrame:
-    """Sort by (source, ts, doc_id); drop duplicate (source, ts) keep first."""
-    df = df.sort_values(["source", "ts_us", "doc_id"], kind="stable")
+    """Sort by (source, ts, doc_id, _tb); drop duplicate (source, ts) keep
+    first — same deterministic survivor as the engine's dedup."""
+    df = df.sort_values(["source", "ts_us", "doc_id", "_tb"], kind="stable")
     return df[~df.duplicated(["source", "ts_us"])].reset_index(drop=True)
 
 

@@ -95,7 +95,14 @@ def clean_group(g: pa.Table, qc_stage: Optional[QCStage]) -> pa.Table:
     codes = g["source"].combine_chunks().dictionary_encode().indices.to_numpy(
         zero_copy_only=False
     ).astype(np.int64)
-    order = np.lexsort((doc_id, ts_us, codes))
+    if "_tb" in g.column_names:
+        # content tie-break: duplicate doc_ids carry different payloads
+        # (standardize.py list_column_tiebreak) — keeps the survivor
+        # bit-deterministic under any arrival order
+        tb = g["_tb"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((tb, doc_id, ts_us, codes))
+    else:
+        order = np.lexsort((doc_id, ts_us, codes))
     ts_s, code_s = ts_us[order], codes[order]
     keep = (
         np.r_[True, (ts_s[1:] != ts_s[:-1]) | (code_s[1:] != code_s[:-1])]
@@ -103,6 +110,8 @@ def clean_group(g: pa.Table, qc_stage: Optional[QCStage]) -> pa.Table:
         else np.zeros(0, bool)
     )
     t = g.take(pa.array(order[keep], type=pa.int64()))
+    if "_tb" in t.column_names:
+        t = t.drop_columns(["_tb"])
     if qc_stage is not None:
         t = qc_stage(t)
     return t

@@ -195,7 +195,15 @@ def rollup_batch(g: pa.Table, cfg: RollupConfig, from_tier: bool = False) -> pa.
 def _rollup_raw_sorted(g, cfg, codes, key_arr, iv_us):
     ts_us = g[cfg.ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
     row_id = g[cfg.id_col].to_numpy(zero_copy_only=False)
-    order = np.lexsort((row_id, ts_us, codes))
+    if cfg.dedup and "_tb" in g.column_names:
+        # duplicate ids exist (same doc resent with a different payload):
+        # order by the content tie-break last so the dedup survivor is
+        # bit-deterministic regardless of arrival order (standardize.py
+        # list_column_tiebreak; SQL twin: len(tokens)*2**32+list_sum(tokens))
+        tb = g["_tb"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((tb, row_id, ts_us, codes))
+    else:
+        order = np.lexsort((row_id, ts_us, codes))
     ts_s = ts_us[order]
     code_s = codes[order]
 

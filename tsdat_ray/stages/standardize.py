@@ -80,6 +80,29 @@ def list_column_lengths(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return np.diff(offsets)
 
 
+def list_column_tiebreak(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Deterministic content tie-break per list: len(list) * 2**32 +
+    sum(values), exact in int64 for token ids < VOCAB and len <= MAX_TOKENS
+    (max sum ~1e8 < 2**32).  The corpus injects duplicate rows that share
+    doc_id but carry independently generated payloads (synth.py DUP_P), so
+    'keep first by id' alone is ambiguous; ordering by this value makes the
+    dedup survivor bit-deterministic AND SQL-reproducible
+    (len(tokens)*4294967296 + list_sum(tokens) in DuckDB)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    arr: pa.ListArray = col  # type: ignore[assignment]
+    values = arr.values.to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = arr.offsets.to_numpy().astype(np.int64)
+    lens = np.diff(offsets)
+    sums = np.zeros(len(lens), dtype=np.int64)
+    if values.size and len(lens):
+        start = offsets[:-1]
+        valid = (start < len(values)) & (lens > 0)
+        red = np.add.reduceat(values, np.minimum(start, len(values) - 1))
+        sums = np.where(valid, red, 0)
+    return lens * np.int64(2**32) + sums
+
+
 def standardize_batch(batch: pa.Table, cfg: StandardizeConfig = StandardizeConfig()) -> pa.Table:
     n = batch.num_rows
     # --- derive ts from the per-source sequence index encoded in doc_id
@@ -135,6 +158,8 @@ def standardize_batch(batch: pa.Table, cfg: StandardizeConfig = StandardizeConfi
             "qc_n_tok": pa.array(qc_n_tok),
             "qc_tok_mean": pa.array(qc_tok_mean),
             "qc_ts": pa.array(qc_ts),
+            # dedup tie-break for duplicate doc_ids (dropped after dedup)
+            "_tb": pa.array(list_column_tiebreak(batch["tokens"])),
         }
     )
 
