@@ -64,10 +64,15 @@ def _nblocks() -> int:
 def _conc() -> int:
     """Actor-pool size for stateful map_batches stages: scale with the
     cluster but stay small enough that pools never starve the shuffle
-    stages (4-CPU test sessions get 2; 32-CPU bench gets 8)."""
+    stages (4-CPU test sessions get 2; 32-CPU bench gets 8).  Routed
+    through the library's safe_pool_size guard so a mis-sized request can
+    never exceed CPUs minus shuffle headroom."""
     import ray
 
-    return max(2, min(8, int(ray.cluster_resources().get("CPU", 8)) // 4))
+    from tsdat_ray.stages import safe_pool_size
+
+    want = max(2, min(8, int(ray.cluster_resources().get("CPU", 8)) // 4))
+    return max(1, safe_pool_size(want))
 
 
 def _read(path: str, columns=None):
@@ -6524,9 +6529,15 @@ def oracle_sql() -> dict[str, str]:
                                        ORDER BY value DESC, event_id) = 1
         """,
         "chunk_docs": """
+            -- chunk-count bound derived from the longest document (the
+            -- engine emits unbounded chunks; a fixed cap would silently
+            -- truncate long corpora)
+            WITH bound AS (
+                SELECT CAST(ceil(coalesce(max(length(text)), 0) / 400.0)
+                            AS BIGINT) + 1 AS k FROM documents)
             SELECT doc_id, i AS chunk_idx, i * 400 AS chunk_start,
                    substr(text, i * 400 + 1, 512) AS chunk_text
-            FROM documents, (SELECT unnest(range(0, 16)) AS i) t
+            FROM documents, (SELECT unnest(range(0, (SELECT k FROM bound))) AS i) t
             WHERE i = 0 OR i * 400 < length(text)
         """,
         "session_ids_events": """

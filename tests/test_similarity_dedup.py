@@ -471,3 +471,34 @@ def test_char_shingles_flat_equals_per_doc():
         mine = hashes[doc_ids == d]
         ref = _char_shingle_hashes(texts[d] or "", 5)
         assert np.array_equal(np.sort(mine), ref), d
+
+
+def test_actor_pool_guard_caps_at_low_cpu(ray_session):
+    """Regression for the pool-sizing footgun: an actor pool sized >= the
+    session's 4 CPUs can deadlock a concurrent shuffle (conftest.py).  The
+    guard must cap any request to CPUs - headroom, and a stage asked for an
+    oversized pool must still run to completion through it."""
+    import ray
+    import ray.data as rd
+
+    from tsdat_ray.stages import safe_pool_size
+    from tsdat_ray.stages.dedup import simhash_neardup_pairs
+
+    cpus = int(ray.cluster_resources()["CPU"])
+    assert safe_pool_size(8) <= max(1, cpus - 2)
+    assert safe_pool_size(1) == 1
+    assert safe_pool_size(64, headroom=2) == max(1, cpus - 2)
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(40)), pa.int64()),
+            "text": pa.array(
+                [f"short document number {i} about topic {i % 5}" for i in range(40)]
+            ),
+        }
+    )
+    # concurrency=8 on a 4-CPU session wedged the groupby before the guard
+    out = simhash_neardup_pairs(
+        rd.from_arrow(tbl), max_hamming=3, concurrency=8
+    ).to_pandas()
+    assert {"id_a", "id_b", "hamming"} <= set(out.columns)

@@ -1188,8 +1188,11 @@ def simhash_neardup_pairs(ds, max_hamming: int = 3, n_tables: int = 4,
             }
         )
 
+    from . import safe_pool_size
+
     sigs = ds.map_batches(SimHasher, fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
-                          batch_format="pyarrow", concurrency=concurrency)
+                          batch_format="pyarrow",
+                          concurrency=safe_pool_size(concurrency))
     ex = sigs.map_batches(rotations, batch_format="pyarrow")
 
     def add_salt(batch: pa.Table) -> pa.Table:

@@ -158,11 +158,13 @@ def embedding_dedup_pairs(ds, dim: int, threshold: float = 0.95, n_planes: int =
             }
         )
 
+    from . import safe_pool_size
+
     sig = ds.map_batches(
         HyperplaneLSH,
         fn_constructor_kwargs=dict(dim=dim, n_planes=n_planes, emb_col=emb_col, id_col=id_col),
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=safe_pool_size(concurrency),
     )
     return sig.groupby("lsh_bucket").map_groups(pairs, batch_format="pyarrow")
 
