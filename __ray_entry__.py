@@ -2574,6 +2574,52 @@ def _q_bin2d_events(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_bin3d_events(sf_dir: str):
+    """3-D (time × station × sensor) bin average over events — the N-D
+    generalization of the reference's arbitrary-dims variables
+    (tsdat/config/variables/variable.py:15-54) in point-sample mode:
+    cells = (event_type, hour, user_id%8, event_id%5).  Sums round to
+    cents so the float contract is order-independent."""
+    from tsdat_ray.stages.transforms import GridSpec
+    from tsdat_ray.stages.twod import FloatGrid, bin_average_grid_nd
+
+    t0 = int(np.datetime64("2023-01-01", "us").astype(np.int64))
+    t1 = int(np.datetime64("2026-01-01", "us").astype(np.int64))
+    tgrid = GridSpec(t0, t1, 3600 * US)
+    grids = {"station": FloatGrid(0.0, 8.0, 1.0), "sensor": FloatGrid(0.0, 5.0, 1.0)}
+
+    def prep(b: pa.Table) -> pa.Table:
+        u = b["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        e = b["event_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({"event_type": b["event_type"], "ts": b["ts"],
+                         "station": pa.array((u % 8).astype(np.float64)),
+                         "sensor": pa.array((e % 5).astype(np.float64)),
+                         "value": b["value"]})
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    out = bin_average_grid_nd(ds, tgrid, grids, key="event_type",
+                              window_s=4 * 86400, input_width_us=0,
+                              input_widths={"station": 0, "sensor": 0})
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["value_n"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = n > 0
+        sw = b["value_sum_wx"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": b["event_type"].filter(pa.array(keep)),
+                "bucket": b["bucket"].filter(pa.array(keep)),
+                "station": b["station"].filter(pa.array(keep)),
+                "sensor": b["sensor"].filter(pa.array(keep)),
+                "n_rows": pa.array(n[keep]),
+                "value_sum": pa.array(np.round(sw[keep], 2)),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 # ---- windowed aggregates (streaming-shaped) --------------------------------- #
 
 def _q_sliding_window(sf_dir: str):
@@ -4876,6 +4922,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encode_1m_events": _q_encode_1m,
         "qc_range_events": _q_qc_range_events,
         "bin2d_events": _q_bin2d_events,
+        "bin3d_events": _q_bin3d_events,
         "neardup_embeddings_exact": _q_neardup_embeddings_exact,
         "neardup_embeddings_lsh": _q_neardup_embeddings_lsh,
         "knn_lsh_embeddings": _q_knn_lsh,
@@ -6274,6 +6321,15 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_rows,
                    ROUND(sum(value), 2) AS value_sum
             FROM events GROUP BY 1, 2
+        """,
+        "bin3d_events": """
+            SELECT event_type,
+                   date_trunc('hour', ts) AS bucket,
+                   CAST(user_id % 8 AS DOUBLE) AS station,
+                   CAST(event_id % 5 AS DOUBLE) AS sensor,
+                   count(*) AS n_rows,
+                   ROUND(sum(value), 2) AS value_sum
+            FROM events GROUP BY 1, 2, 3, 4
         """,
         "zarr_roundtrip_events": """
             SELECT event_id, ts, value FROM events

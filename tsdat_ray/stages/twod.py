@@ -193,60 +193,69 @@ def check_monotonic_2d(ds, value_col: str, ts_col: str = "ts", coord2: str = "he
 # 2-D bin average
 # --------------------------------------------------------------------------- #
 
-def bin_average_2d_slice(
+def bin_average_nd_slice(
     ts_us: np.ndarray,
-    h: np.ndarray,
+    coords: list[np.ndarray],
     x: np.ndarray,
     bad: np.ndarray,
     tgrid: GridSpec,
-    hgrid: FloatGrid,
+    grids: list[FloatGrid],
     input_width_us: int | None = None,
-    input_width_h: float | None = None,
+    input_widths: list[float | None] | None = None,
 ) -> dict[str, np.ndarray]:
-    """Dense 2-D bin average of one slice (single key, all cells in memory):
-    returns flat arrays over the full (t, h) output grid.  The distributed
-    wrapper shards this by time window."""
+    """Dense N-D bin average of one slice (single key, all cells in memory):
+    time axis + any number of numeric coordinate axes — the reference allows
+    arbitrary dims per variable (tsdat/config/variables/variable.py:15-54,
+    e.g. time × height × range).  Each extra axis folds into the running
+    (row, cell, weight) contribution set exactly like the 2-D height axis:
+    per-axis overlap expansion, weight = product of per-axis ratios, cell =
+    mixed-radix index over (t, c1, …, ck).  Returns flat arrays over the
+    full output grid; the distributed wrapper shards by time window."""
     from .transforms import _expand_overlaps, input_bounds_from_labels
+
+    if input_widths is None:
+        input_widths = [None] * len(grids)
 
     if input_width_us == 0:  # point samples on t: containing bin, weight 1
         base = tgrid.labels[0] - int(round(tgrid.align * tgrid.width))
         jt_all = np.floor_divide(ts_us - base, tgrid.interval_us)
         ok = (jt_all >= 0) & (jt_all < tgrid.n)
-        rows_t, jt = np.flatnonzero(ok), jt_all[ok]
-        wt = np.ones(len(rows_t))
+        rows, jt = np.flatnonzero(ok), jt_all[ok]
+        w = np.ones(len(rows))
     else:
         t_start, t_end = input_bounds_from_labels(ts_us, input_width_us)
-        rows_t, jt, wt = _expand_overlaps(t_start, t_end, tgrid)
+        rows, jt, w = _expand_overlaps(t_start, t_end, tgrid)
 
-    if input_width_h == 0:  # point samples on h
-        hbase = hgrid.labels[0] - hgrid.align * hgrid.w
-        jh_all = np.floor((h[rows_t] - hbase) / hgrid.interval).astype(np.int64)
-        okh = (jh_all >= 0) & (jh_all < hgrid.n)
-        rows_h, jh = np.flatnonzero(okh), jh_all[okh]
-        wh = np.ones(len(rows_h))
-    else:
-        # per-row numeric widths for the second axis
-        if input_width_h is None:
-            hu = np.unique(h)
-            hb = float_bounds_from_labels(hu)
-            pos = np.searchsorted(hu, h)
-            h_start, h_end = hb[pos, 0], hb[pos, 1]
+    cell = jt
+    for c, grid, width in zip(coords, grids, input_widths):
+        if width == 0:  # point samples on this axis
+            cbase = grid.labels[0] - grid.align * grid.w
+            jc_all = np.floor((c[rows] - cbase) / grid.interval).astype(np.int64)
+            okc = (jc_all >= 0) & (jc_all < grid.n)
+            sub, jc = np.flatnonzero(okc), jc_all[okc]
+            wc = np.ones(len(sub))
         else:
-            h_start, h_end = h - input_width_h / 2, h + input_width_h / 2
-        # expand each (row, t-bin) contribution across overlapped h-bins
-        rows_h, jh, wh = _expand_overlaps_f(h_start[rows_t], h_end[rows_t], hgrid)
-    rows = rows_t[rows_h]
-    jt2 = jt[rows_h]
-    w = wt[rows_h] * wh
-    cell = jt2 * hgrid.n + jh
+            if width is None:  # per-row widths from the axis's unique labels
+                cu = np.unique(c)
+                cb = float_bounds_from_labels(cu)
+                pos = np.searchsorted(cu, c)
+                c_start, c_end = cb[pos, 0], cb[pos, 1]
+            else:
+                c_start, c_end = c - width / 2, c + width / 2
+            sub, jc, wc = _expand_overlaps_f(c_start[rows], c_end[rows], grid)
+        rows = rows[sub]
+        cell = cell[sub] * grid.n + jc
+        w = w[sub] * wc
 
-    nt, nh = tgrid.n, hgrid.n
-    ncell = nt * nh
+    nt = tgrid.n
+    ncell = nt
+    for grid in grids:
+        ncell *= grid.n
     data = np.where(bad[rows], np.nan, x[rows])
     wn = np.where(np.isnan(data), 0.0, w)
     dn = np.where(np.isnan(data), 0.0, data)
-    # deterministic order: sort contributions by (cell, ts, h)
-    order = np.lexsort((h[rows], ts_us[rows], cell))
+    # deterministic order: sort contributions by (cell, ts, c1, …, ck)
+    order = np.lexsort(tuple(c[rows] for c in reversed(coords)) + (ts_us[rows], cell))
     cell_s, w_s, d_s = cell[order], wn[order], dn[order]
     bad_s, raw_w = bad[rows][order], w[order]
 
@@ -272,17 +281,47 @@ def bin_average_2d_slice(
     qc |= QC_BAD_GOODFRAC * ((gfv < GOODFRAC_BAD_MIN) & (n_real > 0))
     qc |= QC_INDETERMINATE_GOODFRAC * ((gfv < GOODFRAC_IND_MIN) & (n_real > 0))
     qc = np.where(n_real == 0, QC_OUTSIDE_RANGE | QC_BAD, qc)
-    return {
-        "t": np.repeat(tgrid.labels, nh),
-        "h": np.tile(hgrid.labels, nt),
-        "mean": mean,
-        "std": std,
-        "goodfraction": gf,
-        "qc": qc.astype(np.int32),
-        "n": n_real.astype(np.int64),
-        "sum_w": sum_w,
-        "sum_wx": sum_wx,
-    }
+    # axis labels for every output cell: t repeats over the product of the
+    # later axes; axis k tiles over earlier axes and repeats over later ones
+    tail = ncell // nt
+    out: dict[str, np.ndarray] = {"t": np.repeat(tgrid.labels, tail)}
+    lead = nt
+    for a, grid in enumerate(grids):
+        tail //= grid.n
+        out[f"c{a}"] = np.tile(np.repeat(grid.labels, tail), lead)
+        lead *= grid.n
+    out.update(
+        {
+            "mean": mean,
+            "std": std,
+            "goodfraction": gf,
+            "qc": qc.astype(np.int32),
+            "n": n_real.astype(np.int64),
+            "sum_w": sum_w,
+            "sum_wx": sum_wx,
+        }
+    )
+    return out
+
+
+def bin_average_2d_slice(
+    ts_us: np.ndarray,
+    h: np.ndarray,
+    x: np.ndarray,
+    bad: np.ndarray,
+    tgrid: GridSpec,
+    hgrid: FloatGrid,
+    input_width_us: int | None = None,
+    input_width_h: float | None = None,
+) -> dict[str, np.ndarray]:
+    """Dense 2-D bin average of one slice — the N-D kernel with one numeric
+    axis (kept as the named 2-D API; the reference goldens in test_twod.py
+    pin this path and therefore the shared kernel)."""
+    out = bin_average_nd_slice(
+        ts_us, [h], x, bad, tgrid, [hgrid], input_width_us, [input_width_h]
+    )
+    out["h"] = out.pop("c0")
+    return out
 
 
 def bin_average_grid_2d(
@@ -365,3 +404,156 @@ def bin_average_grid_2d(
     return ds.map_batches(add_window, batch_format="pyarrow").groupby(
         [key, "_window"]
     ).map_groups(per_window, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------- #
+# N-D (time × k numeric axes) distributed operators
+# --------------------------------------------------------------------------- #
+
+def bin_average_grid_nd(
+    ds,
+    tgrid: GridSpec,
+    coord_grids: dict[str, FloatGrid],
+    key: str = "source",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bad_bits: int = 3,
+    window_s: int = 86400,
+    input_width_us: int | None = None,
+    input_widths: dict[str, float | None] | None = None,
+):
+    """Distributed N-D bin average over the long/tall encoding (one row per
+    (time, c1, …, ck) cell — the reference's arbitrary-dims variables,
+    tsdat/config/variables/variable.py:15-54): one groupby((key, t-window))
+    shuffle, then the dense N-D slice kernel per group.  Output: one row per
+    (key, t-label, c1-label, …, ck-label) within windows that contain data.
+    Windows align to the t-grid so contributions never straddle groups;
+    the per-group dense grid is ∏ axis sizes — size windows so that fits a
+    worker (the same window-width ∝ cardinality law as the 1-D rollup)."""
+    coord_cols = list(coord_grids)
+    grids = [coord_grids[c] for c in coord_cols]
+    widths = [
+        (input_widths or {}).get(c) for c in coord_cols
+    ]
+    win_us = window_s * US
+
+    def add_window(b: pa.Table) -> pa.Table:
+        ts = b[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return b.append_column("_window", pa.array((ts // win_us) * win_us))
+
+    def per_window(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_window"])
+        ts = g[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        coords = [
+            g[c].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
+            for c in coord_cols
+        ]
+        x = g[value_col].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
+        qcol = f"qc_{value_col}"
+        qc = (
+            g[qcol].combine_chunks().to_numpy(zero_copy_only=False)
+            if qcol in g.column_names
+            else np.zeros(len(x), dtype=np.int32)
+        )
+        bad = ((qc & bad_bits) != 0) | np.isnan(x)
+        lo = ts.min()
+        lab = tgrid.labels
+        sel = (lab >= (lo // win_us) * win_us) & (lab < (lo // win_us) * win_us + win_us)
+        names = ([key] if key else []) + ["bucket", *coord_cols,
+                 f"{value_col}_mean", f"{value_col}_std",
+                 f"{value_col}_goodfraction", f"qc_{value_col}",
+                 f"{value_col}_n", f"{value_col}_sum_w", f"{value_col}_sum_wx"]
+        if not sel.any():  # data outside the declared grid range
+            types = ([pa.string()] if key else []) + [pa.timestamp("us")] \
+                + [pa.float64()] * len(coord_cols) + [pa.float64()] * 3 \
+                + [pa.int32(), pa.int64(), pa.float64(), pa.float64()]
+            return pa.table({n_: pa.array([], t_) for n_, t_ in zip(names, types)})
+        sub = GridSpec(int(lab[sel][0]), int(lab[sel][-1] + tgrid.interval_us),
+                       tgrid.interval_us, tgrid.width_us, tgrid.alignment)
+        out = bin_average_nd_slice(ts, coords, x, bad, sub, grids,
+                                   input_width_us, widths)
+        cols: dict = {}
+        if key:
+            kv = g[key][0].as_py() if key in g.column_names else ""
+            cols[key] = pa.array(np.repeat(kv, len(out["t"])))
+        cols["bucket"] = pa.array(out["t"]).cast(pa.timestamp("us"))
+        for a, c in enumerate(coord_cols):
+            cols[c] = pa.array(out[f"c{a}"])
+        cols[f"{value_col}_mean"] = pa.array(out["mean"])
+        cols[f"{value_col}_std"] = pa.array(out["std"])
+        cols[f"{value_col}_goodfraction"] = pa.array(out["goodfraction"])
+        cols[f"qc_{value_col}"] = pa.array(out["qc"])
+        cols[f"{value_col}_n"] = pa.array(out["n"])
+        cols[f"{value_col}_sum_w"] = pa.array(out["sum_w"])
+        cols[f"{value_col}_sum_wx"] = pa.array(out["sum_wx"])
+        return pa.table(cols)
+
+    keys = ([key] if key else []) + ["_window"]
+    return ds.map_batches(add_window, batch_format="pyarrow").groupby(
+        keys
+    ).map_groups(per_window, batch_format="pyarrow")
+
+
+def monotonic_nd_failures(arr: np.ndarray, axis: int = 0,
+                          direction: str = "increasing") -> np.ndarray:
+    """Per-cell failure mask for a dense N-D array: ``np.gradient`` sign test
+    along ``axis`` — the reference's 2-D gradient branch
+    (check_monotonic.py:95-99) applied at any rank."""
+    diff = np.gradient(arr, axis=axis)
+    return diff <= 0 if direction == "increasing" else diff >= 0
+
+
+def check_monotonic_nd(ds, value_col: str, coord_cols: list[str],
+                       ts_col: str = "ts", key: str | None = None,
+                       axis_dim: str = "ts", direction: str = "increasing",
+                       window_s: int = 86400):
+    """Long-format N-D monotonic QC: rows (ts, c1, …, ck, value) pivot to a
+    dense (time × c1 × … × ck) array per (key, window), the gradient sign
+    test runs along ``axis_dim``, and rows come back with ``qc_<value_col>``
+    OR'd with QC_BAD where their cell fails (cells absent from the grid stay
+    unflagged, as in check_monotonic_2d)."""
+    win_us = window_s * US
+    dims = [ts_col, *coord_cols]
+    axis = dims.index(axis_dim)
+
+    def per_window(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_window"])
+        axes_vals = [
+            g[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ] + [
+            g[c].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
+            for c in coord_cols
+        ]
+        x = g[value_col].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
+        labs, invs = [], []
+        for v in axes_vals:
+            lab, inv = np.unique(v, return_inverse=True)
+            labs.append(lab)
+            invs.append(inv)
+        arr = np.full(tuple(len(lb) for lb in labs), np.nan)
+        arr[tuple(invs)] = x
+        if arr.shape[axis] < 2:
+            fail_cells = np.zeros(arr.shape, dtype=bool)
+        else:
+            with np.errstate(invalid="ignore"):
+                fail_cells = monotonic_nd_failures(arr, axis=axis, direction=direction)
+        fail = fail_cells[tuple(invs)]
+        qc_name = f"qc_{value_col}"
+        prev = (
+            g[qc_name].combine_chunks().to_numpy(zero_copy_only=False)
+            if qc_name in g.column_names
+            else np.zeros(len(x), dtype=np.int32)
+        )
+        qc = np.where(fail, prev | QC_BAD, prev).astype(np.int32)
+        out = {c: g[c] for c in g.column_names if c != qc_name}
+        out[qc_name] = pa.array(qc)
+        return pa.table(out)
+
+    def add_window(b: pa.Table) -> pa.Table:
+        ts = b[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return b.append_column("_window", pa.array((ts // win_us) * win_us))
+
+    keys = ([key] if key else []) + ["_window"]
+    return ds.map_batches(add_window, batch_format="pyarrow").groupby(keys).map_groups(
+        per_window, batch_format="pyarrow"
+    )
