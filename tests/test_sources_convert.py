@@ -299,3 +299,70 @@ def test_prune_parquet_files_skips_nonoverlapping(ray_session, tmp_path):
     kept = prune_parquet_files(str(tmp_path), "ts", lo, hi)
     names = sorted(p.split("/")[-1] for p in kept)
     assert names == ["d1.parquet", "d2.parquet"]
+
+
+def test_a2e_csv_writer_dim_groups(tmp_path):
+    """A2e-standard CSV write: dim-group file splitting, suffix naming, and
+    the metadata-preamble grammar (parity: A2eCSVWriter,
+    /root/reference/tsdat/io/writers/a2e_csv_writer.py:17-105)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from tsdat_ray.stages.writers import (
+        a2e_filepath,
+        write_batch_a2e_csv,
+    )
+
+    # filename grammar
+    assert a2e_filepath("buoy.metocean.csv", ("time",)) == \
+        "buoy.metocean.time.1d.a2e.csv"
+    assert a2e_filepath("buoy.metocean.a2e.csv", ("time", "depth")) == \
+        "buoy.metocean.time.depth.2d.a2e.csv"
+
+    ts = pa.array(np.array([0, 0, 60_000_000, 60_000_000], np.int64)).cast(
+        pa.timestamp("us"))
+    tbl = pa.table(
+        {
+            "ts": ts,
+            "depth": pa.array([0.0, 5.0, 0.0, 5.0]),
+            "temp": pa.array([10.0, 11.0, 12.0, 13.0]),      # (ts, depth)
+            "lat": pa.array([41.0, 41.0, 41.5, 41.5]),        # (ts,)
+        }
+    )
+    base = str(tmp_path / "buoy.z07.a0.metocean.csv")
+    res = write_batch_a2e_csv(
+        tbl, base,
+        dims_of={"temp": ("ts", "depth"), "lat": ("ts",)},
+        attrs={"datastream": "buoy.z07.a0", "qc_bit_comment": 1},
+        var_attrs={"temp": {"units": "degC"}},
+    )
+    paths = sorted(res["path"].to_pylist())
+    assert paths == sorted([
+        str(tmp_path / "buoy.z07.a0.metocean.ts.1d.a2e.csv"),
+        str(tmp_path / "buoy.z07.a0.metocean.ts.depth.2d.a2e.csv"),
+    ])
+
+    two_d = (tmp_path / "buoy.z07.a0.metocean.ts.depth.2d.a2e.csv").read_text()
+    lines = two_d.splitlines()
+    # header=N counts every attr line + itself
+    n_meta = int(lines[0].split("=")[1])
+    assert lines[:n_meta] == [
+        f"header={n_meta}",
+        'datastream="buoy.z07.a0"',
+        "qc_bit_comment=1",
+        "ts:dtype=datetime64[us]",
+        "depth:dtype=float64",
+        "temp:dtype=float64",
+        'temp:units="degC"',
+    ]
+    # body: csv header + 4 (ts, depth) rows, reference date format
+    assert lines[n_meta] == "ts,depth,temp"
+    assert lines[n_meta + 1] == "1970-01-01 00:00:00.000000,0.0,10.0"
+    assert len(lines) == n_meta + 1 + 4
+
+    one_d = (tmp_path / "buoy.z07.a0.metocean.ts.1d.a2e.csv").read_text()
+    body = one_d.splitlines()
+    assert body[body.index("ts,lat") + 1 :] == [
+        "1970-01-01 00:00:00.000000,41.0",
+        "1970-01-01 00:01:00.000000,41.5",
+    ]

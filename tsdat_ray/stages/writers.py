@@ -360,3 +360,97 @@ def compact_tier(root: str, tier: str, run_id: str = "compact") -> dict:
     n = res.count()
     man.commit_partitions(tier, inputs=["compact"], run_id=run_id)  # step 5
     return {"tier": tier, "compacted": n}
+
+
+# --------------------------------------------------------------------------- #
+# A2e-standard CSV (dim-group split files + attribute preamble)
+# --------------------------------------------------------------------------- #
+
+def a2e_filepath(base: str, dims: tuple[str, ...]) -> str:
+    """``.{dims}.{len}d.a2e.csv`` suffix naming (parity: A2eCSVWriter.
+    get_filepath, io/writers/a2e_csv_writer.py:17-38)."""
+    dims_str = ".".join(dims)
+    new_suffix = f".{dims_str}.{len(dims)}d.a2e.csv"
+    if base.endswith(".a2e.csv"):
+        return base[: -len(".a2e.csv")] + new_suffix
+    if base.endswith(".csv"):
+        return base[: -len(".csv")] + new_suffix
+    return base + new_suffix
+
+
+def a2e_metadata_header(
+    tbl: pa.Table,
+    coord_cols: tuple[str, ...],
+    attrs: dict | None = None,
+    var_attrs: dict[str, dict] | None = None,
+) -> str:
+    """The A2e metadata preamble (parity: A2eCSVWriter.
+    get_metadata_header_str, a2e_csv_writer.py:40-79): a ``header=N`` count
+    line, global ``name="value"`` lines, then per-variable ``var:dtype=…``
+    (non-string vars, coords first) and ``var:attr="value"`` lines."""
+    glines: list[str] = []
+    vlines: list[str] = []
+
+    def _val(v) -> str:
+        return f'"{v}"' if isinstance(v, str) else f"{v}"
+
+    for k, v in (attrs or {}).items():
+        glines.append(f"{k}={_val(v)}")
+    df_dtypes = {f.name: tbl[f.name].combine_chunks().to_pandas().dtype
+                 for f in tbl.schema}
+    ordered = [c for c in coord_cols if c in tbl.column_names] + [
+        c for c in tbl.column_names if c not in coord_cols
+    ]
+    import pandas.api.types as ptypes
+
+    for name in ordered:
+        if not ptypes.is_string_dtype(df_dtypes[name]):
+            vlines.append(f"{name}:dtype={df_dtypes[name]}")
+        for k, v in (var_attrs or {}).get(name, {}).items():
+            vlines.append(f"{name}:{k}={_val(v)}")
+    header = f"header={len(glines) + len(vlines) + 1}"
+    return "\n".join(filter(None, [header, "\n".join(glines), "\n".join(vlines)]))
+
+
+def write_batch_a2e_csv(
+    batch: pa.Table,
+    base_path: str,
+    dims_of: dict[str, tuple[str, ...]],
+    attrs: dict | None = None,
+    var_attrs: dict[str, dict] | None = None,
+    ts_col: str = "ts",
+) -> pa.Table:
+    """A2e-standard CSV write of one (long-format) table: variables split by
+    their declared dim groups — one ``.{dims}.{len}d.a2e.csv`` file per
+    group, each with the metadata preamble + csv body (time format
+    ``%Y-%m-%d %H:%M:%S.%f`` — parity: A2eCSVWriter.write +
+    get_data_as_str, a2e_csv_writer.py:81-105).  Dimensionless variables
+    join the (time,) group as in the reference.  For a 1-D group the rows
+    dedupe to one per coord tuple; 2-D groups keep the long layout (the
+    dataframe the reference's ``to_dataframe().reset_index()`` produces)."""
+    from ..state.uri import StorageFS
+
+    groups: dict[tuple[str, ...], list[str]] = {}
+    for var, dims in dims_of.items():
+        key = dims if dims else (ts_col,)
+        groups.setdefault(key, []).append(var)
+
+    parent = base_path.rsplit("/", 1)[0] if "/" in base_path else "."
+    fname = base_path.rsplit("/", 1)[-1]
+    sfs = StorageFS(parent)
+    sfs.makedirs(".")
+    paths, rows = [], []
+    for dims, vars_ in sorted(groups.items()):
+        cols = [d for d in dims] + vars_
+        sub = batch.select([c for c in cols if c in batch.column_names])
+        df = sub.to_pandas()
+        df = df.drop_duplicates(subset=list(dims)).reset_index(drop=True)
+        out_name = a2e_filepath(fname, dims)
+        header = a2e_metadata_header(sub, dims, attrs, var_attrs)
+        body = df.to_csv(date_format="%Y-%m-%d %H:%M:%S.%f", header=True,
+                         index=False)
+        sfs.write_text(out_name, header + "\n" + body)
+        paths.append(sfs.join_root(out_name))
+        rows.append(len(df))
+    return pa.table({"path": pa.array(paths, pa.string()),
+                     "rows": pa.array(rows, pa.int64())})
