@@ -3198,6 +3198,44 @@ def _q_vap_product(sf_dir: str):
     return out.select_columns(["source", "bucket", "n_tok_mean", "qc_n_tok"])
 
 
+def _q_vap_sums(sf_dir: str):
+    """The VAP path under a HASH-EXACT DuckDB contract: same store / fetch /
+    hourly bin-average machinery as ``vap_product_1h`` but regridding the 1m
+    tier's integer-valued token-sum column with 1 µs input widths — every
+    contribution weight is exactly 1.0, so the hourly mean is an
+    integer-sum ÷ count (deterministic under any combine order) and the
+    full-grid skeleton/QC behavior (empty bins → null + OUTSIDE|BAD) is
+    SQL-reproducible."""
+    import pyarrow.parquet as pq
+
+    from tsdat_ray.pipelines.rollup_pipeline import PipelineConfig, run_pipeline
+    from tsdat_ray.pipelines.vap_pipeline import VapConfig, run_vap
+    from tsdat_ray.state.manifest import Manifest
+
+    store = os.path.join(_CACHE, f"vap_store_{_sf_of(sf_dir)}")
+    man = Manifest(store)
+    if not man.completed("t1m"):
+        run_pipeline(_sequences_corpus(sf_dir), PipelineConfig(out_root=store, run_id="vapq"))
+    else:
+        _sequences_corpus(sf_dir)  # pin the oracle's corpus glob to this scale
+    part = sorted(man.completed("t1m"))[0]
+    pdir = man.partition_dir("t1m", part)
+    f0 = sorted(p for p in os.listdir(pdir) if p.endswith(".parquet"))[0]
+    tmin = int(pq.read_table(os.path.join(pdir, f0), columns=["bucket"])["bucket"]
+               .cast(pa.int64()).to_pandas().min())
+    start = (tmin // (3600 * US)) * (3600 * US)
+    run_vap(VapConfig(store_root=store, start_us=start, end_us=start + 12 * 3600 * US,
+                      interval_s=3600, source_tier="t1m", values=("n_tok_sum_wx",),
+                      out_tier="vap_sums", run_id="vapq_sums",
+                      extra={"input_width_us": 1}))
+    import ray.data as rd
+
+    out = rd.read_parquet(man.tier_dir("vap_sums"))
+    return out.select_columns(
+        ["source", "bucket", "n_tok_sum_wx_mean",
+         "n_tok_sum_wx_goodfraction", "qc_n_tok_sum_wx"])
+
+
 # ---- flagship sequences tiers (round 3: hash-green vs DuckDB) -------------- #
 
 _SEQ_TIER_COLS = [
@@ -3288,6 +3326,60 @@ def _seq_rollup_sql(unit: str) -> str:
                CAST(0 AS BIGINT) AS n_tok_n_ind,
                vmin AS n_tok_min, vmax AS n_tok_max
         FROM agg
+    """
+
+
+def _vap_sums_sql() -> str:
+    """DuckDB twin of ``vap_product_sums_1h``: rebuild the 1m tier's
+    (source, minute, token-sum) view from the raw corpus (same dedup/QC CTEs
+    as the tier oracle), derive the engine's grid anchor (the first
+    committed partition sorts to source=books → floor(books' first minute)
+    to the hour), then the full 12h × sources grid with hourly
+    integer-sum ÷ count means and the empty-bin OUTSIDE|BAD QC rows."""
+    from tsdat_ray.schema import EPOCH_US, FILL_INT, MAX_TOKENS, NOMINAL_INTERVAL_S
+
+    iv_us = NOMINAL_INTERVAL_S * 1_000_000
+    return f"""
+        WITH flags AS (
+            SELECT source, doc_id, n_tok,
+                   CAST(right(doc_id, 8) AS BIGINT) * {iv_us} + {EPOCH_US} AS ts_us,
+                   (n_tok IS NULL OR n_tok = {FILL_INT}
+                    OR n_tok <> len(tokens) OR n_tok < 1
+                    OR n_tok > {MAX_TOKENS}) AS bad,
+                   CAST(len(tokens) AS BIGINT) * 4294967296
+                   + CAST(list_sum(tokens) AS BIGINT) AS tb
+            FROM read_parquet('{_seq_corpus_glob()}')
+        ), dedup AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY source, ts_us ORDER BY doc_id, tb) AS rn
+                FROM flags) t WHERE rn = 1
+        ), minutes AS (
+            SELECT source,
+                   date_trunc('minute', make_timestamp(ts_us)) AS m,
+                   coalesce(CAST(sum(CAST(n_tok AS BIGINT))
+                                 FILTER (WHERE NOT bad) AS DOUBLE), 0.0) AS swx
+            FROM dedup GROUP BY 1, 2
+        ), t0 AS (
+            SELECT date_trunc('hour', min(m)) AS h0 FROM minutes
+            WHERE source = 'books'
+        ), grid AS (
+            SELECT s.source, t0.h0 + i * INTERVAL 1 HOUR AS bucket
+            FROM (SELECT DISTINCT source FROM minutes) s,
+                 (SELECT unnest(range(0, 12)) AS i) r, t0
+        ), agg AS (
+            SELECT source, date_trunc('hour', m) AS bucket,
+                   count(*) AS n, sum(swx) AS sums
+            FROM minutes GROUP BY 1, 2
+        )
+        SELECT g.source, g.bucket,
+               a.sums / a.n AS n_tok_sum_wx_mean,
+               CASE WHEN a.n IS NULL THEN NULL ELSE 1.0 END
+                   AS n_tok_sum_wx_goodfraction,
+               CAST(CASE WHEN a.n IS NULL THEN 129 ELSE 0 END AS INTEGER)
+                   AS qc_n_tok_sum_wx
+        FROM grid g LEFT JOIN agg a
+          ON g.source = a.source AND g.bucket = a.bucket
     """
 
 
@@ -4982,6 +5074,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_audio_features": _q_media_audio_features,
         "media_video_frames": _q_media_video_frames,
         "vap_product_1h": _q_vap_product,
+        "vap_product_sums_1h": _q_vap_sums,
         "seq_rollup_1m": _q_seq_tier("1m"),
         "seq_rollup_1h": _q_seq_tier("1h"),
         "seq_rollup_1d": _q_seq_tier("1d"),
@@ -6375,6 +6468,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         # round 3: the flagship sequences tier path, hash-exact vs DuckDB
+        "vap_product_sums_1h": _vap_sums_sql(),
         "length_buckets_sequences": f"""
             -- searchsorted(edges, n_tok, side='right') == chained n_tok < t
             SELECT source,
