@@ -3166,6 +3166,16 @@ def _q_media_video_frames(sf_dir: str):
     return ds.map_batches(VideoFrameSample, batch_format="pyarrow", concurrency=2, batch_size=32)
 
 
+
+# tier-store semantic version: bump when standardize/dedup/rollup semantics
+# change so stale /tmp stores built by an older engine can't feed the
+# oracle contract (r3: content tie-break changed dedup survivors)
+_STORE_VERSION = 2
+
+
+def _vap_store(sf_dir: str) -> str:
+    return os.path.join(_CACHE, f"vap_store_v{_STORE_VERSION}_{_sf_of(sf_dir)}")
+
 def _q_vap_product(sf_dir: str):
     """Transformation (VAP) pipeline end-to-end: sequences store (built once
     per scale under /tmp, manifest-resumed) → fetch padded range from the 1m
@@ -3178,7 +3188,7 @@ def _q_vap_product(sf_dir: str):
     from tsdat_ray.pipelines.vap_pipeline import VapConfig, run_vap
     from tsdat_ray.state.manifest import Manifest
 
-    store = os.path.join(_CACHE, f"vap_store_{_sf_of(sf_dir)}")
+    store = _vap_store(sf_dir)
     man = Manifest(store)
     if not man.completed("t1m"):
         run_pipeline(_sequences_corpus(sf_dir), PipelineConfig(out_root=store, run_id="vapq"))
@@ -3212,7 +3222,7 @@ def _q_vap_sums(sf_dir: str):
     from tsdat_ray.pipelines.vap_pipeline import VapConfig, run_vap
     from tsdat_ray.state.manifest import Manifest
 
-    store = os.path.join(_CACHE, f"vap_store_{_sf_of(sf_dir)}")
+    store = _vap_store(sf_dir)
     man = Manifest(store)
     if not man.completed("t1m"):
         run_pipeline(_sequences_corpus(sf_dir), PipelineConfig(out_root=store, run_id="vapq"))

@@ -128,7 +128,8 @@ def test_read_csv_declared(ray_session, tmp_path):
         "2024-01-01 00:10:00,10.0,60,y\n"
     )
     ds = read_csv_declared(str(p), SCHEMA)
-    pdf = ds.to_pandas()
+    # Dataset row order across blocks is not guaranteed — sort before compare
+    pdf = ds.to_pandas().sort_values("time").reset_index(drop=True)
     assert len(pdf) == 2
     assert list(pdf.columns) == ["time", "temp", "rh", "missing_declared", "site"]
     assert np.allclose(pdf["temp"], [273.15, 283.15])

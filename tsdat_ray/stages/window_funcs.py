@@ -1911,13 +1911,17 @@ def suggest_window_s(ds, key: str, ts_col: str,
     clamped to [lo_s, hi_s] and rounded up to a whole hour.  The estimate
     only steers task sizing — every operator in this module is exact at ANY
     window width, so a biased sample costs balance, never correctness."""
-    sample = ds.select_columns([key, ts_col]).limit(sample_rows).take_all()
-    if not sample:
+    tabs = list(
+        ds.select_columns([key, ts_col]).limit(sample_rows).iter_batches(
+            batch_format="pyarrow", batch_size=None)
+    )
+    sample = pa.concat_tables(tabs) if tabs else None
+    if sample is None or sample.num_rows == 0:
         return lo_s
-    ts = np.array([r[ts_col] for r in sample], dtype="datetime64[us]").astype(np.int64)
-    keys = {r[key] for r in sample}
+    ts = sample[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+    n_keys = len(np.unique(sample[key].to_numpy(zero_copy_only=False)))
     span_s = max((int(ts.max()) - int(ts.min())) / US, 1.0)
-    rows_per_key_per_s = len(sample) / (max(len(keys), 1) * span_s)
+    rows_per_key_per_s = sample.num_rows / (max(n_keys, 1) * span_s)
     if rows_per_key_per_s <= 0:
         return hi_s
     win = target_rows_per_group / rows_per_key_per_s

@@ -449,7 +449,7 @@ def write_batch_a2e_csv(
         header = a2e_metadata_header(sub, dims, attrs, var_attrs)
         body = df.to_csv(date_format="%Y-%m-%d %H:%M:%S.%f", header=True,
                          index=False)
-        sfs.write_text(out_name, header + "\n" + body)
+        sfs.write_text(sfs.join(out_name), header + "\n" + body)
         paths.append(sfs.join_root(out_name))
         rows.append(len(df))
     return pa.table({"path": pa.array(paths, pa.string()),
