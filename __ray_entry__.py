@@ -3148,7 +3148,7 @@ def _media_path() -> str:
 
     from tsdat_ray.stages.multimodal import synth_media_table
 
-    path = os.path.join(_CACHE, "media.parquet")
+    path = os.path.join(_CACHE, f"media_v{_STORE_VERSION}.parquet")
     if not os.path.exists(path):
         os.makedirs(_CACHE, exist_ok=True)
         pq.write_table(synth_media_table(n=120, seed=123), path)

@@ -31,8 +31,10 @@ def test_image_decode_stats(media):
     imgs = media.filter(pa.compute.equal(media["kind"], "image"))
     out = ImageDecode()(imgs)
     assert out.num_rows == imgs.num_rows
-    # verify one row against direct numpy
-    px = np.frombuffer(imgs["payload"][0].as_py(), dtype=np.uint8)
+    # verify one row against direct numpy (row 0 is PNG-compressed: decode)
+    from tsdat_ray.stages.png_codec import png_decode
+
+    px = png_decode(imgs["payload"][0].as_py()).reshape(-1)
     assert out["px_mean"][0].as_py() == pytest.approx(px.mean())
     assert out["px_std"][0].as_py() == pytest.approx(px.std())
     hist = np.asarray(out["hist"][0].as_py())
@@ -44,8 +46,10 @@ def test_image_resize_shapes(media):
     out = ImageResize(out_w=4, out_h=6)(imgs)
     for i in range(out.num_rows):
         assert len(out["payload"][i].as_py()) == 4 * 6 * out["channels"][i].as_py()
-    # nearest-neighbor: corner pixel preserved
-    src = np.frombuffer(imgs["payload"][0].as_py(), dtype=np.uint8).reshape(
+    # nearest-neighbor: corner pixel preserved (row 0 is PNG: decode first)
+    from tsdat_ray.stages.png_codec import png_decode
+
+    src = png_decode(imgs["payload"][0].as_py()).reshape(
         imgs["height"][0].as_py(), imgs["width"][0].as_py(), 3
     )
     dst = np.frombuffer(out["payload"][0].as_py(), dtype=np.uint8).reshape(6, 4, 3)
@@ -99,3 +103,89 @@ def test_media_actor_pool_pipeline(ray_session, media, tmp_path):
     n_imgs = media.filter(pa.compute.equal(media["kind"], "image")).num_rows
     assert len(pdf) == n_imgs
     assert set(pdf.columns) == {"media_id", "px_mean", "px_std", "hist"}
+
+
+# --------------------------------------------------------------------------- #
+# pure-python PNG codec (the real compressed path)
+# --------------------------------------------------------------------------- #
+
+def test_png_roundtrip_exact_all_shapes():
+    from tsdat_ray.stages.png_codec import png_decode, png_encode
+
+    rng = np.random.default_rng(5)
+    for h, w, c in ((1, 1, 1), (7, 3, 1), (16, 24, 3), (9, 5, 4), (32, 32, 3)):
+        img = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+        out = png_decode(png_encode(img))
+        np.testing.assert_array_equal(out, img, err_msg=f"{(h, w, c)}")
+
+
+def test_png_decode_all_filter_types():
+    """Hand-built PNG exercising every scanline filter (0..4) — the encoder
+    only emits None/Up/Sub, so Average/Paeth need an explicit fixture."""
+    import struct
+    import zlib
+
+    from tsdat_ray.stages.png_codec import _chunk, _SIG, png_decode
+
+    rng = np.random.default_rng(9)
+    w, c, h = 6, 3, 5
+    img = rng.integers(0, 256, (h, w, c), dtype=np.uint8).astype(np.int32)
+
+    def paeth(a, b, cc):
+        p = a + b - cc
+        if abs(p - a) <= abs(p - b) and abs(p - a) <= abs(p - cc):
+            return a
+        return b if abs(p - b) <= abs(p - cc) else cc
+
+    stride = w * c
+    flat = img.reshape(h, stride)
+    filtered = bytearray()
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        row = flat[y]
+        prev = flat[y - 1] if y else np.zeros(stride, np.int32)
+        enc = np.zeros(stride, np.int32)
+        for i in range(stride):
+            left = row[i - c] if i >= c else 0
+            ul = prev[i - c] if i >= c else 0
+            if f == 0:
+                enc[i] = row[i]
+            elif f == 1:
+                enc[i] = row[i] - left
+            elif f == 2:
+                enc[i] = row[i] - prev[i]
+            elif f == 3:
+                enc[i] = row[i] - ((left + prev[i]) >> 1)
+            else:
+                enc[i] = row[i] - paeth(int(left), int(prev[i]), int(ul))
+        filtered.append(f)
+        filtered.extend((enc & 0xFF).astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    data = (_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(filtered)))
+            + _chunk(b"IEND", b""))
+    np.testing.assert_array_equal(png_decode(data), img.astype(np.uint8))
+
+
+def test_png_images_flow_through_image_stats(ray_session, media):
+    """The media corpus now carries PNG-compressed images; ImageDecode must
+    produce IDENTICAL stats for them (lossless codec, same pixels)."""
+    import ray.data as rd
+
+    from tsdat_ray.stages.multimodal import ImageDecode
+    from tsdat_ray.stages.png_codec import png_decode
+
+    imgs = media.filter(pa.compute.equal(media["kind"], "image"))
+    assert set(imgs["codec"].to_pylist()) == {"raw", "png"}
+    out = (
+        rd.from_arrow(imgs)
+        .map_batches(ImageDecode, batch_format="pyarrow", concurrency=2,
+                     batch_size=8)
+        .to_pandas().set_index("media_id").sort_index()
+    )
+    for i in range(imgs.num_rows):
+        row = {k: imgs[k][i].as_py() for k in imgs.column_names}
+        if row["codec"] == "png":
+            px = png_decode(row["payload"]).reshape(-1)
+        else:
+            px = np.frombuffer(row["payload"], np.uint8)
+        assert abs(out.loc[row["media_id"], "px_mean"] - px.mean()) < 1e-9

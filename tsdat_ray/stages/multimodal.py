@@ -40,13 +40,19 @@ MEDIA_SCHEMA = pa.schema(
 
 
 def _decode_compressed(codec: str, payload: bytes) -> np.ndarray:
-    """STUB: compressed-codec decode.  The container has no image/audio
-    libraries (PIL/soundfile/av); production swaps this for the real decoder.
-    The surrounding plumbing (actor pools, schema, batching) is real."""
+    """Compressed-codec decode.  ``png`` is REAL (pure-python zlib+numpy
+    codec, lossless — stages/png_codec.py); jpeg/opus/h264 remain stubbed
+    because the container has no image/audio libraries (PIL/soundfile/av) —
+    production swaps those in.  The surrounding plumbing (actor pools,
+    schema, batching) is real for every codec."""
+    if codec == "png":
+        from .png_codec import png_decode
+
+        return png_decode(payload).reshape(-1)
     raise NotImplementedError(
         f"codec {codec!r}: compressed media decode requires an image/audio "
         "library not present in this environment (PIL / soundfile / av). "
-        "Use codec='raw'/'pcm16' payloads, or install a decoder."
+        "Use codec='raw'/'pcm16'/'png' payloads, or install a decoder."
     )
 
 
@@ -59,8 +65,16 @@ def synth_media_table(n: int = 64, seed: int = 123) -> pa.Table:
         kind = ("image", "audio", "video")[i % 3]
         if kind == "image":
             w, h, c = int(rng.integers(8, 24)), int(rng.integers(8, 24)), 3
-            payload = rng.integers(0, 256, w * h * c, dtype=np.uint8).tobytes()
-            meta = dict(width=w, height=h, channels=c, sample_rate=0, n_frames=0, codec="raw")
+            px = rng.integers(0, 256, w * h * c, dtype=np.uint8)
+            if i % 2 == 0:  # half the images arrive PNG-compressed
+                from .png_codec import png_encode
+
+                payload = png_encode(px.reshape(h, w, c))
+                codec = "png"
+            else:
+                payload = px.tobytes()
+                codec = "raw"
+            meta = dict(width=w, height=h, channels=c, sample_rate=0, n_frames=0, codec=codec)
         elif kind == "audio":
             sr, nsamp = 16000, int(rng.integers(256, 2048))
             payload = rng.integers(-32768, 32767, nsamp, dtype=np.int16).tobytes()
@@ -130,8 +144,12 @@ class ImageResize:
         self.payload_col = payload_col
         self.id_col = id_col
 
-    def resize_one(self, payload: bytes, w: int, h: int, c: int) -> bytes:
-        img = np.frombuffer(payload, dtype=np.uint8).reshape(h, w, c)
+    def resize_one(self, codec: str, payload: bytes, w: int, h: int, c: int) -> bytes:
+        if codec == "raw":
+            px = np.frombuffer(payload, dtype=np.uint8)
+        else:
+            px = _decode_compressed(codec, payload)
+        img = px.reshape(h, w, c)
         yi = (np.arange(self.out_h) * h // self.out_h)
         xi = (np.arange(self.out_w) * w // self.out_w)
         return img[np.ix_(yi, xi)].tobytes()
@@ -140,10 +158,9 @@ class ImageResize:
         pay = batch[self.payload_col].combine_chunks()
         out = []
         for i in range(batch.num_rows):
-            if batch["codec"][i].as_py() != "raw":
-                _decode_compressed(batch["codec"][i].as_py(), b"")
             out.append(
                 self.resize_one(
+                    batch["codec"][i].as_py(),
                     pay[i].as_py(),
                     batch["width"][i].as_py(),
                     batch["height"][i].as_py(),
