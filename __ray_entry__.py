@@ -3148,7 +3148,7 @@ def _media_path() -> str:
 
     from tsdat_ray.stages.multimodal import synth_media_table
 
-    path = os.path.join(_CACHE, f"media_v{_STORE_VERSION}.parquet")
+    path = os.path.join(_CACHE, f"media_v{_MEDIA_VERSION}.parquet")
     if not os.path.exists(path):
         os.makedirs(_CACHE, exist_ok=True)
         pq.write_table(synth_media_table(n=120, seed=123), path)
@@ -3184,6 +3184,8 @@ def _q_media_video_frames(sf_dir: str):
 # change so stale /tmp stores built by an older engine can't feed the
 # oracle contract (r3: content tie-break changed dedup survivors)
 _STORE_VERSION = 2
+# media corpus version: bump when synth_media_table output changes
+_MEDIA_VERSION = 3
 
 
 def _vap_store(sf_dir: str) -> str:

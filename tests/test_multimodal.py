@@ -77,14 +77,15 @@ def test_video_frame_sample(media):
 
 
 def test_compressed_codec_is_stubbed(media):
-    jpeg = pa.table(
+    """png/jpeg are REAL now; the video/audio codecs stay honest stubs."""
+    h264 = pa.table(
         {
-            name: (pa.array(["jpeg"], pa.string()) if name == "codec" else media[name].slice(0, 1))
+            name: (pa.array(["h264"], pa.string()) if name == "codec" else media[name].slice(0, 1))
             for name in media.column_names
         }
     )
-    with pytest.raises(NotImplementedError, match="jpeg"):
-        ImageDecode()(jpeg)
+    with pytest.raises(NotImplementedError, match="h264"):
+        ImageDecode()(h264)
 
 
 def test_media_actor_pool_pipeline(ray_session, media, tmp_path):
@@ -175,17 +176,89 @@ def test_png_images_flow_through_image_stats(ray_session, media):
     from tsdat_ray.stages.png_codec import png_decode
 
     imgs = media.filter(pa.compute.equal(media["kind"], "image"))
-    assert set(imgs["codec"].to_pylist()) == {"raw", "png"}
+    assert set(imgs["codec"].to_pylist()) == {"raw", "png", "jpeg"}
     out = (
         rd.from_arrow(imgs)
         .map_batches(ImageDecode, batch_format="pyarrow", concurrency=2,
                      batch_size=8)
         .to_pandas().set_index("media_id").sort_index()
     )
+    from tsdat_ray.stages.jpeg_codec import jpeg_decode
+
     for i in range(imgs.num_rows):
         row = {k: imgs[k][i].as_py() for k in imgs.column_names}
         if row["codec"] == "png":
             px = png_decode(row["payload"]).reshape(-1)
+        elif row["codec"] == "jpeg":
+            px = jpeg_decode(row["payload"]).reshape(-1)
         else:
             px = np.frombuffer(row["payload"], np.uint8)
         assert abs(out.loc[row["media_id"], "px_mean"] - px.mean()) < 1e-9
+
+
+# --------------------------------------------------------------------------- #
+# pure-python baseline JPEG codec (lossy — PSNR-bounded roundtrips)
+# --------------------------------------------------------------------------- #
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return float("inf") if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+def test_jpeg_roundtrip_flat_blocks_exact():
+    """A flat image has only DC energy: quantized DC reconstructs the exact
+    level at any quality, so the roundtrip is bit-exact up to clipping."""
+    from tsdat_ray.stages.jpeg_codec import jpeg_decode, jpeg_encode
+
+    for level in (0, 64, 128, 200, 255):
+        img = np.full((16, 24, 3), level, np.uint8)
+        out = jpeg_decode(jpeg_encode(img, quality=85))
+        assert out.shape == img.shape
+        assert int(np.abs(out.astype(int) - int(level)).max()) <= 1, level
+
+
+def test_jpeg_roundtrip_psnr_smooth_and_noise():
+    from tsdat_ray.stages.jpeg_codec import jpeg_decode, jpeg_encode
+
+    yy, xx = np.mgrid[0:40, 0:56]
+    smooth = np.stack([
+        (yy * 3 + xx) % 256, (xx * 2) % 256, ((yy + xx) * 2) % 256,
+    ], axis=-1).astype(np.uint8)
+    # smooth gradients contain block-boundary wrap discontinuities from the
+    # modulo; still, quality 95 must reconstruct faithfully
+    out = jpeg_decode(jpeg_encode(smooth, quality=95))
+    assert _psnr(smooth, out) > 30, _psnr(smooth, out)
+
+    rng = np.random.default_rng(3)
+    noise = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    out95 = jpeg_decode(jpeg_encode(noise, quality=95))
+    out25 = jpeg_decode(jpeg_encode(noise, quality=25))
+    # lossy: higher quality must not be worse, and both must decode to the
+    # declared shape
+    assert out95.shape == noise.shape == out25.shape
+    assert _psnr(noise, out95) >= _psnr(noise, out25) - 0.5
+
+
+def test_jpeg_grayscale_and_odd_sizes():
+    from tsdat_ray.stages.jpeg_codec import jpeg_decode, jpeg_encode
+
+    rng = np.random.default_rng(11)
+    for h, w in ((8, 8), (9, 13), (17, 31), (1, 1)):
+        base = np.clip(rng.normal(128, 20, (h, w, 1)), 0, 255).astype(np.uint8)
+        out = jpeg_decode(jpeg_encode(base, quality=90))
+        assert out.shape == (h, w, 1)
+        assert _psnr(base, out) > 28, (h, w, _psnr(base, out))
+
+
+def test_jpeg_decode_rejects_non_baseline():
+    from tsdat_ray.stages.jpeg_codec import jpeg_decode, jpeg_encode
+
+    img = np.zeros((8, 8, 3), np.uint8)
+    data = bytearray(jpeg_encode(img))
+    # flip SOF0 (C0) to SOF2 (C2, progressive): must refuse, not misdecode
+    i = data.find(b"\xff\xc0")
+    data[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="SOF2"):
+        jpeg_decode(bytes(data))
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg_decode(b"not a jpeg")

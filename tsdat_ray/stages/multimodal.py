@@ -49,10 +49,14 @@ def _decode_compressed(codec: str, payload: bytes) -> np.ndarray:
         from .png_codec import png_decode
 
         return png_decode(payload).reshape(-1)
+    if codec == "jpeg":
+        from .jpeg_codec import jpeg_decode
+
+        return jpeg_decode(payload).reshape(-1)
     raise NotImplementedError(
-        f"codec {codec!r}: compressed media decode requires an image/audio "
-        "library not present in this environment (PIL / soundfile / av). "
-        "Use codec='raw'/'pcm16'/'png' payloads, or install a decoder."
+        f"codec {codec!r}: compressed media decode requires an audio/video "
+        "library not present in this environment (soundfile / av). "
+        "Use codec='raw'/'pcm16'/'png'/'jpeg' payloads, or install a decoder."
     )
 
 
@@ -66,11 +70,18 @@ def synth_media_table(n: int = 64, seed: int = 123) -> pa.Table:
         if kind == "image":
             w, h, c = int(rng.integers(8, 24)), int(rng.integers(8, 24)), 3
             px = rng.integers(0, 256, w * h * c, dtype=np.uint8)
-            if i % 2 == 0:  # half the images arrive PNG-compressed
+            # kind cycles on i%3, so images are i=0,3,6,…; cycle the image
+            # codec on the IMAGE ordinal (i//3) — a third png, jpeg, raw
+            if (i // 3) % 3 == 0:
                 from .png_codec import png_encode
 
                 payload = png_encode(px.reshape(h, w, c))
                 codec = "png"
+            elif (i // 3) % 3 == 1:  # lossy: stats reflect the decode
+                from .jpeg_codec import jpeg_encode
+
+                payload = jpeg_encode(px.reshape(h, w, c), quality=90)
+                codec = "jpeg"
             else:
                 payload = px.tobytes()
                 codec = "raw"
