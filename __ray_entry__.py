@@ -3528,6 +3528,48 @@ def _q_latest_per_user(sf_dir: str):
     return out.select_columns(["user_id", "event_id", "ts"])
 
 
+def _q_embedding_covariance(sf_dir: str):
+    """Exact second-moment table of the embedding corpus (the PCA input):
+    integer-quantized (round-half-away ·1e6) per-block (S1, S2) folds,
+    tree-merged — associative int sums, so the d(d+1)/2-row result is
+    bit-identical under any combine order and value-hashes against the
+    DuckDB self-join twin (stages/similarity.py:embedding_covariance)."""
+    from tsdat_ray.stages.similarity import embedding_covariance
+
+    ds = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = embedding_covariance(ds, dim=64, quant=1e6)
+    return out.select_columns(["i", "j", "s1_i", "s2_ij", "n"])
+
+
+def _q_pca_embeddings(sf_dir: str):
+    """Distributed PCA projection: exact quantized covariance → driver eigh
+    (d=64 bounded) → pure-map projection; returns per-vector first-component
+    scores (rows-only: eigenvectors are not SQL-expressible; the covariance
+    input IS oracled via embedding_covariance)."""
+    from tsdat_ray.stages.similarity import pca_embeddings
+
+    ds = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = pca_embeddings(ds, dim=64, k=4)
+
+    def first(b: pa.Table) -> pa.Table:
+        p = b["pca"].combine_chunks()
+        v = p.values.to_numpy(zero_copy_only=False).reshape(-1, 4)
+        return pa.table({"vec_id": b["vec_id"], "pc1": pa.array(v[:, 0].astype(np.float64))})
+
+    return out.map_batches(first, batch_format="pyarrow")
+
+
+def _q_bpe_merges(sf_dir: str):
+    """BPE vocabulary training over the documents corpus: one distributed
+    exact word-frequency pass, then the vocab-bounded merge loop (rows-only:
+    iterative argmax, not SQL-expressible; golden-pinned by pytest against
+    a reference dict-based BPE)."""
+    from tsdat_ray.stages.text import bpe_train
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["text"])
+    return bpe_train(ds, n_merges=40)
+
+
 def _q_quantize_embeddings(sf_dir: str):
     """Per-dimension int8 (0..255) embedding quantization — the ANN index
     compression step: pass 1 folds exact per-dim min/max (order-free), pass
@@ -5010,6 +5052,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "equidepth_hist_events": _q_equidepth_hist,
         "wau_7d_events": _q_wau_7d,
         "quantize_embeddings": _q_quantize_embeddings,
+        "embedding_covariance": _q_embedding_covariance,
+        "pca_embeddings": _q_pca_embeddings,
+        "bpe_merges_docs": _q_bpe_merges,
         "latest_per_user_events": _q_latest_per_user,
         "diversified_topk_events": _q_diversified_topk,
         "fuzzy_name_pairs_part": _q_fuzzy_name_pairs,
@@ -6494,6 +6539,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         # round 3: the flagship sequences tier path, hash-exact vs DuckDB
         "vap_product_sums_1h": _vap_sums_sql(),
+        "embedding_covariance": """
+            -- exact integer second moments: round-half-away(x*1e6) as BIGINT,
+            -- self-join per vec on dim index (i <= j upper triangle)
+            WITH q AS (
+                SELECT vec_id, i,
+                       CAST(round(CAST(embedding[CAST(i AS INTEGER) + 1]
+                                       AS DOUBLE) * 1000000) AS BIGINT) AS qv
+                FROM embeddings, (SELECT unnest(range(0, 64)) AS i) r
+            )
+            SELECT a.i AS i, b.i AS j,
+                   sum(a.qv) AS s1_i,
+                   sum(a.qv * b.qv) AS s2_ij,
+                   count(*) AS n
+            FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.i >= a.i
+            GROUP BY 1, 2
+        """,
         "length_buckets_sequences": f"""
             -- searchsorted(edges, n_tok, side='right') == chained n_tok < t
             SELECT source,

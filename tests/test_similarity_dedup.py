@@ -502,3 +502,123 @@ def test_actor_pool_guard_caps_at_low_cpu(ray_session):
         rd.from_arrow(tbl), max_hamming=3, concurrency=8
     ).to_pandas()
     assert {"id_a", "id_b", "hamming"} <= set(out.columns)
+
+
+# --------------------------------------------------------------------------- #
+# BPE vocabulary training (round 3)
+# --------------------------------------------------------------------------- #
+
+def _reference_bpe(word_freq: dict, n_merges: int):
+    """Dead-simple dict-based BPE on a word-frequency table (the classic
+    Sennrich et al. algorithm; left-to-right non-overlapping merge)."""
+    vocab = {tuple(list(w) + ["</w>"]): f for w, f in word_freq.items()}
+    merges = []
+    for rank in range(n_merges):
+        pairs: dict = {}
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + f
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((rank, best[0], best[1], pairs[best]))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_reference(ray_session):
+    import ray.data as rd
+
+    from tsdat_ray.stages.text import bpe_train
+
+    docs = [
+        "low lower lowest low low",
+        "newer newest new new newer",
+        "wider wide widest wider",
+        "low new wide lower",
+    ] * 3
+    tbl = pa.table({"text": pa.array(docs)})
+    got = (bpe_train(rd.from_arrow(tbl).repartition(3), n_merges=12)
+           .to_pandas().sort_values("rank").reset_index(drop=True))
+
+    freq: dict = {}
+    for d in docs:
+        for w in d.split():
+            freq[w] = freq.get(w, 0) + 1
+    exp = _reference_bpe(freq, 12)
+    assert len(got) == len(exp)
+    for i, (rank, a, b, cnt) in enumerate(exp):
+        assert got.loc[i, "rank"] == rank
+        assert got.loc[i, "left"] == a, (i, got.loc[i].to_dict(), (a, b))
+        assert got.loc[i, "right"] == b
+        assert got.loc[i, "pair_count"] == cnt
+
+
+# --------------------------------------------------------------------------- #
+# exact covariance + PCA (round 3)
+# --------------------------------------------------------------------------- #
+
+def test_embedding_covariance_exact(ray_session):
+    import ray.data as rd
+
+    from tsdat_ray.stages.similarity import embedding_covariance
+
+    rng = np.random.default_rng(21)
+    n, d = 200, 8
+    m = rng.normal(0, 1, (n, d)).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n)),
+        "embedding": pa.array(list(m), pa.list_(pa.float32())),
+    })
+    out = pa.concat_tables(
+        embedding_covariance(rd.from_arrow(tbl).repartition(5), dim=d)
+        .iter_batches(batch_format="pyarrow", batch_size=None)).to_pandas()
+    y = m.astype(np.float64) * 1e6
+    e = np.copysign(np.floor(np.abs(y) + 0.5), y).astype(np.int64)
+    out = out.sort_values(["i", "j"]).reset_index(drop=True)
+    k = 0
+    for i in range(d):
+        for j in range(i, d):
+            assert out.loc[k, "s2_ij"] == int((e[:, i] * e[:, j]).sum())
+            assert out.loc[k, "s1_i"] == int(e[:, i].sum())
+            assert out.loc[k, "n"] == n
+            k += 1
+
+
+def test_pca_embeddings_recovers_principal_axis(ray_session):
+    import ray.data as rd
+
+    from tsdat_ray.stages.similarity import pca_embeddings
+
+    rng = np.random.default_rng(31)
+    n, d = 400, 6
+    axis = np.zeros(d)
+    axis[2] = 1.0  # dominant variance along dim 2
+    m = (rng.normal(0, 5, (n, 1)) * axis[None, :]
+         + rng.normal(0, 0.1, (n, d))).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n)),
+        "embedding": pa.array(list(m), pa.list_(pa.float32())),
+    })
+    out = (pca_embeddings(rd.from_arrow(tbl).repartition(4), dim=d, k=2)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    p = np.stack(out["pca"].to_numpy())
+    # PC1 must align with the planted axis: |corr| ~ 1
+    x = m[:, 2].astype(np.float64)
+    c = np.corrcoef(x, p[:, 0].astype(np.float64))[0, 1]
+    assert abs(c) > 0.999, c
+    # deterministic across block layouts
+    out2 = (pca_embeddings(rd.from_arrow(tbl).repartition(9), dim=d, k=2)
+            .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    np.testing.assert_array_equal(np.stack(out2["pca"].to_numpy()), p)

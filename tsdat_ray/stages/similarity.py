@@ -401,3 +401,98 @@ def kmeans_assign(ds, centroids: np.ndarray, emb_col: str = "embedding",
         })
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def embedding_covariance(ds, emb_col: str = "embedding", dim: int = 64,
+                         quant: float = 1e6):
+    """Distributed EXACT covariance of an embedding column via integer
+    quantization: each batch folds round(x·quant) int64 vectors into
+    (n, S1[d], S2[d,d]) partials — associative integer sums, so any
+    combine order is bit-identical AND a SQL twin can reproduce them
+    (the centroid-query recipe lifted to second moments).  Partials are
+    d²-bounded (one (i, j, s1_i, s2_ij) table per block), tree-merged;
+    the d×d solve (eigh for PCA) happens on the driver where d is small.
+
+    Overflow bound: n · quant² · max|x_i x_j| must stay < 2⁶³ — at
+    quant=1e6 and unit-normalized embeddings that is n < ~9e6 rows per
+    MERGED partial; raise ``quant`` down (1e4) for larger corpora (the
+    contract stays exact at any scale chosen).
+
+    Returns a Dataset (one combined block) with columns i, j, s1_i, s2_ij,
+    n where s2 covers the upper triangle including the diagonal."""
+    import pyarrow as pa
+
+    iu = np.triu_indices(dim)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch[emb_col].combine_chunks()
+        m = col.values.to_numpy(zero_copy_only=False).reshape(-1, dim)
+        y = m.astype(np.float64) * quant
+        # half-AWAY rounding (DuckDB round()); np.round is banker's and
+        # arbitrary floats DO tie at .5 (CLAUDE.md recipe)
+        e = np.copysign(np.floor(np.abs(y) + 0.5), y).astype(np.int64)
+        s1 = e.sum(axis=0)
+        s2 = e.T @ e
+        return pa.table({
+            "i": pa.array(iu[0].astype(np.int64)),
+            "j": pa.array(iu[1].astype(np.int64)),
+            "s1_i": pa.array(s1[iu[0]]),
+            "s2_ij": pa.array(s2[iu]),
+            "n": pa.array(np.full(len(iu[0]), len(e), np.int64)),
+        })
+
+    from .reduce import tree_reduce
+
+    def merge(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas().groupby(["i", "j"], as_index=False).agg(
+            s1_i=("s1_i", "sum"), s2_ij=("s2_ij", "sum"), n=("n", "sum"))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return tree_reduce(ds.map_batches(partial, batch_format="pyarrow"), merge)
+
+
+def pca_embeddings(ds, emb_col: str = "embedding", dim: int = 64,
+                   k: int = 8, quant: float = 1e6):
+    """Distributed PCA: exact integer-quantized covariance (one pass,
+    tree-merged d² partials) → driver-side ``eigh`` on the small d×d
+    matrix → projection as a pure map over the corpus.  Deterministic up
+    to eigenvector sign; signs are fixed by making each component's
+    largest-|loading| coordinate positive."""
+    import pyarrow as pa
+
+    cov_ds = embedding_covariance(ds, emb_col=emb_col, dim=dim, quant=quant)
+    cov_tab = pa.concat_tables(
+        cov_ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    i = cov_tab["i"].to_numpy(zero_copy_only=False)
+    j = cov_tab["j"].to_numpy(zero_copy_only=False)
+    s1 = cov_tab["s1_i"].to_numpy(zero_copy_only=False).astype(np.float64)
+    s2 = cov_tab["s2_ij"].to_numpy(zero_copy_only=False).astype(np.float64)
+    n = int(cov_tab["n"][0].as_py())
+    S1 = np.zeros(dim)
+    S1[i[j == i]] = s1[j == i]
+    C = np.zeros((dim, dim))
+    C[i, j] = s2
+    C[j, i] = s2
+    mu = S1 / quant / n
+    cov = C / (quant * quant) / n - np.outer(mu, mu)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(-w)[:k]
+    comps = v[:, order]
+    flip = np.sign(comps[np.argmax(np.abs(comps), axis=0), np.arange(comps.shape[1])])
+    comps = comps * np.where(flip == 0, 1.0, flip)
+    import ray
+
+    cref = ray.put((mu, comps))
+
+    def project(batch: pa.Table) -> pa.Table:
+        m, cm = ray.get(cref)
+        col = batch[emb_col].combine_chunks()
+        x = col.values.to_numpy(zero_copy_only=False).reshape(-1, dim).astype(np.float64)
+        p = (x - m) @ cm
+        out = {c: batch[c] for c in batch.column_names if c != emb_col}
+        out["pca"] = pa.array(list(p.astype(np.float32)), pa.list_(pa.float32()))
+        return pa.table(out)
+
+    return ds.map_batches(project, batch_format="pyarrow")

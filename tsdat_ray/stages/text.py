@@ -672,3 +672,125 @@ def fuzzy_pairs(ds, text_col: str, max_dist: int = 2, len_band: int = 2,
     src = rd.from_arrow(pa.table({"i": pa.array(np.arange(n, dtype=np.int64))}))
     nb = max(2, min(32, n // 8))
     return src.repartition(nb).map_batches(pairs_for, batch_format="pyarrow")
+
+
+def bpe_train(ds, n_merges: int = 50, text_col: str = "text",
+              max_word_types: int = 200_000, salt_mod: int = 64):
+    """Distributed BPE vocabulary training (the sentencepiece/GPT-2 shape).
+
+    The corpus-scale half is ONE exact distributed word-frequency pass
+    (per-block Arrow split + dictionary-encode partials, word-hash-salted
+    groupby sum — the :func:`topk_words` shuffle shape).  The merge loop
+    then runs on the BOUNDED word-type table (≤ ``max_word_types`` rows,
+    kept by count desc — the standard BPE-on-word-counts trick: merge
+    decisions depend only on type frequencies, never on corpus order), so
+    its cost is vocab-bounded regardless of corpus size.  The loop itself
+    is flattened numpy: all word types live in one int32 symbol array with
+    offsets; each iteration counts adjacent pairs via a packed-key
+    ``np.unique`` + weighted bincount, picks the max (ties → smallest
+    packed key: deterministic), and applies non-overlapping greedy merges
+    with a run-parity mask (``aaa`` merges the first pair only, matching
+    the reference BPE left-to-right scan).
+
+    Returns a Dataset of merges: (rank, left, right, pair_count) with
+    left/right rendered as strings ('</w>' marks word end)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        w = pc.split_pattern_regex(
+            pc.utf8_lower(pc.coalesce(batch[text_col].combine_chunks(), "")),
+            r"[^0-9a-z]+",
+        )
+        if isinstance(w, pa.ChunkedArray):
+            w = w.combine_chunks()
+        flat = w.flatten()
+        d = flat.dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = np.bincount(codes, minlength=len(d.dictionary))
+        words = d.dictionary.to_pandas().to_numpy()
+        keep = words != ""
+        words, cnt = words[keep], cnt[keep]
+        salts = (pd.util.hash_array(words.astype(object)) % np.uint64(salt_mod)).astype(np.int64)
+        return pa.table({"word": pa.array(words, pa.string()),
+                         "n": pa.array(cnt.astype(np.int64)),
+                         "_salt": pa.array(salts)})
+
+    def sum_per_word(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().groupby("word", as_index=False)["n"].sum()
+        return pa.Table.from_pandas(df[["word", "n"]], preserve_index=False)
+
+    wc = (ds.map_batches(partial_counts, batch_format="pyarrow")
+          .groupby("_salt").map_groups(sum_per_word, batch_format="pyarrow"))
+    tabs = list(wc.iter_batches(batch_format="pyarrow", batch_size=None))
+    wt = (pa.concat_tables(tabs) if tabs
+          else pa.table({"word": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())}))
+    df = wt.to_pandas().sort_values(["n", "word"], ascending=[False, True],
+                                    kind="stable").head(max_word_types)
+    words = df["word"].to_numpy()
+    freq = df["n"].to_numpy().astype(np.int64)
+
+    # flatten word types into one symbol array: byte ids 0..255, 256='</w>'
+    END = 256
+    names: list[str] = [chr(i) if 32 <= i < 127 else f"<0x{i:02X}>"
+                        for i in range(256)]
+    names.append("</w>")
+    enc = [np.frombuffer(w.encode(), np.uint8).astype(np.int32) for w in words]
+    lens = np.array([len(e) + 1 for e in enc], np.int64)
+    syms = np.empty(int(lens.sum()), np.int32)
+    offs = np.zeros(len(lens) + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    for i, e in enumerate(enc):
+        syms[offs[i]:offs[i + 1] - 1] = e
+        syms[offs[i + 1] - 1] = END
+    wpos = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    alive = np.ones(len(syms), bool)
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        idx = np.flatnonzero(alive)
+        if len(idx) < 2:
+            break
+        s = syms[idx]
+        wp = wpos[idx]
+        same = wp[1:] == wp[:-1]
+        if not same.any():
+            break
+        key = s[:-1].astype(np.int64) * np.int64(1 << 32) + s[1:]
+        wgt = freq[wp[1:]]
+        uk, inv = np.unique(key[same], return_inverse=True)
+        cnt = np.bincount(inv, weights=wgt[same].astype(np.float64))
+        top = np.flatnonzero(cnt == cnt.max())
+        # ties → lexicographically smallest (left, right) STRING pair (a
+        # stable, id-order-independent contract pinned by the golden test)
+        best = int(min(top, key=lambda t: (names[int(uk[t] >> 32)],
+                                           names[int(uk[t] & 0xFFFFFFFF)])))
+        bc = int(cnt[best])
+        a, b = int(uk[best] >> 32), int(uk[best] & 0xFFFFFFFF)
+        new_id = len(names)
+        names.append(names[a].removesuffix("</w>") + names[b]
+                     if not names[a].endswith("</w>") else names[a] + names[b])
+        merges.append((rank, names[a], names[b], bc))
+        # non-overlapping greedy within runs: candidate pair starts where
+        # (s[p], s[p+1]) == (a, b) in the same word; in a consecutive run
+        # keep positions at even offset from the run start
+        cand = np.flatnonzero(same & (key == uk[best]))
+        if len(cand):
+            runstart = np.r_[True, np.diff(cand) != 1]
+            runid = np.cumsum(runstart) - 1
+            first = cand[runstart]
+            parity = (cand - first[runid]) % 2 == 0
+            keepp = cand[parity]
+            syms[idx[keepp]] = new_id
+            alive[idx[keepp + 1]] = False
+
+    out = pa.table({
+        "rank": pa.array([m[0] for m in merges], pa.int64()),
+        "left": pa.array([m[1] for m in merges], pa.string()),
+        "right": pa.array([m[2] for m in merges], pa.string()),
+        "pair_count": pa.array([m[3] for m in merges], pa.int64()),
+    })
+    return rd.from_arrow(out)
