@@ -85,19 +85,45 @@ def _events(sf_dir: str, columns=None):
     return _read(f"{sf_dir}/events.parquet", columns=columns)
 
 
+_SEQ_TIER_DONE: set = set()
+
+
 def _seq_tiers(sf_dir: str):
-    """Standardized sequences → 1m → 1h → 1d tier Datasets (lazy)."""
+    """Standardized sequences → 1m → 1h → 1d tier Datasets.
+
+    Built once per process and WRITTEN as partitioned Parquet under a
+    versioned /tmp path, then read back lazily — the production shape (a
+    tier is a stored datastream), so the several tier-consuming queries
+    stream from disk instead of recomputing the cascade per query or
+    pinning a materialized Dataset across the sweep."""
+    import shutil
+
+    import ray.data as rd
+
     from tsdat_ray.stages.rollup import RollupConfig, rollup, rollup_fast
     from tsdat_ray.stages.standardize import standardize_batch
 
-    ds = _read(_sequences_corpus(sf_dir))
-    std = ds.map_batches(standardize_batch, batch_format="pyarrow")
-    # grouped plan for 1m (cross-batch dedup on the raw corpus), combiner
-    # plan for the cascades (tier rows are already unique per (source, bucket))
-    t1m = rollup(std, RollupConfig(interval_s=60, window_s=6 * 3600))
-    t1h = rollup_fast(t1m, RollupConfig(interval_s=3600, window_s=86400), from_tier=True)
-    t1d = rollup_fast(t1h, RollupConfig(interval_s=86400, window_s=16 * 86400), from_tier=True)
-    return t1m, t1h, t1d
+    root = os.path.join(_CACHE, f"seq_tiers_v{_STORE_VERSION}_{_sf_of(sf_dir)}")
+    if sf_dir not in _SEQ_TIER_DONE:
+        ds = _read(_sequences_corpus(sf_dir))
+        std = ds.map_batches(standardize_batch, batch_format="pyarrow")
+        # grouped plan for 1m (cross-batch dedup on the raw corpus), combiner
+        # plan for the cascades (tier rows unique per (source, bucket))
+        t1m = rollup(std, RollupConfig(interval_s=60, window_s=6 * 3600))
+        shutil.rmtree(root, ignore_errors=True)
+        t1m.write_parquet(os.path.join(root, "1m"))
+        t1m = rd.read_parquet(os.path.join(root, "1m"),
+                              override_num_blocks=_nblocks())
+        t1h = rollup_fast(t1m, RollupConfig(interval_s=3600, window_s=86400), from_tier=True)
+        t1h.write_parquet(os.path.join(root, "1h"))
+        t1h = rd.read_parquet(os.path.join(root, "1h"),
+                              override_num_blocks=_nblocks())
+        rollup_fast(t1h, RollupConfig(interval_s=86400, window_s=16 * 86400),
+                    from_tier=True).write_parquet(os.path.join(root, "1d"))
+        _SEQ_TIER_DONE.add(sf_dir)
+    return tuple(
+        rd.read_parquet(os.path.join(root, lv), override_num_blocks=_nblocks())
+        for lv in ("1m", "1h", "1d"))
 
 
 def _strip_tokens(ds):

@@ -108,178 +108,10 @@ def run_bench() -> dict:
 
     # ---------------- per-query timings ----------------
     queries = entrymod.queries()
-    bench_queries = [
-        "rollup_1m_events",
-        "rollup_1h_events",
-        "rollup_1d_events",
-        "filter_project_events",
-        "topk_events",
-        "asof_click_purchase",
-        "merge_click_purchase",
-        "gapfill_1m_events",
-        "encode_1m_events",
-        "join_orders_customer",
-        "hashjoin_lineitem_orders",
-        "pricing_summary_lineitem",
-        "distinct_users_per_type",
-        "dedup_exact_docs",
-        "neardup_minhash_docs",
-        "neardup_embeddings_exact",
-        "token_count_docs",
-        "bpe_token_count_docs",
-        "quality_score_docs",
-        "lang_id_docs",
-        "fingerprint_docs",
-        "knn_embeddings",
-        "knn_lsh_embeddings",
-        "knn_ivf_embeddings",
-        "sliding_window_events",
-        "session_window_events",
-        "stratified_sample_docs",
-        "token_histogram",
-        "pack_sequences",
-        # round-2 operators
-        "bin2d_events",
-        "lag_events",
-        "cumsum_events",
-        "rank_events",
-        "median_value_per_type",
-        "rangejoin_click_purchase",
-        "semi_join_click_purchase",
-        "neardup_simhash_docs",
-        "hash_split_docs",
-        "zarr_roundtrip_events",
-        "netcdf_roundtrip_events",
-        "composite_join_lineitem",
-        "rollup_levels_events",
-        "quantiles_per_type",
-        "approx_quantiles_per_type",
-        "approx_distinct_users_per_type",
-        "heavy_hitter_words_docs",
-        "intersect_click_purchase_users",
-        "except_signup_error_users",
-        "knn_multi_embeddings",
-        "pivot_daily_counts",
-        "melt_lineitem",
-        "neardup_ngram_docs",
-        "cluster_dedup_docs",
-        "cluster_survivors_docs",
-        "topk_words_docs",
-        "topk_bigrams_docs",
-        "bloom_semi_click_purchase",
-        "funnel_click_purchase",
-        "corr_value_user_per_type",
-        "covar_slope_per_type",
-        "tpch_q3_shipping_priority",
-        "tpch_q4_order_priority",
-        "tpch_q6_revenue",
-        "tpch_q14_promo_revenue",
-        "rolling_sum_events",
-        "lead_events",
-        "first_value_events",
-        "percent_rank_events",
-        "dup_span_docs",
-        "ntile_events",
-        "twa_events",
-        "union_click_purchase_users",
-        "leftjoin_lineitem_urgent",
-        "fulljoin_click_purchase",
-        "kmeans_embeddings",
-        "ewma_events",
-        "counter_increase_events",
-        "rolling_zscore_events",
-        "cume_dist_events",
-        "time_range_rolling_events",
-        "ohlc_events",
-        "mode_value_per_type",
-        "string_agg_events",
-        "cube_events",
-        "interval_union_events",
-        "regex_extract_docs",
-        "tpch_q5_local_supplier_volume",
-        "tpch_q10_returned_items",
-        "tpch_q13_order_count_dist",
-        "tpch_q15_top_supplier",
-        "tpch_q17_small_qty_revenue",
-        "tpch_q18_large_volume_cust",
-        "tpch_q19_discounted_revenue",
-        "tpch_q22_idle_customers",
-        "tpch_q7_volume_shipping",
-        "tpch_q8_market_share",
-        "tpch_q12_priority_lines",
-        "tpch_q21_waiting_suppliers",
-        "repetition_docs",
-        "contamination_ngram_docs",
-        "redact_terms_docs",
-        "dense_rank_events",
-        "max_gap_events",
-        "md5_split_docs",
-        "rollup_month_events",
-        "rollup_week_events",
-        "above_mean_events",
-        "value_hist_events",
-        "active_days_per_user",
-        "retention_7d_cohort",
-        "embedding_stats",
-        "asof_by_user_click_purchase",
-        "last_value_events",
-        "lttb_events",
-        "grouping_sets_events",
-        "interval_overlap_click_purchase",
-        "length_buckets_sequences",
-        "mask_repeats_sequences",
-        "transition_matrix_events",
-        "intersect_all_click_purchase",
-        "except_all_click_purchase",
-        "csv_roundtrip_events",
-        "encode_roundtrip_1m_events",
-        "rolling_minmax_events",
-        "quantiles_disc_per_type",
-        "emb_minmax_per_label",
-        "normalize_text_docs",
-        "session_ids_events",
-        "argmax_events",
-        "chunk_docs",
-        "lm_score_docs",
-        "cusum_events",
-        "orc_roundtrip_events",
-        "pagerank_neardup_docs",
-        "session_ids_auto_events",
-        "lag3_events",
-        "autojoin_lineitem_orders",
-        "skewjoin_lineitem_orders",
-        "zorder_events",
-        "nth_value_events",
-        "compact_roundtrip_events",
-        "distinct_rollup_1h_events",
-        "rollup_month_from_1d_events",
-        "rollup_week_from_1d_events",
-        "cluster_survivors_quality_docs",
-        "windowed_join_click_purchase",
-        "tpch_q2_min_cost_supplier",
-        "tpch_q9_product_profit",
-        "tpch_q11_important_stock",
-        "tpch_q16_parts_supplier",
-        "tpch_q20_potential_promotion",
-        "mix_domains_docs",
-        "anomaly_mad_events",
-        "tfidf_top_terms_docs",
-        "cluster_size_hist_docs",
-        "ratio_to_total_events",
-        "cooccurrence_pairs_events",
-        "sample_k_per_type_events",
-        "zscore_events",
-        "centroid_per_label",
-        "equidepth_hist_events",
-        "robust_scale_events",
-        "rate_limit_events",
-        "wau_7d_events",
-        "quantize_embeddings",
-        "latest_per_user_events",
-        "diversified_topk_events",
-        "dod_change_events",
-        "fuzzy_name_pairs_part",
-    ]
+    # sweep the ENTIRE driver-contract surface (auto-inclusive: a new
+    # queries() entry is benched the round it lands; no curated list to
+    # forget to update)
+    bench_queries = sorted(queries)
     qtimes = {}
     for name in bench_queries:
         t0 = time.time()

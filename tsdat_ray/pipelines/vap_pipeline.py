@@ -80,40 +80,39 @@ def fetch_tier(cfg: VapConfig):
         return None
     cols = [cfg.ts_col, *{v.rsplit("_mean", 1)[0] + "_mean" if v.endswith("_mean") else v
                           for v in cfg.values}]
-    # re-attach the hive key column (dropped from file contents) and trim to
-    # the exact padded range
-    srcs = {p: p.split("source=")[1].split("/")[0] for p in paths}
+    # read_parquet on explicit partition dirs loses the hive column; ONE
+    # read over every surviving file with include_paths, source re-derived
+    # vectorized from the path.  (The previous shape — one read_parquet per
+    # partition chained by union() — scheduled one block per PART FILE and
+    # a deep union plan: a warm 2.6k-row fetch took 5.4 s; this takes ~0.3.)
+    import ray
 
-    def trim(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        ts = b[cfg.ts_col].combine_chunks().cast(pa.int64())
-        m = pc.and_(pc.greater_equal(ts, pa.scalar(lo)), pc.less(ts, pa.scalar(hi)))
-        return b.filter(m)
-
-    # read_parquet on explicit partition dirs loses the hive column; re-add
-    # per file via include_paths-free approach: read each dir separately
     from ..sources.declared import prune_parquet_files
 
-    parts = []
+    all_files: list[str] = []
     for p in paths:
         # second pruning level inside the day partition: parquet FOOTER
         # min/max stats skip whole part files outside the padded range
         # (matters when compaction/day layout leaves multi-range parts)
-        files = prune_parquet_files(p, cfg.ts_col, lo, hi)
-        if not files:
-            continue
-        sub = rd.read_parquet(files, columns=cols)
-        src = srcs[p]
-        parts.append(sub.map_batches(
-            lambda b, src=src: b.append_column(cfg.key, pa.array(np.repeat(src, b.num_rows))),
-            batch_format="pyarrow"))
-    if not parts:
+        all_files.extend(prune_parquet_files(p, cfg.ts_col, lo, hi))
+    if not all_files:
         return None
-    out = parts[0]
-    for p2 in parts[1:]:
-        out = out.union(p2)
-    return out.map_batches(trim, batch_format="pyarrow")
+    nblocks = min(len(all_files),
+                  max(8, int(ray.cluster_resources().get("CPU", 8))))
+    sub = rd.read_parquet(all_files, columns=cols, include_paths=True,
+                          override_num_blocks=nblocks)
+
+    def attach_and_trim(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        src = pc.struct_field(
+            pc.extract_regex(b["path"], r"source=(?P<s>[^/]+)"), "s")
+        b = b.drop_columns(["path"]).append_column(cfg.key, src)
+        ts = b[cfg.ts_col].combine_chunks().cast(pa.int64())
+        m = pc.and_(pc.greater_equal(ts, pa.scalar(lo)), pc.less(ts, pa.scalar(hi)))
+        return b.filter(m)
+
+    return sub.map_batches(attach_and_trim, batch_format="pyarrow")
 
 
 def run_vap(cfg: VapConfig) -> dict:
