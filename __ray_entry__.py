@@ -802,8 +802,9 @@ def _q_tpch_q5(sf_dir: str):
     supplier are broadcast dimensions (``ray.put`` of sorted key arrays —
     the guide's small-side pattern; supplier is the smallest base table at
     every TPC-H scale).  Lineitem folds exact-e4 revenue partials per
-    (orderkey, supplier-nation) per block; orders⋈customer is the one
-    bucketed hash join of two large sides; the final per-nation fold is a
+    (orderkey, supplier-nation) per block; customer is the second broadcast
+    dimension (c_nationkey attaches map-side on orders), leaving lineitem ⋈
+    orders as the ONE bucketed shuffle; the final per-nation fold is a
     bounded dict (≤25 nations) drained driver-side."""
     import pyarrow.parquet as pq
 
@@ -861,18 +862,34 @@ def _q_tpch_q5(sf_dir: str):
                     pc.less(b["o_orderdate"], pa.scalar(hi)))
         return b.filter(m).select(["o_orderkey", "o_custkey"])
 
-    orders = _read(f"{sf_dir}/orders.parquet",
-                   columns=["o_orderkey", "o_custkey", "o_orderdate"]
-                   ).map_batches(filt_orders, batch_format="pyarrow")
-    cust = _read(f"{sf_dir}/customer.parquet",
-                 columns=["c_custkey", "c_nationkey"]
-                 ).map_batches(
-        lambda b: b.rename_columns(["o_custkey", "c_nationkey"]),
-        batch_format="pyarrow")
-    ordcust = hash_join(orders, cust, on="o_custkey", num_buckets=32)
+    # customer is the dimension side (0.15·SF M rows → two int64 arrays):
+    # broadcast once and attach c_nationkey map-side instead of paying a
+    # second orders⋈customer shuffle (auto_join's budget check is the
+    # fallback if a deployment's customer side ever outgrows broadcast)
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    ck = cust["c_custkey"].combine_chunks().to_numpy(zero_copy_only=False)
+    cnatv = cust["c_nationkey"].combine_chunks().to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    corder = np.argsort(ck, kind="stable")
+    cref = ray.put((ck[corder], cnatv[corder]))
 
-    j = hash_join(li, ordcust.select_columns(["o_orderkey", "c_nationkey"]),
-                  on="o_orderkey", num_buckets=32)
+    def attach_cnat(b: pa.Table) -> pa.Table:
+        cks, cnats = ray.get(cref)
+        oc = b["o_custkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(cks, oc), 0, max(len(cks) - 1, 0))
+        hit = cks[pos] == oc if len(cks) else np.zeros(len(oc), bool)
+        return pa.table({
+            "o_orderkey": b["o_orderkey"].filter(pa.array(hit)),
+            "c_nationkey": pa.array(cnats[pos[hit]]),
+        })
+
+    ordcust = _read(f"{sf_dir}/orders.parquet",
+                    columns=["o_orderkey", "o_custkey", "o_orderdate"]
+                    ).map_batches(filt_orders, batch_format="pyarrow"
+                    ).map_batches(attach_cnat, batch_format="pyarrow")
+
+    j = hash_join(li, ordcust, on="o_orderkey", num_buckets=32)
 
     def nat_fold(b: pa.Table) -> pa.Table:
         snat = b["_snat"].combine_chunks().to_numpy(zero_copy_only=False)
@@ -1347,9 +1364,9 @@ def _q_tpch_q7(sf_dir: str):
     """TPC-H Q7 volume shipping between two nations (NATION_1 ⇄ NATION_2,
     ship years 1996-1997).  Supplier+nation broadcast once as sorted arrays;
     lineitem folds exact-e4 revenue per (orderkey, supp-nation, year) per
-    block; the nation-filtered customers join orders in the one bucketed
-    hash join; the final (supp, cust, year) fold is a bounded dict (2×2×2
-    cells) drained driver-side."""
+    block; pair-nation customers broadcast and attach map-side on orders,
+    leaving lineitem ⋈ orders as the ONE bucketed shuffle; the final
+    (supp, cust, year) fold is a bounded dict (2×2×2 cells) driver-side."""
     import pyarrow.parquet as pq
 
     import ray
@@ -1406,23 +1423,32 @@ def _q_tpch_q7(sf_dir: str):
                         "l_extendedprice", "l_discount"]
                ).map_batches(li_partial, batch_format="pyarrow")
 
-    pair_arr = pa.array(sorted(pair), pa.int32())
+    # customer is the broadcast dimension (see q5): pair-nation customers
+    # ship as two sorted arrays, c_nationkey attaches map-side on orders
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    ck = cust["c_custkey"].combine_chunks().to_numpy(zero_copy_only=False)
+    cnatv = cust["c_nationkey"].combine_chunks().to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    ckeep = np.isin(cnatv, np.array(sorted(pair), np.int64))
+    corder = np.argsort(ck[ckeep], kind="stable")
+    cref = ray.put((ck[ckeep][corder], cnatv[ckeep][corder]))
 
-    def filt_cust(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.is_in(pc.cast(b["c_nationkey"], pa.int32()),
-                              value_set=pair_arr))
-        return pa.table({"o_custkey": b["c_custkey"],
-                         "c_nationkey": pc.cast(b["c_nationkey"], pa.int64())})
+    def attach_cnat(b: pa.Table) -> pa.Table:
+        cks, cnats = ray.get(cref)
+        oc = b["o_custkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(cks, oc), 0, max(len(cks) - 1, 0))
+        hit = cks[pos] == oc if len(cks) else np.zeros(len(oc), bool)
+        return pa.table({
+            "o_orderkey": b["o_orderkey"].filter(pa.array(hit)),
+            "c_nationkey": pa.array(cnats[pos[hit]]),
+        })
 
-    cust = _read(f"{sf_dir}/customer.parquet",
-                 columns=["c_custkey", "c_nationkey"]
-                 ).map_batches(filt_cust, batch_format="pyarrow")
-    orders = _read(f"{sf_dir}/orders.parquet",
-                   columns=["o_orderkey", "o_custkey"])
-    ordcust = hash_join(orders, cust, on="o_custkey", num_buckets=32)
+    ordcust = _read(f"{sf_dir}/orders.parquet",
+                    columns=["o_orderkey", "o_custkey"]
+                    ).map_batches(attach_cnat, batch_format="pyarrow")
 
-    j = hash_join(li, ordcust.select_columns(["o_orderkey", "c_nationkey"]),
-                  on="o_orderkey", num_buckets=32)
+    j = hash_join(li, ordcust, on="o_orderkey", num_buckets=32)
 
     def fold(b: pa.Table) -> pa.Table:
         snat_ = b["_snat"].combine_chunks().to_numpy(zero_copy_only=False)
@@ -1511,34 +1537,36 @@ def _q_tpch_q8(sf_dir: str):
                         "l_extendedprice", "l_discount"]
                ).map_batches(li_partial, batch_format="pyarrow")
 
-    america = pa.array([1, 6, 11, 16, 21], pa.int32())  # r_regionkey = 1
-
-    def filt_cust(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.is_in(pc.cast(b["c_nationkey"], pa.int32()),
-                              value_set=america))
-        return pa.table({"o_custkey": b["c_custkey"]})
-
-    cust = _read(f"{sf_dir}/customer.parquet",
-                 columns=["c_custkey", "c_nationkey"]
-                 ).map_batches(filt_cust, batch_format="pyarrow")
+    # AMERICA customers as a broadcast sorted key array (see q5): the
+    # region filter + semi-join happen map-side on orders, leaving ONE
+    # bucketed join (li ⋈ orders)
+    america = np.array([1, 6, 11, 16, 21], np.int64)  # r_regionkey = 1
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    ck = cust["c_custkey"].combine_chunks().to_numpy(zero_copy_only=False)
+    cnatv = cust["c_nationkey"].combine_chunks().to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    cref = ray.put(np.sort(ck[np.isin(cnatv, america)]))
 
     def filt_orders(b: pa.Table) -> pa.Table:
         m = pc.and_(pc.greater_equal(b["o_orderdate"], pa.scalar(lo)),
                     pc.less(b["o_orderdate"], pa.scalar(hi)))
         b = b.filter(m)
+        cks = ray.get(cref)
+        oc = b["o_custkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(cks, oc), 0, max(len(cks) - 1, 0))
+        hit = cks[pos] == oc if len(cks) else np.zeros(len(oc), bool)
+        b = b.filter(pa.array(hit))
         yr = (b["o_orderdate"].combine_chunks().to_numpy(zero_copy_only=False)
               .astype("datetime64[Y]").astype(np.int64) + 1970)
         return pa.table({"o_orderkey": b["o_orderkey"],
-                         "o_custkey": b["o_custkey"],
                          "o_year": pa.array(yr)})
 
-    orders = _read(f"{sf_dir}/orders.parquet",
-                   columns=["o_orderkey", "o_custkey", "o_orderdate"]
-                   ).map_batches(filt_orders, batch_format="pyarrow")
-    ordcust = hash_join(orders, cust, on="o_custkey", num_buckets=32)
+    ordcust = _read(f"{sf_dir}/orders.parquet",
+                    columns=["o_orderkey", "o_custkey", "o_orderdate"]
+                    ).map_batches(filt_orders, batch_format="pyarrow")
 
-    j = hash_join(li, ordcust.select_columns(["o_orderkey", "o_year"]),
-                  on="o_orderkey", num_buckets=32)
+    j = hash_join(li, ordcust, on="o_orderkey", num_buckets=32)
 
     def fold(b: pa.Table) -> pa.Table:
         yr = b["o_year"].combine_chunks().to_numpy(zero_copy_only=False)
