@@ -4103,6 +4103,17 @@ def _q_cluster_size_hist(sf_dir: str):
     }))
 
 
+def _q_md5_sample(sf_dir: str):
+    """Deterministic portable 100-doc global sample: the smallest-md5(id)
+    rows — per-block local top-k (≤ k·blocks candidates move) + one tiny
+    sort (stages/sampling.py:md5_sample_topk); exact SQL twin ORDER BY
+    md5 LIMIT k."""
+    from tsdat_ray.stages.sampling import md5_sample_topk
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return md5_sample_topk(ds, k=100, carry_cols=("lang",))
+
+
 def _q_md5_split(sf_dir: str):
     """Portable content-hash split (md5 hex thresholds) — reproducible by
     any engine with an md5, unlike the siphash fast path of hash_split."""
@@ -5205,6 +5216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dense_rank_events": _q_dense_rank,
         "max_gap_events": _q_max_gap,
         "md5_split_docs": _q_md5_split,
+        "md5_sample_docs": _q_md5_sample,
         "rollup_month_events": _q_calendar_rollup("month"),
         "rollup_week_events": _q_calendar_rollup("week"),
         "above_mean_events": _q_above_mean,
@@ -6581,6 +6593,10 @@ def oracle_sql() -> dict[str, str]:
                                        ORDER BY ts) AS prev_ts
                   FROM events)
             GROUP BY event_type
+        """,
+        "md5_sample_docs": """
+            SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS md5_key
+            FROM documents ORDER BY md5_key LIMIT 100
         """,
         "md5_split_docs": """
             SELECT doc_id,

@@ -309,3 +309,26 @@ def test_mask_repeated_ngrams_chunked_path(ray_session):
                 covered[s:s + N] = True
             seen.add(g)
         assert out[f"d{i}"] == (len(t), int(covered.sum())), i
+
+
+def test_md5_sample_topk_stable_under_layout_and_appends(ray_session):
+    """Membership depends only on each row's own id: the same k survivors
+    at any partitioning, and appending unrelated rows can only displace by
+    hash rank (here: disjoint ids keep the original sample iff their
+    digests stay smallest)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tsdat_ray.stages.sampling import md5_sample_topk
+
+    ids = np.arange(1000, dtype=np.int64)
+    tbl = pa.table({"doc_id": pa.array(ids)})
+    a = md5_sample_topk(rd.from_arrow(tbl).repartition(3), k=25).to_pandas()
+    b = md5_sample_topk(rd.from_arrow(tbl).repartition(17), k=25).to_pandas()
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    exp = sorted(ids, key=lambda i: hashlib.md5(str(i).encode()).hexdigest())[:25]
+    assert a["doc_id"].tolist() == exp
+    assert a["md5_key"].is_monotonic_increasing

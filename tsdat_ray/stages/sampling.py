@@ -382,3 +382,34 @@ def mix_domains(ds, key: str = "source", weight_col: str = "n_chars",
         return b.filter(pa.array(pref < lim))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def md5_sample_topk(ds, k: int = 100, id_col: str = "doc_id",
+                    carry_cols: tuple[str, ...] = ()):
+    """Deterministic portable global k-sample: the k rows with the smallest
+    ``md5(str(id))`` — a uniform sample that any engine (SQL, Spark, a
+    shell) reproduces exactly, and that is STABLE under re-partitioning,
+    appends of unrelated rows, and reruns (each row's membership depends
+    only on its own id, never on arrival order — the property 'LIMIT k on
+    an arbitrary scan' lacks).
+
+    Scale shape: each block emits its local k smallest (md5, id) rows —
+    ≤ k · blocks candidate rows move, never the corpus — and one tiny sort
+    finalizes.  The hex-string compare equals the numeric compare
+    (lowercase hex, fixed width), so the DuckDB twin is ``ORDER BY
+    md5(id) LIMIT k``."""
+    import hashlib
+
+    cols = [id_col, *carry_cols]
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        digests = np.array([hashlib.md5(str(i).encode()).hexdigest()
+                            for i in ids], dtype="U32")
+        top = np.argsort(digests, kind="stable")[:k]
+        t = batch.select([c for c in cols if c in batch.column_names]).take(
+            pa.array(top, type=pa.int64()))
+        return t.append_column("md5_key", pa.array(digests[top].tolist(), pa.string()))
+
+    cand = ds.map_batches(local_topk, batch_format="pyarrow")
+    return cand.sort("md5_key").limit(k)
