@@ -2273,6 +2273,18 @@ def _q_distinct_users(sf_dir: str):
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+def _q_approx_counts_types(sf_dir: str):
+    """Count-Min approximate per-value frequencies of event_type —
+    tree-merged depth×width sketch, constant shuffle payload at any corpus
+    size; one-sided error ≤ e·N/width (rows-only driver check; the exact
+    twin is the groupby count in distinct_rollup / value_hist)."""
+    from tsdat_ray.stages.sketch import approx_counts
+
+    ds = _events(sf_dir, columns=["event_type"])
+    vals = np.array(["click", "view", "purchase", "signup", "error"], object)
+    return approx_counts(ds, "event_type", vals)
+
+
 def _q_approx_distinct_users(sf_dir: str):
     """HyperLogLog approximate count(DISTINCT user_id) per event_type —
     constant-size mergeable registers per key, tree-merged; ~1.6% standard
@@ -3580,6 +3592,25 @@ def _q_latest_per_user(sf_dir: str):
            .map_batches(add_salt, batch_format="pyarrow")
            .groupby("_salt").map_groups(local, batch_format="pyarrow"))
     return out.select_columns(["user_id", "event_id", "ts"])
+
+
+def _q_logreg_embeddings(sf_dir: str):
+    """Distributed logistic-regression training (quality-classifier shape):
+    Newton/IRLS, one streaming pass per iteration folding exact d²-bounded
+    sufficient statistics; nothing corpus-sized leaves the workers
+    (rows-only: iterative float solve; convergence + recovery pinned by
+    pytest)."""
+    from tsdat_ray.stages.similarity import logreg_train
+
+    ds = _read(f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"])
+    w, hist = logreg_train(ds, dim=64, n_iters=6)
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "feature": pa.array(np.arange(len(w), dtype=np.int64)),
+        "weight": pa.array(w),
+        "final_logloss": pa.array(np.full(len(w), hist[-1])),
+    }))
 
 
 def _q_embedding_covariance(sf_dir: str):
@@ -5118,6 +5149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wau_7d_events": _q_wau_7d,
         "quantize_embeddings": _q_quantize_embeddings,
         "embedding_covariance": _q_embedding_covariance,
+        "logreg_embeddings": _q_logreg_embeddings,
         "pca_embeddings": _q_pca_embeddings,
         "bpe_merges_docs": _q_bpe_merges,
         "latest_per_user_events": _q_latest_per_user,
@@ -5141,6 +5173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_terms_docs": _q_redact_terms,
         "distinct_users_per_type": _q_distinct_users,
         "approx_distinct_users_per_type": _q_approx_distinct_users,
+        "approx_counts_types": _q_approx_counts_types,
         "approx_quantiles_per_type": _q_approx_quantiles,
         "heavy_hitter_words_docs": _q_heavy_words,
         "topk_words_docs": _q_topk_words,

@@ -622,3 +622,30 @@ def test_pca_embeddings_recovers_principal_axis(ray_session):
     out2 = (pca_embeddings(rd.from_arrow(tbl).repartition(9), dim=d, k=2)
             .to_pandas().sort_values("vec_id").reset_index(drop=True))
     np.testing.assert_array_equal(np.stack(out2["pca"].to_numpy()), p)
+
+
+def test_logreg_train_recovers_separator(ray_session):
+    import ray.data as rd
+
+    from tsdat_ray.stages.similarity import logreg_train
+
+    rng = np.random.default_rng(17)
+    n, d = 600, 6
+    x = rng.normal(0, 1, (n, d))
+    true_w = np.array([2.0, -1.5, 0.0, 0.5, 0.0, 1.0])
+    logits = x @ true_w + 0.3
+    y = (rng.random(n) < 1 / (1 + np.exp(-logits))).astype(np.int64)
+    tbl = pa.table({
+        "embedding": pa.array(list(x.astype(np.float32)), pa.list_(pa.float32())),
+        "label": pa.array(y + 4),  # (y + 4) % 2 == y
+    })
+    w, hist = logreg_train(rd.from_arrow(tbl).repartition(5), dim=d, n_iters=8)
+    # loss decreases monotonically under Newton on this well-conditioned data
+    assert all(b <= a + 1e-9 for a, b in zip(hist, hist[1:])), hist
+    # recovered direction matches the truth
+    c = np.corrcoef(true_w, w[:d])[0, 1]
+    assert c > 0.97, (c, w)
+    # training accuracy beats the base rate comfortably
+    p = 1 / (1 + np.exp(-(x @ w[:d] + w[d])))
+    acc = ((p > 0.5) == (y == 1)).mean()
+    assert acc > 0.8, acc

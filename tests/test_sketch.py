@@ -132,3 +132,41 @@ def test_heavy_hitters_distributed(ray_session):
     m = dict(zip(out["tok"], out["min_count"]))
     # merged MG: undercount ≤ (levels)·n/k; allow 3 levels of slack
     assert 8000 - 3 * n / 100 <= m["the"] <= 8000
+
+
+def test_cms_error_bound_and_merge():
+    """Count-Min guarantees: estimates never UNDERcount; merged sketch of
+    two halves equals the whole-set sketch (element-wise add)."""
+    import numpy as np
+
+    from tsdat_ray.stages.sketch import cms_query, cms_table
+
+    rng = np.random.default_rng(7)
+    # zipf-ish: value v appears ~ 5000/v times
+    vals = np.repeat(np.arange(1, 301), (5000 // np.arange(1, 301)).astype(int))
+    rng.shuffle(vals)
+    t = cms_table(vals, width=2048, depth=4)
+    qv = np.arange(1, 301)
+    est = cms_query(t, qv)
+    exact = 5000 // qv
+    assert (est >= exact).all()  # one-sided error
+    # eps = e/width bound at the 1-e^-depth confidence; allow the full bound
+    eps_n = np.e / 2048 * len(vals)
+    assert (est - exact <= eps_n).mean() > 0.98
+    ta = cms_table(vals[: len(vals) // 2], width=2048, depth=4)
+    tb = cms_table(vals[len(vals) // 2:], width=2048, depth=4)
+    np.testing.assert_array_equal(ta + tb, t)
+
+
+def test_approx_counts_distributed(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tsdat_ray.stages.sketch import approx_counts
+
+    vals = np.repeat(np.arange(50, dtype=np.int64), 40)
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals)})).repartition(6)
+    out = approx_counts(ds, "v", np.arange(50, dtype=np.int64)).to_pandas()
+    assert (out["count_est"] >= 40).all()
+    assert (out["count_est"] <= 40 + np.e / 2048 * len(vals) + 1).all()

@@ -285,3 +285,79 @@ def approx_distinct(ds, key: str, value: str, p: int = 12, fanin: int = 8):
                          "n_distinct_approx": pa.array(np.array(ests, dtype=np.int64))})
 
     return agg.map_batches(finalize, batch_format="pyarrow", batch_size=None)
+
+
+# ------------------------------------------------------------- Count-Min
+
+def cms_table(values: np.ndarray, counts: np.ndarray | None = None,
+              width: int = 2048, depth: int = 4) -> np.ndarray:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) of one value set:
+    ``depth`` rows of ``width`` counters, row r indexed by an independent
+    hash (seeded re-hash of the 64-bit value hash).  Vectorized: one
+    bincount per row.  Merging = element-wise ADD — associative, so the
+    same tree reduction as HLL applies and the shuffle payload per key is
+    ``depth × width`` int64 regardless of corpus size.  Point query =
+    min over rows: an OVERestimate with err ≤ e·N/width at prob 1−e^−depth."""
+    h = _hash64(values)
+    c = (np.ones(len(h), np.int64) if counts is None
+         else np.asarray(counts, np.int64))
+    t = np.zeros((depth, width), np.int64)
+    for r in range(depth):
+        hr = (h * np.uint64(0x9E3779B97F4A7C15 + 2 * r + 1)
+              + np.uint64((0xD1B54A32D192ED03 * (r + 1)) & 0xFFFFFFFFFFFFFFFF))
+        idx = (hr >> np.uint64(33)) % np.uint64(width)
+        t[r] = np.bincount(idx.astype(np.int64), weights=c, minlength=width
+                           ).astype(np.int64)
+    return t
+
+
+def cms_query(t: np.ndarray, values: np.ndarray) -> np.ndarray:
+    """Point-estimate counts for ``values`` against a (merged) sketch."""
+    depth, w = t.shape
+    h = _hash64(values)
+    est = np.full(len(h), np.iinfo(np.int64).max)
+    for r in range(depth):
+        hr = (h * np.uint64(0x9E3779B97F4A7C15 + 2 * r + 1)
+              + np.uint64((0xD1B54A32D192ED03 * (r + 1)) & 0xFFFFFFFFFFFFFFFF))
+        idx = ((hr >> np.uint64(33)) % np.uint64(w)).astype(np.int64)
+        est = np.minimum(est, t[r, idx])
+    return est
+
+
+def approx_counts(ds, col: str, query_values: np.ndarray,
+                  width: int = 2048, depth: int = 4, fanin: int = 8):
+    """Approximate per-value frequencies over a Dataset column via a
+    tree-merged Count-Min sketch; returns a Dataset (value, count_est).
+    The exact twin is a groupby count — use this when distinct values
+    outgrow the shuffle."""
+    import ray.data as rd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False)
+        t = cms_table(v, width=width, depth=depth)
+        return pa.table({"row": pa.array(np.arange(depth, dtype=np.int64)),
+                         "sketch": pa.array(list(t), pa.list_(pa.int64()))})
+
+    def combine(batch: pa.Table) -> pa.Table:
+        rows = batch["row"].combine_chunks().to_numpy(zero_copy_only=False)
+        vals = batch["sketch"].combine_chunks()
+        m = vals.values.to_numpy(zero_copy_only=False).reshape(len(rows), -1)
+        t = np.zeros((depth, m.shape[1]), np.int64)
+        np.add.at(t, rows, m)
+        return pa.table({"row": pa.array(np.arange(depth, dtype=np.int64)),
+                         "sketch": pa.array(list(t), pa.list_(pa.int64()))})
+
+    merged = tree_reduce(ds.map_batches(partial, batch_format="pyarrow"),
+                         combine, fanin=fanin)
+    tab = pa.concat_tables(merged.iter_batches(batch_format="pyarrow",
+                                               batch_size=None))
+    rows = tab["row"].to_numpy(zero_copy_only=False)
+    m = tab["sketch"].combine_chunks().values.to_numpy(
+        zero_copy_only=False).reshape(len(rows), -1)
+    t = np.zeros_like(m)
+    t[rows] = m
+    est = cms_query(t, np.asarray(query_values))
+    return rd.from_arrow(pa.table({
+        "value": pa.array(query_values),
+        "count_est": pa.array(est.astype(np.int64)),
+    }))
