@@ -492,3 +492,21 @@ def test_compact_tier_merges_parts_and_preserves_data(ray_session, tmp_path):
     assert man.completed("raw") == set(man.list_partition_dirs("raw"))
     # idempotent: nothing left to compact
     assert compact_tier(root, "raw")["compacted"] == 0
+
+
+def test_run_report_persisted(ray_session, tmp_path):
+    import json
+    import os
+
+    from tsdat_ray.pipelines.rollup_pipeline import PipelineConfig, run_pipeline
+    from tsdat_ray.synth import generate_sequences_parquet
+
+    corpus = str(tmp_path / "c")
+    generate_sequences_parquet(corpus, n_rows=3000, seed=42)
+    store = str(tmp_path / "s")
+    run_pipeline(corpus, PipelineConfig(out_root=store, run_id="rpt"))
+    path = os.path.join(store, "_reports", "run_rpt.json")
+    rep = json.load(open(path))
+    assert {"raw", "1m", "1h", "1d"} <= set(rep)
+    assert rep["raw"]["new_partitions"] > 0
+    assert "wall_s" in rep["raw"]

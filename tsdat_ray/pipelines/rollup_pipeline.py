@@ -152,6 +152,8 @@ class PipelineConfig:
     # standardize (before the clean shuffle), "finalize" after QC before the
     # raw write; each is a picklable callable (pa.Table) -> pa.Table
     hooks: dict = field(default_factory=dict)
+    # persist the per-stage stats dict as <root>/_reports/run_<id>.json
+    save_report: bool = True
 
 
 def _num_blocks(cfg: PipelineConfig) -> int:
@@ -484,6 +486,18 @@ def run_pipeline(input_paths, cfg: PipelineConfig, now_us: Optional[int] = None)
     for tier in cfg.encode_tiers:
         if tier in cfg.tiers:
             stats[f"{tier}_enc"] = encode_tier_store(tier, cfg)
+    if cfg.save_report:
+        # observability twin of the manifest's lineage: one JSON report per
+        # run under <root>/_reports/ with the per-stage wall/partition
+        # stats this function returns (what an operator greps after a
+        # 100 TB run, next to the data it produced)
+        import json as _json
+
+        man.sfs.makedirs(man.sfs.join("_reports"))
+        man.sfs.write_text(
+            man.sfs.join("_reports", f"run_{cfg.run_id or 'anon'}.json"),
+            _json.dumps(stats, default=str, indent=1),
+        )
     if cfg.hooks.get("plot") is not None:
         # plot hook runs AFTER the dataset is saved (reference
         # ingest_pipeline.py:79-87 hook_plot_dataset): the hook reads tiers
