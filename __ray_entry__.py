@@ -3248,8 +3248,9 @@ def _q_media_video_frames(sf_dir: str):
 
 # tier-store semantic version: bump when standardize/dedup/rollup semantics
 # change so stale /tmp stores built by an older engine can't feed the
-# oracle contract (r3: content tie-break changed dedup survivors)
-_STORE_VERSION = 2
+# oracle contract (r3: content tie-break changed dedup survivors; v3:
+# extended tie chain — (bad, n_tok) + payload hash)
+_STORE_VERSION = 3
 # media corpus version: bump when synth_media_table output changes
 _MEDIA_VERSION = 3
 
@@ -3380,7 +3381,9 @@ def _seq_rollup_sql(unit: str) -> str:
             -- engine's content tie-break (standardize.py list_column_tiebreak)
             SELECT * FROM (
                 SELECT *, row_number() OVER (
-                    PARTITION BY source, ts_us ORDER BY doc_id, tb) AS rn
+                    PARTITION BY source, ts_us
+                    ORDER BY doc_id, tb, bad,
+                             CASE WHEN bad THEN 0 ELSE n_tok END) AS rn
                 FROM flags) t WHERE rn = 1
         ), agg AS (
             SELECT source,
@@ -3443,7 +3446,9 @@ def _vap_sums_sql() -> str:
         ), dedup AS (
             SELECT * FROM (
                 SELECT *, row_number() OVER (
-                    PARTITION BY source, ts_us ORDER BY doc_id, tb) AS rn
+                    PARTITION BY source, ts_us
+                    ORDER BY doc_id, tb, bad,
+                             CASE WHEN bad THEN 0 ELSE n_tok END) AS rn
                 FROM flags) t WHERE rn = 1
         ), minutes AS (
             SELECT source,

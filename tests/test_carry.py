@@ -163,3 +163,64 @@ def test_tail_buffer_fold():
     starts = np.array([0, 2])  # segments: rows 0-1, rows 2-3
     out = tail_buffer_within_segments(tails, starts, 2, np.int64)
     assert out.to_pylist() == [[], [1, 2], [], [5, 6]]
+
+
+def test_bucketed_attach_list_carry(ray_session):
+    """Oversize carries with LIST-typed columns (the rolling/lag(k) tail
+    buffers) must survive the join fallback: pa.Table.join rejects list
+    non-key fields, so the bucketed path runs the index-probe attach per
+    bucket (review r3 finding). Forced via budget 0; results must equal the
+    broadcast path bit-for-bit."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tsdat_ray.stages.carry import attach_carry
+
+    n_keys = 200
+    keys = np.repeat(np.arange(n_keys, dtype=np.int64), 2)
+    wins = np.tile(np.array([0, 3600], np.int64), n_keys)
+    part = pa.table({"k": pa.array(keys), "_window": pa.array(wins),
+                     "x": pa.array((keys + wins).astype(np.float64))})
+    carry = pa.table({
+        "k": pa.array(np.arange(n_keys, dtype=np.int64)),
+        "_window": pa.array(np.full(n_keys, 3600, np.int64)),
+        "_tail": pa.array([[float(i), float(i + 1)] for i in range(n_keys)],
+                          pa.list_(pa.float64())),
+    })
+    pds = rd.from_arrow(part).repartition(4)
+    cds = rd.from_arrow(carry).repartition(3)
+    joined = attach_carry(pds, cds, "k", "_window",
+                          broadcast_budget_bytes=0)   # force the join path
+    bcast = attach_carry(pds, rd.from_arrow(carry), "k", "_window",
+                         broadcast_budget_bytes=1 << 30)
+    a = joined.to_pandas().sort_values(["k", "_window"]).reset_index(drop=True)
+    b = bcast.to_pandas().sort_values(["k", "_window"]).reset_index(drop=True)
+    assert list(a.columns) == list(b.columns)
+    for c in a.columns:
+        assert a[c].map(str).tolist() == b[c].map(str).tolist(), c
+    # carried tails present exactly at (k, 3600), null at (k, 0)
+    hit = a[a["_window"] == 3600]
+    assert hit["_tail"].notna().all()
+    assert a[a["_window"] == 0]["_tail"].isna().all()
+
+
+def test_attach_carry_empty_inputs(ray_session):
+    """An empty part (and hence empty carry) must flow through, not crash."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tsdat_ray.stages.carry import attach_carry, fold_carry
+
+    empty = pa.table({"k": pa.array([], pa.int64()),
+                      "_window": pa.array([], pa.int64()),
+                      "_last": pa.array([], pa.float64())})
+    pds = rd.from_arrow(empty)
+
+    def fold(starts, windows, cols):
+        from tsdat_ray.stages.carry import shift_within_segments
+
+        return {"_carry": shift_within_segments(cols["_last"], starts, np.nan)}
+
+    carry = fold_carry(pds, "k", "_window", ["_last"], fold)
+    out = attach_carry(pds, carry, "k", "_window")
+    assert out.count() == 0

@@ -510,3 +510,53 @@ def test_run_report_persisted(ray_session, tmp_path):
     assert {"raw", "1m", "1h", "1d"} <= set(rep)
     assert rep["raw"]["new_partitions"] > 0
     assert "wall_s" in rep["raw"]
+
+
+def test_compact_tier_crash_recovery_no_duplication(ray_session, tmp_path):
+    """Crash between the .merged publish and the old-part deletion: the
+    recovery path must finish the ORIGINAL operation (delete exactly the
+    recorded inputs, then publish) — re-merging the merge with its own
+    surviving inputs would duplicate every row (review r3 finding)."""
+    import glob
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from tsdat_ray.stages.writers import compact_tier, write_partitioned
+    from tsdat_ray.state.manifest import Manifest
+
+    root = str(tmp_path / "store")
+    US_ = 1_000_000
+    n = 200
+    rng = np.random.default_rng(11)
+    ts = np.sort(rng.integers(0, 86400, n)).astype(np.int64) * US_
+    tbl = pa.table({
+        "ts": pa.array(ts).cast(pa.timestamp("us")),
+        "source": pa.array(["a"] * n),
+        "day": pa.array(["1970-01-01"] * n),
+        "v": pa.array(rng.random(n)),
+    })
+    write_partitioned(rd.from_arrow(tbl).repartition(4), root + "/raw", ts_col="ts")
+    man = Manifest(root)
+    man.commit_partitions("raw", inputs=["synthetic"])
+    part = man.list_partition_dirs("raw")[0]
+    pdir = man.partition_dir("raw", part)
+    files = sorted(f for f in man.sfs.listdir(pdir) if f.endswith(".parquet"))
+    assert len(files) > 1
+
+    # simulate the crash state: full merge written as .merged (with its
+    # input list), old parts STILL present
+    merged = pa.concat_tables(
+        [pq.read_table(f"{pdir}/{f}") for f in files]).sort_by("ts")
+    tmin = int(merged["ts"][0].cast(pa.int64()).as_py())
+    merged = merged.replace_schema_metadata(
+        {b"compact_inputs": "\n".join(files).encode()})
+    man.sfs.write_table_atomic(merged, f"{pdir}/part-{tmin}.parquet.merged")
+    # the partition still has >1 parts and is committed → compaction reruns
+
+    compact_tier(root, "raw")
+    got = sum(pq.read_table(f).num_rows
+              for f in glob.glob(root + "/raw/**/*.parquet", recursive=True))
+    assert got == n, f"rows duplicated or lost: {got} != {n}"

@@ -54,18 +54,32 @@ def oracle_standardize(tbl: pa.Table) -> pd.DataFrame:
     df["qc_n_tok"] = missing * QC_BIT_MISSING + bad_rng * QC_BIT_RANGE
     df["qc_tok_mean"] = 0
     df.loc[missing | bad_rng, "n_tok"] = np.nan
-    # content tie-break for duplicate doc_ids (standardize.py
-    # list_column_tiebreak): len*2**32 + sum, exact in int64
+    # content tie-break chain for duplicate doc_ids (standardize.py
+    # list_column_tiebreak / list_column_content_hash): _tb = len·2³²+Σ,
+    # then (bad, filled n_tok), then the order-sensitive payload hash
     df["_tb"] = [
         np.int64(len(t)) * np.int64(2**32) + np.int64(sum(t)) for t in df["tokens"]
     ]
+    df["_bad"] = (df["qc_n_tok"] & 3) != 0
+    df["_ntf"] = df["n_tok"].fillna(0).astype(np.int64)
+    def _chash(t) -> np.int64:
+        M = (1 << 64) - 1
+        h, p = 0, 1
+        for v in t:
+            h = (h + (int(v) + 1) * p) & M
+            p = (p * 1099511628211) & M
+        return np.array([h], dtype=np.uint64).view(np.int64)[0]
+
+    df["_tb2"] = [_chash(t) for t in df["tokens"]]
     return df
 
 
 def oracle_clean(df: pd.DataFrame) -> pd.DataFrame:
-    """Sort by (source, ts, doc_id, _tb); drop duplicate (source, ts) keep
-    first — same deterministic survivor as the engine's dedup."""
-    df = df.sort_values(["source", "ts_us", "doc_id", "_tb"], kind="stable")
+    """Sort by (source, ts, doc_id, _tb, _bad, _ntf, _tb2); drop duplicate
+    (source, ts) keep first — same deterministic survivor as the engine."""
+    df = df.sort_values(
+        ["source", "ts_us", "doc_id", "_tb", "_bad", "_ntf", "_tb2"],
+        kind="stable")
     return df[~df.duplicated(["source", "ts_us"])].reset_index(drop=True)
 
 

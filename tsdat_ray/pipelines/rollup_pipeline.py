@@ -96,11 +96,21 @@ def clean_group(g: pa.Table, qc_stage: Optional[QCStage]) -> pa.Table:
         zero_copy_only=False
     ).astype(np.int64)
     if "_tb" in g.column_names:
-        # content tie-break: duplicate doc_ids carry different payloads
-        # (standardize.py list_column_tiebreak) — keeps the survivor
-        # bit-deterministic under any arrival order
+        # content tie-break chain for duplicate doc_ids (see
+        # rollup._rollup_raw_sorted for the full rationale): _tb, then
+        # (bad, filled n_tok), then the engine-only payload hash _tb2
         tb = g["_tb"].combine_chunks().to_numpy(zero_copy_only=False)
-        order = np.lexsort((tb, doc_id, ts_us, codes))
+        keys = [tb, doc_id, ts_us, codes]
+        if "qc_n_tok" in g.column_names and "n_tok" in g.column_names:
+            qc = g["qc_n_tok"].combine_chunks().to_numpy(zero_copy_only=False)
+            bad = ((qc & 3) != 0).astype(np.int8)
+            ntf = np.nan_to_num(
+                g["n_tok"].combine_chunks().cast(pa.float64())
+                .to_numpy(zero_copy_only=False), nan=0.0).astype(np.int64)
+            keys = [ntf, bad] + keys
+        if "_tb2" in g.column_names:
+            keys = [g["_tb2"].combine_chunks().to_numpy(zero_copy_only=False)] + keys
+        order = np.lexsort(tuple(keys))
     else:
         order = np.lexsort((doc_id, ts_us, codes))
     ts_s, code_s = ts_us[order], codes[order]
@@ -110,8 +120,9 @@ def clean_group(g: pa.Table, qc_stage: Optional[QCStage]) -> pa.Table:
         else np.zeros(0, bool)
     )
     t = g.take(pa.array(order[keep], type=pa.int64()))
-    if "_tb" in t.column_names:
-        t = t.drop_columns(["_tb"])
+    drop = [c for c in ("_tb", "_tb2") if c in t.column_names]
+    if drop:
+        t = t.drop_columns(drop)
     if qc_stage is not None:
         t = qc_stage(t)
     return t

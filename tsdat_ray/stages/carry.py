@@ -151,14 +151,15 @@ def attach_carry(part, carry_ds, key: str, window_col: str | None,
 
     carry_m = carry_ds.materialize()
     if carry_m.size_bytes() > broadcast_budget_bytes:
-        from .joins import hash_join
-
-        on = [key] if window_col is None else [key, window_col]
-        return hash_join(part, carry_m, on=on, how="left",
-                         num_buckets=num_buckets)
+        return _bucketed_attach(part, carry_m, key, window_col, num_buckets)
 
     tabs = ray.get(carry_m.to_arrow_refs())
-    tab = pa.concat_tables([t for t in tabs if t.num_rows] or tabs)
+    tabs = [t for t in tabs if t.num_rows] or tabs
+    if not tabs:
+        # an empty carry happens only for an empty part (every summary row
+        # comes from part), so there are no rows to attach onto
+        return part
+    tab = pa.concat_tables(tabs)
     ref = ray.put((tab.combine_chunks(), key, window_col))
     carry_cols = [c for c in tab.column_names if c not in (key, window_col)]
 
@@ -184,6 +185,74 @@ def attach_carry(part, carry_ds, key: str, window_col: str | None,
         return pa.table(out)
 
     return part.map_batches(attach, batch_format="pyarrow")
+
+
+def _bucketed_attach(part, carry_m, key: str, window_col: str | None,
+                     num_buckets: int):
+    """Zero-driver-state attach for an oversize carry: both sides co-locate
+    by ``hash(key) % num_buckets`` and each bucket runs the SAME vectorized
+    index probe + typed Arrow gather as the broadcast path.  (``pa.Table.
+    join`` cannot carry list-typed non-key fields — the rolling/lag(k)
+    tail carries are ``list<…>`` — so the join-based fallback would crash
+    exactly at the cardinality this path exists for; review r3 finding.)"""
+    on = [key] if window_col is None else [key, window_col]
+    p_schema = pa.schema(list(zip(part.schema().names, part.schema().types)))
+    c_schema = pa.schema(list(zip(carry_m.schema().names, carry_m.schema().types)))
+    types: dict[str, pa.DataType] = {}
+    for sch in (p_schema, c_schema):
+        for f in sch:
+            types.setdefault(f.name, f.type)
+    part_cols = list(p_schema.names)
+    carry_cols = [c for c in c_schema.names if c not in on]
+    all_cols = part_cols + [c for c in carry_cols if c not in part_cols]
+
+    def tag(side: int):
+        def add(b: pa.Table) -> pa.Table:
+            h = pd.util.hash_array(b[key].to_numpy(zero_copy_only=False))
+            cols = {
+                c: (b[c] if c in b.column_names else pa.nulls(b.num_rows, types[c]))
+                for c in all_cols
+            }
+            cols["_bk"] = pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+            cols["_cside"] = pa.array(np.full(b.num_rows, side, np.int8))
+            return pa.table(cols)
+
+        return add
+
+    both = part.map_batches(tag(0), batch_format="pyarrow").union(
+        carry_m.map_batches(tag(1), batch_format="pyarrow"))
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        side = g["_cside"].combine_chunks().to_numpy(zero_copy_only=False)
+        g = g.drop_columns(["_bk", "_cside"])
+        mask = pa.array(side == 0)
+        rows = g.filter(mask).select(part_cols)
+        ct = g.filter(pc.invert(mask)).select(on + carry_cols)
+        if window_col is None:
+            mi = pd.Index(ct[key].to_numpy(zero_copy_only=False))
+            probe = pd.Index(rows[key].to_numpy(zero_copy_only=False))
+        else:
+            mi = pd.MultiIndex.from_arrays([
+                ct[key].to_numpy(zero_copy_only=False),
+                ct[window_col].combine_chunks().cast(pa.int64())
+                .to_numpy(zero_copy_only=False)])
+            probe = pd.MultiIndex.from_arrays([
+                rows[key].to_numpy(zero_copy_only=False),
+                rows[window_col].combine_chunks().cast(pa.int64())
+                .to_numpy(zero_copy_only=False)])
+        pos = mi.get_indexer(probe)
+        valid = pos >= 0
+        take = pa.array(np.where(valid, pos, 0).astype(np.int64))
+        out = {c: rows[c] for c in part_cols}
+        for cc in carry_cols:
+            col = ct[cc].combine_chunks().take(take)
+            if not valid.all():
+                col = pc.if_else(pa.array(valid), col,
+                                 pa.nulls(len(valid), col.type))
+            out[cc] = col
+        return pa.table(out)
+
+    return both.groupby("_bk").map_groups(join_bucket, batch_format="pyarrow")
 
 
 def window_carry(part, key: str, window_col: str, summary_cols: list[str],

@@ -197,11 +197,28 @@ def _rollup_raw_sorted(g, cfg, codes, key_arr, iv_us):
     row_id = g[cfg.id_col].to_numpy(zero_copy_only=False)
     if cfg.dedup and "_tb" in g.column_names:
         # duplicate ids exist (same doc resent with a different payload):
-        # order by the content tie-break last so the dedup survivor is
-        # bit-deterministic regardless of arrival order (standardize.py
-        # list_column_tiebreak; SQL twin: len(tokens)*2**32+list_sum(tokens))
+        # the survivor is chosen by a CONTENT total order so dedup is
+        # bit-deterministic under any arrival order.  Chain (standardize.py
+        # list_column_tiebreak / list_column_content_hash):
+        #   _tb (len·2³²+Σtokens)  — SQL-reproducible,
+        #   bad flag + filled n_tok — SQL-reproducible (covers _tb ties
+        #   with divergent injected corruption),
+        #   _tb2 (order-sensitive payload hash) — engine-only final key
+        #   (SQL-checked aggregates are already identical at that depth;
+        #   _tb2 pins the carried payload).
         tb = g["_tb"].combine_chunks().to_numpy(zero_copy_only=False)
-        order = np.lexsort((tb, row_id, ts_us, codes))
+        keys = [tb, row_id, ts_us, codes]
+        if "qc_n_tok" in g.column_names and "n_tok" in g.column_names:
+            qc = g["qc_n_tok"].combine_chunks().to_numpy(zero_copy_only=False)
+            bad = ((qc & cfg.bad_bits) != 0).astype(np.int8)
+            ntf = np.nan_to_num(
+                g["n_tok"].combine_chunks().cast(pa.float64())
+                .to_numpy(zero_copy_only=False), nan=0.0).astype(np.int64)
+            keys = [ntf, bad] + keys
+        if "_tb2" in g.column_names:
+            tb2 = g["_tb2"].combine_chunks().to_numpy(zero_copy_only=False)
+            keys = [tb2] + keys
+        order = np.lexsort(tuple(keys))
     else:
         order = np.lexsort((row_id, ts_us, codes))
     ts_s = ts_us[order]

@@ -61,13 +61,13 @@ def list_column_means(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     values = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
     offsets = arr.offsets.to_numpy().astype(np.int64)
     lens = np.diff(offsets)
-    sums = np.zeros(len(lens), dtype=np.float64)
+    # prefix-sum differences: correct for every segment INCLUDING empty
+    # lists (reduceat with clamped starts truncated the row before a
+    # trailing empty list — review r3 finding); exact for the integer-
+    # valued token ids this column carries (sums ≪ 2^53)
+    cs = np.concatenate([[0.0], np.cumsum(values)])
+    sums = cs[offsets[1:]] - cs[offsets[:-1]]
     nonempty = lens > 0
-    if values.size:
-        start = offsets[:-1]
-        valid = start < len(values)
-        red = np.add.reduceat(values, np.minimum(start, len(values) - 1))
-        sums = np.where(nonempty & valid, red, 0.0)
     with np.errstate(invalid="ignore", divide="ignore"):
         means = np.where(nonempty, sums / np.maximum(lens, 1), np.nan)
     return means
@@ -94,13 +94,41 @@ def list_column_tiebreak(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     values = arr.values.to_numpy(zero_copy_only=False).astype(np.int64)
     offsets = arr.offsets.to_numpy().astype(np.int64)
     lens = np.diff(offsets)
-    sums = np.zeros(len(lens), dtype=np.int64)
-    if values.size and len(lens):
-        start = offsets[:-1]
-        valid = (start < len(values)) & (lens > 0)
-        red = np.add.reduceat(values, np.minimum(start, len(values) - 1))
-        sums = np.where(valid, red, 0)
+    # int prefix sums: exact and empty-segment-safe (see list_column_means)
+    cs = np.concatenate([np.zeros(1, np.int64), np.cumsum(values)])
+    sums = cs[offsets[1:]] - cs[offsets[:-1]]
     return lens * np.int64(2**32) + sums
+
+
+def list_column_content_hash(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Order-SENSITIVE per-row polynomial hash of a list column (uint64
+    wraparound Horner: Σ (v_i + 1) · P^i): the engine-internal FINAL dedup
+    tie-break.  ``_tb`` (len·2³²+sum) can tie across genuinely different
+    payloads; every SQL-checked aggregate is then identical whichever row
+    survives, but bit-determinism of the CARRIED payload needs a content
+    total order — this supplies it (not part of the SQL contract)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    arr: pa.ListArray = col  # type: ignore[assignment]
+    values = arr.values.to_numpy(zero_copy_only=False).astype(np.uint64)
+    offsets = arr.offsets.to_numpy().astype(np.int64)
+    lens = np.diff(offsets)
+    if not len(lens):
+        return np.zeros(0, np.int64)
+    P = np.uint64(1099511628211)
+    maxlen = int(lens.max()) if len(lens) else 0
+    pows = np.ones(max(maxlen, 1), np.uint64)
+    np.cumprod(np.full(max(maxlen, 1), P, np.uint64), out=pows)
+    pows = np.concatenate([np.ones(1, np.uint64), pows[:-1]]) if maxlen else pows
+    # restrict to this (possibly sliced) array's element span
+    vals = values[offsets[0]:offsets[-1]]
+    rel = offsets - offsets[0]
+    pos = (np.arange(len(vals), dtype=np.int64)
+           - np.repeat(rel[:-1], lens)) if len(vals) else np.zeros(0, np.int64)
+    terms = (vals + np.uint64(1)) * pows[pos] if len(vals) else vals
+    cs = np.concatenate([np.zeros(1, np.uint64), np.cumsum(terms)])
+    h = cs[rel[1:]] - cs[rel[:-1]]
+    return h.view(np.int64)
 
 
 def standardize_batch(batch: pa.Table, cfg: StandardizeConfig = StandardizeConfig()) -> pa.Table:
@@ -158,8 +186,11 @@ def standardize_batch(batch: pa.Table, cfg: StandardizeConfig = StandardizeConfi
             "qc_n_tok": pa.array(qc_n_tok),
             "qc_tok_mean": pa.array(qc_tok_mean),
             "qc_ts": pa.array(qc_ts),
-            # dedup tie-break for duplicate doc_ids (dropped after dedup)
+            # dedup tie-breaks for duplicate doc_ids (dropped after dedup):
+            # _tb = (len, sum) — SQL-reproducible; _tb2 = order-sensitive
+            # content hash — engine-only final total order
             "_tb": pa.array(list_column_tiebreak(batch["tokens"])),
+            "_tb2": pa.array(list_column_content_hash(batch["tokens"])),
         }
     )
 

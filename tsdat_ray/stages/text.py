@@ -771,8 +771,9 @@ def bpe_train(ds, n_merges: int = 50, text_col: str = "text",
         bc = int(cnt[best])
         a, b = int(uk[best] >> 32), int(uk[best] & 0xFFFFFFFF)
         new_id = len(names)
-        names.append(names[a].removesuffix("</w>") + names[b]
-                     if not names[a].endswith("</w>") else names[a] + names[b])
+        # a left symbol can never end in '</w>' (it is word-final), so the
+        # merged name is the plain concatenation
+        names.append(names[a] + names[b])
         merges.append((rank, names[a], names[b], bc))
         # non-overlapping greedy within runs: candidate pair starts where
         # (s[p], s[p+1]) == (a, b) in the same word; in a consecutive run

@@ -326,10 +326,21 @@ def compact_tier(root: str, tier: str, run_id: str = "compact") -> dict:
         for part in b["part"].to_pylist():
             pdir = m.partition_dir(tier_, part)
             # recover a previous crash: a lingering .merged temp holds the
-            # full merge — finish its publish before (re)compacting
+            # full merge of the input set recorded in ITS parquet metadata —
+            # finish the original operation exactly: delete those inputs
+            # (any still present), then publish.  Publishing without the
+            # input delete would re-merge the merge with its own inputs and
+            # duplicate every surviving row (review r3 finding).
             for f in m.sfs.listdir(pdir):
                 if f.endswith(".merged"):
-                    m.sfs.rename(f"{pdir}/{f}", f"{pdir}/{f[:-len('.merged')]}")
+                    tmp_path = f"{pdir}/{f}"
+                    meta = pq.read_schema(
+                        _io.BytesIO(m.sfs.read_bytes(tmp_path))).metadata or {}
+                    for old in (meta.get(b"compact_inputs", b"").decode()
+                                .split("\n")):
+                        if old and m.sfs.exists(f"{pdir}/{old}"):
+                            m.sfs.remove_file(f"{pdir}/{old}")
+                    m.sfs.rename(tmp_path, f"{pdir}/{f[:-len('.merged')]}")
             files = sorted(f for f in m.sfs.listdir(pdir) if f.endswith(".parquet"))
             tabs = [pq.read_table(_io.BytesIO(m.sfs.read_bytes(f"{pdir}/{f}")))
                     for f in files]
@@ -339,10 +350,14 @@ def compact_tier(root: str, tier: str, run_id: str = "compact") -> dict:
                 tmin = int(merged["ts"][0].cast(pa.int64()).as_py())
             else:
                 tmin = 0
-            # step 3: write the full merge to a non-.parquet temp name FIRST
-            # so a crash at any later point leaves at least one complete copy
+            # step 3: write the full merge (carrying its input list) to a
+            # non-.parquet temp name FIRST so a crash at any later point
+            # leaves at least one complete copy plus the recovery recipe
             final = f"{pdir}/part-{tmin}.parquet"
             tmp = f"{final}.merged"
+            merged = merged.replace_schema_metadata(
+                {**(merged.schema.metadata or {}),
+                 b"compact_inputs": "\n".join(files).encode()})
             m.sfs.write_table_atomic(merged, tmp)
             for f in files:                       # step 4: clear old parts
                 m.sfs.remove_file(f"{pdir}/{f}")
