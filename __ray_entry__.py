@@ -3123,6 +3123,53 @@ def _q_pack_sequences(sf_dir: str):
     return out.map_batches(scalars, batch_format="pyarrow")
 
 
+def _q_pack_global(sf_dir: str):
+    """Deterministic GLOBAL packing plan (layout-independent — the 100 TB
+    resumable twin of the batch-local ``pack_sequences``): one total order
+    over the corpus, distributed prefix offsets via the carry machinery,
+    per-example composition out.  Fully SQL-expressible, hash-green."""
+    from tsdat_ray.stages.sampling import pack_sequences_global
+
+    ds = _read(_sequences_corpus(sf_dir), columns=["doc_id", "tokens"])
+    return pack_sequences_global(ds, context_len=2048)
+
+
+def _pack_global_sql(context_len: int = 2048) -> str:
+    """DuckDB twin of :func:`_q_pack_global` — ``sum(len) OVER`` running
+    offsets in the same (doc_id, len·2³²+Σ) total order, lateral
+    ``generate_series`` span→example expansion, GROUP BY example.  Ties in
+    the ORDER BY have equal length, so the plan is order-insensitive."""
+    L = int(context_len)
+    return f"""
+        WITH docs AS (
+            SELECT doc_id,
+                   CAST(len(tokens) AS BIGINT) AS lent,
+                   CAST(len(tokens) AS BIGINT) * 4294967296
+                     + CAST(list_sum(tokens) AS BIGINT) AS tb
+            FROM read_parquet('{_seq_corpus_glob()}')
+            WHERE len(tokens) > 0
+        ), ordered AS (
+            SELECT lent,
+                   CAST(coalesce(sum(lent) OVER (ORDER BY doc_id, tb
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS s
+            FROM docs
+        ), contrib AS (
+            -- span → example expansion: list-valued range() accepts column
+            -- args (the table function form rejects lateral params in 1.0)
+            SELECT unnest(range(s // {L}, (s + lent - 1) // {L} + 1))
+                       AS example_id,
+                   s, lent
+            FROM ordered
+        )
+        SELECT example_id,
+               CAST(sum(least(s + lent, (example_id + 1) * {L})
+                        - greatest(s, example_id * {L})) AS BIGINT) AS n_tok,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM contrib GROUP BY example_id
+    """
+
+
 def _q_shuffle_sequences(sf_dir: str):
     """Deterministic approximate global shuffle of packed training examples
     (block-order randomization + seeded in-block permutation)."""
@@ -5239,6 +5286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_docs": _q_stratified_sample,
         "hash_split_docs": _q_hash_split,
         "pack_sequences": _q_pack_sequences,
+        "pack_global_sequences": _q_pack_global,
         "shuffle_sequences": _q_shuffle_sequences,
         "token_histogram": _q_token_histogram,
         "zarr_roundtrip_events": _q_zarr_roundtrip,
@@ -6678,6 +6726,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_rollup_1m": _seq_rollup_sql("minute"),
         "seq_rollup_1h": _seq_rollup_sql("hour"),
         "seq_rollup_1d": _seq_rollup_sql("day"),
+        "pack_global_sequences": _pack_global_sql(2048),
         "token_histogram": f"""
             SELECT CAST(tok AS INTEGER) AS token, count(*) AS n
             FROM (SELECT unnest(tokens) AS tok

@@ -332,3 +332,48 @@ def test_md5_sample_topk_stable_under_layout_and_appends(ray_session):
     exp = sorted(ids, key=lambda i: hashlib.md5(str(i).encode()).hexdigest())[:25]
     assert a["doc_id"].tolist() == exp
     assert a["md5_key"].is_monotonic_increasing
+
+
+def test_pack_sequences_global_matches_bruteforce(ray_session):
+    """The global packing plan equals a sequential brute force on the SAME
+    total order, for ANY block layout — including duplicate doc_ids with
+    distinct payloads and zero-length docs (which occupy no span)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from tsdat_ray.stages.sampling import pack_sequences_global
+
+    rng = np.random.default_rng(3)
+    ids, toks = [], []
+    for i in range(500):
+        src = ["web", "code"][i % 2]
+        ids.append(f"{src}-{i // 2:08d}")
+        toks.append(rng.integers(0, 1000, rng.integers(0, 40))
+                    .astype(np.int32).tolist())
+    ids += [ids[10], ids[10], ids[42]]
+    toks += [rng.integers(0, 1000, 17).astype(np.int32).tolist(),
+             rng.integers(0, 1000, 17).astype(np.int32).tolist(), []]
+    tbl = pa.table({"doc_id": pa.array(ids),
+                    "tokens": pa.array(toks, pa.list_(pa.int32()))})
+    L = 64
+
+    rows = [(i, t) for i, t in zip(ids, toks) if len(t) > 0]
+    rows.sort(key=lambda r: (r[0], len(r[1]) * 2**32 + sum(r[1])))
+    s, ex = 0, {}
+    for _, t in rows:
+        e = s + len(t)
+        for x in range(s // L, (e - 1) // L + 1):
+            a = ex.setdefault(x, [0, 0])
+            a[0] += min(e, (x + 1) * L) - max(s, x * L)
+            a[1] += 1
+        s = e
+    ref = pd.DataFrame([(k, v[0], v[1]) for k, v in sorted(ex.items())],
+                       columns=["example_id", "n_tok", "n_docs"]).astype("int64")
+
+    for nparts in (1, 7):
+        out = (pack_sequences_global(rd.from_arrow(tbl).repartition(nparts),
+                                     context_len=L, docs_per_window=16)
+               .to_pandas().sort_values("example_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(out, ref)
+    # every example is exactly full except possibly the last
+    assert (ref["n_tok"][:-1] == L).all() and 0 < ref["n_tok"].iloc[-1] <= L

@@ -183,6 +183,162 @@ def approx_global_shuffle(ds, seed: int = 42):
     )
 
 
+def pack_sequences_global(ds, context_len: int = 2048,
+                          tokens_col: str = "tokens",
+                          id_col: str = "doc_id",
+                          docs_per_window: int = 65_536):
+    """Deterministic GLOBAL packing plan — the layout-independent twin of
+    :func:`pack_sequences`.
+
+    Documents are packed in ONE total order — ``(id_col, len·2³²+Σtokens)``
+    — so example boundaries are a pure function of the corpus, independent
+    of block layout / parallelism (``pack_sequences`` packs per block: fast
+    but layout-defined; this variant is the resumable, auditable plan a
+    100 TB run wants).  Returns the plan's per-example composition, one row
+    per packed example: ``example_id`` (global ordinal), ``n_tok`` (==
+    context_len except possibly the last), ``n_docs`` (documents the
+    example intersects).  Zero-length documents occupy no span and are
+    excluded.  Duplicate ids are ordered by the content tie-break; a
+    remaining tie has equal length, so the plan is well-defined regardless.
+
+    Shape (nothing here ships token payloads — only (id, length) metadata
+    moves):
+
+    1. metadata pass: (id, window, tb, len) per doc — the window is a
+       MONOTONE bucket of the pack order, derived from the id's trailing
+       digits (``<prefix><idx>`` ids; distinct prefixes are rank-ordered
+       via a bounded tree reduction) — ``idx // docs_per_window``;
+    2. one (window) shuffle: per-window sort + local exclusive prefix;
+    3. distributed carry fold (:mod:`.carry`): window token totals →
+       exclusive prefix offsets, attached budget-gated — the same
+       machinery as ``partitioned_cumsum``, key-cardinality 1;
+    4. vectorized span → example expansion (``ceil(len/L)+1`` rows per
+       doc), per-batch partial sums, one ``groupby(example_id)`` Sum.
+
+    SQL twin: ``sum(len) OVER (ORDER BY id, tb ROWS UNBOUNDED PRECEDING
+    …)`` + ``generate_series(s//L, (e-1)//L)`` + GROUP BY example."""
+    import ray
+
+    from .carry import exclusive_prefix_within_segments, window_carry
+    from .reduce import tree_reduce
+
+    L = int(context_len)
+
+    def meta(b: pa.Table) -> pa.Table:
+        toks = b[tokens_col].combine_chunks()
+        values = toks.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = toks.offsets.to_numpy().astype(np.int64)
+        lens = np.diff(offsets)
+        cs = np.concatenate([np.zeros(1, np.int64), np.cumsum(values)])
+        sums = cs[offsets[1:]] - cs[offsets[:-1]]
+        tb = lens * np.int64(2**32) + sums
+        ids = b[id_col].combine_chunks()
+        # vectorized "<prefix><idx>" split (one RE2 pass, no per-row python)
+        parts = pc.extract_regex(ids, pattern=r"^(?P<pfx>.*?)(?P<idx>\d*)$")
+        idx_str = pc.if_else(pc.equal(pc.struct_field(parts, "idx"), ""),
+                             "0", pc.struct_field(parts, "idx"))
+        out = pa.table({
+            id_col: ids,
+            "_pfx": pc.struct_field(parts, "pfx"),
+            "_idx": pc.cast(idx_str, pa.int64()),
+            "_tb": pa.array(tb),
+            "_len": pa.array(lens),
+        })
+        return out.filter(pa.array(lens > 0))
+
+    md = ds.map_batches(meta, batch_format="pyarrow").materialize()
+
+    def uniq_pfx(b: pa.Table) -> pa.Table:
+        p = b["_pfx"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({"_pfx": pa.array(np.unique(p.astype("U")).tolist())})
+
+    pfx_rows = tree_reduce(md.select_columns(["_pfx"]), uniq_pfx).take_all()
+    ranks = {r["_pfx"]: i for i, r in enumerate(
+        sorted(pfx_rows, key=lambda r: r["_pfx"]))}
+    rref = ray.put(ranks)
+
+    def assign_window(b: pa.Table) -> pa.Table:
+        rk = ray.get(rref)
+        p = b["_pfx"].combine_chunks().to_numpy(zero_copy_only=False)
+        ix = b["_idx"].combine_chunks().to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(p, return_inverse=True)
+        r = (np.array([rk[v] for v in uniq], dtype=np.int64)[inv]
+             if len(uniq) else ix[:0])
+        win = r * np.int64(1 << 40) + ix // np.int64(docs_per_window)
+        return pa.table({
+            id_col: b[id_col], "_tb": b["_tb"], "_len": b["_len"],
+            "_window": pa.array(win),
+            "_all": pa.array(np.zeros(b.num_rows, np.int8)),
+        })
+
+    def local_scan(g: pa.Table) -> pa.Table:
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype("U")
+        tb = g["_tb"].combine_chunks().to_numpy(zero_copy_only=False)
+        ln = g["_len"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((tb, ids))
+        cs = np.cumsum(ln[order])
+        ls = np.empty(len(ln), np.int64)
+        ls[order] = cs - ln[order]
+        out = {c: g[c] for c in g.column_names}
+        out["_ls"] = pa.array(ls)
+        # repeated on every row: robust to Ray splitting group output
+        out["_wtotal"] = pa.array(np.repeat(cs[-1] if len(cs) else 0, len(ln)))
+        return pa.table(out)
+
+    part = (md.map_batches(assign_window, batch_format="pyarrow")
+            .groupby("_window").map_groups(local_scan, batch_format="pyarrow")
+            .materialize())
+
+    def fold(starts, windows, cols):
+        return {"_off": exclusive_prefix_within_segments(cols["_wtotal"],
+                                                         starts)}
+
+    withc = window_carry(part, "_all", "_window", ["_wtotal"], fold)
+
+    def expand(b: pa.Table) -> pa.Table:
+        s = (b["_ls"].combine_chunks().to_numpy(zero_copy_only=False)
+             + b["_off"].combine_chunks().to_numpy(zero_copy_only=False))
+        ln = b["_len"].combine_chunks().to_numpy(zero_copy_only=False)
+        e = s + ln
+        ex_lo, ex_hi = s // L, (e - 1) // L
+        counts = (ex_hi - ex_lo + 1).astype(np.int64)
+        total = int(counts.sum())
+        if not total:
+            return pa.table({"example_id": pa.array([], pa.int64()),
+                             "_t": pa.array([], pa.int64()),
+                             "_d": pa.array([], pa.int64())})
+        heads = np.repeat(np.cumsum(counts) - counts, counts)
+        within = np.arange(total, dtype=np.int64) - heads
+        exs = np.repeat(ex_lo, counts) + within
+        s_r, e_r = np.repeat(s, counts), np.repeat(e, counts)
+        t = np.minimum(e_r, (exs + 1) * L) - np.maximum(s_r, exs * L)
+        # batch-local combine: one row per distinct example this batch touches
+        order = np.argsort(exs, kind="stable")
+        ex_s, t_s = exs[order], t[order]
+        st = np.flatnonzero(np.r_[True, ex_s[1:] != ex_s[:-1]])
+        return pa.table({
+            "example_id": pa.array(ex_s[st]),
+            "_t": pa.array(np.add.reduceat(t_s, st)),
+            "_d": pa.array(np.diff(np.r_[st, total]).astype(np.int64)),
+        })
+
+    from ray.data.aggregate import Sum
+
+    agg = (withc.map_batches(expand, batch_format="pyarrow")
+           .groupby("example_id")
+           .aggregate(Sum("_t", alias_name="n_tok"),
+                      Sum("_d", alias_name="n_docs")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "example_id": b["example_id"].combine_chunks().cast(pa.int64()),
+            "n_tok": b["n_tok"].combine_chunks().cast(pa.int64()),
+            "n_docs": b["n_docs"].combine_chunks().cast(pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def md5_split(ds, id_col: str = "doc_id",
               fractions: dict[str, float] | None = None):
     """Content-hash split with a PORTABLE hash: bucket by the first 8 hex
