@@ -6727,6 +6727,46 @@ def oracle_sql() -> dict[str, str]:
         "seq_rollup_1h": _seq_rollup_sql("hour"),
         "seq_rollup_1d": _seq_rollup_sql("day"),
         "pack_global_sequences": _pack_global_sql(2048),
+        # repeated-8-gram coverage: exact-tuple SQL vs the engine's 64-bit
+        # window hash — collision probability ~w²/2⁶⁴ per block, negligible
+        # at oracle scale.  Zipped unnests build (pos, tok); 7 leads build
+        # the gram; duplicate starts (pos > first occurrence) union via
+        # gaps-and-islands (Σ min(8, next_start - start), last gets 8).
+        "mask_repeats_sequences": f"""
+            WITH base AS (
+                SELECT row_number() OVER () AS rid, doc_id, tokens
+                FROM read_parquet('{_seq_corpus_glob()}')
+            ), tok AS (
+                SELECT rid, unnest(tokens) AS tok,
+                       unnest(range(0, len(tokens))) AS pos
+                FROM base
+            ), win AS (
+                SELECT rid, pos,
+                       concat_ws(',', tok,
+                           lead(tok, 1) OVER w, lead(tok, 2) OVER w,
+                           lead(tok, 3) OVER w, lead(tok, 4) OVER w,
+                           lead(tok, 5) OVER w, lead(tok, 6) OVER w,
+                           lead(tok, 7) OVER w) AS gram,
+                       lead(tok, 7) OVER w IS NOT NULL AS ok
+                FROM tok WINDOW w AS (PARTITION BY rid ORDER BY pos)
+            ), dups AS (
+                SELECT rid, pos FROM (
+                    SELECT rid, pos,
+                           min(pos) OVER (PARTITION BY rid, gram) AS fp
+                    FROM win WHERE ok) WHERE pos > fp
+            ), cov AS (
+                SELECT rid, CAST(sum(least(8, coalesce(nxt - pos, 8)))
+                                 AS BIGINT) AS n_masked
+                FROM (SELECT rid, pos,
+                             lead(pos) OVER (PARTITION BY rid ORDER BY pos)
+                                 AS nxt
+                      FROM dups)
+                GROUP BY rid
+            )
+            SELECT b.doc_id, CAST(len(b.tokens) AS BIGINT) AS n_tok,
+                   coalesce(c.n_masked, 0) AS n_masked
+            FROM base b LEFT JOIN cov c USING (rid)
+        """,
         "token_histogram": f"""
             SELECT CAST(tok AS INTEGER) AS token, count(*) AS n
             FROM (SELECT unnest(tokens) AS tok
