@@ -99,3 +99,27 @@ def test_mad_outliers_constant_group_flags_nothing(ray_session):
     # (median dev 0), so every nonzero deviation flags
     assert (out["k"] == "b").all() and len(out) == 3
     assert sorted(out["v"]) == [1000.0, 2000.0, 3000.0]
+
+
+def test_fingerprinter_flat_equals_scalar():
+    """The flattened batch kernel is bit-identical to the scalar
+    winnowing fingerprint across regimes: empty, under-k (zero-padded),
+    k..k+window (single min), and long docs (sliding-window minima)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from tsdat_ray.stages.text import Fingerprinter
+
+    rng = np.random.default_rng(9)
+    texts = ["", "ab", "exactly8", "a bit longer than k",
+             "x" * 23,  # constant text, duplicate window hashes
+             ]
+    alpha = np.array(list("abcdefgh "))
+    texts += ["".join(rng.choice(alpha, rng.integers(1, 200))) for _ in range(300)]
+    texts += [texts[7], texts[8]]  # duplicate docs
+    fp = Fingerprinter(k=8, window=16)
+    batch = pa.table({"doc_id": pa.array([str(i) for i in range(len(texts))]),
+                      "text": pa.array(texts)})
+    got = fp(batch)["fingerprint"].to_numpy(zero_copy_only=False)
+    ref = np.array([fp.fingerprint(s) for s in texts], dtype=np.uint64)
+    assert (got == ref).all()

@@ -137,10 +137,77 @@ class Fingerprinter:
         return np.bitwise_xor.reduce(mixed) if len(mixed) else np.uint64(0)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vals = np.array(
-            [self.fingerprint(s) for s in batch[self.text_col].to_pylist()], dtype=np.uint64
-        )
-        return pa.table({self.id_col: batch[self.id_col], "fingerprint": pa.array(vals)})
+        """One flattened pass over the batch (bit-identical to the scalar
+        :meth:`fingerprint` — pinned in tests/test_round2b_ops.py): a global
+        rolling k-byte hash over the column's concatenated utf-8 buffer,
+        ONE sliding-window-min sweep, per-doc window selection from the
+        Arrow offsets, lexsort dedup + xor-reduceat.  Only docs shorter
+        than k bytes (zero-padded, rare) take a per-row path."""
+        from .dedup import _string_column_bytes
+
+        k, w = self.k, self.window
+        base = np.uint64(1099511628211)
+        offs, data = _string_column_bytes(batch[self.text_col])
+        n = len(offs) - 1
+        lens = np.diff(offs)
+        if len(data) >= k:
+            d64 = data.astype(np.uint64)
+            with np.errstate(over="ignore"):
+                h_all = np.zeros(len(data) - k + 1, dtype=np.uint64)
+                for j in range(k):
+                    h_all = h_all * base + d64[j: len(data) - k + 1 + j]
+        else:
+            h_all = np.zeros(0, np.uint64)
+        n_h = np.where(lens >= k, lens - k + 1, 0).astype(np.int64)
+        long = lens >= k
+        small = long & (n_h <= w)   # sel = [min of the doc's hashes]
+        big = long & (n_h > w)      # sel = unique sliding-window mins
+        pairs_doc, pairs_val = [], []
+        if small.any():
+            idx = np.flatnonzero(small)
+            cnt = n_h[idx]
+            heads = np.cumsum(cnt) - cnt
+            within = np.arange(int(cnt.sum()), dtype=np.int64) - np.repeat(heads, cnt)
+            hv = h_all[np.repeat(offs[idx], cnt) + within]
+            pairs_doc.append(idx)
+            pairs_val.append(np.minimum.reduceat(hv, heads))
+        if big.any():
+            sw_min = np.lib.stride_tricks.sliding_window_view(h_all, w).min(axis=1)
+            idx = np.flatnonzero(big)
+            cnt = n_h[idx] - w + 1   # windows per doc
+            heads = np.cumsum(cnt) - cnt
+            within = np.arange(int(cnt.sum()), dtype=np.int64) - np.repeat(heads, cnt)
+            pairs_doc.append(np.repeat(idx, cnt))
+            pairs_val.append(sw_min[np.repeat(offs[idx], cnt) + within])
+        short_idx = np.flatnonzero(~long)
+        if len(short_idx):
+            sh = np.empty(len(short_idx), dtype=np.uint64)
+            for t, d in enumerate(short_idx):  # rare: only docs under k bytes
+                b = np.r_[data[offs[d]:offs[d + 1]].astype(np.uint64),
+                          np.zeros(k - lens[d], np.uint64)]
+                hh = np.uint64(0)
+                with np.errstate(over="ignore"):
+                    for j in range(k):
+                        hh = hh * base + b[j]
+                sh[t] = hh
+            pairs_doc.append(short_idx)
+            pairs_val.append(sh)
+        out = np.zeros(n, dtype=np.uint64)
+        if pairs_doc:
+            dids = np.concatenate(pairs_doc)
+            vals = np.concatenate(pairs_val)
+            order = np.lexsort((vals, dids))
+            ds_, vs = dids[order], vals[order]
+            keep = np.r_[True, (ds_[1:] != ds_[:-1]) | (vs[1:] != vs[:-1])] \
+                if len(ds_) else np.zeros(0, bool)
+            ds_, vs = ds_[keep], vs[keep]
+            with np.errstate(over="ignore"):
+                mixed = vs * np.uint64(0x9E3779B97F4A7C15)
+            starts = np.flatnonzero(np.r_[True, ds_[1:] != ds_[:-1]]) \
+                if len(ds_) else np.zeros(0, np.int64)
+            if len(starts):
+                out[ds_[starts]] = np.bitwise_xor.reduceat(mixed, starts)
+        return pa.table({self.id_col: batch[self.id_col], "fingerprint": pa.array(out)})
 
 
 def word_gram_hashes(batch: pa.Table, n: int, text_col: str = "text"):
