@@ -123,3 +123,48 @@ def test_fingerprinter_flat_equals_scalar():
     got = fp(batch)["fingerprint"].to_numpy(zero_copy_only=False)
     ref = np.array([fp.fingerprint(s) for s in texts], dtype=np.uint64)
     assert (got == ref).all()
+
+
+def test_langid_vectorized_equals_scalar():
+    import numpy as np
+    import pyarrow as pa
+
+    from tsdat_ray.stages.text import LangId
+
+    rng = np.random.default_rng(4)
+    vocab = ["the", "and", "der", "und", "le", "la", "el", "los", "tion",
+             "sch", "que", "est", "is", "das", "xyz", "ción"]
+    texts = [""] + [" ".join(rng.choice(vocab, rng.integers(0, 60)))
+                    for _ in range(800)] + ["THE AND OF TO IS IN", None]
+    li = LangId()
+    batch = pa.table({"doc_id": pa.array([str(i) for i in range(len(texts))]),
+                      "text": pa.array(texts, pa.string())})
+    out = li(batch)
+    ref = [li.classify(s) for s in texts]
+    assert out["lang_pred"].to_pylist() == [r[0] for r in ref]
+    assert np.array_equal(np.array(out["lang_conf"].to_pylist()),
+                          np.array([r[1] for r in ref]))
+
+
+def test_bpe_counter_arrow_path_and_fallback():
+    """The RE2 kernel path self-verifies against python re on the first
+    rows and is dropped permanently on disagreement; the lookahead pattern
+    can't compile under RE2 and must fall back."""
+    import numpy as np
+    import pyarrow as pa
+
+    from tsdat_ray.stages.text import BPEishTokenCounter
+
+    rng = np.random.default_rng(5)
+    words = ["hello", "world", "it's", "don't", "42", "x9", "!!", "  "]
+    texts = [""] + [" ".join(rng.choice(words, rng.integers(0, 30)))
+                    for _ in range(300)] + [None]
+    batch = pa.table({"doc_id": pa.array([str(i) for i in range(len(texts))]),
+                      "text": pa.array(texts, pa.string())})
+    fast = BPEishTokenCounter(pattern=BPEishTokenCounter.PATTERN_RE2)
+    out = fast(batch)["n_bpe_tokens"].to_numpy(zero_copy_only=False)
+    ref = fast._python_counts([s or "" for s in texts], len(texts))
+    assert fast._arrow_ok is True and (out == ref).all()
+    slow = BPEishTokenCounter()  # lookahead: RE2 rejects → python path
+    out2 = slow(batch)["n_bpe_tokens"].to_numpy(zero_copy_only=False)
+    assert slow._arrow_ok is False and (out2 == ref).all()

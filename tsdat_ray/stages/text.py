@@ -54,16 +54,40 @@ class BPEishTokenCounter:
     def __init__(self, text_col: str = "text", id_col: str = "doc_id", pattern: str | None = None):
         import re
 
-        self.rx = re.compile(pattern or self.PATTERN)
+        self.pattern = pattern or self.PATTERN
+        self.rx = re.compile(self.pattern)
         self.text_col = text_col
         self.id_col = id_col
+        # Arrow fast path: one RE2 kernel pass over the whole column instead
+        # of a python findall per row.  RE2 rejects lookaheads and treats \s
+        # as ASCII (python re is unicode) — so the kernel must (a) compile
+        # and (b) agree with python on a sample; verified per batch on the
+        # first 64 rows, dropped permanently on the first disagreement.
+        try:
+            pc.count_substring_regex(pa.array(["probe 't x9 !"]), self.pattern)
+            self._arrow_ok: bool | None = None  # unverified yet
+        except pa.ArrowInvalid:
+            self._arrow_ok = False
+
+    def _python_counts(self, texts, count: int) -> np.ndarray:
+        return np.fromiter(
+            (len(self.rx.findall(s or "")) for s in texts),
+            dtype=np.int64, count=count,
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vals = np.fromiter(
-            (len(self.rx.findall(s or "")) for s in batch[self.text_col].to_pylist()),
-            dtype=np.int64,
-            count=batch.num_rows,
-        )
+        col = pc.fill_null(batch[self.text_col].combine_chunks(), "")
+        if self._arrow_ok is not False:
+            vals = pc.count_substring_regex(col, self.pattern).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            if self._arrow_ok is None:
+                probe = col.slice(0, 64).to_pylist()
+                self._arrow_ok = bool(
+                    (self._python_counts(probe, len(probe)) == vals[:len(probe)]).all())
+            if self._arrow_ok:
+                return pa.table({self.id_col: batch[self.id_col],
+                                 "n_bpe_tokens": pa.array(vals)})
+        vals = self._python_counts(col.to_pylist(), batch.num_rows)
         return pa.table({self.id_col: batch[self.id_col], "n_bpe_tokens": pa.array(vals)})
 
 
@@ -94,16 +118,33 @@ class LangId:
         return best, min(1.0, best_score / denom)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        langs, confs = [], []
-        for s in batch[self.text_col].to_pylist():
-            l, c = self.classify(s)
-            langs.append(l)
-            confs.append(c)
+        """Vectorized: one ``pc.count_substring`` kernel per profile gram
+        (32 column passes) instead of n_rows × 32 python ``str.count``
+        calls; first-max argmax reproduces the scalar tie-break (pinned
+        bit-identical in tests/test_round2b_ops.py)."""
+        n = batch.num_rows
+        col = batch[self.text_col].combine_chunks()
+        lowered = pc.utf8_lower(pc.fill_null(col, ""))
+        pad = pa.array(np.full(n, " ", dtype=object), pa.string())
+        padded = pc.binary_join_element_wise(pad, lowered, pad, "")
+        scores = np.zeros((len(self.PROFILES), n), dtype=np.int64)
+        for li, grams in enumerate(self.PROFILES.values()):
+            for g in grams:
+                scores[li] += pc.count_substring(padded, g).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+        best = np.argmax(scores, axis=0)  # first max wins == dict order
+        best_score = scores[best, np.arange(n)]
+        names = np.array(list(self.PROFILES), dtype=object)
+        langs = np.where(best_score > 0, names[best], "und")
+        # denom = word count of the padded text (len(s.split()))
+        words = pc.count_substring_regex(padded, r"\S+").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        confs = np.minimum(1.0, best_score / np.maximum(1, words))
         return pa.table(
             {
                 self.id_col: batch[self.id_col],
-                "lang_pred": pa.array(langs),
-                "lang_conf": pa.array(np.array(confs)),
+                "lang_pred": pa.array(langs.tolist(), pa.string()),
+                "lang_conf": pa.array(confs),
             }
         )
 
