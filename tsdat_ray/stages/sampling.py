@@ -252,7 +252,10 @@ def pack_sequences_global(ds, context_len: int = 2048,
         p = b["_pfx"].combine_chunks().to_numpy(zero_copy_only=False)
         return pa.table({"_pfx": pa.array(np.unique(p.astype("U")).tolist())})
 
-    pfx_rows = tree_reduce(md.select_columns(["_pfx"]), uniq_pfx).take_all()
+    # levels=1: the per-block partials are already ≤|prefixes| rows each,
+    # one combine hop suffices — saves a whole repartition stage of latency
+    pfx_rows = tree_reduce(md.select_columns(["_pfx"]), uniq_pfx,
+                           levels=1).take_all()
     ranks = {r["_pfx"]: i for i, r in enumerate(
         sorted(pfx_rows, key=lambda r: r["_pfx"]))}
     rref = ray.put(ranks)
