@@ -3696,6 +3696,33 @@ def _q_pca_embeddings(sf_dir: str):
     return out.map_batches(first, batch_format="pyarrow")
 
 
+def _q_bpe_encode(sf_dir: str):
+    """Tokenize the corpus with a TRAINED BPE vocab — the inference half of
+    bpe_merges_docs (train → encode completes the tokenizer story).  The
+    40-merge table broadcasts into a stateful actor pool; each actor
+    dictionary-encodes its batch's words and runs the python merge loop
+    once per NEW word type (cached across batches — Zipf makes the hit
+    rate ~1 warm), assembly is a vectorized offsets gather.  Rows-only:
+    iterative merge application, not SQL-expressible; the id space and
+    roundtrip are pinned by pytest (tests/test_round2b_ops.py)."""
+    from tsdat_ray.stages.text import BPEEncoder, bpe_train
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    merges = bpe_train(_read(f"{sf_dir}/documents.parquet", columns=["text"]),
+                       n_merges=40).take_all()
+    enc = ds.map_batches(
+        BPEEncoder,
+        fn_constructor_kwargs=dict(merges=merges),
+        batch_format="pyarrow",
+        concurrency=_conc(),
+    )
+
+    def scalars(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["doc_id"], "n_tok": b["n_tok"]})
+
+    return enc.map_batches(scalars, batch_format="pyarrow")
+
+
 def _q_bpe_merges(sf_dir: str):
     """BPE vocabulary training over the documents corpus: one distributed
     exact word-frequency pass, then the vocab-bounded merge loop (rows-only:
@@ -5204,6 +5231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "logreg_embeddings": _q_logreg_embeddings,
         "pca_embeddings": _q_pca_embeddings,
         "bpe_merges_docs": _q_bpe_merges,
+        "bpe_encode_docs": _q_bpe_encode,
         "latest_per_user_events": _q_latest_per_user,
         "diversified_topk_events": _q_diversified_topk,
         "fuzzy_name_pairs_part": _q_fuzzy_name_pairs,

@@ -168,3 +168,37 @@ def test_bpe_counter_arrow_path_and_fallback():
     slow = BPEishTokenCounter()  # lookahead: RE2 rejects → python path
     out2 = slow(batch)["n_bpe_tokens"].to_numpy(zero_copy_only=False)
     assert slow._arrow_ok is False and (out2 == ref).all()
+
+
+def test_bpe_encoder_matches_scalar_and_roundtrips(ray_session):
+    """BPEEncoder's vectorized batch assembly equals per-word scalar
+    encoding, ids live in the trainer's id space, and decoding token names
+    reconstructs the normalized text exactly."""
+    import re
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    import pyarrow.parquet as pq
+
+    from tsdat_ray.stages.text import BPEEncoder, bpe_train
+
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"]).slice(0, 400)
+    merges = bpe_train(rd.from_arrow(docs.select(["text"])),
+                       n_merges=30).take_all()
+    enc = BPEEncoder(merges)
+    out = enc(docs.select(["doc_id", "text"]))
+    texts = docs["text"].to_pylist()
+    for i in (0, 1, 57, 200, 399):
+        toks = out["tokens"][i].as_py()
+        words = [w for w in re.split(r"[^0-9a-z]+", (texts[i] or "").lower()) if w]
+        assert "".join(enc.names[t] for t in toks) == \
+            "".join(w + "</w>" for w in words)
+        # scalar parity per word
+        flat = np.concatenate([enc.encode_word(w) for w in words]) \
+            if words else np.zeros(0, np.int32)
+        assert toks == flat.tolist()
+    assert (np.asarray(out["n_tok"].to_pylist())
+            == np.asarray([len(t) for t in out["tokens"].to_pylist()])).all()

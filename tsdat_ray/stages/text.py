@@ -903,3 +903,114 @@ def bpe_train(ds, n_merges: int = 50, text_col: str = "text",
         "pair_count": pa.array([m[3] for m in merges], pa.int64()),
     })
     return rd.from_arrow(out)
+
+
+class BPEEncoder:
+    """Apply trained BPE merges to text — the inference half of
+    :func:`bpe_train` (train → encode completes the tokenizer story).
+
+    Token ids reproduce the trainer's id space exactly: 0..255 raw bytes,
+    256 = ``'</w>'``, 257+rank per merge.  Pre-tokenization is the
+    trainer's (lowercase, split on ``[^0-9a-z]+``); per word the standard
+    BPE loop applies the PRESENT pair with the smallest rank, merging
+    non-overlapping occurrences left-to-right (the trainer's run-parity
+    rule), until no adjacent pair is mergeable.
+
+    Scale shape: a stateful actor-pool stage.  Each batch dictionary-
+    encodes its words, so the python merge loop runs once per NEW word
+    TYPE (cached across batches in the actor — Zipf makes the hit rate
+    ~1 after warm-up); per-doc token assembly is a fully vectorized
+    offsets gather, never a per-word python concat.  Pass to
+    ``map_batches(BPEEncoder, fn_constructor_kwargs=..., concurrency=N)``.
+    """
+
+    END = 256
+
+    def __init__(self, merges, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+        if hasattr(merges, "take_all"):          # Dataset → rows
+            rows = merges.take_all()
+        elif isinstance(merges, pa.Table):
+            rows = merges.to_pylist()
+        else:
+            rows = list(merges)
+        rows.sort(key=lambda r: r["rank"])
+        names = [chr(i) if 32 <= i < 127 else f"<0x{i:02X}>" for i in range(256)]
+        names.append("</w>")
+        name_id = {nm: i for i, nm in enumerate(names)}
+        self.rank_of: dict[tuple[int, int], int] = {}
+        self.merged_id: dict[tuple[int, int], int] = {}
+        for r in rows:
+            a, b = name_id[r["left"]], name_id[r["right"]]
+            nm = r["left"] + r["right"]
+            name_id[nm] = len(names)
+            names.append(nm)
+            self.rank_of[(a, b)] = int(r["rank"])
+            self.merged_id[(a, b)] = name_id[nm]
+        self.names = names
+        self._cache: dict[str, np.ndarray] = {}
+
+    def encode_word(self, w: str) -> np.ndarray:
+        """Sequential reference (and cache filler) for ONE word type."""
+        got = self._cache.get(w)
+        if got is not None:
+            return got
+        syms = list(np.frombuffer(w.encode(), np.uint8).astype(np.int64)) + [self.END]
+        while len(syms) > 1:
+            ranks = [self.rank_of.get((syms[i], syms[i + 1]))
+                     for i in range(len(syms) - 1)]
+            present = [r for r in ranks if r is not None]
+            if not present:
+                break
+            best = min(present)
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and ranks[i] == best:
+                    out.append(self.merged_id[(syms[i], syms[i + 1])])
+                    i += 2  # left-to-right non-overlapping
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        enc = np.asarray(syms, dtype=np.int32)
+        self._cache[w] = enc
+        return enc
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w = pc.split_pattern_regex(
+            pc.utf8_lower(pc.coalesce(batch[self.text_col].combine_chunks(), "")),
+            r"[^0-9a-z]+",
+        )
+        if isinstance(w, pa.ChunkedArray):
+            w = w.combine_chunks()
+        doc_wcnt = np.diff(w.offsets.to_numpy().astype(np.int64))
+        flat = w.flatten()
+        d = flat.dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = d.dictionary.to_pandas().to_numpy()
+        # encode new word types once (python loop bounded by NEW types)
+        encs = [self.encode_word(u) if u else np.zeros(0, np.int32)
+                for u in uniq]
+        ulens = np.fromiter((len(e) for e in encs), np.int64,
+                            count=len(encs))
+        uoffs = np.r_[np.int64(0), np.cumsum(ulens)]
+        uvals = (np.concatenate(encs) if encs else np.zeros(0, np.int32))
+        # vectorized assembly: gather each word instance's id run
+        wl = ulens[codes]
+        total = int(wl.sum())
+        heads = np.cumsum(wl) - wl
+        within = np.arange(total, dtype=np.int64) - np.repeat(heads, wl)
+        values = uvals[np.repeat(uoffs[codes], wl) + within] if total else \
+            np.zeros(0, np.int32)
+        # per-doc offsets: sum of word token counts per doc
+        wdoc_offs = np.r_[np.int64(0), np.cumsum(doc_wcnt)]
+        tok_per_doc = np.diff(np.r_[np.int64(0), np.cumsum(wl)][wdoc_offs])
+        doc_offs = np.r_[np.int64(0), np.cumsum(tok_per_doc)]
+        toks = pa.ListArray.from_arrays(
+            pa.array(doc_offs, pa.int32()), pa.array(values, pa.int32()))
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "tokens": toks,
+            "n_tok": pa.array(tok_per_doc.astype(np.int32)),
+        })
