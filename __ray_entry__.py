@@ -4197,6 +4197,21 @@ def _q_mix_domains(sf_dir: str):
     return mix_domains(ds, key="source", weight_col="n_chars")
 
 
+def _q_mix_domains_sqrt(sf_dir: str):
+    """Temperature-τ=½ domain mixing: per-source budget ∝ ⌊√(char share)⌋
+    — the standard temperature-sampling compromise between equal-share
+    (τ=0, mix_domains_docs) and natural (τ=1).  ⌊√·⌋ over an IEEE double
+    sqrt is correctly rounded, so the SQL twin reproduces the thresholds
+    (and hence the exact md5-selected sample) bit-for-bit — portable where
+    a float w^τ would not be."""
+    from tsdat_ray.stages.sampling import mix_domains
+
+    ds = _read(f"{sf_dir}/documents.parquet",
+               columns=["doc_id", "source", "n_chars"])
+    return mix_domains(ds, key="source", weight_col="n_chars",
+                       temperature="sqrt")
+
+
 def _q_anomaly_mad(sf_dir: str):
     """Median/MAD robust outliers per event_type (|v−med| > 3·MAD), every
     comparison an integer on cent-quantized order statistics
@@ -5255,6 +5270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q21_waiting_suppliers": _q_tpch_q21,
         "tpch_q2_min_cost_supplier": _q_tpch_q2,
         "mix_domains_docs": _q_mix_domains,
+        "mix_domains_sqrt_docs": _q_mix_domains_sqrt,
         "ratio_to_total_events": _q_ratio_to_total,
         "cooccurrence_pairs_events": _q_cooccurrence,
         "equidepth_hist_events": _q_equidepth_hist,
@@ -6163,6 +6179,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, e.event_type,
                    CAST(ROUND(e.value * 100) AS BIGINT) / t.tot AS ratio
             FROM events e JOIN t USING (event_type)
+        """,
+        "mix_domains_sqrt_docs": """
+            WITH tot AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS toks
+                         FROM documents GROUP BY 1),
+            sq AS (SELECT source, toks,
+                          CAST(FLOOR(SQRT(CAST(toks AS DOUBLE))) AS BIGINT)
+                              AS sq
+                   FROM tot),
+            g AS (SELECT CAST(SUM(toks) AS BIGINT) AS total,
+                         CAST(SUM(sq) AS BIGINT) AS ssum FROM sq),
+            thr AS (SELECT source,
+                           printf('%08x', CAST(LEAST(FLOOR(
+                               CAST((total * 1 // 2) * sq // ssum AS DOUBLE)
+                               / CAST(toks AS DOUBLE) * 4294967296.0),
+                               4294967295.0) AS BIGINT)) AS h
+                    FROM sq, g)
+            SELECT d.doc_id, d.source, d.n_chars
+            FROM documents d JOIN thr USING (source)
+            WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.h
         """,
         "mix_domains_docs": """
             WITH tot AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS toks

@@ -202,3 +202,35 @@ def test_bpe_encoder_matches_scalar_and_roundtrips(ray_session):
         assert toks == flat.tolist()
     assert (np.asarray(out["n_tok"].to_pylist())
             == np.asarray([len(t) for t in out["tokens"].to_pylist()])).all()
+
+
+def test_mix_domains_temperature_laws(ray_session):
+    """τ ordering on a skewed two-domain corpus: equal-share keeps the
+    most of the small domain, natural the least, sqrt strictly between;
+    natural keeps a uniform rate, so domain shares stay ~proportional."""
+    import ray.data as rd
+
+    from tsdat_ray.stages.sampling import mix_domains
+
+    n_big, n_small = 3600, 400
+    t = pa.table({
+        "doc_id": pa.array([f"d{i:05d}" for i in range(n_big + n_small)]),
+        "source": pa.array(["big"] * n_big + ["small"] * n_small),
+        "n_chars": pa.array(np.full(n_big + n_small, 10, dtype=np.int64)),
+    })
+    kept = {}
+    for temp in ("equal", "sqrt", "natural"):
+        # 1/10 budget: at 1/2 the small domain saturates (keeps all rows)
+        # under every law and the ordering is unobservable
+        out = mix_domains(rd.from_arrow(t), temperature=temp,
+                          budget_frac_num=1, budget_frac_den=10).to_pandas()
+        kept[temp] = out.groupby("source").size().to_dict()
+    # small domain: equal > sqrt > natural keep counts
+    se, ss, sn = (kept[t].get("small", 0) for t in ("equal", "sqrt", "natural"))
+    assert se > ss > sn, (se, ss, sn)
+    # natural: ~uniform keep-rate across domains (1/10 budget ⇒ ~0.1 each)
+    be, bs, bn = (kept[t].get("big", 0) for t in ("equal", "sqrt", "natural"))
+    assert abs(bn / n_big - (sn / n_small)) < 0.1
+    # total kept rows stay near the 1/10 budget under every law
+    for temp in ("equal", "sqrt", "natural"):
+        assert sum(kept[temp].values()) <= 0.2 * (n_big + n_small)

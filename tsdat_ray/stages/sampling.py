@@ -489,7 +489,8 @@ def mask_repeated_ngrams(ds, tokens_col: str = "tokens", id_col: str = "doc_id",
 
 def mix_domains(ds, key: str = "source", weight_col: str = "n_chars",
                 id_col: str = "doc_id",
-                budget_frac_num: int = 1, budget_frac_den: int = 2):
+                budget_frac_num: int = 1, budget_frac_den: int = 2,
+                temperature: str = "equal"):
     """Deterministic domain-mixing sampler: downsample each ``key`` domain so
     every domain contributes an equal share of a global weight budget
     (``budget = total * num // den``, split evenly over the k domains) —
@@ -501,7 +502,19 @@ def mix_domains(ds, key: str = "source", weight_col: str = "n_chars",
     threshold ``min(floor(budget_k/weight * 2^32), 2^32-1)`` — the md5-hex
     lexicographic-compare recipe (see :func:`md5_split`), so any engine with
     an md5 reproduces the exact sample.  All threshold arithmetic is integer
-    or a single IEEE double division, identical on the SQL side."""
+    or a single IEEE double division, identical on the SQL side.
+
+    ``temperature`` sets the mixture law (per-domain budget as a function
+    of the domain's natural weight ``w_d``; budget B = total·num//den):
+
+    * ``"equal"``   — B // k per domain (τ = 0: maximal upsampling of
+      small domains; the default, the original behavior);
+    * ``"sqrt"``    — B · ⌊√w_d⌋ // Σ⌊√w_j⌋ (τ = ½: the standard
+      temperature-sampling compromise).  ⌊√·⌋ is over an IEEE double
+      sqrt, which is CORRECTLY ROUNDED (unlike pow) — so SQL's
+      ``FLOOR(SQRT(CAST(w AS DOUBLE)))`` reproduces it bit-exactly,
+      keeping the sample portable where a float ``w^τ`` would not be;
+    * ``"natural"`` — B · w_d // total (τ = 1: uniform keep-rate)."""
     import hashlib
 
     import ray
@@ -525,9 +538,20 @@ def mix_domains(ds, key: str = "source", weight_col: str = "n_chars",
 
     total = sum(toks.values())
     k_dom = len(toks)
-    budget_k = (total * budget_frac_num // budget_frac_den) // max(k_dom, 1)
+    B = total * budget_frac_num // budget_frac_den
+    if temperature == "equal":
+        budget = {s: B // max(k_dom, 1) for s in toks}
+    elif temperature == "sqrt":
+        sq = {s: int(np.floor(np.sqrt(float(w)))) for s, w in toks.items()}
+        ssum = sum(sq.values()) or 1
+        budget = {s: B * sq[s] // ssum for s in toks}
+    elif temperature == "natural":
+        budget = {s: B * w // max(total, 1) for s, w in toks.items()}
+    else:
+        raise ValueError(f"unknown temperature {temperature!r}")
     thr = {s: ("ffffffff" if w == 0 else
-               format(min(int(np.floor(budget_k / w * 4294967296.0)),
+               format(min(int(np.floor(float(budget[s]) / float(w)
+                                       * 4294967296.0)),
                           4294967295), "08x"))
            for s, w in toks.items()}  # zero-weight domain: keeping it is free
     thr_ref = ray.put(thr)
