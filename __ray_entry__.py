@@ -414,6 +414,35 @@ def _q_dedup_docs(sf_dir: str):
     return out.select_columns(["doc_id", "n_copies"])
 
 
+def _q_dedup_incremental(sf_dir: str):
+    """Incremental ingest dedup: split documents into a HISTORICAL store
+    (~3/4, by portable md5(doc_id) prefix) and today's NEW batch; keep the
+    new docs whose exact text is NOT already in the store
+    (stages/dedup.py:dedup_against_store — both sides reduce to content-
+    hash rows, bucket-co-located probe, text never shuffles).  Oracle:
+    NOT EXISTS on exact text equality — which also audits the engine's
+    64-bit-hash collision contract."""
+    from tsdat_ray.stages.dedup import dedup_against_store
+
+    def side(old: bool):
+        ds = _read(f"{sf_dir}/documents.parquet",
+                   columns=["doc_id", "text", "source"])
+
+        def f(b: pa.Table, old=old) -> pa.Table:
+            import hashlib
+
+            ids = b["doc_id"].to_pylist()
+            pref = np.array([hashlib.md5(str(i).encode()).hexdigest()[:1]
+                             for i in ids], dtype="U1")
+            m = (pref < "c") if old else (pref >= "c")
+            return b.filter(pa.array(m))
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    out = dedup_against_store(side(False), side(True))
+    return out.select_columns(["doc_id", "source"])
+
+
 def _q_token_count(sf_dir: str):
     from tsdat_ray.stages.text import token_count_batch
 
@@ -5238,6 +5267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gapfill_1m_events": _q_gapfill,
         "gapfill_linear_1m_events": _q_gapfill_linear,
         "dedup_exact_docs": _q_dedup_docs,
+        "dedup_incremental_docs": _q_dedup_incremental,
         "token_count_docs": _q_token_count,
         "quality_score_docs": _q_quality,
         "knn_embeddings": _q_knn,
@@ -5531,6 +5561,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE pb = bucket
                OR (pb IS NOT NULL AND nb IS NOT NULL
                    AND date_diff('minute', pb, nb) - 1 <= 5)
+        """,
+        "dedup_incremental_docs": """
+            WITH marked AS (
+                SELECT doc_id, text, source,
+                       substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+                           AS is_old
+                FROM documents)
+            SELECT d.doc_id, d.source
+            FROM marked d
+            WHERE NOT d.is_old AND NOT EXISTS (
+                SELECT 1 FROM marked o
+                WHERE o.is_old AND o.text = d.text)
         """,
         "dedup_exact_docs": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies

@@ -649,3 +649,32 @@ def test_logreg_train_recovers_separator(ray_session):
     p = 1 / (1 + np.exp(-(x @ w[:d] + w[d])))
     acc = ((p > 0.5) == (y == 1)).mean()
     assert acc > 0.8, acc
+
+
+def test_dedup_against_store_drops_known_content(ray_session):
+    """New rows whose text already exists in the historical store are
+    dropped; novel rows and intra-new duplicates survive (incremental
+    ingest only guards against the STORE)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tsdat_ray.stages.dedup import dedup_against_store
+
+    old = pa.table({
+        "doc_id": pa.array([f"o{i}" for i in range(200)]),
+        "text": pa.array([f"stored document {i % 50}" for i in range(200)]),
+    })
+    new = pa.table({
+        "doc_id": pa.array([f"n{i}" for i in range(100)]),
+        # 0..24 collide with the store; 25+ are novel; 60/61 duplicate
+        # each other but not the store
+        "text": pa.array([f"stored document {i}" if i < 25
+                          else ("same new text" if i in (60, 61)
+                                else f"fresh document {i}")
+                          for i in range(100)]),
+    })
+    out = dedup_against_store(rd.from_arrow(new).repartition(5),
+                              rd.from_arrow(old).repartition(3)).to_pandas()
+    kept = set(out["doc_id"])
+    assert kept == {f"n{i}" for i in range(25, 100)}
+    assert {"n60", "n61"} <= kept  # intra-new dups are NOT the store's job

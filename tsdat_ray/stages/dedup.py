@@ -1531,3 +1531,66 @@ def cluster_dedup_priority(ds, pairs, id_col: str = "doc_id",
     import ray.data as rd
 
     return semi_anti_join(ds, id_col, rd.from_arrow(drop_tab), "node", anti=True)
+
+
+def dedup_against_store(new_ds, old_ds, text_col: str = "text",
+                        id_col: str = "doc_id", num_buckets: int = 64):
+    """Incremental corpus dedup: keep NEW rows whose exact content does not
+    already exist in the HISTORICAL side — the continuous-ingest path of a
+    growing training corpus (yesterday's store is authoritative; today's
+    batch must only add novel documents).
+
+    Scale shape (neither side's text payload ever shuffles):
+
+    1. both sides reduce to 64-bit content-hash rows — new ships (id, h),
+       the store ships (h) only;
+    2. the hash streams co-locate by ``h % num_buckets`` and each bucket
+       runs ONE vectorized membership probe (sort + searchsorted), emitting
+       the DROPPED new ids — bounded by the duplicate count, not the store;
+    3. the new corpus streams through a broadcast anti-join on those ids.
+
+    Same collision contract as ``exact_dedup(payload="hash")``: a 64-bit
+    hash collision can drop a novel doc with odds ~|new|·|store|/2⁶⁴
+    (negligible; the SQL oracle compares exact text, so the driver's
+    hash-green check also audits this)."""
+    from .window_funcs import semi_anti_join
+
+    sch = new_ds.schema()
+    id_type = dict(zip(sch.names, sch.types))[id_col]
+
+    def new_hashes(b: pa.Table) -> pa.Table:
+        h = _hash_text(b[text_col]).astype(np.int64)
+        return pa.table({
+            id_col: b[id_col],
+            "_h": pa.array(h),
+            "_bk": pa.array(h % np.int64(num_buckets)),
+            "_old": pa.array(np.zeros(b.num_rows, np.int8)),
+        })
+
+    def old_hashes(b: pa.Table) -> pa.Table:
+        h = _hash_text(b[text_col]).astype(np.int64)
+        ids = pa.nulls(b.num_rows, id_type)
+        return pa.table({
+            id_col: ids,
+            "_h": pa.array(h),
+            "_bk": pa.array(h % np.int64(num_buckets)),
+            "_old": pa.array(np.ones(b.num_rows, np.int8)),
+        })
+
+    both = (new_ds.select_columns([id_col, text_col])
+            .map_batches(new_hashes, batch_format="pyarrow")
+            .union(old_ds.select_columns([text_col])
+                   .map_batches(old_hashes, batch_format="pyarrow")))
+
+    def dropped(g: pa.Table) -> pa.Table:
+        old = g["_old"].combine_chunks().to_numpy(zero_copy_only=False) == 1
+        h = g["_h"].combine_chunks().to_numpy(zero_copy_only=False)
+        store = np.unique(h[old])
+        nh = h[~old]
+        pos = np.searchsorted(store, nh)
+        hit = (pos < len(store)) & (store[np.clip(pos, 0, max(len(store) - 1, 0))] == nh) \
+            if len(store) else np.zeros(len(nh), bool)
+        return g.filter(pa.array(~old)).filter(pa.array(hit)).select([id_col])
+
+    drop_ids = both.groupby("_bk").map_groups(dropped, batch_format="pyarrow")
+    return semi_anti_join(new_ds, id_col, drop_ids, id_col, anti=True)
