@@ -7142,4 +7142,48 @@ def oracle_sql() -> dict[str, str]:
                    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text
             FROM documents
         """,
+        # LangId (stages/text.py) is pure integer substring-count scoring, so
+        # it has an exact SQL twin: non-overlapping occurrence counts via the
+        # replace-length trick (== str.count == pc.count_substring), first-max
+        # argmax reproduced by ORDER BY score DESC, profile-order ASC.  The
+        # conf division is int/int: both numpy and DuckDB convert to double
+        # first, so lang_conf is bit-identical.
+        "lang_id_docs": """
+            WITH t AS (
+                SELECT doc_id, ' ' || lower(coalesce(text, '')) || ' ' AS s
+                FROM documents
+            ), g(lang, li, gram) AS (VALUES
+                ('en', 0, ' the '), ('en', 0, ' and '), ('en', 0, ' of '),
+                ('en', 0, ' to '), ('en', 0, ' is '), ('en', 0, ' in '),
+                ('en', 0, 'tion'), ('en', 0, ' that '),
+                ('de', 1, ' der '), ('de', 1, ' und '), ('de', 1, ' die '),
+                ('de', 1, ' das '), ('de', 1, ' ist '), ('de', 1, ' nicht'),
+                ('de', 1, 'sch'), ('de', 1, ' ein '),
+                ('fr', 2, ' le '), ('fr', 2, ' la '), ('fr', 2, ' et '),
+                ('fr', 2, ' les '), ('fr', 2, ' des '), ('fr', 2, ' est '),
+                ('fr', 2, ' une '), ('fr', 2, ' que '),
+                ('es', 3, ' el '), ('es', 3, ' la '), ('es', 3, ' de '),
+                ('es', 3, ' los '), ('es', 3, ' es '), ('es', 3, ' una '),
+                ('es', 3, ' que '), ('es', 3, 'ción')
+            ), scores AS (
+                SELECT t.doc_id, g.lang, g.li,
+                       CAST(sum((length(t.s) - length(replace(t.s, g.gram, '')))
+                                // length(g.gram)) AS BIGINT) AS score
+                FROM t CROSS JOIN g GROUP BY t.doc_id, g.lang, g.li
+            ), best AS (
+                SELECT doc_id, lang, score,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, li ASC) AS rn
+                FROM scores
+            ), words AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(s, '\\S+')) AS BIGINT) AS w
+                FROM t
+            )
+            SELECT b.doc_id,
+                   CASE WHEN b.score > 0 THEN b.lang ELSE 'und' END AS lang_pred,
+                   least(1.0, CAST(b.score AS DOUBLE) / greatest(1, w.w))
+                       AS lang_conf
+            FROM best b JOIN words w USING (doc_id) WHERE b.rn = 1
+        """,
     }
