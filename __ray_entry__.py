@@ -443,6 +443,33 @@ def _q_dedup_incremental(sf_dir: str):
     return out.select_columns(["doc_id", "source"])
 
 
+def _q_dedup_incremental_bloom(sf_dir: str):
+    """Bloom-prefiltered twin of :func:`_q_dedup_incremental` — identical
+    output (no false negatives + exact confirm), but the shuffled payload
+    is ~|duplicates| instead of |store| and the mergeable filter persists
+    across ingests at 100 TB (stages/dedup.py:dedup_against_store_bloom).
+    Same oracle SQL as the exact path."""
+    from tsdat_ray.stages.dedup import dedup_against_store_bloom
+
+    def side(old: bool):
+        ds = _read(f"{sf_dir}/documents.parquet",
+                   columns=["doc_id", "text", "source"])
+
+        def f(b: pa.Table, old=old) -> pa.Table:
+            import hashlib
+
+            ids = b["doc_id"].to_pylist()
+            pref = np.array([hashlib.md5(str(i).encode()).hexdigest()[:1]
+                             for i in ids], dtype="U1")
+            m = (pref < "c") if old else (pref >= "c")
+            return b.filter(pa.array(m))
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    out = dedup_against_store_bloom(side(False), side(True), m_bits=1 << 20)
+    return out.select_columns(["doc_id", "source"])
+
+
 def _q_token_count(sf_dir: str):
     from tsdat_ray.stages.text import token_count_batch
 
@@ -5268,6 +5295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gapfill_linear_1m_events": _q_gapfill_linear,
         "dedup_exact_docs": _q_dedup_docs,
         "dedup_incremental_docs": _q_dedup_incremental,
+        "dedup_incremental_bloom_docs": _q_dedup_incremental_bloom,
         "token_count_docs": _q_token_count,
         "quality_score_docs": _q_quality,
         "knn_embeddings": _q_knn,
@@ -5563,6 +5591,18 @@ def oracle_sql() -> dict[str, str]:
                    AND date_diff('minute', pb, nb) - 1 <= 5)
         """,
         "dedup_incremental_docs": """
+            WITH marked AS (
+                SELECT doc_id, text, source,
+                       substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+                           AS is_old
+                FROM documents)
+            SELECT d.doc_id, d.source
+            FROM marked d
+            WHERE NOT d.is_old AND NOT EXISTS (
+                SELECT 1 FROM marked o
+                WHERE o.is_old AND o.text = d.text)
+        """,
+        "dedup_incremental_bloom_docs": """
             WITH marked AS (
                 SELECT doc_id, text, source,
                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'

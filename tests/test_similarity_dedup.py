@@ -678,3 +678,88 @@ def test_dedup_against_store_drops_known_content(ray_session):
     kept = set(out["doc_id"])
     assert kept == {f"n{i}" for i in range(25, 100)}
     assert {"n60", "n61"} <= kept  # intra-new dups are NOT the store's job
+
+
+def test_bloom_filter_contract():
+    """No false negatives ever; FPR within ~3x of the analytic bound; OR
+    merge equals the union filter bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+
+    from tsdat_ray.stages.sketch import BloomFilter
+
+    m, k = 1 << 16, 7
+    a = pd.util.hash_array(np.arange(2000))
+    b = pd.util.hash_array(np.arange(50_000, 52_000))
+    probe = pd.util.hash_array(np.arange(100_000, 150_000))
+
+    bf = BloomFilter(m, k).add(a)
+    assert bf.test(a).all()  # never a false negative
+    n, mb = 2000, float(m)
+    bound = (1 - np.exp(-k * n / mb)) ** k
+    assert bf.test(probe).mean() <= 3 * bound + 1e-4
+
+    merged = BloomFilter(m, k)
+    merged.merge_bytes([BloomFilter(m, k).add(a).to_bytes(),
+                        BloomFilter(m, k).add(b).to_bytes()])
+    both = BloomFilter(m, k).add(np.concatenate([a, b]))
+    assert merged.to_bytes() == both.to_bytes()
+    rt = BloomFilter.from_bytes(merged.to_bytes(), m, k)
+    assert rt.test(a).all() and rt.test(b).all()
+
+
+def test_dedup_against_store_bloom_matches_exact(ray_session):
+    """The Bloom-prefiltered path is output-identical to the exact path
+    (no false negatives + exact confirm), including under a deliberately
+    tiny filter where false positives are common."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tsdat_ray.stages.dedup import dedup_against_store, dedup_against_store_bloom
+
+    old = pa.table({
+        "doc_id": pa.array([f"o{i}" for i in range(300)]),
+        "text": pa.array([f"stored document {i % 80}" for i in range(300)]),
+    })
+    new = pa.table({
+        "doc_id": pa.array([f"n{i}" for i in range(150)]),
+        "text": pa.array([f"stored document {i}" if i < 40
+                          else f"fresh document {i}" for i in range(150)]),
+    })
+    exact = dedup_against_store(rd.from_arrow(new).repartition(5),
+                                rd.from_arrow(old).repartition(3)).to_pandas()
+    # m_bits=1<<10 with 80 distinct store hashes => lots of false positives,
+    # all of which the exact confirm must discard
+    bloom = dedup_against_store_bloom(rd.from_arrow(new).repartition(5),
+                                      rd.from_arrow(old).repartition(3),
+                                      m_bits=1 << 10).to_pandas()
+    assert set(bloom["doc_id"]) == set(exact["doc_id"])
+    assert set(bloom["doc_id"]) == {f"n{i}" for i in range(40, 150)}
+
+
+def test_dedup_against_store_bloom_persisted_filter(ray_session):
+    """Passing a persisted filter skips the store build scan and still
+    yields the exact result — the steady-state ingest path."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tsdat_ray.stages.dedup import _hash_text, dedup_against_store_bloom
+    from tsdat_ray.stages.sketch import bloom_build
+
+    old = pa.table({
+        "doc_id": pa.array([f"o{i}" for i in range(100)]),
+        "text": pa.array([f"stored document {i % 30}" for i in range(100)]),
+    })
+    new = pa.table({
+        "doc_id": pa.array([f"n{i}" for i in range(60)]),
+        "text": pa.array([f"stored document {i}" if i < 10
+                          else f"fresh document {i}" for i in range(60)]),
+    })
+    old_ds = rd.from_arrow(old).repartition(3)
+    persisted = bloom_build(old_ds.select_columns(["text"]),
+                            lambda b: _hash_text(b["text"]),
+                            m_bits=1 << 18, k=7)
+    out = dedup_against_store_bloom(rd.from_arrow(new).repartition(4), old_ds,
+                                    m_bits=1 << 18,
+                                    bloom_bytes=persisted).to_pandas()
+    assert set(out["doc_id"]) == {f"n{i}" for i in range(10, 60)}

@@ -1582,6 +1582,15 @@ def dedup_against_store(new_ds, old_ds, text_col: str = "text",
             .union(old_ds.select_columns([text_col])
                    .map_batches(old_hashes, batch_format="pyarrow")))
 
+    drop_ids = both.groupby("_bk").map_groups(
+        _bucket_dropped_ids(id_col), batch_format="pyarrow")
+    return semi_anti_join(new_ds, id_col, drop_ids, id_col, anti=True)
+
+def _bucket_dropped_ids(id_col: str):
+    """Per-bucket membership probe shared by the incremental-dedup paths:
+    rows tagged ``_old=1`` form the store's hash set, new rows whose ``_h``
+    hits it emit their id (the DROPPED set — bounded by duplicates)."""
+
     def dropped(g: pa.Table) -> pa.Table:
         old = g["_old"].combine_chunks().to_numpy(zero_copy_only=False) == 1
         h = g["_h"].combine_chunks().to_numpy(zero_copy_only=False)
@@ -1592,5 +1601,90 @@ def dedup_against_store(new_ds, old_ds, text_col: str = "text",
             if len(store) else np.zeros(len(nh), bool)
         return g.filter(pa.array(~old)).filter(pa.array(hit)).select([id_col])
 
-    drop_ids = both.groupby("_bk").map_groups(dropped, batch_format="pyarrow")
+    return dropped
+
+
+def dedup_against_store_bloom(new_ds, old_ds, text_col: str = "text",
+                              id_col: str = "doc_id", num_buckets: int = 64,
+                              m_bits: int = 1 << 23, k: int = 7,
+                              bloom_bytes: bytes | None = None):
+    """Bloom-prefiltered incremental dedup — same OUTPUT as
+    :func:`dedup_against_store` (a Bloom filter has no false negatives, so
+    every true duplicate reaches the exact confirm; false positives are
+    discarded there), different 100 TB shape:
+
+    1. a fixed-size mergeable Bloom filter (``m_bits/8`` bytes, OR-folded
+       per block — :func:`~.sketch.bloom_build`) summarizes the store's
+       content hashes.  In production this filter PERSISTS next to the
+       store manifest and merges incrementally as partitions land, so
+       steady-state ingest never rescans the store;
+    2. the new batch streams once against the broadcast filter; definite
+       misses (the vast majority of a healthy ingest) are kept with ZERO
+       shuffle — only MAYBE rows (true dups + fp·|new|) continue;
+    3. a second, smaller Bloom over the maybe-hashes broadcasts to the
+       store scan, so the store ships only hashes in the candidate
+       intersection — the exact bucket probe then confirms, and novel rows
+       emerge via the same anti-join as the exact path.
+
+    vs :func:`dedup_against_store`, which ships EVERY store hash every run:
+    here the shuffled payload is ~|duplicates|, not |store|.  Collision
+    contract unchanged (64-bit content hash; the SQL oracle compares exact
+    text).  ``bloom_bytes``: pass a persisted filter to skip step 1's
+    build scan."""
+    import ray
+
+    from .sketch import BloomFilter, bloom_build
+    from .window_funcs import semi_anti_join
+
+    sch = new_ds.schema()
+    id_type = dict(zip(sch.names, sch.types))[id_col]
+
+    if bloom_bytes is None:
+        bloom_bytes = bloom_build(
+            old_ds.select_columns([text_col]),
+            lambda b: _hash_text(b[text_col]), m_bits=m_bits, k=k)
+    bref = ray.put(bloom_bytes)
+
+    def tag_maybe(b: pa.Table) -> pa.Table:
+        # zero-copy read-only view of the broadcast filter (test() only
+        # reads the word array — no deserialize copy per task)
+        bf = BloomFilter(m_bits, k, np.frombuffer(ray.get(bref), np.uint64))
+        h = _hash_text(b[text_col]).astype(np.int64)
+        maybe = bf.test(h.view(np.uint64))
+        h = h[maybe]
+        return pa.table({
+            id_col: b[id_col].filter(pa.array(maybe)),
+            "_h": pa.array(h),
+            "_bk": pa.array(h % np.int64(num_buckets)),
+            "_old": pa.array(np.zeros(len(h), np.int8)),
+        })
+
+    # bounded by |duplicates| + fp·|new| — materialize so the maybe-side
+    # bloom build doesn't re-execute the corpus scan
+    maybe = (new_ds.select_columns([id_col, text_col])
+             .map_batches(tag_maybe, batch_format="pyarrow").materialize())
+
+    m2_bits = max(1 << 16, m_bits >> 4)
+    b2 = bloom_build(maybe.select_columns(["_h"]),
+                     lambda t: t["_h"].combine_chunks().to_numpy(
+                         zero_copy_only=False).view(np.uint64),
+                     m_bits=m2_bits, k=k)
+    b2ref = ray.put(b2)
+
+    def store_candidates(b: pa.Table) -> pa.Table:
+        bf = BloomFilter(m2_bits, k, np.frombuffer(ray.get(b2ref), np.uint64))
+        h = _hash_text(b[text_col]).astype(np.int64)
+        cand = bf.test(h.view(np.uint64))
+        h = h[cand]
+        return pa.table({
+            id_col: pa.nulls(len(h), id_type),
+            "_h": pa.array(h),
+            "_bk": pa.array(h % np.int64(num_buckets)),
+            "_old": pa.array(np.ones(len(h), np.int8)),
+        })
+
+    both = maybe.union(old_ds.select_columns([text_col])
+                       .map_batches(store_candidates, batch_format="pyarrow"))
+    drop_ids = both.groupby("_bk").map_groups(
+        _bucket_dropped_ids(id_col), batch_format="pyarrow")
     return semi_anti_join(new_ds, id_col, drop_ids, id_col, anti=True)

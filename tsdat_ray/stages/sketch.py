@@ -361,3 +361,94 @@ def approx_counts(ds, col: str, query_values: np.ndarray,
         "value": pa.array(query_values),
         "count_est": pa.array(est.astype(np.int64)),
     }))
+
+
+class BloomFilter:
+    """Fixed-size mergeable Bloom filter over 64-bit hashes (Bloom 1970;
+    double hashing per Kirsch & Mitzenmacher 2006: probe_i = h1 + i·h2).
+
+    The merge is a bitwise OR — associative, commutative, idempotent — so
+    per-block filters fold through :func:`tree_reduce` exactly like HLL
+    registers, and the shuffle payload is constant (``m_bits/8`` bytes per
+    block) regardless of corpus size.  No false negatives ever; false
+    positives ≈ (1 - e^{-kn/m})^k (m=2²³ bits = 1 MiB, k=7 → <1% at ~800k
+    items).  ``m_bits`` must be a power of two (mask, not modulo)."""
+
+    __slots__ = ("m_bits", "k", "words")
+
+    def __init__(self, m_bits: int = 1 << 23, k: int = 7,
+                 words: np.ndarray | None = None):
+        assert m_bits & (m_bits - 1) == 0, "m_bits must be a power of two"
+        self.m_bits = int(m_bits)
+        self.k = int(k)
+        self.words = (np.zeros(self.m_bits // 64, dtype=np.uint64)
+                      if words is None else words)
+
+    def _probes(self, h: np.ndarray):
+        """Yield k index arrays for the n hashes (vectorized per probe)."""
+        h = np.asarray(h, dtype=np.uint64)
+        # splitmix64 finalizer decorrelates h2 from h1; |1 keeps it odd so
+        # the k probes never collapse onto one index
+        h2 = h * np.uint64(0x9E3779B97F4A7C15)
+        h2 ^= h2 >> np.uint64(31)
+        h2 = (h2 * np.uint64(0xBF58476D1CE4E5B9)) | np.uint64(1)
+        mask = np.uint64(self.m_bits - 1)
+        for i in range(self.k):
+            yield ((h + np.uint64(i) * h2) & mask).astype(np.int64)
+
+    def add(self, h: np.ndarray) -> "BloomFilter":
+        for idx in self._probes(h):
+            # bitwise_or.at, NOT fancy-index |=: duplicate indices within
+            # one probe batch must all land
+            np.bitwise_or.at(self.words, idx >> 6,
+                             np.uint64(1) << (idx.astype(np.uint64)
+                                              & np.uint64(63)))
+        return self
+
+    def test(self, h: np.ndarray) -> np.ndarray:
+        """Boolean array: True = MAYBE present, False = definitely absent."""
+        out = np.ones(len(np.asarray(h)), dtype=bool)
+        for idx in self._probes(h):
+            bit = (self.words[idx >> 6]
+                   >> (idx.astype(np.uint64) & np.uint64(63))) & np.uint64(1)
+            out &= bit.astype(bool)
+        return out
+
+    def merge_bytes(self, blobs) -> "BloomFilter":
+        for b in blobs:
+            self.words |= np.frombuffer(b, dtype=np.uint64)
+        return self
+
+    def to_bytes(self) -> bytes:
+        return self.words.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes, m_bits: int, k: int) -> "BloomFilter":
+        return cls(m_bits, k, np.frombuffer(b, dtype=np.uint64).copy())
+
+
+def bloom_build(ds, hash_fn, m_bits: int = 1 << 23, k: int = 7,
+                fanin: int = 8) -> bytes:
+    """Distributed Bloom build: per-block filters OR-folded through the
+    repartition tree; returns the merged filter's bytes (``m_bits/8``).
+    ``hash_fn(pa.Table) -> np.ndarray[uint64]`` extracts the keys."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter(m_bits, k)
+        if batch.num_rows:
+            bf.add(hash_fn(batch))
+        return pa.table({"bloom": pa.array([bf.to_bytes()], pa.large_binary())})
+
+    def combine(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter(m_bits, k)
+        bf.merge_bytes(b.as_py() for b in batch["bloom"].combine_chunks())
+        return pa.table({"bloom": pa.array([bf.to_bytes()], pa.large_binary())})
+
+    merged = tree_reduce(ds.map_batches(partial, batch_format="pyarrow"),
+                         combine, fanin=fanin)
+    tabs = [t for t in merged.iter_batches(batch_format="pyarrow",
+                                           batch_size=None) if t.num_rows]
+    out = BloomFilter(m_bits, k)
+    for tab in tabs:
+        out.merge_bytes(b.as_py() for b in tab["bloom"].combine_chunks())
+    return out.to_bytes()
