@@ -3259,6 +3259,18 @@ def _pack_global_sql(context_len: int = 2048) -> str:
     """
 
 
+def _q_md5_shuffle_docs(sf_dir: str):
+    """Deterministic portable GLOBAL shuffle position per document —
+    md5-permutation rank (stages/sampling.py:global_shuffle_rank), the
+    auditable/resumable twin of the layout-defined approx_global_shuffle.
+    Hash-green: row_number() OVER (ORDER BY md5(...)) reproduces it."""
+    from tsdat_ray.stages.sampling import global_shuffle_rank
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    return global_shuffle_rank(ds, id_col="doc_id", seed=0,
+                               carry_cols=("source",))
+
+
 def _q_shuffle_sequences(sf_dir: str):
     """Deterministic approximate global shuffle of packed training examples
     (block-order randomization + seeded in-block permutation)."""
@@ -5423,6 +5435,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "pack_global_sequences": _q_pack_global,
         "shuffle_sequences": _q_shuffle_sequences,
+        "md5_shuffle_docs": _q_md5_shuffle_docs,
         "token_histogram": _q_token_histogram,
         "zarr_roundtrip_events": _q_zarr_roundtrip,
         "netcdf_roundtrip_events": _q_netcdf_roundtrip,
@@ -7180,6 +7193,13 @@ def oracle_sql() -> dict[str, str]:
         "normalize_text_docs": """
             SELECT doc_id,
                    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text
+            FROM documents
+        """,
+        "md5_shuffle_docs": """
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       ORDER BY md5('0:' || CAST(doc_id AS VARCHAR)), doc_id)
+                       - 1 AS shuffle_pos
             FROM documents
         """,
         # LangId (stages/text.py) is pure integer substring-count scoring, so

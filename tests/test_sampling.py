@@ -200,13 +200,24 @@ def test_session_window_spans_salt_partitions(ray_session):
 
 def test_approx_global_shuffle(ray_session, seqs):
     import ray.data as rd
+    from ray.data import DataContext
 
     from tsdat_ray.stages.sampling import approx_global_shuffle
 
-    ds = rd.from_arrow(seqs).repartition(8)
-    out1 = approx_global_shuffle(ds, seed=1).to_pandas()["doc_id"].tolist()
-    out2 = approx_global_shuffle(rd.from_arrow(seqs).repartition(8), seed=1).to_pandas()["doc_id"].tolist()
-    out3 = approx_global_shuffle(rd.from_arrow(seqs).repartition(8), seed=2).to_pandas()["doc_id"].tolist()
+    # per-seed stream determinism holds under preserve_order: with the
+    # default (False) the executor emits blocks in COMPLETION order, so two
+    # runs of the identical plan can interleave differently (observed as a
+    # cold-session flake)
+    ctx = DataContext.get_current()
+    prev = ctx.execution_options.preserve_order
+    ctx.execution_options.preserve_order = True
+    try:
+        ds = rd.from_arrow(seqs).repartition(8)
+        out1 = approx_global_shuffle(ds, seed=1).to_pandas()["doc_id"].tolist()
+        out2 = approx_global_shuffle(rd.from_arrow(seqs).repartition(8), seed=1).to_pandas()["doc_id"].tolist()
+        out3 = approx_global_shuffle(rd.from_arrow(seqs).repartition(8), seed=2).to_pandas()["doc_id"].tolist()
+    finally:
+        ctx.execution_options.preserve_order = prev
     orig = seqs["doc_id"].to_pylist()
     assert sorted(out1) == sorted(orig)          # permutation, nothing lost
     assert out1 == out2                          # deterministic per seed
@@ -377,3 +388,35 @@ def test_pack_sequences_global_matches_bruteforce(ray_session):
         pd.testing.assert_frame_equal(out, ref)
     # every example is exactly full except possibly the last
     assert (ref["n_tok"][:-1] == L).all() and 0 < ref["n_tok"].iloc[-1] <= L
+
+
+def test_global_shuffle_rank_is_a_portable_permutation(ray_session):
+    """Positions are exactly 0..n-1, identical under re-partitioning, and
+    match the single-process md5-order reference; a different seed draws a
+    different permutation."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tsdat_ray.stages.sampling import global_shuffle_rank
+
+    ids = np.arange(1000, dtype=np.int64)
+    tab = pa.table({"doc_id": pa.array(ids)})
+
+    def run(nparts, seed):
+        out = global_shuffle_rank(rd.from_arrow(tab).repartition(nparts),
+                                  seed=seed).to_pandas()
+        return out.sort_values("doc_id")["shuffle_pos"].to_numpy()
+
+    p3 = run(3, 0)
+    assert sorted(p3.tolist()) == list(range(1000))
+    ref = np.empty(1000, np.int64)
+    order = sorted(range(1000), key=lambda i: (hashlib.md5(
+        f"0:{i}".encode()).hexdigest(), i))
+    for pos, i in enumerate(order):
+        ref[i] = pos
+    assert (p3 == ref).all()
+    assert (run(7, 0) == p3).all()          # layout-independent
+    assert (run(3, 1) != p3).any()          # seed draws a new permutation

@@ -166,7 +166,13 @@ def approx_global_shuffle(ds, seed: int = 42):
     + an independent seeded permutation within each block.  This is the
     standard pretraining-loader approximation — O(1) memory, no all-to-all —
     vs ``ds.random_shuffle()`` which moves every row (use that when exact
-    uniformity matters more than a full extra shuffle)."""
+    uniformity matters more than a full extra shuffle).
+
+    Stream-order reproducibility per seed additionally requires
+    ``DataContext.execution_options.preserve_order = True`` (Ray's default
+    False emits blocks in completion order); the CONTENT of each emitted
+    batch is seed-deterministic either way.  For a layout-independent,
+    fully portable permutation see :func:`global_shuffle_rank`."""
 
     def perm(batch: pa.Table, seed=seed) -> pa.Table:
         n = batch.num_rows
@@ -596,3 +602,80 @@ def md5_sample_topk(ds, k: int = 100, id_col: str = "doc_id",
 
     cand = ds.map_batches(local_topk, batch_format="pyarrow")
     return cand.sort("md5_key").limit(k)
+
+
+def global_shuffle_rank(ds, id_col: str = "doc_id", seed: int = 0,
+                        carry_cols: tuple[str, ...] = (),
+                        n_prefix_hex: int = 2):
+    """Deterministic PORTABLE global shuffle: each row's position in the
+    permutation defined by ordering on ``(md5(f"{seed}:{id}"), id)`` — the
+    auditable, resumable twin of :func:`approx_global_shuffle` (which is
+    O(1)-memory but block-layout-defined).  Any engine with an md5
+    reproduces the identical permutation (``row_number() OVER (ORDER BY
+    md5(...), id) - 1`` in SQL), it is stable under re-partitioning and
+    reruns, and changing ``seed`` draws an independent permutation.
+
+    Scale shape: only ``(id, md5 key, carry_cols)`` rows move — never the
+    payload.  Rows bucket by the first ``n_prefix_hex`` nibbles (hex-prefix
+    ranges are order-aligned with the full-key order), the 16^p-row bucket
+    count table folds to exclusive prefix offsets (CONSTANT size — not key-
+    cardinality-proportional driver state), and each bucket finalizes its
+    ranks with one lexsort: global rank = bucket offset + local position.
+    One all-to-all of the id stream, same as any true global shuffle."""
+    import hashlib
+
+    import ray.data as rd
+
+    n_buckets = 16 ** n_prefix_hex
+    cols = [id_col, *carry_cols]
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        digests = np.array([hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+                            for i in ids], dtype="U32")
+        bkt = np.array([int(d[:n_prefix_hex], 16) for d in digests],
+                       dtype=np.int64)
+        t = batch.select([c for c in cols if c in batch.column_names])
+        t = t.append_column("_md5", pa.array(digests.tolist(), pa.string()))
+        return t.append_column("_vb", pa.array(bkt))
+
+    withk = ds.map_batches(keyed, batch_format="pyarrow").materialize()
+
+    def local_counts(b: pa.Table) -> pa.Table:
+        vb = b["_vb"].combine_chunks().to_numpy(zero_copy_only=False)
+        cnt = np.bincount(vb, minlength=n_buckets).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"_vb": pa.array(nz), "_c": pa.array(cnt[nz])})
+
+    def fold_counts(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "_vb": g["_vb"].slice(0, 1),
+            "_c": pa.array([int(np.sum(g["_c"].combine_chunks()
+                                       .to_numpy(zero_copy_only=False)))],
+                           pa.int64()),
+        })
+
+    cnt_tab = pa.concat_tables(
+        withk.select_columns(["_vb"])
+        .map_batches(local_counts, batch_format="pyarrow")
+        .groupby("_vb").map_groups(fold_counts, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None))
+    # constant-size (16^p rows) offset fold — bounded by the bucket fanout,
+    # never by corpus or key cardinality
+    counts = np.zeros(n_buckets, np.int64)
+    vbs = cnt_tab["_vb"].combine_chunks().to_numpy(zero_copy_only=False)
+    counts[vbs] = cnt_tab["_c"].combine_chunks().to_numpy(zero_copy_only=False)
+    offsets = np.r_[np.int64(0), np.cumsum(counts)[:-1]]
+
+    def rank_bucket(g: pa.Table) -> pa.Table:
+        keys = g["_md5"].combine_chunks().to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        base = offsets[int(g["_vb"][0].as_py())]
+        order = np.lexsort((ids, keys))
+        pos = np.empty(len(keys), np.int64)
+        pos[order] = base + np.arange(len(keys))
+        out = {c: g[c] for c in cols if c in g.column_names}
+        out["shuffle_pos"] = pa.array(pos)
+        return pa.table(out)
+
+    return withk.groupby("_vb").map_groups(rank_bucket, batch_format="pyarrow")
