@@ -470,6 +470,25 @@ def _q_dedup_incremental_bloom(sf_dir: str):
     return out.select_columns(["doc_id", "source"])
 
 
+def _q_cap_duplicates(sf_dir: str):
+    """Frequency capping at k=2 copies per content key — here the key is
+    the 12-char boilerplate prefix (the synthetic texts are fully distinct,
+    but their openings cluster up to 4 deep at sf0.01, so the cap BITES);
+    survivors = 2 smallest doc_ids per prefix + their copy_rank
+    (stages/dedup.py:cap_duplicates)."""
+    from tsdat_ray.stages.dedup import cap_duplicates
+
+    def add_prefix(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "prefix", pc.utf8_slice_codeunits(b["text"], 0, 12))
+
+    ds = _read(f"{sf_dir}/documents.parquet",
+               columns=["doc_id", "text"]).map_batches(
+        add_prefix, batch_format="pyarrow")
+    return cap_duplicates(ds, text_col="prefix", k=2,
+                          keep_cols=("doc_id", "copy_rank"))
+
+
 def _q_token_count(sf_dir: str):
     from tsdat_ray.stages.text import token_count_batch
 
@@ -5346,6 +5365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_docs": _q_dedup_docs,
         "dedup_incremental_docs": _q_dedup_incremental,
         "dedup_incremental_bloom_docs": _q_dedup_incremental_bloom,
+        "cap_duplicates_docs": _q_cap_duplicates,
         "token_count_docs": _q_token_count,
         "quality_score_docs": _q_quality,
         "knn_embeddings": _q_knn,
@@ -5669,6 +5689,14 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_docs": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
             FROM documents GROUP BY text
+        """,
+        "cap_duplicates_docs": """
+            SELECT doc_id, CAST(rn - 1 AS BIGINT) AS copy_rank FROM (
+                SELECT doc_id,
+                       row_number() OVER (PARTITION BY substr(text, 1, 12)
+                                          ORDER BY doc_id) AS rn
+                FROM documents)
+            WHERE rn <= 2
         """,
         "topk_bigrams_docs": """
             WITH t AS (

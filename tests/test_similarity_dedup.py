@@ -763,3 +763,28 @@ def test_dedup_against_store_bloom_persisted_filter(ray_session):
                                     m_bits=1 << 18,
                                     bloom_bytes=persisted).to_pandas()
     assert set(out["doc_id"]) == {f"n{i}" for i in range(10, 60)}
+
+
+def test_cap_duplicates_keeps_k_smallest_ids(ray_session):
+    """k=2 cap: each content cluster keeps exactly its two smallest ids
+    with copy_rank 0/1; singletons pass through with rank 0."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tsdat_ray.stages.dedup import cap_duplicates
+
+    rows = []
+    for i in range(90):
+        rows.append((i, f"boilerplate {i % 10}"))   # 10 clusters of 9
+    for i in range(90, 100):
+        rows.append((i, f"unique text {i}"))
+    tab = pa.table({"doc_id": pa.array([r[0] for r in rows]),
+                    "text": pa.array([r[1] for r in rows])})
+    out = cap_duplicates(rd.from_arrow(tab).repartition(6), k=2).to_pandas()
+    assert len(out) == 10 * 2 + 10
+    for c in range(10):
+        got = sorted(out[out.text == f"boilerplate {c}"]
+                     [["doc_id", "copy_rank"]].itertuples(index=False))
+        assert got == [(c, 0), (c + 10, 1)]
+    uniq = out[out.doc_id >= 90]
+    assert (uniq.copy_rank == 0).all() and len(uniq) == 10

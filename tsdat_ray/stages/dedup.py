@@ -82,6 +82,49 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", keep_cols=No
     return out
 
 
+def cap_duplicates(ds, text_col: str = "text", id_col: str = "doc_id",
+                   k: int = 4, keep_cols=None, salt_mod: int = 256):
+    """Frequency capping: keep at most ``k`` copies per distinct content —
+    the deterministic survivors are the k smallest ``id_col`` values, each
+    tagged with its 0-based ``copy_rank``.  The standard middle ground
+    between no dedup and :func:`exact_dedup` (k=1) for pretraining corpora
+    where bounded repetition is wanted but unbounded boilerplate is not.
+
+    Same shuffle shape as :func:`exact_dedup` (salted content-hash
+    partition, vectorized per-partition segmentation, exact text compare
+    for collision safety); SQL twin: ``row_number() OVER (PARTITION BY
+    text ORDER BY id) <= k``."""
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = _hash_text(batch[text_col])
+        batch = batch.append_column("_h", pa.array(h))
+        return batch.append_column(
+            "_salt", pa.array((h % np.uint64(salt_mod)).astype(np.int64)))
+
+    def cap_part(g: pa.Table) -> pa.Table:
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        h = g["_h"].combine_chunks().to_numpy(zero_copy_only=False)
+        texts = g[text_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, texts, h))
+        ts, hs = texts[order], h[order]
+        new_seg = np.r_[True, (hs[1:] != hs[:-1]) | (ts[1:] != ts[:-1])] \
+            if len(ts) else np.zeros(0, bool)
+        starts = np.flatnonzero(new_seg)
+        within = np.arange(len(ts)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(ts)]))
+        keep = within < k
+        t = g.take(pa.array(order[keep], type=pa.int64()))
+        t = t.drop_columns(["_h", "_salt"])
+        return t.append_column("copy_rank",
+                               pa.array(within[keep].astype(np.int64)))
+
+    out = ds.map_batches(add_hash, batch_format="pyarrow").groupby(
+        "_salt").map_groups(cap_part, batch_format="pyarrow")
+    if keep_cols:
+        out = out.select_columns(list(keep_cols))
+    return out
+
+
 # --------------------------------------------------------------------------- #
 # MinHash + LSH near-dup
 # --------------------------------------------------------------------------- #
