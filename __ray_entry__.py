@@ -3328,6 +3328,32 @@ def _q_md5_shuffle_docs(sf_dir: str):
                                carry_cols=("source",))
 
 
+def _q_curriculum_order_docs(sf_dir: str):
+    """Curriculum ordering: shorter documents first (word-count strata at
+    32/56/76), deterministically shuffled WITHIN each stratum by the md5
+    permutation (stages/sampling.py:global_shuffle_rank with strata) —
+    the easy-to-hard schedule with within-stage shuffling, hash-green via
+    row_number() OVER (ORDER BY stratum, md5(...), doc_id)."""
+    from tsdat_ray.stages.sampling import global_shuffle_rank
+
+    edges = np.array([32, 56, 76], dtype=np.int64)
+
+    def add_stratum(b: pa.Table) -> pa.Table:
+        words = pc.list_value_length(
+            pc.split_pattern_regex(b["text"], r"\s+")).cast(pa.int64())
+        w = words.combine_chunks().to_numpy(zero_copy_only=False)
+        s = np.searchsorted(edges, w, side="right").astype(np.int64)
+        return pa.table({"doc_id": b["doc_id"], "stratum": pa.array(s)})
+
+    ds = _read(f"{sf_dir}/documents.parquet",
+               columns=["doc_id", "text"]).map_batches(
+        add_stratum, batch_format="pyarrow")
+    return global_shuffle_rank(ds, id_col="doc_id", seed=0,
+                               carry_cols=("stratum",),
+                               strata_col="stratum", n_strata=4,
+                               pos_col="curriculum_pos")
+
+
 def _q_shuffle_sequences(sf_dir: str):
     """Deterministic approximate global shuffle of packed training examples
     (block-order randomization + seeded in-block permutation)."""
@@ -5495,6 +5521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_global_sequences": _q_pack_global,
         "shuffle_sequences": _q_shuffle_sequences,
         "md5_shuffle_docs": _q_md5_shuffle_docs,
+        "curriculum_order_docs": _q_curriculum_order_docs,
         "token_histogram": _q_token_histogram,
         "zarr_roundtrip_events": _q_zarr_roundtrip,
         "netcdf_roundtrip_events": _q_netcdf_roundtrip,
@@ -7266,6 +7293,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('minute', ts) AS bucket,
                    ROUND(sum(value), 2) / count(*) AS value_mean
             FROM events GROUP BY 1, 2
+        """,
+        "curriculum_order_docs": """
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len(regexp_split_to_array(text, '\\s+'))
+                            AS BIGINT) AS w
+                FROM documents
+            ), s AS (
+                SELECT doc_id,
+                       CAST(w >= 32 AS BIGINT) + CAST(w >= 56 AS BIGINT)
+                           + CAST(w >= 76 AS BIGINT) AS stratum
+                FROM t
+            )
+            SELECT doc_id, stratum,
+                   row_number() OVER (
+                       ORDER BY stratum,
+                                md5('0:' || CAST(doc_id AS VARCHAR)),
+                                doc_id) - 1 AS curriculum_pos
+            FROM s
         """,
         "md5_shuffle_docs": """
             SELECT doc_id, source,

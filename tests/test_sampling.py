@@ -420,3 +420,27 @@ def test_global_shuffle_rank_is_a_portable_permutation(ray_session):
     assert (p3 == ref).all()
     assert (run(7, 0) == p3).all()          # layout-independent
     assert (run(3, 1) != p3).any()          # seed draws a new permutation
+
+
+def test_curriculum_rank_orders_strata_then_shuffles(ray_session):
+    """Strata occupy contiguous position ranges in stratum order; within a
+    stratum positions follow the md5 permutation (not id order)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tsdat_ray.stages.sampling import global_shuffle_rank
+
+    ids = np.arange(600, dtype=np.int64)
+    strata = (ids % 3).astype(np.int64)
+    tab = pa.table({"doc_id": pa.array(ids), "stratum": pa.array(strata)})
+    out = global_shuffle_rank(rd.from_arrow(tab).repartition(5),
+                              strata_col="stratum", n_strata=3,
+                              carry_cols=("stratum",),
+                              pos_col="pos").to_pandas()
+    assert sorted(out["pos"]) == list(range(600))
+    for s in range(3):
+        ps = np.sort(out[out.stratum == s]["pos"].to_numpy())
+        assert ps[0] == s * 200 and ps[-1] == s * 200 + 199  # contiguous
+    sub = out[out.stratum == 0].sort_values("doc_id")
+    assert not np.all(np.diff(sub["pos"].to_numpy()) > 0)  # shuffled inside

@@ -606,7 +606,9 @@ def md5_sample_topk(ds, k: int = 100, id_col: str = "doc_id",
 
 def global_shuffle_rank(ds, id_col: str = "doc_id", seed: int = 0,
                         carry_cols: tuple[str, ...] = (),
-                        n_prefix_hex: int = 2):
+                        n_prefix_hex: int = 2,
+                        strata_col: str | None = None, n_strata: int = 1,
+                        pos_col: str = "shuffle_pos"):
     """Deterministic PORTABLE global shuffle: each row's position in the
     permutation defined by ordering on ``(md5(f"{seed}:{id}"), id)`` — the
     auditable, resumable twin of :func:`approx_global_shuffle` (which is
@@ -621,12 +623,20 @@ def global_shuffle_rank(ds, id_col: str = "doc_id", seed: int = 0,
     count table folds to exclusive prefix offsets (CONSTANT size — not key-
     cardinality-proportional driver state), and each bucket finalizes its
     ranks with one lexsort: global rank = bucket offset + local position.
-    One all-to-all of the id stream, same as any true global shuffle."""
+    One all-to-all of the id stream, same as any true global shuffle.
+
+    ``strata_col`` (int values in [0, n_strata)) turns this into a
+    CURRICULUM ordering: positions sort first by stratum, then by the md5
+    permutation within each stratum — the standard easy-to-hard schedule
+    with within-stage shuffling.  SQL twin: ``row_number() OVER (ORDER BY
+    stratum, md5(...), id) - 1``.  The composite bucket table stays
+    constant-size (``n_strata · 16^p``)."""
     import hashlib
 
     import ray.data as rd
 
-    n_buckets = 16 ** n_prefix_hex
+    n_hash_buckets = 16 ** n_prefix_hex
+    n_buckets = n_strata * n_hash_buckets
     cols = [id_col, *carry_cols]
 
     def keyed(batch: pa.Table) -> pa.Table:
@@ -635,6 +645,12 @@ def global_shuffle_rank(ds, id_col: str = "doc_id", seed: int = 0,
                             for i in ids], dtype="U32")
         bkt = np.array([int(d[:n_prefix_hex], 16) for d in digests],
                        dtype=np.int64)
+        if strata_col is not None:
+            s = batch[strata_col].combine_chunks().cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            assert (s >= 0).all() and (s < n_strata).all(), \
+                f"{strata_col} values must lie in [0, {n_strata})"
+            bkt = s * np.int64(n_hash_buckets) + bkt
         t = batch.select([c for c in cols if c in batch.column_names])
         t = t.append_column("_md5", pa.array(digests.tolist(), pa.string()))
         return t.append_column("_vb", pa.array(bkt))
@@ -675,7 +691,7 @@ def global_shuffle_rank(ds, id_col: str = "doc_id", seed: int = 0,
         pos = np.empty(len(keys), np.int64)
         pos[order] = base + np.arange(len(keys))
         out = {c: g[c] for c in cols if c in g.column_names}
-        out["shuffle_pos"] = pa.array(pos)
+        out[pos_col] = pa.array(pos)
         return pa.table(out)
 
     return withk.groupby("_vb").map_groups(rank_bucket, batch_format="pyarrow")
