@@ -2515,44 +2515,6 @@ def _q_encode_1m(sf_dir: str):
     return enc.select_columns(["event_type", "window", "n", "bytes_raw", "bytes_enc"])
 
 
-def _q_encode_roundtrip_1m(sf_dir: str):
-    """Distributed losslessness of the Gorilla/DoD tier encode, hash-green:
-    1m tier → per-(event_type, day) blobs → distributed decode back to the
-    (event_type, bucket, value_mean) stream.  The XOR/DoD codecs are
-    bit-exact (tests/test_encode.py pins the kernels), so the oracle is the
-    plain 1m rollup SQL projected to these columns — this extends the
-    pytest roundtrip to a driver-level hash contract across the shuffle."""
-    from tsdat_ray.stages.encode import EncodeConfig, decode_tier_row, encode_tier
-
-    tier = _events_rollup(sf_dir, "1m")
-    ecfg = EncodeConfig(key="event_type", ts_col="bucket", values=("value_mean",))
-    enc = encode_tier(tier, ecfg)
-
-    def expand(b: pa.Table) -> pa.Table:
-        # one iteration per BLOB row (a (key, day) window), not per record
-        ts_out, v_out, t_out = [], [], []
-        for i in range(b.num_rows):
-            dec = decode_tier_row(
-                {"ts_blob": b["ts_blob"][i].as_py(),
-                 "value_mean_blob": b["value_mean_blob"][i].as_py()},
-                ("value_mean",))
-            ts_out.append(dec["ts"])
-            v_out.append(dec["value_mean"])
-            t_out.append(np.full(len(dec["ts"]), b["event_type"][i].as_py(),
-                                 dtype=object))
-        if not ts_out:
-            return pa.table({"event_type": pa.array([], pa.string()),
-                             "bucket": pa.array([], pa.timestamp("us")),
-                             "value_mean": pa.array([], pa.float64())})
-        return pa.table({
-            "event_type": pa.array(np.concatenate(t_out).tolist(), pa.string()),
-            "bucket": pa.array(np.concatenate(ts_out)).cast(pa.timestamp("us")),
-            "value_mean": pa.array(np.concatenate(v_out)),
-        })
-
-    return enc.map_batches(expand, batch_format="pyarrow")
-
-
 def _q_merge_click_purchase(sf_dir: str):
     """Outer coordinate merge with priority (engine version of tsdat's
     multi-input retrieval): clicks win on shared columns, purchases fill
@@ -5463,7 +5425,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_bigrams_docs": _q_topk_bigrams,
         "merge_click_purchase": _q_merge_click_purchase,
         "encode_1m_events": _q_encode_1m,
-        "encode_roundtrip_1m_events": _q_encode_roundtrip_1m,
         "qc_range_events": _q_qc_range_events,
         "bin2d_events": _q_bin2d_events,
         "bin3d_events": _q_bin3d_events,
@@ -7227,11 +7188,6 @@ def oracle_sql() -> dict[str, str]:
                          lag(ts) OVER (PARTITION BY user_id
                                        ORDER BY ts, event_id) AS prev_ts
                   FROM events)
-        """,
-        "encode_roundtrip_1m_events": """
-            SELECT event_type, date_trunc('minute', ts) AS bucket,
-                   ROUND(sum(value), 2) / count(*) AS value_mean
-            FROM events GROUP BY 1, 2
         """,
         "rolling_minmax_events": """
             SELECT event_id,
