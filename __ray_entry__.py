@@ -5337,6 +5337,61 @@ def _q_cluster_survivors_quality(sf_dir: str):
             .sort("doc_id"))
 
 
+def _q_oov_rate(sf_dir: str):
+    """Tokenizer-coverage quality signal: per-doc OOV rate vs the exact
+    global top-256 vocabulary (stages/text.py:oov_rate — the topk_words
+    bounded shuffle feeds a broadcast is_in membership pass)."""
+    from tsdat_ray.stages.text import oov_rate
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return oov_rate(ds, vocab_k=256)
+
+
+def _q_quality_gate(sf_dir: str):
+    """Per-source quality floor: keep docs at/above their source's P25 word
+    count (stages/sampling.py:quantile_gate over exact_quantiles_disc
+    thresholds — relative-to-domain gating, rows never shuffle)."""
+    from tsdat_ray.stages.sampling import quantile_gate
+
+    ds = _read(f"{sf_dir}/documents.parquet",
+               columns=["doc_id", "source", "text"])
+
+    def n_words(b):
+        import pyarrow.compute as _pc
+        w = _pc.list_value_length(_pc.split_pattern_regex(
+            b["text"].combine_chunks(), r"\s+"))
+        return pa.table({"doc_id": b["doc_id"], "source": b["source"],
+                         "n_words": _pc.cast(w, pa.int64())})
+
+    scored = ds.map_batches(n_words, batch_format="pyarrow")
+    return quantile_gate(scored, "source", "n_words", q=0.25)
+
+
+def _q_semdedup_label(sf_dir: str):
+    """SemDeDup with a declared cluster column (label) — the oracled twin of
+    the kmeans-cluster production variant: within each cluster drop every
+    vector whose cosine sim to a lower-id cluster member >= 0.4002 (the
+    corpus-verified tie-free threshold shared with neardup_embeddings_exact)."""
+    from tsdat_ray.stages.similarity import semdedup
+
+    ds = _read(f"{sf_dir}/embeddings.parquet",
+               columns=["vec_id", "embedding", "label"])
+    return semdedup(ds, eps=0.4002, cluster_col="label").sort("vec_id")
+
+
+def _q_semdedup_kmeans(sf_dir: str):
+    """Production SemDeDup: kmeans_fit centroids (bit-deterministic fold),
+    nearest-centroid clusters fused into the salting map, within-cluster
+    cosine prune.  Approximate clustering => rows-only driver check; the
+    survivor policy itself is pinned by the oracled label-cluster twin."""
+    from tsdat_ray.stages.similarity import kmeans_fit, semdedup
+
+    ds = _read(f"{sf_dir}/embeddings.parquet",
+               columns=["vec_id", "embedding"])
+    cent, _ = kmeans_fit(ds, k=8, n_iter=5, seed=0)
+    return semdedup(ds, eps=0.95, centroids=cent).sort("vec_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rollup_1m_events": lambda d: _events_rollup(d, "1m"),
@@ -5541,6 +5596,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_week_from_1d_events": _q_calendar_from_1d("week"),
         "cluster_survivors_quality_docs": _q_cluster_survivors_quality,
         "windowed_join_click_purchase": _q_windowed_join,
+        "oov_rate_docs": _q_oov_rate,
+        "quality_gate_docs": _q_quality_gate,
+        "semdedup_label_embeddings": _q_semdedup_label,
+        "semdedup_embeddings": _q_semdedup_kmeans,
     }
 
 
@@ -7319,5 +7378,62 @@ def oracle_sql() -> dict[str, str]:
                    least(1.0, CAST(b.score AS DOUBLE) / greatest(1, w.w))
                        AS lang_conf
             FROM best b JOIN words w USING (doc_id) WHERE b.rn = 1
+        """,
+        # OOV rate vs the exact top-256 vocabulary: same split + '' drop as
+        # topk_words; int counts, int/int double division (both engines
+        # convert the operands to double first).
+        "oov_rate_docs": """
+            WITH w AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(coalesce(text, '')),
+                                                    '[^0-9a-z]+')) AS word
+                FROM documents
+            ), v AS (
+                SELECT word FROM (
+                    SELECT word, count(*) AS n FROM w WHERE word <> ''
+                    GROUP BY word ORDER BY n DESC, word LIMIT 256
+                )
+            ), c AS (
+                SELECT d.doc_id,
+                       coalesce(sum(CASE WHEN w.word <> '' THEN 1 END), 0)
+                           AS n_words,
+                       coalesce(sum(CASE WHEN w.word <> ''
+                                          AND w.word NOT IN (SELECT word FROM v)
+                                         THEN 1 END), 0) AS n_oov
+                FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id
+                GROUP BY d.doc_id
+            )
+            SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+                   CAST(n_oov AS BIGINT) AS n_oov,
+                   n_oov * 1.0 / greatest(n_words, 1) AS oov_rate
+            FROM c
+        """,
+        # Per-source P25 word-count floor: quantile_disc is PERCENTILE_DISC
+        # (a real data value), integer scores, so >= agrees bit-exactly.
+        "quality_gate_docs": """
+            WITH s AS (
+                SELECT doc_id, source,
+                       CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT)
+                           AS n_words
+                FROM documents
+            ), t AS (
+                SELECT source, quantile_disc(n_words, 0.25) AS thr
+                FROM s GROUP BY source
+            )
+            SELECT s.doc_id, s.source, s.n_words
+            FROM s JOIN t USING (source) WHERE s.n_words >= t.thr
+        """,
+        # SemDeDup survivor policy on declared clusters: NOT EXISTS a
+        # lower-id same-cluster vector with cosine >= the tie-free threshold.
+        "semdedup_label_embeddings": """
+            SELECT a.vec_id, CAST(a.label AS BIGINT) AS cluster
+            FROM embeddings a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM embeddings b
+                WHERE b.label = a.label AND b.vec_id < a.vec_id
+                  AND list_cosine_similarity(a.embedding, b.embedding)
+                      >= 0.4002
+            )
+            ORDER BY a.vec_id
         """,
     }

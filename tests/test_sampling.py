@@ -444,3 +444,49 @@ def test_curriculum_rank_orders_strata_then_shuffles(ray_session):
         assert ps[0] == s * 200 and ps[-1] == s * 200 + 199  # contiguous
     sub = out[out.stratum == 0].sort_values("doc_id")
     assert not np.all(np.diff(sub["pos"].to_numpy()) > 0)  # shuffled inside
+
+
+def test_oov_rate_hand_counts(ray_session):
+    """OOV rate vs a tiny top-k vocabulary, counted by hand: vocab_k=2 keeps
+    the two most frequent words (count DESC, word ASC tie-break)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tsdat_ray.stages.text import oov_rate
+
+    tab = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["aa bb aa", "aa cc", ""]),
+    })
+    out = (oov_rate(rd.from_arrow(tab).repartition(2), vocab_k=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # counts: aa=3, bb=1, cc=1 -> vocab {aa, bb} (tie bb<cc)
+    assert out["n_words"].tolist() == [3, 2, 0]
+    assert out["n_oov"].tolist() == [0, 1, 0]
+    assert out["oov_rate"].tolist() == [0.0, 0.5, 0.0]
+
+
+def test_quantile_gate_per_key_floor(ray_session):
+    """P25 floor per key on integer scores: DuckDB quantile_disc convention
+    (ceil(n*q)-1), keep >= threshold."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tsdat_ray.stages.sampling import quantile_gate
+
+    # key 'a': values 1..8 -> P25 = value at ceil(8*.25)-1 = idx 1 -> 2
+    # key 'b': values 10,20,30 -> P25 = idx ceil(.75)-1 = 0 -> 10 (keep all)
+    tab = pa.table({
+        "k": pa.array(["a"] * 8 + ["b"] * 3),
+        "v": pa.array(list(range(1, 9)) + [10, 20, 30], pa.int64()),
+    })
+    out = (quantile_gate(rd.from_arrow(tab).repartition(3), "k", "v", q=0.25)
+           .to_pandas())
+    a = sorted(out[out.k == "a"]["v"])
+    b = sorted(out[out.k == "b"]["v"])
+    assert a == [2, 3, 4, 5, 6, 7, 8]
+    assert b == [10, 20, 30]
+    # ceiling gate: keep the slow quartile instead
+    out2 = (quantile_gate(rd.from_arrow(tab).repartition(3), "k", "v",
+                          q=0.25, keep="le").to_pandas())
+    assert sorted(out2[out2.k == "a"]["v"]) == [1, 2]

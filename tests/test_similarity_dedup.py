@@ -788,3 +788,97 @@ def test_cap_duplicates_keeps_k_smallest_ids(ray_session):
         assert got == [(c, 0), (c + 10, 1)]
     uniq = out[out.doc_id >= 90]
     assert (uniq.copy_rank == 0).all() and len(uniq) == 10
+
+
+def _semdedup_reference(ids, clusters, vecs, eps):
+    """Sequential reference for the non-recursive SemDeDup drop rule."""
+    import numpy as np
+
+    n = np.linalg.norm(vecs, axis=1, keepdims=True)
+    m = vecs / np.where(n == 0, 1.0, n)
+    keep = []
+    order = np.lexsort((ids, clusters))
+    for i in order:
+        dropped = any(
+            clusters[j] == clusters[i] and ids[j] < ids[i]
+            and float(m[i] @ m[j]) >= eps
+            for j in order
+        )
+        if not dropped:
+            keep.append(int(ids[i]))
+    return sorted(keep)
+
+
+def test_semdedup_declared_clusters_matches_reference(ray_session):
+    """Planted near-duplicate groups inside declared clusters: the survivors
+    equal the sequential drop rule, under adversarial block layouts."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tsdat_ray.stages.similarity import semdedup
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((20, 16))
+    ids, clusters, vecs = [], [], []
+    vid = 0
+    for c in range(5):
+        for g in range(4):
+            proto = base[c * 4 + g]
+            for copy in range(3):  # 3 near-copies of each prototype
+                vecs.append(proto + 1e-3 * rng.standard_normal(16))
+                ids.append(vid)
+                clusters.append(c)
+                vid += 1
+    vecs = np.array(vecs)
+    ids_a, cl_a = np.array(ids), np.array(clusters)
+    tab = pa.table({
+        "vec_id": pa.array(ids_a),
+        "label": pa.array(cl_a.astype(np.int32)),
+        "embedding": pa.array(list(vecs.astype(np.float32)),
+                              type=pa.list_(pa.float32())),
+    })
+    eps = 0.99
+    want = _semdedup_reference(
+        ids_a, cl_a, vecs.astype(np.float32).astype(np.float64), eps)
+    for parts in (1, 5):
+        out = semdedup(rd.from_arrow(tab).repartition(parts), eps=eps,
+                       cluster_col="label").to_pandas()
+        assert sorted(out["vec_id"]) == want
+        # exactly one survivor per planted prototype group
+        assert len(out) == 20
+        assert set(out["cluster"]) == set(range(5))
+
+
+def test_semdedup_kmeans_path_prunes_planted_dups(ray_session):
+    """kmeans-cluster production path: well-separated planted clusters are
+    recovered by kmeans, and each trio of near-copies collapses to one."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tsdat_ray.stages.similarity import kmeans_fit, semdedup
+
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((4, 8)) * 10.0
+    vecs, ids = [], []
+    vid = 0
+    for c in range(4):
+        for g in range(5):
+            # prototypes inside a cluster stay angularly distinct (cosine
+            # ~0.8) while true copies sit at cosine ~1-1e-9
+            proto = centers[c] + 5.0 * rng.standard_normal(8)
+            for _ in range(2):
+                vecs.append(proto + 1e-4 * rng.standard_normal(8))
+                ids.append(vid)
+                vid += 1
+    tab = pa.table({
+        "vec_id": pa.array(np.array(ids)),
+        "embedding": pa.array(list(np.array(vecs, dtype=np.float32)),
+                              type=pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(tab).repartition(3)
+    cent, hist = kmeans_fit(ds, k=4, n_iter=8, seed=1)
+    out = semdedup(ds, eps=0.9999, centroids=cent).to_pandas()
+    # every planted pair collapses to its even (smaller) id
+    assert sorted(out["vec_id"]) == [2 * i for i in range(20)]

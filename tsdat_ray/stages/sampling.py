@@ -695,3 +695,49 @@ def global_shuffle_rank(ds, id_col: str = "doc_id", seed: int = 0,
         return pa.table(out)
 
     return withk.groupby("_vb").map_groups(rank_bucket, batch_format="pyarrow")
+
+
+def quantile_gate(ds, key: str, value_col: str, q: float = 0.25,
+                  scale: int = 1, keep: str = "ge"):
+    """Per-key quantile quality gate: keep rows whose ``value_col`` clears
+    their key's q-th PERCENTILE_DISC threshold — the "drop the worst quartile
+    of each domain" filter quality-gated corpora use (relative-to-domain, so
+    a verbose domain doesn't starve a terse one).
+
+    Two-phase, no full shuffle: the thresholds come from
+    :func:`~tsdat_ray.stages.window_funcs.exact_quantiles_disc` (bounded
+    tree-reduced value histograms — rows never move), the tiny per-key
+    threshold table is broadcast once (``ray.put``), and the gate itself is
+    a vectorized searchsorted lookup + compare per batch.  With integer
+    scores (``scale=1``) the threshold is a real data value (DuckDB
+    ``quantile_disc`` convention), so ``>=`` agrees bit-exactly with SQL.
+
+    ``keep='ge'`` keeps rows with value >= threshold (quality floor);
+    ``keep='le'`` keeps value <= threshold (e.g. perplexity ceiling).
+    """
+    import ray
+
+    from .window_funcs import exact_quantiles_disc
+
+    thr = exact_quantiles_disc(ds, key, value_col, qs=(q,), scale=scale)
+    tb = list(thr.iter_batches(batch_format="pyarrow", batch_size=None))
+    tt = pa.concat_tables(tb)
+    qname = f"qd{int(round(q * 100))}"
+    keys = tt[key].to_numpy(zero_copy_only=False)
+    vals = tt[qname].to_numpy(zero_copy_only=False)
+    order = np.argsort(keys, kind="stable")
+    tref = ray.put((keys[order], vals[order]))
+    le = keep == "le"
+
+    def gate(batch: pa.Table) -> pa.Table:
+        ks, vs = ray.get(tref)
+        bk = batch[key].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ks, bk)
+        pos = np.clip(pos, 0, len(ks) - 1)
+        t = vs[pos]
+        bv = batch[value_col].to_numpy(zero_copy_only=False)
+        ok = (bv <= t) if le else (bv >= t)
+        ok &= ks[pos] == bk  # keys never seen in pass 1 (shouldn't happen) drop
+        return batch.filter(pa.array(ok))
+
+    return ds.map_batches(gate, batch_format="pyarrow")

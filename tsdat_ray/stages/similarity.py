@@ -555,3 +555,71 @@ def logreg_train(ds, emb_col: str = "embedding", label_col: str = "label",
         history.append(loss / max(n, 1))
         w = w - np.linalg.solve(h + ridge * np.eye(dim + 1), g)
     return w, history
+
+
+def semdedup(ds, eps: float, centroids: np.ndarray | None = None,
+             cluster_col: str | None = None, emb_col: str = "embedding",
+             id_col: str = "vec_id", n_buckets: int = 32,
+             keep_cols: tuple = ()):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup by
+    clustering embeddings and pruning, within each cluster, every row whose
+    cosine similarity to a LOWER-id row of the same cluster reaches ``eps``.
+
+    Clusters come from ``cluster_col`` (a declared grouping) or from k-means
+    ``centroids`` (the production path: :func:`kmeans_fit` upstream; the
+    nearest-centroid assignment is fused into the same map that salts the
+    shuffle, so clustering adds zero extra passes).  ONE shuffle co-locates
+    rows by cluster-hash bucket; within a bucket each cluster is a single
+    normalized O(c²) matmul — the whole point of SemDeDup is that k is chosen
+    so c ≈ n/k stays bounded (the pairwise work is k·(n/k)² = n²/k, tunable),
+    so no all-pairs pass over the corpus ever happens.
+
+    Survivor policy is the non-recursive drop rule — drop x if ANY smaller-id
+    y in its cluster has sim(x, y) >= eps — which is SQL-expressible
+    (NOT EXISTS) and therefore oracled on the declared-cluster variant.
+    Returns survivors ``(id_col, cluster, *keep_cols)``.
+    """
+    import ray
+
+    cref = ray.put(np.asarray(centroids, dtype=np.float64)) if centroids is not None else None
+
+    def salt(b: pa.Table) -> pa.Table:
+        if cluster_col is not None:
+            cl = b[cluster_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            c = ray.get(cref)
+            m = _emb_matrix(b[emb_col])
+            d2 = (m * m).sum(1)[:, None] - 2.0 * (m @ c.T) + (c * c).sum(1)[None, :]
+            cl = np.argmin(d2, axis=1).astype(np.int64)
+        cols = {id_col: b[id_col], "cluster": pa.array(cl),
+                emb_col: b[emb_col],
+                "_salt": pa.array((cl * np.int64(0x9E3779B9)) % n_buckets)}
+        for kc in keep_cols:
+            cols[kc] = b[kc]
+        return pa.table(cols)
+
+    def prune(g: pa.Table) -> pa.Table:
+        cl = g["cluster"].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, cl))
+        m = _normalize(_emb_matrix(g[emb_col]))[order]
+        cl, ids = cl[order], ids[order]
+        keep = np.ones(len(ids), dtype=bool)
+        starts = np.flatnonzero(np.r_[True, cl[1:] != cl[:-1]]) if len(cl) else []
+        ends = np.r_[starts[1:], len(cl)] if len(cl) else []
+        for s, e in zip(starts, ends):
+            c = e - s
+            if c < 2:
+                continue
+            sims = m[s:e] @ m[s:e].T
+            # row i dropped if any j < i (strictly smaller id) has sim >= eps
+            dup = (np.tril(sims, k=-1) >= eps).any(axis=1)
+            keep[s:e] = ~dup
+        take = pa.array(order[keep], type=pa.int64())
+        out = {id_col: g[id_col].take(take), "cluster": pa.array(cl[keep])}
+        for kc in keep_cols:
+            out[kc] = g[kc].take(take)
+        return pa.table(out)
+
+    withc = ds.map_batches(salt, batch_format="pyarrow")
+    return withc.groupby("_salt").map_groups(prune, batch_format="pyarrow")

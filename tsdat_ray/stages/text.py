@@ -433,6 +433,69 @@ def topk_words(ds, k: int = 50, text_col: str = "text", salt_mod: int = 64):
                                               preserve_index=False))
 
 
+def oov_rate(ds, vocab_k: int = 256, text_col: str = "text",
+             id_col: str = "doc_id", salt_mod: int = 64):
+    """Per-document out-of-vocabulary rate against the EXACT global top-k
+    vocabulary (the tokenizer-coverage / quality signal used to gate training
+    corpora).
+
+    Two streaming passes over the corpus:
+
+    1. vocabulary = :func:`topk_words` (count DESC, word ASC total order —
+       the bounded word-hash-salted exact merge, never a full-vocab
+       broadcast: only ``k`` words come back to the driver);
+    2. the k-word vocabulary is broadcast once (``ray.put``) and each batch
+       is scored with one Arrow split kernel + one ``pc.is_in`` membership
+       pass + ``np.add.reduceat`` over the list offsets — no per-row Python.
+
+    Integer outputs (n_words, n_oov) and an int/int double division (DuckDB
+    converts both operands first, numpy does the same here) keep the whole
+    contract hash-exact vs the SQL twin.  Word split contract is identical
+    to ``topk_words``: lowercase, ``[^0-9a-z]+`` separators, '' dropped.
+    """
+    import ray
+
+    vb = list(topk_words(ds, k=vocab_k, text_col=text_col,
+                         salt_mod=salt_mod).iter_batches(
+        batch_format="pyarrow", batch_size=None))
+    vocab = pa.concat_tables(vb)["word"].combine_chunks() if vb else pa.array(
+        [], pa.string())
+    vref = ray.put(vocab)
+
+    def score(batch: pa.Table) -> pa.Table:
+        voc = ray.get(vref)
+        w = pc.split_pattern_regex(
+            pc.utf8_lower(pc.coalesce(batch[text_col].combine_chunks(), "")),
+            r"[^0-9a-z]+",
+        )
+        if isinstance(w, pa.ChunkedArray):
+            w = w.combine_chunks()
+        flat = w.flatten()
+        offs = w.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        valid = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        inv = pc.is_in(flat, value_set=voc).to_numpy(zero_copy_only=False)
+        oov = valid & ~inv
+        # reduceat over [start, end) word ranges; empty ranges must yield 0
+        n_rows = batch.num_rows
+        n_words = np.zeros(n_rows, dtype=np.int64)
+        n_oov = np.zeros(n_rows, dtype=np.int64)
+        lens = offs[1:] - offs[:-1]
+        nz = lens > 0
+        if nz.any():
+            st = offs[:-1][nz]
+            n_words[nz] = np.add.reduceat(valid.astype(np.int64), st)
+            n_oov[nz] = np.add.reduceat(oov.astype(np.int64), st)
+        rate = (n_oov * 1.0) / np.maximum(n_words, 1)
+        return pa.table({
+            id_col: batch[id_col],
+            "n_words": pa.array(n_words),
+            "n_oov": pa.array(n_oov),
+            "oov_rate": pa.array(rate),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def chunk_documents(ds, id_col: str = "doc_id", text_col: str = "text",
                     chunk_len: int = 512, stride: int = 400):
     """Overlapping character-window chunking (the RAG / context-window prep
