@@ -5040,8 +5040,9 @@ def _q_lm_score(sf_dir: str):
 def _q_cusum(sf_dir: str):
     """Page's CUSUM change detection per event_type — non-linear recurrence
     parallelized via max-plus window composition (stages/window_funcs.py:
-    partitioned_cusum); bit-equal to the sequential scan (pytest-pinned),
-    rows-only (needs recursion in SQL)."""
+    partitioned_cusum); bit-equal to the sequential scan (pytest-pinned) AND
+    hash-green: the int-cent recurrence S=max(0,S+y) is reproduced by a
+    DuckDB recursive CTE stepping one row per key per iteration."""
     from tsdat_ray.stages.window_funcs import partitioned_cusum
 
     ds = _events(sf_dir, columns=["event_id", "ts", "event_type", "value"])
@@ -7422,6 +7423,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT s.doc_id, s.source, s.n_words
             FROM s JOIN t USING (source) WHERE s.n_words >= t.thr
+        """,
+        # CUSUM is exact integer cents inside (y = round(v*100) - drift_q;
+        # S = max(0, S+y)), so a recursive CTE stepping row rn -> rn+1 per
+        # key reproduces the engine bit-for-bit: int/100.0 and int > 50000
+        # are the identical double ops on both sides.
+        "cusum_events": """
+            WITH RECURSIVE t AS (
+                SELECT event_id, event_type,
+                       CAST(round(value * 100) AS BIGINT) - 8000 AS y,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY ts, event_id) AS rn
+                FROM events
+            ), r AS (
+                SELECT event_type, rn, event_id, greatest(y, 0) AS s
+                FROM t WHERE rn = 1
+                UNION ALL
+                SELECT t.event_type, t.rn, t.event_id,
+                       greatest(r.s + t.y, 0) AS s
+                FROM r JOIN t ON t.event_type = r.event_type
+                             AND t.rn = r.rn + 1
+            )
+            SELECT event_id, s / 100.0 AS cusum, s > 50000 AS alarm FROM r
         """,
         # SemDeDup survivor policy on declared clusters: NOT EXISTS a
         # lower-id same-cluster vector with cosine >= the tie-free threshold.
