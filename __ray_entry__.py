@@ -5393,6 +5393,38 @@ def _q_semdedup_kmeans(sf_dir: str):
     return semdedup(ds, eps=0.95, centroids=cent).sort("vec_id")
 
 
+def _q_gopher_rules(sf_dir: str):
+    """Gopher quality rules (Rae et al. 2021 subset): word-count bounds,
+    mean-word-length bounds, >=2 distinct stopwords, symbol-to-word ratio cap
+    (stages/text.py:gopher_rules — pure map, integer signals, keep flag
+    hash-exact vs the SQL twin)."""
+    from tsdat_ray.stages.text import gopher_rules
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # corpus-apt stopword set + thresholds so the rule discriminates on the
+    # synthetic vocabulary (engine-English stopwords barely occur in it)
+    return gopher_rules(ds, min_words=40, min_stopwords=6,
+                        stopwords=("a", "the", "data", "table", "key",
+                                   "value", "row", "query"))
+
+
+def _q_dsir_select(sf_dir: str):
+    """DSIR-shape data selection (Xie et al. 2023): hashed-bigram LMs fit on
+    the target slice (lang='en') and the raw corpus, per-doc log importance
+    ratio in one scoring pass under both broadcast models
+    (stages/text.py:dsir_logratio); float log sums => rows-only."""
+    import ray
+
+    from tsdat_ray.stages.text import dsir_logratio, fit_bigram_lm
+
+    ds = _read(f"{sf_dir}/documents.parquet",
+               columns=["doc_id", "text", "lang"])
+    target = ds.filter(expr="lang == 'en'")
+    m_t = ray.put(fit_bigram_lm(target))
+    m_r = ray.put(fit_bigram_lm(ds))
+    return dsir_logratio(ds, m_t, m_r).sort("doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rollup_1m_events": lambda d: _events_rollup(d, "1m"),
@@ -5601,6 +5633,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_gate_docs": _q_quality_gate,
         "semdedup_label_embeddings": _q_semdedup_label,
         "semdedup_embeddings": _q_semdedup_kmeans,
+        "gopher_rules_docs": _q_gopher_rules,
+        "dsir_select_docs": _q_dsir_select,
     }
 
 
@@ -7445,6 +7479,48 @@ def oracle_sql() -> dict[str, str]:
                              AND t.rn = r.rn + 1
             )
             SELECT event_id, s / 100.0 AS cusum, s > 50000 AS alarm FROM r
+        """,
+        # Gopher rules: all-integer signals over the shared word split; the
+        # two ratio compares are int/int double divisions mirrored exactly.
+        "gopher_rules_docs": """
+            WITH w AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(coalesce(text, '')),
+                                                    '[^0-9a-z]+')) AS word
+                FROM documents
+            ), c AS (
+                SELECT d.doc_id,
+                       coalesce(sum(CASE WHEN word <> '' THEN 1 END), 0)
+                           AS n_words,
+                       coalesce(sum(CASE WHEN word <> ''
+                                         THEN length(word) END), 0)
+                           AS word_chars,
+                       count(DISTINCT CASE WHEN word IN
+                             ('a','the','data','table','key','value','row',
+                              'query')
+                             THEN word END) AS n_stop
+                FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id
+                GROUP BY d.doc_id
+            ), s AS (
+                SELECT doc_id,
+                       (length(coalesce(text, ''))
+                        - length(replace(coalesce(text, ''), '#', '')))
+                       + (length(coalesce(text, ''))
+                          - length(replace(coalesce(text, ''), '...', ''))) / 3
+                           AS n_sym
+                FROM documents
+            )
+            SELECT c.doc_id,
+                   CAST(c.n_words AS BIGINT) AS n_words,
+                   CAST(c.word_chars AS BIGINT) AS word_chars,
+                   CAST(c.n_stop AS BIGINT) AS n_stop,
+                   CAST(s.n_sym AS BIGINT) AS n_sym,
+                   (c.n_words >= 40 AND c.n_words <= 100000
+                    AND c.word_chars * 1.0 / greatest(c.n_words, 1) >= 3.0
+                    AND c.word_chars * 1.0 / greatest(c.n_words, 1) <= 10.0
+                    AND c.n_stop >= 6
+                    AND s.n_sym * 1.0 / greatest(c.n_words, 1) <= 0.1) AS keep
+            FROM c JOIN s USING (doc_id)
         """,
         # SemDeDup survivor policy on declared clusters: NOT EXISTS a
         # lower-id same-cluster vector with cosine >= the tie-free threshold.

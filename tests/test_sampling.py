@@ -490,3 +490,61 @@ def test_quantile_gate_per_key_floor(ray_session):
     out2 = (quantile_gate(rd.from_arrow(tab).repartition(3), "k", "v",
                           q=0.25, keep="le").to_pandas())
     assert sorted(out2[out2.k == "a"]["v"]) == [1, 2]
+
+
+def test_gopher_rules_hand_signals(ray_session):
+    """Composite quality rule on hand-crafted docs: each sub-rule trips
+    independently and the signals are exact."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tsdat_ray.stages.text import gopher_rules
+
+    docs = {
+        1: "the cat and the dog have fun with all of that stuff here",  # ok
+        2: "short",                                            # too few words
+        3: "xx yy zz aa bb cc dd ee ff gg",                    # no stopwords
+        4: "the ### and ... of ... that have with ... be to",  # symbol-heavy
+    }
+    tab = pa.table({"doc_id": pa.array(list(docs), pa.int64()),
+                    "text": pa.array(list(docs.values()))})
+    out = (gopher_rules(rd.from_arrow(tab).repartition(2), min_words=5,
+                        min_stopwords=2, max_symbol_ratio=0.2)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert out.loc[1, "keep"] and out.loc[1, "n_stop"] >= 4
+    assert not out.loc[2, "keep"] and out.loc[2, "n_words"] == 1
+    assert not out.loc[3, "keep"] and out.loc[3, "n_stop"] == 0
+    # doc 4: '#'*3 + '...'*3 = 6 symbols over 10 words -> ratio 0.6 > 0.2
+    assert out.loc[4, "n_sym"] == 6 and not out.loc[4, "keep"]
+
+
+def test_dsir_logratio_prefers_target_like_docs(ray_session):
+    """Importance ratio = score under target LM minus score under raw LM:
+    equals the two independent score_bigram_lm passes, and ranks
+    target-vocabulary docs above off-target ones."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from tsdat_ray.stages.text import (dsir_logratio, fit_bigram_lm,
+                                       score_bigram_lm)
+
+    tgt_texts = [f"alpha beta gamma delta epsilon zeta {i}" for i in range(20)]
+    off_texts = [f"uno dos tres cuatro cinco seis {i}" for i in range(20)]
+    corpus = pa.table({
+        "doc_id": pa.array(range(40), pa.int64()),
+        "text": pa.array(tgt_texts + off_texts),
+    })
+    target = pa.table({"doc_id": pa.array(range(20), pa.int64()),
+                       "text": pa.array(tgt_texts)})
+    ds = rd.from_arrow(corpus).repartition(3)
+    m_t = ray.put(fit_bigram_lm(rd.from_arrow(target)))
+    m_r = ray.put(fit_bigram_lm(ds))
+    out = dsir_logratio(ds, m_t, m_r).to_pandas().set_index("doc_id").sort_index()
+    st = score_bigram_lm(ds, m_t).to_pandas().set_index("doc_id").sort_index()
+    sr = score_bigram_lm(ds, m_r).to_pandas().set_index("doc_id").sort_index()
+    want = (st["avg_logp"] - sr["avg_logp"]).to_numpy()
+    np.testing.assert_allclose(out["dsir_weight"].to_numpy(), want, rtol=1e-12)
+    # every target doc outranks every off-target doc
+    assert out.loc[:19, "dsir_weight"].min() > out.loc[20:, "dsir_weight"].max()

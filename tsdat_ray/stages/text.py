@@ -1077,3 +1077,134 @@ class BPEEncoder:
             "tokens": toks,
             "n_tok": pa.array(tok_per_doc.astype(np.int32)),
         })
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(ds, text_col: str = "text", id_col: str = "doc_id",
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_mean_word_len: float = 3.0, max_mean_word_len: float = 10.0,
+                 min_stopwords: int = 2, max_symbol_ratio: float = 0.1,
+                 stopwords: tuple = GOPHER_STOPWORDS):
+    """Gopher quality rules (Rae et al. 2021, Table A1 subset): the composite
+    document filter every large text corpus ships — word-count bounds, mean
+    word length bounds, a minimum number of DISTINCT stopwords present, and
+    a symbol-to-word ratio cap ('#' chars + non-overlapping '...').
+
+    Pure map, zero shuffle: one Arrow split kernel per batch, per-row folds
+    via ``np.add.reduceat`` over the list offsets, stopword presence via one
+    equality kernel per stopword (8 total).  Every signal is an integer (or
+    an int/int double division mirrored by SQL), so the whole rule — keep
+    flag included — is hash-exact against the DuckDB twin.  Emits ALL rows
+    with their signals + ``keep``; chain ``.filter`` to drop rejects.
+    Word-split contract shared with ``topk_words``: lowercase,
+    ``[^0-9a-z]+``, '' dropped."""
+
+    def rules(batch: pa.Table) -> pa.Table:
+        text = pc.coalesce(batch[text_col].combine_chunks(), "")
+        w = pc.split_pattern_regex(pc.utf8_lower(text), r"[^0-9a-z]+")
+        if isinstance(w, pa.ChunkedArray):
+            w = w.combine_chunks()
+        flat = w.flatten()
+        offs = w.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        valid = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        wlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_rows = batch.num_rows
+        lens = offs[1:] - offs[:-1]
+        nz = lens > 0
+        st = offs[:-1][nz]
+
+        def fold(x):
+            out = np.zeros(n_rows, dtype=np.int64)
+            if nz.any():
+                out[nz] = np.add.reduceat(x, st)
+            return out
+
+        n_words = fold(valid.astype(np.int64))
+        word_chars = fold(np.where(valid, wlen, 0))
+        n_stop = np.zeros(n_rows, dtype=np.int64)
+        for s in stopwords:
+            eq = pc.equal(flat, s).to_numpy(zero_copy_only=False)
+            n_stop += (fold(eq.astype(np.int64)) > 0).astype(np.int64)
+        n_hash = pc.count_substring(text, "#").to_numpy(zero_copy_only=False).astype(np.int64)
+        n_ell = pc.count_substring(text, "...").to_numpy(zero_copy_only=False).astype(np.int64)
+        n_sym = n_hash + n_ell
+        denom = np.maximum(n_words, 1)
+        mwl = (word_chars * 1.0) / denom
+        sym_ratio = (n_sym * 1.0) / denom
+        keep = ((n_words >= min_words) & (n_words <= max_words)
+                & (mwl >= min_mean_word_len) & (mwl <= max_mean_word_len)
+                & (n_stop >= min_stopwords) & (sym_ratio <= max_symbol_ratio))
+        return pa.table({
+            id_col: batch[id_col],
+            "n_words": pa.array(n_words),
+            "word_chars": pa.array(word_chars),
+            "n_stop": pa.array(n_stop),
+            "n_sym": pa.array(n_sym),
+            "keep": pa.array(keep),
+        })
+
+    return ds.map_batches(rules, batch_format="pyarrow")
+
+
+def dsir_logratio(ds, model_target, model_raw, k: float = 0.5,
+                  text_col: str = "text", id_col: str = "doc_id"):
+    """DSIR-shape importance weights (Xie et al. 2023, arXiv:2302.03169):
+    per-doc log importance ratio log p_target(x) − log p_raw(x) under two
+    hashed bigram LMs (:func:`fit_bigram_lm` on the target and raw corpora).
+
+    Both models are ``ray.put`` handles broadcast once; each batch is scored
+    under BOTH in one pass (one hash + two searchsorted lookups per model) —
+    selection (top-k by weight, or a weight-threshold gate via
+    ``sampling.quantile_gate``) composes downstream.  Float log sums =>
+    rows-only driver check; the scoring kernel itself is pinned by the
+    sequential-reference LM pytest."""
+    import pandas as pd
+    import ray
+
+    def score(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b[text_col].combine_chunks(), " ")
+        words = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = np.asarray(words.flatten().to_pandas(), dtype=object)
+        uh = pd.util.hash_array(flat).astype(np.uint64)
+        docix = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        m = max(len(uh) - 1, 0)
+        mult = np.uint64(0x9E3779B97F4A7C15)
+        if m > 0:
+            bh_all = uh[:m] * mult + uh[1:]
+            same = docix[:m] == docix[1:]
+            bh, ph, bdoc = bh_all[same], uh[:m][same], docix[:m][same]
+        else:
+            bh = ph = np.zeros(0, np.uint64)
+            bdoc = np.zeros(0, np.int64)
+
+        def lookup(sh, sc, q):
+            pos = np.searchsorted(sh, q)
+            pos_c = np.clip(pos, 0, max(len(sh) - 1, 0))
+            hit = (sh[pos_c] == q) if len(sh) else np.zeros(len(q), bool)
+            return np.where(hit, sc[pos_c] if len(sh) else 0, 0).astype(np.float64)
+
+        def avg_logp(model):
+            uni_h, uni_c, bi_h, bi_c, V = model
+            cb = lookup(bi_h, bi_c, bh)
+            cp = lookup(uni_h, uni_c, ph)
+            logp = np.log(cb + k) - np.log(cp + k * V)
+            sums = np.zeros(len(lens))
+            np.add.at(sums, bdoc, logp)
+            return sums
+
+        cnts = np.zeros(len(lens), dtype=np.int64)
+        np.add.at(cnts, bdoc, 1)
+        st = avg_logp(ray.get(model_target))
+        sr = avg_logp(ray.get(model_raw))
+        w = np.where(cnts > 0,
+                     (st - sr) / np.maximum(cnts, 1), np.nan)
+        return pa.table({
+            id_col: b[id_col],
+            "dsir_weight": pa.array(w),
+            "n_bigrams": pa.array(cnts),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
