@@ -5425,6 +5425,65 @@ def _q_dsir_select(sf_dir: str):
     return dsir_logratio(ds, m_t, m_r).sort("doc_id")
 
 
+def _q_remove_dup_spans(sf_dir: str):
+    """Exact-substring dedup SCRUB (Lee et al. 2022 §4) — cut every 20-char
+    span duplicated across >= 2 distinct docs out of the text, keep the rest:
+    per-position 128-bit shingle rows -> salted dup-position shuffle -> one
+    bucketed diff-mask pass rebuilds each surviving text
+    (stages/dedup.py:remove_duplicate_spans, the removal half of
+    dup_span_docs); returns (doc_id, text_clean, n_cut) for every doc."""
+    from tsdat_ray.stages.dedup import remove_duplicate_spans
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return remove_duplicate_spans(ds, k=20)
+
+
+def _q_vocab_growth(sf_dir: str):
+    """Heaps'-law vocabulary growth curve: distinct word TRIGRAMS introduced
+    per 50-doc bucket (by doc_id) + running vocab size — per-batch (gram,
+    min doc) combiner over 128-bit gram hashes (gram strings never move),
+    one salted gram groupby folding straight to bucket partials, one
+    constant-key cumsum task (stages/text.py:vocab_growth).  Ints
+    end-to-end — hash-exact (unigram vocab is ~31 words on this corpus, so
+    the trigram curve is the one that actually grows)."""
+    from tsdat_ray.stages.text import vocab_growth
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return vocab_growth(ds, bucket_width=50, ngram=3)
+
+
+def _q_ks_2samp(sf_dir: str):
+    """Exact two-sample Kolmogorov–Smirnov drift test between the
+    whitespace-token-count distributions of lang='en' vs lang='zh' docs —
+    integer cross-multiplied ECDFs (D_num = max |cumA·nB − cumB·nA|), support
+    (not corpus) bounds every post-combiner stage
+    (stages/stats.py:ks_2samp); one output row."""
+    from tsdat_ray.stages.stats import ks_2samp
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+
+    def with_count(b: pa.Table) -> pa.Table:
+        counts = pc.list_value_length(pc.split_pattern(b["text"], " "))
+        return pa.table({"n_ws_tokens": pc.cast(counts, pa.int64()),
+                         "lang": b["lang"]})
+
+    return ks_2samp(ds.map_batches(with_count, batch_format="pyarrow"),
+                    "n_ws_tokens", "lang", "en", "zh")
+
+
+def _q_redact_props(sf_dir: str):
+    """PII-style scrub: every digit run in the events props JSON replaced
+    with <NUM> — one vectorized RE2 kernel per batch
+    (stages/text.py:regex_redact); Arrow and DuckDB both compile RE2 so
+    regexp_replace(..., 'g') is an exact oracle.  Pure map, rows never
+    move."""
+    from tsdat_ray.stages.text import regex_redact
+
+    ds = _read(f"{sf_dir}/events.parquet", columns=["event_id", "props"])
+    return regex_redact(ds, "props", "[0-9]+", "<NUM>",
+                        keep_cols=("event_id",))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rollup_1m_events": lambda d: _events_rollup(d, "1m"),
@@ -5635,6 +5694,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_embeddings": _q_semdedup_kmeans,
         "gopher_rules_docs": _q_gopher_rules,
         "dsir_select_docs": _q_dsir_select,
+        "remove_dup_spans_docs": _q_remove_dup_spans,
+        "vocab_growth_docs": _q_vocab_growth,
+        "ks_2samp_docs": _q_ks_2samp,
+        "redact_props_events": _q_redact_props,
     }
 
 
@@ -7534,5 +7597,96 @@ def oracle_sql() -> dict[str, str]:
                       >= 0.4002
             )
             ORDER BY a.vec_id
+        """,
+        "remove_dup_spans_docs": """
+            WITH pos AS (
+                SELECT doc_id, i AS p, substr(text, i, 20) AS sh
+                FROM (SELECT doc_id, text,
+                             unnest(generate_series(1, greatest(length(text) - 19, 1))) AS i
+                      FROM documents)
+            ),
+            dupsh AS (
+                SELECT sh FROM pos GROUP BY sh
+                HAVING count(DISTINCT doc_id) >= 2
+            ),
+            duppos AS (
+                SELECT doc_id, p FROM pos
+                WHERE sh IN (SELECT sh FROM dupsh)
+            ),
+            chars AS (
+                SELECT doc_id, c, substr(text, c, 1) AS ch
+                FROM (SELECT doc_id, text,
+                             unnest(generate_series(1, length(text))) AS c
+                      FROM documents)
+            ),
+            kept AS (
+                SELECT ch.doc_id, ch.c, ch.ch
+                FROM chars ch
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM duppos d
+                    WHERE d.doc_id = ch.doc_id
+                      AND d.p BETWEEN ch.c - 19 AND ch.c)
+            )
+            SELECT d.doc_id,
+                   coalesce(k.text_clean, '') AS text_clean,
+                   CAST(length(d.text) - coalesce(k.n_kept, 0) AS BIGINT) AS n_cut
+            FROM documents d
+            LEFT JOIN (SELECT doc_id,
+                              string_agg(ch, '' ORDER BY c) AS text_clean,
+                              count(*) AS n_kept
+                       FROM kept GROUP BY doc_id) k USING (doc_id)
+        """,
+        "vocab_growth_docs": """
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ),
+            g AS (
+                SELECT doc_id,
+                       list_aggregate(ws[i:i+2], 'string_agg', ' ') AS word
+                FROM (SELECT doc_id, ws,
+                             unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
+                      FROM w)
+            ),
+            f AS (SELECT word, min(doc_id) AS first_doc FROM g GROUP BY word),
+            b AS (SELECT first_doc // 50 AS bucket,
+                         CAST(count(*) AS BIGINT) AS new_words
+                  FROM f GROUP BY 1)
+            SELECT bucket, new_words,
+                   CAST(sum(new_words) OVER (ORDER BY bucket) AS BIGINT)
+                       AS vocab_size
+            FROM b ORDER BY bucket
+        """,
+        "ks_2samp_docs": """
+            WITH d AS (
+                SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS v, lang
+                FROM documents WHERE lang IN ('en', 'zh')
+            ),
+            g AS (
+                SELECT v,
+                       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                       CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+                FROM d GROUP BY v
+            ),
+            t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                         CAST(sum(cb) AS BIGINT) AS nb FROM g),
+            c AS (
+                SELECT v,
+                       CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+                       CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS cum_b
+                FROM g
+            ),
+            m AS (SELECT c.v, abs(cum_a * nb - cum_b * na) AS dd FROM c, t)
+            SELECT t.na AS n_a, t.nb AS n_b,
+                   CAST((SELECT max(dd) FROM m) AS BIGINT) AS ks_num,
+                   (SELECT min(v) FROM m WHERE dd = (SELECT max(dd) FROM m))
+                       AS ks_at,
+                   CAST((SELECT max(dd) FROM m) AS DOUBLE)
+                       / CAST(t.na * t.nb AS DOUBLE) AS ks_stat
+            FROM t
+        """,
+        "redact_props_events": """
+            SELECT event_id,
+                   regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS props_redacted
+            FROM events
         """,
     }

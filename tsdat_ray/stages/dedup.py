@@ -1731,3 +1731,155 @@ def dedup_against_store_bloom(new_ds, old_ds, text_col: str = "text",
     drop_ids = both.groupby("_bk").map_groups(
         _bucket_dropped_ids(id_col), batch_format="pyarrow")
     return semi_anti_join(new_ds, id_col, drop_ids, id_col, anti=True)
+
+
+def _char_shingle_hashes_positions(s: str, k: int):
+    """Per-POSITION (h1, h2) rolling hashes of every k-char shingle of ``s``
+    (same 128-bit hash pair as :func:`_char_shingle_hash_counts`, without the
+    distinct-dedup/winnowing — position ``i`` covers codepoints
+    ``[i, min(i + k, len))``).  Mirrors SQL ``substr(text, i + 1, k)``: a
+    string shorter than k yields its single whole-string shingle at position
+    0; '' yields the '' sentinel shingle."""
+    cp = np.frombuffer((s or "").encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    if len(cp) == 0:
+        return (np.array([0x9E3779B97F4A7C15], dtype=np.uint64),
+                np.array([0xC2B2AE3D27D4EB4F], dtype=np.uint64))
+    kk = min(k, len(cp))
+    n = len(cp) - kk + 1
+    h1 = np.zeros(n, dtype=np.uint64)
+    h2 = np.zeros(n, dtype=np.uint64)
+    b1, b2 = np.uint64(1099511628211), np.uint64(0x100000001B3 ^ 0x9E37)
+    for j in range(kk):
+        h1 = h1 * b1 + cp[j: n + j]
+        h2 = h2 * b2 + cp[j: n + j] + np.uint64(j + 1)
+    return h1, h2
+
+
+def remove_duplicate_spans(ds, id_col: str = "doc_id", text_col: str = "text",
+                           k: int = 20, salt_mod: int = 256,
+                           doc_salt_mod: int = 64):
+    """Exact-substring dedup SCRUB — the removal half of
+    :func:`duplicated_span_coverage` (Lee et al. 2022 §4, "Deduplicating
+    Training Data Makes Language Models Better": CUT every duplicated span
+    out of the text, keep the rest), re-expressed as bounded shuffles
+    instead of a suffix array.
+
+    A position is duplicated when its k-char shingle occurs in >= 2 DISTINCT
+    docs (the coverage op's criterion); every codepoint covered by a
+    duplicated shingle interval ``[pos, pos + k)`` is cut.
+
+    Shape (streams end-to-end, nothing broadcast):
+
+    1. per-position shingle rows ``(h1, h2, doc, pos)``, salted by
+       ``h1 % salt_mod``;
+    2. one salted groupby: a (h1, h2) run spanning >= 2 distinct docs marks
+       each member row's position duplicated -> (doc, pos) rows (tiny vs the
+       corpus unless it IS mostly duplicated);
+    3. docs + their dup positions co-locate once by ``doc % doc_salt_mod``
+       buckets; a single flat diff-mask pass per bucket cuts the covered
+       codepoints and rebuilds each surviving text (no per-doc Ray groups —
+       the ~100 us/group law).
+
+    Step 1 ships ~one 28-byte row per corpus character; at 100 TB use the
+    winnowing-minimizer stride documented on duplicated_span_coverage (the
+    removal then over-cuts by < w-1 chars per span edge) or a larger k.
+
+    Returns ``(id_col, text_clean, n_cut)`` for EVERY input doc."""
+
+    def shingle_rows(b: pa.Table) -> pa.Table:
+        ids = b[id_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        texts = b[text_col].to_numpy(zero_copy_only=False)
+        hs1, hs2, lens = [], [], []
+        for s in texts:
+            a, bb = _char_shingle_hashes_positions(s, k)
+            hs1.append(a)
+            hs2.append(bb)
+            lens.append(len(a))
+        lens = np.array(lens, dtype=np.int64)
+        h1 = np.concatenate(hs1) if hs1 else np.zeros(0, np.uint64)
+        pos = (np.arange(int(lens.sum()), dtype=np.int64)
+               - np.repeat(np.cumsum(lens) - lens, lens))
+        return pa.table({
+            "_h1": pa.array(h1),
+            "_h2": pa.array(np.concatenate(hs2) if hs2 else np.zeros(0, np.uint64)),
+            id_col: pa.array(np.repeat(ids, lens)),
+            "_pos": pa.array(pos),
+            "_salt": pa.array((h1 % np.uint64(salt_mod)).astype(np.int64)),
+        })
+
+    def dup_positions(g: pa.Table) -> pa.Table:
+        h1 = g["_h1"].combine_chunks().to_numpy(zero_copy_only=False)
+        h2 = g["_h2"].combine_chunks().to_numpy(zero_copy_only=False)
+        ids = g[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = g["_pos"].combine_chunks().to_numpy(zero_copy_only=False)
+        if not len(h1):
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "_pos": pa.array([], pa.int64())})
+        order = np.lexsort((ids, h2, h1))
+        a, b2, dd = h1[order], h2[order], ids[order]
+        run_chg = (a[1:] != a[:-1]) | (b2[1:] != b2[:-1])
+        chg = np.r_[True, run_chg]
+        doc_chg = np.r_[True, run_chg | (dd[1:] != dd[:-1])]
+        run_id = np.cumsum(chg) - 1
+        ndocs = np.bincount(run_id[doc_chg], minlength=run_id[-1] + 1)
+        dup = ndocs[run_id] >= 2
+        keep = order[dup]
+        return pa.table({id_col: pa.array(ids[keep]),
+                         "_pos": pa.array(pos[keep])})
+
+    dups = (ds.map_batches(shingle_rows, batch_format="pyarrow")
+            .groupby("_salt").map_groups(dup_positions, batch_format="pyarrow"))
+
+    def text_rows(b: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: b[id_col].combine_chunks().cast(pa.int64()),
+            "_pos": pa.array(np.full(b.num_rows, -1, np.int64)),
+            "_txt": b[text_col].combine_chunks().cast(pa.string()),
+        })
+
+    def pad_dup(b: pa.Table) -> pa.Table:
+        return pa.table({id_col: b[id_col], "_pos": b["_pos"],
+                         "_txt": pa.nulls(b.num_rows, pa.string())})
+
+    def add_dsalt(b: pa.Table) -> pa.Table:
+        ids = b[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        return b.append_column("_dsalt", pa.array(ids % np.int64(doc_salt_mod)))
+
+    def scrub(g: pa.Table) -> pa.Table:
+        ids = g[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = g["_pos"].combine_chunks().to_numpy(zero_copy_only=False)
+        tsel = pos == -1
+        tid = ids[tsel]
+        texts = g["_txt"].combine_chunks().take(
+            pa.array(np.flatnonzero(tsel), pa.int64())).to_numpy(zero_copy_only=False)
+        order = np.argsort(tid, kind="stable")
+        tid, texts = tid[order], texts[order]
+        cps = [np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32) for s in texts]
+        doclen = np.array([len(c) for c in cps], dtype=np.int64)
+        offsets = np.r_[0, np.cumsum(doclen)]
+        total = int(offsets[-1])
+        did, dpos = ids[~tsel], pos[~tsel]
+        idx = np.searchsorted(tid, did)
+        gstart = offsets[idx] + dpos
+        gend = np.minimum(gstart + k, offsets[idx + 1])
+        delta = np.zeros(total + 1, np.int64)
+        np.add.at(delta, gstart, 1)
+        np.add.at(delta, gend, -1)
+        kept_mask = np.cumsum(delta[:-1]) == 0
+        flat = np.concatenate(cps) if cps else np.zeros(0, np.uint32)
+        kept_flat = flat[kept_mask]
+        csum = np.r_[0, np.cumsum(kept_mask.astype(np.int64))]
+        n_kept = csum[offsets[1:]] - csum[offsets[:-1]]
+        kofs = np.r_[0, np.cumsum(n_kept)]
+        clean = [bytes(kept_flat[kofs[i]:kofs[i + 1]]).decode("utf-32-le")
+                 for i in range(len(tid))]
+        return pa.table({
+            id_col: pa.array(tid),
+            "text_clean": pa.array(clean, pa.string()),
+            "n_cut": pa.array(doclen - n_kept),
+        })
+
+    both = (ds.map_batches(text_rows, batch_format="pyarrow")
+            .union(dups.map_batches(pad_dup, batch_format="pyarrow")))
+    return (both.map_batches(add_dsalt, batch_format="pyarrow")
+            .groupby("_dsalt").map_groups(scrub, batch_format="pyarrow"))

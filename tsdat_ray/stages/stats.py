@@ -472,3 +472,79 @@ def cooccurrence_pairs(ds, key_cols, item_col: str, salt_mod: int = 64):
         "item_b": pa.array([k[1] for k in ks], pa.string()),
         "n": pa.array([acc[k] for k in ks], pa.int64()),
     }))
+
+
+def ks_2samp(ds, value_col: str, side_col: str, side_a, side_b,
+             salt_mod: int = 64):
+    """Exact two-sample Kolmogorov–Smirnov statistic between the
+    ``value_col`` distributions of rows where ``side_col == side_a`` vs
+    ``== side_b`` — the distribution-drift test a corpus-QA pipeline runs
+    between two sources / snapshots.
+
+    Every comparison is integer (cross-multiplied ECDFs):
+    ``D = max_v |cumA(v)·nB − cumB(v)·nA|`` with the final statistic
+    ``D / (nA·nB)`` divided double-first on both sides — hash-exact vs SQL
+    window functions.
+
+    Scale shape: per-batch (value, side) count combiner → one groupby over
+    DISTINCT values (for a continuous statistic, quantize first — the
+    support, not the corpus, bounds everything downstream) → a single
+    constant-key task sorts the support, takes prefix sums, and emits ONE
+    row: ``(n_a, n_b, ks_num, ks_at, ks_stat)``; ``ks_at`` is the smallest
+    value attaining the max."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b[value_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        s = b[side_col].to_numpy(zero_copy_only=False)
+        a_mask, b_mask = s == side_a, s == side_b
+        out_v, out_a, out_b = [], [], []
+        for m, which in ((a_mask, 0), (b_mask, 1)):
+            uv, cnt = np.unique(v[m], return_counts=True)
+            out_v.append(uv)
+            out_a.append(cnt if which == 0 else np.zeros(len(uv), np.int64))
+            out_b.append(cnt if which == 1 else np.zeros(len(uv), np.int64))
+        vv = np.concatenate(out_v) if out_v else np.zeros(0, np.int64)
+        return pa.table({
+            "_v": pa.array(vv.astype(np.int64)),
+            "_ca": pa.array(np.concatenate(out_a).astype(np.int64)),
+            "_cb": pa.array(np.concatenate(out_b).astype(np.int64)),
+            "_salt": pa.array((vv % np.int64(salt_mod)).astype(np.int64)),
+        })
+
+    def fold_support(g: pa.Table) -> pa.Table:
+        v = g["_v"].combine_chunks().to_numpy(zero_copy_only=False)
+        ca = g["_ca"].combine_chunks().to_numpy(zero_copy_only=False)
+        cb = g["_cb"].combine_chunks().to_numpy(zero_copy_only=False)
+        uv = np.unique(v)
+        idx = np.searchsorted(uv, v)
+        sa = np.zeros(len(uv), np.int64)
+        sb = np.zeros(len(uv), np.int64)
+        np.add.at(sa, idx, ca)
+        np.add.at(sb, idx, cb)
+        return pa.table({"_v": pa.array(uv), "_ca": pa.array(sa),
+                         "_cb": pa.array(sb),
+                         "_one": pa.array(np.zeros(len(uv), np.int64))})
+
+    def finalize(g: pa.Table) -> pa.Table:
+        v = g["_v"].combine_chunks().to_numpy(zero_copy_only=False)
+        ca = g["_ca"].combine_chunks().to_numpy(zero_copy_only=False)
+        cb = g["_cb"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(v, kind="stable")
+        v, ca, cb = v[order], ca[order], cb[order]
+        cum_a, cum_b = np.cumsum(ca), np.cumsum(cb)
+        n_a, n_b = int(cum_a[-1]) if len(v) else 0, int(cum_b[-1]) if len(v) else 0
+        d = np.abs(cum_a * n_b - cum_b * n_a)
+        ks_num = int(d.max()) if len(v) else 0
+        ks_at = int(v[int(np.argmax(d))]) if len(v) else 0
+        denom = np.float64(n_a * n_b) if n_a and n_b else np.float64(1)
+        return pa.table({
+            "n_a": pa.array([n_a], pa.int64()),
+            "n_b": pa.array([n_b], pa.int64()),
+            "ks_num": pa.array([ks_num], pa.int64()),
+            "ks_at": pa.array([ks_at], pa.int64()),
+            "ks_stat": pa.array([float(np.float64(ks_num) / denom)], pa.float64()),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("_salt").map_groups(fold_support, batch_format="pyarrow")
+            .groupby("_one").map_groups(finalize, batch_format="pyarrow"))

@@ -1208,3 +1208,116 @@ def dsir_logratio(ds, model_target, model_raw, k: float = 0.5,
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def vocab_growth(ds, text_col: str = "text", id_col: str = "doc_id",
+                 bucket_width: int = 50, ngram: int = 1, salt_mod: int = 64):
+    """Heaps'-law vocabulary growth curve: how many DISTINCT word n-grams the
+    corpus has introduced after each consecutive bucket of ``bucket_width``
+    docs (in doc_id order) — the classic corpus-statistics diagnostic for
+    tokenizer / vocab sizing.
+
+    Scale shape:
+
+    1. per-batch local combiner: one (gram-hash, local-min doc_id) row per
+       batch-distinct gram — the shuffle is bounded by distinct grams per
+       batch, never by tokens.  Grams are identified by a 128-bit hash pair
+       (two independent siphash streams + polynomial n-gram combine — the
+       dup-span argument: a cross-gram collision is ~m²/2¹²⁹, effectively
+       exact), so gram STRINGS never move;
+    2. one salted gram-hash groupby: global min doc_id per gram folds
+       straight to (bucket, new_words) partials INSIDE the task;
+    3. the tiny partial table (<= salt_mod x n_buckets rows) collapses in a
+       single constant-key task that also computes the running total.  Pick
+       ``bucket_width`` proportional to corpus size (the window-width law) so
+       the curve itself stays bounded.
+
+    Word split mirrors SQL ``string_split(text, ' ')`` (single space, empty
+    tokens kept); docs with fewer than ``ngram`` words contribute no grams.
+    Ints end-to-end — hash-exact.
+
+    Returns ``(bucket, new_words, vocab_size)`` sorted by bucket."""
+    import pandas as pd
+
+    mult1 = np.uint64(0x9E3779B97F4A7C15)
+    mult2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+    def local_min(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b[text_col].combine_chunks(), " ")
+        ids = b[id_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = np.asarray(words.flatten().to_pandas(), dtype=object)
+        h1 = pd.util.hash_array(flat).astype(np.uint64)
+        h2 = pd.util.hash_array(flat, hash_key="fedcba9876543210").astype(np.uint64)
+        docix = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        m = len(h1) - ngram + 1
+        if m <= 0:
+            empty = np.zeros(0, np.int64)
+            return pa.table({"_g1": pa.array(np.zeros(0, np.uint64)),
+                             "_g2": pa.array(np.zeros(0, np.uint64)),
+                             "_min": pa.array(empty), "_salt": pa.array(empty)})
+        g1 = np.zeros(m, dtype=np.uint64)
+        g2 = np.zeros(m, dtype=np.uint64)
+        for j in range(ngram):
+            g1 = g1 * mult1 + h1[j: m + j]
+            g2 = g2 * mult2 + h2[j: m + j]
+        same_doc = docix[:m] == docix[ngram - 1:]
+        g1, g2 = g1[same_doc], g2[same_doc]
+        gdoc = ids[docix[:m][same_doc]]
+        order = np.lexsort((gdoc, g2, g1))
+        a, b2, d = g1[order], g2[order], gdoc[order]
+        first = np.r_[True, (a[1:] != a[:-1]) | (b2[1:] != b2[:-1])] \
+            if len(a) else np.zeros(0, bool)
+        a, b2, d = a[first], b2[first], d[first]
+        return pa.table({
+            "_g1": pa.array(a), "_g2": pa.array(b2), "_min": pa.array(d),
+            "_salt": pa.array((a % np.uint64(salt_mod)).astype(np.int64)),
+        })
+
+    def fold_partition(g: pa.Table) -> pa.Table:
+        g1 = g["_g1"].combine_chunks().to_numpy(zero_copy_only=False)
+        g2 = g["_g2"].combine_chunks().to_numpy(zero_copy_only=False)
+        mn = g["_min"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((mn, g2, g1))
+        a, b2, d = g1[order], g2[order], mn[order]
+        first = np.r_[True, (a[1:] != a[:-1]) | (b2[1:] != b2[:-1])] \
+            if len(a) else np.zeros(0, bool)
+        gmins = d[first]
+        buckets = gmins // np.int64(bucket_width)
+        ub, counts = np.unique(buckets, return_counts=True)
+        return pa.table({"bucket": pa.array(ub),
+                         "new_words": pa.array(counts.astype(np.int64)),
+                         "_one": pa.array(np.zeros(len(ub), np.int64))})
+
+    def finalize(g: pa.Table) -> pa.Table:
+        b = g["bucket"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["new_words"].combine_chunks().to_numpy(zero_copy_only=False)
+        ub = np.unique(b)
+        sums = np.zeros(len(ub), np.int64)
+        np.add.at(sums, np.searchsorted(ub, b), n)
+        return pa.table({"bucket": pa.array(ub), "new_words": pa.array(sums),
+                         "vocab_size": pa.array(np.cumsum(sums))})
+
+    return (ds.map_batches(local_min, batch_format="pyarrow")
+            .groupby("_salt").map_groups(fold_partition, batch_format="pyarrow")
+            .groupby("_one").map_groups(finalize, batch_format="pyarrow"))
+
+
+def regex_redact(ds, col: str, pattern: str = "[0-9]+",
+                 replacement: str = "<NUM>", out_col: str | None = None,
+                 keep_cols: tuple[str, ...] = ()):
+    """PII-style redaction: replace every match of an RE2 ``pattern`` in
+    ``col`` with ``replacement`` (numbers / emails / phone shapes — the
+    pre-training scrub pass).  One vectorized Arrow kernel per batch
+    (``pc.replace_substring_regex``); Arrow and DuckDB both compile RE2, so
+    ``regexp_replace(col, pattern, repl, 'g')`` is an exact oracle — no
+    dialect skew.  Pure map: rows never move."""
+    out_col = out_col or f"{col}_redacted"
+
+    def redact(b: pa.Table) -> pa.Table:
+        cols = {c: b[c] for c in keep_cols}
+        cols[out_col] = pc.replace_substring_regex(
+            b[col], pattern=pattern, replacement=replacement)
+        return pa.table(cols)
+
+    return ds.map_batches(redact, batch_format="pyarrow")
