@@ -3325,6 +3325,18 @@ def _q_shuffle_sequences(sf_dir: str):
     return approx_global_shuffle(ds, seed=7)
 
 
+def _q_token_type_ratio(sf_dir: str):
+    """Per-sequence type-token ratio (lexical diversity over the tokenized
+    corpus): distinct tokens / length in one flat lexsort pass per batch, no
+    per-row Python (stages/sampling.py:token_type_ratio); ratio divides
+    double-first so DuckDB len(list_distinct(tokens))/len(tokens) is
+    hash-exact."""
+    from tsdat_ray.stages.sampling import token_type_ratio
+
+    ds = _read(_sequences_corpus(sf_dir), columns=["doc_id", "tokens"])
+    return token_type_ratio(ds)
+
+
 def _q_token_histogram(sf_dir: str):
     from tsdat_ray.stages.sampling import token_histogram
 
@@ -5631,6 +5643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "md5_shuffle_docs": _q_md5_shuffle_docs,
         "curriculum_order_docs": _q_curriculum_order_docs,
         "token_histogram": _q_token_histogram,
+        "token_type_ratio_sequences": _q_token_type_ratio,
         "zarr_roundtrip_events": _q_zarr_roundtrip,
         "netcdf_roundtrip_events": _q_netcdf_roundtrip,
         "media_image_stats": _q_media_image_stats,
@@ -7175,6 +7188,14 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(tokens) AS tok
                   FROM read_parquet('{_seq_corpus_glob()}'))
             GROUP BY 1
+        """,
+        "token_type_ratio_sequences": f"""
+            SELECT doc_id,
+                   CAST(len(tokens) AS BIGINT) AS n_tok_actual,
+                   CAST(len(list_distinct(tokens)) AS BIGINT) AS n_types,
+                   CAST(len(list_distinct(tokens)) AS DOUBLE)
+                       / CAST(len(tokens) AS DOUBLE) AS ttr
+            FROM read_parquet('{_seq_corpus_glob()}')
         """,
         "rollup_month_events": _events_rollup_sql("month"),
         "rollup_month_from_1d_events": _events_rollup_sql("month"),

@@ -155,3 +155,25 @@ def test_regex_redact(ray_session):
            .to_pandas().sort_values("event_id"))
     assert list(out["props_redacted"]) == [
         '{"k": <NUM>}', "no digits", "a<NUM>b<NUM>c<NUM>", ""]
+
+
+def test_token_type_ratio_brute_force(ray_session):
+    import ray.data as rd
+
+    from tsdat_ray.stages.sampling import token_type_ratio
+
+    rng = np.random.default_rng(5)
+    rows = [rng.integers(0, 9, rng.integers(1, 30)).astype(np.int32)
+            for _ in range(200)]
+    t = pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(len(rows))]),
+        "tokens": pa.array([r.tolist() for r in rows],
+                           pa.list_(pa.int32())),
+    })
+    out = (token_type_ratio(rd.from_arrow(t))
+           .to_pandas().set_index("doc_id"))
+    for i, r in enumerate(rows):
+        row = out.loc[f"d{i}"]
+        assert row["n_tok_actual"] == len(r)
+        assert row["n_types"] == len(np.unique(r))
+        assert row["ttr"] == np.float64(len(np.unique(r))) / np.float64(len(r))
