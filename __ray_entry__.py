@@ -5437,6 +5437,42 @@ def _q_dsir_select(sf_dir: str):
     return dsir_logratio(ds, m_t, m_r).sort("doc_id")
 
 
+def _q_snapshot_diff(sf_dir: str):
+    """Dataset-versioning diff between two corpus snapshots (the audit pass
+    between crawl versions): snapshot B is derived deterministically from
+    documents (doc_id%7==0 removed; %5==0 text appended ' v2'; %11==0
+    re-added as doc_id+100000 with 'new ' prefix); only (id, 128-bit content
+    hash, side) rows shuffle — never the payload
+    (stages/dedup.py:snapshot_diff).  Output: ids with status in
+    {added, removed, changed}; unchanged drop."""
+    from tsdat_ray.stages.dedup import snapshot_diff
+
+    a = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def derive_b(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        txt = t["text"].combine_chunks()
+        keep = ids % 7 != 0
+        chg = (ids % 5 == 0)
+        new_txt = pc.if_else(pa.array(chg),
+                             pc.binary_join_element_wise(txt, pa.scalar(" v2"), ""),
+                             txt)
+        base = pa.table({"doc_id": pa.array(ids), "text": new_txt}).filter(
+            pa.array(keep))
+        addsel = ids % 11 == 0
+        added = pa.table({
+            "doc_id": pa.array(ids[addsel] + 100000),
+            "text": pc.binary_join_element_wise(
+                pa.scalar("new "), txt.filter(pa.array(addsel)), ""),
+        })
+        return pa.concat_tables([base, added])
+
+    b = _read(f"{sf_dir}/documents.parquet",
+              columns=["doc_id", "text"]).map_batches(
+        derive_b, batch_format="pyarrow")
+    return snapshot_diff(a, b)
+
+
 def _q_remove_dup_spans(sf_dir: str):
     """Exact-substring dedup SCRUB (Lee et al. 2022 §4) — cut every 20-char
     span duplicated across >= 2 distinct docs out of the text, keep the rest:
@@ -5708,6 +5744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_rules_docs": _q_gopher_rules,
         "dsir_select_docs": _q_dsir_select,
         "remove_dup_spans_docs": _q_remove_dup_spans,
+        "snapshot_diff_docs": _q_snapshot_diff,
         "vocab_growth_docs": _q_vocab_growth,
         "ks_2samp_docs": _q_ks_2samp,
         "redact_props_events": _q_redact_props,
@@ -7618,6 +7655,24 @@ def oracle_sql() -> dict[str, str]:
                       >= 0.4002
             )
             ORDER BY a.vec_id
+        """,
+        "snapshot_diff_docs": """
+            WITH b AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 7 <> 0
+                UNION ALL
+                SELECT doc_id + 100000 AS doc_id, 'new ' || text AS text
+                FROM documents WHERE doc_id % 11 = 0
+            ),
+            a AS (SELECT doc_id, text FROM documents)
+            SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                   CASE WHEN a.doc_id IS NULL THEN 'added'
+                        WHEN b.doc_id IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status
+            FROM a FULL JOIN b ON a.doc_id = b.doc_id
+            WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.text <> b.text
         """,
         "remove_dup_spans_docs": """
             WITH pos AS (

@@ -177,3 +177,28 @@ def test_token_type_ratio_brute_force(ray_session):
         assert row["n_tok_actual"] == len(r)
         assert row["n_types"] == len(np.unique(r))
         assert row["ttr"] == np.float64(len(np.unique(r))) / np.float64(len(r))
+
+
+def test_snapshot_diff_brute_force(ray_session):
+    import ray.data as rd
+
+    from tsdat_ray.stages.dedup import snapshot_diff
+
+    old = pa.table({
+        "doc_id": pa.array(np.arange(10, dtype=np.int64)),
+        "text": pa.array([f"t{i}" for i in range(10)]),
+    })
+    new = pa.table({
+        # 0..4 unchanged, 5..7 changed, 8..9 removed, 20..21 added
+        "doc_id": pa.array(np.r_[np.arange(8), [20, 21]].astype(np.int64)),
+        "text": pa.array([f"t{i}" for i in range(5)]
+                         + [f"t{i} v2" for i in range(5, 8)]
+                         + ["fresh a", "fresh b"]),
+    })
+    out = (snapshot_diff(rd.from_arrow(old), rd.from_arrow(new),
+                         num_buckets=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    got = dict(zip(out["doc_id"], out["status"]))
+    assert got == {5: "changed", 6: "changed", 7: "changed",
+                   8: "removed", 9: "removed",
+                   20: "added", 21: "added"}

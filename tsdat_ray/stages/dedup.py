@@ -1883,3 +1883,72 @@ def remove_duplicate_spans(ds, id_col: str = "doc_id", text_col: str = "text",
             .union(dups.map_batches(pad_dup, batch_format="pyarrow")))
     return (both.map_batches(add_dsalt, batch_format="pyarrow")
             .groupby("_dsalt").map_groups(scrub, batch_format="pyarrow"))
+
+
+def snapshot_diff(ds_old, ds_new, id_col: str = "doc_id",
+                  content_col: str = "text", num_buckets: int = 64):
+    """Dataset-versioning diff between two corpus snapshots: which ids were
+    ADDED (new only), REMOVED (old only), or CHANGED (present in both,
+    content differs) — the audit pass run between two crawl / pipeline
+    versions before retraining.
+
+    Only ``(id, 128-bit content hash, side)`` rows ever move — the payload
+    never shuffles, so the exchange is O(ids), not O(corpus).  One bucketed
+    cogroup by ``hash(id) % num_buckets``; inside each bucket the three
+    classes fall out of two sorted-array memberships (vectorized
+    searchsorted).  Equal text always hashes equal; differing text collides
+    with probability ~2^-128 (the dup-span argument).  Ids are assumed
+    unique within each snapshot.  Unchanged ids are dropped.
+
+    Returns ``(id_col, status)`` with status in {added, removed, changed}."""
+    import pandas as pd
+
+    def slim(side: int):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b[id_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+            txt = b[content_col].combine_chunks().to_numpy(zero_copy_only=False)
+            h1 = pd.util.hash_array(txt).astype(np.uint64)
+            h2 = pd.util.hash_array(txt, hash_key="fedcba9876543210").astype(np.uint64)
+            return pa.table({
+                id_col: pa.array(ids),
+                "_h1": pa.array(h1), "_h2": pa.array(h2),
+                "_side": pa.array(np.full(len(ids), side, np.int64)),
+                "_bk": pa.array(ids % np.int64(num_buckets)),
+            })
+        return f
+
+    def classify(g: pa.Table) -> pa.Table:
+        ids = g[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        h1 = g["_h1"].combine_chunks().to_numpy(zero_copy_only=False)
+        h2 = g["_h2"].combine_chunks().to_numpy(zero_copy_only=False)
+        side = g["_side"].combine_chunks().to_numpy(zero_copy_only=False)
+        o, n = side == 0, side == 1
+        ids_o, ids_n = ids[o], ids[n]
+        oo, no = np.argsort(ids_o, kind="stable"), np.argsort(ids_n, kind="stable")
+        ids_o, ids_n = ids_o[oo], ids_n[no]
+        h1_o, h2_o = h1[o][oo], h2[o][oo]
+        h1_n, h2_n = h1[n][no], h2[n][no]
+        pos = np.searchsorted(ids_o, ids_n)
+        in_old = (pos < len(ids_o)) & (ids_o[np.minimum(pos, max(len(ids_o) - 1, 0))] == ids_n) \
+            if len(ids_o) else np.zeros(len(ids_n), bool)
+        pos_n = np.searchsorted(ids_n, ids_o)
+        in_new = (pos_n < len(ids_n)) & (ids_n[np.minimum(pos_n, max(len(ids_n) - 1, 0))] == ids_o) \
+            if len(ids_n) else np.zeros(len(ids_o), bool)
+        added = ids_n[~in_old]
+        removed = ids_o[~in_new]
+        both_n = in_old
+        match = pos[both_n]
+        changed = ids_n[both_n][(h1_n[both_n] != h1_o[match])
+                                | (h2_n[both_n] != h2_o[match])]
+        out_ids = np.concatenate([added, removed, changed])
+        status = np.concatenate([
+            np.full(len(added), "added", object),
+            np.full(len(removed), "removed", object),
+            np.full(len(changed), "changed", object),
+        ])
+        return pa.table({id_col: pa.array(out_ids),
+                         "status": pa.array(status.tolist(), pa.string())})
+
+    both = (ds_old.map_batches(slim(0), batch_format="pyarrow")
+            .union(ds_new.map_batches(slim(1), batch_format="pyarrow")))
+    return both.groupby("_bk").map_groups(classify, batch_format="pyarrow")
