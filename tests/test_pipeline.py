@@ -560,3 +560,75 @@ def test_compact_tier_crash_recovery_no_duplication(ray_session, tmp_path):
     got = sum(pq.read_table(f).num_rows
               for f in glob.glob(root + "/raw/**/*.parquet", recursive=True))
     assert got == n, f"rows duplicated or lost: {got} != {n}"
+
+
+def test_purge_keys_right_to_be_forgotten(ray_session, corpus, tmp_path):
+    """GDPR purge: purged ids vanish from raw + every tier equals a
+    from-scratch build on the filtered input (bit-deterministic contract);
+    untouched partitions are not rewritten; a later fresh rebuild cannot
+    resurrect the ids."""
+    import ray.data as rd
+
+    from tsdat_ray.pipelines.rollup_pipeline import purge_keys
+
+    out = str(tmp_path / "store")
+    cfg = PipelineConfig(out_root=out, run_id="p1")
+    run_pipeline(corpus, cfg)
+    man = Manifest(out)
+
+    raw = rd.read_parquet(man.tier_dir("raw")).to_pandas()
+    victims = sorted(raw["doc_id"].unique())[:25]
+    before_parts = {r["partition"]: r["run_id"] for r in man.records()
+                    if r["tier"] == "t1m" and r.get("action") != "pruned"}
+
+    stats = purge_keys(corpus, PipelineConfig(out_root=out, run_id="p2"),
+                       victims)
+    assert stats["purged"]["ids"] == len(victims)
+    assert stats["purged"]["partitions"]  # something was actually rebuilt
+
+    # purged ids gone from raw
+    man = Manifest(out)
+    raw2 = rd.read_parquet(man.tier_dir("raw")).to_pandas()
+    assert not set(victims) & set(raw2["doc_id"])
+
+    # untouched t1m partitions keep their original run_id (not rewritten)
+    touched = set(stats["purged"]["partitions"])
+    after_parts = {r["partition"]: r["run_id"] for r in man.records()
+                   if r["tier"] == "t1m" and r.get("action") != "pruned"}
+    for part, rid in before_parts.items():
+        if part not in touched:
+            assert after_parts[part] == rid
+
+    # tiers now equal a from-scratch build over the filtered input
+    clean_out = str(tmp_path / "clean")
+    victims_set = set(victims)
+
+    def drop_victims(b):
+        import pyarrow.compute as _pc
+        import pyarrow as _pa
+        keep = [i not in victims_set for i in b["doc_id"].to_pylist()]
+        return b.filter(_pa.array(keep))
+
+    import pyarrow.parquet as pq
+    filt_dir = tmp_path / "filtered_corpus"
+    filt_dir.mkdir()
+    for i, f in enumerate(sorted(os.listdir(corpus))):
+        t = pq.read_table(os.path.join(corpus, f))
+        pq.write_table(drop_victims(t), str(filt_dir / f))
+    run_pipeline(str(filt_dir), PipelineConfig(out_root=clean_out,
+                                               resume=False, run_id="ref"))
+    got = rd.read_parquet(man.tier_dir("t1m")).to_pandas()
+    ref = rd.read_parquet(Manifest(clean_out).tier_dir("t1m")).to_pandas()
+    key = ["source", "bucket"]
+    got = got.sort_values(key).reset_index(drop=True)
+    ref = ref.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(ref)
+    for c in ("n_tok_sum_wx", "n_tok_n", "n_rows"):
+        if c in got.columns:
+            assert (got[c].values == ref[c].values).all(), c
+
+    # fresh rebuild over the ORIGINAL corpus: tombstones still exclude
+    run_pipeline(corpus, PipelineConfig(out_root=out, resume=False,
+                                        run_id="p3"))
+    raw3 = rd.read_parquet(Manifest(out).tier_dir("raw")).to_pandas()
+    assert not set(victims) & set(raw3["doc_id"])

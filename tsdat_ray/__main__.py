@@ -70,6 +70,15 @@ def main(argv=None) -> int:
     vapp.add_argument("--out-tier", default="vap")
     vapp.add_argument("--run-id", default="")
 
+    purgep = sub.add_parser(
+        "purge", help="GDPR purge: tombstone ids + rebuild their partitions")
+    purgep.add_argument("--input", required=True,
+                        help="input Parquet path(s), comma-separated")
+    purgep.add_argument("--out", required=True)
+    purgep.add_argument("--ids", required=True,
+                        help="comma-separated doc ids (or @file with one id per line)")
+    purgep.add_argument("--run-id", default="")
+
     sub.add_parser("schema", help="print the yaml config schema (fields, checkers, handlers)")
 
     args = p.parse_args(argv)
@@ -195,6 +204,19 @@ def main(argv=None) -> int:
                 run_id=args.run_id or f"vap-{int(time.time())}",
             )
             print(json.dumps(run_vap(vcfg), default=str))
+        elif args.cmd == "purge":
+            from tsdat_ray.pipelines.rollup_pipeline import purge_keys
+
+            if args.ids.startswith("@"):
+                with open(args.ids[1:]) as f:
+                    ids = [ln.strip() for ln in f if ln.strip()]
+            else:
+                ids = args.ids.split(",")
+            cfg = PipelineConfig(out_root=args.out, resume=True,
+                                 run_id=args.run_id or f"purge-{int(time.time())}")
+            inputs = args.input.split(",")
+            stats = purge_keys(inputs if len(inputs) > 1 else inputs[0], cfg, ids)
+            print(json.dumps(stats, default=str))
         elif args.cmd == "prune":
             cfg = PipelineConfig(out_root=args.out, run_id="prune")
             now_us = args.now_us if args.now_us is not None else int(time.time() * 1_000_000)

@@ -252,6 +252,23 @@ def _clean_dataset(input_paths, cfg: PipelineConfig, done: frozenset,
     qc_stage = QCStage(cfg.qc) if cfg.qc else None
     std_cfg = cfg.std
     ds = rd.read_parquet(input_paths, override_num_blocks=_num_blocks(cfg))
+    tomb = _tombstone_values(cfg)
+    if tomb is not None and len(tomb):
+        # permanent exclusion set (purge_keys): applied on the raw input so
+        # no run — fresh, resume, or reprocess — can resurrect purged rows.
+        # Broadcast once via ray.put (bounded by purge-history size; a purge
+        # list beyond broadcast budget should move to an anti-join stage).
+        import ray
+
+        tref = ray.put(tomb)
+
+        def _drop_tombstoned(b: pa.Table) -> pa.Table:
+            import ray as _r
+
+            return b.filter(pc.invert(pc.is_in(b["doc_id"],
+                                               value_set=_r.get(tref))))
+
+        ds = ds.map_batches(_drop_tombstoned, batch_format="pyarrow")
     ds = ds.map_batches(lambda b: standardize_batch(b, std_cfg), batch_format="pyarrow")
     if cfg.hooks.get("customize") is not None:
         ds = ds.map_batches(cfg.hooks["customize"], batch_format="pyarrow")
@@ -375,6 +392,88 @@ def reprocess_range(input_paths, cfg: PipelineConfig, start_us: int, end_us: int
     cfg2 = PipelineConfig(**{**cfg.__dict__, "resume": True})
     stats = run_pipeline(input_paths, cfg2)
     stats["invalidated"] = invalidated
+    return stats
+
+
+def _tombstone_values(cfg: PipelineConfig, id_col: str = "doc_id"):
+    """Union of every persisted tombstone file under <root>/_tombstones/ —
+    the permanent purge exclusion set (see :func:`purge_keys`).  Returns a
+    ``pa.Array`` of ids, or None when no purge has ever run.  Driver-side
+    read bounded by the purge history, not the corpus; fresh-run store wipes
+    deliberately do NOT touch _tombstones/."""
+    import pyarrow.parquet as pq
+
+    man = Manifest(cfg.out_root)
+    tdir = man.sfs.join("_tombstones")
+    if not man.sfs.isdir(tdir):
+        return None
+    tabs = [pq.read_table(man.sfs.join("_tombstones", f), columns=[id_col])
+            for f in sorted(man.sfs.listdir(tdir)) if f.endswith(".parquet")]
+    if not tabs:
+        return None
+    return pa.concat_tables(tabs)[id_col].combine_chunks()
+
+
+def purge_keys(input_paths, cfg: PipelineConfig, ids,
+               id_col: str = "doc_id") -> dict:
+    """GDPR purge (right-to-be-forgotten): remove every row of ``ids`` from
+    the store and rebuild exactly the rollups they contributed to —
+    partition-exact, resumable, and permanent:
+
+    1. the ids append to an immutable tombstone file under
+       ``<root>/_tombstones/`` (content-named, atomic write); every future
+       run — fresh, resume, or reprocess — excludes tombstoned ids at the
+       input, so purged rows can never be resurrected from the raw inputs;
+    2. a column-pruned scan of the raw tier locates the (source, day)
+       partitions that actually contain the ids (only batch-distinct
+       partition keys leave each task — bounded by |ids|, not the corpus);
+    3. those partitions invalidate across raw + every tier + encoded
+       stores (the reprocess machinery: every other partition stays
+       committed and untouched);
+    4. one resume run recomputes only the invalidated partitions, now
+       without the purged rows.
+
+    Returns run stats + ``purged`` ({ids, partitions, invalidated})."""
+    import hashlib
+
+    import ray.data as rd
+
+    man = Manifest(cfg.out_root)
+    ids = sorted(set(str(i) for i in ids))
+    man.sfs.makedirs(man.sfs.join("_tombstones"))
+    digest = hashlib.md5("\n".join(ids).encode()).hexdigest()[:12]
+    man.sfs.write_table_atomic(
+        pa.table({id_col: pa.array(ids, pa.string())}),
+        man.sfs.join("_tombstones", f"tomb-{digest}.parquet"))
+
+    hits: set[str] = set()
+    if man.completed("raw"):
+        idset = pa.array(ids, pa.string())
+
+        def find_parts(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.is_in(b[id_col], value_set=idset))
+            return t.select(["source", "day"]).group_by(
+                ["source", "day"]).aggregate([])
+
+        parts = rd.read_parquet(
+            man.tier_dir("raw"), columns=[id_col, "source", "day"]
+        ).map_batches(find_parts, batch_format="pyarrow")
+        for b in parts.iter_batches(batch_format="pyarrow", batch_size=None):
+            for s, d in zip(b["source"].to_pylist(), b["day"].to_pylist()):
+                hits.add(f"source={s}/day={d}")
+
+    tiers = ["raw"] + [f"t{t}" for t in cfg.tiers] + [
+        f"t{t}_enc" for t in cfg.encode_tiers if t in cfg.tiers]
+    invalidated = {
+        t: man.invalidate(
+            t, [p for p in man.list_partition_dirs(t) if p in hits],
+            reason="purge")
+        for t in tiers
+    }
+    cfg2 = PipelineConfig(**{**cfg.__dict__, "resume": True})
+    stats = run_pipeline(input_paths, cfg2)
+    stats["purged"] = {"ids": len(ids), "partitions": sorted(hits),
+                       "invalidated": invalidated}
     return stats
 
 
