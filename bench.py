@@ -84,9 +84,13 @@ def run_bench() -> dict:
     # best-of-3 per CPU level so one noisy run can't skew the ratio
     for attempt in range(3 if scale_rows else 2):
         shutil.rmtree(out_root, ignore_errors=True)
-        # pin the block layout so both CPU levels run the identical physical plan
+        # scaling mode pins the block layout (64) so both CPU levels run the
+        # identical physical plan; the headline corpus is small enough to be
+        # fixed-overhead-bound, so blocks = CPUs there (measured at 32 CPUs:
+        # 5.4-5.7 s at 32 blocks vs 7.2 s at 64 vs 9.9 s at 96)
         cfg = PipelineConfig(out_root=out_root, resume=False,
-                             run_id=f"bench{attempt}", parallelism=64)
+                             run_id=f"bench{attempt}",
+                             parallelism=64 if scale_rows else num_cpus)
         t0 = time.time()
         run_pipeline(corpus, cfg)
         runs.append(time.time() - t0)
