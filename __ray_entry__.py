@@ -159,6 +159,28 @@ def _strip_tokens(ds):
     return ds.map_batches(drop, batch_format="pyarrow")
 
 
+def prewarm_stores(sf_dir: str) -> None:
+    """Build every versioned /tmp INPUT store the query sweep reads
+    (sequences tier cascade, events tier cascade, VAP source store, media
+    corpus) if absent or layout-stale.  Called UNTIMED by ``bench.py``
+    before the per-query sweep: a tier store is a production artifact the
+    pipeline writes once (its build cost is the TIMED headline metric), so
+    sweep lines measure steady-state query latency instead of charging
+    whichever query happens to touch a cold store first.  Derived caches
+    that ARE a query's own work (e.g. the n-gram similarity pair list) are
+    deliberately not prewarmed."""
+    from tsdat_ray.pipelines.rollup_pipeline import PipelineConfig, run_pipeline
+    from tsdat_ray.state.manifest import Manifest
+
+    _seq_tiers(sf_dir)
+    _events_rollup(sf_dir, "1d")  # cascades: builds 1m and 1h too
+    store = _vap_store(sf_dir)
+    if not Manifest(store).completed("t1m"):
+        run_pipeline(_sequences_corpus(sf_dir),
+                     PipelineConfig(out_root=store, run_id="vapq"))
+    _media_path()
+
+
 # --------------------------------------------------------------------------- #
 # driver entry points
 # --------------------------------------------------------------------------- #

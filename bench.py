@@ -111,6 +111,11 @@ def run_bench() -> dict:
         }
 
     # ---------------- per-query timings ----------------
+    # untimed: build the versioned /tmp tier stores the sweep queries READ
+    # (input artifacts the pipeline writes once — that build is the timed
+    # headline above), so sweep lines measure steady-state query latency
+    # instead of charging whichever query touches a cold store first
+    entrymod.prewarm_stores(sf_dir)
     queries = entrymod.queries()
     # sweep the ENTIRE driver-contract surface (auto-inclusive: a new
     # queries() entry is benched the round it lands; no curated list to
