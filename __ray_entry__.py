@@ -5554,6 +5554,89 @@ def _q_redact_props(sf_dir: str):
                         keep_cols=("event_id",))
 
 
+def _q_bm25_search(sf_dir: str):
+    """BM25 ranked retrieval (k1=1.5, b=0.75) for a fixed 4-term query over
+    the documents corpus — log-free RSJ-odds idf so every score is built
+    from exactly-rounded IEEE +,*,/ in a fixed order and the SQL twin is
+    bit-identical (stages/text.py:bm25_topk).  Pass 1 is a 6-row tree
+    reduce, pass 2 a pure scoring map + block-local top-k merge."""
+    from tsdat_ray.stages.text import bm25_topk
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bm25_topk(ds, terms=["vector", "hash", "stream", "spark"],
+                     k=20, k1=1.5, b=0.75)
+
+
+def _q_collocations(sf_dir: str):
+    """Collocation mining: top-25 adjacent word pairs by lift
+    p(xy)/(p(x)p(y)) with support ≥ 5 — the log-free monotone twin of PMI,
+    so the ranking is hash-exact (stages/text.py:collocations_lift).
+    Bigram/unigram counts are vocab-bounded partial-count shuffles; the
+    unigram table broadcasts once; min-count survivors reach the merge."""
+    from tsdat_ray.stages.text import collocations_lift
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return collocations_lift(ds, k=25, min_count=5)
+
+
+def _q_inverted_index(sf_dir: str):
+    """Sharded inverted-index build: (word, doc_id//256 shard) → sorted CSV
+    posting list + df — sharding bounds every reducer group at 256 ids so
+    stopword postings split instead of wedging one task
+    (stages/text.py:inverted_index)."""
+    from tsdat_ray.stages.text import inverted_index
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return inverted_index(ds, shard_size=256)
+
+
+def _q_triangles(sf_dir: str):
+    """Triangle census of the user co-engagement graph (users sharing an
+    (event_type, day) basket): degree-oriented wedge generation bounds
+    out-neighborhoods at O(√E) — no hub blowup, no broadcast — and wedges
+    close against the edge set in a co-shuffled hash bucket
+    (stages/graph.py:triangle_count).  Output: n_edges / n_wedges /
+    n_triangles / global closure (milli)."""
+    from tsdat_ray.stages.graph import triangle_count
+
+    ds = _events(sf_dir, columns=["ts", "user_id", "event_type"])
+
+    def baskets(b: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(b["ts"], unit="day")
+        t = pa.table({"user_id": b["user_id"], "day": day,
+                      "event_type": b["event_type"]})
+        # batch-local distinct (basket, user) before the pair stage
+        df = t.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def pairs(g: pa.Table) -> pa.Table:
+        u = np.unique(g["user_id"].combine_chunks()
+                      .to_numpy(zero_copy_only=False))
+        m = len(u)
+        if m < 2:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        iu, ju = np.triu_indices(m, k=1)
+        return pa.table({"id_a": pa.array(u[iu].astype(np.int64)),
+                         "id_b": pa.array(u[ju].astype(np.int64))})
+
+    edges = (ds.map_batches(baskets, batch_format="pyarrow")
+             .groupby(["event_type", "day"])
+             .map_groups(pairs, batch_format="pyarrow"))
+    return triangle_count(edges, "id_a", "id_b")
+
+
+def _q_corpus_fingerprint(sf_dir: str):
+    """Order-independent corpus checksum (Σ md5_48(id|text) mod 2^48 +
+    row count) — dataset-versioning audit primitive; payload never leaves
+    the task, only a 2-int partial folds up the tree
+    (stages/stats.py:corpus_fingerprint)."""
+    from tsdat_ray.stages.stats import corpus_fingerprint
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return corpus_fingerprint(ds)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rollup_1m_events": lambda d: _events_rollup(d, "1m"),
@@ -5770,6 +5853,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth_docs": _q_vocab_growth,
         "ks_2samp_docs": _q_ks_2samp,
         "redact_props_events": _q_redact_props,
+        "bm25_search_docs": _q_bm25_search,
+        "collocations_docs": _q_collocations,
+        "inverted_index_docs": _q_inverted_index,
+        "triangles_events": _q_triangles,
+        "corpus_fingerprint_docs": _q_corpus_fingerprint,
     }
 
 
@@ -7786,5 +7874,163 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS props_redacted
             FROM events
+        """,
+        # BM25 (k1=1.5, b=0.75 — every constant exactly binary-representable
+        # so decimal-literal promotion can't skew a bit): log-free RSJ-odds
+        # idf, fixed term-order sum, fully parenthesized to mirror the
+        # engine's numpy op order exactly.
+        "bm25_search_docs": """
+            WITH w AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                FROM documents),
+            wn AS (SELECT doc_id, word FROM w WHERE word <> ''),
+            dlen AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+                     FROM wn GROUP BY 1),
+            n AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents)
+                             AS n_docs,
+                         CAST(coalesce(sum(dl), 0) AS BIGINT) AS sum_dl
+                  FROM dlen),
+            tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+                   FROM wn
+                   WHERE word IN ('vector', 'hash', 'stream', 'spark')
+                   GROUP BY 1, 2),
+            df AS (SELECT word, CAST(count(*) AS BIGINT) AS df
+                   FROM tf GROUP BY 1),
+            c AS (SELECT
+                (SELECT CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                 FROM n) AS avgdl,
+                coalesce((SELECT (CAST((SELECT n_docs FROM n) - df AS DOUBLE)
+                                  + 0.5) / (CAST(df AS DOUBLE) + 0.5)
+                          FROM df WHERE word = 'vector'), 0.0) AS idf1,
+                coalesce((SELECT (CAST((SELECT n_docs FROM n) - df AS DOUBLE)
+                                  + 0.5) / (CAST(df AS DOUBLE) + 0.5)
+                          FROM df WHERE word = 'hash'), 0.0) AS idf2,
+                coalesce((SELECT (CAST((SELECT n_docs FROM n) - df AS DOUBLE)
+                                  + 0.5) / (CAST(df AS DOUBLE) + 0.5)
+                          FROM df WHERE word = 'stream'), 0.0) AS idf3,
+                coalesce((SELECT (CAST((SELECT n_docs FROM n) - df AS DOUBLE)
+                                  + 0.5) / (CAST(df AS DOUBLE) + 0.5)
+                          FROM df WHERE word = 'spark'), 0.0) AS idf4),
+            piv AS (SELECT doc_id,
+                coalesce(max(CASE WHEN word = 'vector' THEN tf END), 0) AS tf1,
+                coalesce(max(CASE WHEN word = 'hash' THEN tf END), 0) AS tf2,
+                coalesce(max(CASE WHEN word = 'stream' THEN tf END), 0) AS tf3,
+                coalesce(max(CASE WHEN word = 'spark' THEN tf END), 0) AS tf4
+                FROM tf GROUP BY 1),
+            sc AS (SELECT p.doc_id, d.dl,
+                ((( CASE WHEN p.tf1 > 0 THEN c.idf1 *
+                      ((CAST(p.tf1 AS DOUBLE) * (1.5 + 1.0))
+                       / (CAST(p.tf1 AS DOUBLE)
+                          + (1.5 * ((1.0 - 0.75)
+                             + (0.75 * (CAST(d.dl AS DOUBLE) / c.avgdl))))))
+                    ELSE 0.0 END
+                  + CASE WHEN p.tf2 > 0 THEN c.idf2 *
+                      ((CAST(p.tf2 AS DOUBLE) * (1.5 + 1.0))
+                       / (CAST(p.tf2 AS DOUBLE)
+                          + (1.5 * ((1.0 - 0.75)
+                             + (0.75 * (CAST(d.dl AS DOUBLE) / c.avgdl))))))
+                    ELSE 0.0 END)
+                  + CASE WHEN p.tf3 > 0 THEN c.idf3 *
+                      ((CAST(p.tf3 AS DOUBLE) * (1.5 + 1.0))
+                       / (CAST(p.tf3 AS DOUBLE)
+                          + (1.5 * ((1.0 - 0.75)
+                             + (0.75 * (CAST(d.dl AS DOUBLE) / c.avgdl))))))
+                    ELSE 0.0 END)
+                  + CASE WHEN p.tf4 > 0 THEN c.idf4 *
+                      ((CAST(p.tf4 AS DOUBLE) * (1.5 + 1.0))
+                       / (CAST(p.tf4 AS DOUBLE)
+                          + (1.5 * ((1.0 - 0.75)
+                             + (0.75 * (CAST(d.dl AS DOUBLE) / c.avgdl))))))
+                    ELSE 0.0 END) AS score
+                FROM piv p JOIN dlen d USING (doc_id) CROSS JOIN c)
+            SELECT doc_id, dl, score FROM sc
+            ORDER BY score DESC, doc_id LIMIT 20
+        """,
+        # Lift = p(xy)/(p(x)p(y)): the one division is the final op over
+        # int-derived doubles — the log-free monotone twin of PMI.
+        "collocations_docs": """
+            WITH t AS (
+                SELECT list_filter(
+                           regexp_split_to_array(lower(text), '[^0-9a-z]+'),
+                           x -> x <> '') AS ws
+                FROM documents),
+            uni AS (SELECT word, CAST(count(*) AS BIGINT) AS c
+                    FROM (SELECT unnest(ws) AS word FROM t) GROUP BY 1),
+            bg AS (SELECT ws[i] AS x, ws[i + 1] AS y,
+                          ws[i] || ' ' || ws[i + 1] AS bigram
+                   FROM t, unnest(generate_series(1, len(ws) - 1)) AS u(i)),
+            tot AS (SELECT
+                (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM uni) AS n_w,
+                (SELECT CAST(count(*) AS BIGINT) FROM bg) AS n_bg),
+            bgc AS (SELECT bigram, min(x) AS x, min(y) AS y,
+                           CAST(count(*) AS BIGINT) AS c_xy
+                    FROM bg GROUP BY 1 HAVING count(*) >= 5)
+            SELECT bigram, c_xy, ux.c AS c_x, uy.c AS c_y,
+                   ((CAST(bgc.c_xy AS DOUBLE) * CAST(tot.n_w AS DOUBLE))
+                    * CAST(tot.n_w AS DOUBLE))
+                   / ((CAST(tot.n_bg AS DOUBLE) * CAST(ux.c AS DOUBLE))
+                      * CAST(uy.c AS DOUBLE)) AS lift
+            FROM bgc JOIN uni ux ON ux.word = bgc.x
+                     JOIN uni uy ON uy.word = bgc.y
+                     CROSS JOIN tot
+            ORDER BY lift DESC, bigram LIMIT 25
+        """,
+        "inverted_index_docs": """
+            WITH w AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                FROM documents),
+            d AS (SELECT DISTINCT doc_id, word FROM w WHERE word <> '')
+            SELECT word, CAST(doc_id // 256 AS BIGINT) AS shard,
+                   CAST(count(*) AS BIGINT) AS df_shard,
+                   string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                       AS postings
+            FROM d GROUP BY 1, 2
+        """,
+        # n_wedges is the DEGREE-ORIENTED wedge count (sum C(outdeg, 2)) —
+        # the quantity the engine's Suri-Vassilvitskii pass generates.
+        "triangles_events": """
+            WITH bu AS (
+                SELECT DISTINCT event_type, date_trunc('day', ts) AS day,
+                                user_id
+                FROM events),
+            e AS (
+                SELECT DISTINCT a.user_id AS ua, b.user_id AS ub
+                FROM bu a JOIN bu b
+                  ON a.event_type = b.event_type AND a.day = b.day
+                 AND a.user_id < b.user_id),
+            deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d
+                    FROM (SELECT ua AS u FROM e
+                          UNION ALL SELECT ub FROM e) GROUP BY 1),
+            oe AS (SELECT CASE WHEN (da.d < db.d)
+                                 OR (da.d = db.d AND e.ua < e.ub)
+                               THEN e.ua ELSE e.ub END AS src
+                   FROM e JOIN deg da ON da.u = e.ua
+                          JOIN deg db ON db.u = e.ub),
+            od AS (SELECT src, CAST(count(*) AS BIGINT) AS od
+                   FROM oe GROUP BY 1),
+            wdg AS (SELECT CAST(coalesce(sum((od * (od - 1)) // 2), 0)
+                                AS BIGINT) AS n_wedges FROM od),
+            tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+                    FROM e e1
+                    JOIN e e2 ON e2.ua = e1.ua AND e2.ub > e1.ub
+                    JOIN e e3 ON e3.ua = e1.ub AND e3.ub = e2.ub),
+            ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+            SELECT ne.n_edges, wdg.n_wedges, tri.n_triangles,
+                   CAST(CASE WHEN wdg.n_wedges > 0 THEN
+                        round(((CAST(3.0 AS DOUBLE)
+                                * CAST(tri.n_triangles AS DOUBLE))
+                               / CAST(wdg.n_wedges AS DOUBLE))
+                              * CAST(1000.0 AS DOUBLE))
+                        ELSE 0 END AS BIGINT) AS closure_milli
+            FROM ne, wdg, tri
+        """,
+        "corpus_fingerprint_docs": """
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                                || '|'
+                                                || coalesce(text, '')),
+                                            1, 12))::BIGINT)
+                        % 281474976710656 AS BIGINT) AS fp48
+            FROM documents
         """,
     }

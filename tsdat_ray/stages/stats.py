@@ -548,3 +548,41 @@ def ks_2samp(ds, value_col: str, side_col: str, side_a, side_b,
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("_salt").map_groups(fold_support, batch_format="pyarrow")
             .groupby("_one").map_groups(finalize, batch_format="pyarrow"))
+
+
+def corpus_fingerprint(ds, id_col: str = "doc_id", text_col: str = "text",
+                       fanin: int = 8):
+    """Order-independent corpus checksum for dataset versioning: one row
+    ``(n_rows, fp48)`` where ``fp48 = Σ md5_48("<id>|<text>") mod 2^48`` —
+    the audit primitive that lets two pipelines (or two engine versions, or
+    engine vs SQL) assert they hold the SAME logical corpus without moving
+    it.  Addition mod 2^48 is commutative/associative, so the fold is
+    partition-order-free; md5 keeps it portable (``md5()`` exists in DuckDB,
+    Spark, shells — the :func:`..sampling.md5_split` recipe) and 48 bits fit
+    a BIGINT exactly on both sides.
+
+    Scale shape: per-batch partial (hashing is C-speed per row; payload
+    never leaves the task — only a 2-int partial does) + tree reduce."""
+    import hashlib
+
+    from .reduce import tree_reduce
+
+    MOD = 1 << 48
+
+    def partial(t: pa.Table) -> pa.Table:
+        if "fp48" in t.column_names:  # merge level
+            n = int(sum(t["n_rows"].to_pylist()))
+            s = int(sum(t["fp48"].to_pylist()) % MOD)
+            return pa.table({"n_rows": pa.array([n], pa.int64()),
+                             "fp48": pa.array([s], pa.int64())})
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        txt = t[text_col].combine_chunks().fill_null("").to_pylist()
+        acc = 0
+        for i, s in zip(ids, txt):
+            acc += int(hashlib.md5(
+                (str(i) + "|" + s).encode()).hexdigest()[:12], 16)
+        return pa.table({"n_rows": pa.array([len(ids)], pa.int64()),
+                         "fp48": pa.array([acc % MOD], pa.int64())})
+
+    return tree_reduce(ds.select_columns([id_col, text_col]), partial,
+                       fanin=fanin)

@@ -1321,3 +1321,277 @@ def regex_redact(ds, col: str, pattern: str = "[0-9]+",
         return pa.table(cols)
 
     return ds.map_batches(redact, batch_format="pyarrow")
+
+
+def _flat_words(t: pa.Table, text_col: str):
+    """Single-space word split shared by the BM25 / posting-list family:
+    returns (flat words, owning row index) with empty artifacts dropped —
+    the ``string_split(text, ' ')`` / ``word <> ''`` SQL contract (same
+    tokens as :func:`tfidf_top_terms`)."""
+    words = pc.split_pattern(pc.coalesce(t[text_col].combine_chunks(), ""), " ")
+    offs = words.offsets.to_numpy(zero_copy_only=False)
+    flat = words.flatten().to_numpy(zero_copy_only=False)
+    rows = np.repeat(np.arange(len(t), dtype=np.int64), np.diff(offs))
+    keep = flat != ""
+    return flat[keep], rows[keep]
+
+
+def bm25_topk(ds, terms, k: int = 20, k1: float = 1.2, b: float = 0.75,
+              text_col: str = "text", id_col: str = "doc_id", fanin: int = 8):
+    """BM25 ranked retrieval over the corpus for a fixed bag of query
+    ``terms`` — the lexical-search primitive (reference has no analogue;
+    first-class for an LLM-data engine: quality-biased subset selection,
+    seed-document expansion).
+
+    Portability contract (hash-exact vs SQL): the idf is the LOG-FREE
+    Robertson-Spärck-Jones odds ``(N - df + 0.5) / (df + 0.5)`` — every
+    score is built from int-derived doubles with +,*,/ only (all exactly
+    rounded IEEE ops), in one fixed parenthesization mirrored by the SQL
+    twin, and the per-doc sum runs in fixed query-term order.  No
+    transcendentals means no libm-ulp skew between numpy and DuckDB.
+
+    Scale shape: pass 1 is a tree-reduced 6-row stats table (df per term,
+    N, Σdl) — never a shuffle; pass 2 is a pure map_batches scoring pass
+    (per-term tf via one flattened split + bincount, no per-row Python)
+    followed by the block-local top-k merge (:func:`..reduce.topk_merge`):
+    at most ``k`` rows leave each block."""
+    from .reduce import topk_merge, tree_reduce
+
+    terms = list(terms)
+    META_N, META_DL = "\x00n_docs", "\x00sum_dl"
+
+    def partial(t: pa.Table) -> pa.Table:
+        if "key" in t.column_names:  # merge level: re-fold partials
+            ks = t["key"].to_numpy(zero_copy_only=False)
+            vs = t["val"].combine_chunks().to_numpy(zero_copy_only=False)
+            order = np.argsort(ks, kind="stable")
+            ks, vs = ks[order], vs[order]
+            st = (np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+                  if len(ks) else np.zeros(0, np.int64))
+            sums = np.add.reduceat(vs, st) if len(ks) else vs[:0]
+            return pa.table({"key": pa.array(ks[st] if len(ks) else ks,
+                                             pa.string()),
+                             "val": pa.array(sums.astype(np.int64))})
+        flat, rows = _flat_words(t, text_col)
+        keys = [META_N, META_DL]
+        vals = [len(t), int(len(flat))]
+        for q in terms:
+            keys.append("df:" + q)
+            vals.append(int(len(np.unique(rows[flat == q]))))
+        return pa.table({"key": pa.array(keys, pa.string()),
+                         "val": pa.array(np.asarray(vals, np.int64))})
+
+    stats_tab = pa.concat_tables(
+        tree_reduce(ds.select_columns([text_col]), partial, fanin=fanin)
+        .iter_batches(batch_format="pyarrow", batch_size=None))
+    stats = dict(zip(stats_tab["key"].to_pylist(),
+                     stats_tab["val"].to_pylist()))
+    n_docs = int(stats.get(META_N, 0))
+    sum_dl = int(stats.get(META_DL, 0))
+    one = np.float64(1.0)
+    avgdl = (np.float64(sum_dl) / np.float64(n_docs)) if n_docs else one
+    k1d, bd = np.float64(k1), np.float64(b)
+    idf = {q: ((np.float64(n_docs - int(stats.get("df:" + q, 0)))
+                + np.float64(0.5))
+               / (np.float64(int(stats.get("df:" + q, 0)))
+                  + np.float64(0.5))) for q in terms}
+
+    def score(t: pa.Table) -> pa.Table:
+        flat, rows = _flat_words(t, text_col)
+        dl = np.bincount(rows, minlength=len(t)).astype(np.int64)
+        dld = dl.astype(np.float64)
+        denom_base = k1d * ((one - bd) + (bd * (dld / avgdl)))
+        sc = np.zeros(len(t), np.float64)
+        hit = np.zeros(len(t), bool)
+        for q in terms:  # fixed order == the SQL twin's explicit sum order
+            tf = np.bincount(rows[flat == q],
+                             minlength=len(t)).astype(np.float64)
+            has = tf > 0
+            contrib = np.zeros(len(t), np.float64)
+            contrib[has] = idf[q] * ((tf[has] * (k1d + one))
+                                     / (tf[has] + denom_base[has]))
+            sc = sc + contrib
+            hit |= has
+        out = pa.table({id_col: t[id_col], "dl": pa.array(dl),
+                        "score": pa.array(sc)})
+        return out.filter(pa.array(hit))
+
+    scored = ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow")
+    return topk_merge(scored, by=["score", id_col],
+                      ascending=[False, True], k=k)
+
+
+def collocations_lift(ds, k: int = 50, min_count: int = 5,
+                      text_col: str = "text", salt_mod: int = 64,
+                      fanin: int = 8):
+    """Collocation mining: top-``k`` adjacent word pairs by LIFT
+    ``p(xy) / (p(x)·p(y)) = (c_xy·N_w·N_w) / (N_bg·c_x·c_y)`` — the
+    log-free monotone twin of PMI (PMI = log(lift·N_w/N_bg·…) is monotone
+    in lift for fixed totals), so the ranking is hash-exact vs SQL: every
+    factor is an int-derived double and the one division is the final op.
+
+    Scale shape: bigram and unigram counts are the :func:`topk_words`
+    partial-count shuffles (one row per (block, distinct gram) — vocab- not
+    token-bounded); totals are a 2-row tree reduce; the unigram table is
+    vocab-bounded and broadcast into the lift pass; only ``min_count``
+    survivors reach the final top-k merge.  Split convention: the
+    lowercase ``[^0-9a-z]+`` regex split shared with :func:`topk_bigrams`."""
+    import pandas as pd
+    import ray
+
+    from .reduce import topk_merge, tree_reduce
+
+    def grams_partial(batch: pa.Table) -> pa.Table:
+        w = pc.split_pattern_regex(
+            pc.utf8_lower(pc.coalesce(batch[text_col].combine_chunks(), "")),
+            r"[^0-9a-z]+")
+        if isinstance(w, pa.ChunkedArray):
+            w = w.combine_chunks()
+        flat = w.flatten()
+        offs = w.offsets.to_numpy()
+        ne = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        docid = np.repeat(np.arange(len(offs) - 1), np.diff(offs))
+        idx = np.flatnonzero(ne)
+        keepdoc = docid[idx]
+        adj = keepdoc[1:] == keepdoc[:-1] if len(idx) else np.zeros(0, bool)
+        li = idx[:-1][adj] if len(idx) else idx[:0]
+        ri = idx[1:][adj] if len(idx) else idx[:0]
+        pair = pc.binary_join_element_wise(
+            flat.take(pa.array(li, pa.int64())),
+            flat.take(pa.array(ri, pa.int64())), " ")
+        uni = flat.take(pa.array(idx, pa.int64()))
+        outs = []
+        for kind, arr in (("bg", pair), ("w", uni)):
+            d = arr.dictionary_encode()
+            codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            cnt = np.bincount(codes, minlength=len(d.dictionary))
+            grams = d.dictionary.to_pandas().to_numpy()
+            outs.append(pa.table({
+                "gram": pa.array(grams, pa.string()),
+                "kind": pa.array(np.repeat(kind, len(grams)), pa.string()),
+                "n": pa.array(cnt.astype(np.int64))}))
+        cat = pa.concat_tables(outs)
+        salts = (pd.util.hash_array(
+            cat["gram"].to_numpy(zero_copy_only=False).astype(object))
+            % np.uint64(salt_mod)).astype(np.int64)
+        return cat.append_column("_salt", pa.array(salts))
+
+    def fold(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().groupby(["gram", "kind"], as_index=False)["n"].sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    counts = (ds.select_columns([text_col])
+              .map_batches(grams_partial, batch_format="pyarrow")
+              .groupby("_salt").map_groups(fold, batch_format="pyarrow")
+              ).materialize()
+
+    def totals(t: pa.Table) -> pa.Table:
+        kind = t["kind"].to_numpy(zero_copy_only=False)
+        n = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_w": pa.array([int(n[kind == "w"].sum())], pa.int64()),
+            "n_bg": pa.array([int(n[kind == "bg"].sum())], pa.int64())})
+
+    def tot_merge(t: pa.Table) -> pa.Table:
+        if "n_w" in t.column_names:
+            return pa.table({
+                "n_w": pa.array([int(pc.sum(t["n_w"]).as_py() or 0)],
+                                pa.int64()),
+                "n_bg": pa.array([int(pc.sum(t["n_bg"]).as_py() or 0)],
+                                 pa.int64())})
+        return totals(t)
+
+    tot = pa.concat_tables(tree_reduce(counts, tot_merge, fanin=fanin)
+                           .iter_batches(batch_format="pyarrow",
+                                         batch_size=None))
+    n_w = np.float64(int(tot["n_w"][0].as_py()))
+    n_bg = np.float64(int(tot["n_bg"][0].as_py()))
+
+    # unigram table: vocab-bounded, broadcast once
+    uni_tabs = list(counts.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "w")),
+        batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None))
+    uni = (pa.concat_tables(uni_tabs).combine_chunks() if uni_tabs
+           else pa.table({"gram": pa.array([], pa.string()),
+                          "kind": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())}))
+    uw = uni["gram"].to_numpy(zero_copy_only=False)
+    un = uni["n"].combine_chunks().to_numpy(zero_copy_only=False)
+    uorder = np.argsort(uw, kind="stable")
+    uw, un = uw[uorder], un[uorder]
+    uni_ref = ray.put((uw, un))
+
+    def lift_pass(t: pa.Table) -> pa.Table:
+        kind = t["kind"].to_numpy(zero_copy_only=False)
+        sel = (kind == "bg")
+        g = t["gram"].to_numpy(zero_copy_only=False)[sel]
+        cxy = t["n"].combine_chunks().to_numpy(zero_copy_only=False)[sel]
+        keep = cxy >= min_count
+        g, cxy = g[keep], cxy[keep]
+        if not len(g):
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "c_xy": pa.array([], pa.int64()),
+                             "c_x": pa.array([], pa.int64()),
+                             "c_y": pa.array([], pa.int64()),
+                             "lift": pa.array([], pa.float64())})
+        ww, wn = ray.get(uni_ref)
+        parts = np.char.partition(g.astype(str), " ")
+        cx = wn[np.searchsorted(ww, parts[:, 0])]
+        cy = wn[np.searchsorted(ww, parts[:, 2])]
+        lift = (((cxy.astype(np.float64) * n_w) * n_w)
+                / ((n_bg * cx.astype(np.float64)) * cy.astype(np.float64)))
+        return pa.table({"bigram": pa.array(g, pa.string()),
+                         "c_xy": pa.array(cxy.astype(np.int64)),
+                         "c_x": pa.array(cx.astype(np.int64)),
+                         "c_y": pa.array(cy.astype(np.int64)),
+                         "lift": pa.array(lift)})
+
+    lifted = counts.map_batches(lift_pass, batch_format="pyarrow")
+    return topk_merge(lifted, by=["lift", "bigram"],
+                      ascending=[False, True], k=k)
+
+
+def inverted_index(ds, shard_size: int = 256, text_col: str = "text",
+                   id_col: str = "doc_id"):
+    """Sharded posting lists — the inverted-index build: one output row per
+    (word, doc-id shard) holding the sorted CSV posting list and its length.
+    Sharding by ``doc_id // shard_size`` bounds every group (≤ shard_size
+    ids) so a stopword's postings split across shards instead of wedging one
+    reducer — the scale knob a monolithic ``groupby(word)`` lacks.
+
+    Per batch: one flattened split + (word, doc) lexsort dedupe (documents
+    never span rows, so batch-local distinct pairs are globally distinct);
+    one (word, shard) shuffle whose payload is distinct pairs, not tokens.
+    CSV postings keep the result SQL-comparable (``string_agg`` twin)."""
+
+    def pairs(t: pa.Table) -> pa.Table:
+        flat, rows = _flat_words(t, text_col)
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)[rows]
+        order = np.lexsort((ids, flat))
+        fs, ds_ = flat[order], ids[order]
+        first = (np.r_[True, (fs[1:] != fs[:-1]) | (ds_[1:] != ds_[:-1])]
+                 if len(fs) else np.zeros(0, bool))
+        fs, ds_ = fs[first], ds_[first]
+        return pa.table({"word": pa.array(fs, pa.string()),
+                         "doc_id": pa.array(ds_.astype(np.int64)),
+                         "shard": pa.array((ds_ // shard_size)
+                                           .astype(np.int64))})
+
+    def postings(g: pa.Table) -> pa.Table:
+        # unique, not sort: duplicate doc_id rows exist in real corpora, so
+        # cross-batch (word, doc) repeats must collapse like SQL DISTINCT
+        ids = np.unique(g["doc_id"].combine_chunks()
+                        .to_numpy(zero_copy_only=False))
+        return pa.table({
+            "word": g["word"].slice(0, 1),
+            "shard": g["shard"].slice(0, 1),
+            "df_shard": pa.array([len(ids)], pa.int64()),
+            "postings": pa.array([",".join(str(i) for i in ids)],
+                                 pa.string())})
+
+    return (ds.select_columns([id_col, text_col])
+            .map_batches(pairs, batch_format="pyarrow")
+            .groupby(["word", "shard"])
+            .map_groups(postings, batch_format="pyarrow"))
