@@ -5637,6 +5637,62 @@ def _q_corpus_fingerprint(sf_dir: str):
     return corpus_fingerprint(ds)
 
 
+def _q_hrw_assign(sf_dir: str):
+    """Rendezvous (HRW) sharding of the corpus across 16 shards: per-row
+    argmax of md5(seed:id:shard) — consistent placement where shard
+    add/remove moves ~1/n of rows, pure stateless map, no shuffle
+    (stages/sampling.py:hrw_assign); portable-hash SQL twin."""
+    from tsdat_ray.stages.sampling import hrw_assign
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return hrw_assign(ds, n_shards=16)
+
+
+def _q_weighted_sample(sf_dir: str):
+    """Length-weighted 200-doc sample without replacement: k smallest
+    md5_u48(id)//weight priority keys (integer Efraimidis–Spirakis) —
+    per-block top-k + one tiny sort; portable to any engine with md5 and
+    integer division (stages/sampling.py:weighted_sample_topk)."""
+    from tsdat_ray.stages.sampling import weighted_sample_topk
+
+    ds = _read(f"{sf_dir}/documents.parquet",
+               columns=["doc_id", "n_chars", "source"])
+    return weighted_sample_topk(ds, k=200, weight_col="n_chars",
+                                carry_cols=("source",))
+
+
+def _q_winsorized(sf_dir: str):
+    """Winsorized per-type totals: clip value at exact per-type
+    PERCENTILE_DISC [p01, p99] then int-cent sum — robust aggregate, two
+    passes, thresholds broadcast once (stages/stats.py:winsorized_sums)."""
+    from tsdat_ray.stages.stats import winsorized_sums
+
+    ds = _events(sf_dir, columns=["event_type", "value"])
+    return winsorized_sums(ds, key="event_type", value_col="value")
+
+
+def _q_profile_columns(sf_dir: str):
+    """Column profiler over events: exact (n_rows, n_null, n_distinct) per
+    column in one streaming pass — count partials tree-fold, distinct via
+    pre-deduped (column, value-key) pairs through the distinct-set tree
+    (stages/stats.py:profile_columns)."""
+    from tsdat_ray.stages.stats import profile_columns
+
+    ds = _events(sf_dir, columns=["event_type", "user_id", "value"])
+    return profile_columns(ds, cols=("event_type", "user_id", "value"))
+
+
+def _q_gini_lengths(sf_dir: str):
+    """Corpus concentration: Gini coefficient of document lengths as an
+    exact integer fraction (num, den) from a bounded value histogram —
+    rank sums in closed form per equal-value run, no float sums
+    (stages/stats.py:gini_concentration)."""
+    from tsdat_ray.stages.stats import gini_concentration
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+    return gini_concentration(ds, value_col="n_chars")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rollup_1m_events": lambda d: _events_rollup(d, "1m"),
@@ -5858,6 +5914,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index_docs": _q_inverted_index,
         "triangles_events": _q_triangles,
         "corpus_fingerprint_docs": _q_corpus_fingerprint,
+        "hrw_assign_docs": _q_hrw_assign,
+        "weighted_sample_docs": _q_weighted_sample,
+        "winsorized_sums_events": _q_winsorized,
+        "profile_columns_events": _q_profile_columns,
+        "gini_lengths_docs": _q_gini_lengths,
     }
 
 
@@ -8032,5 +8093,62 @@ def oracle_sql() -> dict[str, str]:
                                             1, 12))::BIGINT)
                         % 281474976710656 AS BIGINT) AS fp48
             FROM documents
+        """,
+        "hrw_assign_docs": """
+            SELECT doc_id, s AS shard
+            FROM documents
+            CROSS JOIN (SELECT unnest(range(0, 16)) AS s) shards
+            QUALIFY row_number() OVER (
+                PARTITION BY doc_id
+                ORDER BY md5('0:' || CAST(doc_id AS VARCHAR)
+                             || ':' || CAST(s AS VARCHAR)) DESC, s) = 1
+        """,
+        "weighted_sample_docs": """
+            SELECT doc_id, n_chars, source,
+                   ('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)),
+                                   1, 12))::BIGINT
+                   // GREATEST(n_chars, 1) AS wkey
+            FROM documents
+            ORDER BY wkey, doc_id LIMIT 200
+        """,
+        "winsorized_sums_events": """
+            WITH q AS (
+                SELECT event_type,
+                       quantile_disc(value, 0.01) AS lo,
+                       quantile_disc(value, 0.99) AS hi
+                FROM events GROUP BY event_type)
+            SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+                   ROUND(SUM(LEAST(GREATEST(e.value, q.lo), q.hi)), 2)
+                       AS wins_sum
+            FROM events e JOIN q USING (event_type)
+            GROUP BY e.event_type
+        """,
+        "profile_columns_events": """
+            SELECT 'event_type' AS "column",
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) - count(event_type) AS BIGINT) AS n_null,
+                   CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct
+            FROM events
+            UNION ALL
+            SELECT 'user_id', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(user_id) AS BIGINT),
+                   CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+            UNION ALL
+            SELECT 'value', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(value) AS BIGINT),
+                   CAST(count(DISTINCT value) AS BIGINT) FROM events
+        """,
+        "gini_lengths_docs": """
+            WITH r AS (SELECT n_chars AS x,
+                              row_number() OVER (ORDER BY n_chars, doc_id)
+                                  AS i
+                       FROM documents),
+                 t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                              CAST(sum(x) AS BIGINT) AS s FROM r)
+            SELECT t.n AS n, t.s AS sum_x,
+                   CAST(SUM((2 * i - t.n - 1) * x) AS BIGINT) AS gini_num,
+                   CAST(t.n * t.s AS BIGINT) AS gini_den
+            FROM r, t
+            GROUP BY t.n, t.s
         """,
     }

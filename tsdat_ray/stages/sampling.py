@@ -779,3 +779,80 @@ def token_type_ratio(ds, tokens_col: str = "tokens", id_col: str = "doc_id"):
         })
 
     return ds.map_batches(ttr, batch_format="pyarrow")
+
+
+def hrw_assign(ds, n_shards: int = 16, id_col: str = "doc_id",
+               seed: int = 0, carry_cols: tuple[str, ...] = ()):
+    """Rendezvous (highest-random-weight) sharding: each row goes to the
+    shard maximizing ``md5(f"{seed}:{id}:{shard}")`` — the classic HRW
+    scheme (Thaler & Ravishankar '98) behind consistent cache/storage
+    placement: adding or removing a shard moves ONLY the rows whose argmax
+    changed (~1/n of the corpus), never triggers a full reshuffle, and any
+    engine with an md5 reproduces the identical assignment (lowercase fixed-
+    width hex compares lexicographically == numerically — the portable-hash
+    recipe).  Ties (2⁻¹²⁸-improbable) break to the smaller shard id.
+
+    Scale shape: a pure stateless map — no shuffle, no broadcast, no state;
+    the hash loop is n_shards · rows md5 calls per batch (n_shards is small
+    by construction).  SQL twin: ``QUALIFY row_number() OVER (PARTITION BY
+    id ORDER BY md5(...) DESC, shard) = 1`` over a range cross join."""
+    import hashlib
+
+    cols = [id_col, *carry_cols]
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        n = len(ids)
+        best_key = np.full(n, "", dtype="U32")
+        best_s = np.zeros(n, dtype=np.int64)
+        for s in range(n_shards):
+            suf = f":{s}"
+            keys = np.array(
+                [hashlib.md5(f"{seed}:{i}{suf}".encode()).hexdigest()
+                 for i in ids], dtype="U32")
+            win = keys > best_key  # strict: ties keep the earlier (smaller) s
+            best_key[win] = keys[win]
+            best_s[win] = s
+        t = batch.select([c for c in cols if c in batch.column_names])
+        return t.append_column("shard", pa.array(best_s))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def weighted_sample_topk(ds, k: int = 100, id_col: str = "doc_id",
+                         weight_col: str = "n_chars",
+                         carry_cols: tuple[str, ...] = (), seed: int = 0):
+    """Deterministic portable WEIGHTED sample without replacement: the k
+    rows with the smallest priority key ``md5_u48(f"{seed}:{id}") //
+    max(weight, 1)`` — the integer-division analogue of the
+    Efraimidis–Spirakis exponential-jitter scheme (u^(1/w) keys), chosen
+    because floor division over a 48-bit uniform is EXACTLY reproducible in
+    any engine (no libm pow/log ULP drift): heavier rows get stochastically
+    smaller keys (inclusion odds ∝ weight for weights ≪ 2⁴⁸), membership
+    depends only on the row itself (stable under repartitioning, appends,
+    reruns), and changing ``seed`` redraws independently.
+
+    Scale shape: each block ships only its local k smallest (key, row)
+    survivors — ≤ k·blocks rows move — and one tiny sort finalizes.  SQL
+    twin: ``ORDER BY CAST('0x' || substr(md5(...), 1, 12) AS BIGINT) //
+    GREATEST(w, 1), id LIMIT k``."""
+    import hashlib
+
+    cols = [id_col, weight_col, *carry_cols]
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        w = np.maximum(
+            batch[weight_col].combine_chunks().cast(pa.int64()).to_numpy(
+                zero_copy_only=False), 1)
+        u48 = np.array(
+            [int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:12], 16)
+             for i in ids], dtype=np.int64)
+        key = u48 // w
+        top = np.lexsort((np.asarray(ids), key))[:k]
+        t = batch.select([c for c in cols if c in batch.column_names]).take(
+            pa.array(top, type=pa.int64()))
+        return t.append_column("wkey", pa.array(key[top]))
+
+    cand = ds.map_batches(local_topk, batch_format="pyarrow")
+    return cand.sort(["wkey", id_col]).limit(k)

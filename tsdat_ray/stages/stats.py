@@ -586,3 +586,212 @@ def corpus_fingerprint(ds, id_col: str = "doc_id", text_col: str = "text",
 
     return tree_reduce(ds.select_columns([id_col, text_col]), partial,
                        fanin=fanin)
+
+
+def winsorized_sums(ds, key: str, value_col: str,
+                    lo_q: float = 0.01, hi_q: float = 0.99,
+                    scale: int = 100):
+    """Winsorized (clipped-at-quantile) totals per key: clip ``value`` to
+    the key's exact discrete [lo_q, hi_q] quantiles, then sum — the robust
+    aggregate that bounds the influence of outliers without dropping rows.
+
+    Two passes: (1) exact per-key PERCENTILE_DISC thresholds from the
+    bounded tree-reduced histogram (:func:`..window_funcs.exact_quantiles_disc`
+    — real data values, so SQL ``quantile_disc`` reproduces them bit-exactly);
+    (2) a tiny (|keys| rows — key is a bounded enum by contract, never a
+    user-grade id) threshold table broadcast once, clip + int-cent partial
+    sums per block, one salted fold (the CLAUDE.md exact-decimal recipe:
+    integer addition is associative, so any combine order lands on the same
+    cents).  Output: (key, n, wins_sum) with wins_sum = cents/scale."""
+    import ray
+
+    from .window_funcs import exact_quantiles_disc
+
+    qt = exact_quantiles_disc(ds, key=key, value_col=value_col,
+                              qs=(lo_q, hi_q), scale=scale)
+    names = [f"qd{int(round(q * 100))}" for q in (lo_q, hi_q)]
+    thr: dict = {}
+    for b in qt.iter_batches(batch_format="pyarrow", batch_size=None):
+        for kk, lo, hi in zip(b[key].to_pylist(),
+                              b[names[0]].to_pylist(),
+                              b[names[1]].to_pylist()):
+            thr[kk] = (int(round(lo * scale)), int(round(hi * scale)))
+    thr_ref = ray.put(thr)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = ray.get(thr_ref)
+        k = b[key].to_numpy(zero_copy_only=False)
+        v = b[value_col].combine_chunks().cast(pa.float64()).to_numpy(
+            zero_copy_only=False)
+        c = np.round(v * scale).astype(np.int64)
+        lo = np.array([t[kk][0] for kk in k], dtype=np.int64)
+        hi = np.array([t[kk][1] for kk in k], dtype=np.int64)
+        c = np.minimum(np.maximum(c, lo), hi)
+        order = np.argsort(k, kind="stable")
+        ks, cs = k[order], c[order]
+        st = (np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+              if len(ks) else np.zeros(0, np.int64))
+        import zlib
+        kk = ks[st] if len(st) else ks[:0]
+        return pa.table({
+            key: pa.array(kk),
+            "_n": pa.array(np.diff(np.r_[st, len(ks)]).astype(np.int64)),
+            "_c": pa.array(np.add.reduceat(cs, st) if len(st) else cs[:0]),
+            # salt BY KEY (stable across processes) so every partial of a
+            # key folds in exactly one group
+            "_salt": pa.array([zlib.crc32(str(x).encode()) % 8 for x in kk],
+                              pa.int64()),
+        })
+
+    def fold(g: pa.Table) -> pa.Table:
+        k = g[key].to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        ks = k[order]
+        st = (np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+              if len(ks) else np.zeros(0, np.int64))
+        n = g["_n"].combine_chunks().to_numpy(zero_copy_only=False)[order]
+        c = g["_c"].combine_chunks().to_numpy(zero_copy_only=False)[order]
+        return pa.table({
+            key: pa.array(ks[st] if len(st) else ks[:0]),
+            "n": pa.array(np.add.reduceat(n, st) if len(st) else n[:0]),
+            "wins_sum": pa.array(
+                (np.add.reduceat(c, st) if len(st) else c[:0]) / scale),
+        })
+
+    return (ds.select_columns([key, value_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("_salt").map_groups(
+                lambda g: fold(g.drop_columns(["_salt"])),
+                batch_format="pyarrow"))
+
+
+def profile_columns(ds, cols: tuple[str, ...], fanin: int = 8):
+    """Data-profiler summary: one row per column with exact
+    ``(n_rows, n_null, n_distinct)`` — the schema-audit primitive (what a
+    Great-Expectations/Deequ profile computes before writing expectations).
+
+    Scale shape: one streaming pass emits per-batch partials — a
+    len(cols)-row count table (tree-reduced: bounded domain) and per-batch
+    PRE-DEDUPED (column, value-key) pairs that flow into the engine's
+    distinct-set tree fold (:func:`..dedup.distinct_count`), so the moving
+    set is bounded by distinct values, never rows.  Value keys: floats via
+    ``repr`` after ``+0.0`` (folds -0.0 into 0.0 the way SQL equality
+    does; repr is injective on doubles), ints/strings verbatim — distinct
+    COUNTS are representation-independent, so no cross-engine text-format
+    contract is needed.  NULLs are excluded from distinct (the SQL
+    ``count(DISTINCT col)`` convention) and counted separately."""
+    from .dedup import distinct_count
+    from .reduce import tree_reduce
+
+    cols = list(cols)
+
+    def canon(arr: pa.ChunkedArray) -> list:
+        a = arr.combine_chunks()
+        ty = a.type
+        vals = a.drop_null()
+        if pa.types.is_floating(ty):
+            return [repr(x + 0.0) for x in vals.to_pylist()]
+        return [str(x) for x in vals.to_pylist()]
+
+    def pairs(b: pa.Table) -> pa.Table:
+        out_c, out_v = [], []
+        for c in cols:
+            u = sorted(set(canon(b[c])))
+            out_c.extend([c] * len(u))
+            out_v.extend(u)
+        return pa.table({"column": pa.array(out_c, pa.string()),
+                         "vkey": pa.array(out_v, pa.string())})
+
+    def counts(b: pa.Table) -> pa.Table:
+        if "n_rows" in b.column_names:  # merge level
+            k = b["column"].to_numpy(zero_copy_only=False)
+            order = np.argsort(k, kind="stable")
+            ks = k[order]
+            st = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]]) if len(ks) \
+                else np.zeros(0, np.int64)
+            n = b["n_rows"].combine_chunks().to_numpy(
+                zero_copy_only=False)[order]
+            z = b["n_null"].combine_chunks().to_numpy(
+                zero_copy_only=False)[order]
+            return pa.table({
+                "column": pa.array(ks[st] if len(st) else ks[:0]),
+                "n_rows": pa.array(np.add.reduceat(n, st)
+                                   if len(st) else n[:0]),
+                "n_null": pa.array(np.add.reduceat(z, st)
+                                   if len(st) else z[:0])})
+        return pa.table({
+            "column": pa.array(cols, pa.string()),
+            "n_rows": pa.array([b.num_rows] * len(cols), pa.int64()),
+            "n_null": pa.array([b[c].null_count for c in cols], pa.int64())})
+
+    cnt_tabs = list(tree_reduce(ds, counts, fanin=fanin)
+                    .iter_batches(batch_format="pyarrow", batch_size=None))
+    dct_tabs = list(distinct_count(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        key="column", value="vkey", fanin=fanin)
+        .iter_batches(batch_format="pyarrow", batch_size=None))
+    cnt = {r["column"]: (r["n_rows"], r["n_null"])
+           for r in pa.concat_tables(cnt_tabs).to_pylist()}
+    dct = {r["column"]: r["n_distinct"]
+           for r in pa.concat_tables(dct_tabs).to_pylist()}
+    return pa.table({
+        "column": pa.array(cols, pa.string()),
+        "n_rows": pa.array([cnt[c][0] for c in cols], pa.int64()),
+        "n_null": pa.array([cnt[c][1] for c in cols], pa.int64()),
+        "n_distinct": pa.array([dct.get(c, 0) for c in cols], pa.int64()),
+    })
+
+
+def gini_concentration(ds, value_col: str = "n_chars", fanin: int = 8):
+    """Gini coefficient of a non-negative integer column as an EXACT
+    integer fraction ``(gini_num, gini_den)`` — the standard corpus-skew
+    audit (how concentrated are the tokens/bytes in few documents?),
+    emitted as integers so the contract is bit-exact (no float sums whose
+    grouping could differ; G = num/den if the reader wants the scalar).
+
+    Identity: with items sorted ascending and 1-based rank i,
+    ``G = Σ(2i − n − 1)·x_i / (n·Σx)``.  Ties make the numerator
+    order-independent within equal values, so a bounded value-histogram is
+    sufficient statistics: per-batch ``(value, count)`` partials tree-fold
+    (domain = distinct values, bounded for lengths), and the final
+    histogram computes each equal-value run's rank-sum in closed form —
+    a run of c items starting at rank s contributes
+    ``x · (2·(s·c + c·(c−1)/2) − c·(n+1))``."""
+    from .reduce import tree_reduce
+
+    def hist(b: pa.Table) -> pa.Table:
+        if "_cnt" in b.column_names:
+            v = b["_v"].combine_chunks().to_numpy(zero_copy_only=False)
+            c = b["_cnt"].combine_chunks().to_numpy(zero_copy_only=False)
+        else:
+            v = b[value_col].combine_chunks().cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            c = np.ones(len(v), dtype=np.int64)
+        order = np.argsort(v, kind="stable")
+        vs, cs = v[order], c[order]
+        st = (np.flatnonzero(np.r_[True, vs[1:] != vs[:-1]])
+              if len(vs) else np.zeros(0, np.int64))
+        return pa.table({"_v": pa.array(vs[st] if len(st) else vs[:0]),
+                         "_cnt": pa.array(np.add.reduceat(cs, st)
+                                          if len(st) else cs[:0])})
+
+    agg = tree_reduce(ds.select_columns([value_col]), hist, fanin=fanin)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        v = b["_v"].combine_chunks().to_numpy(zero_copy_only=False)
+        c = b["_cnt"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(v, kind="stable")
+        v, c = v[order].astype(object), c[order].astype(object)
+        n = int(sum(c))
+        s_tot = int(sum(int(x) * int(k) for x, k in zip(v, c)))
+        starts = np.r_[0, np.cumsum(c)[:-1]] + 1  # 1-based first rank
+        num = 0
+        for x, k, s in zip(v, c, starts):
+            x, k, s = int(x), int(k), int(s)
+            num += x * (2 * (s * k + k * (k - 1) // 2) - k * (n + 1))
+        return pa.table({"n": pa.array([n], pa.int64()),
+                         "sum_x": pa.array([s_tot], pa.int64()),
+                         "gini_num": pa.array([num], pa.int64()),
+                         "gini_den": pa.array([n * s_tot], pa.int64())})
+
+    return agg.map_batches(finalize, batch_format="pyarrow", batch_size=None)
