@@ -5592,17 +5592,22 @@ def _q_inverted_index(sf_dir: str):
 
 def _q_triangles(sf_dir: str):
     """Triangle census of the user co-engagement graph (users sharing an
-    (event_type, day) basket): degree-oriented wedge generation bounds
+    (event_type, HOUR) basket, hub baskets > 128 users dropped — the
+    standard bipartite-projection cap: a hub basket contributes O(m²)
+    near-meaningless edges and at corpus scale projects the whole user set
+    into one clique, so capping is both the scale guard and the signal
+    filter).  Then degree-oriented wedge generation bounds
     out-neighborhoods at O(√E) — no hub blowup, no broadcast — and wedges
     close against the edge set in a co-shuffled hash bucket
     (stages/graph.py:triangle_count).  Output: n_edges / n_wedges /
     n_triangles / global closure (milli)."""
     from tsdat_ray.stages.graph import triangle_count
 
+    MAX_BASKET = 128
     ds = _events(sf_dir, columns=["ts", "user_id", "event_type"])
 
     def baskets(b: pa.Table) -> pa.Table:
-        day = pc.floor_temporal(b["ts"], unit="day")
+        day = pc.floor_temporal(b["ts"], unit="hour")
         t = pa.table({"user_id": b["user_id"], "day": day,
                       "event_type": b["event_type"]})
         # batch-local distinct (basket, user) before the pair stage
@@ -5613,7 +5618,7 @@ def _q_triangles(sf_dir: str):
         u = np.unique(g["user_id"].combine_chunks()
                       .to_numpy(zero_copy_only=False))
         m = len(u)
-        if m < 2:
+        if m < 2 or m > MAX_BASKET:
             return pa.table({"id_a": pa.array([], pa.int64()),
                              "id_b": pa.array([], pa.int64())})
         iu, ju = np.triu_indices(m, k=1)
@@ -5691,6 +5696,28 @@ def _q_gini_lengths(sf_dir: str):
 
     ds = _read(f"{sf_dir}/documents.parquet", columns=["n_chars"])
     return gini_concentration(ds, value_col="n_chars")
+
+
+def _q_top_paths(sf_dir: str):
+    """Clickstream path mining: top-25 length-3 event-type paths inside
+    30-min-gap sessions — one user-hash-bucketed shuffle (groups bounded by
+    bucket count, never user cardinality), local sessionize + trigram
+    count, vocab-bounded tree fold (stages/paths.py:session_paths_topk)."""
+    from tsdat_ray.stages.paths import session_paths_topk
+
+    ds = _events(sf_dir, columns=["user_id", "ts", "event_id", "event_type"])
+    return session_paths_topk(ds, gap_s=1800, path_len=3, k=25)
+
+
+def _q_vocab_overlap(sf_dir: str):
+    """Corpus-slice vocabulary overlap matrix: shared-word and vocab-size
+    counts for every source pair via ONE int64 bitmask per word and a mask
+    histogram — no pairwise join, words move once
+    (stages/text.py:vocab_overlap)."""
+    from tsdat_ray.stages.text import vocab_overlap
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    return vocab_overlap(ds, key="source")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -5919,6 +5946,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorized_sums_events": _q_winsorized,
         "profile_columns_events": _q_profile_columns,
         "gini_lengths_docs": _q_gini_lengths,
+        "top_paths_events": _q_top_paths,
+        "vocab_overlap_sources": _q_vocab_overlap,
     }
 
 
@@ -8050,10 +8079,13 @@ def oracle_sql() -> dict[str, str]:
         # n_wedges is the DEGREE-ORIENTED wedge count (sum C(outdeg, 2)) —
         # the quantity the engine's Suri-Vassilvitskii pass generates.
         "triangles_events": """
-            WITH bu AS (
-                SELECT DISTINCT event_type, date_trunc('day', ts) AS day,
+            WITH bu0 AS (
+                SELECT DISTINCT event_type, date_trunc('hour', ts) AS day,
                                 user_id
                 FROM events),
+            bu AS (
+                SELECT event_type, day, user_id FROM bu0
+                QUALIFY count(*) OVER (PARTITION BY event_type, day) <= 128),
             e AS (
                 SELECT DISTINCT a.user_id AS ua, b.user_id AS ub
                 FROM bu a JOIN bu b
@@ -8137,6 +8169,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'value', CAST(count(*) AS BIGINT),
                    CAST(count(*) - count(value) AS BIGINT),
                    CAST(count(DISTINCT value) AS BIGINT) FROM events
+        """,
+        "top_paths_events": """
+            WITH b AS (
+                SELECT user_id, ts, event_id, event_type,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)
+                                 IS NULL
+                              OR date_diff('microsecond',
+                                           lag(ts) OVER (
+                                               PARTITION BY user_id
+                                               ORDER BY ts, event_id),
+                                           ts) > 1800000000
+                            THEN 1 ELSE 0 END AS brk
+                FROM events),
+            s AS (
+                SELECT user_id, ts, event_id, event_type,
+                       SUM(brk) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sess
+                FROM b),
+            t AS (
+                SELECT event_type || '>' ||
+                       lead(event_type, 1) OVER w || '>' ||
+                       lead(event_type, 2) OVER w AS path,
+                       lead(event_id, 2) OVER w IS NOT NULL AS full3
+                FROM s
+                WINDOW w AS (PARTITION BY user_id, sess
+                             ORDER BY ts, event_id))
+            SELECT path, CAST(count(*) AS BIGINT) AS n_paths
+            FROM t WHERE full3
+            GROUP BY path ORDER BY n_paths DESC, path LIMIT 25
+        """,
+        "vocab_overlap_sources": """
+            WITH w AS (
+                SELECT DISTINCT source, word FROM (
+                    SELECT source,
+                           unnest(regexp_split_to_array(lower(text),
+                                                        '[^0-9a-z]+'))
+                               AS word
+                    FROM documents)
+                WHERE word <> ''),
+            v AS (SELECT source, CAST(count(*) AS BIGINT) AS vocab
+                  FROM w GROUP BY source),
+            shared AS (
+                SELECT a.source AS sa, b.source AS sb,
+                       CAST(count(*) AS BIGINT) AS n_shared
+                FROM w a JOIN w b ON a.word = b.word AND a.source < b.source
+                GROUP BY 1, 2)
+            SELECT va.source AS source_a, vb.source AS source_b,
+                   COALESCE(shared.n_shared, 0) AS n_shared,
+                   va.vocab AS vocab_a, vb.vocab AS vocab_b
+            FROM v va JOIN v vb ON va.source < vb.source
+            LEFT JOIN shared ON shared.sa = va.source
+                            AND shared.sb = vb.source
         """,
         "gini_lengths_docs": """
             WITH r AS (SELECT n_chars AS x,

@@ -1595,3 +1595,90 @@ def inverted_index(ds, shard_size: int = 256, text_col: str = "text",
             .map_batches(pairs, batch_format="pyarrow")
             .groupby(["word", "shard"])
             .map_groups(postings, batch_format="pyarrow"))
+
+
+def vocab_overlap(ds, key: str = "source", text_col: str = "text",
+                  fanin: int = 8):
+    """Pairwise vocabulary overlap between corpus slices (sources): for
+    every slice pair (a < b), how many distinct words they SHARE plus each
+    slice's vocabulary size — the inputs to Jaccard/containment corpus-
+    similarity matrices used for mixture design and contamination triage.
+
+    Scale shape: the slice set is a bounded enum (≤ 63 by contract), so a
+    word's slice membership packs into ONE int64 bitmask: per batch, words
+    (Arrow regex split, the engine's standard ``[^0-9a-z]+`` tokenizer)
+    OR-fold locally into (word, mask) partials; a vocab-bounded tree fold
+    ORs masks per word; the final ≤ |vocab| masks collapse to a ≤ 2^|S|
+    mask HISTOGRAM and every pair count reads off the histogram — no word
+    ever crosses the wire twice and no pairwise join happens at all.
+    Output: (source_a, source_b, n_shared, vocab_a, vocab_b), ints."""
+    import pyarrow.compute as pc_
+
+    from .reduce import tree_reduce
+
+    srcs = sorted(
+        r[key] for r in
+        pa.concat_tables(
+            tree_reduce(
+                ds.select_columns([key]),
+                lambda b: pa.table({key: pc_.unique(
+                    b[key].combine_chunks())}),
+                fanin=fanin)
+            .iter_batches(batch_format="pyarrow", batch_size=None)
+        ).to_pylist())
+    assert len(srcs) <= 63, "bitmask packing supports up to 63 slices"
+    bit = {s: 1 << i for i, s in enumerate(srcs)}
+
+    def masks(b: pa.Table) -> pa.Table:
+        if "_mask" in b.column_names:  # merge level: OR per word
+            w = b["word"].to_numpy(zero_copy_only=False)
+            m = b["_mask"].combine_chunks().to_numpy(zero_copy_only=False)
+        else:
+            words = pc_.split_pattern_regex(
+                pc_.utf8_lower(pc_.coalesce(
+                    b[text_col].combine_chunks(), "")), r"[^0-9a-z]+")
+            if isinstance(words, pa.ChunkedArray):
+                words = words.combine_chunks()
+            lens = np.diff(words.offsets.to_numpy().astype(np.int64))
+            flat = words.flatten().to_numpy(zero_copy_only=False)
+            kb = np.repeat(
+                np.array([bit[s] for s in b[key].to_pylist()],
+                         dtype=np.int64), lens)
+            keep = flat != ""
+            w, m = flat[keep], kb[keep]
+        order = np.argsort(w, kind="stable")
+        ws, ms = w[order], m[order]
+        st = (np.flatnonzero(np.r_[True, ws[1:] != ws[:-1]])
+              if len(ws) else np.zeros(0, np.int64))
+        return pa.table({
+            "word": pa.array(ws[st] if len(st) else ws[:0],
+                             pa.string()),
+            "_mask": pa.array(np.bitwise_or.reduceat(ms, st)
+                              if len(st) else ms[:0])})
+
+    folded = tree_reduce(ds.select_columns([key, text_col]), masks,
+                         fanin=fanin)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        m = b["_mask"].combine_chunks().to_numpy(zero_copy_only=False)
+        um, cnt = np.unique(m, return_counts=True)
+        vocab = {s: int(cnt[(um & bb) != 0].sum()) for s, bb in bit.items()}
+        rows = {"source_a": [], "source_b": [], "n_shared": [],
+                "vocab_a": [], "vocab_b": []}
+        for i, a in enumerate(srcs):
+            for bname in srcs[i + 1:]:
+                both = bit[a] | bit[bname]
+                rows["source_a"].append(a)
+                rows["source_b"].append(bname)
+                rows["n_shared"].append(int(cnt[(um & both) == both].sum()))
+                rows["vocab_a"].append(vocab[a])
+                rows["vocab_b"].append(vocab[bname])
+        return pa.table({
+            "source_a": pa.array(rows["source_a"], pa.string()),
+            "source_b": pa.array(rows["source_b"], pa.string()),
+            "n_shared": pa.array(rows["n_shared"], pa.int64()),
+            "vocab_a": pa.array(rows["vocab_a"], pa.int64()),
+            "vocab_b": pa.array(rows["vocab_b"], pa.int64())})
+
+    return folded.map_batches(finalize, batch_format="pyarrow",
+                              batch_size=None)
