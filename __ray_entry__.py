@@ -5720,6 +5720,63 @@ def _q_vocab_overlap(sf_dir: str):
     return vocab_overlap(ds, key="source")
 
 
+def _q_word_entropy(sf_dir: str):
+    """Per-document Shannon entropy of the word distribution (degenerate-
+    text quality signal) — pure map, zero shuffle, fused (row, word-code)
+    int64-key sort per batch; per-term doubles quantized int64 under the
+    DuckDB ROUND contract so the unnest/groupby SQL twin is hash-exact
+    (stages/text.py:word_entropy)."""
+    from tsdat_ray.stages.text import word_entropy
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return word_entropy(ds)
+
+
+def _q_token_entropy(sf_dir: str):
+    """Per-sequence Shannon entropy over token ids — the tokenized-corpus
+    twin of word_entropy_docs (complements token_type_ratio's distinct
+    count with the full distribution shape); same quantized-int contract
+    (stages/sampling.py:token_entropy)."""
+    from tsdat_ray.stages.sampling import token_entropy
+
+    ds = _read(_sequences_corpus(sf_dir), columns=["doc_id", "tokens"])
+    return token_entropy(ds)
+
+
+def _q_zipf_slope(sf_dir: str):
+    """Corpus Zipf rank-frequency slope (OLS of ln count on ln rank, top-30
+    words) — corpus-health diagnostic; exact salted word-count fold + a
+    30-row driver regression on QUANTIZED ln values, so numerator and
+    denominator are exact ints on both sides (stages/text.py:zipf_slope)."""
+    from tsdat_ray.stages.text import zipf_slope
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["text"])
+    return zipf_slope(ds, k=30)
+
+
+def _q_distinctive_terms(sf_dir: str):
+    """Top-5 distinctive terms per source by pointwise lift
+    p(word|source)/p(word) — the mixture-audit keyword profile; one
+    word-salted shuffle of per-block (source, word) partials, lift as the
+    identical double expression tree as SQL, per-batch partial top-k
+    (stages/text.py:distinctive_terms)."""
+    from tsdat_ray.stages.text import distinctive_terms
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    return distinctive_terms(ds, key="source", k=5, min_count=5)
+
+
+def _q_kl_by_source(sf_dir: str):
+    """Per-source unigram KL divergence vs the corpus (domain-drift
+    measure): exact pair counts, per-term quantized int64 folds inside the
+    word partition — only per-source integer sums reach the final tiny
+    groupby (stages/text.py:kl_divergence_by)."""
+    from tsdat_ray.stages.text import kl_divergence_by
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    return kl_divergence_by(ds, key="source")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "rollup_1m_events": lambda d: _events_rollup(d, "1m"),
@@ -5948,6 +6005,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gini_lengths_docs": _q_gini_lengths,
         "top_paths_events": _q_top_paths,
         "vocab_overlap_sources": _q_vocab_overlap,
+        "word_entropy_docs": _q_word_entropy,
+        "token_entropy_sequences": _q_token_entropy,
+        "zipf_slope_docs": _q_zipf_slope,
+        "distinctive_terms_docs": _q_distinctive_terms,
+        "kl_by_source_docs": _q_kl_by_source,
     }
 
 
@@ -8236,5 +8298,151 @@ def oracle_sql() -> dict[str, str]:
                    CAST(t.n * t.s AS BIGINT) AS gini_den
             FROM r, t
             GROUP BY t.n, t.s
+        """,
+        # Per-doc Shannon entropy: per-(doc, word) terms quantized to int64
+        # at 1e9 with DuckDB's own half-away ROUND, summed as integers —
+        # the engine mirrors the identical expression tree (double-first
+        # int division, ln, *1e9) so the hash is exact.
+        "word_entropy_docs": """
+            WITH w AS (
+                SELECT doc_id, word
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                      FROM documents)
+                WHERE word <> ''
+            ), n AS (
+                SELECT doc_id, count(*) AS n FROM w GROUP BY 1
+            ), c AS (
+                SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2
+            ), q AS (
+                SELECT c.doc_id,
+                       CAST(round(-((c.c / n.n) * ln(c.c / n.n)) * 1e9)
+                            AS BIGINT) AS q
+                FROM c JOIN n USING (doc_id)
+            )
+            SELECT d.doc_id,
+                   coalesce(n.n, 0) AS n_words,
+                   coalesce(s.sq, 0) / 1e9 AS entropy
+            FROM documents d
+            LEFT JOIN n USING (doc_id)
+            LEFT JOIN (SELECT doc_id, CAST(sum(q) AS BIGINT) AS sq
+                       FROM q GROUP BY 1) s ON s.doc_id = d.doc_id
+        """,
+        # per ROW (the corpus carries duplicate doc_ids by design — an
+        # unnest/GROUP BY doc_id twin would collapse them); counts via list
+        # lambdas, per-term quantized int64 => list_sum is an INTEGER sum
+        # (order-free, unlike float list_sum).
+        "token_entropy_sequences": f"""
+            WITH t AS (
+                SELECT doc_id, len(tokens) AS n,
+                       list_transform(list_distinct(tokens),
+                           d -> len(list_filter(tokens, x -> x = d))) AS cs
+                FROM read_parquet('{_seq_corpus_glob()}')
+            )
+            SELECT doc_id, CAST(n AS BIGINT) AS n_tok_actual,
+                   CAST(coalesce(list_sum(list_transform(cs,
+                       c -> CAST(round(-((c / n) * ln(c / n)) * 1e9)
+                                 AS BIGINT))), 0) AS BIGINT) / 1e9 AS entropy
+            FROM t
+        """,
+        # Zipf slope: regression inputs are QUANTIZED ln values (int64 at
+        # 1e6); numerator/denominator stay exact integers on both sides and
+        # the final division is the only double op.
+        "zipf_slope_docs": """
+            WITH w AS (
+                SELECT word
+                FROM (SELECT unnest(string_split(text, ' ')) AS word
+                      FROM documents)
+                WHERE word <> ''
+            ), c AS (
+                SELECT word, count(*) AS n FROM w GROUP BY 1
+            ), r AS (
+                SELECT n, row_number() OVER (ORDER BY n DESC, word) AS rank
+                FROM c QUALIFY rank <= 30
+            ), q AS (
+                SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1e6) AS BIGINT)
+                           AS x,
+                       CAST(round(ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT)
+                           AS y
+                FROM r
+            ), s AS (
+                SELECT CAST(count(*) AS BIGINT) AS k,
+                       CAST(sum(x) AS BIGINT) AS sx,
+                       CAST(sum(y) AS BIGINT) AS sy,
+                       CAST(sum(x * y) AS BIGINT) AS sxy,
+                       CAST(sum(x * x) AS BIGINT) AS sxx
+                FROM q
+            )
+            SELECT k AS n_terms,
+                   CAST(k * sxy - sx * sy AS DOUBLE)
+                       / CAST(k * sxx - sx * sx AS DOUBLE) AS zipf_slope
+            FROM s
+        """,
+        # lift = (c_kw*N)/(c_w*c_k), every operand cast double FIRST —
+        # the engine computes the identical tree, so ordering by
+        # (lift DESC, word) is deterministic on both sides.
+        "distinctive_terms_docs": """
+            WITH w AS (
+                SELECT source, word
+                FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+                      FROM documents)
+                WHERE word <> ''
+            ), c AS (
+                SELECT source, word, count(*) AS c_kw FROM w GROUP BY 1, 2
+            ), cw AS (
+                SELECT word, CAST(sum(c_kw) AS BIGINT) AS c_w
+                FROM c GROUP BY 1
+            ), cs AS (
+                SELECT source, CAST(sum(c_kw) AS BIGINT) AS c_k
+                FROM c GROUP BY 1
+            ), n AS (
+                SELECT CAST(sum(c_kw) AS BIGINT) AS n FROM c
+            ), l AS (
+                SELECT c.source, c.word, CAST(c.c_kw AS BIGINT) AS c_kw,
+                       (CAST(c.c_kw AS DOUBLE) * CAST(n.n AS DOUBLE))
+                       / (CAST(cw.c_w AS DOUBLE) * CAST(cs.c_k AS DOUBLE))
+                           AS lift
+                FROM c
+                CROSS JOIN n
+                JOIN cw USING (word)
+                JOIN cs USING (source)
+                WHERE c.c_kw >= 5
+            )
+            SELECT source, word, c_kw, lift FROM l
+            QUALIFY row_number() OVER (PARTITION BY source
+                                       ORDER BY lift DESC, word) <= 5
+        """,
+        "kl_by_source_docs": """
+            WITH w AS (
+                SELECT source, word
+                FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+                      FROM documents)
+                WHERE word <> ''
+            ), c AS (
+                SELECT source, word, count(*) AS c_kw FROM w GROUP BY 1, 2
+            ), cw AS (
+                SELECT word, CAST(sum(c_kw) AS BIGINT) AS c_w
+                FROM c GROUP BY 1
+            ), cs AS (
+                SELECT source, CAST(sum(c_kw) AS BIGINT) AS c_k
+                FROM c GROUP BY 1
+            ), n AS (
+                SELECT CAST(sum(c_kw) AS BIGINT) AS n FROM c
+            ), q AS (
+                SELECT c.source,
+                       CAST(round(
+                           (CAST(c.c_kw AS DOUBLE) / CAST(cs.c_k AS DOUBLE))
+                           * ln((CAST(c.c_kw AS DOUBLE) * CAST(n.n AS DOUBLE))
+                                / (CAST(cs.c_k AS DOUBLE)
+                                   * CAST(cw.c_w AS DOUBLE)))
+                           * 1e9) AS BIGINT) AS q
+                FROM c
+                CROSS JOIN n
+                JOIN cw USING (word)
+                JOIN cs USING (source)
+            )
+            SELECT q.source, cs.c_k AS n_words,
+                   CAST(sum(q.q) AS BIGINT) / 1e9 AS kl
+            FROM q JOIN cs ON cs.source = q.source
+            GROUP BY 1, 2
         """,
     }

@@ -1,0 +1,127 @@
+"""Unit tests for the round-3 (continuation 7) corpus-statistics family:
+per-doc word entropy, per-sequence token entropy, Zipf slope, distinctive
+terms (lift), and per-source unigram KL divergence."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+
+def _ent_ref(words, scale=1e9):
+    """Sequential reference: quantized-term entropy, half-away rounding."""
+    from collections import Counter
+
+    n = len(words)
+    if n == 0:
+        return 0, 0.0
+    q = 0
+    for c in Counter(words).values():
+        p = c / n
+        term = -(p * math.log(p)) * scale
+        q += int(math.floor(abs(term) + 0.5) * (1 if term >= 0 else -1))
+    return n, q / scale
+
+
+def test_word_entropy_matches_reference(ray_session):
+    import ray.data as rd
+
+    from tsdat_ray.stages.text import word_entropy
+
+    texts = ["a a a a", "a b c d", "x x y", "", "solo",
+             "the the quick quick quick brown"]
+    tab = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts)})
+    got = (word_entropy(rd.from_arrow(tab)).to_pandas()
+           .set_index("doc_id").sort_index())
+    for i, t in enumerate(texts):
+        n, e = _ent_ref([w for w in t.split(" ") if w])
+        assert got.loc[i, "n_words"] == n
+        assert got.loc[i, "entropy"] == e
+    # uniform distribution = max entropy ln(k)
+    assert abs(got.loc[1, "entropy"] - math.log(4)) < 1e-6
+    assert got.loc[0, "entropy"] == 0.0
+
+
+def test_token_entropy_matches_reference(ray_session):
+    import ray.data as rd
+
+    from tsdat_ray.stages.sampling import token_entropy
+
+    toks = [[1, 1, 1], [1, 2, 3, 4], [7], [5, 5, 6, 6, 6]]
+    tab = pa.table({
+        "doc_id": pa.array(range(len(toks)), pa.int64()),
+        "tokens": pa.array(toks, pa.list_(pa.int32())),
+    })
+    got = (token_entropy(rd.from_arrow(tab)).to_pandas()
+           .set_index("doc_id").sort_index())
+    for i, tk in enumerate(toks):
+        n, e = _ent_ref(tk)
+        assert got.loc[i, "n_tok_actual"] == n
+        assert got.loc[i, "entropy"] == e
+
+
+def test_zipf_slope_exact_powerlaw(ray_session):
+    import ray.data as rd
+
+    from tsdat_ray.stages.text import zipf_slope
+
+    # counts ~ 1000/rank => slope of ln(count) on ln(rank) is exactly -1
+    # (up to the 1e-6 ln quantization)
+    words = []
+    for r in range(1, 11):
+        words += [f"w{r:02d}"] * round(1000 / r)
+    tab = pa.table({"text": pa.array([" ".join(words)])})
+    out = zipf_slope(rd.from_arrow(tab), k=10).to_pandas()
+    assert out["n_terms"][0] == 10
+    assert abs(out["zipf_slope"][0] + 1.0) < 0.02
+
+
+def test_distinctive_terms_and_kl(ray_session):
+    import ray.data as rd
+
+    from tsdat_ray.stages.text import distinctive_terms, kl_divergence_by
+
+    # source A over-indexes on 'alpha', B on 'beta'; 'common' is shared
+    rows = []
+    for i in range(30):
+        rows.append(("A", "alpha common alpha common alpha"))
+        rows.append(("B", "beta common beta common beta"))
+    tab = pa.table({"source": pa.array([r[0] for r in rows]),
+                    "text": pa.array([r[1] for r in rows])})
+    ds = rd.from_arrow(tab)
+
+    top = distinctive_terms(ds, key="source", k=1, min_count=5).to_pandas()
+    top = top.set_index("source")
+    assert top.loc["A", "word"] == "alpha"
+    assert top.loc["B", "word"] == "beta"
+    # p(alpha|A)=0.6, p(alpha)=0.3 => lift 2.0 exactly
+    assert top.loc["A", "lift"] == 2.0
+
+    kl = kl_divergence_by(ds, key="source").to_pandas().set_index("source")
+    # symmetric construction => equal KL; reference value
+    # 0.6 ln2 + 0.4 ln1 per source (common term has p_ws/p_w = 1)
+    ref = 0.6 * math.log(0.6 / 0.3)
+    assert abs(kl.loc["A", "kl"] - ref) < 1e-6
+    assert kl.loc["A", "kl"] == kl.loc["B", "kl"]
+    assert (kl["n_words"] == 150).all()
+
+
+def test_entropy_batch_invariance(ray_session):
+    """Entropy is a pure map: block layout must not change values."""
+    import ray.data as rd
+
+    from tsdat_ray.stages.text import word_entropy
+
+    rng = np.random.default_rng(7)
+    vocab = np.array(["a", "b", "c", "d", "e", "f"])
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(1, 40)))
+             for _ in range(300)]
+    tab = pa.table({"doc_id": pa.array(range(300), pa.int64()),
+                    "text": pa.array(texts)})
+    one = (word_entropy(rd.from_arrow(tab)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    many = (word_entropy(rd.from_arrow(tab).repartition(13)).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    assert (one["entropy"] == many["entropy"]).all()
+    assert (one["n_words"] == many["n_words"]).all()

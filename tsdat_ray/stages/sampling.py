@@ -856,3 +856,46 @@ def weighted_sample_topk(ds, k: int = 100, id_col: str = "doc_id",
 
     cand = ds.map_batches(local_topk, batch_format="pyarrow")
     return cand.sort(["wkey", id_col]).limit(k)
+
+
+def token_entropy(ds, tokens_col: str = "tokens", id_col: str = "doc_id",
+                  scale: float = 1e9):
+    """Per-sequence Shannon entropy (nats) of the token-id distribution —
+    the tokenized-corpus twin of stages.text.word_entropy (low entropy =
+    degenerate/repetitive sequences; complements token_type_ratio, which
+    only counts distinct ids).
+
+    Pure map: the same fused (row, value) int64-key sort as
+    token_type_ratio, but keeping RUN LENGTHS (per-(seq, token) counts);
+    per-term doubles use the DuckDB expression tree (double-first division,
+    ln, half-away rounding at 1e9) and fold as exact int64s."""
+    from .text_quant import half_away  # shared rounding helper
+
+    def ent(b: pa.Table) -> pa.Table:
+        toks = b[tokens_col].combine_chunks()
+        vals = toks.values.to_numpy(zero_copy_only=False)
+        off = toks.offsets.to_numpy().astype(np.int64)
+        lens = np.diff(off)
+        n = len(lens)
+        rowid = np.repeat(np.arange(n, dtype=np.int64), lens)
+        sel = vals[off[0]:off[-1]].astype(np.int64) if len(vals) else \
+            np.zeros(0, np.int64)
+        m = int(sel.max()) + 1 if len(sel) else 1
+        key = np.sort(rowid * m + sel)
+        if len(key):
+            starts = np.r_[True, key[1:] != key[:-1]]
+            run_row = key[starts] // m
+            idx = np.flatnonzero(starts)
+            c = np.diff(np.r_[idx, len(key)]).astype(np.int64)
+            p = c.astype(np.float64) / lens[run_row].astype(np.float64)
+            q = half_away(-(p * np.log(p)) * scale)
+            qsum = np.bincount(run_row, weights=q, minlength=n)
+        else:
+            qsum = np.zeros(n, np.float64)
+        return pa.table({
+            id_col: b[id_col],
+            "n_tok_actual": pa.array(lens),
+            "entropy": pa.array(qsum / scale),
+        })
+
+    return ds.map_batches(ent, batch_format="pyarrow")

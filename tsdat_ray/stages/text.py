@@ -1682,3 +1682,253 @@ def vocab_overlap(ds, key: str = "source", text_col: str = "text",
 
     return folded.map_batches(finalize, batch_format="pyarrow",
                               batch_size=None)
+
+
+# ---- corpus-statistics family (entropy / Zipf / per-source divergence) ---- #
+#
+# All four share one float contract with their DuckDB twins: every
+# per-term double is computed with the IDENTICAL expression tree on both
+# sides (int64 counts -> double-first division, libm ln), each term is
+# quantized to an int64 at a fixed scale with half-AWAY-from-zero rounding
+# (DuckDB ROUND semantics; np.round is banker's and would diverge), and
+# only INTEGER sums cross the shuffle — associative, so any combine order
+# lands on the identical result.
+
+
+from .text_quant import half_away as _half_away
+
+
+def word_entropy(ds, text_col: str = "text", id_col: str = "doc_id",
+                 scale: float = 1e9):
+    """Per-document Shannon entropy (nats) of the word distribution — the
+    lexical-diversity / degenerate-text signal (near-zero entropy = one
+    word repeated; a quality-filter axis Gopher's repetition rules don't
+    capture directly).  Reference analog: per-variable QC stats computed
+    per slice (tsdat/qc/checkers/check_std.py:21) — here the "slice" is a
+    document and the stat is -sum(p ln p).
+
+    Pure map, zero shuffle: one dictionary-encode + fused (row, code)
+    int64-key sort per batch gives per-(doc, word) run lengths with no
+    per-row Python; per-term quantized int64s fold with np.bincount
+    (weights are ints < 2^53 => exact in the float accumulator)."""
+
+    def ent(b: pa.Table) -> pa.Table:
+        flat, rows = _flat_words(b, text_col)
+        n = len(b)
+        n_words = np.bincount(rows, minlength=n).astype(np.int64)
+        if len(flat):
+            d = pa.array(flat).dictionary_encode()
+            codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            V = len(d.dictionary)
+            key = np.sort(rows * V + codes)
+            starts = np.r_[True, key[1:] != key[:-1]]
+            run_row = key[starts] // V
+            idx = np.flatnonzero(starts)
+            c = np.diff(np.r_[idx, len(key)]).astype(np.int64)
+            p = c.astype(np.float64) / n_words[run_row].astype(np.float64)
+            q = _half_away(-(p * np.log(p)) * scale)
+            qsum = np.bincount(run_row, weights=q, minlength=n)
+        else:
+            qsum = np.zeros(n, np.float64)
+        return pa.table({
+            id_col: b[id_col],
+            "n_words": pa.array(n_words),
+            "entropy": pa.array(qsum / scale),
+        })
+
+    return ds.map_batches(ent, batch_format="pyarrow")
+
+
+def zipf_slope(ds, k: int = 30, text_col: str = "text", salt_mod: int = 64):
+    """Zipf rank-frequency slope of the corpus: OLS fit of ln(count) on
+    ln(rank) over the top-k words — the corpus-health diagnostic (natural
+    text ~ -1; synthetic/templated corpora flatten).  One row out.
+
+    The word counts come from the exact salted-partial fold of
+    :func:`topk_words` (one shuffle of per-block distinct-word partials);
+    the regression itself runs on k<=30 rows driver-side from QUANTIZED
+    ln values (int64 at 1e6), so numerator/denominator are exact Python
+    ints and the final division is the only double op."""
+    import ray.data as rd
+
+    top = topk_words(ds, k=k, text_col=text_col, salt_mod=salt_mod)
+    tabs = list(top.iter_batches(batch_format="pyarrow", batch_size=None))
+    t = pa.concat_tables(tabs)
+    cnt = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    kk = len(cnt)
+    if kk < 2:
+        return rd.from_arrow(pa.table({"n_terms": pa.array([kk], pa.int64()),
+                                       "zipf_slope": pa.array([0.0])}))
+    rank = np.arange(1, kk + 1, dtype=np.float64)
+    X = _half_away(np.log(rank) * 1e6)
+    Y = _half_away(np.log(cnt.astype(np.float64)) * 1e6)
+    sx, sy = int(X.sum()), int(Y.sum())
+    sxy = int((X * Y).sum())
+    sxx = int((X * X).sum())
+    num = kk * sxy - sx * sy
+    den = kk * sxx - sx * sx
+    return rd.from_arrow(pa.table({
+        "n_terms": pa.array([kk], pa.int64()),
+        "zipf_slope": pa.array([float(num) / float(den)]),
+    }))
+
+
+def _source_word_pairs(ds, key: str, text_col: str, salt_mod: int):
+    """(key, word) exact counts with per-word totals attached: per-block
+    fused-int-key partials (one row per distinct (key, word) per block —
+    tokens never ship), one word-hash-salted groupby so each word lives
+    wholly in one partition; the group fold emits (key, word, c_kw, c_w).
+    Returns (pairs Dataset, {key: total_words}, grand_total)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        flat, rows = _flat_words(b, text_col)
+        kd = b[key].combine_chunks().dictionary_encode()
+        kcodes = kd.indices.to_numpy(zero_copy_only=False).astype(np.int64)[rows]
+        kdict = kd.dictionary.to_pandas().to_numpy()
+        if len(flat):
+            wd = pa.array(flat).dictionary_encode()
+            wcodes = wd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            V = len(wd.dictionary)
+            fused = kcodes * V + wcodes
+            uf, cnt = np.unique(fused, return_counts=True)
+            ks = kdict[uf // V]
+            words = wd.dictionary.to_pandas().to_numpy()[uf % V]
+        else:
+            ks = np.zeros(0, object)
+            words = np.zeros(0, object)
+            cnt = np.zeros(0, np.int64)
+        import pandas as pd
+
+        salts = (pd.util.hash_array(words.astype(object))
+                 % np.uint64(salt_mod)).astype(np.int64) if len(words) else \
+            np.zeros(0, np.int64)
+        return pa.table({key: pa.array(ks, pa.string()),
+                         "word": pa.array(words, pa.string()),
+                         "c_kw": pa.array(cnt.astype(np.int64)),
+                         "_salt": pa.array(salts)})
+
+    def fold(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = g.to_pandas().groupby([key, "word"], sort=False,
+                                   as_index=False)["c_kw"].sum()
+        cw = df.groupby("word")["c_kw"].transform("sum")
+        return pa.table({key: pa.array(df[key], pa.string()),
+                         "word": pa.array(df["word"], pa.string()),
+                         "c_kw": pa.array(df["c_kw"].to_numpy(np.int64)),
+                         "c_w": pa.array(cw.to_numpy(np.int64))})
+
+    pairs = (ds.select_columns([key, text_col])
+             .map_batches(partial, batch_format="pyarrow")
+             .groupby("_salt").map_groups(fold, batch_format="pyarrow"))
+
+    # tiny per-key word totals (bounded by |keys|, folded distributed)
+    def ktotals(b: pa.Table) -> pa.Table:
+        flat, rows = _flat_words(b, text_col)
+        kd = b[key].combine_chunks().dictionary_encode()
+        kcodes = kd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = np.bincount(kcodes[rows], minlength=len(kd.dictionary))
+        return pa.table({key: kd.dictionary,
+                         "_n": pa.array(cnt.astype(np.int64))})
+
+    tot = (ds.select_columns([key, text_col])
+           .map_batches(ktotals, batch_format="pyarrow")
+           .groupby(key).sum("_n"))
+    totals = {r[key]: int(r["sum(_n)"]) for r in tot.take_all()}
+    return pairs, totals, sum(totals.values())
+
+
+def distinctive_terms(ds, key: str = "source", k: int = 5,
+                      min_count: int = 5, text_col: str = "text",
+                      salt_mod: int = 64):
+    """Top-k DISTINCTIVE terms per corpus slice by pointwise lift
+    p(word|key)/p(word) — the per-domain keyword profile used to audit a
+    training-data mixture (which terms over-index in each source).
+
+    Exact counts from one word-salted shuffle of per-block partials
+    (:func:`_source_word_pairs`); lift is the identical double expression
+    tree as the SQL twin — (c_kw·N)/(c_w·c_k) with every operand cast
+    double first — so ranking (lift DESC, word ASC) is deterministic.
+    Per-batch partial top-k bounds the final per-key merge to
+    blocks × |keys| × k candidate rows."""
+    import ray
+
+    pairs, totals, N = _source_word_pairs(ds, key, text_col, salt_mod)
+    Nf = float(N)
+    tref = ray.put(totals)
+
+    def add_lift(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        tot = ray.get(tref)
+        keep = b.filter(pc.greater_equal(b["c_kw"], min_count))
+        ks = keep[key].to_numpy(zero_copy_only=False)
+        ck = np.array([float(tot[s]) for s in ks], np.float64) if len(ks) \
+            else np.zeros(0)
+        ckw = keep["c_kw"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cw = keep["c_w"].to_numpy(zero_copy_only=False).astype(np.float64)
+        lift = (ckw * Nf) / (cw * ck) if len(ks) else np.zeros(0)
+        t = keep.append_column("lift", pa.array(lift))
+        # partial top-k per key within the batch
+        df = t.to_pandas().sort_values(["lift", "word"],
+                                       ascending=[False, True], kind="stable")
+        df = df.groupby(key, sort=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final_topk(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = g.to_pandas().sort_values(["lift", "word"],
+                                       ascending=[False, True],
+                                       kind="stable").head(k)
+        return pa.Table.from_pandas(
+            df[[key, "word", "c_kw", "lift"]], preserve_index=False)
+
+    return (pairs.map_batches(add_lift, batch_format="pyarrow")
+            .groupby(key).map_groups(final_topk, batch_format="pyarrow"))
+
+
+def kl_divergence_by(ds, key: str = "source", text_col: str = "text",
+                     salt_mod: int = 64, scale: float = 1e9):
+    """Per-slice unigram KL divergence KL(p_key || p_corpus) — the domain
+    drift / mixture-shift diagnostic (0 = slice indistinguishable from the
+    corpus; rises as a source's vocabulary usage diverges).
+
+    Same exact pair counts as :func:`distinctive_terms`; each word's term
+    (c_kw/c_k)·ln((c_kw·N)/(c_k·c_w)) is quantized int64 inside the
+    word-partitioned fold, so only per-key INTEGER partial sums (bounded
+    by |keys| per block) reach the final tiny groupby."""
+    import ray
+
+    pairs, totals, N = _source_word_pairs(ds, key, text_col, salt_mod)
+    Nf = float(N)
+    tref = ray.put(totals)
+
+    def partial_kl(b: pa.Table) -> pa.Table:
+        tot = ray.get(tref)
+        ks = b[key].to_numpy(zero_copy_only=False)
+        ck = np.array([float(tot[s]) for s in ks], np.float64) if len(ks) \
+            else np.zeros(0)
+        ckw = b["c_kw"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cw = b["c_w"].to_numpy(zero_copy_only=False).astype(np.float64)
+        term = (ckw / ck) * np.log((ckw * Nf) / (ck * cw)) if len(ks) \
+            else np.zeros(0)
+        q = _half_away(term * scale)
+        import pandas as pd
+
+        df = pd.DataFrame({key: ks, "_q": q}).groupby(
+            key, sort=False, as_index=False)["_q"].sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        tot = ray.get(tref)
+        ks = b[key].to_numpy(zero_copy_only=False)
+        n_words = np.array([tot[s] for s in ks], np.int64)
+        q = b["sum(_q)"].to_numpy(zero_copy_only=False)
+        return pa.table({key: b[key],
+                         "n_words": pa.array(n_words),
+                         "kl": pa.array(q / scale)})
+
+    return (pairs.map_batches(partial_kl, batch_format="pyarrow")
+            .groupby(key).sum("_q")
+            .map_batches(finalize, batch_format="pyarrow"))
