@@ -5341,6 +5341,85 @@ def _calendar_cascade_1d(sf_dir: str, unit: str):
             .groupby(["event_type", "bucket"]).map_groups(combine, batch_format="pyarrow"))
 
 
+def _q_rollup_2h_auto(sf_dir: str):
+    """Serve-from-rollup read path: a 2h rollup answered from the stored
+    tier the planner picks (stages/rollup.py:best_tier → '1h', since
+    3600 | 7200 and 86400 does not) — re-accumulated cent-exact partials,
+    never re-reading raw; oracled against the DIRECT 2h SQL over raw
+    events, so cascade == direct under the value-hash contract."""
+    from tsdat_ray.stages.rollup import best_tier
+
+    iv_us = 7_200_000_000
+    tier = best_tier(7200, {"1m": 60, "1h": 3600, "1d": 86400})
+    src = _events_rollup(sf_dir, tier)
+
+    def partial(b: pa.Table) -> pa.Table:
+        bk = b["bucket"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        w = (bk // iv_us) * iv_us
+        k = b["event_type"].to_numpy(zero_copy_only=False)
+        n = b["n_rows"].combine_chunks().to_numpy(zero_copy_only=False)
+        s = np.round(b["value_sum"].combine_chunks().to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        mn = b["value_min"].combine_chunks().to_numpy(zero_copy_only=False)
+        mx = b["value_max"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((w, k))
+        ks, ws = k[order], w[order]
+        st = np.flatnonzero(np.r_[True, (ks[1:] != ks[:-1]) | (ws[1:] != ws[:-1])]) \
+            if len(ks) else np.zeros(0, np.int64)
+        return pa.table({
+            "event_type": pa.array(ks[st] if len(st) else ks[:0]),
+            "bucket": pa.array((ws[st] if len(st) else ws[:0]).astype("datetime64[us]")),
+            "n_rows": pa.array(np.add.reduceat(n[order], st) if len(st) else n[:0]),
+            "_s": pa.array(np.add.reduceat(s[order], st) if len(st) else s[:0]),
+            "_mn": pa.array(np.minimum.reduceat(mn[order], st) if len(st) else mn[:0]),
+            "_mx": pa.array(np.maximum.reduceat(mx[order], st) if len(st) else mx[:0]),
+        })
+
+    def combine(g: pa.Table) -> pa.Table:
+        n = int(np.sum(g["n_rows"].combine_chunks().to_numpy(zero_copy_only=False)))
+        s = int(np.sum(g["_s"].combine_chunks().to_numpy(zero_copy_only=False)))
+        sums = s / 100.0
+        return pa.table({
+            "event_type": g["event_type"].slice(0, 1),
+            "bucket": g["bucket"].slice(0, 1),
+            "n_rows": pa.array([n], pa.int64()),
+            "value_sum": pa.array([sums]),
+            "value_mean": pa.array([sums / n]),
+            "value_min": pa.array([float(np.min(g["_mn"].combine_chunks()
+                                                .to_numpy(zero_copy_only=False)))]),
+            "value_max": pa.array([float(np.max(g["_mx"].combine_chunks()
+                                                .to_numpy(zero_copy_only=False)))]),
+        })
+
+    return (src.map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "bucket"]).map_groups(combine, batch_format="pyarrow"))
+
+
+def _q_availability(sf_dir: str):
+    """Per (event_type, day) data-availability report: present / span /
+    missing 1-minute buckets + uptime fraction between the day's first and
+    last sample — the completeness accounting behind tsdat's goodfraction,
+    lifted to an ops report (stages/stats.py:availability_report);
+    batch-local triple dedupe bounds the shuffle by distinct (type, day,
+    minute)."""
+    from tsdat_ray.stages.stats import availability_report
+
+    ds = _events(sf_dir, columns=["ts", "event_type"])
+    return availability_report(ds, key="event_type", interval_s=60)
+
+
+def _q_hist_rollup(sf_dir: str):
+    """Histogram continuous aggregate: per (event_type, hour, value-bin)
+    counts (bin = floor(value/5)) — the mergeable per-window distribution
+    column the mean/min/max tiers lack; per-batch fused-key bincount
+    partials, one integer-sum groupby
+    (stages/stats.py:windowed_value_hist)."""
+    from tsdat_ray.stages.stats import windowed_value_hist
+
+    ds = _events(sf_dir, columns=["ts", "event_type", "value"])
+    return windowed_value_hist(ds, key="event_type", interval_s=3600,
+                               bin_width=5.0)
+
+
 def _q_windowed_join(sf_dir: str):
     """Stream-stream windowed join: every (click, purchase) pair of the
     same user within ±5 min — halo-replicated (key, window) co-location,
@@ -6005,6 +6084,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gini_lengths_docs": _q_gini_lengths,
         "top_paths_events": _q_top_paths,
         "vocab_overlap_sources": _q_vocab_overlap,
+        "rollup_2h_auto_events": _q_rollup_2h_auto,
+        "availability_events": _q_availability,
+        "hist_rollup_1h_events": _q_hist_rollup,
         "word_entropy_docs": _q_word_entropy,
         "token_entropy_sequences": _q_token_entropy,
         "zipf_slope_docs": _q_zipf_slope,
@@ -8298,6 +8380,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(t.n * t.s AS BIGINT) AS gini_den
             FROM r, t
             GROUP BY t.n, t.s
+        """,
+        # direct 2h rollup over raw — the engine serves it from the 1h tier
+        # (best_tier planner); cent-exact re-accumulation makes them equal
+        "rollup_2h_auto_events": """
+            SELECT event_type,
+                   make_timestamp((epoch_us(ts) // 7200000000)
+                                  * 7200000000) AS bucket,
+                   count(*) AS n_rows,
+                   ROUND(sum(value), 2) / count(*) AS value_mean,
+                   min(value) AS value_min, max(value) AS value_max,
+                   ROUND(sum(value), 2) AS value_sum
+            FROM events GROUP BY 1, 2
+        """,
+        "availability_events": """
+            WITH b AS (
+                SELECT event_type, date_trunc('day', ts) AS day,
+                       (epoch_us(ts) // 60000000) * 60000000 AS m
+                FROM events
+            ), d AS (
+                SELECT event_type, day,
+                       CAST(count(DISTINCT m) AS BIGINT) AS n_present,
+                       CAST((max(m) - min(m)) // 60000000 + 1 AS BIGINT)
+                           AS span
+                FROM b GROUP BY 1, 2
+            )
+            SELECT event_type, day, n_present, span,
+                   span - n_present AS n_missing,
+                   CAST(n_present AS DOUBLE) / CAST(span AS DOUBLE) AS uptime
+            FROM d
+        """,
+        "hist_rollup_1h_events": """
+            SELECT event_type, date_trunc('hour', ts) AS bucket,
+                   CAST(floor(value / 5.0) AS BIGINT) AS bin,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2, 3
         """,
         # Per-doc Shannon entropy: per-(doc, word) terms quantized to int64
         # at 1e9 with DuckDB's own half-away ROUND, summed as integers —

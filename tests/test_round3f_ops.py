@@ -125,3 +125,62 @@ def test_entropy_batch_invariance(ray_session):
             .sort_values("doc_id").reset_index(drop=True))
     assert (one["entropy"] == many["entropy"]).all()
     assert (one["n_words"] == many["n_words"]).all()
+
+
+def test_best_tier_planner():
+    from tsdat_ray.stages.rollup import best_tier
+
+    tiers = {"1m": 60, "1h": 3600, "1d": 86400}
+    assert best_tier(7200, tiers) == "1h"       # 2h nests hours, not days
+    assert best_tier(86400 * 7, tiers) == "1d"  # a week nests days
+    assert best_tier(90, tiers) == "1m"         # 90s only nests minutes
+    assert best_tier(45, tiers) == "1m"         # nothing divides -> finest
+
+
+def test_availability_report_reference(ray_session):
+    import ray.data as rd
+
+    from tsdat_ray.stages.stats import availability_report
+
+    # key A day0: minutes 0, 1, 5  -> span 6, present 3, missing 3
+    # key A day1: minute 0 only    -> span 1, present 1, missing 0
+    # key B day0: minutes 2, 3     -> span 2, present 2, missing 0
+    us = 1_000_000
+    rows = [("A", 0), ("A", 30), ("A", 60), ("A", 300), ("A", 330),
+            ("A", 86400), ("B", 120), ("B", 180)]
+    tab = pa.table({
+        "event_type": pa.array([r[0] for r in rows]),
+        "ts": pa.array(np.array([r[1] * us for r in rows],
+                                dtype="datetime64[us]")),
+    })
+    got = (availability_report(rd.from_arrow(tab).repartition(3),
+                               key="event_type", interval_s=60)
+           .to_pandas().sort_values(["event_type", "day"])
+           .reset_index(drop=True))
+    assert got[["n_present", "span", "n_missing"]].values.tolist() == [
+        [3, 6, 3], [1, 1, 0], [2, 2, 0]]
+    assert got["uptime"].tolist() == [0.5, 1.0, 1.0]
+
+
+def test_windowed_hist_block_invariance(ray_session):
+    import ray.data as rd
+
+    from tsdat_ray.stages.stats import windowed_value_hist
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    tab = pa.table({
+        "event_type": pa.array(rng.choice(["x", "y"], n)),
+        "ts": pa.array((rng.integers(0, 86400 * 3, n)
+                        * 1_000_000).astype("datetime64[us]")),
+        "value": pa.array(rng.normal(10, 8, n)),
+    })
+    one = (windowed_value_hist(rd.from_arrow(tab), interval_s=3600)
+           .to_pandas().sort_values(["event_type", "bucket", "bin"])
+           .reset_index(drop=True))
+    many = (windowed_value_hist(rd.from_arrow(tab).repartition(17),
+                                interval_s=3600)
+            .to_pandas().sort_values(["event_type", "bucket", "bin"])
+            .reset_index(drop=True))
+    assert (one == many).all().all()
+    assert one["n"].sum() == n

@@ -488,3 +488,21 @@ def calendar_rollup(ds, key: str, ts_col: str, value_col: str,
 
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby([key, "bucket"]).map_groups(combine, batch_format="pyarrow"))
+
+
+def best_tier(interval_s: int, tiers: dict[str, int]) -> str:
+    """Continuous-aggregate READ planning: pick the coarsest stored tier
+    whose interval divides the requested bucket width, so a 2h query is
+    served by re-aggregating the 1h tier (24 rows/key/day) instead of raw
+    events — the serve-from-rollup half of the tier cascade (TimescaleDB
+    real-time-aggregate shape; the reference always re-reads raw,
+    tsdat/io/base/storage.py:126).
+
+    Exactness holds because tier sums are cent-quantized integers
+    (associative re-accumulation) and min/max/count are order-free — the
+    re-aggregated answer is bit-identical to computing from raw."""
+    ok = {t: iv for t, iv in tiers.items() if interval_s % iv == 0}
+    if not ok:
+        # no tier nests: fall back to the finest (always divides if raw-like)
+        return min(tiers, key=lambda t: tiers[t])
+    return max(ok, key=lambda t: ok[t])

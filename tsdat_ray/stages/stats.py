@@ -795,3 +795,97 @@ def gini_concentration(ds, value_col: str = "n_chars", fanin: int = 8):
                          "gini_den": pa.array([n * s_tot], pa.int64())})
 
     return agg.map_batches(finalize, batch_format="pyarrow", batch_size=None)
+
+
+def availability_report(ds, key: str = "event_type", ts_col: str = "ts",
+                        interval_s: int = 60, day_s: int = 86400):
+    """Data-availability / gap report: per (key, day), how many
+    ``interval_s`` buckets between the day's first and last sample actually
+    contain data — the completeness accounting tsdat surfaces as QC
+    coverage metadata (reference: goodfraction per output bin,
+    tsdat/transform_v2/bin_average/calculate_bin_average.py:101) lifted to
+    an ops report (present / span / missing / uptime per key-day).
+
+    Scale shape: per-batch (key, day, bucket) dedupe bounds the shuffle by
+    DISTINCT triples (≤ 1440/day per key at 1m), one (key, day) fold counts
+    uniques and takes span endpoints.  uptime divides double-first (the
+    DuckDB int/int law)."""
+    iv_us = interval_s * 1_000_000
+    day_us = day_s * 1_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        kd = b[key].combine_chunks().dictionary_encode()
+        codes = kd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        day = (ts // day_us) * day_us
+        m = (ts // iv_us) * iv_us
+        # fused (key, bucket) — bucket implies day, so dedupe on it alone
+        order = np.lexsort((m, codes))
+        cs, ms = codes[order], m[order]
+        keep = np.r_[True, (cs[1:] != cs[:-1]) | (ms[1:] != ms[:-1])] \
+            if len(cs) else np.zeros(0, bool)
+        return pa.table({
+            key: kd.dictionary.take(pa.array(cs[keep])),
+            "_day": pa.array(day[order][keep].astype("datetime64[us]")),
+            "_m": pa.array(ms[keep]),
+        })
+
+    def fold(g: pa.Table) -> pa.Table:
+        m = np.unique(g["_m"].combine_chunks().to_numpy(zero_copy_only=False))
+        span = int((m[-1] - m[0]) // iv_us) + 1
+        npres = len(m)
+        return pa.table({
+            key: g[key].slice(0, 1),
+            "day": g["_day"].slice(0, 1),
+            "n_present": pa.array([npres], pa.int64()),
+            "span": pa.array([span], pa.int64()),
+            "n_missing": pa.array([span - npres], pa.int64()),
+            "uptime": pa.array([float(npres) / float(span)]),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby([key, "_day"]).map_groups(fold, batch_format="pyarrow"))
+
+
+def windowed_value_hist(ds, key: str = "event_type", ts_col: str = "ts",
+                        value_col: str = "value", interval_s: int = 3600,
+                        bin_width: float = 5.0):
+    """Histogram continuous aggregate: per (key, time window, value bin)
+    counts — the mergeable-sketch tier column (per-window distributions
+    survive re-aggregation to coarser tiers because bin counts are
+    integers).  Nonzero bins only, one row per (key, window, bin).
+
+    Combiner push-down: per-batch fused (key, window, bin) bincount
+    partials (one row per DISTINCT triple per block), one groupby sums —
+    bin assignment is floor(value / width) with the identical double
+    division on the SQL side."""
+    iv_us = interval_s * 1_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = b[value_col].combine_chunks().to_numpy(zero_copy_only=False)
+        kd = b[key].combine_chunks().dictionary_encode()
+        codes = kd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        w = (ts // iv_us) * iv_us
+        binv = np.floor(v / bin_width).astype(np.int64)
+        order = np.lexsort((binv, w, codes))
+        cs, ws, bs = codes[order], w[order], binv[order]
+        st = np.flatnonzero(np.r_[True, (cs[1:] != cs[:-1]) | (ws[1:] != ws[:-1])
+                                   | (bs[1:] != bs[:-1])]) if len(cs) else \
+            np.zeros(0, np.int64)
+        cnt = np.diff(np.r_[st, len(cs)]).astype(np.int64) if len(st) else \
+            np.zeros(0, np.int64)
+        return pa.table({
+            key: kd.dictionary.take(pa.array(cs[st] if len(st) else cs[:0])),
+            "bucket": pa.array((ws[st] if len(st) else ws[:0]).astype("datetime64[us]")),
+            "bin": pa.array(bs[st] if len(st) else bs[:0]),
+            "_n": pa.array(cnt),
+        })
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby([key, "bucket", "bin"]).sum("_n"))
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns([*b.column_names[:-1], "n"])
+
+    return out.map_batches(rename, batch_format="pyarrow")
