@@ -5420,6 +5420,20 @@ def _q_hist_rollup(sf_dir: str):
                                bin_width=5.0)
 
 
+def _q_p95_1h(sf_dir: str):
+    """Exact p50/p95 per (event_type, hour) — the latency-percentile
+    dashboard tier: per-batch (key, window, cent) histogram partials
+    (repeated values collapse before the shuffle), one (key, window) fold
+    reads quantiles off the cumulative histogram
+    (stages/window_funcs.py:windowed_quantiles_disc)."""
+    from tsdat_ray.stages.window_funcs import windowed_quantiles_disc
+
+    ds = _events(sf_dir, columns=["ts", "event_type", "value"])
+    return windowed_quantiles_disc(ds, key="event_type", ts_col="ts",
+                                   value_col="value", interval_s=3600,
+                                   qs=(0.5, 0.95))
+
+
 def _q_windowed_join(sf_dir: str):
     """Stream-stream windowed join: every (click, purchase) pair of the
     same user within ±5 min — halo-replicated (key, window) co-location,
@@ -6085,6 +6099,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_paths_events": _q_top_paths,
         "vocab_overlap_sources": _q_vocab_overlap,
         "rollup_2h_auto_events": _q_rollup_2h_auto,
+        "p95_1h_events": _q_p95_1h,
         "availability_events": _q_availability,
         "hist_rollup_1h_events": _q_hist_rollup,
         "word_entropy_docs": _q_word_entropy,
@@ -8391,6 +8406,12 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(sum(value), 2) / count(*) AS value_mean,
                    min(value) AS value_min, max(value) AS value_max,
                    ROUND(sum(value), 2) AS value_sum
+            FROM events GROUP BY 1, 2
+        """,
+        "p95_1h_events": """
+            SELECT event_type, date_trunc('hour', ts) AS bucket,
+                   quantile_disc(value, 0.50) AS qd50,
+                   quantile_disc(value, 0.95) AS qd95
             FROM events GROUP BY 1, 2
         """,
         "availability_events": """

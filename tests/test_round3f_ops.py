@@ -184,3 +184,32 @@ def test_windowed_hist_block_invariance(ray_session):
             .reset_index(drop=True))
     assert (one == many).all().all()
     assert one["n"].sum() == n
+
+
+def test_windowed_quantiles_disc_brute(ray_session):
+    import ray.data as rd
+
+    from tsdat_ray.stages.window_funcs import windowed_quantiles_disc
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    ts = (rng.integers(0, 6 * 3600, n) * 1_000_000).astype("datetime64[us]")
+    key = rng.choice(["a", "b"], n)
+    val = np.round(rng.normal(50, 20, n), 2)
+    tab = pa.table({"event_type": pa.array(key), "ts": pa.array(ts),
+                    "value": pa.array(val)})
+    got = (windowed_quantiles_disc(rd.from_arrow(tab).repartition(9),
+                                   key="event_type", ts_col="ts",
+                                   value_col="value", interval_s=3600)
+           .to_pandas().set_index(["event_type", "bucket"]).sort_index())
+
+    import pandas as pd
+
+    df = pd.DataFrame({"k": key, "w": ts.astype("datetime64[s]").astype(np.int64)
+                       // 3600 * 3600, "v": val})
+    for (k, w), sub in df.groupby(["k", "w"]):
+        vs = np.sort(sub["v"].to_numpy())
+        bucket = np.datetime64(int(w) * 1_000_000, "us")
+        for q, col in ((0.5, "qd50"), (0.95, "qd95")):
+            ref = vs[int(np.ceil(len(vs) * q)) - 1]  # PERCENTILE_DISC
+            assert got.loc[(k, bucket), col] == ref

@@ -2206,3 +2206,64 @@ def windowed_active_users(ds, user_col: str = "user_id", ts_col: str = "ts",
     nz = counts > 0
     return rd.from_arrow(pa.table({"day_num": pa.array(days[nz]),
                                    "wau": pa.array(counts[nz])}))
+
+
+def windowed_quantiles_disc(ds, key: str, ts_col: str, value_col: str,
+                            interval_s: int = 3600,
+                            qs: tuple = (0.5, 0.95), scale: int = 100):
+    """Exact PERCENTILE_DISC per (key, time window) — the p50/p95-per-hour
+    observability tier the mean/min/max rollups can't answer.  Same
+    convention as :func:`exact_quantiles_disc` (smallest element with
+    cumulative fraction ≥ q, sorted index ceil(n·q)−1); values are
+    1/scale-quantized so histograms are exact integers.
+
+    Combiner push-down: per-batch (key, window, cent) partial counts (one
+    row per distinct triple per block — repeated values collapse before the
+    shuffle), one (key, window) groupby folds and reads the quantiles off
+    the sorted cumulative histogram.  Output: key, bucket, ``qd<percent>``."""
+    iv_us = interval_s * US
+
+    def hist(b: pa.Table) -> pa.Table:
+        ts = b[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = b[value_col].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
+        k = b[key].to_numpy(zero_copy_only=False)
+        w = (ts // iv_us) * iv_us
+        cent = np.round(v * scale).astype(np.int64)
+        order = np.lexsort((cent, w, k))
+        ks, ws, cv = k[order], w[order], cent[order]
+        chg = np.r_[True, (ks[1:] != ks[:-1]) | (ws[1:] != ws[:-1])
+                    | (cv[1:] != cv[:-1])] if len(ks) else np.zeros(0, bool)
+        st = np.flatnonzero(chg)
+        cnt = np.diff(np.r_[st, len(ks)]).astype(np.int64) if len(st) else \
+            np.zeros(0, np.int64)
+        take = pa.array(order[st] if len(st) else [], type=pa.int64())
+        return pa.table({key: b[key].take(take),
+                         "_window": pa.array(ws[st] if len(st) else ws[:0]),
+                         "_c": pa.array(cv[st] if len(st) else cv[:0]),
+                         "_cnt": pa.array(cnt)})
+
+    names = [f"qd{int(round(qq * 100))}" for qq in qs]
+
+    def finalize(g: pa.Table) -> pa.Table:
+        cv = g["_c"].combine_chunks().to_numpy(zero_copy_only=False)
+        cnt = g["_cnt"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(cv, kind="stable")
+        cv, cnt = cv[order], cnt[order]
+        # merge duplicate cents from different blocks
+        chg = np.r_[True, cv[1:] != cv[:-1]]
+        st = np.flatnonzero(chg)
+        cv = cv[st]
+        cnt = np.add.reduceat(cnt, st)
+        csum = np.cumsum(cnt)
+        n = int(csum[-1])
+        out = {key: g[key].slice(0, 1),
+               "bucket": pa.array(np.array([g["_window"][0].as_py()],
+                                           dtype=np.int64).astype("datetime64[us]"))}
+        for qq, nm in zip(qs, names):
+            thr = int(np.ceil(n * qq))
+            idx = int(np.searchsorted(csum, max(thr, 1)))
+            out[nm] = pa.array([cv[idx] / scale])
+        return pa.table(out)
+
+    return (ds.map_batches(hist, batch_format="pyarrow")
+            .groupby([key, "_window"]).map_groups(finalize, batch_format="pyarrow"))
