@@ -5420,6 +5420,30 @@ def _q_hist_rollup(sf_dir: str):
                                bin_width=5.0)
 
 
+def _q_cohort_matrix(sf_dir: str):
+    """Full cohort retention matrix: distinct users per (first-touch day,
+    day-offset 0..14) — the triangle the single-window retention query
+    collapses; first-ts combiner min, bucketed hash_join back (user
+    dimension never broadcasts), batch-local triple dedupe
+    (stages/stats.py:cohort_matrix)."""
+    from tsdat_ray.stages.stats import cohort_matrix
+
+    ds = _events(sf_dir, columns=["ts", "user_id"])
+    return cohort_matrix(ds, bucket_s=86400, max_offset=14)
+
+
+def _q_funnel_steps(sf_dir: str):
+    """Strict-order 3-step funnel (signup → click → purchase within 7 days
+    of signup, each step strictly after the previous): one keyed shuffle
+    of only the funnel-typed events, per-user sequence replay, tree-folded
+    step counters (stages/stats.py:funnel_steps); one row out."""
+    from tsdat_ray.stages.stats import funnel_steps
+
+    ds = _events(sf_dir, columns=["ts", "user_id", "event_type"])
+    return funnel_steps(ds, steps=("signup", "click", "purchase"),
+                        window_s=7 * 86400)
+
+
 def _q_p95_1h(sf_dir: str):
     """Exact p50/p95 per (event_type, hour) — the latency-percentile
     dashboard tier: per-batch (key, window, cent) histogram partials
@@ -6100,6 +6124,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_overlap_sources": _q_vocab_overlap,
         "rollup_2h_auto_events": _q_rollup_2h_auto,
         "p95_1h_events": _q_p95_1h,
+        "cohort_matrix_events": _q_cohort_matrix,
+        "funnel_steps_events": _q_funnel_steps,
         "availability_events": _q_availability,
         "hist_rollup_1h_events": _q_hist_rollup,
         "word_entropy_docs": _q_word_entropy,
@@ -8413,6 +8439,40 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(value, 0.50) AS qd50,
                    quantile_disc(value, 0.95) AS qd95
             FROM events GROUP BY 1, 2
+        """,
+        "cohort_matrix_events": """
+            WITH f AS (
+                SELECT user_id, date_trunc('day', min(ts)) AS cohort
+                FROM events GROUP BY 1
+            )
+            SELECT f.cohort,
+                   CAST(date_diff('day', f.cohort, date_trunc('day', e.ts))
+                        AS BIGINT) AS offset_d,
+                   count(DISTINCT e.user_id) AS n_users
+            FROM events e JOIN f USING (user_id)
+            WHERE date_diff('day', f.cohort, date_trunc('day', e.ts))
+                  BETWEEN 0 AND 14
+            GROUP BY 1, 2
+        """,
+        "funnel_steps_events": """
+            WITH s AS (
+                SELECT user_id, min(ts) AS s_ts FROM events
+                WHERE event_type = 'signup' GROUP BY 1
+            ), c AS (
+                SELECT e.user_id, min(e.ts) AS c_ts
+                FROM events e JOIN s USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts > s.s_ts
+                  AND e.ts <= s.s_ts + INTERVAL 7 DAY
+                GROUP BY 1
+            ), p AS (
+                SELECT DISTINCT e.user_id
+                FROM events e JOIN c USING (user_id) JOIN s USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+                  AND e.ts <= s.s_ts + INTERVAL 7 DAY
+            )
+            SELECT (SELECT count(*) FROM s) AS n_signup,
+                   (SELECT count(*) FROM c) AS n_click,
+                   (SELECT count(*) FROM p) AS n_purchase
         """,
         "availability_events": """
             WITH b AS (

@@ -213,3 +213,65 @@ def test_windowed_quantiles_disc_brute(ray_session):
         for q, col in ((0.5, "qd50"), (0.95, "qd95")):
             ref = vs[int(np.ceil(len(vs) * q)) - 1]  # PERCENTILE_DISC
             assert got.loc[(k, bucket), col] == ref
+
+
+def test_cohort_matrix_brute(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from tsdat_ray.stages.stats import cohort_matrix
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    us = 1_000_000
+    tab = pa.table({
+        "user_id": pa.array(rng.integers(0, 40, n)),
+        "ts": pa.array((rng.integers(0, 86400 * 20, n) * us)
+                       .astype("datetime64[us]")),
+    })
+    got = (cohort_matrix(rd.from_arrow(tab).repartition(7), max_offset=5)
+           .to_pandas().set_index(["cohort", "offset_d"]).sort_index())
+
+    df = tab.to_pandas()
+    df["day"] = df["ts"].dt.floor("D")
+    first = df.groupby("user_id")["day"].transform("min")
+    df["cohort"] = first
+    df["offset_d"] = ((df["day"] - first).dt.days)
+    ref = (df[(df.offset_d >= 0) & (df.offset_d <= 5)]
+           .groupby(["cohort", "offset_d"])["user_id"].nunique())
+    assert len(got) == len(ref)
+    for (c, o), v in ref.items():
+        assert got.loc[(c, o), "n_users"] == v
+
+
+def test_funnel_steps_brute(ray_session):
+    import ray.data as rd
+
+    from tsdat_ray.stages.stats import funnel_steps
+
+    us = 1_000_000
+    rows = [
+        # user 0: full funnel in order
+        (0, "signup", 0), (0, "click", 10), (0, "purchase", 20),
+        # user 1: click BEFORE signup only -> stops at signup
+        (1, "click", 5), (1, "signup", 10),
+        # user 2: signup + click, purchase outside the 7d window
+        (2, "signup", 0), (2, "click", 100),
+        (2, "purchase", 8 * 86400),
+        # user 3: purchase before click -> purchase not counted
+        (3, "signup", 0), (3, "purchase", 5), (3, "click", 10),
+        # user 4: never signs up
+        (4, "click", 1), (4, "purchase", 2),
+    ]
+    tab = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows]),
+        "ts": pa.array(np.array([r[2] * us for r in rows],
+                                dtype="datetime64[us]")),
+    })
+    got = (funnel_steps(rd.from_arrow(tab).repartition(4),
+                        steps=("signup", "click", "purchase"),
+                        window_s=7 * 86400).to_pandas())
+    assert got["n_signup"][0] == 4   # users 0,1,2,3
+    assert got["n_click"][0] == 3    # users 0,2,3 (user 1 clicked too early)
+    assert got["n_purchase"][0] == 1  # user 0 only

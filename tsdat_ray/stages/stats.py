@@ -889,3 +889,141 @@ def windowed_value_hist(ds, key: str = "event_type", ts_col: str = "ts",
         return b.rename_columns([*b.column_names[:-1], "n"])
 
     return out.map_batches(rename, batch_format="pyarrow")
+
+
+def cohort_matrix(ds, user_col: str = "user_id", ts_col: str = "ts",
+                  bucket_s: int = 86400, max_offset: int = 14):
+    """Cohort retention matrix: users bucketed by FIRST-touch day (cohort),
+    counted distinct per (cohort, day-offset 0..max_offset) — the full
+    triangle the single-window retention query collapses.
+
+    Scale shape (the retention_7d recipe generalized): per-user first-ts
+    is a combiner push-down min; the user dimension grows with the corpus
+    so it hash-joins back onto the stream (never broadcasts); batch-local
+    (cohort, offset, user) dedupe bounds the final shuffle by distinct
+    triples."""
+    from .joins import hash_join
+
+    b_us = bucket_s * 1_000_000
+
+    def local_min(b: pa.Table) -> pa.Table:
+        u = b[user_col].combine_chunks().to_numpy(zero_copy_only=False)
+        ts = b[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, u))
+        us, tss = u[order], ts[order]
+        keep = np.r_[True, us[1:] != us[:-1]] if len(us) else np.zeros(0, bool)
+        return pa.table({user_col: pa.array(us[keep]), "_first": pa.array(tss[keep])})
+
+    def combine_min(g: pa.Table) -> pa.Table:
+        f = g["_first"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({user_col: g[user_col].slice(0, 1),
+                         "first_ts": pa.array([int(f.min())], pa.int64())})
+
+    first = (ds.map_batches(local_min, batch_format="pyarrow")
+             .groupby(user_col).map_groups(combine_min, batch_format="pyarrow"))
+
+    def to_us(b: pa.Table) -> pa.Table:
+        return pa.table({
+            user_col: b[user_col],
+            "_ts_us": b[ts_col].combine_chunks().cast(pa.int64()),
+        })
+
+    joined = hash_join(ds.map_batches(to_us, batch_format="pyarrow"), first,
+                       on=user_col, how="inner")
+
+    def triple(b: pa.Table) -> pa.Table:
+        ts = b["_ts_us"].combine_chunks().to_numpy(zero_copy_only=False)
+        f = b["first_ts"].combine_chunks().to_numpy(zero_copy_only=False)
+        cohort = (f // b_us) * b_us
+        off = ((ts // b_us) * b_us - cohort) // b_us
+        m = (off >= 0) & (off <= max_offset)
+        u = b[user_col].combine_chunks().to_numpy(zero_copy_only=False)[m]
+        cs, offs = cohort[m], off[m]
+        order = np.lexsort((u, offs, cs))
+        cs, offs, us = cs[order], offs[order], u[order]
+        keep = np.r_[True, (cs[1:] != cs[:-1]) | (offs[1:] != offs[:-1])
+                     | (us[1:] != us[:-1])] if len(cs) else np.zeros(0, bool)
+        return pa.table({"_cohort": pa.array(cs[keep]),
+                         "_off": pa.array(offs[keep]),
+                         user_col: pa.array(us[keep])})
+
+    def count_users(g: pa.Table) -> pa.Table:
+        u = np.unique(g[user_col].combine_chunks().to_numpy(zero_copy_only=False))
+        return pa.table({
+            "cohort": pa.array(np.array([g["_cohort"][0].as_py()],
+                                        np.int64).astype("datetime64[us]")),
+            "offset_d": pa.array([int(g["_off"][0].as_py())], pa.int64()),
+            "n_users": pa.array([len(u)], pa.int64()),
+        })
+
+    return (joined.map_batches(triple, batch_format="pyarrow")
+            .groupby(["_cohort", "_off"]).map_groups(count_users,
+                                                     batch_format="pyarrow"))
+
+
+def funnel_steps(ds, steps: tuple = ("signup", "click", "purchase"),
+                 user_col: str = "user_id", type_col: str = "event_type",
+                 ts_col: str = "ts", window_s: int = 7 * 86400):
+    """Strict-order funnel conversion: count users reaching each step in
+    sequence — step 1 at its first occurrence, each later step strictly
+    AFTER the previous step's timestamp and within ``window_s`` of step 1.
+
+    One keyed shuffle of only the funnel-typed events (pre-filtered — the
+    moving set is bounded by matching rows, not the corpus); per-user
+    groups replay the sequence vectorized.  Per-group work is bounded by
+    that user's funnel events; for >10⁶ users note the per-group overhead
+    law (CLAUDE.md) — acceptable because groups here are tiny and the
+    output is one row."""
+    w_us = window_s * 1_000_000
+    step_ix = {s: i for i, s in enumerate(steps)}
+
+    def keep_types(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.is_in(b[type_col], value_set=pa.array(list(steps)))
+        t = b.filter(m)
+        return pa.table({
+            user_col: t[user_col],
+            "_ts": t[ts_col].combine_chunks().cast(pa.int64()),
+            "_step": pa.array(np.array([step_ix[s] for s in
+                                        t[type_col].to_pylist()], np.int8)),
+        })
+
+    def per_user(g: pa.Table) -> pa.Table:
+        ts = g["_ts"].combine_chunks().to_numpy(zero_copy_only=False)
+        st = g["_step"].combine_chunks().to_numpy(zero_copy_only=False)
+        reached = np.zeros(len(steps), np.int64)
+        s0 = ts[st == 0]
+        if len(s0):
+            cur = int(s0.min())
+            deadline = cur + w_us
+            reached[0] = 1
+            for i in range(1, len(steps)):
+                nxt = ts[(st == i) & (ts > cur) & (ts <= deadline)]
+                if not len(nxt):
+                    break
+                cur = int(nxt.min())
+                reached[i] = 1
+        return pa.table({"_acc": pa.array([reached.tobytes()], pa.binary())})
+
+    def total(b: pa.Table) -> pa.Table:
+        acc = np.zeros(len(steps), np.int64)
+        for r in b["_acc"].to_pylist():
+            acc += np.frombuffer(r, np.int64)
+        return pa.table({"_acc": pa.array([acc.tobytes()], pa.binary())})
+
+    from .reduce import tree_reduce
+
+    per = (ds.map_batches(keep_types, batch_format="pyarrow")
+           .groupby(user_col).map_groups(per_user, batch_format="pyarrow"))
+    folded = tree_reduce(per, total, fanin=8)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        acc = np.zeros(len(steps), np.int64)
+        for r in b["_acc"].to_pylist():
+            acc += np.frombuffer(r, np.int64)
+        return pa.table({f"n_{s}": pa.array([int(acc[i])], pa.int64())
+                         for i, s in enumerate(steps)})
+
+    return folded.map_batches(finalize, batch_format="pyarrow",
+                              batch_size=None)
