@@ -5444,6 +5444,28 @@ def _q_funnel_steps(sf_dir: str):
                         window_s=7 * 86400)
 
 
+def _q_trending_users(sf_dir: str):
+    """Trending leaderboard: the 3 most active users per day (ties →
+    smaller id) — per-batch (day, user) count partials collapse rows to
+    distinct pairs before the exact composite-key sum, then per-batch
+    partial top-k caps the per-day merge (stages/stats.py:trending_topk)."""
+    from tsdat_ray.stages.stats import trending_topk
+
+    ds = _events(sf_dir, columns=["ts", "user_id"])
+    return trending_topk(ds, key="user_id", bucket_s=86400, k=3)
+
+
+def _q_gzip_ratio(sf_dir: str):
+    """Compression-ratio quality signal (deflate bytes / raw bytes, the
+    CCNet/Dolma repetitive-text heuristic): stdlib-zlib call per document
+    inside map_batches (stages/text.py:gzip_ratio).  Rows-only — DuckDB
+    has no deflate; pytest pins known inputs."""
+    from tsdat_ray.stages.text import gzip_ratio
+
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return gzip_ratio(ds)
+
+
 def _q_p95_1h(sf_dir: str):
     """Exact p50/p95 per (event_type, hour) — the latency-percentile
     dashboard tier: per-batch (key, window, cent) histogram partials
@@ -6125,6 +6147,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_2h_auto_events": _q_rollup_2h_auto,
         "p95_1h_events": _q_p95_1h,
         "cohort_matrix_events": _q_cohort_matrix,
+        "trending_users_events": _q_trending_users,
+        "gzip_ratio_docs": _q_gzip_ratio,
         "funnel_steps_events": _q_funnel_steps,
         "availability_events": _q_availability,
         "hist_rollup_1h_events": _q_hist_rollup,
@@ -8439,6 +8463,16 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(value, 0.50) AS qd50,
                    quantile_disc(value, 0.95) AS qd95
             FROM events GROUP BY 1, 2
+        """,
+        "trending_users_events": """
+            WITH c AS (
+                SELECT date_trunc('day', ts) AS day, user_id,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2
+            )
+            SELECT day, user_id, CAST(n AS BIGINT) AS n FROM c
+            QUALIFY row_number() OVER (PARTITION BY day
+                                       ORDER BY n DESC, user_id) <= 3
         """,
         "cohort_matrix_events": """
             WITH f AS (

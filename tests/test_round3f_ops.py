@@ -275,3 +275,55 @@ def test_funnel_steps_brute(ray_session):
     assert got["n_signup"][0] == 4   # users 0,1,2,3
     assert got["n_click"][0] == 3    # users 0,2,3 (user 1 clicked too early)
     assert got["n_purchase"][0] == 1  # user 0 only
+
+
+def test_trending_topk_brute(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from tsdat_ray.stages.stats import trending_topk
+
+    rng = np.random.default_rng(9)
+    n = 4000
+    us = 1_000_000
+    tab = pa.table({
+        "user_id": pa.array(rng.integers(0, 25, n)),
+        "ts": pa.array((rng.integers(0, 86400 * 5, n) * us)
+                       .astype("datetime64[us]")),
+    })
+    got = (trending_topk(rd.from_arrow(tab).repartition(11), k=3)
+           .to_pandas().sort_values(["day", "n", "user_id"],
+                                    ascending=[True, False, True])
+           .reset_index(drop=True))
+
+    df = tab.to_pandas()
+    df["day"] = df["ts"].dt.floor("D")
+    c = df.groupby(["day", "user_id"]).size().reset_index(name="n")
+    ref = (c.sort_values(["n", "user_id"], ascending=[False, True],
+                         kind="stable")
+           .groupby("day", sort=True).head(3)
+           .sort_values(["day", "n", "user_id"],
+                        ascending=[True, False, True])
+           .reset_index(drop=True))
+    assert len(got) == len(ref)
+    assert (got["user_id"].to_numpy() == ref["user_id"].to_numpy()).all()
+    assert (got["n"].to_numpy() == ref["n"].to_numpy()).all()
+
+
+def test_gzip_ratio_known(ray_session):
+    import zlib
+
+    import ray.data as rd
+
+    from tsdat_ray.stages.text import gzip_ratio
+
+    texts = ["a" * 1000, "the quick brown fox jumps over the lazy dog", ""]
+    tab = pa.table({"doc_id": pa.array(range(3), pa.int64()),
+                    "text": pa.array(texts)})
+    got = (gzip_ratio(rd.from_arrow(tab)).to_pandas()
+           .set_index("doc_id").sort_index())
+    for i, t in enumerate(texts):
+        assert got.loc[i, "raw_bytes"] == len(t.encode())
+        assert got.loc[i, "gz_bytes"] == len(zlib.compress(t.encode(), 6))
+    # the repetitive doc compresses far better than natural text
+    assert got.loc[0, "gz_ratio"] < 0.05 < got.loc[1, "gz_ratio"]

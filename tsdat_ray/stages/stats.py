@@ -1027,3 +1027,56 @@ def funnel_steps(ds, steps: tuple = ("signup", "click", "purchase"),
 
     return folded.map_batches(finalize, batch_format="pyarrow",
                               batch_size=None)
+
+
+def trending_topk(ds, key: str = "user_id", ts_col: str = "ts",
+                  bucket_s: int = 86400, k: int = 3):
+    """Trending top-k per time bucket: the k keys with the most events in
+    each bucket (ties → smaller key) — the dashboard leaderboard query.
+
+    Two bounded shuffles: per-batch (bucket, key) count partials (fused
+    lexsort — rows collapse to distinct pairs before moving), one
+    composite groupby sums exactly, then per-batch partial top-k per
+    bucket caps the final per-bucket merge at blocks × k candidates."""
+    b_us = bucket_s * 1_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        u = b[key].combine_chunks().to_numpy(zero_copy_only=False)
+        day = (ts // b_us) * b_us
+        order = np.lexsort((u, day))
+        ds_, us_ = day[order], u[order]
+        st = np.flatnonzero(np.r_[True, (ds_[1:] != ds_[:-1])
+                                  | (us_[1:] != us_[:-1])]) if len(ds_) else \
+            np.zeros(0, np.int64)
+        cnt = np.diff(np.r_[st, len(ds_)]).astype(np.int64) if len(st) else \
+            np.zeros(0, np.int64)
+        return pa.table({"_day": pa.array(ds_[st] if len(st) else ds_[:0]),
+                         key: pa.array(us_[st] if len(st) else us_[:0]),
+                         "_n": pa.array(cnt)})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["_day", key]).sum("_n"))
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = b.to_pandas().rename(columns={"sum(_n)": "n"})
+        df = df.sort_values(["n", key], ascending=[False, True], kind="stable")
+        return pa.Table.from_pandas(df.groupby("_day", sort=False).head(k),
+                                    preserve_index=False)
+
+    def final_topk(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = g.to_pandas().sort_values(["n", key],
+                                       ascending=[False, True],
+                                       kind="stable").head(k)
+        out = pa.Table.from_pandas(df, preserve_index=False)
+        day = out["_day"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({"day": pa.array(day.astype("datetime64[us]")),
+                         key: out[key],
+                         "n": out["n"].combine_chunks().cast(pa.int64())})
+
+    return (counts.map_batches(local_topk, batch_format="pyarrow")
+            .groupby("_day").map_groups(final_topk, batch_format="pyarrow"))

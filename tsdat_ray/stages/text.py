@@ -1932,3 +1932,32 @@ def kl_divergence_by(ds, key: str = "source", text_col: str = "text",
     return (pairs.map_batches(partial_kl, batch_format="pyarrow")
             .groupby(key).sum("_q")
             .map_batches(finalize, batch_format="pyarrow"))
+
+
+def gzip_ratio(ds, text_col: str = "text", id_col: str = "doc_id",
+               level: int = 6):
+    """Compression-ratio quality signal (deflate bytes / raw bytes) — the
+    CCNet/Dolma-style heuristic: highly repetitive or templated documents
+    compress far below natural text and get filtered.  zlib is stdlib C
+    (no external codec), one call per document inside the batch — the
+    per-row loop is the codec call itself, not Python math.  No SQL twin
+    (DuckDB has no deflate): rows-only, pinned by pytest on known inputs."""
+    import zlib
+
+    def f(b: pa.Table) -> pa.Table:
+        texts = b[text_col].to_pylist()
+        raw = np.zeros(len(texts), np.int64)
+        comp = np.zeros(len(texts), np.int64)
+        for i, t in enumerate(texts):
+            bb = (t or "").encode()
+            raw[i] = len(bb)
+            comp[i] = len(zlib.compress(bb, level))
+        return pa.table({
+            id_col: b[id_col],
+            "raw_bytes": pa.array(raw),
+            "gz_bytes": pa.array(comp),
+            "gz_ratio": pa.array(comp.astype(np.float64)
+                                 / np.maximum(raw, 1).astype(np.float64)),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
