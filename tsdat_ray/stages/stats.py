@@ -905,22 +905,32 @@ def cohort_matrix(ds, user_col: str = "user_id", ts_col: str = "ts",
     from .joins import hash_join
 
     b_us = bucket_s * 1_000_000
+    salt_mod = 64
 
-    def local_min(b: pa.Table) -> pa.Table:
+    def local_min(b: pa.Table, with_salt: bool = True) -> pa.Table:
         u = b[user_col].combine_chunks().to_numpy(zero_copy_only=False)
-        ts = b[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ts = b["_first" if "_first" in b.column_names else ts_col] \
+            .combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
         order = np.lexsort((ts, u))
         us, tss = u[order], ts[order]
         keep = np.r_[True, us[1:] != us[:-1]] if len(us) else np.zeros(0, bool)
-        return pa.table({user_col: pa.array(us[keep]), "_first": pa.array(tss[keep])})
+        out = pa.table({user_col: pa.array(us[keep]),
+                        "_first": pa.array(tss[keep])})
+        if with_salt:
+            out = out.append_column(
+                "_salt", pa.array((us[keep].astype(np.uint64)
+                                   % np.uint64(salt_mod)).astype(np.int64)))
+        return out
 
-    def combine_min(g: pa.Table) -> pa.Table:
-        f = g["_first"].combine_chunks().to_numpy(zero_copy_only=False)
-        return pa.table({user_col: g[user_col].slice(0, 1),
-                         "first_ts": pa.array([int(f.min())], pa.int64())})
+    def fold_min(g: pa.Table) -> pa.Table:
+        # vectorized per-salt-slice fold: NOT one task per user — a salted
+        # slice holds many users, so per-group overhead is bounded by the
+        # salt count, not user cardinality (the r2 map_groups-per-key law)
+        t = local_min(g.drop_columns(["_salt"]), with_salt=False)
+        return t.rename_columns([user_col, "first_ts"])
 
     first = (ds.map_batches(local_min, batch_format="pyarrow")
-             .groupby(user_col).map_groups(combine_min, batch_format="pyarrow"))
+             .groupby("_salt").map_groups(fold_min, batch_format="pyarrow"))
 
     def to_us(b: pa.Table) -> pa.Table:
         return pa.table({
