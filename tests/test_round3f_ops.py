@@ -327,3 +327,33 @@ def test_gzip_ratio_known(ray_session):
         assert got.loc[i, "gz_bytes"] == len(zlib.compress(t.encode(), 6))
     # the repetitive doc compresses far better than natural text
     assert got.loc[0, "gz_ratio"] < 0.05 < got.loc[1, "gz_ratio"]
+
+
+def test_cli_report_over_store(tmp_path, ray_session):
+    """CLI availability report over a real tier store; the CLI must reuse
+    (and NOT shut down) an existing Ray session."""
+    import contextlib
+    import io
+    import json
+
+    import ray
+
+    from tsdat_ray.__main__ import main
+    from tsdat_ray.pipelines.rollup_pipeline import PipelineConfig, run_pipeline
+    from tsdat_ray.synth import generate_sequences_parquet
+
+    corpus = str(tmp_path / "corpus")
+    generate_sequences_parquet(corpus, n_rows=3000, seed=7)
+    out = str(tmp_path / "store")
+    run_pipeline(corpus, PipelineConfig(out_root=out, run_id="rep"))
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["report", "--out", out, "--tier", "t1m",
+                     "--interval-s", "60"]) == 0
+    rep = json.loads(buf.getvalue())
+    assert rep["partitions"] > 0
+    assert all(0 < r["uptime"] <= 1.0 for r in rep["rows"])
+    assert all(r["n_present"] + r["n_missing"] == r["span"]
+               for r in rep["rows"])
+    assert ray.is_initialized()  # session survived the CLI call

@@ -79,6 +79,14 @@ def main(argv=None) -> int:
                         help="comma-separated doc ids (or @file with one id per line)")
     purgep.add_argument("--run-id", default="")
 
+    repp = sub.add_parser(
+        "report", help="data-availability report over a stored tier "
+                       "(present/span/missing buckets + uptime per source-day)")
+    repp.add_argument("--out", required=True, help="store root")
+    repp.add_argument("--tier", default="t1m")
+    repp.add_argument("--interval-s", type=int, default=60,
+                      help="expected cadence of the tier (60 for t1m)")
+
     sub.add_parser("schema", help="print the yaml config schema (fields, checkers, handlers)")
 
     args = p.parse_args(argv)
@@ -129,7 +137,8 @@ def main(argv=None) -> int:
 
     import ray
 
-    if not ray.is_initialized():
+    owns_session = not ray.is_initialized()
+    if owns_session:
         kw = dict(address="local", include_dashboard=False, logging_level="ERROR")
         if args.cmd == "run" and args.num_cpus:
             kw["num_cpus"] = args.num_cpus
@@ -225,8 +234,29 @@ def main(argv=None) -> int:
             from tsdat_ray.stages.writers import compact_tier
 
             print(json.dumps(compact_tier(args.out, args.tier)))
+        elif args.cmd == "report":
+            import os
+
+            import ray.data as rd
+
+            from tsdat_ray.stages.stats import availability_report
+
+            ds = rd.read_parquet(os.path.join(args.out, args.tier))
+            rep = availability_report(ds, key="source", ts_col="bucket",
+                                      interval_s=args.interval_s)
+            rows = sorted(
+                ({**r, "day": str(r["day"]), "uptime": round(r["uptime"], 4)}
+                 for r in rep.take_all()),
+                key=lambda r: (r["source"], r["day"]))
+            worst = sorted(rows, key=lambda r: r["uptime"])[:5]
+            print(json.dumps({"tier": args.tier, "partitions": len(rows),
+                              "worst_uptime": worst, "rows": rows},
+                             indent=2))
     finally:
-        ray.shutdown()
+        # only tear down a session this process created — an embedding
+        # caller's (or the test suite's) session is not ours to kill
+        if owns_session:
+            ray.shutdown()
     return 0
 
 
