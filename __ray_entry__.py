@@ -5444,6 +5444,30 @@ def _q_funnel_steps(sf_dir: str):
                         window_s=7 * 86400)
 
 
+def _q_ab_test(sf_dir: str):
+    """Two-proportion A/B z-test on user conversion (md5-prefix arm split,
+    conversion = any purchase with value > 95): batch-local (user,
+    converted) OR partials, salted vectorized fold, md5 on distinct users
+    only, integer counts tree-folded; z is the identical double expression
+    as SQL (stages/stats.py:ab_test_conversion)."""
+    from tsdat_ray.stages.stats import ab_test_conversion
+
+    ds = _events(sf_dir, columns=["user_id", "event_type", "value"])
+    return ab_test_conversion(ds, value_col="value", min_value=95.0)
+
+
+def _q_time_to_convert(sf_dir: str):
+    """Time-to-conversion distribution: seconds from each user's first
+    signup to their first purchase strictly after it — two salted min
+    folds around a bucketed hash_join (user dimension never broadcasts),
+    exact PERCENTILE_DISC p50/p90 from the bounded histogram fold
+    (stages/stats.py:time_to_convert); one row out."""
+    from tsdat_ray.stages.stats import time_to_convert
+
+    ds = _events(sf_dir, columns=["ts", "user_id", "event_type"])
+    return time_to_convert(ds, qs=(0.5, 0.9))
+
+
 def _q_trending_users(sf_dir: str):
     """Trending leaderboard: the 3 most active users per day (ties →
     smaller id) — per-batch (day, user) count partials collapse rows to
@@ -6148,6 +6172,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "p95_1h_events": _q_p95_1h,
         "cohort_matrix_events": _q_cohort_matrix,
         "trending_users_events": _q_trending_users,
+        "ab_test_events": _q_ab_test,
+        "time_to_convert_events": _q_time_to_convert,
         "gzip_ratio_docs": _q_gzip_ratio,
         "funnel_steps_events": _q_funnel_steps,
         "availability_events": _q_availability,
@@ -8463,6 +8489,51 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(value, 0.50) AS qd50,
                    quantile_disc(value, 0.95) AS qd95
             FROM events GROUP BY 1, 2
+        """,
+        "ab_test_events": """
+            WITH u AS (
+                SELECT user_id,
+                       substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                           < '80000000' AS arm_a,
+                       max(CASE WHEN event_type = 'purchase'
+                                AND value > 95.0
+                                THEN 1 ELSE 0 END) AS conv
+                FROM events GROUP BY 1
+            ), s AS (
+                SELECT CAST(sum(CASE WHEN arm_a THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_a,
+                       CAST(sum(CASE WHEN NOT arm_a THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_b,
+                       CAST(sum(CASE WHEN arm_a THEN conv ELSE 0 END)
+                            AS BIGINT) AS conv_a,
+                       CAST(sum(CASE WHEN NOT arm_a THEN conv ELSE 0 END)
+                            AS BIGINT) AS conv_b
+                FROM u
+            )
+            SELECT n_a, n_b, conv_a, conv_b,
+                   (conv_b / n_b - conv_a / n_a)
+                   / sqrt(((conv_a + conv_b) / (n_a + n_b))
+                          * (1 - (conv_a + conv_b) / (n_a + n_b))
+                          * (1.0 / n_a + 1.0 / n_b)) AS z
+            FROM s
+        """,
+        "time_to_convert_events": """
+            WITH s AS (
+                SELECT user_id, min(ts) AS s_ts FROM events
+                WHERE event_type = 'signup' GROUP BY 1
+            ), p AS (
+                SELECT e.user_id, min(e.ts) AS p_ts
+                FROM events e JOIN s USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > s.s_ts
+                GROUP BY 1
+            ), d AS (
+                SELECT date_diff('second', s.s_ts, p.p_ts) AS dt
+                FROM p JOIN s USING (user_id)
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_converted,
+                   CAST(quantile_disc(dt, 0.5) AS DOUBLE) AS p50_s,
+                   CAST(quantile_disc(dt, 0.9) AS DOUBLE) AS p90_s
+            FROM d
         """,
         "trending_users_events": """
             WITH c AS (

@@ -357,3 +357,50 @@ def test_cli_report_over_store(tmp_path, ray_session):
     assert all(r["n_present"] + r["n_missing"] == r["span"]
                for r in rep["rows"])
     assert ray.is_initialized()  # session survived the CLI call
+
+
+def test_ab_test_and_time_to_convert_brute(ray_session):
+    import hashlib
+    import math
+
+    import ray.data as rd
+
+    from tsdat_ray.stages.stats import ab_test_conversion, time_to_convert
+
+    us = 1_000_000
+    rows = []
+    # 20 users: even sign up at t=u, convert (purchase) at t=u+100+u
+    # iff u % 3 == 0; everyone also clicks
+    for u in range(20):
+        rows.append((u, "signup", u))
+        rows.append((u, "click", u + 1))
+        if u % 3 == 0:
+            rows.append((u, "purchase", u + 100 + u))
+    tab = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows]),
+        "ts": pa.array(np.array([r[2] * us for r in rows],
+                                dtype="datetime64[us]")),
+        "value": pa.array([100.0] * len(rows)),
+    })
+    ds = rd.from_arrow(tab).repartition(5)
+
+    got = ab_test_conversion(ds).to_pandas()
+    arm_a = {u: hashlib.md5(str(u).encode()).hexdigest()[:8] < "80000000"
+             for u in range(20)}
+    conv = {u: (u % 3 == 0) for u in range(20)}
+    n_a = sum(arm_a.values()); n_b = 20 - n_a
+    c_a = sum(conv[u] for u in range(20) if arm_a[u])
+    c_b = sum(conv[u] for u in range(20) if not arm_a[u])
+    assert got["n_a"][0] == n_a and got["n_b"][0] == n_b
+    assert got["conv_a"][0] == c_a and got["conv_b"][0] == c_b
+    pp = (c_a + c_b) / 20
+    zref = ((c_b / n_b) - (c_a / n_a)) / math.sqrt(
+        pp * (1 - pp) * (1 / n_a + 1 / n_b))
+    assert got["z"][0] == zref
+
+    ttc = time_to_convert(ds, qs=(0.5, 0.9)).to_pandas()
+    deltas = sorted(100 + u for u in range(20) if u % 3 == 0)
+    assert ttc["n_converted"][0] == len(deltas)
+    assert ttc["p50_s"][0] == deltas[int(np.ceil(len(deltas) * 0.5)) - 1]
+    assert ttc["p90_s"][0] == deltas[int(np.ceil(len(deltas) * 0.9)) - 1]

@@ -1090,3 +1090,190 @@ def trending_topk(ds, key: str = "user_id", ts_col: str = "ts",
 
     return (counts.map_batches(local_topk, batch_format="pyarrow")
             .groupby("_day").map_groups(final_topk, batch_format="pyarrow"))
+
+
+def ab_test_conversion(ds, user_col: str = "user_id",
+                       type_col: str = "event_type",
+                       convert_type: str = "purchase",
+                       value_col: str | None = None,
+                       min_value: float | None = None,
+                       threshold_hex: str = "80000000", salt_mod: int = 64):
+    """Two-proportion A/B z-test on user conversion: users split into arms
+    by the portable md5-prefix contract (CLAUDE.md recipe — any engine
+    with an md5 reproduces the assignment), conversion = user emitted at
+    least one ``convert_type`` event; one row out with per-arm counts and
+    the pooled z statistic (identical double expression tree as SQL).
+
+    Scale shape: batch-local (user, converted) dedupe/OR partials, one
+    salted fold (per-task groups bounded by the salt count, never user
+    cardinality), md5 of DISTINCT users only, integer counts tree-fold."""
+    import hashlib
+
+    from .reduce import tree_reduce
+
+    def partial(b: pa.Table) -> pa.Table:
+        u = b[user_col].combine_chunks().to_numpy(zero_copy_only=False)
+        conv = (b[type_col].combine_chunks().to_numpy(zero_copy_only=False)
+                == convert_type)
+        if min_value is not None:
+            conv &= (b[value_col].combine_chunks()
+                     .to_numpy(zero_copy_only=False) > min_value)
+        conv = conv.astype(np.int64)
+        order = np.argsort(u, kind="stable")
+        us, cs = u[order], conv[order]
+        st = np.flatnonzero(np.r_[True, us[1:] != us[:-1]]) if len(us) else \
+            np.zeros(0, np.int64)
+        cmax = np.maximum.reduceat(cs, st) if len(st) else cs[:0]
+        uu = us[st] if len(st) else us[:0]
+        return pa.table({user_col: pa.array(uu),
+                         "_conv": pa.array(cmax),
+                         "_salt": pa.array((uu.astype(np.uint64)
+                                            % np.uint64(salt_mod)).astype(np.int64))})
+
+    def fold(g: pa.Table) -> pa.Table:
+        u = g[user_col].combine_chunks().to_numpy(zero_copy_only=False)
+        c = g["_conv"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(u, kind="stable")
+        us, cs = u[order], c[order]
+        st = np.flatnonzero(np.r_[True, us[1:] != us[:-1]])
+        cmax = np.maximum.reduceat(cs, st)
+        uu = us[st]
+        arm_a = np.array([hashlib.md5(str(x).encode()).hexdigest()[:8]
+                          < threshold_hex for x in uu.tolist()])
+        n_a, n_b = int(arm_a.sum()), int((~arm_a).sum())
+        c_a = int(cmax[arm_a].sum())
+        c_b = int(cmax[~arm_a].sum())
+        return pa.table({"n_a": pa.array([n_a], pa.int64()),
+                         "n_b": pa.array([n_b], pa.int64()),
+                         "conv_a": pa.array([c_a], pa.int64()),
+                         "conv_b": pa.array([c_b], pa.int64())})
+
+    per = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("_salt").map_groups(fold, batch_format="pyarrow"))
+
+    def total(b: pa.Table) -> pa.Table:
+        return pa.table({c: pa.array([int(np.sum(
+            b[c].combine_chunks().to_numpy(zero_copy_only=False)))], pa.int64())
+            for c in ("n_a", "n_b", "conv_a", "conv_b")})
+
+    folded = tree_reduce(per, total, fanin=8)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n_a = int(b["n_a"][0].as_py())
+        n_b = int(b["n_b"][0].as_py())
+        c_a = int(b["conv_a"][0].as_py())
+        c_b = int(b["conv_b"][0].as_py())
+        p_a = float(c_a) / float(n_a)
+        p_b = float(c_b) / float(n_b)
+        pp = float(c_a + c_b) / float(n_a + n_b)
+        # degenerate pools (everyone or no one converts) have zero variance
+        z = 0.0 if pp in (0.0, 1.0) else \
+            (p_b - p_a) / math.sqrt(pp * (1 - pp) * (1.0 / n_a + 1.0 / n_b))
+        return pa.table({"n_a": pa.array([n_a], pa.int64()),
+                         "n_b": pa.array([n_b], pa.int64()),
+                         "conv_a": pa.array([c_a], pa.int64()),
+                         "conv_b": pa.array([c_b], pa.int64()),
+                         "z": pa.array([z])})
+
+    return folded.map_batches(finalize, batch_format="pyarrow",
+                              batch_size=None)
+
+
+def time_to_convert(ds, user_col: str = "user_id", ts_col: str = "ts",
+                    type_col: str = "event_type", start_type: str = "signup",
+                    convert_type: str = "purchase",
+                    qs: tuple = (0.5, 0.9), salt_mod: int = 64):
+    """Time-to-conversion distribution: seconds from each user's FIRST
+    ``start_type`` event to their first ``convert_type`` event strictly
+    after it; one row out (n_converted + exact PERCENTILE_DISC of the
+    delay).
+
+    Scale shape: per-user first-start is a salted vectorized min fold
+    (never one task per user); conversions hash-join against it (user
+    dimension never broadcasts), filter, second salted min fold, then the
+    bounded-histogram disc-quantile fold over integer seconds."""
+    import pyarrow.compute as pc
+
+    from .joins import hash_join
+    from .window_funcs import exact_quantiles_disc
+
+    def _min_fold_cols(name):
+        def partial(b: pa.Table) -> pa.Table:
+            u = b[user_col].combine_chunks().to_numpy(zero_copy_only=False)
+            ts = b[name].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+            order = np.lexsort((ts, u))
+            us, tss = u[order], ts[order]
+            keep = np.r_[True, us[1:] != us[:-1]] if len(us) else np.zeros(0, bool)
+            return pa.table({
+                user_col: pa.array(us[keep]),
+                name: pa.array(tss[keep]),
+                "_salt": pa.array((us[keep].astype(np.uint64)
+                                   % np.uint64(salt_mod)).astype(np.int64)),
+            })
+
+        def fold(g: pa.Table) -> pa.Table:
+            t = partial(g.drop_columns(["_salt"]))
+            return t.drop_columns(["_salt"])
+
+        return partial, fold
+
+    def typed(t):
+        def f(b: pa.Table) -> pa.Table:
+            m = pc.equal(b[type_col], t)
+            k = b.filter(m)
+            return pa.table({user_col: k[user_col],
+                             "_ts": k[ts_col].combine_chunks().cast(pa.int64())})
+        return f
+
+    sp, sf_ = _min_fold_cols("_ts")
+    starts = (ds.map_batches(typed(start_type), batch_format="pyarrow")
+              .map_batches(sp, batch_format="pyarrow")
+              .groupby("_salt").map_groups(sf_, batch_format="pyarrow")
+              .map_batches(lambda b: b.rename_columns([user_col, "_s_ts"]),
+                           batch_format="pyarrow"))
+
+    convs = ds.map_batches(typed(convert_type), batch_format="pyarrow")
+    joined = hash_join(convs, starts, on=user_col, how="inner")
+
+    def after(b: pa.Table) -> pa.Table:
+        ts = b["_ts"].combine_chunks().to_numpy(zero_copy_only=False)
+        s = b["_s_ts"].combine_chunks().to_numpy(zero_copy_only=False)
+        m = ts > s
+        u = b[user_col].combine_chunks().to_numpy(zero_copy_only=False)[m]
+        return pa.table({user_col: pa.array(u),
+                         "_dt": pa.array((ts[m] - s[m]) // 1_000_000)})
+
+    dp, df_ = _min_fold_cols("_dt")
+    deltas = (joined.map_batches(after, batch_format="pyarrow")
+              .map_batches(dp, batch_format="pyarrow")
+              .groupby("_salt").map_groups(df_, batch_format="pyarrow"))
+
+    def const_key(b: pa.Table) -> pa.Table:
+        return pa.table({"_k": pa.array(np.zeros(len(b), np.int64)),
+                         "dt": b["_dt"].combine_chunks().cast(pa.float64())})
+
+    q = exact_quantiles_disc(deltas.map_batches(const_key, batch_format="pyarrow"),
+                             key="_k", value_col="dt", qs=qs, scale=1)
+
+    def n_conv(b: pa.Table) -> pa.Table:
+        return pa.table({"_n": pa.array([len(b)], pa.int64())})
+
+    from .reduce import tree_reduce
+
+    n_ds = tree_reduce(deltas.map_batches(n_conv, batch_format="pyarrow"),
+                       lambda b: pa.table({"_n": pa.array([int(np.sum(
+                           b["_n"].combine_chunks().to_numpy(zero_copy_only=False)))],
+                           pa.int64())}), fanin=8)
+    n_tab = pa.concat_tables(n_ds.iter_batches(batch_format="pyarrow",
+                                               batch_size=None))
+    n_total = int(n_tab["_n"].combine_chunks().to_numpy(zero_copy_only=False).sum())
+
+    names = [f"p{int(round(qq * 100))}_s" for qq in qs]
+
+    def finalize(b: pa.Table) -> pa.Table:
+        out = {"n_converted": pa.array([n_total], pa.int64())}
+        for qq, nm in zip(qs, names):
+            out[nm] = b[f"qd{int(round(qq * 100))}"].slice(0, 1)
+        return pa.table(out)
+
+    return q.map_batches(finalize, batch_format="pyarrow", batch_size=None)
