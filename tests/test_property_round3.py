@@ -65,3 +65,100 @@ def test_dedup_survivor_independent_of_row_order(seed):
     a = run(np.arange(n))
     b = run(rng.permutation(n))
     assert a.equals(b)
+
+
+# ----------------------- quantized-float contract vs DuckDB (differential) --
+
+_ENT_SQL = """
+    WITH w AS (
+        SELECT doc_id, word
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents)
+        WHERE word <> ''
+    ), n AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1),
+    c AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
+    q AS (SELECT c.doc_id,
+                 CAST(round(-((c.c / n.n) * ln(c.c / n.n)) * 1e9) AS BIGINT)
+                     AS q
+          FROM c JOIN n USING (doc_id))
+    SELECT d.doc_id, coalesce(n.n, 0) AS n_words,
+           coalesce(s.sq, 0) / 1e9 AS entropy
+    FROM documents d
+    LEFT JOIN n USING (doc_id)
+    LEFT JOIN (SELECT doc_id, CAST(sum(q) AS BIGINT) AS sq
+               FROM q GROUP BY 1) s ON s.doc_id = d.doc_id
+    ORDER BY d.doc_id
+"""
+
+
+@given(st.data())
+@settings(max_examples=12, deadline=None)
+def test_word_entropy_bitexact_vs_duckdb(ray_session, data):
+    """The quantized-entropy contract holds for ARBITRARY word mixes, not
+    just the synthetic corpus: engine doubles == DuckDB doubles exactly."""
+    import duckdb
+    import ray.data as rd
+
+    from tsdat_ray.stages.text import word_entropy
+
+    rng = data.draw(st.randoms(use_true_random=False))
+    vocab = ["aa", "b", "ccc", "dd", "e", "ffff", "g7", "h"]
+    docs = [" ".join(rng.choice(vocab)
+                     for _ in range(rng.randint(1, 40)))
+            for _ in range(rng.randint(1, 16))]
+    tab = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                    "text": pa.array(docs)})
+    got = (word_entropy(rd.from_arrow(tab).repartition(3)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", tab)
+    exp = con.sql(_ENT_SQL).df()
+    assert (got["n_words"].to_numpy() == exp["n_words"].to_numpy()).all()
+    # exact double equality — the whole point of the quantized contract
+    assert (got["entropy"].to_numpy() == exp["entropy"].to_numpy()).all()
+
+
+@given(st.data())
+@settings(max_examples=10, deadline=None)
+def test_kl_by_source_bitexact_vs_duckdb(ray_session, data):
+    import duckdb
+    import ray.data as rd
+
+    from tsdat_ray.stages.text import kl_divergence_by
+
+    rng = data.draw(st.randoms(use_true_random=False))
+    vocab = ["x", "yy", "zzz", "w", "vv"]
+    srcs = ["s1", "s2", "s3"][: rng.randint(1, 3)]
+    rows = [(rng.choice(srcs),
+             " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 25))))
+            for _ in range(rng.randint(2, 24))]
+    tab = pa.table({"source": pa.array([r[0] for r in rows]),
+                    "text": pa.array([r[1] for r in rows])})
+    got = (kl_divergence_by(rd.from_arrow(tab).repartition(4))
+           .to_pandas().sort_values("source").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", tab)
+    exp = con.sql("""
+        WITH w AS (
+            SELECT source, word
+            FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+                  FROM documents) WHERE word <> ''
+        ), c AS (SELECT source, word, count(*) AS c_kw FROM w GROUP BY 1, 2),
+        cw AS (SELECT word, CAST(sum(c_kw) AS BIGINT) AS c_w FROM c GROUP BY 1),
+        cs AS (SELECT source, CAST(sum(c_kw) AS BIGINT) AS c_k FROM c GROUP BY 1),
+        n AS (SELECT CAST(sum(c_kw) AS BIGINT) AS n FROM c),
+        q AS (SELECT c.source,
+                     CAST(round(
+                         (CAST(c.c_kw AS DOUBLE) / CAST(cs.c_k AS DOUBLE))
+                         * ln((CAST(c.c_kw AS DOUBLE) * CAST(n.n AS DOUBLE))
+                              / (CAST(cs.c_k AS DOUBLE)
+                                 * CAST(cw.c_w AS DOUBLE)))
+                         * 1e9) AS BIGINT) AS q
+              FROM c CROSS JOIN n JOIN cw USING (word) JOIN cs USING (source))
+        SELECT q.source, cs.c_k AS n_words,
+               CAST(sum(q.q) AS BIGINT) / 1e9 AS kl
+        FROM q JOIN cs ON cs.source = q.source
+        GROUP BY 1, 2 ORDER BY 1
+    """).df()
+    assert (got["n_words"].to_numpy() == exp["n_words"].to_numpy()).all()
+    assert (got["kl"].to_numpy() == exp["kl"].to_numpy()).all()
