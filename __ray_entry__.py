@@ -5444,6 +5444,30 @@ def _q_funnel_steps(sf_dir: str):
                         window_s=7 * 86400)
 
 
+def _q_volume_anomaly(sf_dir: str):
+    """Ingest-volume anomaly monitoring: per (event_type, day) count plus
+    z-score vs that type's own daily distribution — combiner count
+    partials; mean/std from exact integer sufficient statistics on the
+    keys×days-bounded aggregate, the identical sample-std double
+    expression as SQL (stages/stats.py:volume_anomaly)."""
+    from tsdat_ray.stages.stats import volume_anomaly
+
+    ds = _events(sf_dir, columns=["ts", "event_type"])
+    return volume_anomaly(ds)
+
+
+def _q_dedup_exact_sequences(sf_dir: str):
+    """Exact duplicate-sequence removal over the TOKENS payload (min-id
+    survivor per distinct token array): 128-bit content hashes ship
+    through a salted shuffle, never the arrays — equal payloads always
+    hash equal, so the SQL GROUP BY tokens twin is exact
+    (stages/dedup.py:exact_dedup_sequences)."""
+    from tsdat_ray.stages.dedup import exact_dedup_sequences
+
+    ds = _read(_sequences_corpus(sf_dir), columns=["doc_id", "tokens"])
+    return exact_dedup_sequences(ds)
+
+
 def _q_ab_test(sf_dir: str):
     """Two-proportion A/B z-test on user conversion (md5-prefix arm split,
     conversion = any purchase with value > 95): batch-local (user,
@@ -6173,6 +6197,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_matrix_events": _q_cohort_matrix,
         "trending_users_events": _q_trending_users,
         "ab_test_events": _q_ab_test,
+        "volume_anomaly_events": _q_volume_anomaly,
+        "dedup_exact_sequences": _q_dedup_exact_sequences,
         "time_to_convert_events": _q_time_to_convert,
         "gzip_ratio_docs": _q_gzip_ratio,
         "funnel_steps_events": _q_funnel_steps,
@@ -8489,6 +8515,32 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(value, 0.50) AS qd50,
                    quantile_disc(value, 0.95) AS qd95
             FROM events GROUP BY 1, 2
+        """,
+        "volume_anomaly_events": """
+            WITH c AS (
+                SELECT event_type, date_trunc('day', ts) AS day,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2
+            ), s AS (
+                SELECT event_type, CAST(count(*) AS BIGINT) AS c,
+                       CAST(sum(n) AS BIGINT) AS sx,
+                       CAST(sum(n * n) AS BIGINT) AS sxx
+                FROM c GROUP BY 1
+            )
+            SELECT c.event_type, c.day, CAST(c.n AS BIGINT) AS n,
+                   CAST(s.sx AS DOUBLE) / CAST(s.c AS DOUBLE) AS mean_n,
+                   CASE WHEN s.c > 1 AND (s.c * s.sxx - s.sx * s.sx) > 0
+                        THEN (CAST(c.n AS DOUBLE)
+                              - CAST(s.sx AS DOUBLE) / CAST(s.c AS DOUBLE))
+                             / sqrt(CAST(s.c * s.sxx - s.sx * s.sx AS DOUBLE)
+                                    / CAST(s.c * (s.c - 1) AS DOUBLE))
+                        ELSE 0.0 END AS z
+            FROM c JOIN s USING (event_type)
+        """,
+        "dedup_exact_sequences": f"""
+            SELECT min(doc_id) AS doc_id
+            FROM read_parquet('{_seq_corpus_glob()}')
+            GROUP BY tokens
         """,
         "ab_test_events": """
             WITH u AS (

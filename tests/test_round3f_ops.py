@@ -404,3 +404,46 @@ def test_ab_test_and_time_to_convert_brute(ray_session):
     assert ttc["n_converted"][0] == len(deltas)
     assert ttc["p50_s"][0] == deltas[int(np.ceil(len(deltas) * 0.5)) - 1]
     assert ttc["p90_s"][0] == deltas[int(np.ceil(len(deltas) * 0.9)) - 1]
+
+
+def test_volume_anomaly_brute(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from tsdat_ray.stages.stats import volume_anomaly
+
+    us = 1_000_000
+    # type A: days 0..4 with counts 3,3,3,3,13 (day 4 is the anomaly)
+    rows = []
+    for d, c in enumerate([3, 3, 3, 3, 13]):
+        rows += [("A", d * 86400 + i) for i in range(c)]
+    rows += [("B", 10)]  # single day -> z must be 0 (no variance)
+    tab = pa.table({
+        "event_type": pa.array([r[0] for r in rows]),
+        "ts": pa.array(np.array([r[1] * us for r in rows],
+                                dtype="datetime64[us]")),
+    })
+    got = (volume_anomaly(rd.from_arrow(tab).repartition(4))
+           .to_pandas().sort_values(["event_type", "day"])
+           .reset_index(drop=True))
+    a = got[got.event_type == "A"]
+    assert a["n"].tolist() == [3, 3, 3, 3, 13]
+    c, sx, sxx = 5, 25, 205
+    sd = math.sqrt((c * sxx - sx * sx) / (c * (c - 1)))
+    assert a["z"].iloc[-1] == (13 - 25 / 5) / sd
+    assert got[got.event_type == "B"]["z"].iloc[0] == 0.0
+
+
+def test_exact_dedup_sequences_brute(ray_session):
+    import ray.data as rd
+
+    from tsdat_ray.stages.dedup import exact_dedup_sequences
+
+    toks = [[1, 2, 3], [4, 5], [1, 2, 3], [6], [4, 5], [1, 2, 3], [7, 8]]
+    ids = [f"d{i}" for i in range(len(toks))]
+    tab = pa.table({"doc_id": pa.array(ids),
+                    "tokens": pa.array(toks, pa.list_(pa.int32()))})
+    got = sorted(exact_dedup_sequences(rd.from_arrow(tab).repartition(3))
+                 .to_pandas()["doc_id"])
+    assert got == ["d0", "d1", "d3", "d6"]  # min id per distinct array

@@ -1952,3 +1952,49 @@ def snapshot_diff(ds_old, ds_new, id_col: str = "doc_id",
     both = (ds_old.map_batches(slim(0), batch_format="pyarrow")
             .union(ds_new.map_batches(slim(1), batch_format="pyarrow")))
     return both.groupby("_bk").map_groups(classify, batch_format="pyarrow")
+
+
+def exact_dedup_sequences(ds, tokens_col: str = "tokens",
+                          id_col: str = "doc_id", salt_mod: int = 64):
+    """Exact duplicate-sequence removal over the TOKENS payload: keep the
+    min-id row per distinct token array — the tokenized-corpus twin of the
+    text exact dedup (equal payloads always hash equal, so a 128-bit
+    content hash reproduces a SQL GROUP BY tokens; the snapshot_diff
+    recipe).  Ships (hash, id) through the shuffle, never the arrays."""
+    import hashlib
+
+    def hash_partial(b: pa.Table) -> pa.Table:
+        toks = b[tokens_col].combine_chunks()
+        vals = toks.values.to_numpy(zero_copy_only=False).astype(np.int32)
+        off = toks.offsets.to_numpy().astype(np.int64)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        h = np.zeros(len(b), np.uint64)
+        h2 = np.zeros(len(b), np.uint64)
+        base = off[0]
+        for i in range(len(b)):
+            d = hashlib.md5(vals[off[i] - base:off[i + 1] - base]
+                            .tobytes()).digest()
+            h[i] = int.from_bytes(d[:8], "little")
+            h2[i] = int.from_bytes(d[8:], "little")
+        # batch-local min-id per hash bounds the shuffle by distinct arrays
+        order = np.lexsort((ids, h2, h))
+        hs, h2s, idss = h[order], h2[order], ids[order]
+        keep = np.r_[True, (hs[1:] != hs[:-1]) | (h2s[1:] != h2s[:-1])] \
+            if len(hs) else np.zeros(0, bool)
+        return pa.table({
+            "_h": pa.array(hs[keep]), "_h2": pa.array(h2s[keep]),
+            id_col: pa.array(idss[keep]),
+            "_salt": pa.array((hs[keep] % np.uint64(salt_mod)).astype(np.int64)),
+        })
+
+    def fold(g: pa.Table) -> pa.Table:
+        h = g["_h"].combine_chunks().to_numpy(zero_copy_only=False)
+        h2 = g["_h2"].combine_chunks().to_numpy(zero_copy_only=False)
+        ids = g[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h2, h))
+        hs, h2s, idss = h[order], h2[order], ids[order]
+        keep = np.r_[True, (hs[1:] != hs[:-1]) | (h2s[1:] != h2s[:-1])]
+        return pa.table({id_col: pa.array(np.sort(idss[keep]))})
+
+    return (ds.map_batches(hash_partial, batch_format="pyarrow")
+            .groupby("_salt").map_groups(fold, batch_format="pyarrow"))

@@ -1277,3 +1277,69 @@ def time_to_convert(ds, user_col: str = "user_id", ts_col: str = "ts",
         return pa.table(out)
 
     return q.map_batches(finalize, batch_format="pyarrow", batch_size=None)
+
+
+def volume_anomaly(ds, key: str = "event_type", ts_col: str = "ts",
+                   bucket_s: int = 86400):
+    """Ingest-volume anomaly score: per (key, day) event count plus its
+    z-score against THAT key's own daily distribution — the data-ops
+    monitoring view (a source whose daily volume collapses or spikes shows
+    |z| >> 0 the day it happens).
+
+    Combiner push-down: per-batch (key, day) count partials; the folded
+    table is bounded by keys × days, so per-key mean/std come from exact
+    integer sufficient statistics (n, Σc, Σc²) computed on the tiny
+    aggregate — the z expression is spelled identically in SQL (sample
+    std, double-first division)."""
+    b_us = bucket_s * 1_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        k = b[key].to_numpy(zero_copy_only=False)
+        day = (ts // b_us) * b_us
+        order = np.lexsort((day, k))
+        ks, ds_ = k[order], day[order]
+        st = np.flatnonzero(np.r_[True, (ks[1:] != ks[:-1])
+                                  | (ds_[1:] != ds_[:-1])]) if len(ks) else \
+            np.zeros(0, np.int64)
+        cnt = np.diff(np.r_[st, len(ks)]).astype(np.int64) if len(st) else \
+            np.zeros(0, np.int64)
+        return pa.table({key: pa.array(ks[st] if len(st) else ks[:0]),
+                         "_day": pa.array(ds_[st] if len(st) else ds_[:0]),
+                         "_n": pa.array(cnt)})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby([key, "_day"]).sum("_n"))
+
+    def finalize(b: pa.Table) -> pa.Table:
+        # bounded input: keys × days rows — one task, exact int folds
+        k = b[key].to_numpy(zero_copy_only=False)
+        day = b["_day"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = b["sum(_n)"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((day, k))
+        k, day, n = k[order], day[order], n[order]
+        z = np.zeros(len(k), np.float64)
+        mean = np.zeros(len(k), np.float64)
+        for kk in np.unique(k):
+            m = k == kk
+            c = int(m.sum())
+            sx = int(n[m].sum())
+            sxx = int((n[m].astype(object) ** 2).sum())
+            mu = float(sx) / float(c)
+            mean[m] = mu
+            num = c * sxx - sx * sx
+            if c > 1 and num > 0:
+                # sample variance (c*Σx² − (Σx)²)/(c(c−1)), the identical
+                # double expression as the SQL twin
+                sd = math.sqrt(float(num) / float(c * (c - 1)))
+                z[m] = (n[m].astype(np.float64) - mu) / sd
+        return pa.table({key: pa.array(k),
+                         "day": pa.array(day.astype("datetime64[us]")),
+                         "n": pa.array(n.astype(np.int64)),
+                         "mean_n": pa.array(mean),
+                         "z": pa.array(z)})
+
+    # the aggregate is keys x days rows — coalesce to ONE block so finalize
+    # sees every day of a key (per-block stats would be wrong)
+    return counts.repartition(1).map_batches(finalize, batch_format="pyarrow",
+                                             batch_size=None)
