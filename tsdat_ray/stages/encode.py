@@ -168,8 +168,11 @@ def decode_timestamps(buf: bytes) -> np.ndarray:
         else:
             dod = r.read(64)
             dod -= 1 << 64 if dod >= (1 << 63) else 0
-        delta += dod
-        out[i] = out[i - 1] + delta
+        # two's-complement wraparound: numpy's diff on int64 wraps mod 2^64,
+        # so the accumulator must too — makes decode the exact inverse for
+        # ANY int64 input (hypothesis probes ±2^62 timestamps)
+        delta = (delta + dod + (1 << 63)) % (1 << 64) - (1 << 63)
+        out[i] = (int(out[i - 1]) + delta + (1 << 63)) % (1 << 64) - (1 << 63)
     return out
 
 
