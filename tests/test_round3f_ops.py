@@ -447,3 +447,35 @@ def test_exact_dedup_sequences_brute(ray_session):
     got = sorted(exact_dedup_sequences(rd.from_arrow(tab).repartition(3))
                  .to_pandas()["doc_id"])
     assert got == ["d0", "d1", "d3", "d6"]  # min id per distinct array
+
+
+def test_wav_container_decode_exact():
+    """WAV payloads decode to the exact PCM samples (stdlib container
+    parse); non-16-bit wav raises the documented NotImplementedError."""
+    import io
+    import wave
+
+    import pytest
+
+    from tsdat_ray.stages.multimodal import _decode_compressed, synth_media_table
+
+    t = synth_media_table(n=24)
+    codecs = t["codec"].to_pylist()
+    assert "wav" in codecs and "pcm16" in codecs
+    for i, c in enumerate(codecs):
+        if c != "wav":
+            continue
+        payload = t["payload"][i].as_py()
+        got = _decode_compressed("wav", payload)
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            ref = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+        np.testing.assert_array_equal(got, ref)
+
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)  # 8-bit -> unsupported
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x01")
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        _decode_compressed("wav", bio.getvalue())

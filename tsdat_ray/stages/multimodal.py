@@ -53,6 +53,18 @@ def _decode_compressed(codec: str, payload: bytes) -> np.ndarray:
         from .jpeg_codec import jpeg_decode
 
         return jpeg_decode(payload).reshape(-1)
+    if codec == "wav":
+        # RIFF/WAVE container, stdlib parser — real decode, no external lib
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            if w.getsampwidth() != 2:
+                raise NotImplementedError(
+                    f"wav: only 16-bit PCM supported (got "
+                    f"{8 * w.getsampwidth()}-bit)")
+            frames = w.readframes(w.getnframes())
+        return np.frombuffer(frames, dtype="<i2")
     raise NotImplementedError(
         f"codec {codec!r}: compressed media decode requires an audio/video "
         "library not present in this environment (soundfile / av). "
@@ -88,8 +100,22 @@ def synth_media_table(n: int = 64, seed: int = 123) -> pa.Table:
             meta = dict(width=w, height=h, channels=c, sample_rate=0, n_frames=0, codec=codec)
         elif kind == "audio":
             sr, nsamp = 16000, int(rng.integers(256, 2048))
-            payload = rng.integers(-32768, 32767, nsamp, dtype=np.int16).tobytes()
-            meta = dict(width=0, height=0, channels=1, sample_rate=sr, n_frames=0, codec="pcm16")
+            pcm = rng.integers(-32768, 32767, nsamp, dtype=np.int16)
+            # audio ordinal (i//3) alternates raw pcm16 and WAV container
+            if (i // 3) % 2 == 1:
+                import io
+                import wave
+
+                bio = io.BytesIO()
+                with wave.open(bio, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(sr)
+                    w.writeframes(pcm.tobytes())
+                payload, codec = bio.getvalue(), "wav"
+            else:
+                payload, codec = pcm.tobytes(), "pcm16"
+            meta = dict(width=0, height=0, channels=1, sample_rate=sr, n_frames=0, codec=codec)
         else:
             w, h, c, f = 8, 8, 3, int(rng.integers(4, 12))
             payload = rng.integers(0, 256, w * h * c * f, dtype=np.uint8).tobytes()
@@ -205,9 +231,11 @@ class AudioFeatures:
         ids, durs, peaks, rmss, frames = [], [], [], [], []
         for i in range(batch.num_rows):
             codec = batch["codec"][i].as_py()
-            if codec != "pcm16":
-                _decode_compressed(codec, b"")
-            x = np.frombuffer(pay[i].as_py(), dtype=np.int16).astype(np.float64) / 32768.0
+            if codec == "pcm16":
+                samples = np.frombuffer(pay[i].as_py(), dtype=np.int16)
+            else:
+                samples = _decode_compressed(codec, pay[i].as_py())
+            x = samples.astype(np.float64) / 32768.0
             sr = max(1, batch["sample_rate"][i].as_py())
             nf = len(x) // self.frame
             fr = x[: nf * self.frame].reshape(nf, self.frame) if nf else x.reshape(0, 0)
