@@ -5444,6 +5444,17 @@ def _q_funnel_steps(sf_dir: str):
                         window_s=7 * 86400)
 
 
+def _q_token_bigrams(sf_dir: str):
+    """Exact top-50 adjacent token-id pairs over the tokenized corpus (the
+    BPE pair-count statistic on the list<int32> column): fused int64 pair
+    keys, per-block distinct-pair partials, pair-salted exact merge
+    (stages/sampling.py:topk_token_bigrams)."""
+    from tsdat_ray.stages.sampling import topk_token_bigrams
+
+    ds = _read(_sequences_corpus(sf_dir), columns=["tokens"])
+    return topk_token_bigrams(ds, k=50)
+
+
 def _q_volume_anomaly(sf_dir: str):
     """Ingest-volume anomaly monitoring: per (event_type, day) count plus
     z-score vs that type's own daily distribution — combiner count
@@ -6198,6 +6209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trending_users_events": _q_trending_users,
         "ab_test_events": _q_ab_test,
         "volume_anomaly_events": _q_volume_anomaly,
+        "token_bigrams_sequences": _q_token_bigrams,
         "dedup_exact_sequences": _q_dedup_exact_sequences,
         "time_to_convert_events": _q_time_to_convert,
         "gzip_ratio_docs": _q_gzip_ratio,
@@ -8541,6 +8553,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id
             FROM read_parquet('{_seq_corpus_glob()}')
             GROUP BY tokens
+        """,
+        # multiple unnests in one SELECT zip positionally in DuckDB, so the
+        # two shifted slices enumerate adjacent pairs within each sequence
+        "token_bigrams_sequences": f"""
+            WITH p AS (
+                SELECT CAST(unnest(tokens[1:len(tokens) - 1]) AS BIGINT)
+                           AS tok_a,
+                       CAST(unnest(tokens[2:len(tokens)]) AS BIGINT) AS tok_b
+                FROM read_parquet('{_seq_corpus_glob()}')
+                WHERE len(tokens) >= 2
+            )
+            SELECT tok_a, tok_b, count(*) AS n FROM p
+            GROUP BY 1, 2
+            ORDER BY n DESC, tok_a, tok_b
+            LIMIT 50
         """,
         "ab_test_events": """
             WITH u AS (

@@ -519,3 +519,27 @@ def test_salted_folds_high_cardinality(ray_session):
                           ascending=[True, False, True]).reset_index(drop=True)
     assert (got["user_id"].to_numpy() == ref["u"].to_numpy()).all()
     assert (got["n"].to_numpy() == ref["n"].to_numpy()).all()
+
+
+def test_topk_token_bigrams_brute(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from tsdat_ray.stages.sampling import topk_token_bigrams
+
+    rng = np.random.default_rng(21)
+    toks = [rng.integers(0, 7, rng.integers(1, 12)).astype(np.int32).tolist()
+            for _ in range(300)]
+    tab = pa.table({"tokens": pa.array(toks, pa.list_(pa.int32()))})
+    got = (topk_token_bigrams(rd.from_arrow(tab).repartition(9), k=10)
+           .to_pandas())
+
+    from collections import Counter
+
+    c = Counter()
+    for t in toks:
+        for a, b in zip(t, t[1:]):
+            c[(a, b)] += 1
+    ref = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(got["tok_a"], got["tok_b"], got["n"])) == [
+        (a, b, n) for (a, b), n in ref]

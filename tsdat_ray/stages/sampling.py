@@ -899,3 +899,64 @@ def token_entropy(ds, tokens_col: str = "tokens", id_col: str = "doc_id",
         })
 
     return ds.map_batches(ent, batch_format="pyarrow")
+
+
+def topk_token_bigrams(ds, k: int = 50, tokens_col: str = "tokens",
+                       salt_mod: int = 64):
+    """EXACT top-k adjacent token-id pairs over the tokenized corpus — the
+    BPE pair-count statistic computed at corpus scale (ties → smaller
+    (a, b) pair, a total order).
+
+    One flat pass per batch: adjacent pairs inside each sequence fuse into
+    a single int64 key (a·2³¹ + b — token ids are int32), np.unique gives
+    per-block partial counts (one row per DISTINCT pair per block), a
+    pair-hash-salted groupby sums exactly, and only salt_mod × k
+    candidates reach the final merge (the topk_words shape on the list
+    column)."""
+    import pandas as pd
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = b[tokens_col].combine_chunks()
+        vals = toks.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        off = toks.offsets.to_numpy().astype(np.int64)
+        base = off[0]
+        lens = np.diff(off)
+        n = len(lens)
+        sel = vals[base:off[-1]] if len(vals) else np.zeros(0, np.int64)
+        if len(sel) > 1:
+            a, bb = sel[:-1], sel[1:]
+            # mask pairs that straddle a sequence boundary
+            ends = np.cumsum(lens)[:-1] - 1 if n > 1 else np.zeros(0, np.int64)
+            m = np.ones(len(a), bool)
+            m[ends] = False
+            fused = a[m] * (1 << 31) + bb[m]
+            uf, cnt = np.unique(fused, return_counts=True)
+        else:
+            uf = np.zeros(0, np.int64)
+            cnt = np.zeros(0, np.int64)
+        salts = ((uf.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                 >> np.uint64(40)).astype(np.int64) % salt_mod
+        return pa.table({"_p": pa.array(uf), "n": pa.array(cnt.astype(np.int64)),
+                         "_salt": pa.array(salts)})
+
+    def part_topk(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().groupby("_p", as_index=False)["n"].sum()
+        df = df.sort_values(["n", "_p"], ascending=[False, True],
+                            kind="stable").head(k)
+        return pa.Table.from_pandas(df[["_p", "n"]], preserve_index=False)
+
+    cand = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("_salt").map_groups(part_topk, batch_format="pyarrow"))
+    tabs = list(cand.iter_batches(batch_format="pyarrow", batch_size=None))
+    cat = pa.concat_tables(tabs) if tabs else pa.table(
+        {"_p": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
+    df = cat.to_pandas().sort_values(["n", "_p"], ascending=[False, True],
+                                     kind="stable").head(k)
+    import ray.data as rd
+
+    p = df["_p"].to_numpy(np.int64)
+    return rd.from_arrow(pa.table({
+        "tok_a": pa.array((p >> 31).astype(np.int64)),
+        "tok_b": pa.array((p & ((1 << 31) - 1)).astype(np.int64)),
+        "n": pa.array(df["n"].to_numpy(np.int64)),
+    }))
