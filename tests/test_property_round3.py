@@ -162,3 +162,44 @@ def test_kl_by_source_bitexact_vs_duckdb(ray_session, data):
     """).df()
     assert (got["n_words"].to_numpy() == exp["n_words"].to_numpy()).all()
     assert (got["kl"].to_numpy() == exp["kl"].to_numpy()).all()
+
+
+@given(st.data())
+@settings(max_examples=10, deadline=None)
+def test_windowed_quantiles_disc_matches_duckdb(ray_session, data):
+    """The ceil(n·q)−1 disc-quantile convention must equal DuckDB's
+    quantile_disc for arbitrary n, tie patterns and windows."""
+    import duckdb
+    import ray.data as rd
+
+    from tsdat_ray.stages.window_funcs import windowed_quantiles_disc
+
+    rng = data.draw(st.randoms(use_true_random=False))
+    n = rng.randint(2, 200)
+    us = 1_000_000
+    ts = np.array([rng.randint(0, 3 * 3600) * us for _ in range(n)],
+                  dtype="datetime64[us]")
+    key = np.array([rng.choice(["a", "b"]) for _ in range(n)])
+    # cent-quantized with deliberate ties
+    val = np.round(np.array([rng.choice([1.25, 2.5, 2.5, 7.75,
+                                         rng.uniform(0, 10)])
+                             for _ in range(n)]), 2)
+    tab = pa.table({"event_type": pa.array(key), "ts": pa.array(ts),
+                    "value": pa.array(val)})
+    got = (windowed_quantiles_disc(rd.from_arrow(tab).repartition(5),
+                                   key="event_type", ts_col="ts",
+                                   value_col="value", interval_s=3600,
+                                   qs=(0.25, 0.5, 0.95))
+           .to_pandas().sort_values(["event_type", "bucket"])
+           .reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("events", tab)
+    exp = con.sql("""
+        SELECT event_type, date_trunc('hour', ts) AS bucket,
+               quantile_disc(value, 0.25) AS qd25,
+               quantile_disc(value, 0.50) AS qd50,
+               quantile_disc(value, 0.95) AS qd95
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """).df()
+    for c in ("qd25", "qd50", "qd95"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all()
