@@ -1244,9 +1244,13 @@ def time_to_convert(ds, user_col: str = "user_id", ts_col: str = "ts",
                          "_dt": pa.array((ts[m] - s[m]) // 1_000_000)})
 
     dp, df_ = _min_fold_cols("_dt")
+    # materialize: two consumers (quantile fold + count) would otherwise
+    # re-execute the folds+join DAG; the table is one (user, dt) row per
+    # CONVERTED user — object-store-resident, never driver-resident
     deltas = (joined.map_batches(after, batch_format="pyarrow")
               .map_batches(dp, batch_format="pyarrow")
-              .groupby("_salt").map_groups(df_, batch_format="pyarrow"))
+              .groupby("_salt").map_groups(df_, batch_format="pyarrow")
+              .materialize())
 
     def const_key(b: pa.Table) -> pa.Table:
         return pa.table({"_k": pa.array(np.zeros(len(b), np.int64)),
