@@ -5432,6 +5432,17 @@ def _q_cohort_matrix(sf_dir: str):
     return cohort_matrix(ds, bucket_s=86400, max_offset=14)
 
 
+def _q_retention_curve(sf_dir: str):
+    """Normalized retention curve: the cohort matrix with each cell
+    divided by its cohort's offset-0 size (every user is active on their
+    first-touch day, so that cell IS the cohort size); ratio pass on the
+    bounded cohorts×offsets table (stages/stats.py:retention_curve)."""
+    from tsdat_ray.stages.stats import retention_curve
+
+    ds = _events(sf_dir, columns=["ts", "user_id"])
+    return retention_curve(ds, bucket_s=86400, max_offset=14)
+
+
 def _q_funnel_steps(sf_dir: str):
     """Strict-order 3-step funnel (signup → click → purchase within 7 days
     of signup, each step strictly after the previous): one keyed shuffle
@@ -6214,6 +6225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_to_convert_events": _q_time_to_convert,
         "gzip_ratio_docs": _q_gzip_ratio,
         "funnel_steps_events": _q_funnel_steps,
+        "retention_curve_events": _q_retention_curve,
         "availability_events": _q_availability,
         "hist_rollup_1h_events": _q_hist_rollup,
         "word_entropy_docs": _q_word_entropy,
@@ -8637,6 +8649,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE date_diff('day', f.cohort, date_trunc('day', e.ts))
                   BETWEEN 0 AND 14
             GROUP BY 1, 2
+        """,
+        "retention_curve_events": """
+            WITH f AS (
+                SELECT user_id, date_trunc('day', min(ts)) AS cohort
+                FROM events GROUP BY 1
+            ), m AS (
+                SELECT f.cohort,
+                       CAST(date_diff('day', f.cohort,
+                                      date_trunc('day', e.ts))
+                            AS BIGINT) AS offset_d,
+                       count(DISTINCT e.user_id) AS n_users
+                FROM events e JOIN f USING (user_id)
+                WHERE date_diff('day', f.cohort, date_trunc('day', e.ts))
+                      BETWEEN 0 AND 14
+                GROUP BY 1, 2
+            ), s AS (
+                SELECT cohort, n_users AS size FROM m WHERE offset_d = 0
+            )
+            SELECT m.cohort, m.offset_d, m.n_users,
+                   CAST(m.n_users AS DOUBLE) / CAST(s.size AS DOUBLE)
+                       AS retention
+            FROM m JOIN s USING (cohort)
         """,
         "funnel_steps_events": """
             WITH s AS (

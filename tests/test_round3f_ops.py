@@ -543,3 +543,22 @@ def test_topk_token_bigrams_brute(ray_session):
     ref = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert list(zip(got["tok_a"], got["tok_b"], got["n"])) == [
         (a, b, n) for (a, b), n in ref]
+
+
+def test_retention_curve_normalizes_to_one_at_offset0(ray_session):
+    import ray.data as rd
+
+    from tsdat_ray.stages.stats import retention_curve
+
+    rng = np.random.default_rng(17)
+    n = 2000
+    tab = pa.table({
+        "user_id": pa.array(rng.integers(0, 50, n)),
+        "ts": pa.array((rng.integers(0, 86400 * 10, n) * 1_000_000)
+                       .astype("datetime64[us]")),
+    })
+    got = retention_curve(rd.from_arrow(tab).repartition(5),
+                          max_offset=5).to_pandas()
+    d0 = got[got.offset_d == 0]
+    assert (d0["retention"] == 1.0).all()
+    assert ((got["retention"] > 0) & (got["retention"] <= 1.0)).all()

@@ -1347,3 +1347,27 @@ def volume_anomaly(ds, key: str = "event_type", ts_col: str = "ts",
     # sees every day of a key (per-block stats would be wrong)
     return counts.repartition(1).map_batches(finalize, batch_format="pyarrow",
                                              batch_size=None)
+
+
+def retention_curve(ds, user_col: str = "user_id", ts_col: str = "ts",
+                    bucket_s: int = 86400, max_offset: int = 14):
+    """Normalized retention curve: the cohort matrix with each cell divided
+    by its cohort's size (distinct users at offset 0 — every user is
+    active on their first-touch day by construction, so the offset-0 cell
+    IS the cohort size).  The matrix is cohorts × offsets — bounded — so
+    the ratio pass coalesces to one block; the heavy lifting stays in
+    :func:`cohort_matrix`'s distributed folds."""
+    mat = cohort_matrix(ds, user_col=user_col, ts_col=ts_col,
+                        bucket_s=bucket_s, max_offset=max_offset)
+
+    def ratio(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = b.to_pandas()
+        size = (df[df.offset_d == 0].set_index("cohort")["n_users"])
+        denom = df["cohort"].map(size).to_numpy(np.float64)
+        df["retention"] = df["n_users"].to_numpy(np.float64) / denom
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return mat.repartition(1).map_batches(ratio, batch_format="pyarrow",
+                                          batch_size=None)
