@@ -133,8 +133,11 @@ def test_best_tier_planner():
     tiers = {"1m": 60, "1h": 3600, "1d": 86400}
     assert best_tier(7200, tiers) == "1h"       # 2h nests hours, not days
     assert best_tier(86400 * 7, tiers) == "1d"  # a week nests days
-    assert best_tier(90, tiers) == "1m"         # 90s only nests minutes
-    assert best_tier(45, tiers) == "1m"         # nothing divides -> finest
+    assert best_tier(120, tiers) == "1m"        # 2m nests minutes only
+    # nothing divides (90s/45s don't nest 1m windows) -> must read raw:
+    # re-aggregating a non-nesting tier would silently mis-bucket.
+    assert best_tier(90, tiers) == "raw"
+    assert best_tier(45, tiers) == "raw"
 
 
 def test_availability_report_reference(ray_session):

@@ -1,0 +1,90 @@
+"""Round-4 regression tests for the advisor findings (ADVICE.md r3):
+
+1. time_to_convert must use date_diff('second') semantics — truncate each
+   timestamp to seconds BEFORE subtracting, not floor the microsecond delta
+   (differs whenever the sub-second parts wrap across a second boundary).
+2. exact_dedup_sequences must slice list values by the raw offsets (which
+   index the full child array), not offsets-minus-base.
+3. topk_token_bigrams must tolerate zero-length leading token lists
+   (boundary index -1 would mask the batch's last valid pair).
+"""
+import numpy as np
+import pyarrow as pa
+
+
+def test_time_to_convert_subsecond_matches_date_diff(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from tsdat_ray.stages.stats import time_to_convert
+
+    rng = np.random.default_rng(4)
+    rows = []
+    for u in range(40):
+        # sub-second parts are independent on each side so roughly half the
+        # pairs wrap a second boundary — the case the old code got wrong
+        s_us = int(u) * 1_000_000 + int(rng.integers(0, 1_000_000))
+        rows.append((u, "signup", s_us))
+        if u % 2 == 0:
+            p_us = s_us + int(rng.integers(1, 50)) * 1_000_000 \
+                + int(rng.integers(0, 1_000_000)) - s_us % 1_000_000 \
+                + int(rng.integers(0, 1_000_000))
+            rows.append((u, "purchase", max(p_us, s_us + 1)))
+    tab = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows]),
+        "ts": pa.array(np.array([r[2] for r in rows], dtype="datetime64[us]")),
+    })
+    got = time_to_convert(rd.from_arrow(tab).repartition(5),
+                          qs=(0.5, 0.9)).to_pandas()
+
+    con = duckdb.connect()
+    con.register("ev", tab)
+    ref = con.execute("""
+        WITH s AS (SELECT user_id, min(ts) s_ts FROM ev
+                   WHERE event_type='signup' GROUP BY user_id),
+             p AS (SELECT user_id, min(ts) p_ts FROM ev
+                   WHERE event_type='purchase' GROUP BY user_id),
+             d AS (SELECT date_diff('second', s.s_ts, p.p_ts) dt
+                   FROM s JOIN p USING (user_id) WHERE p.p_ts > s.s_ts)
+        SELECT count(*) n,
+               quantile_disc(dt, 0.5) p50, quantile_disc(dt, 0.9) p90
+        FROM d
+    """).fetchone()
+    con.close()
+    assert int(got["n_converted"][0]) == ref[0]
+    assert float(got["p50_s"][0]) == float(ref[1])
+    assert float(got["p90_s"][0]) == float(ref[2])
+
+
+def test_exact_dedup_sequences_sliced_list_array(ray_session):
+    """A non-compacted sliced ListArray (offsets start at base>0 while
+    .values returns the full child) must hash the RIGHT token spans."""
+    import ray.data as rd
+
+    from tsdat_ray.stages.dedup import exact_dedup_sequences
+
+    values = pa.array([9, 9, 1, 2, 3, 4, 5, 1, 2, 3, 6], pa.int32())
+    # offsets begin at 2: rows are [1,2,3], [4,5], [1,2,3], [6]
+    lst = pa.ListArray.from_arrays(pa.array([2, 5, 7, 10, 11], pa.int32()),
+                                   values)
+    assert lst.offsets[0].as_py() == 2  # genuinely non-compacted
+    tab = pa.table({"doc_id": pa.array(["a", "b", "c", "d"]),
+                    "tokens": lst})
+    got = sorted(exact_dedup_sequences(rd.from_arrow(tab))
+                 .to_pandas()["doc_id"])
+    assert got == ["a", "b", "d"]  # c duplicates a
+
+
+def test_topk_token_bigrams_empty_leading_sequences(ray_session):
+    import ray.data as rd
+
+    from tsdat_ray.stages.sampling import topk_token_bigrams
+
+    # leading zero-length lists: old mask produced boundary index -1,
+    # silently dropping the block's LAST valid pair
+    toks = [[], [], [1, 2], [], [3, 4, 3, 4], [5]]
+    tab = pa.table({"tokens": pa.array(toks, pa.list_(pa.int32()))})
+    got = topk_token_bigrams(rd.from_arrow(tab), k=10).to_pandas()
+    pairs = dict(zip(zip(got["tok_a"], got["tok_b"]), got["n"]))
+    assert pairs == {(1, 2): 1, (3, 4): 2, (4, 3): 1}

@@ -1970,10 +1970,11 @@ def exact_dedup_sequences(ds, tokens_col: str = "tokens",
         ids = b[id_col].to_numpy(zero_copy_only=False)
         h = np.zeros(len(b), np.uint64)
         h2 = np.zeros(len(b), np.uint64)
-        base = off[0]
+        # offsets index the FULL child array (.values ignores any slice
+        # offset), so slice vals[off[i]:off[i+1]] directly — subtracting
+        # off[0] reads wrong spans on non-compacted sliced ListArrays.
         for i in range(len(b)):
-            d = hashlib.md5(vals[off[i] - base:off[i + 1] - base]
-                            .tobytes()).digest()
+            d = hashlib.md5(vals[off[i]:off[i + 1]].tobytes()).digest()
             h[i] = int.from_bytes(d[:8], "little")
             h2[i] = int.from_bytes(d[8:], "little")
         # batch-local min-id per hash bounds the shuffle by distinct arrays

@@ -503,6 +503,8 @@ def best_tier(interval_s: int, tiers: dict[str, int]) -> str:
     re-aggregated answer is bit-identical to computing from raw."""
     ok = {t: iv for t, iv in tiers.items() if interval_s % iv == 0}
     if not ok:
-        # no tier nests: fall back to the finest (always divides if raw-like)
-        return min(tiers, key=lambda t: tiers[t])
+        # No stored tier's windows nest into the requested bucket (e.g. a
+        # 90s request over 1m tiers): re-aggregating ANY tier would
+        # mis-bucket, so signal "read raw" — exactness over convenience.
+        return "raw"
     return max(ok, key=lambda t: ok[t])

@@ -925,8 +925,11 @@ def topk_token_bigrams(ds, k: int = 50, tokens_col: str = "tokens",
         sel = vals[base:off[-1]] if len(vals) else np.zeros(0, np.int64)
         if len(sel) > 1:
             a, bb = sel[:-1], sel[1:]
-            # mask pairs that straddle a sequence boundary
+            # mask pairs that straddle a sequence boundary; zero-length
+            # leading sequences yield boundary index -1 which would wrap
+            # to the LAST valid pair — drop non-positive indices
             ends = np.cumsum(lens)[:-1] - 1 if n > 1 else np.zeros(0, np.int64)
+            ends = ends[ends >= 0]
             m = np.ones(len(a), bool)
             m[ends] = False
             fused = a[m] * (1 << 31) + bb[m]

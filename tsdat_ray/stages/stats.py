@@ -1240,8 +1240,11 @@ def time_to_convert(ds, user_col: str = "user_id", ts_col: str = "ts",
         s = b["_s_ts"].combine_chunks().to_numpy(zero_copy_only=False)
         m = ts > s
         u = b[user_col].combine_chunks().to_numpy(zero_copy_only=False)[m]
-        return pa.table({user_col: pa.array(u),
-                         "_dt": pa.array((ts[m] - s[m]) // 1_000_000)})
+        # date_diff('second', s, p) counts second-boundary crossings:
+        # floor each side to seconds BEFORE subtracting (not floor of the
+        # microsecond difference — differs whenever sub-second parts wrap).
+        dt = ts[m] // 1_000_000 - s[m] // 1_000_000
+        return pa.table({user_col: pa.array(u), "_dt": pa.array(dt)})
 
     dp, df_ = _min_fold_cols("_dt")
     # materialize: two consumers (quantile fold + count) would otherwise
