@@ -39,6 +39,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .spill import checkpoint as _ckpt
+
 US = 1_000_000
 
 
@@ -79,9 +81,9 @@ def partitioned_lag(ds, key: str, ts_col: str, value_col: str,
         out["_last_val"] = pa.array(np.repeat(x[order[-1]] if len(order) else np.nan, len(ts)))
         return pa.table(out)
 
-    part = ds.map_batches(add_window, batch_format="pyarrow").groupby(
+    part = _ckpt(ds.map_batches(add_window, batch_format="pyarrow").groupby(
         [key, "_window"]
-    ).map_groups(per_window, batch_format="pyarrow").materialize()
+    ).map_groups(per_window, batch_format="pyarrow"))
 
     # distributed carry: previous non-empty window's last value per segment
     def fold(starts, windows, cols):
@@ -110,7 +112,8 @@ def partitioned_cumsum(ds, key: str, ts_col: str, value_col: str,
     """Running SUM over (key ORDER BY ts, id) — distributed prefix sum.
 
     Phase 1 (one shuffle): per (key, window) sort + local prefix sums,
-    materialized.  Phase 2 (distributed, :mod:`.carry`): per-key window
+    checkpointed to Parquet scratch (:mod:`.spill` — streaming, no
+    object-store pin).  Phase 2 (distributed, :mod:`.carry`): per-key window
     totals → exclusive prefix offsets via a salted-key shuffle + vectorized
     segment scan, attached budget-gated.  Phase 3 (map): add offsets.
     Total order of additions == global (ts, id) order, so with
@@ -145,9 +148,9 @@ def partitioned_cumsum(ds, key: str, ts_col: str, value_col: str,
         out["_wtotal"] = pa.array(np.repeat(total, len(x)))
         return pa.table(out)
 
-    part = ds.map_batches(add_window, batch_format="pyarrow").groupby(
+    part = _ckpt(ds.map_batches(add_window, batch_format="pyarrow").groupby(
         [key, "_window"]
-    ).map_groups(local_scan, batch_format="pyarrow").materialize()
+    ).map_groups(local_scan, batch_format="pyarrow"))
 
     # distributed carry: exclusive prefix sum of window totals per key
     # segment — window-order accumulation, so floats fold identically to
@@ -206,9 +209,9 @@ def partitioned_lead(ds, key: str, ts_col: str, value_col: str,
         out["_first_val"] = pa.array(np.repeat(x[order[0]] if len(order) else np.nan, len(ts)))
         return pa.table(out)
 
-    part = ds.map_batches(add_window, batch_format="pyarrow").groupby(
+    part = _ckpt(ds.map_batches(add_window, batch_format="pyarrow").groupby(
         [key, "_window"]
-    ).map_groups(per_window, batch_format="pyarrow").materialize()
+    ).map_groups(per_window, batch_format="pyarrow"))
 
     # distributed carry: next non-empty window's first value per segment
     def fold(starts, windows, cols):
@@ -513,7 +516,7 @@ def grouped_cume_dist(ds, key: str, value_col: str, n_buckets: int = 64):
         bkt = np.searchsorted(edges, v, side="left").astype(np.int64)
         return b.append_column("_vb", pa.array(bkt))
 
-    withb = ds.map_batches(add_bucket, batch_format="pyarrow").materialize()
+    withb = _ckpt(ds.map_batches(add_bucket, batch_format="pyarrow"), "rank")
     cnt_ds = _bucket_counts_ds(withb, key)
     offs_ds = fold_carry(cnt_ds, key, "_vb", ["_c"],
                          _bucket_offsets_fold(descending=False,
@@ -589,9 +592,9 @@ def partitioned_rolling_sum(ds, key: str, ts_col: str, value_col: str,
                                 type=pa.list_(pa.int64() if value_scale else pa.float64()))
         return pa.table(out)
 
-    part = ds.map_batches(add_window, batch_format="pyarrow").groupby(
+    part = _ckpt(ds.map_batches(add_window, batch_format="pyarrow").groupby(
         [key, "_window"]
-    ).map_groups(local_frame, batch_format="pyarrow").materialize()
+    ).map_groups(local_frame, batch_format="pyarrow"))
 
     # distributed carry: last n-1 values BEFORE each window, per key segment
     np_dtype = np.int64 if value_scale else np.float64
@@ -684,9 +687,9 @@ def partitioned_rolling_zscore(ds, key: str, ts_col: str, value_col: str,
                                 type=pa.list_(pa.int64()))
         return pa.table(out)
 
-    part = ds.map_batches(add_window, batch_format="pyarrow").groupby(
+    part = _ckpt(ds.map_batches(add_window, batch_format="pyarrow").groupby(
         [key, "_window"]
-    ).map_groups(local_frame, batch_format="pyarrow").materialize()
+    ).map_groups(local_frame, batch_format="pyarrow"))
 
     # distributed carry: last n values BEFORE each window, per key segment
     def fold(starts, windows, cols):
@@ -841,7 +844,7 @@ def grouped_rank(ds, key: str, value_col: str, id_col: str,
         bkt = np.searchsorted(edges, v, side="left").astype(np.int64)
         return b.append_column("_vb", pa.array(bkt))
 
-    withb = ds.map_batches(add_bucket, batch_format="pyarrow").materialize()
+    withb = _ckpt(ds.map_batches(add_bucket, batch_format="pyarrow"), "rank")
     cnt_ds = _bucket_counts_ds(withb, key)
     offs_ds = fold_carry(cnt_ds, key, "_vb", ["_c"],
                          _bucket_offsets_fold(descending))
@@ -1074,9 +1077,9 @@ def time_weighted_avg(ds, key: str, ts_col: str, value_col: str,
                "_first_ts": pa.array(np.repeat(tss[0] if len(tss) else -1, len(ts)))}
         return pa.table(out)
 
-    part = ds.map_batches(add_window, batch_format="pyarrow").groupby(
+    part = _ckpt(ds.map_batches(add_window, batch_format="pyarrow").groupby(
         [key, "_window"]
-    ).map_groups(per_window, batch_format="pyarrow").materialize()
+    ).map_groups(per_window, batch_format="pyarrow"))
 
     # distributed carry (for a window's LAST row): first ts of the nearest
     # LATER non-empty window — reverse segment shift
@@ -1202,9 +1205,9 @@ def partitioned_ewma(ds, key: str, ts_col: str, value_col: str,
         out["_vfirst"] = pa.array(np.repeat(xs[0] if len(x) else 0.0, len(x)))
         return pa.table(out)
 
-    part = ds.map_batches(add_window, batch_format="pyarrow").groupby(
+    part = _ckpt(ds.map_batches(add_window, batch_format="pyarrow").groupby(
         [key, "_window"]
-    ).map_groups(per_window, batch_format="pyarrow").materialize()
+    ).map_groups(per_window, batch_format="pyarrow"))
 
     # distributed carry: the sequential recurrence per key segment (same
     # float op order as the round-2 driver fold — results unchanged)
@@ -1287,9 +1290,9 @@ def interval_union(ds, key: str, ts_col: str, dur_col: str, id_col: str,
                                         len(ts))),
         })
 
-    part = ds.map_batches(add_window, batch_format="pyarrow").groupby(
+    part = _ckpt(ds.map_batches(add_window, batch_format="pyarrow").groupby(
         [key, "_window"]
-    ).map_groups(per_window, batch_format="pyarrow").materialize()
+    ).map_groups(per_window, batch_format="pyarrow"))
 
     # distributed carry: running max of window maxima BEFORE each window
     def fold(starts, windows, cols):
@@ -1374,9 +1377,9 @@ def counter_increase(ds, key: str, ts_col: str, value_col: str,
                 vqs[-1] if len(vqs) else np.int64(0), len(ts))),
         })
 
-    part = ds.map_batches(add_window, batch_format="pyarrow").groupby(
+    part = _ckpt(ds.map_batches(add_window, batch_format="pyarrow").groupby(
         [key, "_window"]
-    ).map_groups(per_window, batch_format="pyarrow").materialize()
+    ).map_groups(per_window, batch_format="pyarrow"))
 
     NOPREV = np.iinfo(np.int64).min
 
@@ -1463,7 +1466,7 @@ def grouped_dense_rank(ds, key: str, value_col: str,
         bkt = np.searchsorted(edges, v, side="left").astype(np.int64)
         return b.append_column("_vb", pa.array(bkt))
 
-    withb = ds.map_batches(add_bucket, batch_format="pyarrow").materialize()
+    withb = _ckpt(ds.map_batches(add_bucket, batch_format="pyarrow"), "rank")
 
     # distinct |values| per (key, bucket): batch-local dedupe -> one tiny
     # groupby -> driver-side offset table (rows bounded by distinct values)
@@ -1680,9 +1683,9 @@ def partitioned_rolling_minmax(ds, key: str, ts_col: str, value_col: str,
         out["_tail"] = pa.array([tail.tolist()] * len(xs), type=pa.list_(pa.float64()))
         return pa.table(out)
 
-    part = ds.map_batches(add_window, batch_format="pyarrow").groupby(
+    part = _ckpt(ds.map_batches(add_window, batch_format="pyarrow").groupby(
         [key, "_window"]
-    ).map_groups(local_frame, batch_format="pyarrow").materialize()
+    ).map_groups(local_frame, batch_format="pyarrow"))
 
     # distributed carry: last n-1 values BEFORE each window, per key segment
     def fold(starts, windows, cols):
@@ -1860,8 +1863,8 @@ def partitioned_cusum(ds, key: str, ts_col: str, value_col: str,
         out["_wmin"] = pa.array(np.full(len(c), runmin[-1] if len(c) else 0, np.int64))
         return pa.table(out)
 
-    part = ds.map_batches(add_window, batch_format="pyarrow").groupby(
-        [key, "_window"]).map_groups(local_scan, batch_format="pyarrow").materialize()
+    part = _ckpt(ds.map_batches(add_window, batch_format="pyarrow").groupby(
+        [key, "_window"]).map_groups(local_scan, batch_format="pyarrow"))
 
     # distributed carry: max-plus semiring fold of (total, min-prefix) —
     # S_in(w_{i+1}) = max(S_in(w_i) + C_i, C_i − minc_i), 0 at segment heads
@@ -1967,8 +1970,8 @@ def partitioned_lag_k(ds, key: str, ts_col: str, value_col: str,
         out["_tail"] = pa.array([tail.tolist()] * len(xs), type=pa.list_(pa.float64()))
         return pa.table(out)
 
-    part = ds.map_batches(add_window, batch_format="pyarrow").groupby(
-        [key, "_window"]).map_groups(local_frame, batch_format="pyarrow").materialize()
+    part = _ckpt(ds.map_batches(add_window, batch_format="pyarrow").groupby(
+        [key, "_window"]).map_groups(local_frame, batch_format="pyarrow"))
 
     # distributed carry: k-deep running tail BEFORE each window per segment
     def fold(starts, windows, cols):
