@@ -1296,6 +1296,76 @@ def _char_shingle_hash_counts(s: str, k: int, winnow_w: int = 1):
     return a[st], b[st], cnt
 
 
+def _flat_char_shingle_positions_batch(texts, k: int):
+    """Flattened batch twin of :func:`_char_shingle_hashes_positions` (the
+    dedup.py `_flat_char_shingles` pattern): ONE utf-32 encode of the
+    joined batch text, a single global k-term rolling-hash pass, per-doc
+    window selection — numpy across the whole batch instead of a Python
+    loop per document.  Docs shorter than ``k`` (whole-string shingle) and
+    empties (sentinel) take the scalar kernel — rare, bit-identical.
+
+    Returns ``(doc_idx, pos, h1, h2)`` rows; row order across docs is
+    unspecified (callers key by doc/salt, never by row order)."""
+    n = len(texts)
+    lens = np.fromiter((len(s or "") for s in texts), np.int64, count=n)
+    joined = "".join((s or "") for s in texts)
+    cp = np.frombuffer(joined.encode("utf-32-le"),
+                       dtype=np.uint32).astype(np.uint64)
+    offs = np.r_[np.int64(0), np.cumsum(lens)]
+    long = lens >= k
+    if long.any():
+        m = len(cp) - k + 1
+        h1_all = np.zeros(m, dtype=np.uint64)
+        h2_all = np.zeros(m, dtype=np.uint64)
+        b1, b2 = np.uint64(1099511628211), np.uint64(0x100000001B3 ^ 0x9E37)
+        for j in range(k):
+            seg = cp[j: m + j]
+            h1_all = h1_all * b1 + seg
+            h2_all = h2_all * b2 + seg + np.uint64(j + 1)
+        cnt = np.where(long, lens - k + 1, 0)
+        doc_ids = np.repeat(np.arange(n, dtype=np.int64), cnt)
+        pos = (np.arange(int(cnt.sum()), dtype=np.int64)
+               - np.repeat(np.cumsum(cnt) - cnt, cnt))
+        at = np.repeat(offs[:-1], cnt) + pos
+        h1, h2 = h1_all[at], h2_all[at]
+    else:
+        doc_ids = np.zeros(0, np.int64)
+        pos = np.zeros(0, np.int64)
+        h1 = np.zeros(0, np.uint64)
+        h2 = np.zeros(0, np.uint64)
+    short_idx = np.flatnonzero(~long)
+    if len(short_idx):
+        sd, sp, s1, s2 = [], [], [], []
+        for d in short_idx:  # rare: only docs under k codepoints
+            a, bb = _char_shingle_hashes_positions(texts[d] or "", k)
+            sd.append(np.full(len(a), d, np.int64))
+            sp.append(np.arange(len(a), dtype=np.int64))
+            s1.append(a)
+            s2.append(bb)
+        doc_ids = np.concatenate([doc_ids, *sd])
+        pos = np.concatenate([pos, *sp])
+        h1 = np.concatenate([h1, *s1])
+        h2 = np.concatenate([h2, *s2])
+    return doc_ids, pos, h1, h2
+
+
+def _flat_char_shingle_counts_batch(texts, k: int):
+    """Flattened batch twin of :func:`_char_shingle_hash_counts` at
+    ``winnow_w=1``: per-doc DISTINCT shingles + occupancy counts from the
+    flat position pass and one lexsort run-length over (doc, h1, h2).
+    Returns ``(doc_idx, h1, h2, cnt)``."""
+    doc_ids, _pos, h1, h2 = _flat_char_shingle_positions_batch(texts, k)
+    if not len(doc_ids):
+        return doc_ids, h1, h2, np.zeros(0, np.int64)
+    order = np.lexsort((h2, h1, doc_ids))
+    d, a, b = doc_ids[order], h1[order], h2[order]
+    chg = np.r_[True, (d[1:] != d[:-1]) | (a[1:] != a[:-1])
+                | (b[1:] != b[:-1])]
+    st = np.flatnonzero(chg)
+    cnt = np.diff(np.r_[st, len(d)]).astype(np.int64)
+    return d[st], a[st], b[st], cnt
+
+
 def duplicated_span_coverage(ds, id_col: str = "doc_id", text_col: str = "text",
                              k: int = 20, salt_mod: int = 256,
                              winnow_w: int = 1):
@@ -1326,17 +1396,24 @@ def duplicated_span_coverage(ds, id_col: str = "doc_id", text_col: str = "text",
     def shingle_rows(b: pa.Table) -> pa.Table:
         ids = b[id_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
         texts = b[text_col].to_numpy(zero_copy_only=False)
-        hs1, hs2, cnts, lens = [], [], [], []
-        for s in texts:
-            a, bb, c = _char_shingle_hash_counts(s, k, winnow_w)
-            hs1.append(a); hs2.append(bb); cnts.append(c); lens.append(len(a))
-        lens = np.array(lens, dtype=np.int64)
-        h1 = np.concatenate(hs1) if hs1 else np.zeros(0, np.uint64)
+        if winnow_w > 1:  # minimizer stride: per-doc sliding windows
+            hs1, hs2, cnts, lens = [], [], [], []
+            for s in texts:
+                a, bb, c = _char_shingle_hash_counts(s, k, winnow_w)
+                hs1.append(a); hs2.append(bb); cnts.append(c); lens.append(len(a))
+            lens = np.array(lens, dtype=np.int64)
+            h1 = np.concatenate(hs1) if hs1 else np.zeros(0, np.uint64)
+            h2 = np.concatenate(hs2) if hs2 else np.zeros(0, np.uint64)
+            ids_rep = np.repeat(ids, lens)
+            cnt = np.concatenate(cnts) if cnts else np.zeros(0, np.int64)
+        else:  # default path: one flat pass over the whole batch
+            d, h1, h2, cnt = _flat_char_shingle_counts_batch(texts, k)
+            ids_rep = ids[d]
         return pa.table({
             "_h1": pa.array(h1),
-            "_h2": pa.array(np.concatenate(hs2) if hs2 else np.zeros(0, np.uint64)),
-            id_col: pa.array(np.repeat(ids, lens)),
-            "_cnt": pa.array(np.concatenate(cnts) if cnts else np.zeros(0, np.int64)),
+            "_h2": pa.array(h2),
+            id_col: pa.array(ids_rep),
+            "_cnt": pa.array(cnt),
             "_salt": pa.array((h1 % np.uint64(salt_mod)).astype(np.int64)),
         })
 
@@ -1470,24 +1547,27 @@ def ngram_contamination(corpus, bench, id_col: str = "doc_id",
         st = np.flatnonzero(np.r_[True, hs[1:] != hs[:-1]]) if len(hs) else np.zeros(0, np.int64)
         runlen = np.diff(np.r_[st, len(hs)])
         has_bench = np.add.reduceat(ds_ == -1, st) > 0 if len(st) else np.zeros(0, bool)
-        hit = np.repeat(has_bench, runlen) & (ds_ != -1)
-        docs = ds_[hit]
-        return pa.table({id_col: pa.array(docs),
-                         "n_grams": pa.array(np.zeros(len(docs), np.int64)),
-                         "n_contam": pa.array(np.ones(len(docs), np.int64))})
-
-    def total_rows(b: pa.Table) -> pa.Table:
-        _, _, tids, tots = _distinct_doc_grams(b, id_col, text_col, n)
-        return pa.table({id_col: pa.array(tids), "n_grams": pa.array(tots),
-                         "n_contam": pa.array(np.zeros(len(tids), np.int64))})
+        corp = ds_ != -1
+        hit = np.repeat(has_bench, runlen) & corp
+        # per-doc PARTIALS within this salt slice: every (gram, doc) row
+        # lands in exactly one slice, so rows-per-doc partial-sums to the
+        # doc's distinct-gram total — no second scan/hash of the text
+        # (r4: replaces the separate total_rows pass over the corpus)
+        docs_all = ds_[corp]
+        uniq, inv = np.unique(docs_all, return_inverse=True)
+        n_tot = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        n_hit = np.bincount(inv[hit[corp]],
+                            minlength=len(uniq)).astype(np.int64)
+        return pa.table({id_col: pa.array(uniq),
+                         "n_grams": pa.array(n_tot),
+                         "n_contam": pa.array(n_hit)})
 
     from .stats import grouped_int_sums
 
     marked = (corpus.map_batches(corpus_rows, batch_format="pyarrow")
               .union(bench.map_batches(bench_rows, batch_format="pyarrow"))
               .groupby("_salt").map_groups(mark, batch_format="pyarrow"))
-    totals = corpus.map_batches(total_rows, batch_format="pyarrow")
-    return grouped_int_sums(totals.union(marked), id_col,
+    return grouped_int_sums(marked, id_col,
                             ["n_grams", "n_contam"], salt_mod=salt_mod)
 
 
@@ -1789,20 +1869,12 @@ def remove_duplicate_spans(ds, id_col: str = "doc_id", text_col: str = "text",
     def shingle_rows(b: pa.Table) -> pa.Table:
         ids = b[id_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
         texts = b[text_col].to_numpy(zero_copy_only=False)
-        hs1, hs2, lens = [], [], []
-        for s in texts:
-            a, bb = _char_shingle_hashes_positions(s, k)
-            hs1.append(a)
-            hs2.append(bb)
-            lens.append(len(a))
-        lens = np.array(lens, dtype=np.int64)
-        h1 = np.concatenate(hs1) if hs1 else np.zeros(0, np.uint64)
-        pos = (np.arange(int(lens.sum()), dtype=np.int64)
-               - np.repeat(np.cumsum(lens) - lens, lens))
+        # one flat pass over the whole batch (no per-doc Python loop)
+        d, pos, h1, h2 = _flat_char_shingle_positions_batch(texts, k)
         return pa.table({
             "_h1": pa.array(h1),
-            "_h2": pa.array(np.concatenate(hs2) if hs2 else np.zeros(0, np.uint64)),
-            id_col: pa.array(np.repeat(ids, lens)),
+            "_h2": pa.array(h2),
+            id_col: pa.array(ids[d]),
             "_pos": pa.array(pos),
             "_salt": pa.array((h1 % np.uint64(salt_mod)).astype(np.int64)),
         })
@@ -1854,10 +1926,13 @@ def remove_duplicate_spans(ds, id_col: str = "doc_id", text_col: str = "text",
             pa.array(np.flatnonzero(tsel), pa.int64())).to_numpy(zero_copy_only=False)
         order = np.argsort(tid, kind="stable")
         tid, texts = tid[order], texts[order]
-        cps = [np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32) for s in texts]
-        doclen = np.array([len(c) for c in cps], dtype=np.int64)
-        offsets = np.r_[0, np.cumsum(doclen)]
+        # one flat utf-32 encode of the bucket's texts (no per-doc arrays)
+        doclen = np.fromiter((len(s) for s in texts), np.int64,
+                             count=len(texts))
+        offsets = np.r_[np.int64(0), np.cumsum(doclen)]
         total = int(offsets[-1])
+        flat = np.frombuffer("".join(texts).encode("utf-32-le"),
+                             dtype=np.uint32)
         did, dpos = ids[~tsel], pos[~tsel]
         idx = np.searchsorted(tid, did)
         gstart = offsets[idx] + dpos
@@ -1866,13 +1941,13 @@ def remove_duplicate_spans(ds, id_col: str = "doc_id", text_col: str = "text",
         np.add.at(delta, gstart, 1)
         np.add.at(delta, gend, -1)
         kept_mask = np.cumsum(delta[:-1]) == 0
-        flat = np.concatenate(cps) if cps else np.zeros(0, np.uint32)
         kept_flat = flat[kept_mask]
         csum = np.r_[0, np.cumsum(kept_mask.astype(np.int64))]
         n_kept = csum[offsets[1:]] - csum[offsets[:-1]]
         kofs = np.r_[0, np.cumsum(n_kept)]
-        clean = [bytes(kept_flat[kofs[i]:kofs[i + 1]]).decode("utf-32-le")
-                 for i in range(len(tid))]
+        # one decode of the whole kept stream, then O(1) string slices
+        whole = kept_flat.tobytes().decode("utf-32-le")
+        clean = [whole[kofs[i]:kofs[i + 1]] for i in range(len(tid))]
         return pa.table({
             id_col: pa.array(tid),
             "text_clean": pa.array(clean, pa.string()),
