@@ -102,7 +102,7 @@ def _fold_suffstats(ds, partial, group_col: str) -> dict:
     in Python arbitrary-precision ints (exact at any scale)."""
     acc: dict = {}
     for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
+        batch_format="pyarrow", batch_size=None
     ):
         keys = b[group_col].to_pylist()
         cols = {c: b[c].to_pylist() for c in ("n", "sx", "sy", "sxx", "syy", "sxy")}
