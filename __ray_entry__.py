@@ -5110,15 +5110,17 @@ def _q_lm_score(sf_dir: str):
     """Perplexity-filter shape: fit corpus bigram counts (tree-reduced,
     broadcast once), score every doc's average bigram log-likelihood —
     the KenLM-style quality gate re-expressed Ray-Data-first
-    (stages/text.py:fit_bigram_lm/score_bigram_lm); sequential-reference
-    pytest, rows-only (log floats are not a stable SQL hash contract)."""
+    (stages/text.py:fit_bigram_lm/score_bigram_lm).  Oracled (r4) under
+    the per-term quantized-log contract: each bigram's
+    round(logp·1e9) int sums associatively, the SQL twin reproduces it
+    term-for-term (word_entropy recipe)."""
     import ray
 
     from tsdat_ray.stages.text import fit_bigram_lm, score_bigram_lm
 
     ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     model = ray.put(fit_bigram_lm(ds))
-    return score_bigram_lm(ds, model)
+    return score_bigram_lm(ds, model, quantize_scale=1e9)
 
 
 def _q_cusum(sf_dir: str):
@@ -5705,7 +5707,8 @@ def _q_dsir_select(sf_dir: str):
     """DSIR-shape data selection (Xie et al. 2023): hashed-bigram LMs fit on
     the target slice (lang='en') and the raw corpus, per-doc log importance
     ratio in one scoring pass under both broadcast models
-    (stages/text.py:dsir_logratio); float log sums => rows-only."""
+    (stages/text.py:dsir_logratio).  Oracled (r4) under the per-term
+    quantized-log contract applied to BOTH models (lm_score recipe)."""
     import ray
 
     from tsdat_ray.stages.text import dsir_logratio, fit_bigram_lm
@@ -5715,7 +5718,7 @@ def _q_dsir_select(sf_dir: str):
     target = ds.filter(expr="lang == 'en'")
     m_t = ray.put(fit_bigram_lm(target))
     m_r = ray.put(fit_bigram_lm(ds))
-    return dsir_logratio(ds, m_t, m_r).sort("doc_id")
+    return dsir_logratio(ds, m_t, m_r, quantize_scale=1e9).sort("doc_id")
 
 
 def _q_snapshot_diff(sf_dir: str):
@@ -8881,6 +8884,93 @@ def oracle_sql() -> dict[str, str]:
         # at 1e9 with DuckDB's own half-away ROUND, summed as integers —
         # the engine mirrors the identical expression tree (double-first
         # int division, ln, *1e9) so the hash is exact.
+        # KenLM-style quality gate under the quantized-log contract (r4):
+        # every bigram term round((ln(cb+0.5)-ln(cp+0.5V))*1e9) is computed
+        # on identical doubles both sides, int sums are associative, and
+        # the average repeats the engine's (sum/1e9)/n double op order.
+        "lm_score_docs": """
+            WITH toks AS (
+                SELECT doc_id, string_split(coalesce(text, ''), ' ') AS l
+                FROM documents
+            ), pairs AS (
+                SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+                FROM toks, unnest(generate_series(1, len(l) - 1)) AS u(i)
+            ), uni AS (
+                SELECT w AS word, count(*) AS c
+                FROM (SELECT unnest(l) AS w FROM toks)
+                GROUP BY 1
+            ), bi AS (
+                SELECT w1, w2, count(*) AS c FROM pairs GROUP BY 1, 2
+            ), vv AS (SELECT count(*) AS v FROM uni
+            ), q AS (
+                SELECT p.doc_id,
+                       CAST(round((ln(b.c + 0.5) - ln(u.c + 0.5 * vv.v))
+                                  * 1e9) AS BIGINT) AS q
+                FROM pairs p
+                JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w2
+                JOIN uni u ON u.word = p.w1
+                CROSS JOIN vv
+            ), agg AS (
+                SELECT doc_id, sum(q) AS sq, count(*) AS n FROM q GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   (a.sq / 1e9) / a.n AS avg_logp,
+                   coalesce(a.n, 0) AS n_bigrams
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        # DSIR importance weights: the lm_score quantized-log contract
+        # applied to BOTH models (target = lang='en' slice, raw = corpus);
+        # model misses coalesce to count 0 exactly like the engine's
+        # searchsorted miss.
+        "dsir_select_docs": """
+            WITH toks AS (
+                SELECT doc_id, string_split(coalesce(text, ''), ' ') AS l
+                FROM documents
+            ), pairs AS (
+                SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+                FROM toks, unnest(generate_series(1, len(l) - 1)) AS u(i)
+            ), uni_r AS (
+                SELECT w AS word, count(*) AS c
+                FROM (SELECT unnest(l) AS w FROM toks) GROUP BY 1
+            ), bi_r AS (
+                SELECT w1, w2, count(*) AS c FROM pairs GROUP BY 1, 2
+            ), vr AS (SELECT count(*) AS v FROM uni_r
+            ), ttoks AS (
+                SELECT doc_id, string_split(coalesce(text, ''), ' ') AS l
+                FROM documents WHERE lang = 'en'
+            ), tpairs AS (
+                SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+                FROM ttoks, unnest(generate_series(1, len(l) - 1)) AS u(i)
+            ), uni_t AS (
+                SELECT w AS word, count(*) AS c
+                FROM (SELECT unnest(l) AS w FROM ttoks) GROUP BY 1
+            ), bi_t AS (
+                SELECT w1, w2, count(*) AS c FROM tpairs GROUP BY 1, 2
+            ), vt AS (SELECT count(*) AS v FROM uni_t
+            ), q AS (
+                SELECT p.doc_id,
+                       CAST(round((ln(coalesce(bt.c, 0) + 0.5)
+                                   - ln(coalesce(ut.c, 0) + 0.5 * vt.v))
+                                  * 1e9) AS BIGINT) AS qt,
+                       CAST(round((ln(br.c + 0.5)
+                                   - ln(ur.c + 0.5 * vr.v))
+                                  * 1e9) AS BIGINT) AS qr
+                FROM pairs p
+                LEFT JOIN bi_t bt ON bt.w1 = p.w1 AND bt.w2 = p.w2
+                LEFT JOIN uni_t ut ON ut.word = p.w1
+                JOIN bi_r br ON br.w1 = p.w1 AND br.w2 = p.w2
+                JOIN uni_r ur ON ur.word = p.w1
+                CROSS JOIN vt CROSS JOIN vr
+            ), agg AS (
+                SELECT doc_id, sum(qt) AS sqt, sum(qr) AS sqr,
+                       count(*) AS n
+                FROM q GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   ((a.sqt - a.sqr) / 1e9) / a.n AS dsir_weight,
+                   coalesce(a.n, 0) AS n_bigrams
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
         "word_entropy_docs": """
             WITH w AS (
                 SELECT doc_id, word

@@ -434,7 +434,8 @@ def test_bigram_lm_matches_sequential_reference(ray_session):
         ws = d.split(" ")
         pairs = list(zip(ws[:-1], ws[1:]))
         if not pairs:
-            assert math.isnan(got[i][0]) and got[i][1] == 0
+            # r4: <2-word docs are typed NULL (was NaN) — the SQL contract
+            assert got[i][0] is None and got[i][1] == 0
             continue
         ref = sum(math.log((bi.get(pr, 0) + k) / (uni[pr[0]] + k * V))
                   for pr in pairs) / len(pairs)

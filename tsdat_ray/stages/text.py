@@ -611,13 +611,23 @@ def fit_bigram_lm(ds, text_col: str = "text", fanin: int = 8):
 
 
 def score_bigram_lm(ds, model, k: float = 0.5, text_col: str = "text",
-                    id_col: str = "doc_id"):
+                    id_col: str = "doc_id",
+                    quantize_scale: float | None = None):
     """Per-doc average bigram log-likelihood under add-k smoothing:
     mean over bigrams of log((c(p,w)+k) / (c(p)+k·V)).  ``model`` is a
     ``ray.put`` handle of :func:`fit_bigram_lm`'s tuple — broadcast once,
-    two searchsorteds per batch.  Docs with <2 words score NULL."""
+    two searchsorteds per batch.  Docs with <2 words score NULL.
+
+    ``quantize_scale`` (r4): per-BIGRAM terms are rounded (DuckDB
+    half-away) to ``round(logp·scale)`` int64 before summing — integer
+    addition is associative, so the doc average is bit-deterministic under
+    any batch layout AND reproducible by the SQL twin term-for-term (the
+    word_entropy/text_quant contract; ln agrees bitwise between numpy and
+    DuckDB on identical doubles)."""
     import pandas as pd
     import ray
+
+    from .text_quant import half_away as _ha
 
     def score(b: pa.Table) -> pa.Table:
         uni_h, uni_c, bi_h, bi_c, V = ray.get(model)
@@ -646,14 +656,21 @@ def score_bigram_lm(ds, model, k: float = 0.5, text_col: str = "text",
         cb = lookup(bi_h, bi_c, bh)
         cp = lookup(uni_h, uni_c, ph)
         logp = np.log(cb + k) - np.log(cp + k * V)
-        sums = np.zeros(len(lens))
         cnts = np.zeros(len(lens), dtype=np.int64)
-        np.add.at(sums, bdoc, logp)
         np.add.at(cnts, bdoc, 1)
-        avg = np.where(cnts > 0, sums / np.maximum(cnts, 1), np.nan)
+        if quantize_scale:
+            qs = np.zeros(len(lens), dtype=np.int64)
+            np.add.at(qs, bdoc, _ha(logp * quantize_scale))
+            # identical double op order as the SQL: (sum/scale)/n
+            avg = (qs / quantize_scale) / np.maximum(cnts, 1)
+        else:
+            sums = np.zeros(len(lens))
+            np.add.at(sums, bdoc, logp)
+            avg = sums / np.maximum(cnts, 1)
+        valid = cnts > 0
         return pa.table({
             id_col: b[id_col],
-            "avg_logp": pa.array(avg),
+            "avg_logp": pa.array(np.where(valid, avg, 0.0), mask=~valid),
             "n_bigrams": pa.array(cnts),
         })
 
@@ -1149,7 +1166,8 @@ def gopher_rules(ds, text_col: str = "text", id_col: str = "doc_id",
 
 
 def dsir_logratio(ds, model_target, model_raw, k: float = 0.5,
-                  text_col: str = "text", id_col: str = "doc_id"):
+                  text_col: str = "text", id_col: str = "doc_id",
+                  quantize_scale: float | None = None):
     """DSIR-shape importance weights (Xie et al. 2023, arXiv:2302.03169):
     per-doc log importance ratio log p_target(x) − log p_raw(x) under two
     hashed bigram LMs (:func:`fit_bigram_lm` on the target and raw corpora).
@@ -1157,11 +1175,15 @@ def dsir_logratio(ds, model_target, model_raw, k: float = 0.5,
     Both models are ``ray.put`` handles broadcast once; each batch is scored
     under BOTH in one pass (one hash + two searchsorted lookups per model) —
     selection (top-k by weight, or a weight-threshold gate via
-    ``sampling.quantile_gate``) composes downstream.  Float log sums =>
-    rows-only driver check; the scoring kernel itself is pinned by the
-    sequential-reference LM pytest."""
+    ``sampling.quantile_gate``) composes downstream.  ``quantize_scale``
+    (r4) applies the per-term quantized-log contract of
+    :func:`score_bigram_lm` to BOTH models, making the weight
+    bit-deterministic and SQL-oracle-able; unset, float log sums are
+    layout-dependent (pinned by the sequential-reference LM pytest)."""
     import pandas as pd
     import ray
+
+    from .text_quant import half_away as _ha
 
     def score(b: pa.Table) -> pa.Table:
         words = pc.split_pattern(b[text_col].combine_chunks(), " ")
@@ -1191,6 +1213,10 @@ def dsir_logratio(ds, model_target, model_raw, k: float = 0.5,
             cb = lookup(bi_h, bi_c, bh)
             cp = lookup(uni_h, uni_c, ph)
             logp = np.log(cb + k) - np.log(cp + k * V)
+            if quantize_scale:
+                s = np.zeros(len(lens), dtype=np.int64)
+                np.add.at(s, bdoc, _ha(logp * quantize_scale))
+                return s
             sums = np.zeros(len(lens))
             np.add.at(sums, bdoc, logp)
             return sums
@@ -1199,11 +1225,15 @@ def dsir_logratio(ds, model_target, model_raw, k: float = 0.5,
         np.add.at(cnts, bdoc, 1)
         st = avg_logp(ray.get(model_target))
         sr = avg_logp(ray.get(model_raw))
-        w = np.where(cnts > 0,
-                     (st - sr) / np.maximum(cnts, 1), np.nan)
+        if quantize_scale:
+            # identical double op order as the SQL: ((Δint)/scale)/n
+            w = ((st - sr) / quantize_scale) / np.maximum(cnts, 1)
+        else:
+            w = (st - sr) / np.maximum(cnts, 1)
+        valid = cnts > 0
         return pa.table({
             id_col: b[id_col],
-            "dsir_weight": pa.array(w),
+            "dsir_weight": pa.array(np.where(valid, w, 0.0), mask=~valid),
             "n_bigrams": pa.array(cnts),
         })
 
