@@ -246,3 +246,71 @@ def test_hdf5_write_pure_dim_no_coordinate():
     assert got["vars"]["x"]["dims"] == ["obs"]
     np.testing.assert_array_equal(got["vars"]["x"]["data"],
                                   [1.0, 2.0, 3.0, 4.0])
+
+
+def test_g711_codecs_roundtrip():
+    """G.711 mu-law / A-law: decoding all 256 codes then re-encoding is the
+    identity (the canonical involution check), decode is monotone in code
+    magnitude, and encode(decode-of-known-values) matches ITU reference
+    points."""
+    import numpy as np
+
+    from tsdat_ray.stages.multimodal import (alaw_decode, alaw_encode,
+                                             mulaw_decode, mulaw_encode)
+
+    codes = np.arange(256, dtype=np.uint8)
+    pcm_u = mulaw_decode(codes)
+    re_u = mulaw_encode(pcm_u)
+    # code 0x7F is mu-law negative zero: decodes to 0, canonically
+    # re-encodes as positive zero 0xFF — every other code round-trips
+    keep = codes != 0x7F
+    assert re_u[keep].tolist() == codes[keep].tolist()
+    assert re_u[~keep].tolist() == [0xFF]
+    pcm_a = alaw_decode(codes)
+    assert alaw_encode(pcm_a).tolist() == codes.tolist()
+    # known anchor points: mu-law code 0xFF decodes to 0, 0x7F to -0
+    assert mulaw_decode(np.array([0xFF], np.uint8))[0] == 0
+    assert abs(int(mulaw_decode(np.array([0x80], np.uint8))[0])) > 30000
+    # quantization error bounded by the segment step
+    x = np.linspace(-32000, 32000, 1001).astype(np.int16)
+    err_u = np.abs(mulaw_decode(mulaw_encode(x)).astype(np.int64) - x)
+    assert err_u.max() < 1024
+    err_a = np.abs(alaw_decode(alaw_encode(x)).astype(np.int64) - x)
+    assert err_a.max() < 1024
+
+
+def test_ima_adpcm_roundtrip_and_wav_integration():
+    """IMA ADPCM: encode → decode tracks a smooth signal within the
+    adaptive step error; a fmt-0x11 WAV payload decodes through
+    _decode_compressed; G.711 WAV formats 6/7 decode too."""
+    import struct
+
+    import numpy as np
+
+    from tsdat_ray.stages.multimodal import (_decode_compressed,
+                                             ima_adpcm_decode,
+                                             ima_adpcm_encode, mulaw_decode,
+                                             mulaw_encode)
+
+    t = np.linspace(0, 1, 2000, endpoint=False)
+    sig = (np.sin(2 * np.pi * 30 * t) * 12000).astype(np.int16)
+    enc = ima_adpcm_encode(sig, block_align=256)
+    dec = ima_adpcm_decode(enc, block_align=256)[: len(sig)]
+    # adaptive tracking: tail error small once the step adapts
+    assert np.abs(dec[100:].astype(np.int64)
+                  - sig[100:len(dec)].astype(np.int64)).max() < 2000
+
+    def wav_bytes(fmt_code, bits, block_align, data):
+        fmt = struct.pack("<HHIIHH", fmt_code, 1, 8000,
+                          8000, block_align, bits)
+        body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data
+                + (b"\x00" if len(data) & 1 else b""))
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    got = _decode_compressed("wav", wav_bytes(0x11, 4, 256, enc))
+    assert got[: len(dec)].tolist() == dec.tolist()
+
+    mu = mulaw_encode(sig)
+    got_mu = _decode_compressed("wav", wav_bytes(7, 8, 1, mu.tobytes()))
+    assert got_mu.tolist() == mulaw_decode(mu).tolist()

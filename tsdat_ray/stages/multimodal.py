@@ -9,10 +9,12 @@ Data model: media is an opaque ``payload: binary`` column plus typed metadata
 columns (``kind``, ``width``, ``height``, ``channels``, ``sample_rate``,
 ``n_frames``, ``codec``).  The Ray-side plumbing (schema, batch sizing, actor
 signatures, zero-copy binary handling, output layout) is fully real and
-tested; payloads in codec ``"raw"`` are decoded with numpy (real math), while
-compressed codecs (jpeg/png/opus/h264) are stubbed behind a clearly-marked
-``NotImplementedError`` because the image/audio libraries are not in this
-container — swap ``_decode_compressed`` for PIL/soundfile/av in production.
+tested.  REAL pure-python codecs: raw, png (all 5 filters, lossless), jpeg
+(baseline DCT decode), every uncompressed WAV variant (8/16/24/32-bit int +
+IEEE float), and — r4 — G.711 mu-law/A-law and IMA ADPCM compressed audio.
+Only opus/h264 remain stubbed behind a clearly-marked
+``NotImplementedError`` (no soundfile/av in this container — swap
+``_decode_compressed`` for them in production).
 
 Batch-size note (SURVEY.md §4): media payloads are large; callers should pass
 ``batch_size`` small (e.g. 32–256 rows) so batch × concurrency stays well
@@ -113,6 +115,13 @@ def _wav_decode(payload: bytes) -> np.ndarray:
         if bits == 64:
             return np.frombuffer(data, "<f8")
         raise NotImplementedError(f"wav: {bits}-bit float PCM")
+    if audio_fmt == 6:  # G.711 A-law (r4: real pure-numpy decode)
+        return alaw_decode(np.frombuffer(data, np.uint8))
+    if audio_fmt == 7:  # G.711 mu-law
+        return mulaw_decode(np.frombuffer(data, np.uint8))
+    if audio_fmt == 0x11:  # IMA ADPCM
+        block_align = int.from_bytes(fmt[12:14], "little") or 256
+        return ima_adpcm_decode(data, block_align)
     raise NotImplementedError(f"wav: audio format {audio_fmt} (compressed)")
 
 
@@ -348,3 +357,143 @@ class VideoFrameSample:
                 "channels": pa.array(cs, pa.int32()),
             }
         )
+
+
+# ---- real compressed-audio codecs, pure numpy (r4) -------------------------
+# G.711 mu-law / A-law (8 kbit/sample logarithmic PCM, RFC 3551 / ITU G.711)
+# and IMA ADPCM (4-bit adaptive differential PCM, the WAV fmt 0x11 codec).
+# These close the "compressed audio" gap for the three classic telephony /
+# container codecs that need no external library; opus/h264 stay stubbed.
+
+def mulaw_decode(codes: np.ndarray) -> np.ndarray:
+    """G.711 mu-law bytes → int16 PCM (vectorized table formula)."""
+    u = (~codes.astype(np.uint8)).astype(np.int64)
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    val = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign, -val, val).astype(np.int16)
+
+
+def mulaw_encode(pcm: np.ndarray) -> np.ndarray:
+    """int16 PCM → G.711 mu-law bytes (vectorized; BIAS=0x84, CLIP=32635)."""
+    x = pcm.astype(np.int64)
+    sign = np.where(x < 0, 0x80, 0)
+    x = np.minimum(np.abs(x), 32635) + 0x84
+    exp = (np.floor(np.log2(x)) - 7).astype(np.int64)
+    mant = (x >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant)).astype(np.uint8)
+
+
+def alaw_decode(codes: np.ndarray) -> np.ndarray:
+    """G.711 A-law bytes → int16 PCM (vectorized)."""
+    a = codes.astype(np.int64) ^ 0x55
+    sign = a & 0x80  # bit 7 SET means positive in A-law
+    exp = (a >> 4) & 0x07
+    mant = a & 0x0F
+    val = np.where(exp == 0, (mant << 4) + 8,
+                   ((mant << 4) + 0x108) << (exp - 1))
+    return np.where(sign, val, -val).astype(np.int16)
+
+
+def alaw_encode(pcm: np.ndarray) -> np.ndarray:
+    """int16 PCM → G.711 A-law bytes (vectorized)."""
+    x = pcm.astype(np.int64)
+    sign = np.where(x >= 0, 0x80, 0)
+    x = np.minimum(np.abs(x), 32767)
+    exp = np.maximum((np.floor(np.log2(np.maximum(x, 1))) - 7)
+                     .astype(np.int64), 0)
+    mant = np.where(exp == 0, x >> 4, (x >> (exp + 3)) & 0x0F)
+    return ((sign | (exp << 4) | mant) ^ 0x55).astype(np.uint8)
+
+
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767], np.int64)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], np.int64)
+
+
+def ima_adpcm_decode(payload: bytes, block_align: int = 256) -> np.ndarray:
+    """IMA ADPCM (WAV fmt 0x11, mono) → int16 PCM.  Block layout: int16
+    predictor, uint8 step index, 1 reserved byte, then 4-bit nibbles
+    (low nibble first).  The adaptive recurrence is inherently sequential;
+    per-block state resets keep error bounded and let blocks decode
+    independently (parallel across blocks at scale)."""
+    out = []
+    b = payload
+    for off in range(0, len(b) - 3, block_align):
+        blk = b[off:off + block_align]
+        pred = int.from_bytes(blk[0:2], "little", signed=True)
+        idx = min(max(blk[2], 0), 88)
+        out.append(pred)
+        nib = np.frombuffer(blk[4:], np.uint8)
+        nibbles = np.empty(len(nib) * 2, np.uint8)
+        nibbles[0::2] = nib & 0x0F
+        nibbles[1::2] = nib >> 4
+        for n in nibbles:
+            step = int(_IMA_STEPS[idx])
+            diff = step >> 3
+            if n & 1:
+                diff += step >> 2
+            if n & 2:
+                diff += step >> 1
+            if n & 4:
+                diff += step
+            pred = pred - diff if (n & 8) else pred + diff
+            pred = min(max(pred, -32768), 32767)
+            idx = min(max(idx + int(_IMA_INDEX[n & 7]), 0), 88)
+            out.append(pred)
+    return np.asarray(out, np.int16)
+
+
+def ima_adpcm_encode(pcm: np.ndarray, block_align: int = 256) -> bytes:
+    """int16 PCM → IMA ADPCM mono blocks (the encoder half, for round-trip
+    tests and synthetic corpora)."""
+    x = pcm.astype(np.int64)
+    samples_per_block = (block_align - 4) * 2 + 1
+    chunks = []
+    pos = 0
+    idx = 0
+    while pos < len(x):
+        seg = x[pos:pos + samples_per_block]
+        pred = int(seg[0])
+        hdr = int(pred).to_bytes(2, "little", signed=True) \
+            + bytes([idx, 0])
+        nibbles = []
+        for s in seg[1:]:
+            step = int(_IMA_STEPS[idx])
+            delta = int(s) - pred
+            n = 8 if delta < 0 else 0
+            delta = abs(delta)
+            if delta >= step:
+                n |= 4
+                delta -= step
+            if delta >= step >> 1:
+                n |= 2
+                delta -= step >> 1
+            if delta >= step >> 2:
+                n |= 1
+            diff = step >> 3
+            if n & 1:
+                diff += step >> 2
+            if n & 2:
+                diff += step >> 1
+            if n & 4:
+                diff += step
+            pred = pred - diff if (n & 8) else pred + diff
+            pred = min(max(pred, -32768), 32767)
+            idx = min(max(idx + int(_IMA_INDEX[n & 7]), 0), 88)
+            nibbles.append(n)
+        if len(nibbles) % 2:
+            nibbles.append(0)
+        arr = np.asarray(nibbles, np.uint8)
+        packed = (arr[0::2] | (arr[1::2] << 4)).astype(np.uint8).tobytes()
+        packed = packed.ljust(block_align - 4, b"\x00")
+        chunks.append(hdr + packed)
+        pos += samples_per_block
+    return b"".join(chunks)
