@@ -5530,6 +5530,30 @@ def _q_volume_anomaly(sf_dir: str):
     return volume_anomaly(ds)
 
 
+def _q_acf_hourly(sf_dir: str):
+    """Lag-1/2/3 autocorrelation of each event type's zero-filled hourly
+    count series — the seasonality/persistence diagnostic, aggregate-first
+    (the heavy pass is the tier-style (key, bucket) integer count fold;
+    the ACF runs on the bounded per-key series).  Exact int sufficient
+    stats + ONE identical double expression vs SQL
+    (stages/stats.py:acf_per_key)."""
+    from tsdat_ray.stages.stats import acf_per_key
+
+    ds = _events(sf_dir, columns=["event_type", "ts"])
+    return acf_per_key(ds, bucket_s=3600, lags=(1, 2, 3))
+
+
+def _q_benford(sf_dir: str):
+    """Benford leading-digit audit of the value column (fabricated-data /
+    unit-mixing detector): vectorized integer leading-digit extraction on
+    cents, exact count folds, one int/int frac division
+    (stages/stats.py:benford_digits)."""
+    from tsdat_ray.stages.stats import benford_digits
+
+    ds = _events(sf_dir, columns=["value"])
+    return benford_digits(ds)
+
+
 def _q_dedup_exact_sequences(sf_dir: str):
     """Exact duplicate-sequence removal over the TOKENS payload (min-id
     survivor per distinct token array): 128-bit content hashes ship
@@ -6103,6 +6127,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "diversified_topk_events": _q_diversified_topk,
         "fuzzy_name_pairs_part": _q_fuzzy_name_pairs,
         "dod_change_events": _q_dod_change,
+        "acf_hourly_events": _q_acf_hourly,
+        "benford_values_events": _q_benford,
         "robust_scale_events": _q_robust_scale,
         "rate_limit_events": _q_rate_limit,
         "sample_k_per_type_events": _q_sample_k_per_type,
@@ -8090,6 +8116,59 @@ def oracle_sql() -> dict[str, str]:
                          lag(ts) OVER (PARTITION BY user_id
                                        ORDER BY ts, event_id) AS prev_ts
                   FROM events)
+        """,
+        # ACF over the dense zero-filled hourly grid; every sufficient
+        # statistic is an exact BIGINT sum, the final r_k expression
+        # repeats the engine's IEEE op order literally
+        "acf_hourly_events": """
+            WITH h AS (
+                SELECT event_type, date_trunc('hour', ts) AS hr,
+                       count(*)::BIGINT AS c
+                FROM events GROUP BY 1, 2
+            ), bounds AS (
+                SELECT event_type, min(hr) AS mn, max(hr) AS mx
+                FROM h GROUP BY 1
+            ), grid AS (
+                SELECT b.event_type, g.hr
+                FROM bounds b,
+                     LATERAL (SELECT unnest(generate_series(
+                         b.mn, b.mx, INTERVAL 1 HOUR)) AS hr) g
+            ), x AS (
+                SELECT grid.event_type, grid.hr,
+                       coalesce(h.c, 0)::BIGINT AS x
+                FROM grid LEFT JOIN h USING (event_type, hr)
+            ), st AS (
+                SELECT event_type, count(*)::BIGINT AS n,
+                       sum(x)::BIGINT AS sx, sum(x * x)::BIGINT AS sxx
+                FROM x GROUP BY 1
+            ), pairs AS (
+                SELECT a.event_type, kk.k,
+                       sum(a.x)::BIGINT AS s1, sum(b.x)::BIGINT AS s2,
+                       sum(a.x * b.x)::BIGINT AS sxy
+                FROM x a
+                JOIN (VALUES (1), (2), (3)) kk(k) ON TRUE
+                JOIN x b ON b.event_type = a.event_type
+                       AND b.hr = a.hr + to_hours(kk.k)
+                GROUP BY 1, 2
+            )
+            SELECT p.event_type, p.k,
+                   (p.sxy - (st.sx / st.n) * (p.s1 + p.s2)
+                    + (st.n - p.k) * (st.sx / st.n) * (st.sx / st.n))
+                   / (st.sxx - st.n * (st.sx / st.n) * (st.sx / st.n))
+                       AS acf
+            FROM pairs p JOIN st USING (event_type)
+        """,
+        "benford_values_events": """
+            WITH c AS (
+                SELECT CAST(round(value * 100) AS BIGINT) AS vc
+                FROM events
+            ), d AS (
+                SELECT CAST(substr(CAST(vc AS VARCHAR), 1, 1) AS BIGINT)
+                           AS digit
+                FROM c WHERE vc > 0
+            ), agg AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY 1)
+            SELECT digit, n, n / (SELECT sum(n) FROM agg) AS frac
+            FROM agg
         """,
         "quantiles_disc_per_type": """
             SELECT event_type,

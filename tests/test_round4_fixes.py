@@ -314,3 +314,66 @@ def test_ima_adpcm_roundtrip_and_wav_integration():
     mu = mulaw_encode(sig)
     got_mu = _decode_compressed("wav", wav_bytes(7, 8, 1, mu.tobytes()))
     assert got_mu.tolist() == mulaw_decode(mu).tolist()
+
+
+def test_acf_per_key_brute(ray_session):
+    import ray.data as rd
+
+    from tsdat_ray.stages.stats import acf_per_key
+
+    rng = np.random.default_rng(5)
+    rows = []
+    us = 1_000_000
+    # type A: strong lag-2 periodicity with gaps; type B: noise
+    for h in range(0, 200):
+        n = 5 + (3 if h % 2 == 0 else 0)
+        if h % 17 == 0:
+            continue  # empty hours must zero-fill in the grid
+        rows += [("A", h * 3600 + i) for i in range(n)]
+        rows += [("B", h * 3600 + i) for i in range(int(rng.integers(1, 7)))]
+    tab = pa.table({
+        "event_type": pa.array([r[0] for r in rows]),
+        "ts": pa.array(np.array([r[1] * us for r in rows],
+                                dtype="datetime64[us]")),
+    })
+    got = (acf_per_key(rd.from_arrow(tab).repartition(6), lags=(1, 2))
+           .to_pandas().set_index(["event_type", "k"]))
+
+    def ref_acf(series, k):
+        x = np.asarray(series, np.int64)
+        n = len(x)
+        mu = int(x.sum()) / n
+        S1, S2 = int(x[:-k].sum()), int(x[k:].sum())
+        Sxy = int((x[:-k] * x[k:]).sum())
+        Sxx = int((x * x).sum())
+        num = Sxy - mu * (S1 + S2) + (n - k) * mu * mu
+        den = Sxx - n * mu * mu
+        return num / den
+
+    for t in "AB":
+        hours = sorted({r[1] // 3600 for r in rows if r[0] == t})
+        lo, hi = hours[0], hours[-1]
+        x = np.zeros(hi - lo + 1, np.int64)
+        for r in rows:
+            if r[0] == t:
+                x[r[1] // 3600 - lo] += 1
+        for k in (1, 2):
+            assert got.loc[(t, k), "acf"] == ref_acf(x, k)
+    # the planted alternation shows up: A's lag-2 ACF > lag-1 ACF
+    assert got.loc[("A", 2), "acf"] > got.loc[("A", 1), "acf"]
+
+
+def test_benford_digits_brute(ray_session):
+    import ray.data as rd
+
+    from tsdat_ray.stages.stats import benford_digits
+
+    vals = [1.23, 0.01, 19.99, 950.0, 2.5, 0.0, -3.0, 123.45, 0.09, 85.0]
+    tab = pa.table({"value": pa.array(vals)})
+    got = (benford_digits(rd.from_arrow(tab).repartition(3))
+           .to_pandas().set_index("digit"))
+    # cents: 123,1,1999,95000,250,(0 dropped),(-300 dropped),12345,9,8500
+    # leading digits: 1,1,1,9,2,1,9,8 -> 8 kept values
+    ref = {1: 4, 2: 1, 8: 1, 9: 2}
+    assert got["n"].to_dict() == ref
+    assert got.loc[1, "frac"] == 4 / 8

@@ -1374,3 +1374,133 @@ def retention_curve(ds, user_col: str = "user_id", ts_col: str = "ts",
 
     return mat.repartition(1).map_batches(ratio, batch_format="pyarrow",
                                           batch_size=None)
+
+
+def acf_per_key(ds, key: str = "event_type", ts_col: str = "ts",
+                bucket_s: int = 3600, lags: tuple = (1, 2, 3),
+                salt_mod: int = 64):
+    """Lag-k autocorrelation of each key's zero-filled bucket-count series
+    — the classic time-series seasonality/persistence diagnostic, computed
+    aggregate-first: the heavy pass is the same distributed (key, bucket)
+    integer count fold every tier query uses; the ACF itself runs on the
+    BOUNDED per-key series (buckets per key, not rows).
+
+    Exactness contract: all sufficient statistics (n, Σx, Σx², and per lag
+    Σ head, Σ tail, Σ head·tail) are exact int64 sums over the dense grid;
+    the only float math is ONE fixed expression
+    ``mu = Sx/n; r = (Sxy - mu*(S1+S2) + (n-k)*mu*mu) / (Sxx - n*mu*mu)``
+    evaluated with the identical IEEE op order by the SQL twin (the
+    volume_anomaly recipe)."""
+    bucket_us = bucket_s * 1_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        k = b[key].to_numpy(zero_copy_only=False)
+        ts = b[ts_col].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        hb = (ts // bucket_us) * bucket_us
+        order = np.lexsort((hb, k))
+        ks, hs = k[order], hb[order]
+        chg = np.r_[True, (ks[1:] != ks[:-1]) | (hs[1:] != hs[:-1])] \
+            if len(ks) else np.zeros(0, bool)
+        st = np.flatnonzero(chg)
+        cnt = np.diff(np.r_[st, len(ks)]).astype(np.int64)
+        take = pa.array(order[st] if len(st) else [], type=pa.int64())
+        import pandas as pd
+
+        kk = b[key].take(take).to_numpy(zero_copy_only=False)
+        return pa.table({
+            key: pa.array(kk),
+            "_hb": pa.array(hs[st] if len(st) else hs[:0]),
+            "_n": pa.array(cnt),
+            "_salt": pa.array((pd.util.hash_array(np.asarray(kk))
+                               % np.uint64(salt_mod)).astype(np.int64)),
+        })
+
+    def fold(g: pa.Table) -> pa.Table:
+        k = g[key].to_numpy(zero_copy_only=False)
+        h = g["_hb"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["_n"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((h, k))
+        ks, hs, ns = k[order], h[order], n[order]
+        chg = np.r_[True, (ks[1:] != ks[:-1]) | (hs[1:] != hs[:-1])]
+        st = np.flatnonzero(chg)
+        csum = np.add.reduceat(ns, st)
+        ks, hs = ks[st], hs[st]
+        # per-key dense series + sufficient stats
+        kst = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]]) \
+            if len(ks) else np.zeros(0, np.int64)
+        ken = np.r_[kst[1:], len(ks)]
+        out = {key: [], "k": [], "acf": []}
+        for s, e in zip(kst, ken):
+            hb, c = hs[s:e], csum[s:e]
+            T = int((hb[-1] - hb[0]) // bucket_us) + 1
+            x = np.zeros(T, np.int64)
+            x[(hb - hb[0]) // bucket_us] = c
+            n_ = T
+            Sx = int(x.sum())
+            Sxx = int((x * x).sum())
+            mu = Sx / n_
+            for lag in lags:
+                if lag >= T:
+                    continue
+                head, tail = x[:-lag], x[lag:]
+                S1, S2 = int(head.sum()), int(tail.sum())
+                Sxy = int((head * tail).sum())
+                num = Sxy - mu * (S1 + S2) + (n_ - lag) * mu * mu
+                den = Sxx - n_ * mu * mu
+                out[key].append(ks[s])
+                out["k"].append(lag)
+                out["acf"].append(num / den if den != 0 else None)
+        return pa.table({key: pa.array(out[key]),
+                         "k": pa.array(out["k"], pa.int64()),
+                         "acf": pa.array(out["acf"], pa.float64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("_salt").map_groups(fold, batch_format="pyarrow"))
+
+
+def benford_digits(ds, value_col: str = "value", scale: int = 100):
+    """Benford first-significant-digit audit of a positive decimal column
+    (the classic fabricated-data / unit-mixing detector).  Digit = leading
+    decimal digit of the scale-quantized int via vectorized integer
+    division — identical to SQL ``substr(CAST(vc AS VARCHAR), 1, 1)`` for
+    positive ints, with no float log10 boundary risk; counts fold as exact
+    integers; frac is one int/int division both sides perform
+    identically."""
+    from .reduce import tree_reduce
+
+    def partial(b: pa.Table) -> pa.Table:
+        if "digit" in b.column_names:
+            d = b["digit"].combine_chunks().to_numpy(zero_copy_only=False)
+            c = b["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        else:
+            v = b[value_col].combine_chunks().cast(pa.float64()).to_numpy(
+                zero_copy_only=False)
+            vc = np.round(v * scale).astype(np.int64)
+            d = vc[vc > 0]
+            # leading digit by repeated integer division (≤19 vectorized
+            # passes; identical to SQL substr(CAST(vc AS VARCHAR), 1, 1)
+            # for positive ints, with no float log10 boundary risk)
+            while len(d) and d.max() >= 10:
+                m = d >= 10
+                d = d.copy()
+                d[m] //= 10
+            c = np.ones(len(d), np.int64)
+        u, inv = np.unique(d, return_inverse=True)
+        cnt = np.bincount(inv, weights=c.astype(np.float64)).astype(np.int64)
+        return pa.table({"digit": pa.array(u), "n": pa.array(cnt)})
+
+    agg = tree_reduce(ds.select_columns([value_col]), partial, fanin=8)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        d = b["digit"].combine_chunks().to_numpy(zero_copy_only=False)
+        c = b["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        u, inv = np.unique(d, return_inverse=True)
+        cnt = np.bincount(inv, weights=c.astype(np.float64)).astype(np.int64)
+        total = int(cnt.sum())
+        return pa.table({"digit": pa.array(u),
+                         "n": pa.array(cnt),
+                         "frac": pa.array(cnt / total)})
+
+    return agg.map_batches(finalize, batch_format="pyarrow",
+                           batch_size=None)
