@@ -516,7 +516,10 @@ def grouped_cume_dist(ds, key: str, value_col: str, n_buckets: int = 64):
         bkt = np.searchsorted(edges, v, side="left").astype(np.int64)
         return b.append_column("_vb", pa.array(bkt))
 
-    withb = _ckpt(ds.map_batches(add_bucket, batch_format="pyarrow"), "rank")
+    # phase 1 here is a MAP (no shuffle): both consumers just re-execute
+    # the lazy read+bucket pipeline — two streaming scans of the pruned
+    # input beat a disk checkpoint AND hold no object-store pin (r4)
+    withb = ds.map_batches(add_bucket, batch_format="pyarrow")
     cnt_ds = _bucket_counts_ds(withb, key)
     offs_ds = fold_carry(cnt_ds, key, "_vb", ["_c"],
                          _bucket_offsets_fold(descending=False,
@@ -844,7 +847,10 @@ def grouped_rank(ds, key: str, value_col: str, id_col: str,
         bkt = np.searchsorted(edges, v, side="left").astype(np.int64)
         return b.append_column("_vb", pa.array(bkt))
 
-    withb = _ckpt(ds.map_batches(add_bucket, batch_format="pyarrow"), "rank")
+    # phase 1 here is a MAP (no shuffle): both consumers just re-execute
+    # the lazy read+bucket pipeline — two streaming scans of the pruned
+    # input beat a disk checkpoint AND hold no object-store pin (r4)
+    withb = ds.map_batches(add_bucket, batch_format="pyarrow")
     cnt_ds = _bucket_counts_ds(withb, key)
     offs_ds = fold_carry(cnt_ds, key, "_vb", ["_c"],
                          _bucket_offsets_fold(descending))
@@ -1466,7 +1472,10 @@ def grouped_dense_rank(ds, key: str, value_col: str,
         bkt = np.searchsorted(edges, v, side="left").astype(np.int64)
         return b.append_column("_vb", pa.array(bkt))
 
-    withb = _ckpt(ds.map_batches(add_bucket, batch_format="pyarrow"), "rank")
+    # phase 1 here is a MAP (no shuffle): both consumers just re-execute
+    # the lazy read+bucket pipeline — two streaming scans of the pruned
+    # input beat a disk checkpoint AND hold no object-store pin (r4)
+    withb = ds.map_batches(add_bucket, batch_format="pyarrow")
 
     # distinct |values| per (key, bucket): batch-local dedupe -> one tiny
     # groupby -> driver-side offset table (rows bounded by distinct values)
