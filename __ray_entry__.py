@@ -3509,6 +3509,35 @@ def _q_media_video_frames(sf_dir: str):
     return ds.map_batches(VideoFrameSample, batch_format="pyarrow", concurrency=2, batch_size=32)
 
 
+def _q_media_image_dhash(sf_dir: str):
+    """Perceptual dHash per image (real png/jpeg/raw decode in the actor
+    pool) + near-duplicate pairs via the SAME rotated-prefix hamming
+    bucketing the text SimHash path uses (stages/dedup.py:
+    signature_neardup_pairs) — corpus-scale image dedup, no all-pairs.
+    Rows-only (pixel decode is not SQL-expressible); the dHash kernel and
+    the re-encode invariance are pinned by pytest."""
+    from tsdat_ray.stages.dedup import signature_neardup_pairs
+    from tsdat_ray.stages.multimodal import ImageDHash
+
+    ds = _read(_media_path()).filter(expr="kind == 'image'")
+    sigs = ds.map_batches(ImageDHash, batch_format="pyarrow",
+                          concurrency=2, batch_size=32)
+    return signature_neardup_pairs(sigs, id_col="media_id",
+                                   sig_col="dhash", max_hamming=10)
+
+
+def _q_media_audio_fingerprint(sf_dir: str):
+    """Spectral-peak audio fingerprints (framed rfft argmax sequence →
+    64-bit rolling hash) per clip — the duplicate-clip detection primitive;
+    identical audio always fingerprints identically.  Rows-only (FFT);
+    determinism pinned by pytest."""
+    from tsdat_ray.stages.multimodal import AudioFingerprint
+
+    ds = _read(_media_path()).filter(expr="kind == 'audio'")
+    return ds.map_batches(AudioFingerprint, batch_format="pyarrow",
+                          concurrency=2, batch_size=32)
+
+
 
 # tier-store semantic version: bump when standardize/dedup/rollup semantics
 # change so stale /tmp stores built by an older engine can't feed the
@@ -6219,6 +6248,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_image_stats": _q_media_image_stats,
         "media_audio_features": _q_media_audio_features,
         "media_video_frames": _q_media_video_frames,
+        "media_image_dhash": _q_media_image_dhash,
+        "media_audio_fingerprint": _q_media_audio_fingerprint,
         "vap_product_1h": _q_vap_product,
         "vap_product_sums_1h": _q_vap_sums,
         "seq_rollup_1m": _q_seq_tier("1m"),

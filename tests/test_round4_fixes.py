@@ -377,3 +377,69 @@ def test_benford_digits_brute(ray_session):
     ref = {1: 4, 2: 1, 8: 1, 9: 2}
     assert got["n"].to_dict() == ref
     assert got.loc[1, "frac"] == 4 / 8
+
+
+def test_image_dhash_reencode_invariance_and_pairs(ray_session):
+    """dHash of the SAME pixels must be identical across raw and png
+    (lossless) encodings, nearly identical under mild jpeg, and different
+    images must be far apart; signature_neardup_pairs finds the planted
+    near-dup pair and nothing else."""
+    import ray.data as rd
+
+    from tsdat_ray.stages.dedup import signature_neardup_pairs
+    from tsdat_ray.stages.multimodal import ImageDHash
+    from tsdat_ray.stages.png_codec import png_encode
+
+    rng = np.random.default_rng(3)
+    h = w = 32
+    # smooth gradient + noise so dHash has structure
+    base = (np.add.outer(np.arange(h) * 4, np.arange(w) * 3) % 256)
+    img1 = np.stack([base] * 3, axis=2).astype(np.uint8)
+    img2 = np.clip(img1.astype(np.int64) + rng.integers(-2, 3, img1.shape),
+                   0, 255).astype(np.uint8)  # near-dup of img1
+    img3 = rng.integers(0, 256, img1.shape, dtype=np.uint8)  # unrelated
+
+    dh = ImageDHash()
+    h_raw = dh._one("raw", img1.tobytes(), w, h, 3)
+    h_png = dh._one("png", png_encode(img1), w, h, 3)
+    assert h_raw == h_png  # lossless re-encode → identical perceptual hash
+
+    tab = pa.table({
+        "media_id": pa.array([1, 2, 3], pa.int64()),
+        "codec": pa.array(["raw", "png", "raw"]),
+        "payload": pa.array([img1.tobytes(), png_encode(img2),
+                             img3.tobytes()], pa.binary()),
+        "width": pa.array([w] * 3, pa.int32()),
+        "height": pa.array([h] * 3, pa.int32()),
+        "channels": pa.array([3] * 3, pa.int32()),
+    })
+    sigs = rd.from_arrow(tab).map_batches(ImageDHash(), batch_format="pyarrow")
+    pairs = signature_neardup_pairs(sigs, id_col="media_id",
+                                    sig_col="dhash", max_hamming=10
+                                    ).to_pandas()
+    assert {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)} == {(1, 2)}
+
+
+def test_audio_fingerprint_deterministic(ray_session):
+    """Identical audio always fingerprints identically (pcm16 raw vs the
+    same samples in a WAV container); different audio differs."""
+    import io
+    import wave
+
+    from tsdat_ray.stages.multimodal import AudioFingerprint
+
+    t = np.linspace(0, 1, 4096, endpoint=False)
+    a = (np.sin(2 * np.pi * 440 * t) * 20000).astype(np.int16)
+    b = (np.sin(2 * np.pi * 1234 * t) * 20000).astype(np.int16)
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(16000)
+        wv.writeframes(a.tobytes())
+
+    fp = AudioFingerprint()
+    fa, na = fp._one("pcm16", a.tobytes())
+    fa2, _ = fp._one("wav", bio.getvalue())
+    fb, _ = fp._one("pcm16", b.tobytes())
+    assert fa == fa2 and fa != fb and na == 4096 // 256

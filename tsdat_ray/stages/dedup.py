@@ -1147,16 +1147,24 @@ def distinct_count(ds, key: str, value: str, fanin: int = 8):
     return u.map_batches(count, batch_format="pyarrow", batch_size=None)
 
 
-def simhash_neardup_pairs(ds, max_hamming: int = 3, n_tables: int = 4,
-                          prefix_bits: int = 16, text_col: str = "text",
-                          id_col: str = "doc_id", concurrency: int = 2):
-    """SimHash near-duplicate pairs: 64-bit signatures, then candidate
-    generation by equal ``prefix_bits`` prefixes under ``n_tables`` bit
-    rotations (two docs within hamming distance d collide in at least one
-    rotated prefix with high probability when d ≪ 64/n_tables), exact
-    hamming verification ≤ ``max_hamming`` within buckets.
+def signature_neardup_pairs(sigs, id_col: str = "doc_id",
+                            sig_col: str = "simhash", max_hamming: int = 3,
+                            n_tables: int = 4, prefix_bits: int = 16):
+    """Near-duplicate pairs from ANY 64-bit perceptual signature column
+    (SimHash text signatures, image dHash, …): candidate generation by
+    equal ``prefix_bits`` prefixes under ``n_tables`` bit rotations (two
+    items within hamming distance d collide in at least one rotated prefix
+    with high probability when d ≪ 64/n_tables), exact hamming
+    verification ≤ ``max_hamming`` within buckets.
 
-    Returns (id_a, id_b, hamming) with id_a < id_b."""
+    Returns (id_a, id_b, hamming) with id_a < id_b.  r4: factored out of
+    simhash_neardup_pairs so multimodal fingerprints reuse the identical
+    scale shape."""
+    if sig_col != "simhash":
+        sigs = sigs.map_batches(
+            lambda b: b.rename_columns(
+                ["simhash" if c == sig_col else c for c in b.column_names]),
+            batch_format="pyarrow")
 
     def rotations(batch: pa.Table) -> pa.Table:
         sig = batch["simhash"].combine_chunks().to_numpy(zero_copy_only=False)
@@ -1231,11 +1239,6 @@ def simhash_neardup_pairs(ds, max_hamming: int = 3, n_tables: int = 4,
             }
         )
 
-    from . import safe_pool_size
-
-    sigs = ds.map_batches(SimHasher, fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
-                          batch_format="pyarrow",
-                          concurrency=safe_pool_size(concurrency))
     ex = sigs.map_batches(rotations, batch_format="pyarrow")
 
     def add_salt(batch: pa.Table) -> pa.Table:
@@ -1248,6 +1251,25 @@ def simhash_neardup_pairs(ds, max_hamming: int = 3, n_tables: int = 4,
     pairs = pairs.repartition(4).map_batches(uniq, batch_format="pyarrow", batch_size=None)
     pairs = pairs.repartition(1).map_batches(uniq, batch_format="pyarrow", batch_size=None)
     return pairs.map_batches(unkey, batch_format="pyarrow")
+
+
+def simhash_neardup_pairs(ds, max_hamming: int = 3, n_tables: int = 4,
+                          prefix_bits: int = 16, text_col: str = "text",
+                          id_col: str = "doc_id", concurrency: int = 2):
+    """SimHash near-duplicate pairs over a TEXT corpus: 64-bit signatures
+    from the SimHasher actor pool, then the shared rotated-prefix bucket
+    machinery (:func:`signature_neardup_pairs`)."""
+    from . import safe_pool_size
+
+    sigs = ds.map_batches(SimHasher,
+                          fn_constructor_kwargs=dict(text_col=text_col,
+                                                     id_col=id_col),
+                          batch_format="pyarrow",
+                          concurrency=safe_pool_size(concurrency))
+    return signature_neardup_pairs(sigs, id_col=id_col,
+                                   max_hamming=max_hamming,
+                                   n_tables=n_tables,
+                                   prefix_bits=prefix_bits)
 
 
 # --------------------------------------------------------------------------- #

@@ -497,3 +497,97 @@ def ima_adpcm_encode(pcm: np.ndarray, block_align: int = 256) -> bytes:
         chunks.append(hdr + packed)
         pos += samples_per_block
     return b"".join(chunks)
+
+
+class ImageDHash:
+    """Actor-pool stage: perceptual difference-hash (dHash) per image — the
+    standard near-duplicate image fingerprint (resize to (hash_w+1) x
+    hash_h grayscale by nearest-neighbor index math, hash bit = left pixel
+    brighter than its right neighbor).  64-bit output composes with the
+    SimHash rotated-prefix hamming bucketing (stages/dedup.py) for
+    corpus-scale image dedup; robust to re-encoding (png vs raw vs
+    mild-quality jpeg of the same pixels hash near-identically)."""
+
+    def __init__(self, payload_col: str = "payload", id_col: str = "media_id",
+                 hash_w: int = 8, hash_h: int = 8):
+        self.payload_col = payload_col
+        self.id_col = id_col
+        self.hw = hash_w
+        self.hh = hash_h
+
+    def _one(self, codec: str, payload: bytes, w: int, h: int,
+             c: int) -> int:
+        if codec == "raw":
+            px = np.frombuffer(payload, np.uint8)
+        else:
+            px = _decode_compressed(codec, payload)
+        px = px.reshape(h, w, c).astype(np.float64)
+        gray = px.mean(axis=2)
+        yi = (np.arange(self.hh) * h) // self.hh
+        xi = (np.arange(self.hw + 1) * w) // (self.hw + 1)
+        small = gray[np.ix_(yi, xi)]
+        bits = (small[:, :-1] > small[:, 1:]).reshape(-1)
+        return int(np.packbits(bits.astype(np.uint8)).view(">u8")[0]) \
+            if self.hw * self.hh == 64 else int(
+                sum(int(b) << i for i, b in enumerate(bits)))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pay = batch[self.payload_col].combine_chunks()
+        codecs = batch["codec"].to_pylist()
+        ws = batch["width"].to_pylist()
+        hs = batch["height"].to_pylist()
+        cs = batch["channels"].to_pylist()
+        out = np.zeros(batch.num_rows, np.uint64)
+        for i in range(batch.num_rows):
+            out[i] = self._one(codecs[i], pay[i].as_py(), ws[i], hs[i],
+                               cs[i])
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "dhash": pa.array(out),
+        })
+
+
+class AudioFingerprint:
+    """Actor-pool stage: spectral-peak fingerprint per clip (the
+    Shazam/chromaprint shape): frame the normalized signal, rfft each
+    frame (one vectorized 2-D FFT per clip), take the argmax frequency bin
+    per frame, and pack the peak-bin SEQUENCE into one 64-bit rolling
+    hash.  Identical audio → identical fingerprint; use exact dedup on
+    (fingerprint, id) for corpus-scale duplicate-clip removal."""
+
+    def __init__(self, payload_col: str = "payload", id_col: str = "media_id",
+                 frame: int = 256):
+        self.payload_col = payload_col
+        self.id_col = id_col
+        self.frame = frame
+
+    def _one(self, codec: str, payload: bytes) -> tuple[int, int]:
+        if codec == "pcm16":
+            samples = np.frombuffer(payload, np.int16)
+        else:
+            samples = _decode_compressed(codec, payload)
+        x = _norm_audio(samples)
+        nf = len(x) // self.frame
+        if nf == 0:
+            return 0, 0
+        spec = np.abs(np.fft.rfft(x[: nf * self.frame]
+                                  .reshape(nf, self.frame), axis=1))
+        peaks = spec[:, 1:].argmax(axis=1).astype(np.uint64)  # skip DC
+        h = np.uint64(0xCBF29CE484222325)
+        with np.errstate(over="ignore"):  # uint64 wraparound is the hash
+            for p in peaks:
+                h = h * np.uint64(0x100000001B3) + p + np.uint64(1)
+        return int(h), nf
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pay = batch[self.payload_col].combine_chunks()
+        codecs = batch["codec"].to_pylist()
+        fps = np.zeros(batch.num_rows, np.uint64)
+        nfs = np.zeros(batch.num_rows, np.int64)
+        for i in range(batch.num_rows):
+            fps[i], nfs[i] = self._one(codecs[i], pay[i].as_py())
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "fingerprint": pa.array(fps),
+            "n_frames_fp": pa.array(nfs),
+        })
