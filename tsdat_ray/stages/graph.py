@@ -23,6 +23,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from .spill import checkpoint as _ckpt
+
 
 def cc_numpy(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """In-memory connected components over edge arrays (int64 node ids).
@@ -122,10 +124,13 @@ def connected_components(pairs, a_col: str = "id_a", b_col: str = "id_b",
         return pa.table({"node": pa.array(out_node), "rep": pa.array(out_rep),
                          "_edge": pa.array(edge_flag)})
 
-    merged = (pairs.map_batches(to_edges, batch_format="pyarrow")
-              .groupby("_salt").map_groups(local_cc, batch_format="pyarrow")
-              .groupby("_nsalt").map_groups(merge_reps, batch_format="pyarrow")
-              .materialize())
+    # node+edge-scale, consumed twice (residual filter + label rows):
+    # Parquet scratch instead of an object-store pin (r4)
+    merged = _ckpt(pairs.map_batches(to_edges, batch_format="pyarrow")
+                   .groupby("_salt").map_groups(local_cc, batch_format="pyarrow")
+                   .groupby("_nsalt").map_groups(merge_reps,
+                                                 batch_format="pyarrow"),
+                   "ccmerge")
 
     residual = merged.filter(expr="_edge == 1")
     n_resid = residual.count()
@@ -184,6 +189,11 @@ def pagerank(pairs, a_col: str = "id_a", b_col: str = "id_b",
     (node, rank) with Σrank = 1 over the pair-graph's nodes."""
     import ray
 
+    # ITERATIVE consumer: the edge list is re-read every pagerank
+    # iteration, so an object-store pin is the right call (a disk
+    # checkpoint re-pays read latency x iterations — measured 0.95 s ->
+    # 3.2 s at sf0.1); under memory pressure Ray spills this pin to
+    # disk, degrading to exactly the checkpoint behavior
     edges = pairs.select_columns([a_col, b_col]).materialize()
 
     # degree per node (undirected: both endpoints), driver-side tiny fold
@@ -279,9 +289,10 @@ def triangle_count(edges, a_col: str = "id_a", b_col: str = "id_b",
         k = np.unique(g["_ek"].combine_chunks().to_numpy(zero_copy_only=False))
         return pa.table({"_ek": pa.array(k)})
 
-    uedges = (edges.map_batches(canon, batch_format="pyarrow")
-              .groupby("_salt").map_groups(dedupe, batch_format="pyarrow")
-              ).materialize()
+    uedges = _ckpt(edges.map_batches(canon, batch_format="pyarrow")
+                   .groupby("_salt").map_groups(dedupe,
+                                                batch_format="pyarrow"),
+                   "wedges")
 
     # degree table: node -> degree (node-bounded, folded in one salted pass)
     def deg_partial(b: pa.Table) -> pa.Table:

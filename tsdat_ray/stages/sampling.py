@@ -29,6 +29,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .spill import checkpoint as _ckpt
+
 
 def stratified_sample(ds, key: str = "source", order_col: str = "doc_id",
                       n_per_key: int = 100):
@@ -252,7 +254,9 @@ def pack_sequences_global(ds, context_len: int = 2048,
         })
         return out.filter(pa.array(lens > 0))
 
-    md = ds.map_batches(meta, batch_format="pyarrow").materialize()
+    # scale-linear metadata (one row per sequence), two consumers:
+    # stream to Parquet scratch instead of pinning the object store (r4)
+    md = _ckpt(ds.map_batches(meta, batch_format="pyarrow"), "packmeta")
 
     def uniq_pfx(b: pa.Table) -> pa.Table:
         p = b["_pfx"].combine_chunks().to_numpy(zero_copy_only=False)
@@ -294,9 +298,10 @@ def pack_sequences_global(ds, context_len: int = 2048,
         out["_wtotal"] = pa.array(np.repeat(cs[-1] if len(cs) else 0, len(ln)))
         return pa.table(out)
 
-    part = (md.map_batches(assign_window, batch_format="pyarrow")
-            .groupby("_window").map_groups(local_scan, batch_format="pyarrow")
-            .materialize())
+    part = _ckpt(md.map_batches(assign_window, batch_format="pyarrow")
+                 .groupby("_window").map_groups(local_scan,
+                                                batch_format="pyarrow"),
+                 "packscan")
 
     def fold(starts, windows, cols):
         return {"_off": exclusive_prefix_within_segments(cols["_wtotal"],
@@ -655,7 +660,8 @@ def global_shuffle_rank(ds, id_col: str = "doc_id", seed: int = 0,
         t = t.append_column("_md5", pa.array(digests.tolist(), pa.string()))
         return t.append_column("_vb", pa.array(bkt))
 
-    withk = ds.map_batches(keyed, batch_format="pyarrow").materialize()
+    # corpus-sized (full rows + md5 keys), two consumers — disk checkpoint
+    withk = _ckpt(ds.map_batches(keyed, batch_format="pyarrow"), "mdkey")
 
     def local_counts(b: pa.Table) -> pa.Table:
         vb = b["_vb"].combine_chunks().to_numpy(zero_copy_only=False)

@@ -10,6 +10,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .spill import checkpoint as _ckpt
+
 
 def token_count_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
     """Whitespace token count (split on single spaces — mirrors the SQL oracle
@@ -1511,10 +1513,13 @@ def collocations_lift(ds, k: int = 50, min_count: int = 5,
         df = g.to_pandas().groupby(["gram", "kind"], as_index=False)["n"].sum()
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    counts = (ds.select_columns([text_col])
-              .map_batches(grams_partial, batch_format="pyarrow")
-              .groupby("_salt").map_groups(fold, batch_format="pyarrow")
-              ).materialize()
+    # gram-vocab-scale (n-gram space grows with the corpus), multiple
+    # consumers: Parquet scratch instead of an object-store pin (r4)
+    counts = _ckpt(ds.select_columns([text_col])
+                   .map_batches(grams_partial, batch_format="pyarrow")
+                   .groupby("_salt").map_groups(fold,
+                                                batch_format="pyarrow"),
+                   "gramcounts")
 
     def totals(t: pa.Table) -> pa.Table:
         kind = t["kind"].to_numpy(zero_copy_only=False)
