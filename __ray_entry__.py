@@ -3526,6 +3526,22 @@ def _q_media_image_dhash(sf_dir: str):
                                    sig_col="dhash", max_hamming=10)
 
 
+def _q_media_video_dhash(sf_dir: str):
+    """Perceptual video near-dup pairs: bitwise-MAJORITY of per-frame
+    dHashes → one hamming-meaningful 64-bit signature per video, then the
+    shared rotated-prefix bucketing (stages/multimodal.py:VideoDHash +
+    stages/dedup.py:signature_neardup_pairs).  Rows-only; majority-vote
+    invariance and planted near-dup recovery pinned by pytest."""
+    from tsdat_ray.stages.dedup import signature_neardup_pairs
+    from tsdat_ray.stages.multimodal import VideoDHash
+
+    ds = _read(_media_path()).filter(expr="kind == 'video'")
+    sigs = ds.map_batches(VideoDHash, batch_format="pyarrow",
+                          concurrency=2, batch_size=32)
+    return signature_neardup_pairs(sigs, id_col="media_id",
+                                   sig_col="vdhash", max_hamming=10)
+
+
 def _q_media_audio_fingerprint(sf_dir: str):
     """Spectral-peak audio fingerprints (framed rfft argmax sequence →
     64-bit rolling hash) per clip — the duplicate-clip detection primitive;
@@ -3545,7 +3561,7 @@ def _q_media_audio_fingerprint(sf_dir: str):
 # extended tie chain — (bad, n_tok) + payload hash)
 _STORE_VERSION = 3
 # media corpus version: bump when synth_media_table output changes
-_MEDIA_VERSION = 3
+_MEDIA_VERSION = 4  # v4: planted image/video perceptual near-duplicates
 
 
 def _vap_store(sf_dir: str) -> str:
@@ -6249,6 +6265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_audio_features": _q_media_audio_features,
         "media_video_frames": _q_media_video_frames,
         "media_image_dhash": _q_media_image_dhash,
+        "media_video_dhash": _q_media_video_dhash,
         "media_audio_fingerprint": _q_media_audio_fingerprint,
         "vap_product_1h": _q_vap_product,
         "vap_product_sums_1h": _q_vap_sums,

@@ -443,3 +443,42 @@ def test_audio_fingerprint_deterministic(ray_session):
     fa2, _ = fp._one("wav", bio.getvalue())
     fb, _ = fp._one("pcm16", b.tobytes())
     assert fa == fa2 and fa != fb and na == 4096 // 256
+
+
+def test_video_dhash_majority_and_pairs(ray_session):
+    """Majority-vote video signature: lightly-noised footage of the same
+    scene lands within a few hamming bits, unrelated footage far; the
+    shared bucketing recovers exactly the planted pair."""
+    import ray.data as rd
+
+    from tsdat_ray.stages.dedup import signature_neardup_pairs
+    from tsdat_ray.stages.multimodal import VideoDHash
+
+    rng = np.random.default_rng(8)
+    h = w = 16
+    nf = 12
+    base = (np.add.outer(np.arange(h) * 5, np.arange(w) * 7) % 256)
+    frames = np.stack([
+        np.stack([(base + 3 * f) % 256] * 3, axis=2) for f in range(nf)
+    ]).astype(np.uint8)
+    noisy = np.clip(frames.astype(np.int64)
+                    + rng.integers(-2, 3, frames.shape), 0, 255
+                    ).astype(np.uint8)
+    other = rng.integers(0, 256, frames.shape, dtype=np.uint8)
+
+    tab = pa.table({
+        "media_id": pa.array([1, 2, 3], pa.int64()),
+        "codec": pa.array(["raw"] * 3),
+        "payload": pa.array([frames.tobytes(), noisy.tobytes(),
+                             other.tobytes()], pa.binary()),
+        "width": pa.array([w] * 3, pa.int32()),
+        "height": pa.array([h] * 3, pa.int32()),
+        "channels": pa.array([3] * 3, pa.int32()),
+        "n_frames": pa.array([nf] * 3, pa.int32()),
+    })
+    sigs = rd.from_arrow(tab).map_batches(VideoDHash(),
+                                          batch_format="pyarrow")
+    pairs = signature_neardup_pairs(sigs, id_col="media_id",
+                                    sig_col="vdhash", max_hamming=10
+                                    ).to_pandas()
+    assert {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)} == {(1, 2)}

@@ -141,11 +141,22 @@ def synth_media_table(n: int = 64, seed: int = 123) -> pa.Table:
     raw frame-stacked videos (seeded; used by tests and the media queries)."""
     rng = np.random.Generator(np.random.Philox(key=np.array([seed, 2], dtype=np.uint64)))
     rows = {k: [] for k in MEDIA_SCHEMA.names}
+    prev_img = prev_vid = None  # planted near-dups for the dHash queries
     for i in range(n):
         kind = ("image", "audio", "video")[i % 3]
         if kind == "image":
-            w, h, c = int(rng.integers(8, 24)), int(rng.integers(8, 24)), 3
-            px = rng.integers(0, 256, w * h * c, dtype=np.uint8)
+            if (i // 3) % 4 == 3 and prev_img is not None:
+                # every 4th image: lightly-noised copy of the previous one
+                # (a perceptual near-duplicate the dHash pairs must find)
+                pw, ph, ppx = prev_img
+                w, h, c = pw, ph, 3
+                px = np.clip(ppx.astype(np.int64)
+                             + rng.integers(-2, 3, ppx.shape),
+                             0, 255).astype(np.uint8)
+            else:
+                w, h, c = int(rng.integers(8, 24)), int(rng.integers(8, 24)), 3
+                px = rng.integers(0, 256, w * h * c, dtype=np.uint8)
+            prev_img = (w, h, px)
             # kind cycles on i%3, so images are i=0,3,6,…; cycle the image
             # codec on the IMAGE ordinal (i//3) — a third png, jpeg, raw
             if (i // 3) % 3 == 0:
@@ -181,8 +192,17 @@ def synth_media_table(n: int = 64, seed: int = 123) -> pa.Table:
                 payload, codec = pcm.tobytes(), "pcm16"
             meta = dict(width=0, height=0, channels=1, sample_rate=sr, n_frames=0, codec=codec)
         else:
-            w, h, c, f = 8, 8, 3, int(rng.integers(4, 12))
-            payload = rng.integers(0, 256, w * h * c * f, dtype=np.uint8).tobytes()
+            w, h, c = 8, 8, 3
+            if (i // 3) % 4 == 3 and prev_vid is not None:
+                f, frames = prev_vid
+                frames = np.clip(frames.astype(np.int64)
+                                 + rng.integers(-2, 3, frames.shape),
+                                 0, 255).astype(np.uint8)
+            else:
+                f = int(rng.integers(4, 12))
+                frames = rng.integers(0, 256, w * h * c * f, dtype=np.uint8)
+            prev_vid = (f, frames)
+            payload = frames.tobytes()
             meta = dict(width=w, height=h, channels=c, sample_rate=0, n_frames=f, codec="raw")
         rows["media_id"].append(i)
         rows["kind"].append(kind)
@@ -590,4 +610,48 @@ class AudioFingerprint:
             self.id_col: batch[self.id_col],
             "fingerprint": pa.array(fps),
             "n_frames_fp": pa.array(nfs),
+        })
+
+
+class VideoDHash:
+    """Actor-pool stage: 64-bit perceptual VIDEO signature = bitwise
+    MAJORITY vote over the per-frame dHashes of every ``every``-th frame.
+    Majority voting keeps the signature hamming-meaningful (each output
+    bit flips only when most frames' corresponding gradient flips), so two
+    re-encoded / lightly-noised cuts of the same footage land within a few
+    bits and :func:`tsdat_ray.stages.dedup.signature_neardup_pairs` finds
+    them with the same rotated-prefix bucketing as text/image near-dup —
+    no all-pairs at any corpus size."""
+
+    def __init__(self, every: int = 2, payload_col: str = "payload",
+                 id_col: str = "media_id"):
+        self.every = every
+        self.payload_col = payload_col
+        self.id_col = id_col
+        self._dh = ImageDHash()
+
+    def _one(self, payload: bytes, w: int, h: int, c: int, nf: int) -> int:
+        raw = np.frombuffer(payload, np.uint8).reshape(nf, h * w * c)
+        sel = range(0, nf, self.every)
+        bits = np.zeros((len(list(sel)), 64), np.int64)
+        for row, j in enumerate(range(0, nf, self.every)):
+            hv = self._dh._one("raw", raw[j].tobytes(), w, h, c)
+            bits[row] = (np.uint64(hv) >> np.arange(64, dtype=np.uint64)) \
+                & np.uint64(1)
+        maj = (bits.sum(axis=0) * 2 > bits.shape[0]).astype(np.uint64)
+        return int((maj << np.arange(64, dtype=np.uint64)).sum())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pay = batch[self.payload_col].combine_chunks()
+        out = np.zeros(batch.num_rows, np.uint64)
+        for i in range(batch.num_rows):
+            if batch["codec"][i].as_py() != "raw":
+                _decode_compressed(batch["codec"][i].as_py(), b"")
+            out[i] = self._one(
+                pay[i].as_py(), batch["width"][i].as_py(),
+                batch["height"][i].as_py(), batch["channels"][i].as_py(),
+                batch["n_frames"][i].as_py())
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "vdhash": pa.array(out),
         })
