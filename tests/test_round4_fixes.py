@@ -482,3 +482,19 @@ def test_video_dhash_majority_and_pairs(ray_session):
                                     sig_col="vdhash", max_hamming=10
                                     ).to_pandas()
     assert {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)} == {(1, 2)}
+
+
+def test_pack_pair_ids_guard():
+    """32-bit pair-key contract must fail LOUDLY (not alias pairs) when an
+    id exceeds uint32."""
+    import pytest
+
+    from tsdat_ray.stages.dedup import _pack_pair_ids
+
+    a = np.array([3, 1], np.int64)
+    b = np.array([1, 7], np.int64)
+    pk = _pack_pair_ids(a, b)
+    assert pk.tolist() == [(1 << 32) | 3, (1 << 32) | 7]
+    with pytest.raises(ValueError, match="uint32"):
+        _pack_pair_ids(np.array([1 << 32], np.int64),
+                       np.array([1], np.int64))

@@ -211,6 +211,25 @@ def _string_column_bytes(col) -> tuple[np.ndarray, np.ndarray]:
     return offs, data
 
 
+def _pack_pair_ids(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Canonical unordered pair key ``min << 32 | max``.
+
+    CONTRACT (r4, asserted): both ids fit in uint32.  A silent 32-bit wrap
+    would ALIAS distinct pairs into one key and drop real pairs in the
+    dedup — at id spaces beyond 4B (the 10^12-sequence target), renumber
+    ids per shard (the pair machinery is already bucketed by signature, so
+    shard-local 32-bit ids suffice) or switch the uniq fold to two-column
+    (id_a, id_b) lexsort dedup."""
+    a = np.asarray(a, dtype=np.int64)
+    b = np.asarray(b, dtype=np.int64)
+    if len(a) and (int(a.max()) >= 1 << 32 or int(b.max()) >= 1 << 32
+                   or int(a.min()) < 0 or int(b.min()) < 0):
+        raise ValueError(
+            "pair ids exceed uint32: renumber ids per shard or use the "
+            "two-column pair dedup (see _pack_pair_ids docstring)")
+    return (np.minimum(a, b) << np.int64(32)) | np.maximum(a, b)
+
+
 def _dedup_per_doc(doc_ids: np.ndarray, hashes: np.ndarray):
     """Sorted-unique hashes per doc segment (one lexsort, no per-doc numpy)."""
     order = np.lexsort((hashes, doc_ids))
@@ -585,7 +604,8 @@ def minhash_neardup_pairs(ds, threshold: float = 0.5,
                     b_out.append(lst[j])
         # single int64 pair key → dedup via groupby().count() (vectorized
         # hash aggregate; no per-pair Python group calls)
-        pk = (np.array(a_out, dtype=np.int64) << np.int64(32)) | np.array(b_out, dtype=np.int64)
+        pk = _pack_pair_ids(np.array(a_out, dtype=np.int64),
+                            np.array(b_out, dtype=np.int64))
         return pa.table({"_pk": pa.array(pk)})
 
     def uniq(batch: pa.Table) -> pa.Table:
@@ -1074,7 +1094,7 @@ def ngram_similarity_join(ds, threshold: float = 0.5, shingle_k: int = 5,
                 n_s[s2], p_s[s2], n_s[s2 + 1], p_s[s2 + 1])
             a, b = id_s[s2[ok]], id_s[s2[ok] + 1]
             if len(a):
-                out.append((np.minimum(a, b) << np.int64(32)) | np.maximum(a, b))
+                out.append(_pack_pair_ids(a, b))
         for s, m in zip(starts[sizes >= 3], sizes[sizes >= 3]):
             e = s + m
             nn, ii, qq = n_s[s:e], id_s[s:e], p_s[s:e]
@@ -1088,7 +1108,7 @@ def ngram_similarity_join(ds, threshold: float = 0.5, shingle_k: int = 5,
             ok = pos_keep(nn[left], qq[left], nn[right], qq[right])
             a, b = ii[left[ok]], ii[right[ok]]
             if len(a):
-                out.append((np.minimum(a, b) << np.int64(32)) | np.maximum(a, b))
+                out.append(_pack_pair_ids(a, b))
         if not out:
             return pa.table({"_pk": pa.array([], pa.int64())})
         pk = np.unique(np.concatenate(out))
@@ -1218,7 +1238,7 @@ def signature_neardup_pairs(sigs, id_col: str = "doc_id",
         a = np.concatenate(a_out)
         b = np.concatenate(b_out)
         h = np.concatenate(h_out)
-        pk = (np.minimum(a, b) << np.int64(32)) | np.maximum(a, b)
+        pk = _pack_pair_ids(a, b)
         return pa.table({"_pk": pa.array(pk.astype(np.int64)), "hamming": pa.array(h.astype(np.int64))})
 
     def uniq(batch: pa.Table) -> pa.Table:
