@@ -949,10 +949,19 @@ def topk_token_bigrams(ds, k: int = 50, tokens_col: str = "tokens",
                          "_salt": pa.array(salts)})
 
     def part_topk(g: pa.Table) -> pa.Table:
-        df = g.to_pandas().groupby("_p", as_index=False)["n"].sum()
-        df = df.sort_values(["n", "_p"], ascending=[False, True],
-                            kind="stable").head(k)
-        return pa.Table.from_pandas(df[["_p", "n"]], preserve_index=False)
+        # numpy sort+reduceat fold (pandas groupby cost ~2x on the
+        # millions of per-block partials a salt slice holds; r4)
+        p = g["_p"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(p, kind="stable")
+        ps, ns = p[order], n[order]
+        st = np.flatnonzero(np.r_[True, ps[1:] != ps[:-1]]) \
+            if len(ps) else np.zeros(0, np.int64)
+        pu = ps[st]
+        tot = np.add.reduceat(ns, st) if len(st) else ns[:0]
+        sel = np.lexsort((pu, -tot))[:k]  # (n DESC, pair ASC), exact ties
+        return pa.table({"_p": pa.array(pu[sel]),
+                         "n": pa.array(tot[sel])})
 
     cand = (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("_salt").map_groups(part_topk, batch_format="pyarrow"))
