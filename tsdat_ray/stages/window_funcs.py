@@ -1792,40 +1792,72 @@ def session_ids(ds, key: str, ts_col: str, id_col: str, gap_s: int,
     row-level complement of :func:`~tsdat_ray.stages.window.session_window_agg`'s
     per-session aggregates.
 
-    Built by COMPOSING the library's two-phase primitives: ``partitioned_lag``
-    over the timestamp itself (µs fit doubles exactly below 2⁵³), a pure-map
-    new-session indicator, then ``partitioned_cumsum`` of the indicator
-    (exact integer scan) — SQL's SUM(CASE…) OVER (ROWS UNBOUNDED PRECEDING)
-    decorrelated into two skew-safe shuffles and two tiny broadcasts."""
-    import pyarrow.compute as pc_
-
+    r4: ONE fused (key, window) shuffle (the r3 version composed
+    partitioned_lag + partitioned_cumsum = two shuffles + two checkpoints,
+    ~2× the cost).  The local scan emits in-window new-session prefix
+    counts with the window's FIRST row's indicator deferred; the carry
+    fold derives each window's boundary indicator from (first_ts, prev
+    window's last_ts) and the exclusive offset from (local totals +
+    boundary indicators) — all int64, bit-equal to the sequential scan."""
     gap_us = gap_s * US
+    win_us = window_s * US
 
-    def to_f(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "_tsf", b[ts_col].combine_chunks().cast(pa.int64()).cast(pa.float64()))
-
-    lagged = partitioned_lag(ds.map_batches(to_f, batch_format="pyarrow"),
-                             key=key, ts_col=ts_col, value_col="_tsf",
-                             id_col=id_col, window_s=window_s)
-
-    def indicator(b: pa.Table) -> pa.Table:
+    def add_window(b: pa.Table) -> pa.Table:
         ts = b[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
-        lg = b["_tsf_lag"].combine_chunks().to_numpy(zero_copy_only=False)
-        new = np.isnan(lg) | ((ts - lg) > gap_us)
-        b = b.drop_columns(["_tsf", "_tsf_lag"])
-        return b.append_column("_new", pa.array(new.astype(np.float64)))
+        return b.append_column("_window", pa.array((ts // win_us) * win_us))
 
-    ind = lagged.map_batches(indicator, batch_format="pyarrow")
-    out = partitioned_cumsum(ind, key=key, ts_col=ts_col, value_col="_new",
-                             id_col=id_col, window_s=window_s, value_scale=1)
+    def local_scan(g: pa.Table) -> pa.Table:
+        ts = g[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts))
+        tss = ts[order]
+        # first row's indicator deferred to the carry (depends on the
+        # previous window's last ts); within-window gaps are local
+        new = np.r_[np.int64(0),
+                    (np.diff(tss) > gap_us).astype(np.int64)]
+        cs = np.cumsum(new)
+        out_cs = np.empty(len(ts), np.int64)
+        out_cs[order] = cs
+        out = {c: g[c] for c in g.column_names}
+        out["_lcs"] = pa.array(out_cs)
+        n = len(ts)
+        out["_first_ts"] = pa.array(np.repeat(tss[0], n))
+        out["_last_ts"] = pa.array(np.repeat(tss[-1], n))
+        out["_ntot"] = pa.array(np.repeat(cs[-1], n))
+        return pa.table(out)
+
+    part = _ckpt(ds.map_batches(add_window, batch_format="pyarrow").groupby(
+        [key, "_window"]
+    ).map_groups(local_scan, batch_format="pyarrow"))
+
+    from .carry import (exclusive_prefix_within_segments,
+                        shift_within_segments, window_carry)
+
+    def fold(starts, windows, cols):
+        first = np.asarray(cols["_first_ts"], np.int64)
+        last = np.asarray(cols["_last_ts"], np.int64)
+        ntot = np.asarray(cols["_ntot"], np.int64)
+        prev_last = shift_within_segments(last, starts, np.int64(0))
+        b = (first - prev_last > gap_us).astype(np.int64)
+        b[starts] = 1  # the key's first window always opens session 1
+        off = exclusive_prefix_within_segments(ntot + b, starts)
+        return {"_off": off, "_b": b}
+
+    withc = window_carry(part, key, "_window",
+                         ["_first_ts", "_last_ts", "_ntot"], fold)
 
     def finish(b: pa.Table) -> pa.Table:
-        sid = b["_new_cumsum"].combine_chunks().to_numpy(zero_copy_only=False)
-        b = b.drop_columns(["_new", "_new_cumsum"])
-        return b.append_column("session_id", pa.array(sid.astype(np.int64)))
+        lcs = b["_lcs"].combine_chunks().to_numpy(zero_copy_only=False)
+        off = b["_off"].combine_chunks().to_numpy(zero_copy_only=False)
+        bb = b["_b"].combine_chunks().to_numpy(zero_copy_only=False)
+        sid = lcs + off + bb
+        out = {c: b[c] for c in b.column_names
+               if c not in ("_window", "_lcs", "_first_ts", "_last_ts",
+                            "_ntot", "_off", "_b")}
+        out["session_id"] = pa.array(sid)
+        return pa.table(out)
 
-    return out.map_batches(finish, batch_format="pyarrow")
+    return withc.map_batches(finish, batch_format="pyarrow")
 
 
 def partitioned_cusum(ds, key: str, ts_col: str, value_col: str,
