@@ -498,3 +498,50 @@ def test_pack_pair_ids_guard():
     with pytest.raises(ValueError, match="uint32"):
         _pack_pair_ids(np.array([1 << 32], np.int64),
                        np.array([1], np.int64))
+
+
+def test_session_ids_property_vs_sequential(ray_session):
+    """Property: the fused one-shuffle session_ids equals the sequential
+    gaps-and-islands scan for random timestamps, gaps, window widths and
+    tie patterns (including windows with a single row, runs of equal ts,
+    and keys whose rows span many empty windows)."""
+    import ray.data as rd
+
+    from tsdat_ray.stages.window_funcs import session_ids
+
+    rng = np.random.default_rng(12)
+    for trial, (gap_s, window_s) in enumerate(
+            [(60, 3600), (7, 50), (300, 86400), (1, 10)]):
+        n = 600
+        keys = rng.integers(0, 7, n)
+        ts = np.sort(rng.integers(0, 40_000, n)) * 1_000_000
+        rng.shuffle(ts)
+        # force ts ties within keys
+        ts[::17] = ts[1::17][: len(ts[::17])].copy() \
+            if len(ts[::17]) <= len(ts[1::17]) else ts[::17]
+        ids = rng.permutation(n)
+        tab = pa.table({
+            "k": pa.array(keys), "eid": pa.array(ids),
+            "ts": pa.array(ts.astype("datetime64[us]")),
+        })
+        got = (session_ids(rd.from_arrow(tab).repartition(5), key="k",
+                           ts_col="ts", id_col="eid", gap_s=gap_s,
+                           window_s=window_s)
+               .to_pandas().sort_values("eid").reset_index(drop=True))
+
+        ref = {}
+        for kk in np.unique(keys):
+            m = keys == kk
+            order = np.lexsort((ids[m], ts[m]))
+            tt = ts[m][order]
+            ee = ids[m][order]
+            sid = 0
+            prev = None
+            for t, e in zip(tt, ee):
+                if prev is None or t - prev > gap_s * 1_000_000:
+                    sid += 1
+                ref[e] = sid
+                prev = t
+        want = np.array([ref[e] for e in got["eid"]])
+        assert (got["session_id"].to_numpy() == want).all(), \
+            (trial, gap_s, window_s)
