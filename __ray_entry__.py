@@ -5575,6 +5575,28 @@ def _q_volume_anomaly(sf_dir: str):
     return volume_anomaly(ds)
 
 
+def _q_user_entropy(sf_dir: str):
+    """Per-user Shannon entropy of the event-type mix (behavioral
+    predictability; 0 = single-behavior user): one user-salted shuffle of
+    (user, type, count) partials, quantized-log exact fold
+    (stages/stats.py:user_entropy)."""
+    from tsdat_ray.stages.stats import user_entropy
+
+    ds = _events(sf_dir, columns=["user_id", "event_type"])
+    return user_entropy(ds)
+
+
+def _q_burstiness(sf_dir: str):
+    """Goh–Barabási burstiness (σ−μ)/(σ+μ) of inter-arrival seconds per
+    event type — stream-health monitoring; two-phase (key, window) gap
+    sufficient-stats + boundary merge, one IEEE-identical double
+    expression (stages/stats.py:burstiness_per_key)."""
+    from tsdat_ray.stages.stats import burstiness_per_key
+
+    ds = _events(sf_dir, columns=["event_type", "ts"])
+    return burstiness_per_key(ds)
+
+
 def _q_acf_hourly(sf_dir: str):
     """Lag-1/2/3 autocorrelation of each event type's zero-filled hourly
     count series — the seasonality/persistence diagnostic, aggregate-first
@@ -6173,6 +6195,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_name_pairs_part": _q_fuzzy_name_pairs,
         "dod_change_events": _q_dod_change,
         "acf_hourly_events": _q_acf_hourly,
+        "user_entropy_events": _q_user_entropy,
+        "burstiness_events": _q_burstiness,
         "benford_values_events": _q_benford,
         "robust_scale_events": _q_robust_scale,
         "rate_limit_events": _q_rate_limit,
@@ -8164,6 +8188,41 @@ def oracle_sql() -> dict[str, str]:
                          lag(ts) OVER (PARTITION BY user_id
                                        ORDER BY ts, event_id) AS prev_ts
                   FROM events)
+        """,
+        # the word_entropy quantized-log contract over (user, type) counts
+        "user_entropy_events": """
+            WITH c AS (SELECT user_id, event_type, count(*)::BIGINT AS c
+                       FROM events GROUP BY 1, 2),
+                 n AS (SELECT user_id, sum(c)::BIGINT AS n
+                       FROM c GROUP BY 1),
+                 q AS (SELECT c.user_id,
+                              CAST(round(-((c.c / n.n) * ln(c.c / n.n))
+                                         * 1e9) AS BIGINT) AS q
+                       FROM c JOIN n USING (user_id))
+            SELECT n.user_id, n.n AS n_events, s.sq / 1e9 AS entropy
+            FROM n JOIN (SELECT user_id, sum(q) AS sq FROM q GROUP BY 1) s
+                 USING (user_id)
+        """,
+        # exact integer gap sufficient stats, one literal double expression
+        "burstiness_events": """
+            WITH d AS (
+                SELECT event_type,
+                       date_diff('second',
+                                 lag(ts) OVER (PARTITION BY event_type
+                                               ORDER BY ts),
+                                 ts) AS dt
+                FROM events
+            ), s AS (
+                SELECT event_type, count(*)::BIGINT AS n,
+                       sum(dt)::BIGINT AS sx,
+                       sum(dt * dt)::BIGINT AS sxx
+                FROM d WHERE dt IS NOT NULL GROUP BY 1
+            )
+            SELECT event_type, n AS n_gaps,
+                   (sqrt(sxx / n - (sx / n) * (sx / n)) - sx / n)
+                   / (sqrt(sxx / n - (sx / n) * (sx / n)) + sx / n)
+                       AS burstiness
+            FROM s
         """,
         # ACF over the dense zero-filled hourly grid; every sufficient
         # statistic is an exact BIGINT sum, the final r_k expression

@@ -545,3 +545,73 @@ def test_session_ids_property_vs_sequential(ray_session):
         want = np.array([ref[e] for e in got["eid"]])
         assert (got["session_id"].to_numpy() == want).all(), \
             (trial, gap_s, window_s)
+
+
+def test_user_entropy_brute(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from tsdat_ray.stages.stats import user_entropy
+
+    rng = np.random.default_rng(6)
+    n = 3000
+    users = rng.integers(0, 40, n)
+    types = np.array(["a", "b", "c", "d"])[rng.integers(0, 4, n)]
+    users[:50] = 99  # a single-behavior user: entropy exactly 0
+    types[:50] = "a"
+    m = users != 99
+    m[:50] = True
+    tab = pa.table({"user_id": pa.array(users),
+                    "event_type": pa.array(types)})
+    got = (user_entropy(rd.from_arrow(tab).repartition(6))
+           .to_pandas().set_index("user_id"))
+    assert got.loc[99, "entropy"] == 0.0
+    for u in (0, 7, 39):
+        cnt = {}
+        for uu, t in zip(users, types):
+            if uu == u:
+                cnt[t] = cnt.get(t, 0) + 1
+        nn = sum(cnt.values())
+        ref = sum(round(-((c / nn) * math.log(c / nn)) * 1e9)
+                  for c in cnt.values()) / 1e9
+        assert got.loc[u, "n_events"] == nn
+        assert abs(got.loc[u, "entropy"] - ref) < 1e-12
+
+
+def test_burstiness_brute(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from tsdat_ray.stages.stats import burstiness_per_key
+
+    us = 1_000_000
+    # key P: perfectly periodic (every 10s) -> sigma=0 -> B = -1
+    # key B: bursty (9 x 1s then one 1000s gap repeated)
+    rows = [("P", i * 10 * us) for i in range(200)]
+    t = 0
+    for rep in range(20):
+        for i in range(9):
+            t += 1 * us
+            rows.append(("B", t))
+        t += 1000 * us
+        rows.append(("B", t))
+    tab = pa.table({
+        "event_type": pa.array([r[0] for r in rows]),
+        "ts": pa.array(np.array([r[1] for r in rows],
+                                dtype="datetime64[us]")),
+    })
+    got = (burstiness_per_key(rd.from_arrow(tab).repartition(5),
+                              window_s=137)  # windows cut both series
+           .to_pandas().set_index("event_type"))
+    assert got.loc["P", "burstiness"] == -1.0
+    dts = []
+    bs = sorted([r[1] for r in rows if r[0] == "B"])
+    dts = [(b2 // us) - (b1 // us) for b1, b2 in zip(bs, bs[1:])]
+    n = len(dts)
+    mu = sum(dts) / n
+    sd = math.sqrt(sum(d * d for d in dts) / n - mu * mu)
+    assert got.loc["B", "n_gaps"] == n
+    assert abs(got.loc["B", "burstiness"] - (sd - mu) / (sd + mu)) < 1e-12
+    assert got.loc["B", "burstiness"] > 0.45  # genuinely bursty (B≈0.495)

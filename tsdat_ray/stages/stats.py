@@ -1504,3 +1504,126 @@ def benford_digits(ds, value_col: str = "value", scale: int = 100):
 
     return agg.map_batches(finalize, batch_format="pyarrow",
                            batch_size=None)
+
+
+def user_entropy(ds, key: str = "user_id", item: str = "event_type",
+                 scale: float = 1e9, salt_mod: int = 64):
+    """Per-user Shannon entropy (nats) of the event-type mix — the
+    behavioral-predictability signal (0 = a user who only ever does one
+    thing).  One key-salted shuffle of per-block (user, type, count)
+    partials; entropy folds inside the partition under the proven
+    quantized-log contract (word_entropy recipe: per-term
+    round(-(p·ln p)·1e9) int64 sums are associative and reproduced
+    term-for-term by the SQL twin)."""
+    import pandas as pd
+
+    from .text_quant import half_away as _ha
+
+    def partial(b: pa.Table) -> pa.Table:
+        u = b[key].combine_chunks().to_numpy(zero_copy_only=False)
+        t = b[item].to_numpy(zero_copy_only=False)
+        order = np.lexsort((t, u))
+        us, ts = u[order], t[order]
+        chg = np.r_[True, (us[1:] != us[:-1]) | (ts[1:] != ts[:-1])] \
+            if len(us) else np.zeros(0, bool)
+        st = np.flatnonzero(chg)
+        c = np.diff(np.r_[st, len(us)]).astype(np.int64)
+        uu = us[st]
+        return pa.table({
+            key: pa.array(uu), item: pa.array(ts[st] if len(st) else ts[:0]),
+            "_c": pa.array(c),
+            "_salt": pa.array((pd.util.hash_array(np.asarray(uu))
+                               % np.uint64(salt_mod)).astype(np.int64)),
+        })
+
+    def fold(g: pa.Table) -> pa.Table:
+        u = g[key].combine_chunks().to_numpy(zero_copy_only=False)
+        t = g[item].to_numpy(zero_copy_only=False)
+        c = g["_c"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((t, u))
+        us, ts, cs = u[order], t[order], c[order]
+        chg = np.r_[True, (us[1:] != us[:-1]) | (ts[1:] != ts[:-1])]
+        st = np.flatnonzero(chg)
+        csum = np.add.reduceat(cs, st)
+        uu = us[st]
+        kst = np.flatnonzero(np.r_[True, uu[1:] != uu[:-1]]) \
+            if len(uu) else np.zeros(0, np.int64)
+        seg = np.cumsum(np.r_[True, uu[1:] != uu[:-1]]) - 1 \
+            if len(uu) else np.zeros(0, np.int64)
+        n_per = np.add.reduceat(csum, kst) if len(kst) else csum[:0]
+        p = csum.astype(np.float64) / n_per[seg].astype(np.float64)
+        q = _ha(-(p * np.log(p)) * scale)
+        qsum = np.bincount(seg, weights=q,
+                           minlength=len(kst)) if len(kst) else \
+            np.zeros(0, np.float64)
+        return pa.table({
+            key: pa.array(uu[kst] if len(kst) else uu[:0]),
+            "n_events": pa.array(n_per),
+            "entropy": pa.array(qsum / scale),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("_salt").map_groups(fold, batch_format="pyarrow"))
+
+
+def burstiness_per_key(ds, key: str = "event_type", ts_col: str = "ts",
+                       window_s: int = 24 * 3600):
+    """Goh–Barabási burstiness B = (σ−μ)/(σ+μ) of inter-arrival times per
+    key (B→1 bursty, 0 Poisson-like, →−1 periodic) — the stream-health
+    twin of grouped_max_gap, built on its identical two-phase shape: per
+    (key, time-window) tasks emit (min_s, max_s, n, Σdt, Σdt²) over
+    floor-second gaps (date_diff('second') semantics), the tiny per-key
+    window merge adds boundary gaps, and ONE fixed double expression
+    (mirrored literally by the SQL twin) turns exact int sums into B.
+    Σdt² stays int64 up to ~3·10⁹ one-day gaps per key; beyond that use
+    the python-bigint suffstats fold (stats.py:_fold_suffstats)."""
+    win_us = window_s * 1_000_000
+
+    def add_window(b: pa.Table) -> pa.Table:
+        ts = b[ts_col].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return b.append_column("_window", pa.array((ts // win_us) * win_us))
+
+    def per_window(g: pa.Table) -> pa.Table:
+        ts = np.sort(g[ts_col].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False))
+        sec = ts // 1_000_000  # date_diff('second') floors each side
+        dt = np.diff(sec)
+        return pa.table({
+            key: g[key].slice(0, 1),
+            "_min_s": pa.array([int(sec[0])], pa.int64()),
+            "_max_s": pa.array([int(sec[-1])], pa.int64()),
+            "_n": pa.array([len(dt)], pa.int64()),
+            "_sx": pa.array([int(dt.sum())], pa.int64()),
+            "_sxx": pa.array([int((dt * dt).sum())], pa.int64()),
+        })
+
+    part = (ds.map_batches(add_window, batch_format="pyarrow")
+            .groupby([key, "_window"]).map_groups(per_window,
+                                                  batch_format="pyarrow"))
+
+    def merge(g: pa.Table) -> pa.Table:
+        mn = g["_min_s"].combine_chunks().to_numpy(zero_copy_only=False)
+        mx = g["_max_s"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["_n"].combine_chunks().to_numpy(zero_copy_only=False)
+        sx = g["_sx"].combine_chunks().to_numpy(zero_copy_only=False)
+        sxx = g["_sxx"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(mn, kind="stable")
+        mn, mx = mn[order], mx[order]
+        bdt = mn[1:] - mx[:-1]  # boundary gaps between adjacent windows
+        N = int(n.sum()) + len(bdt)
+        if N == 0:
+            return pa.table({key: g[key].slice(0, 0),
+                             "n_gaps": pa.array([], pa.int64()),
+                             "burstiness": pa.array([], pa.float64())})
+        SX = int(sx.sum()) + int(bdt.sum())
+        SXX = int(sxx.sum()) + int((bdt * bdt).sum())
+        # ONE fixed double expression, mirrored literally by the SQL twin
+        mu = SX / N
+        sd = np.sqrt(SXX / N - mu * mu)
+        b = (sd - mu) / (sd + mu)
+        return pa.table({key: g[key].slice(0, 1),
+                         "n_gaps": pa.array([N], pa.int64()),
+                         "burstiness": pa.array([b], pa.float64())})
+
+    return part.groupby(key).map_groups(merge, batch_format="pyarrow")
