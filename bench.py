@@ -239,6 +239,12 @@ def run_sweep_slice() -> dict:
     import __ray_entry__ as entrymod
 
     queries = entrymod.queries()
+    # warm the worker pool + page cache before timing: fresh-process Ray
+    # worker spin-up and first-touch costs otherwise bill 2-6x inflation
+    # onto each chunk's FIRST queries (the CLAUDE.md re-time law; r4)
+    import ray.data as _rd
+
+    _rd.read_parquet(os.path.join(sf_dir, "events.parquet")).count()
     qtimes = {}
     for name in sorted(queries)[lo:hi]:
         t0 = time.time()
