@@ -63,7 +63,12 @@ for name in names:
         if name not in osql:
             print(f"{name}: rows={len(mine)} (rows-only, no oracle)")
             continue
-        orc = norm(con.execute(osql[name]).fetchdf())
+        # re-fetch AFTER the Ray run: sequences-family oracle strings embed
+        # the generated corpus path, which the Ray query just (re)sized —
+        # a pre-run snapshot compares against the wrong-scale corpus when
+        # GRAFT_SF_DIR != sf0.01 (r4 sweep artifact)
+        sql = e.oracle_sql()[name]
+        orc = norm(con.execute(sql).fetchdf())
         rows_ok = len(mine) == len(orc)
         cols_ok = list(mine.columns) == list(orc.columns)
         val_ok = False
