@@ -3937,6 +3937,39 @@ def _q_logreg_embeddings(sf_dir: str):
     }))
 
 
+def _q_logreg_score(sf_dir: str):
+    """Quality-classifier INFERENCE at corpus scale — the apply half of
+    logreg_embeddings (train → score completes the filter story): the
+    trained weight vector broadcasts once (ray.put) and every batch scores
+    via one vectorized matmul + sigmoid inside map_batches; only
+    (vec_id, score, pred) rows leave the workers.  Rows-only (weights come
+    from an iterative float solve); the sigmoid/threshold kernel and
+    train→score round-trip accuracy are pinned by pytest."""
+    import ray
+
+    from tsdat_ray.stages.similarity import logreg_train
+
+    ds = _read(f"{sf_dir}/embeddings.parquet",
+               columns=["vec_id", "embedding", "label"])
+    w, _ = logreg_train(ds, dim=64, n_iters=6)
+    wref = ray.put(np.asarray(w, np.float64))
+
+    def score(b: pa.Table) -> pa.Table:
+        ww = ray.get(wref)
+        emb = b["embedding"].combine_chunks()
+        X = np.asarray(emb.values.to_numpy(zero_copy_only=False),
+                       np.float64).reshape(len(b), -1)
+        z = X @ ww[:-1] + ww[-1] if len(ww) == X.shape[1] + 1 else X @ ww
+        p = 1.0 / (1.0 + np.exp(-z))
+        return pa.table({
+            "vec_id": b["vec_id"],
+            "score": pa.array(p),
+            "pred": pa.array((p >= 0.5).astype(np.int8)),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def _q_embedding_covariance(sf_dir: str):
     """Exact second-moment table of the embedding corpus (the PCA input):
     integer-quantized (round-half-away ·1e6) per-block (S1, S2) folds,
@@ -6187,6 +6220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantize_embeddings": _q_quantize_embeddings,
         "embedding_covariance": _q_embedding_covariance,
         "logreg_embeddings": _q_logreg_embeddings,
+        "logreg_score_embeddings": _q_logreg_score,
         "pca_embeddings": _q_pca_embeddings,
         "bpe_merges_docs": _q_bpe_merges,
         "bpe_encode_docs": _q_bpe_encode,

@@ -615,3 +615,47 @@ def test_burstiness_brute(ray_session):
     assert got.loc["B", "n_gaps"] == n
     assert abs(got.loc["B", "burstiness"] - (sd - mu) / (sd + mu)) < 1e-12
     assert got.loc["B", "burstiness"] > 0.45  # genuinely bursty (B≈0.495)
+
+
+def test_logreg_score_roundtrip(ray_session):
+    """Train -> score completes the quality-classifier story: the scoring
+    kernel equals the manual sigmoid(Xw+b), and training-set accuracy
+    against y = label % 2 clears a sanity threshold on separable data."""
+    import ray
+    import ray.data as rd
+
+    from tsdat_ray.stages.similarity import logreg_train
+
+    rng = np.random.default_rng(2)
+    n, d = 400, 8
+    w_true = rng.normal(0, 1, d)
+    X = rng.normal(0, 1, (n, d))
+    y = (X @ w_true + rng.normal(0, 0.3, n) > 0).astype(np.int64)
+    tab = pa.table({
+        "vec_id": pa.array(np.arange(n)),
+        "embedding": pa.array(X.tolist(), pa.list_(pa.float64())),
+        "label": pa.array(y),  # 0/1 labels (trainer targets label % 2)
+    })
+    ds = rd.from_arrow(tab).repartition(4)
+    w, hist = logreg_train(ds, dim=d, n_iters=8)
+    wv = np.asarray(w)
+    z = X @ wv[:d] + wv[d]
+    p = 1.0 / (1.0 + np.exp(-z))
+    acc = ((p >= 0.5).astype(int) == y).mean()
+    assert acc > 0.9
+    assert hist[-1] < hist[0]  # logloss decreased
+
+    # kernel equivalence through the query-shaped scorer
+    wref = ray.put(wv)
+
+    def score(b):
+        ww = ray.get(wref)
+        Xb = np.asarray(b["embedding"].combine_chunks().values
+                        .to_numpy(zero_copy_only=False)).reshape(len(b), -1)
+        zz = Xb @ ww[:-1] + ww[-1]
+        return pa.table({"vec_id": b["vec_id"],
+                         "score": pa.array(1.0 / (1.0 + np.exp(-zz)))})
+
+    got = (ds.map_batches(score, batch_format="pyarrow")
+           .to_pandas().sort_values("vec_id"))
+    np.testing.assert_allclose(got["score"].to_numpy(), p, rtol=0, atol=0)
