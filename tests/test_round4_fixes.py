@@ -659,3 +659,60 @@ def test_logreg_score_roundtrip(ray_session):
     got = (ds.map_batches(score, batch_format="pyarrow")
            .to_pandas().sort_values("vec_id"))
     np.testing.assert_allclose(got["score"].to_numpy(), p, rtol=0, atol=0)
+
+
+def test_cli_verify_store_integrity(ray_session, tmp_path):
+    """`verify` CLI: a freshly-built store audits clean; deleting a part
+    file, planting an orphan, and truncating a file are each detected."""
+    import json as _json
+    import os
+    from contextlib import redirect_stdout
+    from io import StringIO
+
+    from tsdat_ray.__main__ import main
+    from tsdat_ray.pipelines.rollup_pipeline import (PipelineConfig,
+                                                     run_pipeline)
+    from tsdat_ray.state.manifest import Manifest
+    from tsdat_ray.synth import generate_sequences_parquet
+
+    corpus = generate_sequences_parquet(str(tmp_path / "corpus"),
+                                        n_rows=4000, seed=42)
+    out = str(tmp_path / "store")
+    run_pipeline(corpus, PipelineConfig(out_root=out, run_id="v1"))
+
+    def run_verify():
+        buf = StringIO()
+        with redirect_stdout(buf):
+            rc = main(["verify", "--out", out])
+        return rc, _json.loads(buf.getvalue())
+
+    rc, rep = run_verify()
+    assert rc == 0 and not rep["problems"] and rep["partitions_ok"] > 0
+
+    man = Manifest(out)
+    parts = sorted(man.completed("t1m"))
+    pdir = man.partition_dir("t1m", parts[0])
+    victim = next(f for f in os.listdir(pdir) if f.endswith(".parquet"))
+
+    # truncate → size drift
+    vpath = os.path.join(pdir, victim)
+    orig = open(vpath, "rb").read()
+    open(vpath, "wb").write(orig[: len(orig) // 2])
+    rc, rep = run_verify()
+    assert rc == 3 and any(p["size_drift"] for p in rep["problems"])
+    open(vpath, "wb").write(orig)
+
+    # orphan file
+    open(os.path.join(pdir, "part-orphan.parquet"), "wb").write(b"x")
+    rc, rep = run_verify()
+    assert rc == 3 and any(p["extra"] == ["part-orphan.parquet"]
+                           for p in rep["problems"])
+    os.remove(os.path.join(pdir, "part-orphan.parquet"))
+
+    # missing file
+    os.rename(vpath, vpath + ".gone")
+    rc, rep = run_verify()
+    assert rc == 3 and any(victim in p["missing"] for p in rep["problems"])
+    os.rename(vpath + ".gone", vpath)
+    rc, rep = run_verify()
+    assert rc == 0

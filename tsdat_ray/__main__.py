@@ -87,6 +87,12 @@ def main(argv=None) -> int:
     repp.add_argument("--interval-s", type=int, default=60,
                       help="expected cadence of the tier (60 for t1m)")
 
+    verp = sub.add_parser(
+        "verify", help="audit tier-store files against the lineage manifest "
+        "(missing / extra / size-drifted parts; r4 integrity check)")
+    verp.add_argument("--out", required=True)
+    verp.add_argument("--tier", default=None)
+
     sub.add_parser("schema", help="print the yaml config schema (fields, checkers, handlers)")
 
     args = p.parse_args(argv)
@@ -114,6 +120,49 @@ def main(argv=None) -> int:
             indent=2,
         ))
         return 0
+
+    if args.cmd == "verify":
+        # integrity audit: recompute each committed partition's fn:size
+        # crc in the RECORD's file order (the same fold order commit used)
+        # and diff the live listing — catches lost, truncated and orphan
+        # part files without reading data.  Pure filesystem, no Ray.
+        import zlib
+
+        from tsdat_ray.state.manifest import Manifest
+
+        man = Manifest(args.out)
+        latest: dict = {}
+        for r in man.records():
+            latest[(r.get("tier"), r.get("partition"))] = r
+        report: dict = {"partitions_ok": 0, "problems": []}
+        for (tier, part), r in sorted(latest.items()):
+            if args.tier and tier != args.tier:
+                continue
+            if r.get("action") in ("pruned", "invalidated"):
+                continue
+            pdir = man.partition_dir(tier, part)
+            live = set(f for f in (man.sfs.listdir(pdir)
+                                   if man.sfs.isdir(pdir) else [])
+                       if f.endswith(".parquet"))
+            rec_files = list(r.get("files", []))
+            missing = [f for f in rec_files if f not in live]
+            extra = sorted(live - set(rec_files))
+            crc = 0
+            for fn in rec_files:
+                if fn in live:
+                    size = man.sfs.getsize(f"{pdir}/{fn}")
+                    crc = zlib.crc32(f"{fn}:{size}".encode(), crc)
+            drifted = (not missing
+                       and f"{crc:08x}" != r.get("checksum", ""))
+            if missing or extra or drifted:
+                report["problems"].append({
+                    "tier": tier, "partition": part, "missing": missing,
+                    "extra": extra, "size_drift": bool(drifted),
+                })
+            else:
+                report["partitions_ok"] += 1
+        print(json.dumps(report, indent=2))
+        return 0 if not report["problems"] else 3
 
     if args.cmd == "manifest":
         from tsdat_ray.state.manifest import Manifest
