@@ -1698,8 +1698,26 @@ def cluster_dedup_priority(ds, pairs, id_col: str = "doc_id",
     return semi_anti_join(ds, id_col, rd.from_arrow(drop_tab), "node", anti=True)
 
 
+def _hash_shuffle_width(shuffle_width: int | None) -> int:
+    """Partition count for the (id, hash) bucket exchange in the incremental
+    dedup paths.  The hash stream is ~20 B/doc — orders of magnitude smaller
+    than the corpus — so inheriting the corpus read's block count (Ray's
+    default: shuffle partitions = input blocks) multiplies the sort
+    machinery's fixed per-partition cost for no payload reason (measured r5:
+    0.95 s → 0.58 s warm at sf0.1 by coalescing 64 inherited blocks to 8).
+    Default: cluster-proportional ``max(8, CPUs // 4)`` — an 8192-CPU
+    cluster gets 2048 partitions (a 16 TB hash stream at 10^12 docs lands
+    ~8 GB per partition); pass an explicit width to override."""
+    if shuffle_width is not None:
+        return max(1, int(shuffle_width))
+    import ray
+
+    return max(8, int(ray.cluster_resources().get("CPU", 32)) // 4)
+
+
 def dedup_against_store(new_ds, old_ds, text_col: str = "text",
-                        id_col: str = "doc_id", num_buckets: int = 64):
+                        id_col: str = "doc_id", num_buckets: int = 64,
+                        shuffle_width: int | None = None):
     """Incremental corpus dedup: keep NEW rows whose exact content does not
     already exist in the HISTORICAL side — the continuous-ingest path of a
     growing training corpus (yesterday's store is authoritative; today's
@@ -1745,7 +1763,8 @@ def dedup_against_store(new_ds, old_ds, text_col: str = "text",
     both = (new_ds.select_columns([id_col, text_col])
             .map_batches(new_hashes, batch_format="pyarrow")
             .union(old_ds.select_columns([text_col])
-                   .map_batches(old_hashes, batch_format="pyarrow")))
+                   .map_batches(old_hashes, batch_format="pyarrow"))
+            .repartition(_hash_shuffle_width(shuffle_width)))
 
     drop_ids = both.groupby("_bk").map_groups(
         _bucket_dropped_ids(id_col), batch_format="pyarrow")
@@ -1772,7 +1791,8 @@ def _bucket_dropped_ids(id_col: str):
 def dedup_against_store_bloom(new_ds, old_ds, text_col: str = "text",
                               id_col: str = "doc_id", num_buckets: int = 64,
                               m_bits: int = 1 << 23, k: int = 7,
-                              bloom_bytes: bytes | None = None):
+                              bloom_bytes: bytes | None = None,
+                              shuffle_width: int | None = None):
     """Bloom-prefiltered incremental dedup — same OUTPUT as
     :func:`dedup_against_store` (a Bloom filter has no false negatives, so
     every true duplicate reaches the exact confirm; false positives are
@@ -1849,7 +1869,8 @@ def dedup_against_store_bloom(new_ds, old_ds, text_col: str = "text",
         })
 
     both = maybe.union(old_ds.select_columns([text_col])
-                       .map_batches(store_candidates, batch_format="pyarrow"))
+                       .map_batches(store_candidates, batch_format="pyarrow")) \
+        .repartition(_hash_shuffle_width(shuffle_width))
     drop_ids = both.groupby("_bk").map_groups(
         _bucket_dropped_ids(id_col), batch_format="pyarrow")
     return semi_anti_join(new_ds, id_col, drop_ids, id_col, anti=True)
