@@ -257,11 +257,16 @@ def _bucketed_attach(part, carry_m, key: str, window_col: str | None,
 
 def window_carry(part, key: str, window_col: str, summary_cols: list[str],
                  fold: Callable, salt_mod: int = 64,
-                 broadcast_budget_bytes: int = 64 << 20):
+                 broadcast_budget_bytes: int = 64 << 20,
+                 summary_ds=None):
     """The full round-3 carry pipeline: summary extraction → distributed
     per-key fold → budget-gated attach.  Returns ``part`` plus the fold's
-    carry columns."""
-    summ = summary_from_part(part, key, window_col, summary_cols)
+    carry columns.  Pass ``summary_ds`` (e.g. the sidecar from
+    :func:`~tsdat_ray.stages.spill.checkpoint_with_summary`) to skip the
+    summary-extraction scan of ``part`` — its rows may contain duplicate
+    (key, window) entries with identical summary values; the fold dedups."""
+    summ = summary_ds if summary_ds is not None \
+        else summary_from_part(part, key, window_col, summary_cols)
     carry = fold_carry(summ, key, window_col, summary_cols, fold,
                        salt_mod=salt_mod)
     return attach_carry(part, carry, key, window_col,

@@ -30,6 +30,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .spill import checkpoint as _ckpt
+from .spill import checkpoint_with_summary as _ckpt2
 
 
 def stratified_sample(ds, key: str = "source", order_col: str = "doc_id",
@@ -298,16 +299,16 @@ def pack_sequences_global(ds, context_len: int = 2048,
         out["_wtotal"] = pa.array(np.repeat(cs[-1] if len(cs) else 0, len(ln)))
         return pa.table(out)
 
-    part = _ckpt(md.map_batches(assign_window, batch_format="pyarrow")
+    part, _summ = _ckpt2(md.map_batches(assign_window, batch_format="pyarrow")
                  .groupby("_window").map_groups(local_scan,
-                                                batch_format="pyarrow"),
-                 "packscan")
+                                                batch_format="pyarrow"), "_all", ["_wtotal"], tag="packscan")
 
     def fold(starts, windows, cols):
         return {"_off": exclusive_prefix_within_segments(cols["_wtotal"],
                                                          starts)}
 
-    withc = window_carry(part, "_all", "_window", ["_wtotal"], fold)
+    withc = window_carry(part, "_all", "_window", ["_wtotal"], fold,
+                         summary_ds=_summ)
 
     def expand(b: pa.Table) -> pa.Table:
         s = (b["_ls"].combine_chunks().to_numpy(zero_copy_only=False)

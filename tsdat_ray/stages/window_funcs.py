@@ -39,7 +39,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .spill import checkpoint as _ckpt
+from .spill import checkpoint as _ckpt  # noqa: F401  (kept for non-carry uses)
+from .spill import checkpoint_with_summary as _ckpt2
 
 US = 1_000_000
 
@@ -81,16 +82,17 @@ def partitioned_lag(ds, key: str, ts_col: str, value_col: str,
         out["_last_val"] = pa.array(np.repeat(x[order[-1]] if len(order) else np.nan, len(ts)))
         return pa.table(out)
 
-    part = _ckpt(ds.map_batches(add_window, batch_format="pyarrow").groupby(
+    part, _summ = _ckpt2(ds.map_batches(add_window, batch_format="pyarrow").groupby(
         [key, "_window"]
-    ).map_groups(per_window, batch_format="pyarrow"))
+    ).map_groups(per_window, batch_format="pyarrow"), key, ["_last_val"])
 
     # distributed carry: previous non-empty window's last value per segment
     def fold(starts, windows, cols):
         return {"_carry": shift_within_segments(cols["_last_val"], starts,
                                                 np.nan)}
 
-    withc = window_carry(part, key, "_window", ["_last_val"], fold)
+    withc = window_carry(part, key, "_window", ["_last_val"], fold,
+                         summary_ds=_summ)
 
     def fill(b: pa.Table) -> pa.Table:
         first = b["_first"].combine_chunks().to_numpy(zero_copy_only=False)
@@ -148,9 +150,9 @@ def partitioned_cumsum(ds, key: str, ts_col: str, value_col: str,
         out["_wtotal"] = pa.array(np.repeat(total, len(x)))
         return pa.table(out)
 
-    part = _ckpt(ds.map_batches(add_window, batch_format="pyarrow").groupby(
+    part, _summ = _ckpt2(ds.map_batches(add_window, batch_format="pyarrow").groupby(
         [key, "_window"]
-    ).map_groups(local_scan, batch_format="pyarrow"))
+    ).map_groups(local_scan, batch_format="pyarrow"), key, ["_wtotal"])
 
     # distributed carry: exclusive prefix sum of window totals per key
     # segment — window-order accumulation, so floats fold identically to
@@ -159,7 +161,8 @@ def partitioned_cumsum(ds, key: str, ts_col: str, value_col: str,
         return {"_off": exclusive_prefix_within_segments(cols["_wtotal"],
                                                          starts)}
 
-    withc = window_carry(part, key, "_window", ["_wtotal"], fold)
+    withc = window_carry(part, key, "_window", ["_wtotal"], fold,
+                         summary_ds=_summ)
 
     def add_offset(b: pa.Table) -> pa.Table:
         cs = b["_lcs"].combine_chunks().to_numpy(zero_copy_only=False)
@@ -209,16 +212,17 @@ def partitioned_lead(ds, key: str, ts_col: str, value_col: str,
         out["_first_val"] = pa.array(np.repeat(x[order[0]] if len(order) else np.nan, len(ts)))
         return pa.table(out)
 
-    part = _ckpt(ds.map_batches(add_window, batch_format="pyarrow").groupby(
+    part, _summ = _ckpt2(ds.map_batches(add_window, batch_format="pyarrow").groupby(
         [key, "_window"]
-    ).map_groups(per_window, batch_format="pyarrow"))
+    ).map_groups(per_window, batch_format="pyarrow"), key, ["_first_val"])
 
     # distributed carry: next non-empty window's first value per segment
     def fold(starts, windows, cols):
         return {"_carry": shift_back_within_segments(cols["_first_val"],
                                                      starts, np.nan)}
 
-    withc = window_carry(part, key, "_window", ["_first_val"], fold)
+    withc = window_carry(part, key, "_window", ["_first_val"], fold,
+                         summary_ds=_summ)
 
     def fill(b: pa.Table) -> pa.Table:
         last = b["_last"].combine_chunks().to_numpy(zero_copy_only=False)
@@ -595,9 +599,9 @@ def partitioned_rolling_sum(ds, key: str, ts_col: str, value_col: str,
                                 type=pa.list_(pa.int64() if value_scale else pa.float64()))
         return pa.table(out)
 
-    part = _ckpt(ds.map_batches(add_window, batch_format="pyarrow").groupby(
+    part, _summ = _ckpt2(ds.map_batches(add_window, batch_format="pyarrow").groupby(
         [key, "_window"]
-    ).map_groups(local_frame, batch_format="pyarrow"))
+    ).map_groups(local_frame, batch_format="pyarrow"), key, ["_tail"])
 
     # distributed carry: last n-1 values BEFORE each window, per key segment
     np_dtype = np.int64 if value_scale else np.float64
@@ -606,7 +610,8 @@ def partitioned_rolling_sum(ds, key: str, ts_col: str, value_col: str,
         return {"_carry": tail_buffer_within_segments(
             cols["_tail"], starts, n - 1, np_dtype)}
 
-    withc = window_carry(part, key, "_window", ["_tail"], fold)
+    withc = window_carry(part, key, "_window", ["_tail"], fold,
+                         summary_ds=_summ)
 
     def fill(b: pa.Table) -> pa.Table:
         pos = b["_pos"].combine_chunks().to_numpy(zero_copy_only=False)
@@ -690,16 +695,17 @@ def partitioned_rolling_zscore(ds, key: str, ts_col: str, value_col: str,
                                 type=pa.list_(pa.int64()))
         return pa.table(out)
 
-    part = _ckpt(ds.map_batches(add_window, batch_format="pyarrow").groupby(
+    part, _summ = _ckpt2(ds.map_batches(add_window, batch_format="pyarrow").groupby(
         [key, "_window"]
-    ).map_groups(local_frame, batch_format="pyarrow"))
+    ).map_groups(local_frame, batch_format="pyarrow"), key, ["_tail"])
 
     # distributed carry: last n values BEFORE each window, per key segment
     def fold(starts, windows, cols):
         return {"_carry": tail_buffer_within_segments(
             cols["_tail"], starts, n, np.int64)}
 
-    withc = window_carry(part, key, "_window", ["_tail"], fold)
+    withc = window_carry(part, key, "_window", ["_tail"], fold,
+                         summary_ds=_summ)
 
     def fill(b: pa.Table) -> pa.Table:
         pos = b["_pos"].combine_chunks().to_numpy(zero_copy_only=False)
@@ -1083,9 +1089,9 @@ def time_weighted_avg(ds, key: str, ts_col: str, value_col: str,
                "_first_ts": pa.array(np.repeat(tss[0] if len(tss) else -1, len(ts)))}
         return pa.table(out)
 
-    part = _ckpt(ds.map_batches(add_window, batch_format="pyarrow").groupby(
+    part, _summ = _ckpt2(ds.map_batches(add_window, batch_format="pyarrow").groupby(
         [key, "_window"]
-    ).map_groups(per_window, batch_format="pyarrow"))
+    ).map_groups(per_window, batch_format="pyarrow"), key, ["_first_ts"])
 
     # distributed carry (for a window's LAST row): first ts of the nearest
     # LATER non-empty window — reverse segment shift
@@ -1093,7 +1099,8 @@ def time_weighted_avg(ds, key: str, ts_col: str, value_col: str,
         return {"_carry": shift_back_within_segments(
             cols["_first_ts"].astype(np.int64), starts, np.int64(-1))}
 
-    withc = window_carry(part, key, "_window", ["_first_ts"], fold)
+    withc = window_carry(part, key, "_window", ["_first_ts"], fold,
+                         summary_ds=_summ)
 
     def partial_sums(b: pa.Table) -> pa.Table:
         k = b[key].to_numpy(zero_copy_only=False)
@@ -1211,9 +1218,9 @@ def partitioned_ewma(ds, key: str, ts_col: str, value_col: str,
         out["_vfirst"] = pa.array(np.repeat(xs[0] if len(x) else 0.0, len(x)))
         return pa.table(out)
 
-    part = _ckpt(ds.map_batches(add_window, batch_format="pyarrow").groupby(
+    part, _summ = _ckpt2(ds.map_batches(add_window, batch_format="pyarrow").groupby(
         [key, "_window"]
-    ).map_groups(per_window, batch_format="pyarrow"))
+    ).map_groups(per_window, batch_format="pyarrow"), key, ["_m", "_lend", "_vfirst"])
 
     # distributed carry: the sequential recurrence per key segment (same
     # float op order as the round-2 driver fold — results unchanged)
@@ -1231,8 +1238,8 @@ def partitioned_ewma(ds, key: str, ts_col: str, value_col: str,
                 prev = (q ** int(m[i])) * prev + lend[i]
         return {"_carry": carry}
 
-    withc = window_carry(part, key, "_window", ["_m", "_lend", "_vfirst"],
-                         fold)
+    withc = window_carry(part, key, "_window", ["_m", "_lend", "_vfirst"], fold,
+                         summary_ds=_summ)
 
     def fill(b: pa.Table) -> pa.Table:
         pos = b["_pos"].combine_chunks().to_numpy(zero_copy_only=False)
@@ -1296,16 +1303,17 @@ def interval_union(ds, key: str, ts_col: str, dur_col: str, id_col: str,
                                         len(ts))),
         })
 
-    part = _ckpt(ds.map_batches(add_window, batch_format="pyarrow").groupby(
+    part, _summ = _ckpt2(ds.map_batches(add_window, batch_format="pyarrow").groupby(
         [key, "_window"]
-    ).map_groups(per_window, batch_format="pyarrow"))
+    ).map_groups(per_window, batch_format="pyarrow"), key, ["_wmax"])
 
     # distributed carry: running max of window maxima BEFORE each window
     def fold(starts, windows, cols):
         return {"_carry": running_max_before_within_segments(
             cols["_wmax"].astype(np.int64), starts, NOMAX)}
 
-    withc = window_carry(part, key, "_window", ["_wmax"], fold)
+    withc = window_carry(part, key, "_window", ["_wmax"], fold,
+                         summary_ds=_summ)
 
     def partial_sums(b: pa.Table) -> pa.Table:
         k = b[key].to_numpy(zero_copy_only=False)
@@ -1383,9 +1391,9 @@ def counter_increase(ds, key: str, ts_col: str, value_col: str,
                 vqs[-1] if len(vqs) else np.int64(0), len(ts))),
         })
 
-    part = _ckpt(ds.map_batches(add_window, batch_format="pyarrow").groupby(
+    part, _summ = _ckpt2(ds.map_batches(add_window, batch_format="pyarrow").groupby(
         [key, "_window"]
-    ).map_groups(per_window, batch_format="pyarrow"))
+    ).map_groups(per_window, batch_format="pyarrow"), key, ["_last_vq"])
 
     NOPREV = np.iinfo(np.int64).min
 
@@ -1394,7 +1402,8 @@ def counter_increase(ds, key: str, ts_col: str, value_col: str,
         return {"_carry": shift_within_segments(
             cols["_last_vq"].astype(np.int64), starts, NOPREV)}
 
-    withc = window_carry(part, key, "_window", ["_last_vq"], fold)
+    withc = window_carry(part, key, "_window", ["_last_vq"], fold,
+                         summary_ds=_summ)
 
     def partial_sums(b: pa.Table) -> pa.Table:
         k = b[key].to_numpy(zero_copy_only=False)
@@ -1692,16 +1701,17 @@ def partitioned_rolling_minmax(ds, key: str, ts_col: str, value_col: str,
         out["_tail"] = pa.array([tail.tolist()] * len(xs), type=pa.list_(pa.float64()))
         return pa.table(out)
 
-    part = _ckpt(ds.map_batches(add_window, batch_format="pyarrow").groupby(
+    part, _summ = _ckpt2(ds.map_batches(add_window, batch_format="pyarrow").groupby(
         [key, "_window"]
-    ).map_groups(local_frame, batch_format="pyarrow"))
+    ).map_groups(local_frame, batch_format="pyarrow"), key, ["_tail"])
 
     # distributed carry: last n-1 values BEFORE each window, per key segment
     def fold(starts, windows, cols):
         return {"_carry": tail_buffer_within_segments(
             cols["_tail"], starts, n - 1, np.float64)}
 
-    withc = window_carry(part, key, "_window", ["_tail"], fold)
+    withc = window_carry(part, key, "_window", ["_tail"], fold,
+                         summary_ds=_summ)
 
     def fill(b: pa.Table) -> pa.Table:
         pos = b["_pos"].combine_chunks().to_numpy(zero_copy_only=False)
@@ -1826,9 +1836,9 @@ def session_ids(ds, key: str, ts_col: str, id_col: str, gap_s: int,
         out["_ntot"] = pa.array(np.repeat(cs[-1], n))
         return pa.table(out)
 
-    part = _ckpt(ds.map_batches(add_window, batch_format="pyarrow").groupby(
+    part, _summ = _ckpt2(ds.map_batches(add_window, batch_format="pyarrow").groupby(
         [key, "_window"]
-    ).map_groups(local_scan, batch_format="pyarrow"))
+    ).map_groups(local_scan, batch_format="pyarrow"), key, ["_first_ts", "_last_ts", "_ntot"])
 
     from .carry import (exclusive_prefix_within_segments,
                         shift_within_segments, window_carry)
@@ -1843,8 +1853,8 @@ def session_ids(ds, key: str, ts_col: str, id_col: str, gap_s: int,
         off = exclusive_prefix_within_segments(ntot + b, starts)
         return {"_off": off, "_b": b}
 
-    withc = window_carry(part, key, "_window",
-                         ["_first_ts", "_last_ts", "_ntot"], fold)
+    withc = window_carry(part, key, "_window", ["_first_ts", "_last_ts", "_ntot"], fold,
+                         summary_ds=_summ)
 
     def finish(b: pa.Table) -> pa.Table:
         lcs = b["_lcs"].combine_chunks().to_numpy(zero_copy_only=False)
@@ -1904,8 +1914,8 @@ def partitioned_cusum(ds, key: str, ts_col: str, value_col: str,
         out["_wmin"] = pa.array(np.full(len(c), runmin[-1] if len(c) else 0, np.int64))
         return pa.table(out)
 
-    part = _ckpt(ds.map_batches(add_window, batch_format="pyarrow").groupby(
-        [key, "_window"]).map_groups(local_scan, batch_format="pyarrow"))
+    part, _summ = _ckpt2(ds.map_batches(add_window, batch_format="pyarrow").groupby(
+        [key, "_window"]).map_groups(local_scan, batch_format="pyarrow"), key, ["_wtot", "_wmin"])
 
     # distributed carry: max-plus semiring fold of (total, min-prefix) —
     # S_in(w_{i+1}) = max(S_in(w_i) + C_i, C_i − minc_i), 0 at segment heads
@@ -1922,7 +1932,8 @@ def partitioned_cusum(ds, key: str, ts_col: str, value_col: str,
                 s = max(s + tot[i], tot[i] - mn[i])
         return {"_sin": s_in}
 
-    withc = window_carry(part, key, "_window", ["_wtot", "_wmin"], fold)
+    withc = window_carry(part, key, "_window", ["_wtot", "_wmin"], fold,
+                         summary_ds=_summ)
     thr_q = threshold * value_scale
 
     def fill(b: pa.Table) -> pa.Table:
@@ -2011,15 +2022,16 @@ def partitioned_lag_k(ds, key: str, ts_col: str, value_col: str,
         out["_tail"] = pa.array([tail.tolist()] * len(xs), type=pa.list_(pa.float64()))
         return pa.table(out)
 
-    part = _ckpt(ds.map_batches(add_window, batch_format="pyarrow").groupby(
-        [key, "_window"]).map_groups(local_frame, batch_format="pyarrow"))
+    part, _summ = _ckpt2(ds.map_batches(add_window, batch_format="pyarrow").groupby(
+        [key, "_window"]).map_groups(local_frame, batch_format="pyarrow"), key, ["_tail"])
 
     # distributed carry: k-deep running tail BEFORE each window per segment
     def fold(starts, windows, cols):
         return {"_carry": tail_buffer_within_segments(
             cols["_tail"], starts, k_, np.float64)}
 
-    withc = window_carry(part, key, "_window", ["_tail"], fold)
+    withc = window_carry(part, key, "_window", ["_tail"], fold,
+                         summary_ds=_summ)
 
     def fill(b: pa.Table) -> pa.Table:
         pos = b["_pos"].combine_chunks().to_numpy(zero_copy_only=False)
