@@ -2891,6 +2891,32 @@ def _q_ewma_events(sf_dir: str):
     return out.select_columns(["event_id", "value_ewma"])
 
 
+def _q_decay_score_events(sf_dir: str):
+    """Truncated-EWMA geometric-decay score per event_type (K=64 lags,
+    α=0.1) — the HASH-EXACT EWMA-family member (r5): every term is
+    quantized round(1e9·α(1-α)^d·v) to int64 before the associative sum
+    (stages/window_funcs.py:partitioned_decay_score), so the SQL twin's
+    self-join against the identical weight literals lands on the same
+    integers.  `ewma_events` stays the exact-recurrence operator (rows-only
+    by design: its distributed closed form reassociates floats)."""
+    from tsdat_ray.stages.window_funcs import partitioned_decay_score
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "event_type", "value"])
+    out = partitioned_decay_score(ds, key="event_type", ts_col="ts",
+                                  value_col="value", id_col="event_id",
+                                  alpha=0.1, k_terms=64)
+    return out.select_columns(["event_id", "value_decay_q"])
+
+
+def _decay_weight_values_sql(alpha: float = 0.1, k_terms: int = 64) -> str:
+    """(d, sw) VALUES literals for the decay_score oracle — repr() of the
+    ENGINE's own weight doubles, so both sides multiply identical floats."""
+    from tsdat_ray.stages.window_funcs import decay_weights
+
+    sw = decay_weights(alpha, k_terms)
+    return ", ".join(f"({d}, {float(w)!r})" for d, w in enumerate(sw))
+
+
 def _q_twa_events(sf_dir: str):
     """Time-weighted average (step interpolation) per (event_type, day) —
     exact integer µs×cents accumulation, cross-window step closure via a
@@ -6291,6 +6317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_zscore_events": _q_rolling_zscore_events,
         "interval_union_events": _q_interval_union_events,
         "ewma_events": _q_ewma_events,
+        "decay_score_events": _q_decay_score_events,
         "covar_slope_per_type": _q_covar_slope_events,
         "first_value_events": _q_first_value_events,
         "rank_events": _q_rank_events,
@@ -7899,6 +7926,25 @@ def oracle_sql() -> dict[str, str]:
             FROM step WHERE iter >= 1
             GROUP BY iter
             ORDER BY rank
+        """,
+        "decay_score_events": f"""
+            WITH s AS (
+              SELECT event_type, event_id, CAST(value AS DOUBLE) AS v,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY ts, event_id) AS rn
+              FROM events
+            ),
+            w(d, sw) AS (VALUES {_decay_weight_values_sql()}),
+            t AS (
+              SELECT j.event_id AS event_id,
+                     CAST(round(w.sw * i.v) AS BIGINT) AS term
+              FROM s j
+              JOIN s i ON i.event_type = j.event_type
+                      AND i.rn BETWEEN j.rn - 63 AND j.rn
+              JOIN w ON w.d = j.rn - i.rn
+            )
+            SELECT event_id, CAST(sum(term) AS BIGINT) AS value_decay_q
+            FROM t GROUP BY event_id
         """,
         "dense_rank_events": """
             SELECT event_id,

@@ -315,6 +315,26 @@ def test_ima_adpcm_roundtrip_and_wav_integration():
     got_mu = _decode_compressed("wav", wav_bytes(7, 8, 1, mu.tobytes()))
     assert got_mu.tolist() == mulaw_decode(mu).tolist()
 
+    # advisor r5: a `fact` chunk (true sample count) truncates the final
+    # block's nibble padding, so decode length == original exactly
+    def wav_with_fact(fmt_code, bits, block_align, data, n):
+        fmt = struct.pack("<HHIIHH", fmt_code, 1, 8000,
+                          8000, block_align, bits)
+        body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"fact" + struct.pack("<I", 4) + struct.pack("<I", n)
+                + b"data" + struct.pack("<I", len(data)) + data
+                + (b"\x00" if len(data) & 1 else b""))
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    odd = sig[:1777]  # ends mid-block: encoder pads the last nibble run
+    enc_odd = ima_adpcm_encode(odd, block_align=256)
+    assert len(ima_adpcm_decode(enc_odd, block_align=256)) > len(odd)
+    got_fact = _decode_compressed(
+        "wav", wav_with_fact(0x11, 4, 256, enc_odd, len(odd)))
+    assert len(got_fact) == len(odd)
+    assert got_fact.tolist() == ima_adpcm_decode(
+        enc_odd, block_align=256, n_samples=len(odd)).tolist()
+
 
 def test_acf_per_key_brute(ray_session):
     import ray.data as rd

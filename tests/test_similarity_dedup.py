@@ -566,6 +566,50 @@ def test_bpe_train_matches_reference(ray_session):
         assert got.loc[i, "pair_count"] == cnt
 
 
+def test_bpe_tiebreak_name_order_not_id_order(ray_session):
+    """Advisor r4: force a weighted pair-count tie between a pair led by a
+    MERGED symbol (name "aa", allocation id 257) and one led by a plain
+    byte (name "b", id 98).  Rendered-NAME order picks ("aa", "b");
+    allocation-ID order would pick ("b", "</w>") — so this corpus detects
+    any drift between the engine's tie-break and the SQL oracle's
+    ``ORDER BY c DESC, a, b`` over names."""
+    import duckdb
+    import ray.data as rd
+
+    import __ray_entry__ as entrymod
+    from tsdat_ray.stages.text import bpe_train
+
+    docs = ["aab aab aab"]
+    tbl = pa.table({"text": pa.array(docs)})
+    got = (bpe_train(rd.from_arrow(tbl), n_merges=6)
+           .to_pandas().sort_values("rank").reset_index(drop=True))
+
+    # merge 0 resolves the 3-way tie (a,a)/(a,b)/(b,</w>) to (a,a);
+    # merge 1 is THE disagreement case: ("aa","b") ties ("b","</w>") at 3
+    assert (got.loc[0, "left"], got.loc[0, "right"]) == ("a", "a")
+    assert (got.loc[1, "left"], got.loc[1, "right"]) == ("aa", "b")
+
+    # reference dict-BPE with the name-ordered tie-break agrees in full
+    exp = _reference_bpe({"aab": 3}, 6)
+    assert len(got) == len(exp)
+    for i, (rank, a, b, cnt) in enumerate(exp):
+        assert (got.loc[i, "left"], got.loc[i, "right"],
+                int(got.loc[i, "pair_count"])) == (a, b, cnt)
+
+    # and the ACTUAL driver oracle SQL re-trains the identical table
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM (VALUES "
+                "('d1', 'aab aab aab')) t(doc_id, text)")
+    odf = con.execute(entrymod.oracle_sql()["bpe_merges_docs"]).df()
+    odf = odf.sort_values("rank").reset_index(drop=True)
+    assert len(odf) == len(got)
+    for i in range(len(got)):
+        assert (odf.loc[i, "left"], odf.loc[i, "right"],
+                int(odf.loc[i, "pair_count"])) == (
+            got.loc[i, "left"], got.loc[i, "right"],
+            int(got.loc[i, "pair_count"]))
+
+
 # --------------------------------------------------------------------------- #
 # exact covariance + PCA (round 3)
 # --------------------------------------------------------------------------- #

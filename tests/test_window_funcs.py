@@ -331,6 +331,39 @@ def test_ewma_matches_sequential(log):
             assert abs(got - e) <= 1e-9 * max(abs(e), 1.0), (kk, j)
 
 
+def test_decay_score_matches_sequential(log):
+    """partitioned_decay_score == the brute-force per-row truncated sum of
+    int64-quantized terms, bit-exact, across window boundaries and the
+    cold key's empty-window gaps (narrow 1h windows force carries whose
+    tails span multiple source windows)."""
+    from tsdat_ray.stages.text_quant import half_away
+    from tsdat_ray.stages.window_funcs import (decay_weights,
+                                               partitioned_decay_score)
+
+    K = 16
+    sw = decay_weights(0.2, K)
+    out = (
+        partitioned_decay_score(rd.from_arrow(log).repartition(7), key="k",
+                                ts_col="ts", value_col="v", id_col="eid",
+                                alpha=0.2, k_terms=K, window_s=3600)
+        .to_pandas().set_index("eid")
+    )
+    assert len(out) == log.num_rows
+    k = log["k"].to_numpy(zero_copy_only=False)
+    ts = log["ts"].to_numpy().astype("int64")
+    v = log["v"].to_numpy()
+    eid = log["eid"].to_numpy()
+    for kk in ("hot", "cold"):
+        m = k == kk
+        order = np.lexsort((eid[m], ts[m]))
+        vs, es = v[m][order], eid[m][order]
+        for j in range(len(vs)):
+            lo = max(0, j - K + 1)
+            exp = int(half_away(sw[j - np.arange(lo, j + 1)]
+                                * vs[lo:j + 1]).sum())
+            assert int(out.loc[es[j], "v_decay_q"]) == exp, (kk, j)
+
+
 def test_counter_increase_matches_sequential(log):
     from tsdat_ray.stages.window_funcs import counter_increase
 

@@ -75,7 +75,7 @@ def _wav_decode(payload: bytes) -> np.ndarray:
     b = payload
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("wav: not a RIFF/WAVE payload")
-    pos, fmt, data = 12, None, None
+    pos, fmt, data, fact_n = 12, None, None, None
     while pos + 8 <= len(b):
         cid = b[pos:pos + 4]
         sz = int.from_bytes(b[pos + 4:pos + 8], "little")
@@ -84,6 +84,10 @@ def _wav_decode(payload: bytes) -> np.ndarray:
             fmt = body
         elif cid == b"data":
             data = body
+        elif cid == b"fact" and sz >= 4:
+            # dwSampleLength: the TRUE per-channel sample count — required
+            # for block codecs (ADPCM) whose final block is nibble-padded
+            fact_n = int.from_bytes(body[0:4], "little")
         pos += 8 + sz + (sz & 1)  # chunks are 16-bit word aligned
     if fmt is None or data is None:
         raise ValueError("wav: missing fmt/data chunk")
@@ -121,7 +125,7 @@ def _wav_decode(payload: bytes) -> np.ndarray:
         return mulaw_decode(np.frombuffer(data, np.uint8))
     if audio_fmt == 0x11:  # IMA ADPCM
         block_align = int.from_bytes(fmt[12:14], "little") or 256
-        return ima_adpcm_decode(data, block_align)
+        return ima_adpcm_decode(data, block_align, n_samples=fact_n)
     raise NotImplementedError(f"wav: audio format {audio_fmt} (compressed)")
 
 
@@ -438,12 +442,19 @@ _IMA_STEPS = np.array([
 _IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], np.int64)
 
 
-def ima_adpcm_decode(payload: bytes, block_align: int = 256) -> np.ndarray:
+def ima_adpcm_decode(payload: bytes, block_align: int = 256,
+                     n_samples: int | None = None) -> np.ndarray:
     """IMA ADPCM (WAV fmt 0x11, mono) → int16 PCM.  Block layout: int16
     predictor, uint8 step index, 1 reserved byte, then 4-bit nibbles
     (low nibble first).  The adaptive recurrence is inherently sequential;
     per-block state resets keep error bounded and let blocks decode
-    independently (parallel across blocks at scale)."""
+    independently (parallel across blocks at scale).
+
+    ``n_samples``: the TRUE sample count (a WAV ``fact`` chunk's
+    dwSampleLength — :func:`_wav_decode` passes it through).  The final
+    partial block is nibble-padded by every encoder, so without it the
+    decode carries trailing synthetic samples (advisor r4); with it the
+    output is truncated to exactly the original length."""
     out = []
     b = payload
     for off in range(0, len(b) - 3, block_align):
@@ -468,7 +479,8 @@ def ima_adpcm_decode(payload: bytes, block_align: int = 256) -> np.ndarray:
             pred = min(max(pred, -32768), 32767)
             idx = min(max(idx + int(_IMA_INDEX[n & 7]), 0), 88)
             out.append(pred)
-    return np.asarray(out, np.int16)
+    arr = np.asarray(out, np.int16)
+    return arr[:n_samples] if n_samples is not None else arr
 
 
 def ima_adpcm_encode(pcm: np.ndarray, block_align: int = 256) -> bytes:

@@ -877,8 +877,12 @@ def bpe_train(ds, n_merges: int = 50, text_col: str = "text",
     its cost is vocab-bounded regardless of corpus size.  The loop itself
     is flattened numpy: all word types live in one int32 symbol array with
     offsets; each iteration counts adjacent pairs via a packed-key
-    ``np.unique`` + weighted bincount, picks the max (ties → smallest
-    packed key: deterministic), and applies non-overlapping greedy merges
+    ``np.unique`` + weighted bincount, picks the max (ties → the
+    lexicographically smallest RENDERED (left, right) name pair — id
+    allocation order never enters, so the SQL oracle's
+    ``ORDER BY c DESC, a, b`` over symbol names reproduces the pick
+    exactly; pinned by a tie-forcing unit test), and applies
+    non-overlapping greedy merges
     with a run-parity mask (``aaa`` merges the first pair only, matching
     the reference BPE left-to-right scan).
 
