@@ -3587,7 +3587,7 @@ def _q_media_audio_fingerprint(sf_dir: str):
 # extended tie chain — (bad, n_tok) + payload hash)
 _STORE_VERSION = 3
 # media corpus version: bump when synth_media_table output changes
-_MEDIA_VERSION = 4  # v4: planted image/video perceptual near-duplicates
+_MEDIA_VERSION = 5  # v5: half the videos are real MJPEG (pairs share codec)
 
 
 def _vap_store(sf_dir: str) -> str:

@@ -507,3 +507,65 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     if nc == 3:
         img = _ycbcr_to_rgb(img)
     return np.clip(np.round(img), 0, 255).astype(np.uint8)
+
+
+# ---- MJPEG (r5): video as a sequence of baseline JPEG frames ---------------
+# The classic intra-only video codec (AVI 'MJPG' streams are exactly this
+# payload with container framing).  Closes the "video path exercises a real
+# codec" gap: every frame round-trips through the real encoder/decoder above;
+# inter-frame codecs (h264) stay honestly stubbed.
+
+def mjpeg_encode(frames: "np.ndarray", quality: int = 90) -> bytes:
+    """(n_frames, h, w, c) uint8 → concatenated JPEG frames."""
+    if frames.ndim != 4:
+        raise ValueError("mjpeg_encode expects (n_frames, h, w, c)")
+    return b"".join(jpeg_encode(frames[j], quality=quality)
+                    for j in range(frames.shape[0]))
+
+
+def mjpeg_split(data: bytes) -> list[bytes]:
+    """Split concatenated JPEG frames on their own structure — a real
+    segment walk (marker lengths + entropy-scan with 0xFF00 stuffing and
+    RST handling), NOT a naive FFD8/FFD9 byte search (those byte pairs
+    occur inside entropy-coded data)."""
+    frames: list[bytes] = []
+    n = len(data)
+    pos = 0
+    while pos < n:
+        if data[pos:pos + 2] != b"\xff\xd8":
+            raise ValueError(f"mjpeg: expected SOI at byte {pos}")
+        start = pos
+        p = pos + 2
+        while True:
+            if p + 2 > n:
+                raise ValueError("mjpeg: truncated frame (no EOI)")
+            if data[p] != 0xFF:
+                raise ValueError(f"mjpeg: expected marker at byte {p}")
+            m = data[p + 1]
+            if m == 0xD9:                      # EOI — frame complete
+                p += 2
+                break
+            if m == 0x01 or 0xD0 <= m <= 0xD8:  # standalone markers
+                p += 2
+                continue
+            if p + 4 > n:
+                raise ValueError("mjpeg: truncated segment header")
+            ln = int.from_bytes(data[p + 2:p + 4], "big")
+            seg_end = p + 2 + ln
+            if m == 0xDA:                      # SOS: scan entropy data
+                q = seg_end
+                while True:
+                    idx = data.find(b"\xff", q)
+                    if idx < 0 or idx + 1 >= n:
+                        raise ValueError("mjpeg: truncated scan")
+                    nm = data[idx + 1]
+                    if nm == 0x00 or 0xD0 <= nm <= 0xD7:  # stuffing / RST
+                        q = idx + 2
+                        continue
+                    p = idx                    # real marker (EOI/next seg)
+                    break
+            else:
+                p = seg_end
+        frames.append(data[start:p])
+        pos = p
+    return frames

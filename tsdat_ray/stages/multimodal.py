@@ -11,7 +11,9 @@ columns (``kind``, ``width``, ``height``, ``channels``, ``sample_rate``,
 signatures, zero-copy binary handling, output layout) is fully real and
 tested.  REAL pure-python codecs: raw, png (all 5 filters, lossless), jpeg
 (baseline DCT decode), every uncompressed WAV variant (8/16/24/32-bit int +
-IEEE float), and — r4 — G.711 mu-law/A-law and IMA ADPCM compressed audio.
+IEEE float), G.711 mu-law/A-law and IMA ADPCM compressed audio (r4), and —
+r5 — MJPEG video (frame-sequence of real baseline JPEGs, split on JPEG
+structure; sampling decodes only the frames it keeps).
 Only opus/h264 remain stubbed behind a clearly-marked
 ``NotImplementedError`` (no soundfile/av in this container — swap
 ``_decode_compressed`` for them in production).
@@ -30,7 +32,7 @@ MEDIA_SCHEMA = pa.schema(
     [
         ("media_id", pa.int64()),
         ("kind", pa.string()),        # image | audio | video
-        ("codec", pa.string()),       # raw | jpeg | png | pcm16 | opus | h264
+        ("codec", pa.string()),       # raw|jpeg|png|pcm16|wav|mjpeg|opus|h264
         ("payload", pa.binary()),
         ("width", pa.int32()),
         ("height", pa.int32()),
@@ -206,8 +208,19 @@ def synth_media_table(n: int = 64, seed: int = 123) -> pa.Table:
                 f = int(rng.integers(4, 12))
                 frames = rng.integers(0, 256, w * h * c * f, dtype=np.uint8)
             prev_vid = (f, frames)
-            payload = frames.tobytes()
-            meta = dict(width=w, height=h, channels=c, sample_rate=0, n_frames=f, codec="raw")
+            # video ordinal cycles raw / MJPEG in blocks of 4 so each
+            # planted near-dup PAIR (ordinals 4k+2, 4k+3) shares a codec;
+            # mjpeg clips round-trip the real baseline-JPEG codec (r5)
+            if (i // 3) % 8 >= 4:
+                from .jpeg_codec import mjpeg_encode
+
+                payload = mjpeg_encode(frames.reshape(f, h, w, c),
+                                       quality=90)
+                codec = "mjpeg"
+            else:
+                payload = frames.tobytes()
+                codec = "raw"
+            meta = dict(width=w, height=h, channels=c, sample_rate=0, n_frames=f, codec=codec)
         rows["media_id"].append(i)
         rows["kind"].append(kind)
         rows["payload"].append(payload)
@@ -344,9 +357,39 @@ class AudioFeatures:
         )
 
 
+def _video_frames(codec: str, payload: bytes, w: int, h: int, c: int,
+                  nf: int, every: int):
+    """Yield ``(frame_idx, raw_frame_bytes)`` for every ``every``-th frame.
+
+    ``raw``: zero-copy reshape of the stacked payload.  ``mjpeg`` (r5): the
+    payload is split on JPEG frame structure (cheap segment walk) and ONLY
+    the selected frames run the real baseline-JPEG decode — sampling cost
+    scales with frames kept, not frames stored.  Other codecs (h264/…)
+    raise the documented env-constrained stub."""
+    if codec == "raw":
+        raw = np.frombuffer(payload, dtype=np.uint8).reshape(nf, h * w * c)
+        for j in range(0, nf, every):
+            yield j, raw[j].tobytes()
+    elif codec == "mjpeg":
+        from .jpeg_codec import jpeg_decode, mjpeg_split
+
+        frames = mjpeg_split(payload)
+        if len(frames) != nf:
+            raise ValueError(
+                f"mjpeg: payload holds {len(frames)} frames, meta says {nf}")
+        for j in range(0, nf, every):
+            img = jpeg_decode(frames[j])
+            if img.shape[2] == 1 and c == 3:  # grayscale JPEG of RGB meta
+                img = np.repeat(img, 3, axis=2)
+            yield j, np.ascontiguousarray(img).tobytes()
+    else:
+        _decode_compressed(codec, b"")
+
+
 class VideoFrameSample:
-    """Actor-pool stage: raw frame-stacked video payload → every k-th frame as
-    one output row (flat_map-style row expansion inside map_batches)."""
+    """Actor-pool stage: frame-stacked video payload (``raw`` or ``mjpeg``)
+    → every k-th frame as one output row (flat_map-style row expansion
+    inside map_batches); mjpeg frames emerge DECODED (raw pixels)."""
 
     def __init__(self, every: int = 2, payload_col: str = "payload", id_col: str = "media_id"):
         self.every = every
@@ -357,17 +400,16 @@ class VideoFrameSample:
         pay = batch[self.payload_col].combine_chunks()
         ids, fidx, payloads, ws, hs, cs = [], [], [], [], [], []
         for i in range(batch.num_rows):
-            if batch["codec"][i].as_py() != "raw":
-                _decode_compressed(batch["codec"][i].as_py(), b"")
             w = batch["width"][i].as_py()
             h = batch["height"][i].as_py()
             c = batch["channels"][i].as_py()
             nf = batch["n_frames"][i].as_py()
-            raw = np.frombuffer(pay[i].as_py(), dtype=np.uint8).reshape(nf, h * w * c)
-            for j in range(0, nf, self.every):
+            for j, fr in _video_frames(batch["codec"][i].as_py(),
+                                       pay[i].as_py(), w, h, c, nf,
+                                       self.every):
                 ids.append(batch[self.id_col][i].as_py())
                 fidx.append(j)
-                payloads.append(raw[j].tobytes())
+                payloads.append(fr)
                 ws.append(w)
                 hs.append(h)
                 cs.append(c)
@@ -642,14 +684,14 @@ class VideoDHash:
         self.id_col = id_col
         self._dh = ImageDHash()
 
-    def _one(self, payload: bytes, w: int, h: int, c: int, nf: int) -> int:
-        raw = np.frombuffer(payload, np.uint8).reshape(nf, h * w * c)
-        sel = range(0, nf, self.every)
-        bits = np.zeros((len(list(sel)), 64), np.int64)
-        for row, j in enumerate(range(0, nf, self.every)):
-            hv = self._dh._one("raw", raw[j].tobytes(), w, h, c)
-            bits[row] = (np.uint64(hv) >> np.arange(64, dtype=np.uint64)) \
-                & np.uint64(1)
+    def _one(self, codec: str, payload: bytes, w: int, h: int, c: int,
+             nf: int) -> int:
+        rows = []
+        for _j, fr in _video_frames(codec, payload, w, h, c, nf, self.every):
+            hv = self._dh._one("raw", fr, w, h, c)
+            rows.append((np.uint64(hv) >> np.arange(64, dtype=np.uint64))
+                        & np.uint64(1))
+        bits = np.stack(rows) if rows else np.zeros((0, 64), np.uint64)
         maj = (bits.sum(axis=0) * 2 > bits.shape[0]).astype(np.uint64)
         return int((maj << np.arange(64, dtype=np.uint64)).sum())
 
@@ -657,12 +699,10 @@ class VideoDHash:
         pay = batch[self.payload_col].combine_chunks()
         out = np.zeros(batch.num_rows, np.uint64)
         for i in range(batch.num_rows):
-            if batch["codec"][i].as_py() != "raw":
-                _decode_compressed(batch["codec"][i].as_py(), b"")
             out[i] = self._one(
-                pay[i].as_py(), batch["width"][i].as_py(),
-                batch["height"][i].as_py(), batch["channels"][i].as_py(),
-                batch["n_frames"][i].as_py())
+                batch["codec"][i].as_py(), pay[i].as_py(),
+                batch["width"][i].as_py(), batch["height"][i].as_py(),
+                batch["channels"][i].as_py(), batch["n_frames"][i].as_py())
         return pa.table({
             self.id_col: batch[self.id_col],
             "vdhash": pa.array(out),
