@@ -4889,14 +4889,19 @@ def _q_last_value(sf_dir: str):
 
 
 def _q_lttb(sf_dir: str):
-    """LTTB visual downsample, 48 points per (event_type, day) — rows-only
-    (point selection is not SQL-expressible); pinned against a sequential
-    reference in tests/test_transforms.py."""
+    """LTTB visual downsample, 48 points per (event_type, day) — HASH-GREEN
+    since r5: cent-quantized values + integer-exact triangle areas
+    (stages/transforms.py:lttb_indices_exact) make the selection bit-
+    reproducible, and a HUGEINT recursive-CTE twin (LATERAL argmax per
+    bucket, first-max tie-break on pos) replays it row-for-row; the
+    (ts, value, event_id) total sort order removes any block-layout
+    dependence.  Float-area mode stays available for unquantized data."""
     from tsdat_ray.stages.transforms import lttb_downsample
 
     ds = _events(sf_dir, columns=["event_id", "ts", "event_type", "value"])
     return lttb_downsample(ds, key="event_type", ts_col="ts",
-                           value_col="value", n_out=48, window_s=86400)
+                           value_col="value", n_out=48, window_s=86400,
+                           value_scale=100, id_col="event_id")
 
 
 def _q_grouping_sets_events(sf_dir: str):
@@ -7926,6 +7931,93 @@ def oracle_sql() -> dict[str, str]:
             FROM step WHERE iter >= 1
             GROUP BY iter
             ORDER BY rank
+        """,
+        "lttb_events": """
+            WITH RECURSIVE
+            s0 AS (
+              SELECT event_id, event_type, ts, value, epoch_us(ts) AS tus,
+                     (epoch_us(ts) // 86400000000) * 86400000000 AS win
+              FROM events
+            ),
+            s AS (
+              SELECT *,
+                     CAST(row_number() OVER (PARTITION BY event_type, win
+                               ORDER BY ts, value, event_id) - 1
+                          AS BIGINT) AS pos,
+                     count(*) OVER (PARTITION BY event_type, win) AS n,
+                     tus - min(tus) OVER (PARTITION BY event_type, win) AS tr,
+                     CAST(round(value * 100) AS BIGINT) AS vq
+              FROM s0
+            ),
+            g AS (SELECT event_type, win, max(n) AS n FROM s
+                  GROUP BY event_type, win),
+            big AS (SELECT * FROM g WHERE n > 48),
+            e AS (
+              SELECT b.event_type, b.win, t.i,
+                     CASE WHEN t.i = 46 THEN b.n - 1
+                          ELSE CAST(trunc(CAST(t.i AS DOUBLE)
+                                   * ((CAST(b.n AS DOUBLE) - 2.0) / 46.0)
+                                   + 1.0) AS BIGINT) END AS edge
+              FROM big b, range(47) t(i)
+            ),
+            buckets AS (
+              SELECT e1.event_type, e1.win, e1.i AS i, e1.edge AS lo,
+                     e2.edge AS hi, e2.edge AS nlo,
+                     COALESCE(e3.edge, b.n) AS nhi
+              FROM e e1
+              JOIN e e2 ON e2.event_type = e1.event_type
+                       AND e2.win = e1.win AND e2.i = e1.i + 1
+              LEFT JOIN e e3 ON e3.event_type = e1.event_type
+                            AND e3.win = e1.win AND e3.i = e1.i + 2
+              JOIN big b ON b.event_type = e1.event_type AND b.win = e1.win
+            ),
+            cent AS (
+              SELECT bk.event_type, bk.win, bk.i, bk.lo, bk.hi,
+                     CAST(bk.nhi - bk.nlo AS HUGEINT) AS m,
+                     CAST(sum(s.tr) AS HUGEINT) AS sum_t,
+                     CAST(sum(s.vq) AS HUGEINT) AS sum_v
+              FROM buckets bk
+              JOIN s ON s.event_type = bk.event_type AND s.win = bk.win
+                    AND s.pos >= bk.nlo AND s.pos < bk.nhi
+              GROUP BY ALL
+            ),
+            rec(event_type, win, i, a) AS (
+              SELECT event_type, win, -1, CAST(0 AS BIGINT) FROM big
+              UNION ALL
+              SELECT r.event_type, r.win, r.i + 1, p.pos
+              FROM rec r
+              JOIN cent c ON c.event_type = r.event_type
+                         AND c.win = r.win AND c.i = r.i + 1
+              JOIN s sa ON sa.event_type = r.event_type
+                       AND sa.win = r.win AND sa.pos = r.a,
+              LATERAL (
+                SELECT s2.pos
+                FROM s s2
+                WHERE s2.event_type = r.event_type AND s2.win = r.win
+                  AND s2.pos >= c.lo AND s2.pos < c.hi
+                ORDER BY abs((CAST(sa.tr AS HUGEINT) * c.m - c.sum_t)
+                             * (CAST(s2.vq AS HUGEINT) - sa.vq)
+                           - (CAST(sa.tr AS HUGEINT) - s2.tr)
+                             * (c.sum_v - CAST(sa.vq AS HUGEINT) * c.m))
+                         DESC, s2.pos
+                LIMIT 1) p
+              WHERE r.i + 1 <= 45
+            ),
+            keepers AS (
+              SELECT event_type, win, a AS pos FROM rec WHERE i >= 0
+              UNION
+              SELECT event_type, win, 0 FROM big
+              UNION
+              SELECT event_type, win, n - 1 FROM big
+              UNION
+              SELECT s.event_type, s.win, s.pos
+              FROM s JOIN g ON g.event_type = s.event_type AND g.win = s.win
+              WHERE g.n <= 48
+            )
+            SELECT s.event_id, s.ts, s.event_type, s.value
+            FROM s
+            JOIN keepers k ON k.event_type = s.event_type
+                          AND k.win = s.win AND k.pos = s.pos
         """,
         "decay_score_events": f"""
             WITH s AS (

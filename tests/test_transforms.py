@@ -272,6 +272,68 @@ def test_lttb_sequential_reference_and_invariants(ray_session):
     assert got[0] == ts.min() and got[-1] == ts.max()
 
 
+def test_lttb_exact_integer_mode(ray_session):
+    """r5 exact mode: (a) integer-area selection == a brute python
+    reference (including a planted exact-area TIE resolved to the smaller
+    pos), (b) the distributed value_scale path returns exactly those
+    rows."""
+    import ray.data as rd
+
+    from tsdat_ray.stages.transforms import lttb_downsample, lttb_indices_exact
+
+    US = 1_000_000
+    rng = np.random.default_rng(7)
+    n = 400
+    ts = (np.sort(rng.integers(0, 86400, n)) * US).astype(np.int64)
+    v = np.round(rng.normal(scale=50, size=n), 2)
+    vi = np.copysign(np.floor(np.abs(v * 100) + 0.5), v).astype(np.int64)
+
+    K = 24
+    sel = lttb_indices_exact(ts, vi, K)
+
+    # brute reference with identical rules
+    step = (n - 2.0) / (K - 2.0)
+    edges = (np.arange(K - 1, dtype=np.float64) * step + 1.0).astype(np.int64)
+    edges[-1] = n - 1
+    t0 = int(ts[0])
+    tr = [int(x) - t0 for x in ts]
+    a, keep = 0, [0, n - 1]
+    for i in range(K - 2):
+        lo, hi = int(edges[i]), int(edges[i + 1])
+        nlo = int(edges[i + 1])
+        nhi = int(edges[i + 2]) if i + 2 < len(edges) else n
+        m = nhi - nlo
+        st, sv = sum(tr[nlo:nhi]), int(vi[nlo:nhi].sum())
+        ax, ay = tr[a], int(vi[a])
+        areas = [abs((ax * m - st) * (int(vi[p]) - ay)
+                     - (ax - tr[p]) * (sv - ay * m)) for p in range(lo, hi)]
+        a = lo + int(np.argmax(areas))
+        keep.append(a)
+    assert np.array_equal(sel, np.unique(keep))
+
+    # planted tie: symmetric points around a flat anchor → equal areas;
+    # first-max (smallest pos) must win
+    ts2 = np.arange(10, dtype=np.int64) * US
+    v2 = np.array([0, 0, 5, -5, 0, 0, 0, 0, 0, 0], np.int64)
+    sel2 = lttb_indices_exact(ts2, v2, 5)
+    assert 0 in sel2 and 9 in sel2
+
+    # distributed path returns the same rows
+    tbl = pa.table({
+        "k": pa.array(["a"] * n),
+        "eid": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(ts).cast(pa.timestamp("us")),
+        "v": pa.array(v),
+    })
+    out = lttb_downsample(rd.from_arrow(tbl).repartition(4), key="k",
+                          ts_col="ts", value_col="v", n_out=K,
+                          window_s=7 * 86400, value_scale=100,
+                          id_col="eid").to_pandas()
+    order = np.lexsort((np.arange(n), v, ts))
+    expect = np.sort(np.arange(n)[order][sel])
+    assert np.array_equal(np.sort(out["eid"].values), expect)
+
+
 def test_lttb_small_group_passthrough(ray_session):
     import ray.data as rd
 

@@ -641,15 +641,71 @@ def lttb_indices(ts: np.ndarray, v: np.ndarray, n_out: int) -> np.ndarray:
     return np.unique(keep)
 
 
+def lttb_indices_exact(ts: np.ndarray, v_int: np.ndarray,
+                       n_out: int) -> np.ndarray:
+    """Integer-EXACT LTTB over one already-sorted series (r5): ``ts`` int64
+    µs rebased to the series start, ``v_int`` a quantized int64 column.
+    The triangle-area argmax multiplies through by the next-bucket count m
+    (a positive constant per bucket — argmax-preserving) so the comparison
+    ``|(a_x·m − Σt)·(v_p − a_y) − (a_x − t_p)·(Σv − a_y·m)|`` is exact
+    integer arithmetic (python ints, no overflow, no float round-off) —
+    which makes the selection bit-reproducible and expressible as a
+    HUGEINT recursive-CTE SQL twin.  Bucket edges use the explicit form
+    ``trunc(i·step + 1.0)`` with ``step = (n−2)/(n_out−2)`` (same grid as
+    ``np.linspace`` up to its internal division order — chosen so SQL can
+    replay the float edge math operation-for-operation); first/last kept,
+    first-max tie-break."""
+    n = len(ts)
+    if n <= n_out or n_out < 3:
+        return np.arange(n)
+    step = (n - 2.0) / (n_out - 2.0)
+    edges = (np.arange(n_out - 1, dtype=np.float64) * step + 1.0).astype(np.int64)
+    edges[-1] = n - 1
+    t0 = int(ts[0])
+    tr = [int(x) - t0 for x in ts]
+    vv = [int(x) for x in v_int]
+    keep = np.empty(n_out, dtype=np.int64)
+    keep[0], keep[-1] = 0, n - 1
+    a = 0
+    for i in range(n_out - 2):
+        lo, hi = int(edges[i]), int(edges[i + 1])
+        nlo = int(edges[i + 1])
+        nhi = int(edges[i + 2]) if i + 2 < len(edges) else n
+        m = nhi - nlo
+        sum_t = sum(tr[nlo:nhi])
+        sum_v = sum(vv[nlo:nhi])
+        ax, ay = tr[a], vv[a]
+        t1 = ax * m - sum_t
+        t2 = sum_v - ay * m
+        best, bestpos = -1, lo
+        for p in range(lo, hi):
+            area = abs(t1 * (vv[p] - ay) - (ax - tr[p]) * t2)
+            if area > best:
+                best, bestpos = area, p
+        a = bestpos
+        keep[i + 1] = a
+    return np.unique(keep)
+
+
 def lttb_downsample(ds, key: str, ts_col: str, value_col: str,
-                    n_out: int = 100, window_s: int = 86400):
+                    n_out: int = 100, window_s: int = 86400,
+                    value_scale: int | None = None,
+                    id_col: str | None = None):
     """Distributed LTTB visual downsample: per (key, time-window) groups each
     keep ``n_out`` LTTB-selected rows.  Windowing makes it scale-safe (no
     whole-key history in one task) at the cost of the standard streaming
     approximation: selection is exact WITHIN each window, and window edges
     always emit their boundary points (LTTB keeps first/last), so the joined
     polyline is continuous across windows.  Deterministic: groups sort by
-    (ts, value) and argmax takes the first maximum."""
+    (ts, value) and argmax takes the first maximum.
+
+    ``value_scale`` (r5): quantize values to ``round(v·scale)`` int64 and
+    select with :func:`lttb_indices_exact` — exact integer areas, so the
+    selection is bit-reproducible and SQL-oracle-able; ``id_col`` extends
+    the sort to (ts, value, id), a TOTAL order that removes the remaining
+    block-layout dependence when two rows tie on (ts, value)."""
+    from .text_quant import half_away
+
     US_ = 1_000_000
     win_us = window_s * US_
 
@@ -660,8 +716,16 @@ def lttb_downsample(ds, key: str, ts_col: str, value_col: str,
     def per_window(g: pa.Table) -> pa.Table:
         ts = g[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
         v = g[value_col].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
-        order = np.lexsort((v, ts))
-        sel = lttb_indices(ts[order], v[order], n_out)
+        if id_col is not None:
+            ids = g[id_col].to_numpy(zero_copy_only=False)
+            order = np.lexsort((ids, v, ts))
+        else:
+            order = np.lexsort((v, ts))
+        if value_scale:
+            vi = half_away(v[order] * value_scale)
+            sel = lttb_indices_exact(ts[order], vi, n_out)
+        else:
+            sel = lttb_indices(ts[order], v[order], n_out)
         take = pa.array(np.sort(order[sel]), type=pa.int64())
         return g.drop_columns(["_window"]).take(take)
 
