@@ -3262,6 +3262,11 @@ def _q_hash_split(sf_dir: str):
 
 
 def _q_pack_sequences(sf_dir: str):
+    """Batch-LOCAL greedy packing — inherently block-layout-dependent
+    (documents pack in batch order, example_id is batch-local), so no SQL
+    twin can exist without pinning the layout; rows-only by design.  The
+    layout-independent production twin `pack_global_sequences` carries the
+    hash-exact oracle."""
     from tsdat_ray.stages.sampling import pack_sequences
 
     ds = _read(_sequences_corpus(sf_dir), columns=["doc_id", "tokens"])

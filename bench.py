@@ -246,12 +246,15 @@ def run_sweep_slice() -> dict:
 
     _rd.read_parquet(os.path.join(sf_dir, "events.parquet")).count()
     qtimes = {}
+    from tsdat_ray.stages.spill import release_all
+
     for name in sorted(queries)[lo:hi]:
         t0 = time.time()
         res = queries[name](sf_dir)
         if hasattr(res, "materialize"):
             res.materialize()
         qtimes[name] = round(time.time() - t0, 3)
+        release_all()  # free each query's checkpoint scratch immediately
     ray.shutdown()
     return {"queries": qtimes}
 

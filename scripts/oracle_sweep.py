@@ -87,6 +87,11 @@ for name in names:
     except Exception as ex:  # noqa: BLE001 — sweep must report, not die
         bad += 1
         print(f"{name}: ERROR {type(ex).__name__}: {str(ex)[:200]}")
+    finally:
+        from tsdat_ray.stages.spill import release_all
+
+        release_all()  # advisor r4: don't accumulate checkpoint scratch
+                       # across a 225-query session (atexit is backstop)
 
 ray.shutdown()
 print(f"\n{len(names)} queries, {bad} failures")
