@@ -436,6 +436,23 @@ def _q_dedup_docs(sf_dir: str):
     return out.select_columns(["doc_id", "n_copies"])
 
 
+# shared NOT-EXISTS twin of the three incremental-dedup paths (exact,
+# Bloom-prefiltered, persisted-Bloom steady state) — all three have the
+# identical output contract, so one SQL string oracles them all
+_INCREMENTAL_DEDUP_SQL = """
+    WITH marked AS (
+        SELECT doc_id, text, source,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+                   AS is_old
+        FROM documents)
+    SELECT d.doc_id, d.source
+    FROM marked d
+    WHERE NOT d.is_old AND NOT EXISTS (
+        SELECT 1 FROM marked o
+        WHERE o.is_old AND o.text = d.text)
+"""
+
+
 def _q_dedup_incremental(sf_dir: str):
     """Incremental ingest dedup: split documents into a HISTORICAL store
     (~3/4, by portable md5(doc_id) prefix) and today's NEW batch; keep the
@@ -489,6 +506,50 @@ def _q_dedup_incremental_bloom(sf_dir: str):
         return ds.map_batches(f, batch_format="pyarrow")
 
     out = dedup_against_store_bloom(side(False), side(True), m_bits=1 << 20)
+    return out.select_columns(["doc_id", "source"])
+
+
+def _q_dedup_incremental_steady(sf_dir: str):
+    """STEADY-STATE ingest dedup — the shape that runs all day at 100 TB:
+    the store's Bloom filter PERSISTS next to the manifest (here: a
+    versioned file under /tmp, built once per scale and mmap-read by every
+    later run), so a new batch's dedup never rescans the store for the
+    filter — it pays only the maybe-confirm join, whose shuffled payload
+    is ~|duplicates|.  Output contract identical to the exact path (the
+    filter has no false negatives + exact confirm), so the same
+    NOT-EXISTS SQL oracles it."""
+    from tsdat_ray.stages.dedup import _hash_text, dedup_against_store_bloom
+    from tsdat_ray.stages.sketch import bloom_build
+
+    def side(old: bool):
+        ds = _read(f"{sf_dir}/documents.parquet",
+                   columns=["doc_id", "text", "source"])
+
+        def f(b: pa.Table, old=old) -> pa.Table:
+            import hashlib
+
+            ids = b["doc_id"].to_pylist()
+            pref = np.array([hashlib.md5(str(i).encode()).hexdigest()[:1]
+                             for i in ids], dtype="U1")
+            m = (pref < "c") if old else (pref >= "c")
+            return b.filter(pa.array(m))
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    m_bits = 1 << 20
+    path = os.path.join(_CACHE, f"store_bloom_v1_{_sf_of(sf_dir)}.bin")
+    if not os.path.exists(path):
+        os.makedirs(_CACHE, exist_ok=True)
+        blob = bloom_build(side(True).select_columns(["text"]),
+                           lambda b: _hash_text(b["text"]), m_bits=m_bits)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(blob)
+        os.replace(tmp, path)  # atomic: concurrent builders converge
+    with open(path, "rb") as fh:
+        bloom_bytes = fh.read()
+    out = dedup_against_store_bloom(side(False), side(True), m_bits=m_bits,
+                                    bloom_bytes=bloom_bytes)
     return out.select_columns(["doc_id", "source"])
 
 
@@ -6215,6 +6276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_docs": _q_dedup_docs,
         "dedup_incremental_docs": _q_dedup_incremental,
         "dedup_incremental_bloom_docs": _q_dedup_incremental_bloom,
+        "dedup_incremental_steady_docs": _q_dedup_incremental_steady,
         "cap_duplicates_docs": _q_cap_duplicates,
         "token_count_docs": _q_token_count,
         "quality_score_docs": _q_quality,
@@ -6565,30 +6627,8 @@ def oracle_sql() -> dict[str, str]:
                OR (pb IS NOT NULL AND nb IS NOT NULL
                    AND date_diff('minute', pb, nb) - 1 <= 5)
         """,
-        "dedup_incremental_docs": """
-            WITH marked AS (
-                SELECT doc_id, text, source,
-                       substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
-                           AS is_old
-                FROM documents)
-            SELECT d.doc_id, d.source
-            FROM marked d
-            WHERE NOT d.is_old AND NOT EXISTS (
-                SELECT 1 FROM marked o
-                WHERE o.is_old AND o.text = d.text)
-        """,
-        "dedup_incremental_bloom_docs": """
-            WITH marked AS (
-                SELECT doc_id, text, source,
-                       substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
-                           AS is_old
-                FROM documents)
-            SELECT d.doc_id, d.source
-            FROM marked d
-            WHERE NOT d.is_old AND NOT EXISTS (
-                SELECT 1 FROM marked o
-                WHERE o.is_old AND o.text = d.text)
-        """,
+        "dedup_incremental_docs": _INCREMENTAL_DEDUP_SQL,
+        "dedup_incremental_bloom_docs": _INCREMENTAL_DEDUP_SQL,
         "dedup_exact_docs": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
             FROM documents GROUP BY text
@@ -9476,4 +9516,8 @@ def oracle_sql() -> dict[str, str]:
             FROM q JOIN cs ON cs.source = q.source
             GROUP BY 1, 2
         """,
+        # steady-state ingest shares the exact-dedup contract: the Bloom
+        # filter is a lossless prefilter (no false negatives + exact
+        # confirm), so the SQL twin is identical to the one-shot path
+        "dedup_incremental_steady_docs": _INCREMENTAL_DEDUP_SQL,
     }
