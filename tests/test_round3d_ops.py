@@ -176,6 +176,13 @@ def test_triangle_count_random_vs_brute(ray_session):
     want_wedges = sum(d * (d - 1) // 2 for d in outdeg.values())
     assert out["n_wedges"] == want_wedges
 
+    # r5: the broadcast-close fast path and the co-shuffle fallback must
+    # agree exactly (budget=0 forces the shuffle path)
+    out2 = triangle_count(rd.from_arrow(
+        pa.table({"id_a": pa.array(a), "id_b": pa.array(b)})),
+        broadcast_budget_bytes=0).to_pandas().iloc[0]
+    assert out2.equals(out)
+
 
 def test_corpus_fingerprint_order_independent(ray_session):
     import ray.data as rd

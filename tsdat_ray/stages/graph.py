@@ -250,7 +250,8 @@ def pagerank(pairs, a_col: str = "id_a", b_col: str = "id_b",
 
 
 def triangle_count(edges, a_col: str = "id_a", b_col: str = "id_b",
-                   num_buckets: int = 64):
+                   num_buckets: int = 64,
+                   broadcast_budget_bytes: int = 64 << 20):
     """Global triangle census over an undirected edge list (any orientation,
     duplicates tolerated) — the graph-quality primitive behind clustering
     coefficients and community sanity checks on co-engagement / near-dup
@@ -366,6 +367,48 @@ def triangle_count(edges, a_col: str = "id_a", b_col: str = "id_b",
 
     wedge_ds = (uedges.map_batches(orient, batch_format="pyarrow")
                 .groupby("_salt").map_groups(wedges, batch_format="pyarrow"))
+
+    # budget-gated close (r5, the attach_carry pattern): when the deduped
+    # edge-key set fits the broadcast budget it ships ONCE via ray.put and
+    # every wedge task closes its own wedges with a searchsorted — the
+    # whole second (wedge ∪ edge) shuffle disappears, and only int count
+    # partials leave each task.  Beyond the budget the co-shuffled hash
+    # bucket path below runs unchanged (no broadcast at any corpus size).
+    if n_edges * 8 <= broadcast_budget_bytes:
+        ek_sorted = np.sort(np.concatenate(
+            [b["_ek"].combine_chunks().to_numpy(zero_copy_only=False)
+             for b in uedges.iter_batches(batch_format="pyarrow",
+                                          batch_size=None)]
+            or [np.zeros(0, np.int64)]))
+        ek_ref = ray.put(ek_sorted)
+
+        def close_local(b: pa.Table) -> pa.Table:
+            ek = ray.get(ek_ref)
+            wk = b["_wk"].combine_chunks().to_numpy(zero_copy_only=False)
+            if len(ek) and len(wk):
+                pos = np.searchsorted(ek, wk)
+                hit = (pos < len(ek)) & (ek[np.clip(pos, 0, len(ek) - 1)] == wk)
+                tri = int(np.count_nonzero(hit))
+            else:
+                tri = 0
+            return pa.table({"n_wedges": pa.array([len(wk)], pa.int64()),
+                             "n_triangles": pa.array([tri], pa.int64())})
+
+        parts = pa.concat_tables(
+            wedge_ds.map_batches(close_local, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow", batch_size=None))
+        n_wedges = int(pc.sum(parts["n_wedges"]).as_py() or 0)
+        n_tri = int(pc.sum(parts["n_triangles"]).as_py() or 0)
+        if n_wedges:
+            closure = ((np.float64(3.0) * np.float64(n_tri))
+                       / np.float64(n_wedges)) * np.float64(1000.0)
+            milli = int(np.copysign(np.floor(np.abs(closure) + 0.5), closure))
+        else:
+            milli = 0
+        return pa.table({"n_edges": pa.array([n_edges], pa.int64()),
+                         "n_wedges": pa.array([n_wedges], pa.int64()),
+                         "n_triangles": pa.array([n_tri], pa.int64()),
+                         "closure_milli": pa.array([milli], pa.int64())})
 
     # co-shuffle wedges + edges by key bucket; close wedges with one isin
     def tag_edge(b: pa.Table) -> pa.Table:
