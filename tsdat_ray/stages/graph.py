@@ -365,15 +365,13 @@ def triangle_count(edges, a_col: str = "id_a", b_col: str = "id_b",
         return pa.table({"_wk": pa.array(w),
                          "_salt": pa.array(w % np.int64(num_buckets))})
 
-    wedge_ds = (uedges.map_batches(orient, batch_format="pyarrow")
-                .groupby("_salt").map_groups(wedges, batch_format="pyarrow"))
-
     # budget-gated close (r5, the attach_carry pattern): when the deduped
     # edge-key set fits the broadcast budget it ships ONCE via ray.put and
-    # every wedge task closes its own wedges with a searchsorted — the
-    # whole second (wedge ∪ edge) shuffle disappears, and only int count
-    # partials leave each task.  Beyond the budget the co-shuffled hash
-    # bucket path below runs unchanged (no broadcast at any corpus size).
+    # the WEDGE TASK ITSELF closes each wedge with a searchsorted the
+    # moment it generates it — the 263M-row wedge stream never leaves the
+    # task (no second shuffle, no wedge blocks in the object store; only
+    # two int partials per bucket).  Beyond the budget the co-shuffled
+    # hash-bucket path below runs unchanged (no broadcast at any size).
     if n_edges * 8 <= broadcast_budget_bytes:
         ek_sorted = np.sort(np.concatenate(
             [b["_ek"].combine_chunks().to_numpy(zero_copy_only=False)
@@ -382,20 +380,23 @@ def triangle_count(edges, a_col: str = "id_a", b_col: str = "id_b",
             or [np.zeros(0, np.int64)]))
         ek_ref = ray.put(ek_sorted)
 
-        def close_local(b: pa.Table) -> pa.Table:
+        def wedges_closed(g: pa.Table) -> pa.Table:
+            w = wedges(g)["_wk"].combine_chunks().to_numpy(
+                zero_copy_only=False)
             ek = ray.get(ek_ref)
-            wk = b["_wk"].combine_chunks().to_numpy(zero_copy_only=False)
-            if len(ek) and len(wk):
-                pos = np.searchsorted(ek, wk)
-                hit = (pos < len(ek)) & (ek[np.clip(pos, 0, len(ek) - 1)] == wk)
+            if len(ek) and len(w):
+                pos = np.searchsorted(ek, w)
+                hit = (pos < len(ek)) & (ek[np.clip(pos, 0, len(ek) - 1)] == w)
                 tri = int(np.count_nonzero(hit))
             else:
                 tri = 0
-            return pa.table({"n_wedges": pa.array([len(wk)], pa.int64()),
+            return pa.table({"n_wedges": pa.array([len(w)], pa.int64()),
                              "n_triangles": pa.array([tri], pa.int64())})
 
         parts = pa.concat_tables(
-            wedge_ds.map_batches(close_local, batch_format="pyarrow")
+            uedges.map_batches(orient, batch_format="pyarrow")
+            .groupby("_salt").map_groups(wedges_closed,
+                                         batch_format="pyarrow")
             .iter_batches(batch_format="pyarrow", batch_size=None))
         n_wedges = int(pc.sum(parts["n_wedges"]).as_py() or 0)
         n_tri = int(pc.sum(parts["n_triangles"]).as_py() or 0)
@@ -409,6 +410,9 @@ def triangle_count(edges, a_col: str = "id_a", b_col: str = "id_b",
                          "n_wedges": pa.array([n_wedges], pa.int64()),
                          "n_triangles": pa.array([n_tri], pa.int64()),
                          "closure_milli": pa.array([milli], pa.int64())})
+
+    wedge_ds = (uedges.map_batches(orient, batch_format="pyarrow")
+                .groupby("_salt").map_groups(wedges, batch_format="pyarrow"))
 
     # co-shuffle wedges + edges by key bucket; close wedges with one isin
     def tag_edge(b: pa.Table) -> pa.Table:
