@@ -5349,6 +5349,18 @@ def _q_pagerank(sf_dir: str):
     return pagerank(_ngram_pairs(sf_dir), iters=15)
 
 
+def _q_pagerank_quantized(sf_dir: str):
+    """Fixed-point PageRank over the near-dup pair graph — the HASH-EXACT
+    twin of pagerank_neardup_docs (r5): int64 rank state, floor-division
+    shares, associative integer folds (stages/graph.py:pagerank_quantized),
+    replayed bit-for-bit by a recursive-CTE oracle that rebuilds the same
+    0.5-Jaccard pair graph in SQL and iterates the identical integer
+    recurrence."""
+    from tsdat_ray.stages.graph import pagerank_quantized
+
+    return pagerank_quantized(_ngram_pairs(sf_dir), iters=15)
+
+
 def _q_session_ids_auto(sf_dir: str):
     """Same gaps-and-islands session ids, but the window salt is chosen by
     the engine from sampled key density (suggest_window_s — the measured
@@ -6464,6 +6476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cusum_events": _q_cusum,
         "orc_roundtrip_events": _q_orc_roundtrip,
         "pagerank_neardup_docs": _q_pagerank,
+        "pagerank_quantized_docs": _q_pagerank_quantized,
         "session_ids_auto_events": _q_session_ids_auto,
         "lag3_events": _q_lag3,
         "autojoin_lineitem_orders": _q_autojoin_lineitem_orders,
@@ -9520,4 +9533,45 @@ def oracle_sql() -> dict[str, str]:
         # filter is a lossless prefilter (no false negatives + exact
         # confirm), so the SQL twin is identical to the one-shot path
         "dedup_incremental_steady_docs": _INCREMENTAL_DEDUP_SQL,
+        "pagerank_quantized_docs": """
+            WITH RECURSIVE
+            sh AS (
+                SELECT DISTINCT doc_id, substr(text, i, 5) AS g
+                FROM (SELECT doc_id, text,
+                             unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
+                      FROM documents)
+            ),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+                FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            prs AS (
+                SELECT i.id_a, i.id_b
+                FROM inter i
+                JOIN sz na ON na.doc_id = i.id_a
+                JOIN sz nb ON nb.doc_id = i.id_b
+                WHERE i.c * 1.0 / (na.n + nb.n - i.c) >= 0.5
+            ),
+            e AS (SELECT id_a AS src, id_b AS dst FROM prs
+                  UNION ALL SELECT id_b, id_a FROM prs),
+            deg AS (SELECT src AS node, count(*) AS d FROM e GROUP BY src),
+            nn AS (SELECT count(*) AS n FROM deg),
+            pr(iter, node, r) AS (
+              SELECT 0, d.node, CAST(1000000000000 // nn.n AS BIGINT)
+              FROM deg d, nn
+              UNION ALL
+              SELECT p.iter + 1, e.dst,
+                     CAST((15 * 1000000000000) // (100 * nn.n)
+                          + (85 * sum(p.r // dg.d)) // 100 AS BIGINT)
+              FROM pr p
+              JOIN e ON e.src = p.node
+              JOIN deg dg ON dg.node = p.node
+              CROSS JOIN nn
+              WHERE p.iter < 15
+              GROUP BY p.iter, e.dst, nn.n
+            )
+            SELECT node, r AS rank_q FROM pr WHERE iter = 15
+        """,
     }

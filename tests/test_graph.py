@@ -133,3 +133,48 @@ def test_pagerank_matches_dense_power_iteration(ray_session):
         r = 0.15 / N + 0.85 * (M @ (r / deg))
     for n_, i in idx.items():
         assert abs(got[n_] - r[i]) < 1e-12
+
+
+def test_pagerank_quantized_matches_integer_reference(ray_session):
+    """r5 fixed-point twin: the distributed int64 trajectory equals a
+    sequential integer power iteration EXACTLY (floor shares, floor
+    damping), and tracks the float pagerank to ~1/scale."""
+    import ray.data as rd
+
+    from tsdat_ray.stages.graph import pagerank, pagerank_quantized
+
+    rng = np.random.default_rng(31)
+    n_nodes, n_edges = 30, 80
+    a = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    b = (a + 1 + rng.integers(0, n_nodes - 1, n_edges)) % n_nodes
+    pairs = rd.from_arrow(pa.table({"id_a": pa.array(a), "id_b": pa.array(b)}))
+    S = 10 ** 12
+    got = {r_["node"]: r_["rank_q"]
+           for r_ in pagerank_quantized(pairs.repartition(3), iters=12,
+                                        scale=S).take_all()}
+
+    nodes = np.unique(np.r_[a, b])
+    idx = {n: i for i, n in enumerate(nodes)}
+    N = len(nodes)
+    adj: dict = {i: [] for i in range(N)}
+    deg = np.zeros(N, np.int64)
+    for x, y in zip(a, b):
+        adj[idx[x]].append(idx[y])
+        adj[idx[y]].append(idx[x])
+        deg[idx[x]] += 1
+        deg[idx[y]] += 1
+    r = np.full(N, S // N, np.int64)
+    base = (15 * S) // (100 * N)
+    for _ in range(12):
+        share = r // deg
+        acc = np.array([sum(share[u] for u in adj[v]) for v in range(N)],
+                       np.int64)
+        r = base + (85 * acc) // 100
+    for n_, i in idx.items():
+        assert got[n_] == int(r[i]), (n_, got[n_], int(r[i]))
+
+    # sanity: fixed-point tracks the float operator to ~1e-9 relative
+    gf = {r_["node"]: r_["rank"]
+          for r_ in pagerank(pairs.repartition(3), iters=12).take_all()}
+    for n_ in idx:
+        assert abs(got[n_] / S - gf[n_]) < 1e-6

@@ -249,6 +249,75 @@ def pagerank(pairs, a_col: str = "id_a", b_col: str = "id_b",
                                    "rank": pa.array(ranks)}))
 
 
+def pagerank_quantized(pairs, a_col: str = "id_a", b_col: str = "id_b",
+                       iters: int = 20, damping_num: int = 85,
+                       damping_den: int = 100, scale: int = 10 ** 12):
+    """Fixed-point PageRank — the HASH-EXACT twin of :func:`pagerank`
+    (r5): rank state is int64 at ``scale``; each iteration computes
+    ``share(u) = r(u) // deg(u)`` (floor — all quantities positive) and
+    ``r'(v) = ((den−num)·scale) // (den·N) + (num·Σ_{u∼v} share(u)) // den``.
+    Every fold is an associative integer sum plus deterministic floor
+    division, so the whole trajectory is bit-reproducible under any
+    distribution AND replayable by a SQL recursive CTE (aggregate in the
+    recursive member — verified supported).  Same scale shape as the
+    float operator: edge list pinned once (iterative consumer), rank
+    vector broadcast per round, per-batch contribution partials.
+    Returns (node, rank_q); Σ rank_q ≈ scale (floor leakage only)."""
+    import ray
+
+    edges = pairs.select_columns([a_col, b_col]).materialize()
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        x = np.r_[b[a_col].combine_chunks().to_numpy(zero_copy_only=False),
+                  b[b_col].combine_chunks().to_numpy(zero_copy_only=False)]
+        u, c = np.unique(x, return_counts=True)
+        return pa.table({"node": pa.array(u), "_c": pa.array(c.astype(np.int64))})
+
+    deg: dict = {}
+    for b in edges.map_batches(deg_partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        for n_, c_ in zip(b["node"].to_pylist(), b["_c"].to_pylist()):
+            deg[n_] = deg.get(n_, 0) + c_
+    nodes = np.array(sorted(deg), dtype=np.int64)
+    degs = np.array([deg[n_] for n_ in nodes], dtype=np.int64)
+    N = len(nodes)
+    import ray.data as rd
+
+    if N == 0:
+        return rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
+                                       "rank_q": pa.array([], pa.int64())}))
+    r = np.full(N, scale // N, dtype=np.int64)
+    base = ((damping_den - damping_num) * scale) // (damping_den * N)
+
+    for _ in range(iters):
+        rref = ray.put((nodes, r // degs))
+
+        def contrib(b: pa.Table) -> pa.Table:
+            nd, share = ray.get(rref)
+            a = b[a_col].combine_chunks().to_numpy(zero_copy_only=False)
+            bb = b[b_col].combine_chunks().to_numpy(zero_copy_only=False)
+            dst = np.r_[a, bb]
+            src = np.r_[bb, a]
+            w = share[np.searchsorted(nd, src)]
+            order = np.argsort(dst, kind="stable")
+            ds_, ws = dst[order], w[order]
+            st = np.flatnonzero(np.r_[True, ds_[1:] != ds_[:-1]])
+            return pa.table({"node": pa.array(ds_[st]),
+                             "_w": pa.array(np.add.reduceat(ws, st))})
+
+        acc = np.zeros(N, dtype=np.int64)
+        for b in edges.map_batches(contrib, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None):
+            idx = np.searchsorted(nodes, b["node"].combine_chunks()
+                                  .to_numpy(zero_copy_only=False))
+            np.add.at(acc, idx, b["_w"].combine_chunks()
+                      .to_numpy(zero_copy_only=False))
+        r = base + (damping_num * acc) // damping_den
+
+    return rd.from_arrow(pa.table({"node": pa.array(nodes),
+                                   "rank_q": pa.array(r)}))
+
+
 def triangle_count(edges, a_col: str = "id_a", b_col: str = "id_b",
                    num_buckets: int = 64,
                    broadcast_budget_bytes: int = 64 << 20):
