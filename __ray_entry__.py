@@ -2797,10 +2797,87 @@ def _q_lang_id_docs(sf_dir: str):
 
 
 def _q_fingerprint_docs(sf_dir: str):
+    """Winnowing fingerprint — HASH-GREEN since r5: the rolling k-byte
+    FNV-style hash is a polynomial Σ byte·F^(7-j) mod 2^64, so the SQL
+    twin replays it with embedded F-power literals and HUGEINT
+    split-multiplication (m·K mod 2^64 without 128-bit overflow), sliding
+    window-mins via ROWS BETWEEN frames, and bit_xor.  Contract note: the
+    engine hashes utf-8 BYTES while SQL ord() yields code points — equal
+    on the ASCII corpora the driver generates; a non-ASCII corpus needs a
+    bytes-table oracle."""
     from tsdat_ray.stages.text import Fingerprinter
 
     ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(Fingerprinter, batch_format="pyarrow", concurrency=_conc())
+
+
+def _fingerprint_oracle_sql(k: int = 8, w: int = 16) -> str:
+    """Build the fingerprint twin with the engine's own constants."""
+    F = 1099511628211
+    MOD = 1 << 64
+    pows = [pow(F, k - 1 - j, MOD) for j in range(k)]  # F^(k-1-j) mod 2^64
+    case = " ".join(f"WHEN {j} THEN CAST({p} AS HUGEINT)"
+                    for j, p in enumerate(pows))
+    K = 0x9E3779B97F4A7C15
+    return f"""
+        WITH d AS (
+          SELECT doc_id, coalesce(text, '') AS t,
+                 length(coalesce(text, '')) AS L
+          FROM documents
+        ),
+        pos AS (
+          SELECT doc_id, L,
+                 unnest(generate_series(1, greatest(L - {k - 1}, 1))) AS p
+          FROM d
+        ),
+        h AS (
+          SELECT pos.doc_id, pos.p,
+                 CAST(coalesce(sum(
+                     CAST(ord(substr(d.t, pos.p + j.j, 1)) AS HUGEINT)
+                     * (CASE j.j {case} END)), 0)
+                      % {MOD} AS HUGEINT) AS hv
+          FROM pos
+          JOIN d ON d.doc_id = pos.doc_id, range({k}) j(j)
+          WHERE pos.p + j.j <= d.L
+          GROUP BY pos.doc_id, pos.p
+        ),
+        nh AS (SELECT doc_id, greatest(L - {k - 1}, 1) AS n_h FROM d),
+        wm AS (
+          SELECT h.doc_id, h.p, nh.n_h,
+                 min(h.hv) OVER (PARTITION BY h.doc_id ORDER BY h.p
+                                 ROWS BETWEEN CURRENT ROW
+                                 AND {w - 1} FOLLOWING) AS m
+          FROM h JOIN nh ON nh.doc_id = h.doc_id
+        ),
+        sel AS (
+          SELECT DISTINCT doc_id, m FROM wm
+          WHERE n_h > {w} AND p <= n_h - {w - 1}
+          UNION
+          SELECT h.doc_id, min(h.hv) AS m
+          FROM h JOIN nh ON nh.doc_id = h.doc_id
+          WHERE nh.n_h <= {w}
+          GROUP BY h.doc_id
+        ),
+        mixed AS (
+          SELECT doc_id,
+                 CAST(((m % 4294967296) * {K}
+                       + ((m // 4294967296) * {K}) % 4294967296
+                         * 4294967296) % {MOD} AS HUGEINT) AS mx
+          FROM sel
+        ),
+        fp AS (
+          SELECT doc_id,
+                 bit_xor(CAST(CASE WHEN mx >= 9223372036854775808
+                                   THEN mx - {MOD} ELSE mx
+                              END AS BIGINT)) AS x
+          FROM mixed GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(CASE WHEN f.x < 0 THEN CAST(f.x AS HUGEINT) + {MOD}
+                                  ELSE CAST(f.x AS HUGEINT) END, 0)
+                    AS UBIGINT) AS fingerprint
+        FROM d LEFT JOIN fp f ON f.doc_id = d.doc_id
+    """
 
 
 def _q_bin2d_events(sf_dir: str):
@@ -9533,31 +9610,32 @@ def oracle_sql() -> dict[str, str]:
         # filter is a lossless prefilter (no false negatives + exact
         # confirm), so the SQL twin is identical to the one-shot path
         "dedup_incremental_steady_docs": _INCREMENTAL_DEDUP_SQL,
+        "fingerprint_docs": _fingerprint_oracle_sql(),
         "pagerank_quantized_docs": """
             WITH RECURSIVE
-            sh AS (
+            sh AS MATERIALIZED (
                 SELECT DISTINCT doc_id, substr(text, i, 5) AS g
                 FROM (SELECT doc_id, text,
                              unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
                       FROM documents)
             ),
             sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-            inter AS (
+            inter AS MATERIALIZED (
                 SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
                 FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
                 GROUP BY 1, 2
             ),
-            prs AS (
+            prs AS MATERIALIZED (
                 SELECT i.id_a, i.id_b
                 FROM inter i
                 JOIN sz na ON na.doc_id = i.id_a
                 JOIN sz nb ON nb.doc_id = i.id_b
                 WHERE i.c * 1.0 / (na.n + nb.n - i.c) >= 0.5
             ),
-            e AS (SELECT id_a AS src, id_b AS dst FROM prs
+            e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM prs
                   UNION ALL SELECT id_b, id_a FROM prs),
-            deg AS (SELECT src AS node, count(*) AS d FROM e GROUP BY src),
-            nn AS (SELECT count(*) AS n FROM deg),
+            deg AS MATERIALIZED (SELECT src AS node, count(*) AS d FROM e GROUP BY src),
+            nn AS MATERIALIZED (SELECT count(*) AS n FROM deg),
             pr(iter, node, r) AS (
               SELECT 0, d.node, CAST(1000000000000 // nn.n AS BIGINT)
               FROM deg d, nn
