@@ -2654,6 +2654,20 @@ def _q_neardup_embeddings_lsh(sf_dir: str):
     return embedding_dedup_pairs(ds, dim=64, threshold=0.4002, n_planes=8)
 
 
+def _q_kmeans_quantized(sf_dir: str):
+    """Fixed-point Lloyd's k-means — the HASH-EXACT clustering twin of
+    kmeans_embeddings (r5): int64-quantized vectors, exact integer
+    distance argmin (ties → smallest cluster), floor-mean centroid
+    updates, portable smallest-id init
+    (stages/similarity.py:kmeans_quantized).  The recursive-CTE oracle
+    replays all 5 iterations and the final assignment bit-for-bit (the
+    divisible-numerator trick bridges DuckDB's truncating division)."""
+    from tsdat_ray.stages.similarity import kmeans_quantized
+
+    ds = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return kmeans_quantized(ds, k=8, n_iter=5)
+
+
 def _q_knn_lsh(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -6451,6 +6465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh_embeddings": _q_knn_lsh,
         "knn_ivf_embeddings": _q_knn_ivf,
         "kmeans_embeddings": _q_kmeans_embeddings,
+        "kmeans_quantized_embeddings": _q_kmeans_quantized,
         "neardup_minhash_docs": _q_neardup_minhash_docs,
         "neardup_ngram_docs": _q_neardup_ngram_docs,
         "cluster_dedup_docs": _q_cluster_dedup_docs,
@@ -9611,6 +9626,60 @@ def oracle_sql() -> dict[str, str]:
         # confirm), so the SQL twin is identical to the one-shot path
         "dedup_incremental_steady_docs": _INCREMENTAL_DEDUP_SQL,
         "fingerprint_docs": _fingerprint_oracle_sql(),
+        "kmeans_quantized_embeddings": """
+            WITH RECURSIVE
+            p AS MATERIALIZED (
+              SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                     CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000)
+                          AS BIGINT) AS x
+              FROM embeddings
+            ),
+            init AS MATERIALIZED (
+              SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                          AS BIGINT) AS j, vec_id
+              FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)
+            ),
+            cent(iter, j, i, c) AS (
+              SELECT 0, init.j, p.i, p.x
+              FROM init JOIN p ON p.vec_id = init.vec_id
+              UNION ALL
+              SELECT cur.iter + 1, cur.j, cur.i,
+                     CASE WHEN a.n IS NULL OR a.n = 0 THEN cur.c
+                          ELSE (a.s - (((a.s % a.n) + a.n) % a.n)) // a.n
+                     END
+              FROM cent cur
+              LEFT JOIN (
+                  WITH dist AS (
+                    SELECT p2.vec_id, c2.j,
+                           sum((p2.x - c2.c) * (p2.x - c2.c)) AS d2
+                    FROM p p2 JOIN cent c2 ON c2.i = p2.i
+                    GROUP BY p2.vec_id, c2.j
+                  ),
+                  md AS (SELECT vec_id, min(d2) AS m FROM dist
+                         GROUP BY vec_id),
+                  asg AS (
+                    SELECT d.vec_id, min(d.j) AS j
+                    FROM dist d
+                    JOIN md ON md.vec_id = d.vec_id AND d.d2 = md.m
+                    GROUP BY d.vec_id
+                  )
+                  SELECT asg.j, p3.i, sum(p3.x) AS s, count(*) AS n
+                  FROM asg JOIN p p3 ON p3.vec_id = asg.vec_id
+                  GROUP BY asg.j, p3.i
+              ) a ON a.j = cur.j AND a.i = cur.i
+              WHERE cur.iter < 5
+            ),
+            final AS (SELECT j, i, c FROM cent WHERE iter = 5),
+            fdist AS (
+              SELECT p.vec_id, f.j, sum((p.x - f.c) * (p.x - f.c)) AS d2
+              FROM p JOIN final f ON f.i = p.i
+              GROUP BY p.vec_id, f.j
+            ),
+            fmd AS (SELECT vec_id, min(d2) AS m FROM fdist GROUP BY vec_id)
+            SELECT d.vec_id, CAST(min(d.j) AS BIGINT) AS cluster
+            FROM fdist d JOIN fmd ON fmd.vec_id = d.vec_id AND d.d2 = fmd.m
+            GROUP BY d.vec_id
+        """,
         "pagerank_quantized_docs": """
             WITH RECURSIVE
             sh AS MATERIALIZED (

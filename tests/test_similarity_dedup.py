@@ -927,3 +927,42 @@ def test_semdedup_kmeans_path_prunes_planted_dups(ray_session):
     out = semdedup(ds, eps=0.9999, centroids=cent).to_pandas()
     # every planted pair collapses to its even (smaller) id
     assert sorted(out["vec_id"]) == [2 * i for i in range(20)]
+
+
+def test_kmeans_quantized_matches_integer_reference(ray_session):
+    """r5 fixed-point k-means: the distributed trajectory equals a
+    sequential integer Lloyd's run EXACTLY — including duplicated points
+    (guaranteed distance ties → smallest-cluster rule) and an empty
+    cluster that must keep its previous centroid."""
+    import ray.data as rd
+
+    from tsdat_ray.stages.similarity import kmeans_quantized
+
+    rng = np.random.default_rng(17)
+    n, d, k = 120, 6, 4
+    m = np.round(rng.normal(0, 1, (n, d)), 3).astype(np.float32)
+    m[10] = m[11]  # exact duplicates: tie on every centroid distance
+    m[12] = m[13]
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(list(m), pa.list_(pa.float32())),
+    })
+    got = (kmeans_quantized(rd.from_arrow(tbl).repartition(5), k=k,
+                            n_iter=4).to_pandas()
+           .set_index("vec_id")["cluster"].to_dict())
+
+    y = m.astype(np.float64) * 1000
+    X = np.copysign(np.floor(np.abs(y) + 0.5), y).astype(np.int64)
+    cent = X[:k].copy()  # k smallest ids
+    for _ in range(4):
+        diff = X[:, None, :] - cent[None, :, :]
+        a = np.argmin((diff * diff).sum(axis=2), axis=1)
+        for j in range(k):
+            sel = X[a == j]
+            if len(sel):
+                cent[j] = sel.sum(axis=0) // len(sel)
+    diff = X[:, None, :] - cent[None, :, :]
+    a = np.argmin((diff * diff).sum(axis=2), axis=1)
+    for i in range(n):
+        assert got[i] == int(a[i]), (i, got[i], int(a[i]))
+    assert got[10] == got[11] and got[12] == got[13]

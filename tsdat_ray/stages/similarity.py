@@ -623,3 +623,84 @@ def semdedup(ds, eps: float, centroids: np.ndarray | None = None,
 
     withc = ds.map_batches(salt, batch_format="pyarrow")
     return withc.groupby("_salt").map_groups(prune, batch_format="pyarrow")
+
+
+def kmeans_quantized(ds, k: int = 8, n_iter: int = 5,
+                     emb_col: str = "embedding", id_col: str = "vec_id",
+                     scale: int = 1000):
+    """Fixed-point Lloyd's k-means — the HASH-EXACT clustering twin of
+    :func:`kmeans_fit` (r5): embeddings quantize to int64
+    ``round(x·scale)`` (half-away); initial centroids are the k
+    smallest-id rows' quantized vectors (portable, seed-free); each
+    iteration assigns every point to ``argmin_j Σ_d (x_d − c_jd)²`` in
+    EXACT int64 arithmetic (ties → smallest j) and updates centroids to
+    the elementwise FLOOR mean ``s_jd // n_j`` (an empty cluster keeps
+    its centroid).  Integer argmin + associative integer sums make the
+    whole trajectory bit-reproducible under any block layout AND
+    replayable by a SQL recursive CTE (the divisible-numerator floor-div
+    trick bridges DuckDB's truncating ``//``).  Same scale shape as the
+    float operator: one streaming pass per iteration, k×d partials only.
+    Returns a Dataset of (id, cluster) under the FINAL centroids."""
+    import ray
+    import ray.data as rd
+
+    from .text_quant import half_away
+
+    # deterministic portable init: the k smallest ids' quantized vectors
+    head = ds.sort(id_col).limit(k).take_all()
+    ids0 = np.array([r[id_col] for r in head])
+    order0 = np.argsort(ids0, kind="stable")
+    cent = np.stack([half_away(np.asarray(head[int(i)][emb_col],
+                                          dtype=np.float64) * scale)
+                     for i in order0]).astype(np.int64)
+    kk, d = cent.shape
+
+    def quant(b: pa.Table) -> np.ndarray:
+        return half_away(_emb_matrix(b[emb_col]) * scale)
+
+    for _ in range(n_iter):
+        cref = ray.put(cent)
+
+        def partial(b: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            m = quant(b)
+            # exact integer distances: (m - c_j)² summed per dim
+            diff = m[:, None, :] - c[None, :, :]
+            d2 = (diff * diff).sum(axis=2)
+            a = np.argmin(d2, axis=1)  # first min → smallest j on ties
+            sums = np.zeros((kk, d), np.int64)
+            np.add.at(sums, a, m)
+            cnt = np.bincount(a, minlength=kk).astype(np.int64)
+            return pa.table({
+                "_cluster": pa.array(np.arange(kk, dtype=np.int64)),
+                "_sum": pa.array(list(sums), type=pa.list_(pa.int64())),
+                "_cnt": pa.array(cnt),
+            })
+
+        sums = np.zeros((kk, d), np.int64)
+        cnts = np.zeros(kk, np.int64)
+        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None):
+            cl = b["_cluster"].combine_chunks().to_numpy(zero_copy_only=False)
+            sv = b["_sum"].combine_chunks()
+            off = sv.offsets.to_numpy(zero_copy_only=False)
+            vals = sv.values.to_numpy(zero_copy_only=False)
+            for t, j in enumerate(cl):  # k rows per block — tiny fold
+                sums[j] += vals[off[t]:off[t + 1]]
+            cnts += np.bincount(cl, weights=b["_cnt"].combine_chunks()
+                                .to_numpy(zero_copy_only=False),
+                                minlength=kk).astype(np.int64)
+        nz = cnts > 0
+        cent[nz] = sums[nz] // cnts[nz, None]  # numpy // = floor (exact)
+
+    cref = ray.put(cent)
+
+    def assign(b: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        m = quant(b)
+        diff = m[:, None, :] - c[None, :, :]
+        a = np.argmin((diff * diff).sum(axis=2), axis=1)
+        return pa.table({id_col: b[id_col],
+                         "cluster": pa.array(a.astype(np.int64))})
+
+    return ds.map_batches(assign, batch_format="pyarrow")
