@@ -3043,6 +3043,22 @@ def _q_ewma_events(sf_dir: str):
     return out.select_columns(["event_id", "value_ewma"])
 
 
+def _q_rolling_median_events(sf_dir: str):
+    """Exact rolling median over the last 15 rows per event_type —
+    hash-green (r5): cent-quantized frames make every median an exactly-
+    representable double (middle int or (a+b)/2.0), bit-equal to
+    DuckDB's windowed median with truncated leading frames
+    (stages/window_funcs.py:partitioned_rolling_median — one (key,
+    time-window) shuffle + the decay_score tail-carry halo)."""
+    from tsdat_ray.stages.window_funcs import partitioned_rolling_median
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "event_type", "value"])
+    out = partitioned_rolling_median(ds, key="event_type", ts_col="ts",
+                                     value_col="value", id_col="event_id",
+                                     frame_n=15, value_scale=100)
+    return out.select_columns(["event_id", "value_rmed"])
+
+
 def _q_decay_score_events(sf_dir: str):
     """Truncated-EWMA geometric-decay score per event_type (K=64 lags,
     α=0.1) — the HASH-EXACT EWMA-family member (r5): every term is
@@ -6494,6 +6510,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_union_events": _q_interval_union_events,
         "ewma_events": _q_ewma_events,
         "decay_score_events": _q_decay_score_events,
+        "rolling_median_events": _q_rolling_median_events,
         "covar_slope_per_type": _q_covar_slope_events,
         "first_value_events": _q_first_value_events,
         "rank_events": _q_rank_events,
@@ -8081,6 +8098,14 @@ def oracle_sql() -> dict[str, str]:
             FROM step WHERE iter >= 1
             GROUP BY iter
             ORDER BY rank
+        """,
+        "rolling_median_events": """
+            SELECT event_id,
+                   median(CAST(round(value * 100) AS BIGINT))
+                       OVER (PARTITION BY event_type ORDER BY ts, event_id
+                             ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)
+                       / 100 AS value_rmed
+            FROM events
         """,
         "lttb_events": """
             WITH RECURSIVE

@@ -364,6 +364,39 @@ def test_decay_score_matches_sequential(log):
             assert int(out.loc[es[j], "v_decay_q"]) == exp, (kk, j)
 
 
+def test_rolling_median_matches_sequential(log):
+    """partitioned_rolling_median == brute per-row sorted-frame median
+    (SQL truncated-frame semantics), across window boundaries and the
+    cold key's empty-window gaps, for odd AND even frame sizes."""
+    from tsdat_ray.stages.window_funcs import partitioned_rolling_median
+
+    k = log["k"].to_numpy(zero_copy_only=False)
+    ts = log["ts"].to_numpy().astype("int64")
+    v = log["v"].to_numpy()
+    eid = log["eid"].to_numpy()
+    for K in (7, 8):
+        out = (
+            partitioned_rolling_median(rd.from_arrow(log).repartition(7),
+                                       key="k", ts_col="ts", value_col="v",
+                                       id_col="eid", frame_n=K,
+                                       value_scale=100, window_s=3600)
+            .to_pandas().set_index("eid")
+        )
+        assert len(out) == log.num_rows
+        for kk in ("hot", "cold"):
+            m = k == kk
+            order = np.lexsort((eid[m], ts[m]))
+            vq = np.round(v[m][order] * 100).astype(np.int64)
+            es = eid[m][order]
+            for j in range(len(vq)):
+                fr = np.sort(vq[max(0, j - K + 1):j + 1])
+                n = len(fr)
+                exp = (float(fr[n // 2]) if n % 2
+                       else (float(fr[n // 2 - 1]) + float(fr[n // 2])) / 2.0)
+                got = out.loc[es[j], "v_rmed"]
+                assert got == exp / 100, (kk, K, j, got, exp / 100)
+
+
 def test_counter_increase_matches_sequential(log):
     from tsdat_ray.stages.window_funcs import counter_increase
 

@@ -1378,6 +1378,123 @@ def partitioned_decay_score(ds, key: str, ts_col: str, value_col: str,
     return withc.map_batches(fill, batch_format="pyarrow")
 
 
+def partitioned_rolling_median(ds, key: str, ts_col: str, value_col: str,
+                               id_col: str, frame_n: int = 15,
+                               value_scale: int = 100,
+                               window_s: int = 6 * 3600):
+    """Exact rolling MEDIAN over the last ``frame_n`` rows per key in
+    (ts, id) order — ``median(v) OVER (PARTITION BY key ORDER BY ts, id
+    ROWS BETWEEN frame_n-1 PRECEDING AND CURRENT ROW)`` with SQL
+    truncated-frame semantics at each key's start (r5).
+
+    Values quantize to ``round(v·scale)`` int64, so the median of a frame
+    is the middle element (odd count) or ``(a+b)/2.0`` of the two middles
+    (even) — every intermediate is an exactly-representable double, so
+    the result is bit-equal to DuckDB's windowed ``median`` and the
+    operator is hash-oracle-able.  Scale shape: one (key, time-window)
+    shuffle; each window needs only its own rows plus the previous
+    ≤ frame_n−1 values, which travel as a tiny per-window tail list
+    through the distributed carry fold (the decay_score halo).  Interior
+    rows compute via one vectorized sliding-window partition per group
+    (O(n·frame_n) — the standard exact-rolling-median cost); only the
+    ≤ frame_n−1 boundary rows per (key, window) take a small per-row
+    path.  Output column ``{value_col}_rmed`` (float64, de-quantized)."""
+    from .carry import window_carry
+    from .text_quant import half_away
+
+    K = int(frame_n)
+    win_us = window_s * US
+
+    def add_window(b: pa.Table) -> pa.Table:
+        ts = b[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return b.append_column("_window", pa.array((ts // win_us) * win_us))
+
+    def _median_of(sorted_frame: np.ndarray) -> float:
+        m = len(sorted_frame)
+        if m % 2:
+            return float(sorted_frame[m // 2])
+        return (float(sorted_frame[m // 2 - 1])
+                + float(sorted_frame[m // 2])) / 2.0
+
+    def per_window(g: pa.Table) -> pa.Table:
+        ts = g[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        x = g[value_col].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts))
+        vq = half_away(x[order] * value_scale)
+        n = len(vq)
+        med = np.full(n, np.nan)
+        if n >= K:
+            # interior rows (full in-window frame): one vectorized pass
+            sw = np.lib.stride_tricks.sliding_window_view(vq, K)
+            part = np.sort(sw, axis=1)
+            if K % 2:
+                med[K - 1:] = part[:, K // 2].astype(np.float64)
+            else:
+                med[K - 1:] = (part[:, K // 2 - 1] + part[:, K // 2]) / 2.0
+        out_med = np.empty(n)
+        out_med[order] = med
+        pos = np.empty(n, np.int64)
+        pos[order] = np.arange(n)
+        head = vq[:min(n, K - 1)].astype(np.float64).tolist()
+        tail = vq[max(0, n - (K - 1)):].astype(np.float64).tolist()
+        out = {c: g[c] for c in g.column_names}
+        out["_rmed"] = pa.array(out_med)
+        out["_pos"] = pa.array(pos)
+        out["_head"] = pa.array([head] * n, pa.list_(pa.float64()))
+        out["_tail"] = pa.array([tail] * n, pa.list_(pa.float64()))
+        return pa.table(out)
+
+    part, _summ = _ckpt2(ds.map_batches(add_window, batch_format="pyarrow")
+                         .groupby([key, "_window"])
+                         .map_groups(per_window, batch_format="pyarrow"),
+                         key, ["_tail"])
+
+    def fold(starts, windows, cols):
+        tails = cols["_tail"]
+        if isinstance(tails, pa.ChunkedArray):
+            tails = tails.combine_chunks()
+        off = tails.offsets.to_numpy(zero_copy_only=False)
+        vals = np.asarray(tails.values.to_numpy(zero_copy_only=False))
+        n_rows = len(windows)
+        ends = np.r_[starts[1:], n_rows]
+        out: list = [None] * n_rows
+        for s, e in zip(starts, ends):
+            running: list = []
+            for i in range(s, e):
+                out[i] = list(running)
+                t = vals[off[i]:off[i + 1]]  # raw-offset slice
+                running = (running + t.tolist())[-(K - 1):] if K > 1 else []
+        return {"_ctail": pa.array(out, pa.list_(pa.float64()))}
+
+    withc = window_carry(part, key, "_window", ["_tail"], fold,
+                         summary_ds=_summ)
+
+    def fill(b: pa.Table) -> pa.Table:
+        pos = b["_pos"].combine_chunks().to_numpy(zero_copy_only=False)
+        med = b["_rmed"].combine_chunks().to_numpy(zero_copy_only=False).copy()
+        ct = b["_ctail"].combine_chunks()
+        coff = ct.offsets.to_numpy(zero_copy_only=False)
+        cvals = np.asarray(ct.values.to_numpy(zero_copy_only=False))
+        hd = b["_head"].combine_chunks()
+        hoff = hd.offsets.to_numpy(zero_copy_only=False)
+        hvals = np.asarray(hd.values.to_numpy(zero_copy_only=False))
+        for r in np.flatnonzero(pos < K - 1):
+            p = int(pos[r])
+            need = K - 1 - p
+            tail = cvals[coff[r]:coff[r + 1]]
+            take = tail[max(0, len(tail) - need):]
+            frame = np.r_[take, hvals[hoff[r]:hoff[r] + p + 1]]
+            med[r] = _median_of(np.sort(frame))
+        out = {c: b[c] for c in b.column_names
+               if c not in ("_window", "_rmed", "_pos", "_head", "_tail",
+                            "_ctail")}
+        out[f"{value_col}_rmed"] = pa.array(med / value_scale)
+        return pa.table(out)
+
+    return withc.map_batches(fill, batch_format="pyarrow")
+
+
 def interval_union(ds, key: str, ts_col: str, dur_col: str, id_col: str,
                    dur_scale: int = 100, dur_unit_us: int = US,
                    window_s: int = 6 * 3600):
