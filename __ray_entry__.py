@@ -3059,6 +3059,22 @@ def _q_rolling_median_events(sf_dir: str):
     return out.select_columns(["event_id", "value_rmed"])
 
 
+def _q_rolling_p90_events(sf_dir: str):
+    """Exact rolling p90 over the last 20 rows per event_type — the
+    general-quantile sibling of rolling_median_events (r5): identical
+    IEEE interpolation (lo + frac·(hi−lo)) to DuckDB's windowed
+    quantile_cont on cent-quantized frames
+    (stages/window_funcs.py:partitioned_rolling_quantile)."""
+    from tsdat_ray.stages.window_funcs import partitioned_rolling_quantile
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "event_type", "value"])
+    out = partitioned_rolling_quantile(ds, key="event_type", ts_col="ts",
+                                       value_col="value", id_col="event_id",
+                                       q=0.9, frame_n=20, value_scale=100,
+                                       out_col="value_p90")
+    return out.select_columns(["event_id", "value_p90"])
+
+
 def _q_decay_score_events(sf_dir: str):
     """Truncated-EWMA geometric-decay score per event_type (K=64 lags,
     α=0.1) — the HASH-EXACT EWMA-family member (r5): every term is
@@ -6511,6 +6527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ewma_events": _q_ewma_events,
         "decay_score_events": _q_decay_score_events,
         "rolling_median_events": _q_rolling_median_events,
+        "rolling_p90_events": _q_rolling_p90_events,
         "covar_slope_per_type": _q_covar_slope_events,
         "first_value_events": _q_first_value_events,
         "rank_events": _q_rank_events,
@@ -8105,6 +8122,14 @@ def oracle_sql() -> dict[str, str]:
                        OVER (PARTITION BY event_type ORDER BY ts, event_id
                              ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)
                        / 100 AS value_rmed
+            FROM events
+        """,
+        "rolling_p90_events": """
+            SELECT event_id,
+                   quantile_cont(CAST(round(value * 100) AS BIGINT), 0.9)
+                       OVER (PARTITION BY event_type ORDER BY ts, event_id
+                             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+                       / 100 AS value_p90
             FROM events
         """,
         "lttb_events": """

@@ -1378,43 +1378,53 @@ def partitioned_decay_score(ds, key: str, ts_col: str, value_col: str,
     return withc.map_batches(fill, batch_format="pyarrow")
 
 
-def partitioned_rolling_median(ds, key: str, ts_col: str, value_col: str,
-                               id_col: str, frame_n: int = 15,
-                               value_scale: int = 100,
-                               window_s: int = 6 * 3600):
-    """Exact rolling MEDIAN over the last ``frame_n`` rows per key in
-    (ts, id) order — ``median(v) OVER (PARTITION BY key ORDER BY ts, id
-    ROWS BETWEEN frame_n-1 PRECEDING AND CURRENT ROW)`` with SQL
-    truncated-frame semantics at each key's start (r5).
+def partitioned_rolling_quantile(ds, key: str, ts_col: str, value_col: str,
+                                 id_col: str, q: float = 0.5,
+                                 frame_n: int = 15, value_scale: int = 100,
+                                 window_s: int = 6 * 3600,
+                                 out_col: str | None = None):
+    """Exact rolling quantile over the last ``frame_n`` rows per key in
+    (ts, id) order — ``quantile_cont(v, q) OVER (PARTITION BY key ORDER
+    BY ts, id ROWS BETWEEN frame_n-1 PRECEDING AND CURRENT ROW)`` with
+    SQL truncated-frame semantics at each key's start (r5).
 
-    Values quantize to ``round(v·scale)`` int64, so the median of a frame
-    is the middle element (odd count) or ``(a+b)/2.0`` of the two middles
-    (even) — every intermediate is an exactly-representable double, so
-    the result is bit-equal to DuckDB's windowed ``median`` and the
-    operator is hash-oracle-able.  Scale shape: one (key, time-window)
-    shuffle; each window needs only its own rows plus the previous
-    ≤ frame_n−1 values, which travel as a tiny per-window tail list
-    through the distributed carry fold (the decay_score halo).  Interior
-    rows compute via one vectorized sliding-window partition per group
-    (O(n·frame_n) — the standard exact-rolling-median cost); only the
-    ≤ frame_n−1 boundary rows per (key, window) take a small per-row
-    path.  Output column ``{value_col}_rmed`` (float64, de-quantized)."""
+    Values quantize to ``round(v·scale)`` int64 and the interpolation is
+    computed as ``lo + frac·(hi − lo)`` with ``pos = (m−1)·q``,
+    ``frac = pos − floor(pos)`` — the identical IEEE op sequence DuckDB's
+    ``quantile_cont`` evaluates (verified hash-exact on 100k-row frames),
+    so the operator is hash-oracle-able; at q = 0.5 this is bit-equal to
+    windowed ``median`` (``a + 0.5·(b−a)`` ≡ ``(a+b)/2`` exactly on
+    int-valued doubles).  Scale shape: one (key, time-window) shuffle;
+    each window needs only its own rows plus the previous ≤ frame_n−1
+    values, which travel as a tiny per-window tail list through the
+    distributed carry fold (the decay_score halo).  Interior rows compute
+    via one vectorized sliding-window sort per group (O(n·frame_n) — the
+    standard exact cost); only the ≤ frame_n−1 boundary rows per (key,
+    window) take a small per-row path.  Output ``out_col`` (default
+    ``{value_col}_rq``; float64, de-quantized)."""
     from .carry import window_carry
     from .text_quant import half_away
 
     K = int(frame_n)
+    qq = float(q)
+    oc = out_col or f"{value_col}_rq"
     win_us = window_s * US
 
     def add_window(b: pa.Table) -> pa.Table:
         ts = b[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
         return b.append_column("_window", pa.array((ts // win_us) * win_us))
 
-    def _median_of(sorted_frame: np.ndarray) -> float:
+    def _quantile_of(sorted_frame: np.ndarray) -> float:
         m = len(sorted_frame)
-        if m % 2:
-            return float(sorted_frame[m // 2])
-        return (float(sorted_frame[m // 2 - 1])
-                + float(sorted_frame[m // 2])) / 2.0
+        pos = (m - 1) * qq
+        i0 = int(np.floor(pos))
+        frac = pos - i0
+        lo = float(sorted_frame[i0])
+        if i0 + 1 >= m or frac == 0.0:
+            return lo
+        # DuckDB evaluates lo·(1−frac) + hi·frac (measured: differs from
+        # lo + frac·(hi−lo) in the last ulp) — mirror it exactly
+        return lo * (1.0 - frac) + float(sorted_frame[i0 + 1]) * frac
 
     def per_window(g: pa.Table) -> pa.Table:
         ts = g[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
@@ -1428,19 +1438,24 @@ def partitioned_rolling_median(ds, key: str, ts_col: str, value_col: str,
             # interior rows (full in-window frame): one vectorized pass
             sw = np.lib.stride_tricks.sliding_window_view(vq, K)
             part = np.sort(sw, axis=1)
-            if K % 2:
-                med[K - 1:] = part[:, K // 2].astype(np.float64)
-            else:
-                med[K - 1:] = (part[:, K // 2 - 1] + part[:, K // 2]) / 2.0
+            pos = (K - 1) * qq
+            i0 = int(np.floor(pos))
+            frac = pos - i0
+            lo = part[:, i0].astype(np.float64)
+            if i0 + 1 >= K or frac == 0.0:
+                med[K - 1:] = lo
+            else:  # DuckDB's lerp form — see _quantile_of
+                med[K - 1:] = (lo * (1.0 - frac)
+                               + part[:, i0 + 1].astype(np.float64) * frac)
         out_med = np.empty(n)
         out_med[order] = med
-        pos = np.empty(n, np.int64)
-        pos[order] = np.arange(n)
+        pos_ = np.empty(n, np.int64)
+        pos_[order] = np.arange(n)
         head = vq[:min(n, K - 1)].astype(np.float64).tolist()
         tail = vq[max(0, n - (K - 1)):].astype(np.float64).tolist()
         out = {c: g[c] for c in g.column_names}
         out["_rmed"] = pa.array(out_med)
-        out["_pos"] = pa.array(pos)
+        out["_pos"] = pa.array(pos_)
         out["_head"] = pa.array([head] * n, pa.list_(pa.float64()))
         out["_tail"] = pa.array([tail] * n, pa.list_(pa.float64()))
         return pa.table(out)
@@ -1485,14 +1500,27 @@ def partitioned_rolling_median(ds, key: str, ts_col: str, value_col: str,
             tail = cvals[coff[r]:coff[r + 1]]
             take = tail[max(0, len(tail) - need):]
             frame = np.r_[take, hvals[hoff[r]:hoff[r] + p + 1]]
-            med[r] = _median_of(np.sort(frame))
+            med[r] = _quantile_of(np.sort(frame))
         out = {c: b[c] for c in b.column_names
                if c not in ("_window", "_rmed", "_pos", "_head", "_tail",
                             "_ctail")}
-        out[f"{value_col}_rmed"] = pa.array(med / value_scale)
+        out[oc] = pa.array(med / value_scale)
         return pa.table(out)
 
     return withc.map_batches(fill, batch_format="pyarrow")
+
+
+def partitioned_rolling_median(ds, key: str, ts_col: str, value_col: str,
+                               id_col: str, frame_n: int = 15,
+                               value_scale: int = 100,
+                               window_s: int = 6 * 3600):
+    """Exact rolling MEDIAN — :func:`partitioned_rolling_quantile` at
+    q = 0.5 (bit-equal to DuckDB's windowed ``median``); output column
+    ``{value_col}_rmed``."""
+    return partitioned_rolling_quantile(
+        ds, key=key, ts_col=ts_col, value_col=value_col, id_col=id_col,
+        q=0.5, frame_n=frame_n, value_scale=value_scale, window_s=window_s,
+        out_col=f"{value_col}_rmed")
 
 
 def interval_union(ds, key: str, ts_col: str, dur_col: str, id_col: str,
