@@ -537,7 +537,14 @@ def _q_dedup_incremental_steady(sf_dir: str):
         return ds.map_batches(f, batch_format="pyarrow")
 
     m_bits = 1 << 20
-    path = os.path.join(_CACHE, f"store_bloom_v1_{_sf_of(sf_dir)}.bin")
+    # key the persisted filter by the source file's identity (mtime+size),
+    # not just scale: a regenerated corpus must NOT reuse a stale filter —
+    # a missing store text would turn Bloom definite-miss into a FALSE
+    # NEGATIVE and break the exactness contract (r5 review finding)
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    src_key = f"{int(st.st_mtime)}_{st.st_size}"
+    path = os.path.join(
+        _CACHE, f"store_bloom_v1_{_sf_of(sf_dir)}_{src_key}.bin")
     if not os.path.exists(path):
         os.makedirs(_CACHE, exist_ok=True)
         blob = bloom_build(side(True).select_columns(["text"]),

@@ -173,6 +173,62 @@ def connected_components(pairs, a_col: str = "id_a", b_col: str = "id_b",
             .map_batches(finish, batch_format="pyarrow"))
 
 
+def _undirected_degree_fold(edges, a_col: str, b_col: str):
+    """(sorted nodes int64, degrees int64) for an undirected edge list —
+    per-block unique/count partials folded on the driver (bounded by |V|;
+    shared by :func:`pagerank` / :func:`pagerank_quantized`)."""
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        x = np.r_[b[a_col].combine_chunks().to_numpy(zero_copy_only=False),
+                  b[b_col].combine_chunks().to_numpy(zero_copy_only=False)]
+        u, c = np.unique(x, return_counts=True)
+        return pa.table({"node": pa.array(u),
+                         "_c": pa.array(c.astype(np.int64))})
+
+    deg: dict = {}
+    for b in edges.map_batches(deg_partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        for n_, c_ in zip(b["node"].to_pylist(), b["_c"].to_pylist()):
+            deg[n_] = deg.get(n_, 0) + c_
+    nodes = np.array(sorted(deg), dtype=np.int64)
+    degs = np.array([deg[n_] for n_ in nodes], dtype=np.int64)
+    return nodes, degs
+
+
+def _fold_rank_contribs(edges, n_nodes: int, rref, a_col: str, b_col: str,
+                        dtype) -> np.ndarray:
+    """One PageRank iteration's ``Σ share(u)`` per destination node:
+    each edge batch looks shares up in the broadcast (nodes, share) pair
+    and emits per-node reduceat partials; the driver add.at-folds them.
+    ``dtype`` float64 for the float operator, int64 for the fixed-point
+    twin — the partials inherit it from the share array."""
+    import ray
+
+    def contrib(b: pa.Table) -> pa.Table:
+        nd, share = ray.get(rref)
+        a = b[a_col].combine_chunks().to_numpy(zero_copy_only=False)
+        bb = b[b_col].combine_chunks().to_numpy(zero_copy_only=False)
+        # undirected: a receives from b and vice versa
+        dst = np.r_[a, bb]
+        src = np.r_[bb, a]
+        w = share[np.searchsorted(nd, src)]
+        order = np.argsort(dst, kind="stable")
+        ds_, ws = dst[order], w[order]
+        st = np.flatnonzero(np.r_[True, ds_[1:] != ds_[:-1]])
+        return pa.table({"node": pa.array(ds_[st]),
+                         "_w": pa.array(np.add.reduceat(ws, st))})
+
+    nodes = ray.get(rref)[0]
+    acc = np.zeros(n_nodes, dtype=dtype)
+    for b in edges.map_batches(contrib, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        idx = np.searchsorted(nodes, b["node"].combine_chunks()
+                              .to_numpy(zero_copy_only=False))
+        np.add.at(acc, idx, b["_w"].combine_chunks()
+                  .to_numpy(zero_copy_only=False))
+    return acc
+
+
 def pagerank(pairs, a_col: str = "id_a", b_col: str = "id_b",
              damping: float = 0.85, iters: int = 20):
     """PageRank over an undirected pair list (iterative distributed
@@ -196,20 +252,8 @@ def pagerank(pairs, a_col: str = "id_a", b_col: str = "id_b",
     # disk, degrading to exactly the checkpoint behavior
     edges = pairs.select_columns([a_col, b_col]).materialize()
 
-    # degree per node (undirected: both endpoints), driver-side tiny fold
-    def deg_partial(b: pa.Table) -> pa.Table:
-        x = np.r_[b[a_col].combine_chunks().to_numpy(zero_copy_only=False),
-                  b[b_col].combine_chunks().to_numpy(zero_copy_only=False)]
-        u, c = np.unique(x, return_counts=True)
-        return pa.table({"node": pa.array(u), "_c": pa.array(c.astype(np.int64))})
-
-    deg: dict = {}
-    for b in edges.map_batches(deg_partial, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow", batch_size=None):
-        for n_, c_ in zip(b["node"].to_pylist(), b["_c"].to_pylist()):
-            deg[n_] = deg.get(n_, 0) + c_
-    nodes = np.array(sorted(deg), dtype=np.int64)
-    degs = np.array([deg[n_] for n_ in nodes], dtype=np.float64)
+    nodes, degs_i = _undirected_degree_fold(edges, a_col, b_col)
+    degs = degs_i.astype(np.float64)
     N = len(nodes)
     if N == 0:
         return pairs.select_columns([a_col]).limit(0).map_batches(
@@ -220,27 +264,7 @@ def pagerank(pairs, a_col: str = "id_a", b_col: str = "id_b",
 
     for _ in range(iters):
         rref = ray.put((nodes, ranks / degs))
-
-        def contrib(b: pa.Table) -> pa.Table:
-            nd, share = ray.get(rref)
-            a = b[a_col].combine_chunks().to_numpy(zero_copy_only=False)
-            bb = b[b_col].combine_chunks().to_numpy(zero_copy_only=False)
-            # undirected: a receives from b and vice versa
-            dst = np.r_[a, bb]
-            src = np.r_[bb, a]
-            w = share[np.searchsorted(nd, src)]
-            order = np.argsort(dst, kind="stable")
-            ds_, ws = dst[order], w[order]
-            st = np.flatnonzero(np.r_[True, ds_[1:] != ds_[:-1]])
-            return pa.table({"node": pa.array(ds_[st]),
-                             "_w": pa.array(np.add.reduceat(ws, st))})
-
-        acc = np.zeros(N)
-        for b in edges.map_batches(contrib, batch_format="pyarrow").iter_batches(
-                batch_format="pyarrow", batch_size=None):
-            idx = np.searchsorted(nodes, b["node"].combine_chunks()
-                                  .to_numpy(zero_copy_only=False))
-            np.add.at(acc, idx, b["_w"].combine_chunks().to_numpy(zero_copy_only=False))
+        acc = _fold_rank_contribs(edges, N, rref, a_col, b_col, np.float64)
         ranks = (1.0 - damping) / N + damping * acc
 
     import ray.data as rd
@@ -267,19 +291,7 @@ def pagerank_quantized(pairs, a_col: str = "id_a", b_col: str = "id_b",
 
     edges = pairs.select_columns([a_col, b_col]).materialize()
 
-    def deg_partial(b: pa.Table) -> pa.Table:
-        x = np.r_[b[a_col].combine_chunks().to_numpy(zero_copy_only=False),
-                  b[b_col].combine_chunks().to_numpy(zero_copy_only=False)]
-        u, c = np.unique(x, return_counts=True)
-        return pa.table({"node": pa.array(u), "_c": pa.array(c.astype(np.int64))})
-
-    deg: dict = {}
-    for b in edges.map_batches(deg_partial, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow", batch_size=None):
-        for n_, c_ in zip(b["node"].to_pylist(), b["_c"].to_pylist()):
-            deg[n_] = deg.get(n_, 0) + c_
-    nodes = np.array(sorted(deg), dtype=np.int64)
-    degs = np.array([deg[n_] for n_ in nodes], dtype=np.int64)
+    nodes, degs = _undirected_degree_fold(edges, a_col, b_col)
     N = len(nodes)
     import ray.data as rd
 
@@ -291,27 +303,7 @@ def pagerank_quantized(pairs, a_col: str = "id_a", b_col: str = "id_b",
 
     for _ in range(iters):
         rref = ray.put((nodes, r // degs))
-
-        def contrib(b: pa.Table) -> pa.Table:
-            nd, share = ray.get(rref)
-            a = b[a_col].combine_chunks().to_numpy(zero_copy_only=False)
-            bb = b[b_col].combine_chunks().to_numpy(zero_copy_only=False)
-            dst = np.r_[a, bb]
-            src = np.r_[bb, a]
-            w = share[np.searchsorted(nd, src)]
-            order = np.argsort(dst, kind="stable")
-            ds_, ws = dst[order], w[order]
-            st = np.flatnonzero(np.r_[True, ds_[1:] != ds_[:-1]])
-            return pa.table({"node": pa.array(ds_[st]),
-                             "_w": pa.array(np.add.reduceat(ws, st))})
-
-        acc = np.zeros(N, dtype=np.int64)
-        for b in edges.map_batches(contrib, batch_format="pyarrow").iter_batches(
-                batch_format="pyarrow", batch_size=None):
-            idx = np.searchsorted(nodes, b["node"].combine_chunks()
-                                  .to_numpy(zero_copy_only=False))
-            np.add.at(acc, idx, b["_w"].combine_chunks()
-                      .to_numpy(zero_copy_only=False))
+        acc = _fold_rank_contribs(edges, N, rref, a_col, b_col, np.int64)
         r = base + (damping_num * acc) // damping_den
 
     return rd.from_arrow(pa.table({"node": pa.array(nodes),

@@ -648,6 +648,10 @@ def kmeans_quantized(ds, k: int = 8, n_iter: int = 5,
 
     # deterministic portable init: the k smallest ids' quantized vectors
     head = ds.sort(id_col).limit(k).take_all()
+    if not head:  # empty input → typed empty result (pagerank_quantized
+        return rd.from_arrow(pa.table({  # pattern; np.stack would raise)
+            id_col: pa.array([], pa.int64()),
+            "cluster": pa.array([], pa.int64())}))
     ids0 = np.array([r[id_col] for r in head])
     order0 = np.argsort(ids0, kind="stable")
     cent = np.stack([half_away(np.asarray(head[int(i)][emb_col],

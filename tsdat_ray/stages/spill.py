@@ -75,8 +75,12 @@ def checkpoint(ds, tag: str = "wf"):
         # write_parquet landed on worker-local disks because
         # TSDAT_RAY_SCRATCH is not shared storage on this cluster — which
         # would silently corrupt every two-phase operator.  Distinguish by
-        # probing for one row (cheap re-execution; only ever runs in this
-        # edge) and fail LOUDLY in the misconfigured case.
+        # probing for one row and fail LOUDLY in the misconfigured case.
+        # Cost note (r5 review): the probe re-executes the phase-1
+        # pipeline, but it runs ONLY when the listing is empty — i.e. the
+        # misconfigured-cluster case (about to raise anyway) or a
+        # genuinely empty result, where the re-executed pipeline shuffles
+        # ~nothing; a non-empty phase 1 never reaches this branch.
         if ds.limit(1).count() > 0:
             raise RuntimeError(
                 f"checkpoint wrote blocks but {path!r} is empty on the "
