@@ -2675,6 +2675,20 @@ def _q_kmeans_quantized(sf_dir: str):
     return kmeans_quantized(ds, k=8, n_iter=5)
 
 
+def _q_pca_power_quantized(sf_dir: str):
+    """Fixed-point power iteration for the leading second-moment
+    eigenvector — the HASH-EXACT PCA-family twin (r5): one distributed
+    integer Gram fold (the oracled embedding_covariance sufficient
+    stats), then 8 exact integer iterations w = S2·v with fixed-point
+    renormalization floor(w·2^20 / max|w|)
+    (stages/similarity.py:pca_power_quantized); the recursive-CTE oracle
+    replays the trajectory bit-for-bit in HUGEINT."""
+    from tsdat_ray.stages.similarity import pca_power_quantized
+
+    ds = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return pca_power_quantized(ds, dim=64, iters=8)
+
+
 def _q_knn_lsh(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -6505,6 +6519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_embeddings": _q_knn_ivf,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "kmeans_quantized_embeddings": _q_kmeans_quantized,
+        "pca_power_quantized_embeddings": _q_pca_power_quantized,
         "neardup_minhash_docs": _q_neardup_minhash_docs,
         "neardup_ngram_docs": _q_neardup_ngram_docs,
         "cluster_dedup_docs": _q_cluster_dedup_docs,
@@ -9683,6 +9698,42 @@ def oracle_sql() -> dict[str, str]:
         # confirm), so the SQL twin is identical to the one-shot path
         "dedup_incremental_steady_docs": _INCREMENTAL_DEDUP_SQL,
         "fingerprint_docs": _fingerprint_oracle_sql(),
+        "pca_power_quantized_embeddings": """
+            WITH RECURSIVE
+            p AS MATERIALIZED (
+              SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                     CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                          AS BIGINT) AS e
+              FROM embeddings
+            ),
+            s2 AS MATERIALIZED (
+              SELECT a.i AS i, b.i AS j,
+                     CAST(sum(CAST(a.e AS HUGEINT) * b.e) AS HUGEINT) AS s
+              FROM p a JOIN p b ON a.vec_id = b.vec_id
+              GROUP BY a.i, b.i
+            ),
+            v(iter, i, x) AS (
+              SELECT 0, i,
+                     CAST(CASE WHEN i = 1 THEN 1048576 ELSE 0 END AS HUGEINT)
+              FROM (SELECT DISTINCT i FROM p)
+              UNION ALL
+              SELECT t.it + 1, t.i,
+                     (t.num - ((t.num % t.M) + t.M) % t.M) // t.M
+              FROM (
+                WITH w AS (
+                  SELECT s2.i AS i, sum(s2.s * vv.x) AS w,
+                         max(vv.iter) AS it
+                  FROM v vv JOIN s2 ON s2.j = vv.i
+                  GROUP BY s2.i
+                ),
+                m AS (SELECT greatest(max(abs(w)), 1) AS M FROM w)
+                SELECT w.i, w.w * 1048576 AS num, m.M, w.it FROM w, m
+              ) t
+              WHERE t.it < 8
+            )
+            SELECT CAST(i - 1 AS BIGINT) AS i, CAST(x AS BIGINT) AS v_q
+            FROM v WHERE iter = 8
+        """,
         "kmeans_quantized_embeddings": """
             WITH RECURSIVE
             p AS MATERIALIZED (

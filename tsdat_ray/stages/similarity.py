@@ -708,3 +708,56 @@ def kmeans_quantized(ds, k: int = 8, n_iter: int = 5,
                          "cluster": pa.array(a.astype(np.int64))})
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def pca_power_quantized(ds, dim: int = 64, iters: int = 8,
+                        emb_col: str = "embedding", quant: float = 1e6,
+                        v_scale: int = 1 << 20):
+    """Fixed-point power iteration for the leading eigenvector of the
+    (uncentered) second-moment matrix — the HASH-EXACT PCA-family twin of
+    :func:`pca_embeddings` (r5):
+
+    1. ONE distributed pass folds the exact integer Gram matrix
+       ``S2[i][j] = Σ round(x_i·quant)·round(x_j·quant)`` (the
+       :func:`embedding_covariance` sufficient-stat shape — associative
+       int sums, d²-bounded partials);
+    2. ``iters`` driver-side integer iterations (d² = 4096 multiplies —
+       trivial): ``w = S2·v``, then renormalize in fixed point
+       ``v'_i = floor(w_i·v_scale / max_j|w_j|)`` via the
+       divisible-numerator form, so every step is exact integer
+       arithmetic a SQL recursive CTE replays bit-for-bit (HUGEINT;
+       magnitudes ≤ ~1e31 ≪ 2¹²⁷).
+
+    Deterministic start ``v₀ = (v_scale, 0, …, 0)``; the returned
+    direction is sign-fixed by the trajectory.  Output: one row per
+    dimension ``(i, v_q)`` with ``v_q ∈ [−v_scale, v_scale]``;
+    ``v_q / v_scale`` approximates the principal axis (cosine → 1 with
+    iters for a dominant eigenvalue).  Float PCA (`pca_embeddings`)
+    remains the numerically-polished operator; this is the reproducible
+    audited contract."""
+    import ray.data as rd
+
+    cov = embedding_covariance(ds, emb_col=emb_col, dim=dim, quant=quant)
+    tab = pa.concat_tables(cov.iter_batches(batch_format="pyarrow",
+                                            batch_size=None))
+    ii = tab["i"].to_numpy(zero_copy_only=False)
+    jj = tab["j"].to_numpy(zero_copy_only=False)
+    ss = tab["s2_ij"].combine_chunks().to_numpy(zero_copy_only=False)
+    S2 = [[0] * dim for _ in range(dim)]
+    for a, b, s in zip(ii, jj, ss):
+        S2[int(a)][int(b)] = int(s)
+        S2[int(b)][int(a)] = int(s)
+
+    v = [int(v_scale)] + [0] * (dim - 1)
+    for _ in range(iters):
+        w = [sum(S2[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        M = max(abs(x) for x in w) or 1
+        # floor(w·v_scale / M) under BOTH python-floor and SQL-truncating
+        # division: make the numerator exactly divisible first
+        nums = [x * v_scale for x in w]
+        v = [(nm - ((nm % M) + M) % M) // M for nm in nums]
+
+    return rd.from_arrow(pa.table({
+        "i": pa.array(np.arange(dim, dtype=np.int64)),
+        "v_q": pa.array(np.array(v, dtype=np.int64)),
+    }))
