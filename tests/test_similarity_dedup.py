@@ -966,3 +966,49 @@ def test_kmeans_quantized_matches_integer_reference(ray_session):
     for i in range(n):
         assert got[i] == int(a[i]), (i, got[i], int(a[i]))
     assert got[10] == got[11] and got[12] == got[13]
+
+
+def test_pca_power_quantized_recovers_principal_axis(ray_session):
+    """r5 fixed-point power iteration: (a) trajectory equals a sequential
+    integer reference exactly, (b) the fixed-point direction aligns with
+    the float leading eigenvector of the Gram matrix (cosine > 0.99) on a
+    corpus with a dominant axis."""
+    import ray.data as rd
+
+    from tsdat_ray.stages.similarity import pca_power_quantized
+
+    rng = np.random.default_rng(23)
+    n, d = 300, 16
+    axis = rng.normal(0, 1, d)
+    axis /= np.linalg.norm(axis)
+    m = (np.outer(rng.normal(0, 3, n), axis)
+         + rng.normal(0, 0.3, (n, d))).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(list(m), pa.list_(pa.float32())),
+    })
+    got = (pca_power_quantized(rd.from_arrow(tbl).repartition(4), dim=d,
+                               iters=8).to_pandas().sort_values("i"))
+    v_got = got["v_q"].to_numpy()
+
+    # sequential integer reference
+    y = m.astype(np.float64) * 1e6
+    e = np.copysign(np.floor(np.abs(y) + 0.5), y).astype(np.int64)
+    S2 = [[int((e[:, i].astype(object) * e[:, j].astype(object)).sum())
+           for j in range(d)] for i in range(d)]
+    V = 1 << 20
+    v = [V] + [0] * (d - 1)
+    for _ in range(8):
+        w = [sum(S2[i][j] * v[j] for j in range(d)) for i in range(d)]
+        M = max(abs(x) for x in w) or 1
+        nums = [x * V for x in w]
+        v = [(nm - ((nm % M) + M) % M) // M for nm in nums]
+    assert v_got.tolist() == v
+
+    # alignment with the float leading eigenvector
+    g = (m.astype(np.float64).T @ m.astype(np.float64))
+    evals, evecs = np.linalg.eigh(g)
+    lead = evecs[:, -1]
+    vg = v_got.astype(np.float64)
+    cos = abs(vg @ lead) / (np.linalg.norm(vg) * np.linalg.norm(lead))
+    assert cos > 0.99, cos
