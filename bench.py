@@ -29,12 +29,19 @@ def run_bench() -> dict:
 
     import ray
 
+    # RAY_GRAFT_OBJECT_STORE (bytes): size the object store for big
+    # GRAFT_SCALE_ROWS runs — at 32M rows (4.3 B tokens) the flagship
+    # shuffle's working set exceeds Ray's default ~37 GB store and the
+    # spill transiently outgrew this VM's free disk; 80e9 on a 126 GB
+    # /dev/shm host runs it clean (measured r5, BASELINE.md 64× pin)
+    store = os.environ.get("RAY_GRAFT_OBJECT_STORE")
     ray.init(
         address="local",
         num_cpus=num_cpus,
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        **({"object_store_memory": int(float(store))} if store else {}),
     )
     from ray.data import DataContext
 
