@@ -730,3 +730,66 @@ def test_suggest_window_scales_with_key_cardinality(ray_session):
     assert w_hi >= 8 * w_lo
     assert w_hi == 64 * 86400
     assert 3600 <= w_lo <= 7 * 86400
+
+
+def test_decay_and_rolling_quantile_property_vs_sequential(ray_session):
+    """Property (r5): partitioned_decay_score and
+    partitioned_rolling_quantile equal their sequential references for
+    random key counts, window widths (forcing 0..many carries per key),
+    frame/lag sizes, q values and tie patterns."""
+    from tsdat_ray.stages.text_quant import half_away
+    from tsdat_ray.stages.window_funcs import (decay_weights,
+                                               partitioned_decay_score,
+                                               partitioned_rolling_quantile)
+
+    rng = np.random.default_rng(41)
+    for trial, (window_s, K, q, alpha) in enumerate(
+            [(3600, 5, 0.9, 0.3), (50, 12, 0.25, 0.1),
+             (86400, 3, 0.5, 0.5), (10, 31, 0.99, 0.05)]):
+        n = 500
+        keys = rng.integers(0, 5, n).astype(np.int64)
+        ts = rng.integers(0, 30_000, n).astype(np.int64) * 1_000_000
+        ts[::13] = ts[0]  # ties across and within keys
+        v = rng.integers(-5000, 5000, n) / 100.0
+        ids = rng.permutation(n).astype(np.int64)
+        tab = pa.table({
+            "k": pa.array(keys), "eid": pa.array(ids),
+            "ts": pa.array(ts).cast(pa.timestamp("us")),
+            "v": pa.array(v),
+        })
+        ds = rd.from_arrow(tab).repartition(4)
+
+        rq = (partitioned_rolling_quantile(ds, key="k", ts_col="ts",
+                                           value_col="v", id_col="eid",
+                                           q=q, frame_n=K, value_scale=100,
+                                           window_s=window_s)
+              .to_pandas().set_index("eid")["v_rq"])
+        dq = (partitioned_decay_score(ds, key="k", ts_col="ts",
+                                      value_col="v", id_col="eid",
+                                      alpha=alpha, k_terms=K,
+                                      window_s=window_s)
+              .to_pandas().set_index("eid")["v_decay_q"])
+        sw = decay_weights(alpha, K)
+        for kk in np.unique(keys):
+            m = keys == kk
+            order = np.lexsort((ids[m], ts[m]))
+            vq = half_away(v[m][order] * 100)
+            es = ids[m][order]
+            for j in range(len(vq)):
+                # rolling quantile with DuckDB's lerp form
+                fr = np.sort(vq[max(0, j - K + 1):j + 1])
+                mlen = len(fr)
+                pos = (mlen - 1) * q
+                i0 = int(np.floor(pos))
+                frac = pos - i0
+                if i0 + 1 >= mlen or frac == 0.0:
+                    exp_q = float(fr[i0])
+                else:
+                    exp_q = (float(fr[i0]) * (1.0 - frac)
+                             + float(fr[i0 + 1]) * frac)
+                assert rq.loc[es[j]] == exp_q / 100, (trial, kk, j)
+                # decay: per-term quantized associative sum
+                lo = max(0, j - K + 1)
+                exp_d = int(half_away(sw[j - np.arange(lo, j + 1)]
+                                      * (vq[lo:j + 1] / 100.0)).sum())
+                assert int(dq.loc[es[j]]) == exp_d, (trial, kk, j)
